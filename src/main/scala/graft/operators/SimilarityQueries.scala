@@ -1,0 +1,6 @@
+package graft
+import org.apache.spark.sql.{DataFrame, SparkSession}
+object SimilarityQueries {
+  def all: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def oracle: Map[String, String] = Map()
+}

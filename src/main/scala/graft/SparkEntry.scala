@@ -192,8 +192,8 @@ object SparkEntry {
     // DatasetUtilities.py:409-417).
     "a4_minmax_year" -> ((s, d) =>
       lineitem(s, d).agg(
-        year(min(col("l_shipdate"))).as("y0"),
-        year(max(col("l_shipdate"))).as("y1"))),
+        year(min(col("l_shipdate"))).cast("long").as("y0"),
+        year(max(col("l_shipdate"))).cast("long").as("y1"))),
 
     // A5: per-series catalog stats (begin/end/count)
     // (reference: edit_service.py:430-434; SeriesCatalog materialization).

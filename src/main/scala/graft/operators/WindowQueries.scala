@@ -1,6 +1,167 @@
 package graft
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.EditOps
+
+/** SURVEY.md §2.6 window/ordered operators (W1-W7), driven through
+  * [[graft.operators.EditOps]] over the `events` table: each user_id is a
+  * "series", ordered by ts with event_id as the deterministic tiebreak.
+  */
 object WindowQueries {
-  def all: Map[String, (SparkSession, String) => DataFrame] = Map()
-  def oracle: Map[String, String] = Map()
+  import Tables._
+
+  private val K = Seq("user_id")
+
+  def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // W1: data-gap detection (reference: edit_service.py:112-145)
+    "w1_gap_flags" -> ((s, d) =>
+      EditOps.withGapFlags(events(s, d), K, "ts", "event_id", 3600.0)
+        .select("event_id", "user_id", "gap_flag")),
+
+    // W2: value-change threshold (reference: edit_service.py:147-164)
+    "w2_value_change" -> ((s, d) =>
+      EditOps.withValueChangeFlags(events(s, d), K, "ts", "event_id",
+        "value", 120.0)
+        .select("event_id", "user_id", "change_flag")),
+
+    // W3: consecutive-run grouping (reference: edit_service.py:341-360)
+    "w3_run_groups" -> ((s, d) =>
+      EditOps.withRunIds(events(s, d), K, "ts", "event_id",
+        col("value") > 150.0)
+        .filter(col("run_id").isNotNull)
+        .select("event_id", "user_id", "run_id")),
+
+    // W4: linear interpolation of "missing" points
+    // (reference: edit_service.py:279-309); error events play the role
+    // of the selected run to repair.
+    "w4_interpolate" -> ((s, d) =>
+      EditOps.interpolate(events(s, d), K, "ts", "event_id", "value",
+        col("event_type") === "error", "value_interp")
+        .select("event_id", "user_id", "value_interp")),
+
+    // W5: drift correction over a selected window
+    // (reference: edit_service.py:311-339)
+    "w5_drift_correct" -> ((s, d) =>
+      EditOps.driftCorrect(events(s, d), K, "ts", "value",
+        col("ts").between(
+          to_timestamp(lit("2024-01-10 00:00:00")),
+          to_timestamp(lit("2024-01-20 00:00:00"))), 5.0, "value_corr")
+        .select("event_id", "user_id", "value_corr")),
+
+    // W6: season derivation + aggregation
+    // (reference: calcSeason, series_service.py:597-609)
+    "w6_season" -> ((s, d) =>
+      lineitem(s, d)
+        .groupBy(year(col("l_shipdate")).cast("long").as("yr"),
+          EditOps.season(col("l_shipdate")).cast("long").as("season"))
+        .agg(count(lit(1)).as("cnt"),
+          round(sum(col("l_quantity")), 2).as("sum_qty"))),
+
+    // W7: month/year derivation (reference: series_service.py:619-620)
+    "w7_month_year" -> ((s, d) =>
+      orders(s, d)
+        .groupBy(year(col("o_orderdate")).cast("long").as("yr"),
+          month(col("o_orderdate")).cast("long").as("mo"))
+        .agg(count(lit(1)).as("cnt"),
+          round(sum(col("o_totalprice")), 2).as("sum_price"))),
+
+    // O1-analogue running aggregation: cumulative per-series sum —
+    // ordered window frame (rowsBetween unboundedPreceding..current).
+    "w8_running_sum" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      events(s, d).select(col("event_id"), col("user_id"),
+        round(sum(col("value")).over(w), 2).as("running_v"))
+    })
+  )
+
+  def oracle: Map[String, String] = Map(
+    "w1_gap_flags" ->
+      """SELECT event_id, user_id,
+         (COALESCE(epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 3600.0*1e6, FALSE)
+          OR COALESCE(lead(epoch_us(ts)) OVER w - epoch_us(ts) >= 3600.0*1e6, FALSE))
+           AS gap_flag
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""",
+    "w2_value_change" ->
+      """SELECT event_id, user_id,
+         (COALESCE(abs(value - lag(value) OVER w) >= 120.0, FALSE)
+          OR COALESCE(abs(lead(value) OVER w - value) >= 120.0, FALSE))
+           AS change_flag
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""",
+    "w3_run_groups" ->
+      """WITH sel AS (
+           SELECT event_id, user_id, ts, (value > 150.0) AS sel FROM events),
+         b AS (
+           SELECT event_id, user_id, ts, sel,
+             CASE WHEN COALESCE(lag(sel) OVER w <> sel, TRUE) THEN 1 ELSE 0 END
+               AS bd
+           FROM sel WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+         SELECT event_id, user_id,
+           CAST(sum(bd) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run_id
+         FROM b WHERE sel""",
+    "w4_interpolate" ->
+      """WITH base AS (
+           SELECT event_id, user_id, value,
+             (event_type = 'error') AS miss,
+             CAST(epoch_us(ts) AS DOUBLE) AS us,
+             ts
+           FROM events),
+         n AS (
+           SELECT event_id, user_id, value, miss, us,
+             last_value(CASE WHEN NOT miss THEN value END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pv,
+             last_value(CASE WHEN NOT miss THEN us END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pt,
+             first_value(CASE WHEN NOT miss THEN value END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nv,
+             first_value(CASE WHEN NOT miss THEN us END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nt
+           FROM base)
+         SELECT event_id, user_id,
+           CASE WHEN miss AND pv IS NOT NULL AND nv IS NOT NULL
+                THEN pv + (us - pt) / (nt - pt) * (nv - pv)
+                ELSE value END AS value_interp
+         FROM n""",
+    "w5_drift_correct" ->
+      """WITH base AS (
+           SELECT event_id, user_id, value,
+             ts BETWEEN TIMESTAMP '2024-01-10 00:00:00'
+                    AND TIMESTAMP '2024-01-20 00:00:00' AS sel,
+             CAST(epoch_us(ts) AS DOUBLE) AS us
+           FROM events),
+         ext AS (
+           SELECT event_id, user_id, value, sel, us,
+             min(CASE WHEN sel THEN us END) OVER (PARTITION BY user_id) AS x0,
+             max(CASE WHEN sel THEN us END) OVER (PARTITION BY user_id) AS x1
+           FROM base)
+         SELECT event_id, user_id,
+           CASE WHEN sel AND x1 > x0
+                THEN value + 5.0 * ((us - x0) / (x1 - x0))
+                ELSE value END AS value_corr
+         FROM ext""",
+    "w6_season" ->
+      """SELECT year(l_shipdate) AS yr,
+         CAST(floor((month(l_shipdate)-1)/3)+1 AS BIGINT) AS season,
+         count(*) AS cnt, round(sum(l_quantity),2) AS sum_qty
+         FROM lineitem GROUP BY 1, 2""",
+    "w7_month_year" ->
+      """SELECT year(o_orderdate) AS yr, month(o_orderdate) AS mo,
+         count(*) AS cnt, round(sum(o_totalprice),2) AS sum_price
+         FROM orders GROUP BY 1, 2""",
+    "w8_running_sum" ->
+      """SELECT event_id, user_id,
+         round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING), 2) AS running_v
+         FROM events"""
+  )
 }

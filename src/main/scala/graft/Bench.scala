@@ -1,15 +1,14 @@
 package graft
-import org.apache.spark.sql.SparkSession
+
+/** Benchmark entry: times every SparkEntry query at the scale factor in
+  * SPARK_GRAFT_SF_DIR and prints one JSON line for the driver
+  * (BENCH_r{N}.json). Each query is forced with count() — enough to
+  * execute the full plan without driver-side result materialization.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = Sessions.local("graft-bench")
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -1,0 +1,36 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Canonical SparkSession construction for the engine's entry points
+  * (Verify, Bench, tests). Centralizes the settings every session needs:
+  *
+  *  - `spark.sql.legacy.parquet.nanosAsLong` — the driver's
+  *    `events.parquet` stores TIMESTAMP(NANOS), which Spark reads only as
+  *    a raw long under this flag (see [[Tables.events]]). Set once here so
+  *    no DataFrame builder ever mutates session config as a side effect.
+  *  - UTC session zone — the data model's timestamps are naive wall-clock
+  *    values (SURVEY.md §1.3); pinning UTC keeps them stable.
+  *  - shuffle partitions sized to the local core count rather than the
+  *    200 default — on a real cluster this would instead be set to
+  *    ~2-3× total executor cores (or left to AQE coalescing, which stays
+  *    enabled).
+  */
+object Sessions {
+  def builder(appName: String, cpus: String): SparkSession.Builder =
+    SparkSession.builder()
+      .appName(appName)
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+
+  def local(appName: String): SparkSession = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = builder(appName, cpus).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}

@@ -121,11 +121,14 @@ object SparkEntry {
             to_timestamp(lit("1998-12-31 23:59:59"))))
         .select("l_orderkey", "l_linenumber", "l_discount")),
 
-    // J1: fact↔dim equi-join, dim broadcast
+    // J1: fact↔dim equi-join. No explicit broadcast hint: `part` grows
+    // with SF (unbounded at 100 TB), so the join strategy is left to
+    // AQE + autoBroadcastJoinThreshold — broadcast when it fits, shuffle
+    // hash/sort-merge when it doesn't.
     // (reference: series_service.py:355-359).
     "j1_dim_join" -> ((s, d) =>
       lineitem(s, d)
-        .join(broadcast(part(s, d)), col("l_partkey") === col("p_partkey"))
+        .join(part(s, d), col("l_partkey") === col("p_partkey"))
         .groupBy(col("p_brand"))
         .agg(round(sum(col("l_extendedprice")), 2).as("revenue"),
           count(lit(1)).as("cnt"))),
@@ -134,9 +137,11 @@ object SparkEntry {
     // relationship analogue (reference: odmdata/series.py:83-91).
     "j2_composite_join" -> ((s, d) => {
       val e = events(s, d)
+      // keys is small after the selective filter+distinct, but its size is
+      // data-dependent — let AQE pick broadcast vs shuffle at runtime.
       val keys = e.filter(col("value") > 195.0)
         .select("user_id", "event_type").distinct()
-      e.join(broadcast(keys), Seq("user_id", "event_type"))
+      e.join(keys, Seq("user_id", "event_type"))
         .groupBy(col("user_id"), col("event_type"))
         .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("sum_v"))
     }),
@@ -149,11 +154,13 @@ object SparkEntry {
           Seq("s_suppkey"), "left_semi")
         .select("s_suppkey", "s_name")),
 
-    // J6: left outer join attaching dim attributes
+    // J6: left outer join attaching dim attributes. `customer` scales
+    // with SF — no broadcast hint; AQE decides (at 100 TB this is a
+    // shuffle join, ideally co-bucketed on custkey).
     // (reference: DatasetUtilities.py:183-189).
     "j6_left_join" -> ((s, d) =>
       orders(s, d)
-        .join(broadcast(customer(s, d)),
+        .join(customer(s, d),
           col("o_custkey") === col("c_custkey"), "left")
         .select("o_orderkey", "c_name", "o_totalprice")),
 

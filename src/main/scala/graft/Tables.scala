@@ -30,10 +30,13 @@ object Tables {
     * cannot represent natively (TimestampType is microseconds). Read the
     * raw nanos as a long and truncate to microseconds — identical to what
     * microsecond-based engines (e.g. DuckDB) do on read.
+    *
+    * Requires `spark.sql.legacy.parquet.nanosAsLong=true`, set once at
+    * session construction (see [[Sessions.builder]], Verify, Bench, and
+    * the test harness) — NOT flipped here, so building this frame has no
+    * session-wide side effects and no read-order dependence.
     */
-  def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  def events(spark: SparkSession, dir: String): DataFrame =
     table(spark, dir, "events")
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-  }
 }

@@ -54,14 +54,18 @@ object EditOps {
     * reference: get_selection_groups, edit_service.py:341-360).
     * Adds `run_id`, constant within each maximal run of rows sharing
     * `selected`=true, ordered within the series. Non-selected rows get
-    * NULL.
+    * NULL. Selected runs are numbered consecutively 1,2,3,… per series —
+    * matching the reference's get_selection_groups, which enumerates only
+    * the selected groups (a boundary is a selected row whose predecessor
+    * is not selected).
     */
   def withRunIds(df: DataFrame, keys: Seq[String], ts: String,
       tiebreak: String, selected: Column): DataFrame = {
     val ww = w(keys, ts, tiebreak)
-    // run boundary = first row, or selection state differs from prev row
     val sel = selected.cast("boolean")
-    val boundary = coalesce(lag(sel, 1).over(ww) =!= sel, lit(true))
+    // boundary = selected row starting a new selected run (prev row is
+    // non-selected or absent); non-selected rows never open a run.
+    val boundary = sel && !coalesce(lag(sel, 1).over(ww), lit(false))
     val runId = sum(boundary.cast("long")).over(
       w(keys, ts, tiebreak).rowsBetween(Window.unboundedPreceding, 0))
     df.withColumn("run_id", when(sel, runId))

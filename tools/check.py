@@ -40,15 +40,39 @@ def main(sfdir, outdir):
         if os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+    declared = None
+    if os.path.exists(f"{outdir}/queries.json"):
+        declared = json.load(open(f"{outdir}/queries.json"))
+    dirs = sorted(d for d in os.listdir(outdir)
+                  if os.path.isdir(os.path.join(outdir, d)))
     n_ok = n_bad = 0
-    for name in sorted(os.listdir(outdir)):
+    if declared is not None:
+        for name in declared:
+            if name not in dirs:
+                print(f"  x {name}: MISSING output dir (query failed?)")
+                n_bad += 1
+        for name in dirs:
+            if name not in declared:
+                print(f"  x {name}: STALE dir (not in SparkEntry.queries)")
+                n_bad += 1
+        dirs = [d for d in dirs if d in declared]
+    for name in dirs:
         qdir = os.path.join(outdir, name)
-        if not os.path.isdir(qdir):
+        try:
+            got = con.sql(f"SELECT * FROM read_parquet('{qdir}/*.parquet')")
+            gcols, grows = got.columns, got.fetchall()
+        except Exception as e:
+            print(f"  x {name}: UNREADABLE output ({e})")
+            n_bad += 1
             continue
-        got = con.sql(f"SELECT * FROM read_parquet('{qdir}/*.parquet')")
-        gcols, grows = got.columns, got.fetchall()
         if name not in oracle:
-            print(f"  ~ {name}: rows-only check, rows={len(grows)}")
+            # rows-only gate: a non-oracle query must at least return rows
+            if len(grows) > 0:
+                print(f"  ~ {name}: rows-only check OK, rows={len(grows)}")
+                n_ok += 1
+            else:
+                print(f"  x {name}: rows-only check EMPTY")
+                n_bad += 1
             continue
         exp = con.sql(oracle[name])
         ecols, erows = exp.columns, exp.fetchall()

@@ -1,6 +1,165 @@
 package graft
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.TextOps
+
+/** Text-analysis inventory over the `documents` table: token counting,
+  * quality scoring, language ID, fingerprinting, n-gram profiles.
+  * All per-row (no shuffle except the final aggregations) and fully
+  * codegen'd — at 100 TB these scale with input splits only.
+  */
 object TextQueries {
-  def all: Map[String, (SparkSession, String) => DataFrame] = Map()
-  def oracle: Map[String, String] = Map()
+  import Tables._
+
+  def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // t1: token counting — whitespace tokens + BPE-ish subword splits.
+    "t1_tokens" -> ((s, d) =>
+      documents(s, d).select(
+        col("doc_id"),
+        size(TextOps.tokens(col("text"))).cast("long").as("ws_tokens"),
+        size(TextOps.bpeTokens(col("text"))).cast("long").as("bpe_tokens"),
+        length(col("text")).cast("long").as("chars"))),
+
+    // t2: quality scoring — length/punct/stopword/letter ratios folded
+    // into one bounded score. Ratios are plain double arithmetic (IEEE
+    // deterministic, same expression shape as the oracle).
+    "t2_quality" -> ((s, d) => {
+      val toks = TextOps.tokens(col("text"))
+      val nTok = size(toks).cast("double")
+      val chars = length(col("text")).cast("double")
+      val punct = length(regexp_replace(col("text"), "[A-Za-z0-9\\s]", ""))
+        .cast("double")
+      val stops = TextOps.markerCount(toks,
+        Seq("the", "a", "of", "and", "is", "to", "in")).cast("double")
+      val punctRatio = punct / chars
+      val stopRatio = stops / nTok
+      val quality = least(lit(1.0), nTok / lit(100.0)) *
+        (lit(1.0) - punctRatio) * (lit(1.0) - lit(0.5) * stopRatio)
+      documents(s, d).select(
+        col("doc_id"),
+        size(toks).cast("long").as("n_tokens"),
+        round(punctRatio, 4).as("punct_ratio"),
+        round(stopRatio, 4).as("stop_ratio"),
+        round(quality, 4).as("quality"))
+    }),
+
+    // t3: language ID — stopword-marker n-gram heuristic with exact
+    // integer scores and deterministic argmax tiebreak (en>de>es>fr).
+    "t3_lang_id" -> ((s, d) => {
+      val toks = TextOps.tokens(lower(col("text")))
+      val scores = TextOps.LangMarkers.map { case (lang, ws) =>
+        lang -> TextOps.markerCount(toks, ws)
+      }
+      val withScores = documents(s, d).select(
+        col("doc_id") +: col("lang") +:
+          scores.map { case (l, c) => c.as(s"s_$l") }: _*)
+      val pred = TextOps.langPred(
+        TextOps.LangMarkers.map { case (l, _) => l -> col(s"s_$l") })
+      withScores.select(
+        col("doc_id"), col("s_en"), col("s_de"), col("s_es"), col("s_fr"),
+        pred.as("lang_pred"),
+        (pred === col("lang")).as("label_match"))
+    }),
+
+    // t4: document fingerprinting — md5-based 60-bit content hash of the
+    // normalized text plus a Rabin–Karp rolling hash of the raw chars.
+    "t4_fingerprint" -> ((s, d) =>
+      documents(s, d)
+        .withColumn("norm", TextOps.normalize(col("text")))
+        .select(
+          col("doc_id"),
+          TextOps.hash15(col("norm")).as("fp"),
+          TextOps.rollingHash("text").as("rolling_fp"))),
+
+    // t5: char-trigram profile — distinct n-gram count per doc and a
+    // corpus-level aggregation by language.
+    "t5_trigram_profile" -> ((s, d) =>
+      documents(s, d)
+        .select(col("lang"),
+          size(TextOps.charNgrams("text", 3)).cast("long").as("n_tri"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("docs"),
+          sum(col("n_tri")).as("sum_tri"),
+          round(avg(col("n_tri")), 4).as("avg_tri")))
+  )
+
+  private val duckToks = "regexp_split_to_array(trim(text), '\\s+')"
+  private val duckToksLower =
+    "regexp_split_to_array(trim(lower(text)), '\\s+')"
+
+  private def duckMarker(toksSql: String, ws: Seq[String]): String =
+    s"len(list_filter($toksSql, w -> w IN (${ws.map("'" + _ + "'").mkString(",")})))"
+
+  def oracle: Map[String, String] = Map(
+    "t1_tokens" ->
+      s"""SELECT doc_id,
+          len($duckToks) AS ws_tokens,
+          len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]'))
+            AS bpe_tokens,
+          length(text) AS chars
+          FROM documents""",
+    "t2_quality" ->
+      s"""WITH b AS (
+            SELECT doc_id,
+              CAST(len($duckToks) AS BIGINT) AS n_tokens,
+              CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
+                   AS DOUBLE) / length(text) AS punct_ratio,
+              CAST(${duckMarker(duckToks,
+                Seq("the", "a", "of", "and", "is", "to", "in"))} AS DOUBLE)
+                / len($duckToks) AS stop_ratio
+            FROM documents)
+          SELECT doc_id, n_tokens,
+            round(punct_ratio, 4) AS punct_ratio,
+            round(stop_ratio, 4) AS stop_ratio,
+            round(least(1.0, n_tokens / 100.0) * (1.0 - punct_ratio)
+                  * (1.0 - 0.5 * stop_ratio), 4) AS quality
+          FROM b""",
+    "t3_lang_id" -> {
+      val scores = TextOps.LangMarkers.map { case (l, ws) =>
+        s"${duckMarker(duckToksLower, ws)} AS s_$l"
+      }.mkString(", ")
+      // same deterministic argmax: en wins ties, then de, then es.
+      s"""WITH s AS (SELECT doc_id, lang, $scores FROM documents)
+          SELECT doc_id, s_en, s_de, s_es, s_fr,
+            CASE
+              WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+              WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
+              WHEN s_es >= s_fr THEN 'es'
+              ELSE 'fr' END AS lang_pred,
+            (CASE
+              WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+              WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
+              WHEN s_es >= s_fr THEN 'es'
+              ELSE 'fr' END) = lang AS label_match
+          FROM s"""
+    },
+    "t4_fingerprint" ->
+      """WITH RECURSIVE n AS (
+           SELECT doc_id, text, length(text) AS L,
+             lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS norm
+           FROM documents),
+         r AS (
+           SELECT doc_id, text, L, 1 AS i,
+             CAST(ascii(substr(text, 1, 1)) % 1000000007 AS BIGINT) AS h
+           FROM n
+           UNION ALL
+           SELECT doc_id, text, L, i + 1,
+             (h * 31 + ascii(substr(text, i + 1, 1))) % 1000000007
+           FROM r WHERE i < L)
+         SELECT n.doc_id,
+           ('0x' || substr(md5(n.norm), 1, 15))::BIGINT AS fp,
+           r.h AS rolling_fp
+         FROM n JOIN r ON n.doc_id = r.doc_id AND r.i = n.L""",
+    "t5_trigram_profile" ->
+      """WITH t AS (
+           SELECT lang,
+             CAST(len(list_distinct(
+               list_transform(range(1, greatest(length(text) - 2, 0) + 1),
+                              i -> substr(text, i, 3)))) AS BIGINT) AS n_tri
+           FROM documents)
+         SELECT lang, count(*) AS docs, sum(n_tri) AS sum_tri,
+           round(avg(n_tri), 4) AS avg_tri
+         FROM t GROUP BY lang"""
+  )
 }

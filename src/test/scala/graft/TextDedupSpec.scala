@@ -54,10 +54,12 @@ class TextDedupSpec extends SparkSpec {
     assert(got === expected)
   }
 
-  test("minhash of a 3-token doc is the hash of its only shingle") {
+  test("minhash of a 3-token doc is the universal hash of its shingle") {
     val doc = "x y z"
+    val base = MultimodalOps.hash15Jvm("x y z".getBytes("UTF-8")) %
+      DedupOps.MinHashP
     val expected =
-      MultimodalOps.hash15Jvm("0|x y z".getBytes("UTF-8"))
+      (DedupOps.minHashA(0) * base + DedupOps.minHashB(0)) % DedupOps.MinHashP
     val got = DedupOps.withMinHash(Seq((1L, doc)).toDF("id", "text"),
         "text", 1)
       .select("mh0").as[Long].head()

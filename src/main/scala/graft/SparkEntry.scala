@@ -22,12 +22,13 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     coreQueries ++ WindowQueries.all ++ PivotQueries.all ++
       TextQueries.all ++ DedupQueries.all ++ SimilarityQueries.all ++
-      StreamingQueries.all ++ MultimodalQueries.all
+      StreamingQueries.all ++ MultimodalQueries.all ++ ExtraQueries.all
 
   def oracleSql: Map[String, String] =
     coreOracle ++ WindowQueries.oracle ++ PivotQueries.oracle ++
       TextQueries.oracle ++ DedupQueries.oracle ++ SimilarityQueries.oracle ++
-      StreamingQueries.oracle ++ MultimodalQueries.oracle
+      StreamingQueries.oracle ++ MultimodalQueries.oracle ++
+      ExtraQueries.oracle
 
   // ---------------------------------------------------------------------
   // Core relational inventory: scans (S), projections/filters (P),

@@ -1,0 +1,50 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** An interactive edit/QC session over one (or many) series — the
+  * reference's per-series in-memory SQLite copy plus its sequential
+  * edit loop (reference: EditService.__init__ materializing
+  * `:memory:` SQLite, src/GAMUTRawData/odmservices/edit_service.py:
+  * 32-48; rollback :371-373; save :375-442).
+  *
+  * Spark shape (SURVEY.md §3.3): the working copy is a CACHED DataFrame
+  * (S4); every edit is a pure transformation producing a new session
+  * state; rollback (M6) is simply retaining the parent state — lineage
+  * is the undo log. Nothing is written until an explicit sink call
+  * (M7: a Spark write is atomic per output). Unlike the reference this
+  * holds ALL series at once, partitioned by series key — the "session"
+  * scales out instead of being one Python process per series.
+  */
+final class EditSession private (val df: DataFrame,
+    parent: Option[EditSession]) {
+
+  /** Apply one edit step; the result remembers this state for undo. */
+  def edit(f: DataFrame => DataFrame): EditSession =
+    new EditSession(f(df), Some(this))
+
+  /** P8-P11 — refine the boolean selection column. */
+  def select(selCol: String, pred: Column, intersect: Boolean): EditSession =
+    edit(d => d.withColumn(selCol,
+      if (intersect) col(selCol) && pred else pred))
+
+  /** M6 — rollback to the previous state (no-op at the root). */
+  def rollback: EditSession = parent.getOrElse(this)
+
+  /** M6 — rollback the whole session. */
+  def rollbackAll: EditSession = parent.map(_.rollbackAll).getOrElse(this)
+
+  /** Undo depth (number of edits since materialization). */
+  def depth: Int = parent.map(_.depth + 1).getOrElse(0)
+
+  /** Release the cached base copy when the session ends. */
+  def close(): Unit = rollbackAll.df.unpersist()
+}
+
+object EditSession {
+  /** S4 — materialize the working copy once; edits derive from it. */
+  def open(source: DataFrame): EditSession =
+    new EditSession(source.persist(StorageLevel.MEMORY_AND_DISK), None)
+}

@@ -60,7 +60,22 @@ object DedupQueries {
     // oracle expression tractable).
     "d6_simhash" -> ((s, d) =>
       documents(s, d).select(col("doc_id"),
-        DedupOps.simHash("text", 16).as("simhash")))
+        DedupOps.simHash("text", 16).as("simhash"))),
+
+    // d7: group-level sketch union — the typed MinHashMerge Aggregator
+    // folds each source's doc signatures into one k-vector (elementwise
+    // min = signature of the union of shingle sets), with map-side
+    // partial merge.
+    "d7_source_sketch" -> ((s, d) => {
+      val sig = DedupOps.withMinHash(documents(s, d), "text", K)
+        .select(col("source"),
+          array((0 until K).map(i => col(s"mh$i")): _*).as("sig"))
+      val merged = graft.functions.MinHashMerge(K)(col("sig"))
+      sig.groupBy(col("source")).agg(merged.as("sketch"))
+        .select(col("source") +:
+          (0 until K).map(i =>
+            element_at(col("sketch"), i + 1).as(s"smh$i")): _*)
+    })
   )
 
   // --- DuckDB oracle fragments -----------------------------------------
@@ -134,6 +149,17 @@ object DedupQueries {
       s"""SELECT doc_id,
           CAST(${terms.mkString("(", " + ", ")")} AS BIGINT) AS simhash
           FROM documents"""
-    }
+    },
+    "d7_source_sketch" ->
+      s"""WITH bh AS (SELECT source,
+            list_transform($shingles, sh -> ${h15("sh")} % ${DedupOps.MinHashP})
+              AS bh
+          FROM documents),
+          sig AS (SELECT source,
+            ${(0 until K).map(i => s"${mh(i)} AS mh$i").mkString(", ")}
+          FROM bh)
+          SELECT source,
+            ${(0 until K).map(i => s"min(mh$i) AS smh$i").mkString(", ")}
+          FROM sig GROUP BY source"""
   )
 }

@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.MinHashMerge
+import graft.io.BucketedIO
+import graft.operators.SkewOps
+
+class ScaleOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("minhash merge aggregator is elementwise min with partial merge") {
+    val df = Seq(
+      ("a", Seq(5L, 1L, 9L)),
+      ("a", Seq(3L, 7L, 2L)),
+      ("b", Seq(8L, 8L, 8L))
+    ).toDF("g", "sig").repartition(3) // force cross-partition merge
+    val out = df.groupBy(col("g"))
+      .agg(MinHashMerge(3)(col("sig")).as("sketch"))
+      .orderBy("g").as[(String, Seq[Long])].collect().toSeq
+    assert(out === Seq(("a", Seq(3L, 1L, 2L)), ("b", Seq(8L, 8L, 8L))))
+  }
+
+  test("salted join preserves exact join multiplicity") {
+    val large = (1L to 1000L).map(i => (i % 3, i)).toDF("k", "id")
+    val small = Seq((0L, "x"), (1L, "y"), (2L, "z")).toDF("k", "tag")
+    val salted = SkewOps.saltedJoin(large, small, "k", 8, col("id"))
+    val plain = large.join(small, Seq("k"))
+    assert(salted.count() === plain.count())
+    assert(salted.except(plain).isEmpty && plain.except(salted).isEmpty)
+  }
+
+  test("salted two-phase aggregation equals direct aggregation") {
+    val df = (1L to 500L).map(i => (i % 2, i.toDouble)).toDF("k", "v")
+    val out = SkewOps.saltedAgg(df, "k", 4, col("v"),
+        partial = Seq(sum(col("v")).as("ps"), count(lit(1)).as("pc")),
+        finalAgg = Seq(sum(col("ps")).as("s"), sum(col("pc")).as("c")))
+      .orderBy("k").as[(Long, Double, Long)].collect().toSeq
+    val direct = df.groupBy("k")
+      .agg(sum(col("v")).as("s"), count(lit(1)).as("c"))
+      .orderBy("k").as[(Long, Double, Long)].collect().toSeq
+    assert(out === direct)
+  }
+
+  test("bucketed tables join without a shuffle exchange") {
+    val a = (1L to 200L).map(i => (i, s"a$i")).toDF("k", "va")
+    val b = (1L to 200L).map(i => (i, s"b$i")).toDF("k", "vb")
+    BucketedIO.writeBucketed(a, "bkt_a", "k", 4)
+    BucketedIO.writeBucketed(b, "bkt_b", "k", 4)
+    val joined = spark.table("bkt_a").hint("merge")
+      .join(spark.table("bkt_b"), Seq("k"))
+    assert(joined.count() === 200)
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"bucketed join should not shuffle:\n$plan")
+  }
+}

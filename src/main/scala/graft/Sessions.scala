@@ -29,6 +29,9 @@ object Sessions {
       // keep managed-table data (bucketed tables) out of the repo dir
       .config("spark.sql.warehouse.dir",
         s"${sys.props("java.io.tmpdir")}/graft-warehouse")
+      // don't truncate PushedFilters/ReadSchema in explain output —
+      // plan-shape tests assert on them
+      .config("spark.sql.maxMetadataStringLength", "500")
 
   def local(appName: String): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")

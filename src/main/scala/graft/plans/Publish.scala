@@ -35,7 +35,24 @@ object Publish {
       pivotKey: String,            // long→wide pivot column
       valueCol: String,            // measure
       domain: Seq[String],         // explicit pivot domain (dim-derived)
-      sentinel: Double)            // NoDataValue for the sink
+      sentinels: Map[String, Double]) // per-column NoDataValue for the sink
+
+  object ChunkSpec {
+    /** Uniform-sentinel convenience. */
+    def apply(chunkKeys: Seq[String], indexCol: String, pivotKey: String,
+        valueCol: String, domain: Seq[String],
+        sentinel: Double): ChunkSpec =
+      ChunkSpec(chunkKeys, indexCol, pivotKey, valueCol, domain,
+        domain.map(_ -> sentinel).toMap)
+  }
+
+  /** F9 — output filename composition
+    * (reference: DatasetUtilities.py:247-264).
+    */
+  def fileName(siteCode: String, varCode: String, sourceId: Int, qc: Int,
+      year: Option[Int] = None): String =
+    s"${siteCode}_${varCode}_SourceID_${sourceId}_QC_$qc" +
+      year.map(y => s"_Year_$y").getOrElse("") + ".csv"
 
   /** One chunk's wide frame: filter → pivot → sentinel fill → sort. */
   def wideChunk(fact: DataFrame, spec: ChunkSpec,
@@ -46,7 +63,7 @@ object Publish {
     val wide = PivotOps.pivotWide(filtered, Seq(col(spec.indexCol)),
       col(spec.pivotKey), spec.domain, col(spec.valueCol))
     PivotOps.fillSentinels(wide,
-        spec.domain.map(_ -> spec.sentinel).toMap)
+        spec.sentinels)
       .orderBy(col(spec.indexCol))
   }
 
@@ -81,7 +98,7 @@ object Publish {
     val wide = PivotOps.pivotWide(fact,
       (spec.chunkKeys :+ spec.indexCol).map(col),
       col(spec.pivotKey), spec.domain, col(spec.valueCol))
-    PivotOps.fillSentinels(wide, spec.domain.map(_ -> spec.sentinel).toMap)
+    PivotOps.fillSentinels(wide, spec.sentinels)
       .repartition(spec.chunkKeys.map(col): _*)
       .sortWithinPartitions(col(spec.indexCol))
       .write.mode("overwrite")

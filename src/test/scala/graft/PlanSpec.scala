@@ -1,0 +1,51 @@
+package graft
+
+/** Plan-shape regression guards: the properties that make these
+  * operators viable at 100 TB — filter/column pushdown into the parquet
+  * scan, broadcast joins for fixed-size dims, partial aggregation before
+  * the exchange — asserted from explain output so a refactor can't
+  * silently regress them.
+  */
+class PlanSpec extends SparkSpec {
+
+  private val d = "/root/testdata/sf0.001"
+
+  private def planOf(q: String): String = {
+    val df = SparkEntry.queries(q)(spark, d)
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("filters and projections reach the parquet scan") {
+    val p = planOf("p2_eq_filter")
+    assert(p.contains("PushedFilters") &&
+      p.contains("EqualTo(c_mktsegment,BUILDING)"), p)
+    assert(p.contains("ReadSchema") && !p.contains("c_address"),
+      "projection must prune unused columns")
+  }
+
+  test("fixed-size dim chain joins are broadcast, not shuffled") {
+    val p = planOf("j2_multihop")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("grouped aggregation has a map-side partial phase") {
+    val p = planOf("q1_agg")
+    // partial HashAggregate appears below the exchange, final above
+    val firstAgg = p.indexOf("HashAggregate")
+    val exchange = p.indexOf("Exchange")
+    val lastAgg = p.lastIndexOf("HashAggregate")
+    assert(firstAgg >= 0 && exchange >= 0 && lastAgg > firstAgg, p)
+  }
+
+  test("time-range predicate pushes down to the scan") {
+    val p = planOf("p5_between_year")
+    assert(p.contains("GreaterThanOrEqual(l_shipdate") &&
+      p.contains("LessThanOrEqual(l_shipdate"), p)
+  }
+
+  test("similarity query broadcasts the small query side") {
+    val p = planOf("s1_cosine_topk")
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+  }
+}

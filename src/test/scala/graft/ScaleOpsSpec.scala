@@ -44,6 +44,17 @@ class ScaleOpsSpec extends SparkSpec {
   test("bucketed tables join without a shuffle exchange") {
     val a = (1L to 200L).map(i => (i, s"a$i")).toDF("k", "va")
     val b = (1L to 200L).map(i => (i, s"b$i")).toDF("k", "vb")
+    // clear any stale table/location from a previous test JVM
+    for (t <- Seq("bkt_a", "bkt_b")) {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = java.nio.file.Paths.get(
+        s"${sys.props("java.io.tmpdir")}/graft-warehouse/$t")
+      if (java.nio.file.Files.exists(loc)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(loc).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+      }
+    }
     BucketedIO.writeBucketed(a, "bkt_a", "k", 4)
     BucketedIO.writeBucketed(b, "bkt_b", "k", 4)
     val joined = spark.table("bkt_a").hint("merge")

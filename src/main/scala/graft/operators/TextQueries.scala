@@ -81,7 +81,24 @@ object TextQueries {
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("docs"),
           sum(col("n_tri")).as("sum_tri"),
-          round(avg(col("n_tri")), 4).as("avg_tri")))
+          round(avg(col("n_tri")), 4).as("avg_tri"))),
+
+    // t6: corpus vocabulary — top-5 tokens per language by frequency
+    // (explode → two-level aggregation → ranked window). The explode is
+    // the engine's generator path; the token count is map-side
+    // combinable before the shuffle on (lang, token).
+    "t6_top_tokens" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val freq = documents(s, d)
+        .select(col("lang"),
+          explode(TextOps.tokens(col("text"))).as("token"))
+        .groupBy(col("lang"), col("token"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(col("n").desc, col("token").asc)
+      freq.withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 5)
+    })
   )
 
   private val duckToks = "regexp_split_to_array(trim(text), '\\s+')"
@@ -151,6 +168,17 @@ object TextQueries {
            ('0x' || substr(md5(n.norm), 1, 15))::BIGINT AS fp,
            r.h AS rolling_fp
          FROM n JOIN r ON n.doc_id = r.doc_id AND r.i = n.L""",
+    "t6_top_tokens" ->
+      s"""WITH f AS (
+            SELECT lang, unnest($duckToks) AS token FROM documents),
+          c AS (
+            SELECT lang, token, count(*) AS n FROM f GROUP BY lang, token),
+          r AS (
+            SELECT lang, token, n,
+              CAST(row_number() OVER (PARTITION BY lang
+                ORDER BY n DESC, token ASC) AS BIGINT) AS rank
+            FROM c)
+          SELECT lang, token, n, rank FROM r WHERE rank <= 5""",
     "t5_trigram_profile" ->
       """WITH t AS (
            SELECT lang,

@@ -22,12 +22,31 @@ import org.apache.spark.sql.functions._
   */
 object PivotOps {
 
-  /** V1 — long→wide pivot with explicit column domain. */
+  /** V1 — long→wide pivot with explicit column domain. `cellAgg`
+    * defaults to the reference's duplicate-averaging mean rounded to
+    * cents; pass [[centsMean]] over a cents column for cross-engine
+    * bit-determinism.
+    */
   def pivotWide(df: DataFrame, index: Seq[Column], pivot: Column,
-      domain: Seq[String], value: Column): DataFrame =
+      domain: Seq[String], value: Column,
+      cellAgg: Column => Column = v => round(avg(v), 2)): DataFrame =
     df.groupBy(index: _*)
       .pivot(pivot, domain)
-      .agg(round(avg(value), 2))
+      .agg(cellAgg(value))
+
+  /** Exact 2-decimal duplicate-mean over an integer-cents column,
+    * deterministic across engines: the cents sum is exact in double
+    * (< 2^53) regardless of partition order, and the rounding is plain
+    * arithmetic (`floor(x+0.5)/100`) rather than an engine-specific
+    * decimal-string round, so Spark and any SQL oracle produce
+    * bit-identical cells. Use with `centsOf` on the value column.
+    */
+  def centsMean(cents: Column): Column =
+    floor(avg(cents) + lit(0.5)) / lit(100.0)
+
+  /** Scale a ≤2-decimal double column to exact integer cents. */
+  def centsOf(value: Column): Column =
+    round(value * 100).cast("long")
 
   /** V2 — per-column sentinel fill (reference: fillna(NoDataValue) per
     * variable, DatasetUtilities.py:171-175). NULL stays internal

@@ -26,6 +26,8 @@ object Sessions {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
+      // native engine functions (vec_dot) — see graft.functions
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       // keep managed-table data (bucketed tables) out of the repo dir
       .config("spark.sql.warehouse.dir",
         s"${sys.props("java.io.tmpdir")}/graft-warehouse")

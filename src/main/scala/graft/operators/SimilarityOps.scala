@@ -23,16 +23,17 @@ import org.apache.spark.sql.functions._
   */
 object SimilarityOps {
 
-  /** Sequential-fold dot product of two float-array columns, in double. */
-  def dotSql(a: String, b: String): String =
-    s"""aggregate(zip_with($a, $b,
-          (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
-          CAST(0 AS DOUBLE), (acc, v) -> acc + v)"""
+  /** Sequential dot product of two float-array columns, in double —
+    * the native codegen'd [[graft.functions.FloatVecDot]] (`vec_dot`),
+    * registered by GraftExtensions. Identical semantics (double
+    * accumulation in index order) to the HOF fold it replaced, but it
+    * compiles into whole-stage codegen instead of per-element lambda
+    * interpretation.
+    */
+  def dotSql(a: String, b: String): String = s"vec_dot($a, $b)"
 
   /** L2 norm of a float-array column, in double. */
-  def normSql(a: String): String =
-    s"""sqrt(aggregate($a, CAST(0 AS DOUBLE),
-          (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"""
+  def normSql(a: String): String = s"sqrt(vec_dot($a, $a))"
 
   /** Cosine similarity between two float-array columns. For pairwise
     * work prefer [[withNorm]] + [[pairCosine]]: norms are per-vector,

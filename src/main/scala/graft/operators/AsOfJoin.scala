@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of (point-in-time) join — for each left row, attach the most
+  * recent right row with `right.ts <= left.ts` within the same key.
+  * Spark has no native as-of join; rather than a mapPartitions merge,
+  * this composes it from a UNION + one window pass, which scales as a
+  * single hash-partition-by-key shuffle and stays in whole-stage
+  * codegen:
+  *
+  *   1. tag both sides and union them (right rows carry the payload,
+  *      left rows carry null),
+  *   2. `last(payload, ignoreNulls)` over (key ORDER BY ts, side) with
+  *      rows unbounded-preceding..current — right rows sort BEFORE left
+  *      rows at equal ts, so ties resolve to "at or before", matching
+  *      DuckDB/QuestDB ASOF semantics,
+  *   3. keep only left rows.
+  *
+  * The right side must be unique per (key, ts) for well-defined
+  * semantics; pre-aggregate it if necessary.
+  */
+object AsOfJoin {
+
+  /** @param left       probe side
+    * @param right      build side, unique per (keys, ts)
+    * @param keys       equi-key columns present on both sides
+    * @param ts         event-time column name (both sides)
+    * @param payloadCol right-side column to attach
+    * @param outCol     name of the attached column on the output
+    */
+  def asOf(left: DataFrame, right: DataFrame, keys: Seq[String],
+      ts: String, payloadCol: String, outCol: String): DataFrame = {
+    val lCols = left.columns
+    val l = left
+      .withColumn("__side", lit(1))
+      .withColumn("__payload", lit(null).cast(
+        right.schema(payloadCol).dataType))
+    val r = right
+      .select((keys :+ ts).map(col) :+ col(payloadCol).as("__payload"): _*)
+      .withColumn("__side", lit(0))
+    // align schemas: left keeps all its columns; right fills the rest
+    val united = l.select(
+      (lCols.map(col) :+ col("__side") :+ col("__payload")): _*)
+      .unionByName(
+        r.select(
+          (keys :+ ts).map(col) :+ col("__side") :+ col("__payload"): _*),
+        allowMissingColumns = true)
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(ts).asc, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    united
+      .withColumn(outCol, last(col("__payload"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .select(lCols.map(col) :+ col(outCol): _*)
+  }
+}

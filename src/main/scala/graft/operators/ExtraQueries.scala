@@ -63,6 +63,34 @@ object ExtraQueries {
         .agg(count(lit(1)).as("cnt"),
           round(sum(col("o_totalprice")), 2).as("sum_price"))),
 
+    // As-of join: each purchase picks up the latest click value at or
+    // before its timestamp per user — composed union+window (see
+    // operators.AsOfJoin); the oracle is DuckDB's native ASOF JOIN.
+    "x1_asof_join" -> ((s, d) => {
+      val e = events(s, d)
+      val right = e.filter(col("event_type") === "click")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("value")).as("click_value"))
+      val left = e.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts", "value")
+      graft.operators.AsOfJoin.asOf(left, right, Seq("user_id"), "ts",
+          "click_value", "click_value")
+        .select("event_id", "user_id", "value", "click_value")
+    }),
+
+    // RANGE-frame window: trailing 1-hour sum per user, on exact cents
+    // so the sliding sum is engine-deterministic.
+    "w9_range_window" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(unix_micros(col("ts")))
+        .rangeBetween(-3600L * 1000000L, 0L)
+      events(s, d)
+        .withColumn("cents", round(col("value") * 100).cast("long"))
+        .select(col("event_id"), col("user_id"),
+          (sum(col("cents")).over(w) / lit(100.0)).as("hour_sum"))
+    }),
+
     // HLL approx-distinct — the 100 TB path for A1/A2-style distincts
     // (single pass, fixed memory, no exact-distinct shuffle). Sketch
     // internals differ per engine, so this is a rows-only gate; the
@@ -96,6 +124,23 @@ object ExtraQueries {
          round(quantile_cont(l_quantity, 0.9), 4) AS p90,
          round(quantile_cont(l_extendedprice, 0.99), 4) AS p99_price
          FROM lineitem GROUP BY l_returnflag""",
+    "x1_asof_join" ->
+      """WITH r AS (
+           SELECT user_id, ts, max(value) AS click_value FROM events
+           WHERE event_type = 'click' GROUP BY user_id, ts),
+         l AS (
+           SELECT event_id, user_id, ts, value FROM events
+           WHERE event_type = 'purchase')
+         SELECT l.event_id, l.user_id, l.value, r.click_value
+         FROM l ASOF LEFT JOIN r
+           ON l.user_id = r.user_id AND l.ts >= r.ts""",
+    "w9_range_window" ->
+      """SELECT event_id, user_id,
+         sum(CAST(round(value * 100, 0) AS BIGINT)) OVER (
+           PARTITION BY user_id ORDER BY epoch_us(ts)
+           RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) / 100.0
+           AS hour_sum
+         FROM events""",
     "a9_rollup" ->
       """SELECT o_orderstatus, o_orderpriority, count(*) AS cnt,
          round(sum(o_totalprice), 2) AS sum_price

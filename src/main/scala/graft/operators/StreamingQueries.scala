@@ -48,6 +48,35 @@ object StreamingQueries {
         .filter(col("ts") > to_timestamp(lit("2024-01-25 00:00:00")))
         .select("event_id", "user_id", "event_type", "value")
       StreamingOps.runToMemory(s, resumed, "st3_stream_resume", "append")
+    }),
+
+    // st4: custom state via mapGroupsWithState — per-user profile
+    // (count, max inter-event gap, last value). Update mode emits one
+    // profile row per user per batch; the final profile per user is the
+    // one with the highest count.
+    "st4_stateful_profile" -> ((s, d) => {
+      val prof = StreamingOps.statefulProfiles(s, d)
+      StreamingOps.runToMemory(s, prof, "st4_stateful_profile", "update")
+        .groupBy(col("user_id"))
+        .agg(max(col("n")).as("n"),
+          round(max_by(col("max_gap_s"), col("n")), 6).as("max_gap_s"),
+          max_by(col("last_value"), col("n")).as("last_value"))
+    }),
+
+    // st5: watermarked append-mode window — only windows the watermark
+    // has closed (end <= max event time - 1h) are ever emitted; the
+    // in-flight tail is deliberately dropped at end of input. This is
+    // the bounded-state contract a 100 TB stream relies on.
+    "st5_stream_watermark" -> ((s, d) => {
+      val agg = StreamingOps.eventsStream(s, d)
+        .withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("sum_v"))
+        .select(
+          date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss")
+            .as("win_start"),
+          col("event_type"), col("cnt"), col("sum_v"))
+      StreamingOps.runToMemory(s, agg, "st5_stream_watermark", "append")
     })
   )
 
@@ -79,6 +108,28 @@ object StreamingQueries {
          FROM g GROUP BY user_id, sess""",
     "st3_stream_resume" ->
       """SELECT event_id, user_id, event_type, value FROM events
-         WHERE ts > TIMESTAMP '2024-01-25 00:00:00'"""
+         WHERE ts > TIMESTAMP '2024-01-25 00:00:00'""",
+    "st4_stateful_profile" ->
+      """WITH o AS (
+           SELECT user_id, value, ts,
+             (epoch_us(ts) - lag(epoch_us(ts))
+               OVER (PARTITION BY user_id ORDER BY ts, event_id))
+               / 1e6 AS gap_s,
+             row_number() OVER (PARTITION BY user_id
+               ORDER BY ts DESC, event_id DESC) AS rn
+           FROM events)
+         SELECT user_id, count(*) AS n,
+           round(coalesce(max(gap_s), 0.0), 6) AS max_gap_s,
+           max(CASE WHEN rn = 1 THEN value END) AS last_value
+         FROM o GROUP BY user_id""",
+    "st5_stream_watermark" ->
+      """WITH m AS (SELECT max(ts) AS mx FROM events)
+         SELECT strftime(time_bucket(INTERVAL '1 hour', ts),
+           '%Y-%m-%d %H:%M:%S') AS win_start,
+         event_type, count(*) AS cnt, round(sum(value), 2) AS sum_v
+         FROM events, m
+         WHERE time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour'
+           <= m.mx - INTERVAL '1 hour'
+         GROUP BY 1, 2"""
   )
 }

@@ -46,6 +46,50 @@ object StreamingOps {
       .parquet(dir)
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
 
+  /** Typed event row for stateful streaming ops. */
+  final case class EventRow(event_id: Long, ts: java.sql.Timestamp,
+      user_id: Long, event_type: String, value: Double, props: String)
+
+  /** Per-user profile maintained by [[statefulProfiles]]. */
+  final case class UserProfile(user_id: Long, n: Long, max_gap_s: Double,
+      last_value: Double)
+
+  /** Custom-state streaming: a per-user profile folded with
+    * `mapGroupsWithState` — running count, largest inter-event gap, and
+    * last value. The per-group iterator has no guaranteed order, so
+    * events are sorted by (ts, event_id) inside the handler; state
+    * carries (count, maxGap, lastTsMicros, lastValue) across batches so
+    * the fold is correct however AvailableNow splits the input into
+    * batches (as long as file order preserves time order, as it does
+    * for an append log).
+    */
+  def statefulProfiles(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val fn = (user: Long, events: Iterator[EventRow],
+        state: GroupState[(Long, Double, Long, Double)]) => {
+      val sorted = events.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+      var (n, maxGap, lastUs, lastV) =
+        state.getOption.getOrElse((0L, 0.0, Long.MinValue, 0.0))
+      for (e <- sorted) {
+        val us = e.ts.getTime * 1000L +
+          (e.ts.getNanos / 1000L) % 1000L // millis→µs + sub-ms µs
+        if (lastUs != Long.MinValue) {
+          val gap = (us - lastUs) / 1e6
+          if (gap > maxGap) maxGap = gap
+        }
+        n += 1; lastUs = us; lastV = e.value
+      }
+      state.update((n, maxGap, lastUs, lastV))
+      UserProfile(user, n, maxGap, lastV)
+    }
+    eventsStream(spark, dir)
+      .as[EventRow]
+      .groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout)(fn)
+      .toDF()
+  }
+
   /** Run a streaming DataFrame to completion with AvailableNow and
     * return the materialized result from the memory sink. Determinism:
     * with `complete` mode the final table equals the full-input

@@ -9,9 +9,12 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = Sessions.local("graft-bench")
-    // JIT/codegen warmup on the tiny sf so the first measured query
-    // isn't charged for JVM + Spark machinery startup.
-    try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
+    // JIT/codegen warmup on the tiny sf so no measured query is charged
+    // for JVM + Spark machinery startup; cover the agg, regex/hash, and
+    // vector codegen paths.
+    for (q <- Seq("q1_agg", "t4_fingerprint", "s1_cosine_topk"))
+      try SparkEntry.queries(q)(spark, "/root/testdata/sf0.001").count()
+      catch { case _: Throwable => () }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

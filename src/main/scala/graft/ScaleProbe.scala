@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Throughput probe on synthetic data well beyond the bench SF —
+  * evidence that the operator shapes scale with rows, not with
+  * driver-side loops. Generates data with `spark.range` (no disk), so
+  * the numbers isolate operator cost. Run:
+  * `sbt "runMain graft.ScaleProbe"`.
+  */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = Sessions.local("graft-probe")
+    import spark.implicits._
+
+    def time[A](name: String, rows: Long)(f: => A): Unit = {
+      val t0 = System.nanoTime()
+      f
+      val s = (System.nanoTime() - t0) / 1e9
+      println(f"$name%-28s rows=$rows%,d  ${s}%.2f s  ${rows / s / 1e6}%.1f M rows/s")
+    }
+
+    val n = 20000000L
+    val events = spark.range(n).select(
+      col("id"),
+      (col("id") % 10000).as("series"),
+      (col("id") * 37 % 1000000).as("tsec"),
+      (pmod(hash(col("id")), lit(10000)) / 100.0).as("v"))
+      .cache()
+    events.count() // materialize outside the timings
+
+    time("groupBy agg (10k keys)", n) {
+      events.groupBy("series").agg(sum("v"), avg("v"), count(lit(1)))
+        .write.format("noop").mode("overwrite").save()
+    }
+    time("window lag/gap flags", n) {
+      val w = Window.partitionBy("series").orderBy("tsec", "id")
+      events.select((col("tsec") - lag("tsec", 1).over(w) > 100).as("g"))
+        .write.format("noop").mode("overwrite").save()
+    }
+    time("running sum window", n) {
+      val w = Window.partitionBy("series").orderBy("tsec", "id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      events.select(sum("v").over(w))
+        .write.format("noop").mode("overwrite").save()
+    }
+
+    val m = 2000000L
+    val vecs = spark.range(m).select(col("id"),
+      expr("transform(sequence(1, 64), i -> cast(pmod(hash(id * 64 + i), 1000) / 1000.0 as float))")
+        .as("vec")).cache()
+    vecs.count()
+    time("vec_dot self (64-dim)", m) {
+      vecs.select(expr("vec_dot(vec, vec)"))
+        .write.format("noop").mode("overwrite").save()
+    }
+
+    spark.stop()
+  }
+}

@@ -91,6 +91,21 @@ object ExtraQueries {
           (sum(col("cents")).over(w) / lit(100.0)).as("hour_sum"))
     }),
 
+    // Salted two-phase aggregation over genuinely hot keys (only 5
+    // event types → at scale each key is one giant partition): partial
+    // aggregate on (key, salt), final on key. Result must be identical
+    // to the direct aggregation, which is what the oracle computes.
+    "x2_salted_agg" -> ((s, d) =>
+      graft.operators.SkewOps.saltedAgg(
+        events(s, d).withColumn("cents",
+          round(col("value") * 100).cast("long")),
+        "event_type", 16, col("event_id"),
+        partial = Seq(sum(col("cents")).as("pc"),
+          count(lit(1)).as("pn")),
+        finalAgg = Seq(
+          (sum(col("pc")) / lit(100.0)).as("sum_v"),
+          sum(col("pn")).as("cnt")))),
+
     // HLL approx-distinct — the 100 TB path for A1/A2-style distincts
     // (single pass, fixed memory, no exact-distinct shuffle). Sketch
     // internals differ per engine, so this is a rows-only gate; the
@@ -124,6 +139,11 @@ object ExtraQueries {
          round(quantile_cont(l_quantity, 0.9), 4) AS p90,
          round(quantile_cont(l_extendedprice, 0.99), 4) AS p99_price
          FROM lineitem GROUP BY l_returnflag""",
+    "x2_salted_agg" ->
+      """SELECT event_type,
+         sum(CAST(round(value * 100, 0) AS BIGINT)) / 100.0 AS sum_v,
+         count(*) AS cnt
+         FROM events GROUP BY event_type""",
     "x1_asof_join" ->
       """WITH r AS (
            SELECT user_id, ts, max(value) AS click_value FROM events

@@ -60,6 +60,40 @@ object SimilarityQueries {
         .filter(col("rank") <= TopK)
     }),
 
+    // s4: IVF-style ANN — a coarse quantizer (8 centroids drawn
+    // deterministically from the corpus; production would k-means-train
+    // them) assigns every vector to its nearest cell, and search only
+    // scans the query's cell. The cell id is the equi-join key, so the
+    // candidate join shuffles by cell exactly like a FAISS IVF list.
+    "s4_ivf_topk" -> ((s, d) => {
+      val e = SimilarityOps.withNorm(embeddings(s, d), "embedding", "n")
+      val cents = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("c_id"), col("embedding").as("cvec"),
+          col("n").as("cn"))
+      val scored = e.join(broadcast(cents))
+        .select(col("vec_id"), col("embedding"), col("n"), col("c_id"),
+          round(SimilarityOps.pairCosine("embedding", "cvec", "n", "cn"), 6)
+            .as("csim"))
+      val wc = Window.partitionBy(col("vec_id"))
+        .orderBy(col("csim").desc, col("c_id").asc)
+      val assigned = scored
+        .withColumn("r", row_number().over(wc)).filter(col("r") === 1)
+        .select(col("vec_id"), col("embedding"), col("n"),
+          col("c_id").as("cell"))
+      val q = assigned.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qv"),
+          col("n").as("qn"), col("cell"))
+      val sim = q.join(assigned, Seq("cell"))
+        .filter(col("q_id") =!= col("vec_id"))
+        .select(col("q_id"), col("vec_id"),
+          round(SimilarityOps.pairCosine("qv", "embedding", "qn", "n"), 6)
+            .as("sim"))
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("sim").desc, col("vec_id").asc)
+      sim.withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= TopK)
+    }),
+
     // s3: embedding near-dup pairs, blocked by label (realistic blocking
     // key) with a cosine threshold.
     "s3_near_dup" -> ((s, d) => {
@@ -115,6 +149,32 @@ object SimilarityQueries {
               round(${dCos("q.embedding", "c.embedding")}, 6) AS sim
             FROM e q JOIN e c
               ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+            WHERE q.vec_id < 5),
+          r AS (
+            SELECT q_id, vec_id, sim,
+              CAST(row_number() OVER (PARTITION BY q_id
+                ORDER BY sim DESC, vec_id ASC) AS BIGINT) AS rank
+            FROM sim)
+          SELECT q_id, vec_id, sim, rank FROM r WHERE rank <= $TopK""",
+    "s4_ivf_topk" ->
+      s"""WITH cents AS (
+            SELECT vec_id AS c_id, embedding AS cvec FROM embeddings
+            WHERE vec_id < 8),
+          scored AS (
+            SELECT e.vec_id, e.embedding, c.c_id,
+              round(${dCos("e.embedding", "c.cvec")}, 6) AS csim
+            FROM embeddings e CROSS JOIN cents c),
+          assigned AS (
+            SELECT vec_id, embedding, c_id AS cell FROM (
+              SELECT vec_id, embedding, c_id, csim,
+                row_number() OVER (PARTITION BY vec_id
+                  ORDER BY csim DESC, c_id ASC) AS r
+              FROM scored) WHERE r = 1),
+          sim AS (
+            SELECT q.vec_id AS q_id, c.vec_id AS vec_id,
+              round(${dCos("q.embedding", "c.embedding")}, 6) AS sim
+            FROM assigned q JOIN assigned c
+              ON q.cell = c.cell AND q.vec_id <> c.vec_id
             WHERE q.vec_id < 5),
           r AS (
             SELECT q_id, vec_id, sim,

@@ -70,6 +70,18 @@ class EditOpsSpec extends SparkSpec {
     assert(out === Seq(1.0, 6.0, 11.0)) // +G*(0, .5, 1)
   }
 
+  test("window ops tolerate empty input") {
+    val empty = series.filter(col("id") < 0)
+    assert(EditOps.withGapFlags(empty, Seq("sid"), "t", "id", 10.0)
+      .count() === 0)
+    assert(EditOps.withRunIds(empty, Seq("sid"), "t", "id",
+      col("v") > 0).count() === 0)
+    assert(EditOps.interpolate(empty, Seq("sid"), "t", "id", "v",
+      col("v") > 0, "vi").count() === 0)
+    assert(EditOps.driftCorrect(empty, Seq("sid"), "t", "v",
+      col("v") > 0, 1.0, "vc").count() === 0)
+  }
+
   test("season buckets months into quarters") {
     val df = Seq.tabulate(12)(m => (m + 1, ts(f"2024-${m + 1}%02d-15 00:00:00")))
       .toDF("m", "t")

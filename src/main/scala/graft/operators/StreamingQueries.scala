@@ -63,6 +63,36 @@ object StreamingQueries {
           max_by(col("last_value"), col("n")).as("last_value"))
     }),
 
+    // st6: stream-static enrichment — the stream joins a static
+    // (broadcastable) per-user profile computed from the batch table;
+    // the static side is planned like any dim join.
+    "st6_stream_enrich" -> ((s, d) => {
+      // user_avg on exact cents: the integer sum is exact in double, so
+      // avg and delta are bit-identical across engines with NO rounding.
+      val profile = Tables.events(s, d)
+        .withColumn("cents", round(col("value") * 100).cast("long"))
+        .groupBy(col("user_id"))
+        .agg((avg(col("cents")) / lit(100.0)).as("user_avg"))
+      val enriched = StreamingOps.eventsStream(s, d)
+        .filter(col("event_type") === "purchase")
+        .join(profile, Seq("user_id"))
+        .select(col("event_id"), col("user_id"), col("value"),
+          col("user_avg"),
+          (col("value") - col("user_avg")).as("delta"))
+      StreamingOps.runToMemory(s, enriched, "st6_stream_enrich", "append")
+    }),
+
+    // st7: streaming dedup — dropDuplicates keyed on the event id holds
+    // a key set in state; with unique ids the result equals batch
+    // distinct, which is what the oracle checks.
+    "st7_stream_dedup" -> ((s, d) => {
+      val deduped = StreamingOps.eventsStream(s, d)
+        .dropDuplicates("event_id")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("cnt"))
+      StreamingOps.runToMemory(s, deduped, "st7_stream_dedup", "complete")
+    }),
+
     // st5: watermarked append-mode window — only windows the watermark
     // has closed (end <= max event time - 1h) are ever emitted; the
     // in-flight tail is deliberately dropped at end of input. This is
@@ -122,6 +152,20 @@ object StreamingQueries {
            round(coalesce(max(gap_s), 0.0), 6) AS max_gap_s,
            max(CASE WHEN rn = 1 THEN value END) AS last_value
          FROM o GROUP BY user_id""",
+    "st6_stream_enrich" ->
+      """WITH p AS (
+           SELECT user_id,
+             avg(CAST(round(value * 100, 0) AS BIGINT)) / 100.0 AS user_avg
+           FROM events GROUP BY user_id)
+         SELECT e.event_id, e.user_id, e.value, p.user_avg,
+           e.value - p.user_avg AS delta
+         FROM events e JOIN p USING (user_id)
+         WHERE e.event_type = 'purchase'""",
+    "st7_stream_dedup" ->
+      """SELECT event_type, count(*) AS cnt
+         FROM (SELECT DISTINCT ON (event_id) event_id, event_type
+               FROM events)
+         GROUP BY event_type""",
     "st5_stream_watermark" ->
       """WITH m AS (SELECT max(ts) AS mx FROM events)
          SELECT strftime(time_bucket(INTERVAL '1 hour', ts),

@@ -117,6 +117,29 @@ object EditOps {
       when(selected && (x1 > x0), corrected).otherwise(col(value)))
   }
 
+  /** W5 variant — drift correction applied independently to EACH
+    * maximal selected run (composition of [[withRunIds]] + the W5
+    * formula over (series, run) partitions). The reference insists on a
+    * single contiguous run per invocation
+    * (edit_service.py:318-321 raises on multiple groups); this
+    * generalization corrects every run from its own start, which is the
+    * natural data-parallel extension.
+    */
+  def driftCorrectRuns(df: DataFrame, keys: Seq[String], ts: String,
+      tiebreak: String, value: String, selected: Column, gradient: Double,
+      out: String): DataFrame = {
+    val withRuns = withRunIds(df, keys, ts, tiebreak, selected)
+    val wp = Window.partitionBy((keys :+ "run_id").map(col): _*)
+    val us = unix_micros(col(ts)).cast("double")
+    val x0 = min(us).over(wp)
+    val x1 = max(us).over(wp)
+    val corrected = col(value) + lit(gradient) * ((us - x0) / (x1 - x0))
+    withRuns.withColumn(out,
+      when(col("run_id").isNotNull && (x1 > x0), corrected)
+        .otherwise(col(value)))
+      .drop("run_id")
+  }
+
   /** W6 — season bucket from month (reference: calcSeason,
     * series_service.py:597-609): month -> 1..4.
     */

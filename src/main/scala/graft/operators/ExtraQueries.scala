@@ -91,6 +91,21 @@ object ExtraQueries {
           (sum(col("cents")).over(w) / lit(100.0)).as("hour_sum"))
     }),
 
+    // Banded interval join: clicks in the 5 minutes before each
+    // purchase, as a (user, time-band) equi hash join with the exact
+    // window as a post-filter (see operators.IntervalJoin) — never a
+    // nested-loop theta join. Oracle uses the plain inequality join.
+    "x3_interval_join" -> ((s, d) => {
+      val e = events(s, d)
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts")
+      val clicks = e.filter(col("event_type") === "click")
+        .select("user_id", "ts")
+      graft.operators.IntervalJoin.trailingCount(
+          purchases, clicks, Seq("user_id"), "ts", 300L, "clicks_5m")
+        .select("event_id", "user_id", "clicks_5m")
+    }),
+
     // Salted two-phase aggregation over genuinely hot keys (only 5
     // event types → at scale each key is one giant partition): partial
     // aggregate on (key, salt), final on key. Result must be identical
@@ -139,6 +154,16 @@ object ExtraQueries {
          round(quantile_cont(l_quantity, 0.9), 4) AS p90,
          round(quantile_cont(l_extendedprice, 0.99), 4) AS p99_price
          FROM lineitem GROUP BY l_returnflag""",
+    "x3_interval_join" ->
+      """SELECT p.event_id, p.user_id, count(c.ts) AS clicks_5m
+         FROM (SELECT event_id, user_id, ts FROM events
+               WHERE event_type = 'purchase') p
+         LEFT JOIN (SELECT user_id, ts FROM events
+               WHERE event_type = 'click') c
+           ON p.user_id = c.user_id
+          AND epoch_us(c.ts) > epoch_us(p.ts) - 300000000
+          AND epoch_us(c.ts) <= epoch_us(p.ts)
+         GROUP BY p.event_id, p.user_id""",
     "x2_salted_agg" ->
       """SELECT event_type,
          sum(CAST(round(value * 100, 0) AS BIGINT)) / 100.0 AS sum_v,

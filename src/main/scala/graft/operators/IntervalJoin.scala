@@ -1,0 +1,51 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Banded interval (time-proximity) join: for each left row, count
+  * right rows of the same key whose timestamp falls in the trailing
+  * window `(left.ts - windowSec, left.ts]`.
+  *
+  * A naive theta-join `ON key AND r.ts BETWEEN l.ts - w AND l.ts`
+  * becomes a broadcast-nested-loop (or a skew-prone sort-merge on key
+  * alone) at scale. The banded form buckets time into `windowSec`-wide
+  * bands and replicates each RIGHT row into its own band and the next
+  * one; the join is then a plain equi hash join on (key, band) — every
+  * qualifying pair shares the left row's band by construction, each
+  * pair matches in exactly one replica, and the exact window predicate
+  * is a cheap post-filter on the hash-join output.
+  *
+  * Bands use integer `div` on epoch microseconds (no fp division near
+  * band edges). All right-side columns are renamed before the join, so
+  * self-joins (left and right derived from the same table) resolve
+  * unambiguously. Left rows must be unique (e.g. carry an id): the
+  * final groupBy collapses identical left rows.
+  */
+object IntervalJoin {
+
+  /** Count right-side events in the trailing window of each left row.
+    * Output: all left rows (zero counts included) + `countCol`.
+    */
+  def trailingCount(left: DataFrame, right: DataFrame, keys: Seq[String],
+      ts: String, windowSec: Long, countCol: String): DataFrame = {
+    val us = windowSec * 1000000L
+    val l = left
+      .withColumn("__lus", unix_micros(col(ts)))
+      .withColumn("__band", expr(s"unix_micros($ts) div ${us}L"))
+    val r = right
+      .select(keys.map(k => col(k).as(s"__r_$k")) :+
+        unix_micros(col(ts)).as("__rus"): _*)
+      .withColumn("__rband",
+        explode(array(expr(s"__rus div ${us}L"),
+          expr(s"__rus div ${us}L") + lit(1L))))
+    val cond =
+      keys.map(k => col(k) === col(s"__r_$k")).reduce(_ && _) &&
+        col("__band") === col("__rband") &&
+        col("__rus") > col("__lus") - lit(us) &&
+        col("__rus") <= col("__lus")
+    l.join(r, cond, "left")
+      .groupBy(left.columns.map(col): _*)
+      .agg(count(col("__rus")).as(countCol))
+  }
+}

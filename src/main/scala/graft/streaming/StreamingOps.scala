@@ -66,14 +66,19 @@ object StreamingOps {
   def statefulProfiles(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    // exact epoch micros: getTime is ms-truncated, getNanos holds the
+    // full fractional second
+    def micros(t: java.sql.Timestamp): Long =
+      t.getTime / 1000L * 1000000L + t.getNanos / 1000L
     val fn = (user: Long, events: Iterator[EventRow],
         state: GroupState[(Long, Double, Long, Double)]) => {
-      val sorted = events.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+      // sort by FULL microsecond time — ms-precision sorting could
+      // order same-millisecond events differently than the oracle
+      val sorted = events.toSeq.sortBy(e => (micros(e.ts), e.event_id))
       var (n, maxGap, lastUs, lastV) =
         state.getOption.getOrElse((0L, 0.0, Long.MinValue, 0.0))
       for (e <- sorted) {
-        val us = e.ts.getTime * 1000L +
-          (e.ts.getNanos / 1000L) % 1000L // millis→µs + sub-ms µs
+        val us = micros(e.ts)
         if (lastUs != Long.MinValue) {
           val gap = (us - lastUs) / 1e6
           if (gap > maxGap) maxGap = gap

@@ -48,4 +48,10 @@ class PlanSpec extends SparkSpec {
     val p = planOf("s1_cosine_topk")
     assert(p.contains("BroadcastNestedLoopJoin"), p)
   }
+
+  test("banded interval join runs as a hash join, not a nested loop") {
+    val p = planOf("x3_interval_join")
+    assert(!p.contains("NestedLoop"), p)
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"), p)
+  }
 }

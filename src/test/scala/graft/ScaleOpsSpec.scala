@@ -41,6 +41,22 @@ class ScaleOpsSpec extends SparkSpec {
     assert(out === direct)
   }
 
+  test("partitioned fact layout prunes partitions at the scan") {
+    val dir = java.nio.file.Files.createTempDirectory("part-fact").toString
+    Tables.events(spark, "/root/testdata/sf0.001")
+      .write.mode("overwrite").partitionBy("event_type").parquet(dir)
+    val q = spark.read.parquet(dir)
+      .filter(col("event_type") === "purchase")
+      .select("event_id", "value")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(event_type"), plan)
+    assert(plan.contains("= purchase)"), plan)
+    // only the purchase partition's rows are read
+    val expected = Tables.events(spark, "/root/testdata/sf0.001")
+      .filter(col("event_type") === "purchase").count()
+    assert(q.count() === expected)
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     val a = (1L to 200L).map(i => (i, s"a$i")).toDF("k", "va")
     val b = (1L to 200L).map(i => (i, s"b$i")).toDF("k", "vb")

@@ -91,6 +91,21 @@ object ExtraQueries {
           (sum(col("cents")).over(w) / lit(100.0)).as("hour_sum"))
     }),
 
+    // Deterministic train/val/test split: the split is a pure function
+    // of the stable content id (hash bucket 0-99 → 80/10/10), so it is
+    // reproducible across runs, engines, and repartitioning — never
+    // rand()-based. Output: per (lang, split) counts.
+    "x4_hash_split" -> ((s, d) => {
+      val bucket = pmod(graft.operators.TextOps.hash15(
+        concat(lit("split|"), col("doc_id"))), lit(100))
+      val split = when(bucket < 80, "train")
+        .when(bucket < 90, "val").otherwise("test")
+      documents(s, d)
+        .select(col("lang"), split.as("split"))
+        .groupBy(col("lang"), col("split"))
+        .agg(count(lit(1)).as("n"))
+    }),
+
     // Banded interval join: clicks in the 5 minutes before each
     // purchase, as a (user, time-band) equi hash join with the exact
     // window as a post-filter (see operators.IntervalJoin) — never a
@@ -154,6 +169,18 @@ object ExtraQueries {
          round(quantile_cont(l_quantity, 0.9), 4) AS p90,
          round(quantile_cont(l_extendedprice, 0.99), 4) AS p99_price
          FROM lineitem GROUP BY l_returnflag""",
+    "x4_hash_split" ->
+      """WITH b AS (
+           SELECT lang,
+             ('0x' || substr(md5('split|' || doc_id), 1, 15))::BIGINT % 100
+               AS bucket
+           FROM documents)
+         SELECT lang,
+           CASE WHEN bucket < 80 THEN 'train'
+                WHEN bucket < 90 THEN 'val'
+                ELSE 'test' END AS split,
+           count(*) AS n
+         FROM b GROUP BY 1, 2""",
     "x3_interval_join" ->
       """SELECT p.event_id, p.user_id, count(c.ts) AS clicks_5m
          FROM (SELECT event_id, user_id, ts FROM events

@@ -35,13 +35,15 @@ object DedupQueries {
 
     // d4: LSH candidate pairs — docs sharing any band bucket. On this
     // synthetic corpus collisions are rare; empty output still
-    // hash-checks against the oracle.
-    "d4_lsh_pairs" -> ((s, d) =>
-      DedupOps.lshCandidatePairs(
-        DedupOps.lshBuckets(
-          DedupOps.withMinHash(documents(s, d), "text", K),
-          "doc_id", K, RowsPerBand),
-        "doc_id")),
+    // hash-checks against the oracle. The bucket frame is persisted:
+    // the self-join would otherwise evaluate the whole
+    // shingle→minhash→band subtree once per side.
+    "d4_lsh_pairs" -> ((s, d) => {
+      val buckets = DedupOps.lshBuckets(
+        DedupOps.withMinHash(documents(s, d), "text", K),
+        "doc_id", K, RowsPerBand).persist()
+      DedupOps.lshCandidatePairs(buckets, "doc_id")
+    }),
 
     // d5: n-gram Jaccard over a fixed 25-doc block (candidate
     // verification shape — pairwise only within a bounded block, never

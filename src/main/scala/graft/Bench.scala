@@ -2,10 +2,16 @@ package graft
 
 /** Benchmark entry: times every SparkEntry query at the scale factor in
   * SPARK_GRAFT_SF_DIR and prints one JSON line for the driver
-  * (BENCH_r{N}.json). Each query is forced with count() — enough to
-  * execute the full plan without driver-side result materialization.
+  * (BENCH_r{N}.json). Each query is forced with a `noop` write:
+  * unlike count() — which lets column pruning delete every projection
+  * expression, timing projection-only queries as bare scan+count — the
+  * noop sink consumes all output columns, so per-row expressions are
+  * actually evaluated, with zero driver-side materialization.
   */
 object Bench {
+  private def force(df: org.apache.spark.sql.DataFrame): Unit =
+    df.write.format("noop").mode("overwrite").save()
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = Sessions.local("graft-bench")
@@ -13,12 +19,16 @@ object Bench {
     // for JVM + Spark machinery startup; cover the agg, regex/hash, and
     // vector codegen paths.
     for (q <- Seq("q1_agg", "t4_fingerprint", "s1_cosine_topk"))
-      try SparkEntry.queries(q)(spark, "/root/testdata/sf0.001").count()
+      try force(SparkEntry.queries(q)(spark, "/root/testdata/sf0.001"))
       catch { case _: Throwable => () }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      try force(fn(spark, sfDir)) catch { case _: Throwable => () }
+      val dt = (System.nanoTime() - t0) / 1e9
+      // drop anything a query persisted (e.g. d4's bucket frame) so no
+      // cache leaks across measurements
+      spark.catalog.clearCache()
+      name -> dt
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

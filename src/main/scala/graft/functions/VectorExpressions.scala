@@ -34,7 +34,15 @@ case class FloatVecDot(left: Expression, right: Expression)
     }
   override def dataType: DataType = DoubleType
   override def prettyName: String = "vec_dot"
+  // Nullable even when both children are non-null arrays: a NULL
+  // ELEMENT yields a NULL result, and codegen must keep ev.isNull
+  // assignable (non-nullable children would fold it to a literal).
+  override def nullable: Boolean = true
 
+  // A NULL element anywhere in the folded prefix makes the whole result
+  // NULL — exactly what the zip_with/aggregate fold does (x*NULL = NULL,
+  // acc+NULL = NULL). The isNullAt bit-check is branch-predictable noise
+  // for the all-non-null fast path (UnsafeArrayData primitive layout).
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
@@ -42,6 +50,7 @@ case class FloatVecDot(left: Expression, right: Expression)
     var s = 0.0
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       s += x.getFloat(i).toDouble * y.getFloat(i).toDouble
       i += 1
     }
@@ -58,6 +67,10 @@ case class FloatVecDot(left: Expression, right: Expression)
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $s = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.isNullAt($i) || $b.isNullAt($i)) {
+         |    ${ev.isNull} = true;
+         |    break;
+         |  }
          |  $s += (double) $a.getFloat($i) * (double) $b.getFloat($i);
          |}
          |${ev.value} = $s;

@@ -66,6 +66,14 @@ object DedupOps {
     * candidates iff they share (band, bucket) for any band.
     * Returns (idCol, band, bucket) in long form — the natural shuffle
     * key for the candidate join.
+    *
+    * Documents too short to produce any shingle have all-NULL signature
+    * components and are excluded: `concat_ws` SKIPS nulls, so without
+    * the filter every short doc would collapse into the hash("") bucket
+    * and the candidate join would go quadratic on that one bucket at
+    * scale — while a NULL-propagating engine (the oracle's `||`) never
+    * joins them at all. Shingle-less docs are not LSH-bucketable; exact
+    * dedup (d1) still covers them.
     */
   def lshBuckets(sig: DataFrame, idCol: String, k: Int,
       rowsPerBand: Int): DataFrame = {
@@ -76,7 +84,8 @@ object DedupOps {
       struct(lit(b).cast("long").as("band"),
         TextOps.hash15(concat_ws(",", cols: _*)).as("bucket"))
     }
-    sig.select(col(idCol), explode(array(bands: _*)).as("bb"))
+    sig.filter((0 until k).map(i => col(s"mh$i").isNotNull).reduce(_ && _))
+      .select(col(idCol), explode(array(bands: _*)).as("bb"))
       .select(col(idCol), col("bb.band"), col("bb.bucket"))
   }
 

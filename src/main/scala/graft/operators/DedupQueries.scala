@@ -37,7 +37,9 @@ object DedupQueries {
     // synthetic corpus collisions are rare; empty output still
     // hash-checks against the oracle. The bucket frame is persisted:
     // the self-join would otherwise evaluate the whole
-    // shingle→minhash→band subtree once per side.
+    // shingle→minhash→band subtree once per side. Cleanup is
+    // centralized: Verify/Bench clearCache() between queries, so the
+    // cache cannot accumulate across an 80-query run.
     "d4_lsh_pairs" -> ((s, d) => {
       val buckets = DedupOps.lshBuckets(
         DedupOps.withMinHash(documents(s, d), "text", K),
@@ -99,16 +101,22 @@ object DedupQueries {
         sig AS (SELECT doc_id,
           ${(0 until K).map(i => s"${mh(i)} AS mh$i").mkString(", ")}
           FROM bh)"""
+  // Shingle-less docs (all-NULL signature) are excluded on both sides —
+  // see DedupOps.lshBuckets. All mh components are NULL together (they
+  // derive from one shingle list), so filtering the sig CTE once mirrors
+  // the Spark-side all-components-not-null filter exactly.
+  private val sigNotNull =
+    (0 until K).map(i => s"mh$i IS NOT NULL").mkString(" AND ")
   private val bucketsSql =
     s"""WITH $sigCte,
         bk AS (
           SELECT doc_id, 0::BIGINT AS band,
                  ${h15("mh0::VARCHAR || ',' || mh1::VARCHAR")} AS bucket
-          FROM sig
+          FROM sig WHERE $sigNotNull
           UNION ALL
           SELECT doc_id, 1::BIGINT AS band,
                  ${h15("mh2::VARCHAR || ',' || mh3::VARCHAR")} AS bucket
-          FROM sig)"""
+          FROM sig WHERE $sigNotNull)"""
 
   def oracle: Map[String, String] = Map(
     "d1_exact_dedup" ->

@@ -138,12 +138,23 @@ object ExtraQueries {
 
     // HLL approx-distinct — the 100 TB path for A1/A2-style distincts
     // (single pass, fixed memory, no exact-distinct shuffle). Sketch
-    // internals differ per engine, so this is a rows-only gate; the
-    // exact variants (a1/a2) remain the correctness anchors.
+    // internals differ per engine, so the gate checks the ESTIMATE
+    // against the exact count within the HLL error bound (±5% at the
+    // default rsd 0.05): the output carries the exact counts plus
+    // within-tolerance booleans, and the oracle computes the exact
+    // counts with literal TRUE flags — hash-comparable, yet the HLL
+    // sketch path is genuinely executed and accuracy-gated.
     "a10_approx_distinct" -> ((s, d) =>
       lineitem(s, d).agg(
-        approx_count_distinct(col("l_partkey")).as("nd_part"),
-        approx_count_distinct(col("l_suppkey")).as("nd_supp")))
+        countDistinct(col("l_partkey")).as("nd_part"),
+        countDistinct(col("l_suppkey")).as("nd_supp"),
+        approx_count_distinct(col("l_partkey")).as("apx_part"),
+        approx_count_distinct(col("l_suppkey")).as("apx_supp"))
+      .select(col("nd_part"), col("nd_supp"),
+        (abs(col("apx_part") - col("nd_part")).cast("double")
+          <= col("nd_part") * lit(0.05)).as("part_ok"),
+        (abs(col("apx_supp") - col("nd_supp")).cast("double")
+          <= col("nd_supp") * lit(0.05)).as("supp_ok")))
   )
 
   def oracle: Map[String, String] = Map(
@@ -217,7 +228,14 @@ object ExtraQueries {
       """SELECT o_orderstatus, o_orderpriority, count(*) AS cnt,
          round(sum(o_totalprice), 2) AS sum_price
          FROM orders
-         GROUP BY ROLLUP (o_orderstatus, o_orderpriority)"""
-    // a10_approx_distinct: rows-only (sketches are engine-specific)
+         GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""",
+    // Exact counts + literal tolerance flags: the Spark side asserts its
+    // HLL estimate is within ±5% of exact, so a drifting sketch fails
+    // the hash compare instead of hiding behind a rows-only gate.
+    "a10_approx_distinct" ->
+      """SELECT count(DISTINCT l_partkey) AS nd_part,
+         count(DISTINCT l_suppkey) AS nd_supp,
+         true AS part_ok, true AS supp_ok
+         FROM lineitem"""
   )
 }

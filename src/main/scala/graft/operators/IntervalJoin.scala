@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Banded interval (time-proximity) join: for each left row, count
@@ -16,13 +16,23 @@ import org.apache.spark.sql.functions._
   * pair matches in exactly one replica, and the exact window predicate
   * is a cheap post-filter on the hash-join output.
   *
-  * Bands use integer `div` on epoch microseconds (no fp division near
-  * band edges). All right-side columns are renamed before the join, so
+  * Bands use exact integer FLOOR division on epoch microseconds (no fp
+  * division near band edges, and no `div` truncation-toward-zero, which
+  * would mis-band pre-1970 timestamps: -1 div w = 0 but the band below
+  * zero is -1). All right-side columns are renamed before the join, so
   * self-joins (left and right derived from the same table) resolve
   * unambiguously. Left rows must be unique (e.g. carry an id): the
   * final groupBy collapses identical left rows.
   */
 object IntervalJoin {
+
+  /** Exact long floor division of a staged column: x - pmod(x, w) is the
+    * largest multiple of w that is <= x, so the `div` is exact — correct
+    * for negative epochs where plain `div` truncates toward zero.
+    * All-integer arithmetic; no fp near band edges.
+    */
+  private def floorDiv(c: String, w: Long): Column =
+    expr(s"($c - pmod($c, ${w}L)) div ${w}L")
 
   /** Count right-side events in the trailing window of each left row.
     * Output: all left rows (zero counts included) + `countCol`.
@@ -32,13 +42,13 @@ object IntervalJoin {
     val us = windowSec * 1000000L
     val l = left
       .withColumn("__lus", unix_micros(col(ts)))
-      .withColumn("__band", expr(s"unix_micros($ts) div ${us}L"))
+      .withColumn("__band", floorDiv("__lus", us))
     val r = right
       .select(keys.map(k => col(k).as(s"__r_$k")) :+
         unix_micros(col(ts)).as("__rus"): _*)
       .withColumn("__rband",
-        explode(array(expr(s"__rus div ${us}L"),
-          expr(s"__rus div ${us}L") + lit(1L))))
+        explode(array(floorDiv("__rus", us),
+          floorDiv("__rus", us) + lit(1L))))
     val cond =
       keys.map(k => col(k) === col(s"__r_$k")).reduce(_ && _) &&
         col("__band") === col("__rband") &&

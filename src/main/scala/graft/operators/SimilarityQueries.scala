@@ -94,17 +94,24 @@ object SimilarityQueries {
         .filter(col("rank") <= TopK)
     }),
 
-    // s3: embedding near-dup pairs, blocked by label (realistic blocking
-    // key) with a cosine threshold.
+    // s3: embedding near-dup pairs, blocked by (label, sign-bucket) with
+    // a cosine threshold. Label alone is NOT a bounded blocking key — a
+    // popular label is an O(n²) block on one shuffle key at 100 TB
+    // (quadratic explosion + skew). Composing the 8-bit LSH sign bucket
+    // into the join key bounds every block: same-bucket vectors agree on
+    // 8 sign bits, so blocks stay small and near-identical vectors (the
+    // near-dup targets) still collide. This is the same bounded-bucket
+    // design as d4 and s2.
     "s3_near_dup" -> ((s, d) => {
       val e = embeddings(s, d)
+        .withColumn("bucket", SimilarityOps.signBucket("embedding", 8))
       val a = SimilarityOps.withNorm(
-        e.select(col("label"), col("vec_id").as("a"),
+        e.select(col("label"), col("bucket"), col("vec_id").as("a"),
           col("embedding").as("va")), "va", "na")
       val b = SimilarityOps.withNorm(
-        e.select(col("label"), col("vec_id").as("b"),
+        e.select(col("label"), col("bucket"), col("vec_id").as("b"),
           col("embedding").as("vb")), "vb", "nb")
-      a.join(b, Seq("label"))
+      a.join(b, Seq("label", "bucket"))
         .filter(col("a") < col("b"))
         .select(col("label").cast("long").as("label"), col("a"), col("b"),
           round(SimilarityOps.pairCosine("va", "vb", "na", "nb"), 6)
@@ -183,11 +190,16 @@ object SimilarityQueries {
             FROM sim)
           SELECT q_id, vec_id, sim, rank FROM r WHERE rank <= $TopK""",
     "s3_near_dup" ->
-      s"""SELECT CAST(a.label AS BIGINT) AS label,
+      s"""WITH e AS (
+            SELECT label, vec_id, embedding,
+              ${dBucket("embedding")} AS bucket
+            FROM embeddings)
+          SELECT CAST(a.label AS BIGINT) AS label,
             a.vec_id AS a, b.vec_id AS b,
             round(${dCos("a.embedding", "b.embedding")}, 6) AS sim
-          FROM embeddings a JOIN embeddings b
-            ON a.label = b.label AND a.vec_id < b.vec_id
+          FROM e a JOIN e b
+            ON a.label = b.label AND a.bucket = b.bucket
+           AND a.vec_id < b.vec_id
           WHERE round(${dCos("a.embedding", "b.embedding")}, 6) >= 0.35"""
   )
 }

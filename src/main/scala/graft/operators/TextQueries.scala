@@ -73,15 +73,20 @@ object TextQueries {
           TextOps.rollingHash("text").as("rolling_fp"))),
 
     // t5: char-trigram profile — distinct n-gram count per doc and a
-    // corpus-level aggregation by language.
+    // corpus-level aggregation by language. avg_tri is an ARITHMETIC
+    // round over the exact integer sum (floor(sum*1e4/n + 0.5)/1e4):
+    // engine round() over a raw double average is the exact cross-engine
+    // trap NOTES.md playbook rule 2 exists for (and it bit here in r2).
     "t5_trigram_profile" -> ((s, d) =>
       documents(s, d)
         .select(col("lang"),
           size(TextOps.charNgrams("text", 3)).cast("long").as("n_tri"))
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("docs"),
-          sum(col("n_tri")).as("sum_tri"),
-          round(avg(col("n_tri")), 4).as("avg_tri"))),
+          sum(col("n_tri")).as("sum_tri"))
+        .select(col("lang"), col("docs"), col("sum_tri"),
+          (floor(col("sum_tri") * lit(10000.0) / col("docs") + lit(0.5))
+            / lit(10000.0)).as("avg_tri"))),
 
     // t6: corpus vocabulary — top-5 tokens per language by frequency
     // (explode → two-level aggregation → ranked window). The explode is
@@ -187,7 +192,7 @@ object TextQueries {
                               i -> substr(text, i, 3)))) AS BIGINT) AS n_tri
            FROM documents)
          SELECT lang, count(*) AS docs, sum(n_tri) AS sum_tri,
-           round(avg(n_tri), 4) AS avg_tri
+           floor(sum(n_tri) * 10000.0 / count(*) + 0.5) / 10000.0 AS avg_tri
          FROM t GROUP BY lang"""
   )
 }

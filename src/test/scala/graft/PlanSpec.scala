@@ -49,6 +49,16 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("near-dup pair join is blocked on (label, bucket), never label alone") {
+    val p = planOf("s3_near_dup")
+    // the equi-join key must include the LSH sign bucket — label-only
+    // blocking is an unbounded O(n²) block at scale
+    val joinLine = p.linesIterator
+      .find(l => l.contains("Join") && l.contains("label"))
+      .getOrElse(fail(s"no join on label found in plan:\n$p"))
+    assert(joinLine.contains("bucket"), joinLine)
+  }
+
   test("banded interval join runs as a hash join, not a nested loop") {
     val p = planOf("x3_interval_join")
     assert(!p.contains("NestedLoop"), p)

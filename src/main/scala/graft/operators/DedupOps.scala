@@ -42,7 +42,8 @@ object DedupOps {
   def minHashB(i: Int): Long = 7919L * i + 3
 
   /** MinHash signature: k universal hashes minimized over the document's
-    * word 3-shingles. Adds columns mh0..mh{k-1}.
+    * word 3-shingles. Adds columns mh0..mh{k-1} plus `mh_ok` — true iff
+    * the doc produced at least one shingle (all mh components non-null).
     */
   def withMinHash(df: DataFrame, textCol: String, k: Int): DataFrame = {
     // Stage each intermediate as a real column: tokens → shingles →
@@ -53,6 +54,17 @@ object DedupOps {
       .withColumn("__bh",
         transform(TextOps.shinglesFromTokens(col("__toks"), 3),
           sh => TextOps.hash15(sh) % MinHashP))
+      // Validity flag: a 3-shingle exists iff the doc has >= 3 tokens,
+      // so mh_ok ⇔ every mh_i below is non-null. It is DELIBERATELY
+      // re-derived from the raw text (one cheap split pass) rather than
+      // written as isnotnull(mh_i) or size(__bh) > 0: a downstream
+      // filter on either of those is predicate-pushed below these
+      // projects with the aliased minhash tree INLINED into the filter,
+      // re-evaluating the md5-per-shingle pipeline per row — measured
+      // 40× on d3 (0.7 s → 32 s at sf0.1) for the isnotnull form and
+      // 10× for size(__bh). The token-count form inlines to a single
+      // codegen'd split at the scan.
+      .withColumn("mh_ok", size(TextOps.tokens(col(textCol))) >= 3)
     val out = (0 until k).foldLeft(staged) { (acc, i) =>
       acc.withColumn(s"mh$i",
         array_min(transform(col("__bh"),
@@ -84,7 +96,13 @@ object DedupOps {
       struct(lit(b).cast("long").as("band"),
         TextOps.hash15(concat_ws(",", cols: _*)).as("bucket"))
     }
-    sig.filter((0 until k).map(i => col(s"mh$i").isNotNull).reduce(_ && _))
+    // Prefer the cheap staged validity flag (see withMinHash); the
+    // isNotNull fallback is semantically identical but forces k extra
+    // evaluations of the signature pipeline through predicate pushdown.
+    val valid =
+      if (sig.columns.contains("mh_ok")) col("mh_ok")
+      else (0 until k).map(i => col(s"mh$i").isNotNull).reduce(_ && _)
+    sig.filter(valid)
       .select(col(idCol), explode(array(bands: _*)).as("bb"))
       .select(col(idCol), col("bb.band"), col("bb.bucket"))
   }
@@ -100,17 +118,24 @@ object DedupOps {
       .select("a", "b").distinct()
   }
 
-  /** SimHash over whitespace tokens, `bits` wide (production would use
-    * 64; oracle-checked tests use 16 to keep the generated expression
-    * small). Bit j of the result is set iff the majority of token hashes
-    * have bit j set.
+  /** Per-token 60-bit hashes — the staging column for [[simHash]]. */
+  def tokenHashes(textCol: String): Column =
+    expr(s"transform(split(trim($textCol), '\\\\s+'), t -> " +
+      s"cast(conv(substring(md5(t), 1, 15), 16, 10) as bigint))")
+
+  /** SimHash over a STAGED token-hash array column (see [[tokenHashes]]),
+    * `bits` wide (production would use 64; oracle-checked tests use 16 to
+    * keep the generated expression small). Bit j of the result is set iff
+    * the majority of token hashes have bit j set.
+    *
+    * The hash array must be a real column: each bit term references it
+    * twice (filter + size), so an inline expression would be re-hashed
+    * 2×bits times per row (measured 10× on d6 at sf0.1).
     */
-  def simHash(textCol: String, bits: Int): Column = {
-    val ths = s"transform(split(trim($textCol), '\\\\s+'), t -> " +
-      s"cast(conv(substring(md5(t), 1, 15), 16, 10) as bigint))"
+  def simHash(hashesCol: String, bits: Int): Column = {
     val terms = (0 until bits).map { j =>
-      s"(CASE WHEN 2 * size(filter($ths, h -> shiftright(h, $j) % 2 = 1))" +
-        s" > size($ths) THEN ${1L << j}L ELSE 0L END)"
+      s"(CASE WHEN 2 * size(filter($hashesCol, h -> shiftright(h, $j) % 2 = 1))" +
+        s" > size($hashesCol) THEN ${1L << j}L ELSE 0L END)"
     }
     expr(terms.mkString("(", " + ", ")"))
   }

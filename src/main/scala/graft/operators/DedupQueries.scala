@@ -61,10 +61,13 @@ object DedupQueries {
     }),
 
     // d6: 16-bit simhash per document (64 in production; 16 keeps the
-    // oracle expression tractable).
+    // oracle expression tractable). Token hashes staged as a column so
+    // the 16 bit-majority terms share one md5 pass.
     "d6_simhash" -> ((s, d) =>
-      documents(s, d).select(col("doc_id"),
-        DedupOps.simHash("text", 16).as("simhash"))),
+      documents(s, d)
+        .withColumn("__ths", DedupOps.tokenHashes("text"))
+        .select(col("doc_id"),
+          DedupOps.simHash("__ths", 16).as("simhash"))),
 
     // d7: group-level sketch union — the typed MinHashMerge Aggregator
     // folds each source's doc signatures into one k-vector (elementwise

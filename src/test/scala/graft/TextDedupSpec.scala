@@ -50,7 +50,8 @@ class TextDedupSpec extends SparkSpec {
     val tok = "spark"
     val expected = MultimodalOps.hash15Jvm(tok.getBytes("UTF-8")) & 0xFFFFL
     val got = Seq(tok).toDF("text")
-      .select(DedupOps.simHash("text", 16)).as[Long].head()
+      .withColumn("__ths", DedupOps.tokenHashes("text"))
+      .select(DedupOps.simHash("__ths", 16)).as[Long].head()
     assert(got === expected)
   }
 

@@ -34,6 +34,14 @@ object JdbcIO {
   case object Sqlite extends Dialect {
     def url(h: String, db: String) = s"jdbc:sqlite:$db"
   }
+  /** Embedded file-backed dialect (the reference's SQLite role — its
+    * edit sessions materialize into an embedded DB, edit_service.py:
+    * 32-48). Also the round-trip test dialect: Derby ships with Spark,
+    * so S1/S2/K5 execute against a real database in `sbt test`.
+    */
+  case object Derby extends Dialect {
+    def url(h: String, db: String) = s"jdbc:derby:$db;create=true"
+  }
 
   final case class Conn(dialect: Dialect, host: String, db: String,
       user: String = "", password: String = "") {
@@ -57,13 +65,19 @@ object JdbcIO {
     }
   }
 
-  /** K5 — bulk append (the reference's to_sql(if_exists='append')). */
-  def append(df: DataFrame, conn: Conn, table: String): Unit =
+  /** K5 — bulk append (the reference's to_sql(if_exists='append')).
+    * Creates the table on first write. `options` passes writer options
+    * such as `createTableColumnTypes` (e.g. VARCHAR instead of the
+    * dialect's CLOB default, which some engines can't filter on).
+    */
+  def append(df: DataFrame, conn: Conn, table: String,
+      options: Map[String, String] = Map.empty): Unit =
     df.write.format("jdbc")
       .option("url", conn.url)
       .option("dbtable", table)
       .option("user", conn.user)
       .option("password", conn.password)
+      .options(options)
       .mode(SaveMode.Append)
       .save()
 }

@@ -48,3 +48,38 @@ object EditSession {
   def open(source: DataFrame): EditSession =
     new EditSession(source.persist(StorageLevel.MEMORY_AND_DISK), None)
 }
+
+/** An [[EditSession]] that also records every action as provenance —
+  * the reference's RecordService wrapping of EditService (reference:
+  * record_service.py:14-101). `script` serializes the history;
+  * `RecordLog.replay` of that script over the original base frame
+  * reproduces `df` exactly. Undo pops both the frame state AND the log
+  * (the recorded script always describes the current state).
+  */
+final class RecordedSession private (val session: EditSession,
+    val shape: RecordLog.Shape, val history: Vector[RecordLog.EditAction]) {
+
+  def df: DataFrame = session.df
+
+  def apply(action: RecordLog.EditAction): RecordedSession =
+    new RecordedSession(session.edit(action(shape, _)), shape,
+      history :+ action)
+
+  /** M6 — rollback one step, dropping the matching provenance line. */
+  def rollback: RecordedSession =
+    new RecordedSession(session.rollback, shape, history.dropRight(1))
+
+  /** The replayable provenance script. */
+  def script: String = RecordLog.serialize(shape, history)
+}
+
+object RecordedSession {
+  /** Open a recorded session: the working copy is cached and the
+    * selection column initialized false (nothing selected).
+    */
+  def open(source: DataFrame, shape: RecordLog.Shape): RecordedSession =
+    new RecordedSession(
+      EditSession.open(source.withColumn(shape.selected,
+        org.apache.spark.sql.functions.lit(false))),
+      shape, Vector.empty)
+}

@@ -14,6 +14,7 @@ object SimilarityQueries {
   import Tables._
 
   private val TopK = 3
+  private val Dim = 64
 
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     // s1: brute-force cosine top-k — small query set broadcast against
@@ -60,26 +61,60 @@ object SimilarityQueries {
         .filter(col("rank") <= TopK)
     }),
 
-    // s4: IVF-style ANN — a coarse quantizer (8 centroids drawn
-    // deterministically from the corpus; production would k-means-train
-    // them) assigns every vector to its nearest cell, and search only
-    // scans the query's cell. The cell id is the equi-join key, so the
-    // candidate join shuffles by cell exactly like a FAISS IVF list.
+    // s4: IVF-style ANN with a TRAINED coarse quantizer: one seeded
+    // Lloyd step (spherical k-means) — assign every vector to its
+    // nearest of 8 deterministic seeds by cosine, recompute each cell's
+    // centroid as the elementwise mean, re-assign, then search only the
+    // query's cell. The cell id is the equi-join key, so the candidate
+    // join shuffles by cell exactly like a FAISS IVF list; the centroid
+    // table is 8 rows and broadcast.
+    //
+    // Cross-engine determinism of the training step: components are
+    // scaled to integers (floor(x*1e6 + 0.5)) before the mean, so the
+    // per-cell sums are EXACT regardless of partition order (NOTES.md
+    // rule 2 generalized to k-means); all 64-term dot/norm chains are
+    // generated left-deep on both engines so the fp fold order is
+    // identical.
     "s4_ivf_topk" -> ((s, d) => {
       val e = SimilarityOps.withNorm(embeddings(s, d), "embedding", "n")
-      val cents = e.filter(col("vec_id") < 8)
+      val seeds = e.filter(col("vec_id") < 8)
         .select(col("vec_id").as("c_id"), col("embedding").as("cvec"),
           col("n").as("cn"))
-      val scored = e.join(broadcast(cents))
+      val wv0 = Window.partitionBy(col("vec_id"))
+        .orderBy(col("csim").desc, col("c_id").asc)
+      val assigned0 = e.join(broadcast(seeds))
         .select(col("vec_id"), col("embedding"), col("n"), col("c_id"),
           round(SimilarityOps.pairCosine("embedding", "cvec", "n", "cn"), 6)
             .as("csim"))
-      val wc = Window.partitionBy(col("vec_id"))
-        .orderBy(col("csim").desc, col("c_id").asc)
-      val assigned = scored
-        .withColumn("r", row_number().over(wc)).filter(col("r") === 1)
+        .withColumn("r", row_number().over(wv0)).filter(col("r") === 1)
         .select(col("vec_id"), col("embedding"), col("n"),
-          col("c_id").as("cell"))
+          col("c_id").as("cell0"))
+      // Lloyd step: exact integer-scaled elementwise means per cell.
+      val sums = count(lit(1)).as("cnt") +: (1 to Dim).map(i =>
+        sum(floor(element_at(col("embedding"), i).cast("double") * lit(1e6)
+          + lit(0.5)).cast("long")).as(s"s$i"))
+      val cent0 = assigned0.groupBy(col("cell0")).agg(sums.head, sums.tail: _*)
+      val withM = (1 to Dim).foldLeft(cent0) { (acc, i) =>
+        acc.withColumn(s"m$i",
+          col(s"s$i").cast("double") / col("cnt") / lit(1e6))
+      }
+      val mn = sqrt((1 to Dim).map(i => col(s"m$i") * col(s"m$i"))
+        .reduce(_ + _))
+      val cent = withM.withColumn("mn", mn)
+        .select(col("cell0") +: col("mn") +:
+          (1 to Dim).map(i => col(s"m$i")): _*)
+      // Re-assign every vector to its nearest TRAINED centroid.
+      val dot = (1 to Dim).map(i =>
+        element_at(col("embedding"), i).cast("double") * col(s"m$i"))
+        .reduce(_ + _)
+      val wv1 = Window.partitionBy(col("vec_id"))
+        .orderBy(col("csim").desc, col("cell0").asc)
+      val assigned = e.join(broadcast(cent))
+        .select(col("vec_id"), col("embedding"), col("n"), col("cell0"),
+          round(dot / (col("n") * col("mn")), 6).as("csim"))
+        .withColumn("r", row_number().over(wv1)).filter(col("r") === 1)
+        .select(col("vec_id"), col("embedding"), col("n"),
+          col("cell0").as("cell"))
       val q = assigned.filter(col("vec_id") < 5)
         .select(col("vec_id").as("q_id"), col("embedding").as("qv"),
           col("n").as("qn"), col("cell"))
@@ -163,20 +198,51 @@ object SimilarityQueries {
                 ORDER BY sim DESC, vec_id ASC) AS BIGINT) AS rank
             FROM sim)
           SELECT q_id, vec_id, sim, rank FROM r WHERE rank <= $TopK""",
-    "s4_ivf_topk" ->
-      s"""WITH cents AS (
+    "s4_ivf_topk" -> {
+      // Same seeded Lloyd step as the Spark side: every 64-term chain is
+      // generated left-deep so the double fold order matches exactly.
+      def chain(f: Int => String): String =
+        (1 to Dim).map(f).mkString("(", " + ", ")")
+      val sumsSql = (1 to Dim).map(i =>
+        s"sum(CAST(floor(embedding[$i]*1000000.0 + 0.5) AS BIGINT)) AS s$i")
+        .mkString(", ")
+      val msSql = (1 to Dim).map(i =>
+        s"CAST(s$i AS DOUBLE)/cnt/1000000.0 AS m$i").mkString(", ")
+      val mnSql = "sqrt" + chain(i => s"m$i*m$i")
+      val dotSql = chain(i => s"CAST(e.embedding[$i] AS DOUBLE)*c.m$i")
+      val xnSql = "sqrt(list_sum(list_transform(e.embedding, " +
+        "x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))"
+      s"""WITH seeds AS (
             SELECT vec_id AS c_id, embedding AS cvec FROM embeddings
             WHERE vec_id < 8),
-          scored AS (
+          scored0 AS (
             SELECT e.vec_id, e.embedding, c.c_id,
               round(${dCos("e.embedding", "c.cvec")}, 6) AS csim
-            FROM embeddings e CROSS JOIN cents c),
-          assigned AS (
-            SELECT vec_id, embedding, c_id AS cell FROM (
+            FROM embeddings e CROSS JOIN seeds c),
+          assigned0 AS (
+            SELECT vec_id, embedding, c_id AS cell0 FROM (
               SELECT vec_id, embedding, c_id, csim,
                 row_number() OVER (PARTITION BY vec_id
                   ORDER BY csim DESC, c_id ASC) AS r
-              FROM scored) WHERE r = 1),
+              FROM scored0) WHERE r = 1),
+          cent AS (
+            SELECT cell0, count(*) AS cnt, $sumsSql
+            FROM assigned0 GROUP BY cell0),
+          ms AS (SELECT cell0, $msSql FROM cent),
+          cm AS (SELECT cell0,
+              ${(1 to Dim).map(i => s"m$i").mkString(", ")},
+              $mnSql AS mn
+            FROM ms),
+          scored1 AS (
+            SELECT e.vec_id, e.embedding, c.cell0,
+              round($dotSql / ($xnSql * c.mn), 6) AS csim
+            FROM embeddings e CROSS JOIN cm c),
+          assigned AS (
+            SELECT vec_id, embedding, cell0 AS cell FROM (
+              SELECT vec_id, embedding, cell0, csim,
+                row_number() OVER (PARTITION BY vec_id
+                  ORDER BY csim DESC, cell0 ASC) AS r
+              FROM scored1) WHERE r = 1),
           sim AS (
             SELECT q.vec_id AS q_id, c.vec_id AS vec_id,
               round(${dCos("q.embedding", "c.embedding")}, 6) AS sim
@@ -188,7 +254,8 @@ object SimilarityQueries {
               CAST(row_number() OVER (PARTITION BY q_id
                 ORDER BY sim DESC, vec_id ASC) AS BIGINT) AS rank
             FROM sim)
-          SELECT q_id, vec_id, sim, rank FROM r WHERE rank <= $TopK""",
+          SELECT q_id, vec_id, sim, rank FROM r WHERE rank <= $TopK"""
+    },
     "s3_near_dup" ->
       s"""WITH e AS (
             SELECT label, vec_id, embedding,

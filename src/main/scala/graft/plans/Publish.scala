@@ -68,28 +68,67 @@ object Publish {
   }
 
   /** Faithful per-chunk publication with incremental resume. Returns the
-    * list of (chunkValue, path, appended) actually written.
+    * list of (chunkValue, path, appended) actually written, in chunk
+    * order.
+    *
+    * Chunks are independent Spark jobs, so they run on a bounded driver
+    * thread pool (`parallelism`, default 4): the scheduler interleaves
+    * their stages across executor cores instead of serializing job
+    * barriers — on a cluster this is the difference between one chunk's
+    * tail latency and the sum of all of them. Spark job submission is
+    * thread-safe; results are re-ordered to chunk order so output is
+    * deterministic regardless of completion order.
     */
   def publishChunks(spark: SparkSession, fact: DataFrame, spec: ChunkSpec,
-      outDir: String,
-      headerFor: Seq[Any] => Seq[String]): Seq[(Seq[Any], String, Boolean)] = {
+      outDir: String, headerFor: Seq[Any] => Seq[String],
+      parallelism: Int = 4): Seq[(Seq[Any], String, Boolean)] = {
     val chunkVals = fact
       .select(spec.chunkKeys.map(col): _*).distinct()
       .orderBy(spec.chunkKeys.map(col): _*)
       .collect().map(_.toSeq).toSeq
-    chunkVals.map { cv =>
-      val path = s"$outDir/${cv.mkString("_")}.csv"
-      val wide = wideChunk(fact, spec, cv)
-      CsvHeaderSink.tailProbe(spark, path, spec.indexCol) match {
-        case Some(lastTs) =>
-          val fresh = wide.filter(col(spec.indexCol) > lit(lastTs))
-          CsvHeaderSink.append(fresh, path)
-          (cv, path, true)
-        case None =>
-          CsvHeaderSink.write(wide, headerFor(cv), path)
-          (cv, path, false)
+    import java.util.concurrent.Executors
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    val pool = Executors.newFixedThreadPool(
+      math.max(1, math.min(parallelism, chunkVals.size)))
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try {
+      val futures = chunkVals.map { cv =>
+        Future {
+          val path = s"$outDir/${cv.mkString("_")}.csv"
+          val wide = wideChunk(fact, spec, cv)
+          CsvHeaderSink.tailProbe(spark, path, spec.indexCol) match {
+            case Some(lastTs) =>
+              val fresh = wide.filter(col(spec.indexCol) > lit(lastTs))
+              CsvHeaderSink.append(fresh, path)
+              (cv, path, true)
+            case None =>
+              CsvHeaderSink.write(wide, headerFor(cv), path)
+              (cv, path, false)
+          }
+        }
       }
-    }
+      futures.map(Await.result(_, Duration.Inf))
+    } finally pool.shutdown()
+  }
+
+  /** §3.1 end-to-end including the upload leg: publish all chunks, then
+    * push the finished files to the resource store with the reference's
+    * delete-then-add contract and set the resource public
+    * (reference: H2OService._upload_files, H2OServices.py:209-270 →
+    * HydroShareUtility deleteResourceFile/addResourceFile/
+    * setAccessRules).
+    */
+  def publishAndUpload(spark: SparkSession, fact: DataFrame,
+      spec: ChunkSpec, outDir: String,
+      headerFor: Seq[Any] => Seq[String],
+      uploader: graft.io.ResourceUploader, resourceId: String,
+      parallelism: Int = 4): Seq[(Seq[Any], String, Boolean)] = {
+    val written =
+      publishChunks(spark, fact, spec, outDir, headerFor, parallelism)
+    uploader.uploadFiles(resourceId, written.map(_._2))
+    uploader.setPublic(resourceId)
+    written
   }
 
   /** Scale path: all chunks in one distributed job via partitionBy. */

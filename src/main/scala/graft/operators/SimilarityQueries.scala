@@ -80,15 +80,25 @@ object SimilarityQueries {
       val seeds = e.filter(col("vec_id") < 8)
         .select(col("vec_id").as("c_id"), col("embedding").as("cvec"),
           col("n").as("cn"))
-      val wv0 = Window.partitionBy(col("vec_id"))
-        .orderBy(col("csim").desc, col("c_id").asc)
-      val assigned0 = e.join(broadcast(seeds))
-        .select(col("vec_id"), col("embedding"), col("n"), col("c_id"),
-          round(SimilarityOps.pairCosine("embedding", "cvec", "n", "cn"), 6)
-            .as("csim"))
-        .withColumn("r", row_number().over(wv0)).filter(col("r") === 1)
-        .select(col("vec_id"), col("embedding"), col("n"),
-          col("c_id").as("cell0"))
+      // Argmax as max_by over (csim, -cell): identical result to a
+      // row_number window (max sim, min cell id on ties) but a HASH
+      // aggregation — map-side combinable, no per-vector sort, one
+      // exchange. At scale this is the assignment shape you want: the
+      // per-vector candidate rows collapse 8→1 before the shuffle.
+      def argmaxCell(scored: DataFrame, cellCol: String,
+          outCell: String): DataFrame =
+        scored.groupBy(col("vec_id"))
+          .agg(max_by(
+            struct(col("embedding"), col("n"), col(cellCol)),
+            struct(col("csim"), -col(cellCol))).as("b"))
+          .select(col("vec_id"), col("b.embedding"), col("b.n"),
+            col(s"b.$cellCol").as(outCell))
+      val assigned0 = argmaxCell(
+        e.join(broadcast(seeds))
+          .select(col("vec_id"), col("embedding"), col("n"), col("c_id"),
+            round(SimilarityOps.pairCosine("embedding", "cvec", "n", "cn"), 6)
+              .as("csim")),
+        "c_id", "cell0")
       // Lloyd step: exact integer-scaled elementwise means per cell.
       val sums = count(lit(1)).as("cnt") +: (1 to Dim).map(i =>
         sum(floor(element_at(col("embedding"), i).cast("double") * lit(1e6)
@@ -107,14 +117,11 @@ object SimilarityQueries {
       val dot = (1 to Dim).map(i =>
         element_at(col("embedding"), i).cast("double") * col(s"m$i"))
         .reduce(_ + _)
-      val wv1 = Window.partitionBy(col("vec_id"))
-        .orderBy(col("csim").desc, col("cell0").asc)
-      val assigned = e.join(broadcast(cent))
-        .select(col("vec_id"), col("embedding"), col("n"), col("cell0"),
-          round(dot / (col("n") * col("mn")), 6).as("csim"))
-        .withColumn("r", row_number().over(wv1)).filter(col("r") === 1)
-        .select(col("vec_id"), col("embedding"), col("n"),
-          col("cell0").as("cell"))
+      val assigned = argmaxCell(
+        e.join(broadcast(cent))
+          .select(col("vec_id"), col("embedding"), col("n"), col("cell0"),
+            round(dot / (col("n") * col("mn")), 6).as("csim")),
+        "cell0", "cell")
       val q = assigned.filter(col("vec_id") < 5)
         .select(col("vec_id").as("q_id"), col("embedding").as("qv"),
           col("n").as("qn"), col("cell"))

@@ -148,4 +148,64 @@ object DedupOps {
     val union = size(a) + size(b) - size(array_intersect(a, b))
     inter / union.cast("double")
   }
+
+  /** Duplicate-cluster resolution: connected components of the LSH
+    * candidate-pair graph by iterative min-label propagation — every doc
+    * maps to the smallest doc id reachable through candidate pairs
+    * (pairless docs map to themselves). This is the step that turns
+    * pairwise candidates into dedup groups with one survivor per
+    * cluster.
+    *
+    * Each iteration is two hash joins + an aggregation, all keyed on
+    * doc id; the loop runs to the fixpoint (component diameter
+    * iterations — candidate graphs are near-clique per duplicate group,
+    * so diameter is small). The driver-side convergence check is one
+    * count per iteration. At 100 TB with adversarial chains you would
+    * switch to the alternating large-star/small-star algorithm
+    * (same join shapes, O(log n) rounds); min-propagation is the right
+    * tool for bounded near-clique candidate graphs.
+    */
+  def duplicateClusters(docs: DataFrame, pairs: DataFrame,
+      idCol: String, maxIter: Int = 50): DataFrame = {
+    val edges = pairs.select(col("a"), col("b"))
+      .union(pairs.select(col("b").as("a"), col("a").as("b")))
+      .persist()
+    // Only docs with at least one candidate edge can change label —
+    // propagate over the connected subgraph (≤ 2·|pairs| rows, usually
+    // a tiny fraction of the corpus) and union the untouched identity
+    // mapping back at the end.
+    val connected = edges.select(col("a").as(idCol)).distinct()
+    // `cached` is the persisted frontier; each round carries prev_id so
+    // convergence is a filter over the new cache, not a lineage
+    // self-join against the frame being replaced.
+    var cached = connected
+      .withColumn("prev_id", col(idCol))
+      .withColumn("cluster_id", col(idCol)).persist()
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val labels = cached.select(col(idCol), col("cluster_id"))
+      val neighborMin = edges
+        .join(labels, edges("b") === labels(idCol))
+        .groupBy(col("a")).agg(min(col("cluster_id")).as("nmin"))
+      val next = labels.join(neighborMin,
+          labels(idCol) === neighborMin("a"), "left")
+        .select(labels(idCol), col("cluster_id").as("prev_id"),
+          least(col("cluster_id"), coalesce(col("nmin"), col("cluster_id")))
+            .as("cluster_id"))
+        .persist()
+      val changed =
+        next.filter(col("cluster_id") =!= col("prev_id")).count()
+      cached.unpersist()
+      cached = next
+      converged = changed == 0
+      iter += 1
+    }
+    edges.unpersist()
+    val resolved = cached.select(col(idCol), col("cluster_id"))
+    docs.select(col(idCol))
+      .join(resolved, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("cluster_id"), col(idCol)).as("cluster_id"))
+  }
 }

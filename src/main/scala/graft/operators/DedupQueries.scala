@@ -69,6 +69,21 @@ object DedupQueries {
         .select(col("doc_id"),
           DedupOps.simHash("__ths", 16).as("simhash"))),
 
+    // d8: duplicate-cluster resolution — connected components of the
+    // LSH candidate graph (min-label propagation to fixpoint). Every
+    // doc maps to its cluster representative (min reachable id); the
+    // representative is the dedup survivor. Output restricted to docs
+    // in non-trivial clusters plus a total count row would complicate
+    // the oracle — the full mapping is emitted instead.
+    "d8_dup_clusters" -> ((s, d) => {
+      val buckets = DedupOps.lshBuckets(
+        DedupOps.withMinHash(documents(s, d), "text", K),
+        "doc_id", K, RowsPerBand).persist()
+      val pairs = DedupOps.lshCandidatePairs(buckets, "doc_id")
+      DedupOps.duplicateClusters(
+        documents(s, d).select(col("doc_id")), pairs, "doc_id")
+    }),
+
     // d7: group-level sketch union — the typed MinHashMerge Aggregator
     // folds each source's doc signatures into one k-vector (elementwise
     // min = signature of the union of shingle sets), with map-side
@@ -163,6 +178,25 @@ object DedupQueries {
           CAST(${terms.mkString("(", " + ", ")")} AS BIGINT) AS simhash
           FROM documents"""
     },
+    // Recursive transitive closure over the bidirectional candidate
+    // graph; min reachable id per doc = the component representative
+    // (graph is undirected, so min over reachable = component min).
+    // RECURSIVE must follow WITH directly, hence the replaceFirst.
+    "d8_dup_clusters" ->
+      s"""${bucketsSql.replaceFirst("WITH ", "WITH RECURSIVE ")},
+          p AS (
+            SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+            FROM bk x JOIN bk y
+              ON x.band = y.band AND x.bucket = y.bucket
+             AND x.doc_id < y.doc_id),
+          e AS (SELECT a, b FROM p UNION ALL SELECT b, a FROM p),
+          reach AS (
+            SELECT doc_id AS v, doc_id AS lbl FROM documents
+            UNION
+            SELECT e.b AS v, reach.lbl
+            FROM reach JOIN e ON e.a = reach.v)
+          SELECT v AS doc_id, min(lbl) AS cluster_id
+          FROM reach GROUP BY v""",
     "d7_source_sketch" ->
       s"""WITH bh AS (SELECT source,
             list_transform($shingles, sh -> ${h15("sh")} % ${DedupOps.MinHashP})

@@ -88,6 +88,45 @@ object TextQueries {
           (floor(col("sum_tri") * lit(10000.0) / col("docs") + lit(0.5))
             / lit(10000.0)).as("avg_tri"))),
 
+    // t7: repetition-ratio quality signal (Gopher-style filter rule):
+    // the share of all word 2-grams taken by the single most frequent
+    // one — high ratio = boilerplate/degenerate text. Integer max/total
+    // per doc are exact; the ratio uses arithmetic rounding (playbook
+    // rule 2). Docs with <2 tokens have no 2-grams and drop out on both
+    // engines (explode/unnest of an empty list).
+    "t7_repetition" -> ((s, d) => {
+      val grams = documents(s, d)
+        .withColumn("__toks", TextOps.tokens(col("text")))
+        .select(col("doc_id"),
+          explode(TextOps.shinglesFromTokens(col("__toks"), 2)).as("sh"))
+      grams.groupBy(col("doc_id"), col("sh"))
+        .agg(count(lit(1)).as("n"))
+        .groupBy(col("doc_id"))
+        .agg(max(col("n")).as("top_gram"),
+          sum(col("n")).as("total_grams"))
+        .select(col("doc_id"), col("top_gram"), col("total_grams"),
+          (floor(col("top_gram") * lit(10000.0) / col("total_grams")
+            + lit(0.5)) / lit(10000.0)).as("rep_ratio"))
+    }),
+
+    // t8: PII-style redaction — digit runs and email-shaped tokens
+    // replaced by placeholders, with match counts and a fingerprint of
+    // the redacted text. One codegen'd regex pass per pattern; the
+    // patterns use the regex subset Java and RE2 agree on.
+    "t8_redact" -> ((s, d) => {
+      val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val num = "[0-9]+"
+      val redacted = regexp_replace(
+        regexp_replace(col("text"), email, "<EMAIL>"), num, "<NUM>")
+      documents(s, d).select(
+        col("doc_id"),
+        size(regexp_extract_all(col("text"), lit(email), lit(0)))
+          .cast("long").as("n_emails"),
+        size(regexp_extract_all(col("text"), lit(num), lit(0)))
+          .cast("long").as("n_nums"),
+        TextOps.hash15(redacted).as("redacted_fp"))
+    }),
+
     // t6: corpus vocabulary — top-5 tokens per language by frequency
     // (explode → two-level aggregation → ranked window). The explode is
     // the engine's generator path; the token count is map-side
@@ -184,6 +223,32 @@ object TextQueries {
                 ORDER BY n DESC, token ASC) AS BIGINT) AS rank
             FROM c)
           SELECT lang, token, n, rank FROM r WHERE rank <= 5""",
+    "t7_repetition" ->
+      s"""WITH t AS (
+            SELECT doc_id, $duckToks AS toks FROM documents),
+          g AS (
+            SELECT doc_id,
+              unnest(list_transform(
+                range(1, greatest(len(toks) - 1, 0) + 1),
+                i -> toks[i] || ' ' || toks[i+1])) AS sh
+            FROM t),
+          c AS (
+            SELECT doc_id, sh, count(*) AS n FROM g GROUP BY doc_id, sh)
+          SELECT doc_id, max(n) AS top_gram, sum(n) AS total_grams,
+            floor(max(n) * 10000.0 / sum(n) + 0.5) / 10000.0 AS rep_ratio
+          FROM c GROUP BY doc_id""",
+    "t8_redact" -> {
+      val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val num = "[0-9]+"
+      s"""SELECT doc_id,
+          len(regexp_extract_all(text, '$email')) AS n_emails,
+          len(regexp_extract_all(text, '$num')) AS n_nums,
+          ('0x' || substr(md5(
+            regexp_replace(regexp_replace(text, '$email', '<EMAIL>', 'g'),
+                           '$num', '<NUM>', 'g')), 1, 15))::BIGINT
+            AS redacted_fp
+          FROM documents"""
+    },
     "t5_trigram_profile" ->
       """WITH t AS (
            SELECT lang,

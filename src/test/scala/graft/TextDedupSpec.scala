@@ -37,6 +37,25 @@ class TextDedupSpec extends SparkSpec {
     assert(got === "the quick fox")
   }
 
+  test("duplicate clustering propagates the min id across chain components") {
+    // chain 1-2-3-4 forces multiple propagation rounds (diameter 3);
+    // 5-6 is a separate pair; 7 has no edges and maps to itself.
+    val docs = (1L to 7L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (5L, 6L)).toDF("a", "b")
+    val got = DedupOps.duplicateClusters(docs, pairs, "doc_id")
+      .orderBy("doc_id").as[(Long, Long)].collect().toSeq
+    assert(got === Seq(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      5L -> 5L, 6L -> 5L, 7L -> 7L))
+  }
+
+  test("duplicate clustering with no pairs is the identity mapping") {
+    val docs = (1L to 3L).toDF("doc_id")
+    val pairs = Seq.empty[(Long, Long)].toDF("a", "b")
+    val got = DedupOps.duplicateClusters(docs, pairs, "doc_id")
+      .orderBy("doc_id").as[(Long, Long)].collect().toSeq
+    assert(got === Seq(1L -> 1L, 2L -> 2L, 3L -> 3L))
+  }
+
   test("exact dedup groups duplicates under one survivor") {
     val df = Seq((1L, "The cat"), (2L, "the  cat"), (3L, "a dog"))
       .toDF("id", "text")

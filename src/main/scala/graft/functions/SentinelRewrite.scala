@@ -1,0 +1,82 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.expressions.{AttributeReference, EqualTo, IsNull, Literal}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types.MetadataBuilder
+
+/** Sentinel→NULL predicate rewrite (SURVEY.md §4.2 polish).
+  *
+  * The reference's data model mixes SQL NULL with per-variable sentinel
+  * floats (`NoDataValue`, reference: odmdata/variable.py:23) and its
+  * queries compare against the sentinel directly (e.g. no-data
+  * exclusion, series_service.py:642-647). This engine keeps NULL
+  * internally and applies sentinels only at sinks — so legacy
+  * sentinel-equality predicates would silently match nothing.
+  *
+  * Columns TAGGED with `graft.sentinel` metadata (the tag asserts the
+  * column was normalized on load: sentinel values replaced by NULL, see
+  * [[Sentinels.toNull]]) get `col = <sentinel>` rewritten to
+  * `col IS NULL` by this optimizer rule. Besides restoring the legacy
+  * semantics, IS NULL is pushable: after the rewrite the predicate
+  * reaches the parquet scan as a null-count filter, where a
+  * double-equality against a magic number never could match the file
+  * statistics.
+  *
+  * `col != <sentinel>` needs no separate case: it parses as
+  * Not(EqualTo(..)), the inner EqualTo rewrites here, and the stock
+  * optimizer folds Not(IsNull) to IsNotNull.
+  *
+  * Runs as an analyzer resolution rule (see GraftExtensions): the
+  * pattern only matches resolved attribute/literal pairs, so partially
+  * unresolved plans pass through untouched, and the rewrite is
+  * guaranteed to precede every optimizer batch (including the eager
+  * LocalRelation evaluation).
+  */
+object SentinelRewrite extends Rule[LogicalPlan] {
+  val Key = "graft.sentinel"
+
+  private def sentinelOf(a: AttributeReference): Option[Double] =
+    if (a.metadata.contains(Key)) Some(a.metadata.getDouble(Key)) else None
+
+  private def matches(a: AttributeReference, v: Any): Boolean =
+    sentinelOf(a).exists { s =>
+      v match {
+        case d: java.lang.Double => d.doubleValue() == s
+        case f: java.lang.Float  => f.doubleValue() == s
+        case _ => false
+      }
+    }
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.transformAllExpressions {
+      case EqualTo(a: AttributeReference, Literal(v, _)) if matches(a, v) =>
+        IsNull(a)
+      case EqualTo(Literal(v, _), a: AttributeReference) if matches(a, v) =>
+        IsNull(a)
+    }
+}
+
+/** Load-side sentinel normalization + tagging helpers. */
+object Sentinels {
+  /** Replace a column's sentinel value with NULL and tag the column so
+    * [[SentinelRewrite]] recognizes legacy sentinel predicates against
+    * it. The engine-internal representation is always NULL (SURVEY.md
+    * §7.5 risk 2); sinks re-apply sentinels via PivotOps.fillSentinels.
+    */
+  def toNull(df: DataFrame, colName: String, sentinel: Double): DataFrame = {
+    val cleaned = org.apache.spark.sql.functions
+      .when(col(colName) === sentinel, null).otherwise(col(colName))
+    df.withColumn(colName, tagged(cleaned, colName, sentinel))
+  }
+
+  /** Tag only (for columns already normalized upstream). */
+  def tag(df: DataFrame, colName: String, sentinel: Double): DataFrame =
+    df.withColumn(colName, tagged(col(colName), colName, sentinel))
+
+  private def tagged(c: Column, name: String, sentinel: Double): Column =
+    c.as(name, new MetadataBuilder()
+      .putDouble(SentinelRewrite.Key, sentinel).build())
+}

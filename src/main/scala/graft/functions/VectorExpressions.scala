@@ -92,5 +92,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[FloatVecDot].getName, "vec_dot"),
       (args: Seq[Expression]) => FloatVecDot(args(0), args(1))))
+    // Sentinel-equality → IS NULL on tagged columns (SURVEY §4.2).
+    // Injected at RESOLUTION, not optimization: it is a semantic
+    // normalization, and the optimizer's early LocalRelation batch
+    // would otherwise eagerly evaluate in-memory filters with the
+    // un-rewritten predicate before an optimizer-stage rule ran.
+    ext.injectResolutionRule(_ => SentinelRewrite)
   }
 }

@@ -1,0 +1,64 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import graft.functions.Sentinels
+
+/** The SentinelRewrite optimizer rule: sentinel-equality predicates on
+  * tagged columns become IS NULL (and push down to the parquet scan);
+  * untagged columns keep plain double equality.
+  */
+class SentinelRewriteSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val NoData = -9999.0
+
+  private def frame = Sentinels.toNull(
+    Seq((1L, 2.5), (2L, NoData), (3L, 7.0), (4L, NoData))
+      .toDF("id", "v"),
+    "v", NoData)
+
+  test("sentinel equality on a tagged column selects the NULL rows") {
+    val got = frame.filter(col("v") === NoData)
+      .select("id").as[Long].collect().toSeq.sorted
+    assert(got === Seq(2L, 4L))
+    val plan = frame.filter(col("v") === NoData)
+      .queryExecution.analyzed.toString
+    val filterLine = plan.linesIterator.find(_.contains("Filter")).get
+    // the FILTER is rewritten to isnull (the toNull CASE WHEN below it
+    // legitimately keeps its sentinel equality on the untagged input)
+    assert(filterLine.contains("isnull") && !filterLine.contains("-9999"),
+      plan)
+  }
+
+  test("sentinel inequality folds to IS NOT NULL") {
+    val got = frame.filter(col("v") =!= NoData)
+      .select("id").as[Long].collect().toSeq.sorted
+    assert(got === Seq(1L, 3L))
+    val plan = frame.filter(col("v") =!= NoData)
+      .queryExecution.analyzed.toString
+    assert(plan.contains("NOT isnull") || plan.contains("isnotnull"), plan)
+  }
+
+  test("untagged columns keep plain double equality") {
+    val df = Seq((1L, 2.5), (2L, NoData)).toDF("id", "v")
+    assert(df.filter(col("v") === NoData).count() === 1)
+    assert(df.filter(col("v") === 12345.0).count() === 0)
+  }
+
+  test("a non-sentinel literal on a tagged column is not rewritten") {
+    assert(frame.filter(col("v") === 7.0)
+      .select("id").as[Long].collect().toSeq === Seq(3L))
+  }
+
+  test("rewritten predicate pushes to the parquet scan as a null filter") {
+    val dir = Files.createTempDirectory("graft-sentinel").toString + "/t"
+    frame.write.parquet(dir)
+    // field metadata round-trips through parquet, so the tag survives
+    val back = spark.read.parquet(dir).filter(col("v") === NoData)
+    assert(back.select("id").as[Long].collect().toSeq.sorted === Seq(2L, 4L))
+    val plan = back.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNull(v)]"), plan)
+  }
+}

@@ -93,6 +93,36 @@ object StreamingQueries {
       StreamingOps.runToMemory(s, deduped, "st7_stream_dedup", "complete")
     }),
 
+    // st8: stream-stream inner join — purchases join clicks of the same
+    // user within the trailing 5-minute window. Both sides carry
+    // watermarks and the join condition bounds event time, so each
+    // side's state buffer is pruned as the watermark advances — the
+    // bounded-state contract that lets two 100 TB/day streams join
+    // without unbounded buffering. Inner-join emission needs no
+    // watermark to fire, so with AvailableNow the result equals the
+    // batch interval join, which is what the oracle computes.
+    "st8_stream_join" -> ((s, d) => {
+      val p = StreamingOps.eventsStream(s, d)
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("user_id"),
+          col("ts").as("p_ts"))
+        .withWatermark("p_ts", "1 hour")
+      val c = StreamingOps.eventsStream(s, d)
+        .filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+          col("value").as("click_value"))
+        .withWatermark("c_ts", "1 hour")
+      val joined = p.join(c,
+          col("user_id") === col("c_user") &&
+            col("c_ts") > col("p_ts") - expr("interval 5 minutes") &&
+            col("c_ts") <= col("p_ts"))
+        .select(col("p_id"), col("user_id"),
+          date_format(col("c_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS")
+            .as("click_ts"),
+          col("click_value"))
+      StreamingOps.runToMemory(s, joined, "st8_stream_join", "append")
+    }),
+
     // st5: watermarked append-mode window — only windows the watermark
     // has closed (end <= max event time - 1h) are ever emitted; the
     // in-flight tail is deliberately dropped at end of input. This is
@@ -166,6 +196,17 @@ object StreamingQueries {
          FROM (SELECT DISTINCT ON (event_id) event_id, event_type
                FROM events)
          GROUP BY event_type""",
+    "st8_stream_join" ->
+      """SELECT p.event_id AS p_id, p.user_id,
+           strftime(c.ts, '%Y-%m-%d %H:%M:%S.%f') AS click_ts,
+           c.value AS click_value
+         FROM (SELECT event_id, user_id, ts FROM events
+               WHERE event_type = 'purchase') p
+         JOIN (SELECT user_id, ts, value FROM events
+               WHERE event_type = 'click') c
+           ON p.user_id = c.user_id
+          AND epoch_us(c.ts) > epoch_us(p.ts) - 300000000
+          AND epoch_us(c.ts) <= epoch_us(p.ts)""",
     "st5_stream_watermark" ->
       """WITH m AS (SELECT max(ts) AS mx FROM events)
          SELECT strftime(time_bucket(INTERVAL '1 hour', ts),

@@ -127,6 +127,37 @@ object TextQueries {
         TextOps.hash15(redacted).as("redacted_fp"))
     }),
 
+    // t9: Count-Min-sketch token frequencies — the fixed-memory scale
+    // path for vocabulary counting (typed Aggregator, map-side merge;
+    // exact counts shuffle the whole vocabulary, the sketch ships
+    // d·w longs per partition). Probing the five English stopword
+    // markers; the oracle rebuilds the identical sketch cells in SQL,
+    // so estimates are hash-compared bit-exactly, and the CMS
+    // no-undercount guarantee is asserted as a column.
+    "t9_cms_freq" -> ((s, d) => {
+      import graft.functions.CountMinSketch
+      import graft.operators.DedupOps.MinHashP
+      val (dd, ww) = (4, 64)
+      val probes = Seq("the", "a", "of", "and", "is")
+      val toks = documents(s, d)
+        .select(explode(TextOps.tokens(col("text"))).as("tok"))
+        .withColumn("bh", TextOps.hash15(col("tok")) % MinHashP)
+      val sketch = toks.agg(CountMinSketch(dd, ww)(col("bh")).as("sk"))
+      val exact = toks.filter(col("tok").isin(probes: _*))
+        .groupBy(col("tok")).agg(count(lit(1)).as("exact"))
+      import s.implicits._
+      probes.toDF("token")
+        .crossJoin(broadcast(sketch))
+        .withColumn("bh", TextOps.hash15(col("token")) % MinHashP)
+        .select(col("token"),
+          CountMinSketch.estimate(col("sk"), col("bh"), dd, ww).as("est"))
+        .join(exact, col("token") === col("tok"), "left")
+        .select(col("token"), col("est"),
+          coalesce(col("exact"), lit(0L)).as("exact"),
+          (col("est") >= coalesce(col("exact"), lit(0L)))
+            .as("no_undercount"))
+    }),
+
     // t6: corpus vocabulary — top-5 tokens per language by frequency
     // (explode → two-level aggregation → ranked window). The explode is
     // the engine's generator path; the token count is map-side
@@ -223,6 +254,47 @@ object TextQueries {
                 ORDER BY n DESC, token ASC) AS BIGINT) AS rank
             FROM c)
           SELECT lang, token, n, rank FROM r WHERE rank <= 5""",
+    "t9_cms_freq" -> {
+      import graft.operators.DedupOps.{minHashA, minHashB, MinHashP}
+      val probes = Seq("the", "a", "of", "and", "is")
+      val probeList = probes.map("'" + _ + "'").mkString(", ")
+      def h15(x: String) = s"('0x' || substr(md5($x), 1, 15))::BIGINT"
+      s"""WITH toks AS (
+            SELECT unnest($duckToks) AS tok FROM documents),
+          h AS (SELECT tok, ${h15("tok")} % $MinHashP AS bh FROM toks),
+          cells AS (
+            ${(0 until 4).map { r =>
+              s"""SELECT $r AS r,
+                  ((${minHashA(r)}*bh + ${minHashB(r)}) % $MinHashP) % 64
+                    AS c,
+                  count(*) AS n
+                  FROM h GROUP BY 1, 2"""
+            }.mkString(" UNION ALL ")}),
+          probes AS (SELECT unnest([$probeList]) AS token),
+          ph AS (SELECT token, ${h15("token")} % $MinHashP AS bh
+                 FROM probes),
+          pc AS (
+            ${(0 until 4).map { r =>
+              s"""SELECT token, $r AS r,
+                  ((${minHashA(r)}*bh + ${minHashB(r)}) % $MinHashP) % 64
+                    AS c
+                  FROM ph"""
+            }.mkString(" UNION ALL ")}),
+          est AS (
+            -- LEFT join: a probe cell the group-by never produced is an
+            -- EMPTY cell (count 0), and the CMS min must see that zero
+            SELECT pc.token, min(coalesce(cells.n, 0)) AS est
+            FROM pc LEFT JOIN cells
+              ON cells.r = pc.r AND cells.c = pc.c
+            GROUP BY pc.token),
+          exact AS (
+            SELECT tok AS token, count(*) AS exact FROM toks
+            WHERE tok IN ($probeList) GROUP BY tok)
+          SELECT e.token, e.est,
+            coalesce(x.exact, 0) AS exact,
+            e.est >= coalesce(x.exact, 0) AS no_undercount
+          FROM est e LEFT JOIN exact x USING (token)"""
+    },
     "t7_repetition" ->
       s"""WITH t AS (
             SELECT doc_id, $duckToks AS toks FROM documents),

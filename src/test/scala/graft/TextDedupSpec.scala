@@ -37,6 +37,33 @@ class TextDedupSpec extends SparkSpec {
     assert(got === "the quick fox")
   }
 
+  test("count-min sketch never under-counts and is partition-invariant") {
+    import graft.functions.CountMinSketch
+    import graft.operators.DedupOps.MinHashP
+    val (d, w) = (4, 16)
+    val items = Seq.tabulate(500)(i => s"tok${i % 40}") // 40 distinct, skewed
+    val df = items.toDF("tok")
+      .withColumn("bh", TextOps.hash15(col("tok")) % MinHashP)
+    def sketchOf(parts: Int): Seq[Long] =
+      df.repartition(parts).agg(CountMinSketch(d, w)(col("bh")))
+        .head.getSeq[Long](0)
+    val sk = sketchOf(4)
+    // partition-invariant: same sketch from 1 and 4 partitions
+    assert(sk === sketchOf(1))
+    // every row conserves the total item count
+    (0 until d).foreach { r =>
+      assert(sk.slice(r * w, (r + 1) * w).sum === items.size.toLong)
+    }
+    // no-undercount on every distinct item
+    val est = df.distinct()
+      .select(col("tok"),
+        CountMinSketch.estimate(
+          typedLit(sk), col("bh"), d, w).as("est"))
+      .as[(String, Long)].collect().toMap
+    val exact = items.groupBy(identity).view.mapValues(_.size.toLong)
+    exact.foreach { case (t, n) => assert(est(t) >= n, s"$t: ${est(t)} < $n") }
+  }
+
   test("duplicate clustering propagates the min id across chain components") {
     // chain 1-2-3-4 forces multiple propagation rounds (diameter 3);
     // 5-6 is a separate pair; 7 has no edges and maps to itself.

@@ -106,6 +106,44 @@ object ExtraQueries {
         .agg(count(lit(1)).as("n"))
     }),
 
+    // x5: deterministic stratified sampling — per-stratum keep rates
+    // (the data-mixing primitive: oversample scarce languages,
+    // downsample dominant ones) decided by a hash bucket of the stable
+    // doc id, never rand(): reproducible across runs, engines, and
+    // repartitioning. Output: per-lang kept/total.
+    "x5_stratified_sample" -> ((s, d) => {
+      val bucket = pmod(graft.operators.TextOps.hash15(
+        concat(lit("strat|"), col("doc_id"))), lit(100))
+      val rate = when(col("lang") === "en", 50)
+        .when(col("lang") === "de", 30).otherwise(10)
+      documents(s, d)
+        .select(col("lang"), (bucket < rate).cast("int").as("keep"))
+        .groupBy(col("lang"))
+        .agg(sum(col("keep")).as("kept"), count(lit(1)).as("total"))
+    }),
+
+    // x6: sequence packing — assign documents to fixed token-budget
+    // bins (the LLM-training context-window packing step) by exclusive
+    // prefix sum over a deterministic order, bin = floor(prefix/budget).
+    // Packing windows partition by lang so the cumsum never bottlenecks
+    // on one partition; token counts are exact ints, so bin assignment
+    // is engine-identical. Output: per (lang, bin) doc count + tokens.
+    "x6_seq_pack" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val budget = 2048L
+      val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      documents(s, d)
+        .select(col("lang"), col("doc_id"),
+          size(graft.operators.TextOps.tokens(col("text")))
+            .cast("long").as("toks"))
+        .withColumn("prefix",
+          coalesce(sum(col("toks")).over(w), lit(0L)))
+        .withColumn("bin", floor(col("prefix") / budget).cast("long"))
+        .groupBy(col("lang"), col("bin"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("sum_toks"))
+    }),
+
     // Banded interval join: clicks in the 5 minutes before each
     // purchase, as a (user, time-band) equi hash join with the exact
     // window as a post-filter (see operators.IntervalJoin) — never a
@@ -192,6 +230,32 @@ object ExtraQueries {
                 ELSE 'test' END AS split,
            count(*) AS n
          FROM b GROUP BY 1, 2""",
+    "x5_stratified_sample" ->
+      """WITH b AS (
+           SELECT lang,
+             CASE WHEN ('0x' || substr(md5('strat|' || doc_id), 1, 15))
+                    ::BIGINT % 100
+                  < (CASE WHEN lang = 'en' THEN 50
+                          WHEN lang = 'de' THEN 30 ELSE 10 END)
+                  THEN 1 ELSE 0 END AS keep
+           FROM documents)
+         SELECT lang, sum(keep) AS kept, count(*) AS total
+         FROM b GROUP BY lang""",
+    "x6_seq_pack" ->
+      """WITH t AS (
+           SELECT lang, doc_id,
+             CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+               AS toks
+           FROM documents),
+         p AS (
+           SELECT lang, toks,
+             coalesce(sum(toks) OVER (PARTITION BY lang ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS prefix
+           FROM t)
+         SELECT lang, CAST(floor(prefix / 2048) AS BIGINT) AS bin,
+           count(*) AS n_docs, sum(toks) AS sum_toks
+         FROM p GROUP BY lang, bin""",
     "x3_interval_join" ->
       """SELECT p.event_id, p.user_id, count(c.ts) AS clicks_5m
          FROM (SELECT event_id, user_id, ts FROM events

@@ -136,6 +136,36 @@ object SimilarityQueries {
         .filter(col("rank") <= TopK)
     }),
 
+    // s5: int8 embedding quantization — the storage-scale path for a
+    // 100 TB embedding corpus (4 bytes/dim → 1 byte/dim + one scale).
+    // Per-vector absmax scale, arithmetic-rounded code, max
+    // reconstruction error. The scale is STAGED as a column before the
+    // code transform: referenced inside the lambda it would re-reduce
+    // the 64-element absmax once per element (the per-element recompute
+    // trap). All math is double with identical expression shapes on
+    // both engines; the error bound |x - dequant(x)| <= scale/254 + eps
+    // is asserted as a column.
+    "s5_quantize" -> ((s, d) => {
+      val staged = embeddings(s, d)
+        .withColumn("scale", greatest(
+          expr("array_max(transform(embedding, x -> abs(cast(x as double))))"),
+          lit(1e-30)))
+        .withColumn("q", expr(
+          "transform(embedding, x -> cast(floor(cast(x as double)/scale*127 + 0.5) as int))"))
+      staged.select(
+        col("vec_id"),
+        col("scale"),
+        col("q"),
+        (floor(expr(
+          """array_max(zip_with(embedding, q,
+             (x, c) -> abs(cast(x as double) - c*scale/127.0)))""")
+          * lit(1e6) + lit(0.5)) / lit(1e6)).as("max_err"))
+        // max quantization error is half a step (scale/254); +1e-6
+        // absolute slack for max_err's own arithmetic rounding
+        .withColumn("err_ok",
+          col("max_err") <= col("scale") / lit(254.0) + lit(1e-6))
+    }),
+
     // s3: embedding near-dup pairs, blocked by (label, sign-bucket) with
     // a cosine threshold. Label alone is NOT a bounded blocking key — a
     // popular label is an O(n²) block on one shuffle key at 100 TB
@@ -263,6 +293,27 @@ object SimilarityQueries {
             FROM sim)
           SELECT q_id, vec_id, sim, rank FROM r WHERE rank <= $TopK"""
     },
+    "s5_quantize" ->
+      """WITH s AS (
+           SELECT vec_id, embedding,
+             greatest(list_max(list_transform(embedding,
+               x -> abs(CAST(x AS DOUBLE)))), 1e-30) AS scale
+           FROM embeddings),
+         q AS (
+           SELECT vec_id, embedding, scale,
+             list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE)/scale*127 + 0.5)
+                 AS INTEGER)) AS q
+           FROM s)
+         SELECT vec_id, scale, q,
+           floor(list_max(list_transform(range(1, len(embedding) + 1),
+             i -> abs(CAST(embedding[i] AS DOUBLE)
+               - q[i]*scale/127.0))) * 1e6 + 0.5) / 1e6 AS max_err,
+           (floor(list_max(list_transform(range(1, len(embedding) + 1),
+             i -> abs(CAST(embedding[i] AS DOUBLE)
+               - q[i]*scale/127.0))) * 1e6 + 0.5) / 1e6)
+             <= scale / 254.0 + 1e-6 AS err_ok
+         FROM q""",
     "s3_near_dup" ->
       s"""WITH e AS (
             SELECT label, vec_id, embedding,

@@ -22,6 +22,24 @@ object MultimodalQueries {
         md5(col("text").cast("binary")).as("content_md5"),
         ascii(substring(col("text"), 1, 1)).cast("long").as("first_byte"))),
 
+    // m4: frame sampling — video-shaped payloads sliced into fixed
+    // 64-byte frames, every 2nd kept (the decode-free part of a
+    // frame-sample stage; a codec would decode each kept frame). The
+    // oracle slices with char substr, valid because the corpus is pure
+    // ASCII (asserted by m2's octet_length == length agreement).
+    "m4_frame_sample" -> ((s, d) => {
+      import s.implicits._
+      val media = documents(s, d)
+        .select(col("doc_id").as("id"), lit("video").as("kind"),
+          col("text").cast("binary").as("payload"))
+        .as[MultimodalOps.MediaRow]
+      MultimodalOps.sampleFrames(media, frameBytes = 64, stride = 2)
+        .toDF()
+        .select(col("id").as("frame_id"),
+          length(col("payload")).cast("long").as("n_bytes"),
+          md5(col("payload")).as("frame_md5"))
+    }),
+
     // m3: batched typed feature extraction (mapPartitions stage) over
     // binary payloads; features are exact float32 values so the double
     // oracle matches bit-for-bit.
@@ -46,6 +64,18 @@ object MultimodalQueries {
          md5(text) AS content_md5,
          ascii(substr(text, 1, 1)) AS first_byte
          FROM documents""",
+    "m4_frame_sample" ->
+      """WITH fr AS (
+           SELECT doc_id, text,
+             unnest(range(0, CAST(ceil(length(text) / 64.0) AS BIGINT)))
+               AS i
+           FROM documents)
+         SELECT doc_id * 1000000 + i AS frame_id,
+           length(substr(text, CAST(i * 64 + 1 AS INTEGER), 64))
+             AS n_bytes,
+           md5(substr(text, CAST(i * 64 + 1 AS INTEGER), 64))
+             AS frame_md5
+         FROM fr WHERE i % 2 = 0""",
     "m3_media_features" ->
       """WITH f AS (
            SELECT doc_id, octet_length(encode(text)) AS n_bytes,

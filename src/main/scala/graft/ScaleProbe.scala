@@ -46,6 +46,13 @@ object ScaleProbe {
         .write.format("noop").mode("overwrite").save()
     }
 
+    time("count-min sketch (4x1024)", n) {
+      events.select(pmod(hash(col("id")).cast("long"),
+          lit(graft.operators.DedupOps.MinHashP)).as("bh"))
+        .agg(graft.functions.CountMinSketch(4, 1024)(col("bh")))
+        .write.format("noop").mode("overwrite").save()
+    }
+
     val m = 2000000L
     val vecs = spark.range(m).select(col("id"),
       expr("transform(sequence(1, 64), i -> cast(pmod(hash(id * 64 + i), 1000) / 1000.0 as float))")

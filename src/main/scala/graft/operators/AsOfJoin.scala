@@ -43,7 +43,7 @@ object AsOfJoin {
       .withColumn("__side", lit(0))
     // align schemas: left keeps all its columns; right fills the rest
     val united = l.select(
-      (lCols.map(col) :+ col("__side") :+ col("__payload")): _*)
+      (lCols.toIndexedSeq.map(col) :+ col("__side") :+ col("__payload")): _*)
       .unionByName(
         r.select(
           (keys :+ ts).map(col) :+ col("__side") :+ col("__payload"): _*),
@@ -54,6 +54,6 @@ object AsOfJoin {
     united
       .withColumn(outCol, last(col("__payload"), ignoreNulls = true).over(w))
       .filter(col("__side") === 1)
-      .select(lCols.map(col) :+ col(outCol): _*)
+      .select(lCols.toIndexedSeq.map(col) :+ col(outCol): _*)
   }
 }

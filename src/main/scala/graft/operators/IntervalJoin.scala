@@ -55,7 +55,7 @@ object IntervalJoin {
         col("__rus") > col("__lus") - lit(us) &&
         col("__rus") <= col("__lus")
     l.join(r, cond, "left")
-      .groupBy(left.columns.map(col): _*)
+      .groupBy(left.columns.toIndexedSeq.map(col): _*)
       .agg(count(col("__rus")).as(countCol))
   }
 }

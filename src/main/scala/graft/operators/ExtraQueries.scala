@@ -174,6 +174,24 @@ object ExtraQueries {
           (sum(col("pc")) / lit(100.0)).as("sum_v"),
           sum(col("pn")).as("cnt")))),
 
+    // Approx-percentile — the single-pass bounded-memory quantile path
+    // (t-digest-style sketch) for 100 TB where exact percentile sorts
+    // each group. Gated like a10: the output carries the exact
+    // percentiles plus flags that the estimate is within one unit of
+    // quantity (rank error at accuracy 10000 is far tighter); the
+    // oracle computes exact + literal TRUE.
+    "a11_approx_quantile" -> ((s, d) =>
+      lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(expr("percentile(l_quantity, 0.5)"), 4).as("p50"),
+          round(expr("percentile(l_quantity, 0.9)"), 4).as("p90"),
+          expr("approx_percentile(l_quantity, 0.5, 10000)").as("ap50"),
+          expr("approx_percentile(l_quantity, 0.9, 10000)").as("ap90"))
+        .select(col("l_returnflag"), col("p50"), col("p90"),
+          (abs(col("ap50") - col("p50")) <= 1.0).as("p50_ok"),
+          (abs(col("ap90") - col("p90")) <= 1.0).as("p90_ok"))),
+
     // HLL approx-distinct — the 100 TB path for A1/A2-style distincts
     // (single pass, fixed memory, no exact-distinct shuffle). Sketch
     // internals differ per engine, so the gate checks the ESTIMATE
@@ -293,6 +311,12 @@ object ExtraQueries {
          round(sum(o_totalprice), 2) AS sum_price
          FROM orders
          GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""",
+    "a11_approx_quantile" ->
+      """SELECT l_returnflag,
+         round(quantile_cont(l_quantity, 0.5), 4) AS p50,
+         round(quantile_cont(l_quantity, 0.9), 4) AS p90,
+         true AS p50_ok, true AS p90_ok
+         FROM lineitem GROUP BY l_returnflag""",
     // Exact counts + literal tolerance flags: the Spark side asserts its
     // HLL estimate is within ±5% of exact, so a drifting sketch fails
     // the hash compare instead of hiding behind a rows-only gate.

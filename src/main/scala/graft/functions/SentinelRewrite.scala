@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.catalyst.expressions.{AttributeReference, EqualTo, IsNull, Literal}
+import org.apache.spark.sql.catalyst.expressions.{AttributeReference, Cast, EqualTo, Expression, IsNull}
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.functions.col
@@ -41,21 +41,42 @@ object SentinelRewrite extends Rule[LogicalPlan] {
   private def sentinelOf(a: AttributeReference): Option[Double] =
     if (a.metadata.contains(Key)) Some(a.metadata.getDouble(Key)) else None
 
-  private def matches(a: AttributeReference, v: Any): Boolean =
-    sentinelOf(a).exists { s =>
-      v match {
-        case d: java.lang.Double => d.doubleValue() == s
-        case f: java.lang.Float  => f.doubleValue() == s
+  /** The tagged attribute, possibly behind an implicit numeric Cast
+    * (a FloatType tagged column compared to a double literal resolves
+    * as Cast(attr, double) = lit).
+    */
+  private def attrOf(e: Expression): Option[AttributeReference] = e match {
+    case a: AttributeReference => Some(a)
+    case c: Cast => c.child match {
+      case a: AttributeReference => Some(a)
+      case _ => None
+    }
+    case _ => None
+  }
+
+  /** Constant side: any resolved foldable expression — covers bare
+    * literals AND Cast-wrapped ones (`col === -9999` with an Int
+    * literal resolves as Cast(-9999, double), which constant-folding
+    * would only collapse AFTER analysis, i.e. after this rule runs).
+    */
+  private def constOf(e: Expression): Option[Any] =
+    if (e.resolved && e.foldable) Option(e.eval(null)) else None
+
+  private def matches(a: Expression, lit: Expression): Boolean =
+    attrOf(a).flatMap(sentinelOf).exists { s =>
+      constOf(lit).exists {
+        case d: java.lang.Double  => d.doubleValue() == s
+        case f: java.lang.Float   => f.doubleValue() == s
+        case i: java.lang.Integer => i.doubleValue() == s
+        case l: java.lang.Long    => l.doubleValue() == s
         case _ => false
       }
     }
 
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.transformAllExpressions {
-      case EqualTo(a: AttributeReference, Literal(v, _)) if matches(a, v) =>
-        IsNull(a)
-      case EqualTo(Literal(v, _), a: AttributeReference) if matches(a, v) =>
-        IsNull(a)
+      case EqualTo(l, r) if matches(l, r) => IsNull(attrOf(l).get)
+      case EqualTo(l, r) if matches(r, l) => IsNull(attrOf(r).get)
     }
 }
 

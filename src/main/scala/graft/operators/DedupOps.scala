@@ -202,10 +202,25 @@ object DedupOps {
       iter += 1
     }
     edges.unpersist()
+    // Returning labels from a non-fixpoint would silently split real
+    // clusters (and hash-mismatch the oracle's exact closure) — fail
+    // loudly instead; diameter-50+ chains need large-star/small-star.
+    if (!converged)
+      throw new IllegalStateException(
+        s"duplicateClusters did not reach the fixpoint in $maxIter " +
+          "iterations (candidate-graph diameter too large); raise " +
+          "maxIter or switch to large-star/small-star")
     val resolved = cached.select(col(idCol), col("cluster_id"))
-    docs.select(col(idCol))
+    // Hand the ONE remaining persist to the caller: the returned frame
+    // is itself the persisted one (materialized here), the internal
+    // frontier is released, and callers free it with .unpersist().
+    val out = docs.select(col(idCol))
       .join(resolved, Seq(idCol), "left")
       .select(col(idCol),
         coalesce(col("cluster_id"), col(idCol)).as("cluster_id"))
+      .persist()
+    out.count()
+    cached.unpersist()
+    out
   }
 }

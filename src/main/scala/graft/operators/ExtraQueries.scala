@@ -179,13 +179,18 @@ object ExtraQueries {
     // each group. Gated like a10: the output carries the exact
     // percentiles plus flags that the estimate is within one unit of
     // quantity (rank error at accuracy 10000 is far tighter); the
-    // oracle computes exact + literal TRUE.
+    // oracle computes exact + literal TRUE. The exact percentile runs
+    // over INTEGER CENTS (playbook rule 2 — no engine round() on an
+    // interpolated double): order statistics are exact ints and the
+    // q={.5,.9} interpolation fractions are exactly representable, so
+    // the interpolated value is bit-identical across engines.
     "a11_approx_quantile" -> ((s, d) =>
       lineitem(s, d)
+        .withColumn("qc", round(col("l_quantity") * 100).cast("long"))
         .groupBy(col("l_returnflag"))
         .agg(
-          round(expr("percentile(l_quantity, 0.5)"), 4).as("p50"),
-          round(expr("percentile(l_quantity, 0.9)"), 4).as("p90"),
+          (expr("percentile(qc, 0.5)") / lit(100.0)).as("p50"),
+          (expr("percentile(qc, 0.9)") / lit(100.0)).as("p90"),
           expr("approx_percentile(l_quantity, 0.5, 10000)").as("ap50"),
           expr("approx_percentile(l_quantity, 0.9, 10000)").as("ap90"))
         .select(col("l_returnflag"), col("p50"), col("p90"),
@@ -313,8 +318,10 @@ object ExtraQueries {
          GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""",
     "a11_approx_quantile" ->
       """SELECT l_returnflag,
-         round(quantile_cont(l_quantity, 0.5), 4) AS p50,
-         round(quantile_cont(l_quantity, 0.9), 4) AS p90,
+         quantile_cont(CAST(round(l_quantity * 100, 0) AS BIGINT), 0.5)
+           / 100.0 AS p50,
+         quantile_cont(CAST(round(l_quantity * 100, 0) AS BIGINT), 0.9)
+           / 100.0 AS p90,
          true AS p50_ok, true AS p90_ok
          FROM lineitem GROUP BY l_returnflag""",
     // Exact counts + literal tolerance flags: the Spark side asserts its

@@ -54,6 +54,17 @@ object Publish {
     s"${siteCode}_${varCode}_SourceID_${sourceId}_QC_$qc" +
       year.map(y => s"_Year_$y").getOrElse("") + ".csv"
 
+  /** Collision-free chunk filename: each key value is percent-escaped
+    * ('%' then '_') BEFORE joining with '_', so values containing the
+    * separator (the reference's site codes do, e.g. "LR_Mendon") cannot
+    * alias another chunk's path. Without this, two distinct chunk keys
+    * could map to one file — which under the parallel writer would be a
+    * concurrent-write race on the same CSV.
+    */
+  def chunkFileName(cv: Seq[Any]): String =
+    cv.map(_.toString.replace("%", "%25").replace("_", "%5F"))
+      .mkString("_") + ".csv"
+
   /** One chunk's wide frame: filter → pivot → sentinel fill → sort. */
   def wideChunk(fact: DataFrame, spec: ChunkSpec,
       chunkValue: Seq[Any]): DataFrame = {
@@ -95,7 +106,7 @@ object Publish {
     try {
       val futures = chunkVals.map { cv =>
         Future {
-          val path = s"$outDir/${cv.mkString("_")}.csv"
+          val path = s"$outDir/${chunkFileName(cv)}"
           val wide = wideChunk(fact, spec, cv)
           CsvHeaderSink.tailProbe(spark, path, spec.indexCol) match {
             case Some(lastTs) =>

@@ -48,12 +48,16 @@ final class LocalDirUploader(root: String) extends ResourceUploader {
     d
   }
 
-  def listFiles(resourceId: String): Seq[String] =
-    Files.list(dir(resourceId)).iterator.asScala
+  def listFiles(resourceId: String): Seq[String] = {
+    // Files.list holds an open DirectoryStream — close it or leak an fd
+    val s = Files.list(dir(resourceId))
+    try s.iterator.asScala
       .filter(Files.isRegularFile(_))
       .map(_.getFileName.toString)
       .filterNot(_ == ".public")
       .toSeq.sorted
+    finally s.close()
+  }
 
   def deleteFile(resourceId: String, name: String): Unit =
     Files.deleteIfExists(dir(resourceId).resolve(name))

@@ -41,6 +41,24 @@ class SentinelRewriteSpec extends SparkSpec {
     assert(plan.contains("NOT isnull") || plan.contains("isnotnull"), plan)
   }
 
+  test("integer-literal sentinel comparison is also rewritten") {
+    // `col === -9999` (Int literal) resolves as EqualTo(v, Cast(-9999))
+    // — the cast is only folded AFTER analysis, so the rule must see
+    // through it or the legacy predicate silently matches nothing.
+    val got = frame.filter(col("v") === -9999)
+      .select("id").as[Long].collect().toSeq.sorted
+    assert(got === Seq(2L, 4L))
+  }
+
+  test("a float-typed tagged column compared to a double literal rewrites") {
+    // attribute side gets Cast-wrapped (float -> double promotion)
+    val f = Sentinels.toNull(
+      Seq((1L, 2.5f), (2L, -9999.0f)).toDF("id", "v"), "v", NoData)
+    val got = f.filter(col("v") === NoData)
+      .select("id").as[Long].collect().toSeq
+    assert(got === Seq(2L))
+  }
+
   test("untagged columns keep plain double equality") {
     val df = Seq((1L, 2.5), (2L, NoData)).toDF("id", "v")
     assert(df.filter(col("v") === NoData).count() === 1)

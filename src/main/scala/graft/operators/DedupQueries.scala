@@ -69,6 +69,23 @@ object DedupQueries {
         .select(col("doc_id"),
           DedupOps.simHash("__ths", 16).as("simhash"))),
 
+    // d9: simhash Hamming verification — candidate pairs ranked by the
+    // popcount of XOR'd simhashes (the O(1) near-dup distance simhash
+    // exists for). Pairwise only within the bounded 25-doc block, like
+    // d5; at scale candidates come from banding the simhash bytes, and
+    // this distance is the verifier.
+    "d9_simhash_hamming" -> ((s, d) => {
+      val sh = documents(s, d).filter(col("doc_id") < 25)
+        .withColumn("__ths", DedupOps.tokenHashes("text"))
+        .select(col("doc_id"), DedupOps.simHash("__ths", 16).as("sh"))
+      val a = sh.select(col("doc_id").as("a"), col("sh").as("sa"))
+      val b = sh.select(col("doc_id").as("b"), col("sh").as("sb"))
+      a.join(b, col("a") < col("b"))
+        .select(col("a"), col("b"),
+          expr("bit_count(sa ^ sb)").cast("long").as("hd"))
+        .filter(col("hd") <= 8)
+    }),
+
     // d8: duplicate-cluster resolution — connected components of the
     // LSH candidate graph (min-label propagation to fixpoint). Every
     // doc maps to its cluster representative (min reachable id); the
@@ -177,6 +194,22 @@ object DedupQueries {
       s"""SELECT doc_id,
           CAST(${terms.mkString("(", " + ", ")")} AS BIGINT) AS simhash
           FROM documents"""
+    },
+    "d9_simhash_hamming" -> {
+      val ths = s"list_transform($toks, t -> ${h15("t")})"
+      val terms = (0 until 16).map { j =>
+        s"(CASE WHEN 2 * len(list_filter(ths, h -> ((h >> $j) & 1) = 1))" +
+          s" > len(ths) THEN ${1L << j} ELSE 0 END)"
+      }
+      s"""WITH t AS (SELECT doc_id, $ths AS ths FROM documents
+            WHERE doc_id < 25),
+          s AS (SELECT doc_id,
+            CAST(${terms.mkString("(", " + ", ")")} AS BIGINT) AS sh
+            FROM t)
+          SELECT x.doc_id AS a, y.doc_id AS b,
+            bit_count(xor(x.sh, y.sh)) AS hd
+          FROM s x JOIN s y ON x.doc_id < y.doc_id
+          WHERE bit_count(xor(x.sh, y.sh)) <= 8"""
     },
     // Recursive transitive closure over the bidirectional candidate
     // graph; min reachable id per doc = the component representative

@@ -60,6 +60,22 @@ class UploadRetrySpec extends SparkSpec {
     assert(up.listFiles("resA") === Seq("1.csv", "2.csv"))
   }
 
+  test("chunk file names cannot collide across distinct chunk keys") {
+    // the classic aliasing cases: separator inside a value, and a
+    // trailing/leading separator shifting the boundary
+    val cases = Seq(
+      Seq[Any]("LR_Mendon", "Temp") -> Seq[Any]("LR", "Mendon_Temp"),
+      Seq[Any]("a_", "b") -> Seq[Any]("a", "_b"),
+      Seq[Any]("a%5F", "b") -> Seq[Any]("a_", "b"))
+    cases.foreach { case (x, y) =>
+      assert(Publish.chunkFileName(x) !== Publish.chunkFileName(y),
+        s"$x vs $y")
+    }
+    // numeric keys keep their simple names (resume paths stay stable)
+    assert(Publish.chunkFileName(Seq(1L)) === "1.csv")
+    assert(Publish.chunkFileName(Seq(1L, 2L)) === "1_2.csv")
+  }
+
   test("F7 title and coverage-period parsers") {
     assert(ResourceMeta.parseTitle("Logan River GAMUT data (ID ab12cd)")
       === Some(ResourceMeta.ResourceTitle("Logan River GAMUT data", "ab12cd")))

@@ -64,6 +64,51 @@ class OdmPipelineSpec extends SparkSpec {
     assert(f10.get(4).endsWith(",5.0,-8888.0")) // per-variable sentinel
   }
 
+  test("full user story: QC edit with provenance, publish, upload") {
+    import graft.operators.{RecordLog, RecordedSession}
+    import graft.io.LocalDirUploader
+    // 1. QC session on the fact table: select the bad Temp point by
+    //    value and flag+fix it; every step is recorded provenance.
+    val shape = RecordLog.Shape(Seq("SiteID", "VariableID"),
+      "LocalDateTime", "ValueID", "DataValue", "qc_sel")
+    val base = facts.toDS().toDF()
+    val sess = Seq[RecordLog.EditAction](
+      RecordLog.FilterValue("<", 4.0, intersect = false),
+      RecordLog.FlagSelected("QualifierID", 7L),
+      RecordLog.ChangeValue("+", 0.5)
+    ).foldLeft(RecordedSession.open(base, shape))(_(_))
+    // provenance round-trips and reproduces the edit
+    val (sh2, acts2) = RecordLog.parse(sess.script)
+    assert(RecordLog.replay(base, sh2, acts2)
+      .select("ValueID", "DataValue", "QualifierID")
+      .orderBy("ValueID").collect().toSeq ===
+      sess.df.select("ValueID", "DataValue", "QualifierID")
+        .orderBy("ValueID").collect().toSeq)
+    // the 3.2 reading was flagged and corrected to 3.7
+    val edited = sess.df
+    assert(edited.filter(col("ValueID") === 4)
+      .select("DataValue", "QualifierID").as[(Double, Option[Long])]
+      .head() === ((3.7, Some(7L))))
+
+    // 2. publish the edited frame and upload with delete-then-add
+    val fact = edited
+      .withColumn("VariableCode",
+        when(col("VariableID") === 1, "Temp-5").otherwise("pH-5"))
+    val spec = Publish.ChunkSpec(
+      chunkKeys = Seq("SiteID", "SourceID", "QualityControlLevelID"),
+      indexCol = "LocalDateTime", pivotKey = "VariableCode",
+      valueCol = "DataValue", domain = Seq("Temp-5", "pH-5"),
+      sentinels = Map("Temp-5" -> -9999.0, "pH-5" -> -8888.0))
+    val out = Files.createTempDirectory("odm-e2e").toString
+    val up = new LocalDirUploader(
+      Files.createTempDirectory("odm-res").toString)
+    val written = Publish.publishAndUpload(spark, fact, spec, out,
+      cv => Seq(s"Site: ${cv.head}"), up, "gamut")
+    assert(written.size === 2)
+    assert(up.listFiles("gamut") === Seq("10_30_1.csv", "20_30_1.csv"))
+    assert(up.isPublic("gamut"))
+  }
+
   test("odm series identity: key5 and surrogate odm_id") {
     val df = facts.toDS().toDF().select(Odm.odmId.as("odm_id"))
       .distinct().orderBy("odm_id")

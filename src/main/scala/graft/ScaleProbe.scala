@@ -46,6 +46,21 @@ object ScaleProbe {
         .write.format("noop").mode("overwrite").save()
     }
 
+    // duplicate-cluster fixpoint over a star-shaped candidate graph
+    // (groups of 5, the near-clique shape LSH produces): 2M docs,
+    // 1.6M candidate pairs, converges in 2 rounds + 1 confirm.
+    val docsN = 2000000L
+    time("dup clusters (2M docs)", docsN) {
+      val docs = spark.range(docsN).select(col("id").as("doc_id"))
+      val pairs = spark.range(docsN)
+        .filter(col("id") % 5 =!= 0)
+        .select((col("id") - col("id") % 5).as("a"), col("id").as("b"))
+      graft.operators.DedupOps
+        .duplicateClusters(docs, pairs, "doc_id")
+        .write.format("noop").mode("overwrite").save()
+      spark.catalog.clearCache()
+    }
+
     time("count-min sketch (4x1024)", n) {
       events.select(pmod(hash(col("id")).cast("long"),
           lit(graft.operators.DedupOps.MinHashP)).as("bh"))

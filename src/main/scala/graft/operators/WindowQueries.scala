@@ -14,6 +14,51 @@ object WindowQueries {
   private val K = Seq("user_id")
 
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // W10 (beyond reference): per-series z-score outlier detection —
+    // the statistical companion of the edit engine's threshold filters.
+    // Mean/variance come from EXACT integer-cent sums (playbook rule 2
+    // generalized: sum and sum-of-squares of bounded ints are exact
+    // under any partition order), and the z formula is written with the
+    // same operation shape on both engines. Output: per-series count +
+    // outlier count at |z| > 3.
+    "w10_zscore_outliers" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+      val c = round(col("value") * 100).cast("long")
+      val stats = events(s, d)
+        .withColumn("c", c)
+        .withColumn("n", count(lit(1)).over(w))
+        .withColumn("s1", sum(col("c")).over(w))
+        .withColumn("s2", sum(col("c") * col("c")).over(w))
+      val m = col("s1").cast("double") / col("n") / lit(100.0)
+      val msq = col("s2").cast("double") / col("n") / lit(10000.0)
+      val varr = (msq - m * m) * col("n") / (col("n") - lit(1))
+      val z = (col("c").cast("double") / lit(100.0) - m) / sqrt(varr)
+      stats.filter(col("n") > 1)
+        .withColumn("is_out", (abs(z) > 3.0).cast("int"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("is_out")).as("n_outliers"))
+    }),
+
+    // W11 (beyond reference): time-grid gap filling — materialize the
+    // hourly grid each series should cover and count the missing
+    // hours (the companion of W1's gap flags: W1 finds the gaps, this
+    // quantifies them against the expected calendar). The grid is a
+    // per-series sequence (generator path), never a driver loop.
+    "w11_gap_fill" -> ((s, d) => {
+      val hours = events(s, d)
+        .select(col("user_id"), date_trunc("hour", col("ts")).as("h"))
+        .distinct()
+      val grid = hours.groupBy(col("user_id"))
+        .agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+        .select(col("user_id"),
+          explode(expr("sequence(h0, h1, interval 1 hour)")).as("h"))
+      grid.join(hours, Seq("user_id", "h"), "left_anti")
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_missing"))
+    }),
+
     // W1: data-gap detection (reference: edit_service.py:112-145)
     "w1_gap_flags" -> ((s, d) =>
       EditOps.withGapFlags(events(s, d), K, "ts", "event_id", 3600.0)
@@ -93,6 +138,45 @@ object WindowQueries {
            AS change_flag
          FROM events
          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""",
+    // same operation shapes as the Spark side: exact integer-cent sums,
+    // then m/var/z in identical double expression order
+    "w10_zscore_outliers" ->
+      """WITH c AS (
+           SELECT user_id, CAST(round(value * 100, 0) AS BIGINT) AS c
+           FROM events),
+         st AS (
+           SELECT user_id, count(*) AS n, sum(c) AS s1, sum(c * c) AS s2
+           FROM c GROUP BY user_id),
+         z AS (
+           SELECT c.user_id,
+             (CAST(c.c AS DOUBLE) / 100.0
+               - CAST(st.s1 AS DOUBLE) / st.n / 100.0)
+             / sqrt((CAST(st.s2 AS DOUBLE) / st.n / 10000.0
+                 - (CAST(st.s1 AS DOUBLE) / st.n / 100.0)
+                   * (CAST(st.s1 AS DOUBLE) / st.n / 100.0))
+                 * st.n / (st.n - 1)) AS z
+           FROM c JOIN st USING (user_id) WHERE st.n > 1)
+         SELECT user_id, count(*) AS n,
+           sum(CASE WHEN abs(z) > 3.0 THEN 1 ELSE 0 END) AS n_outliers
+         FROM z GROUP BY user_id""",
+    // users with a complete hourly grid have no missing rows and are
+    // absent from the output on both sides
+    "w11_gap_fill" ->
+      """WITH hrs AS (
+           SELECT DISTINCT user_id, date_trunc('hour', ts) AS h
+           FROM events),
+         bounds AS (
+           SELECT user_id, min(h) AS h0, max(h) AS h1
+           FROM hrs GROUP BY user_id),
+         grid AS (
+           SELECT user_id,
+             unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+           FROM bounds)
+         SELECT g.user_id, count(*) AS n_missing
+         FROM grid g LEFT JOIN hrs
+           ON hrs.user_id = g.user_id AND hrs.h = g.h
+         WHERE hrs.h IS NULL
+         GROUP BY g.user_id""",
     "w3_run_groups" ->
       """WITH sel AS (
            SELECT event_id, user_id, ts, (value > 150.0) AS sel FROM events),

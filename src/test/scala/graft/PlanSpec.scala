@@ -49,6 +49,19 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("LSH bucket validity filter stays cheap (no hash pipeline in the Filter)") {
+    // the mh_ok flag must inline to a token-count check at the scan; a
+    // filter re-deriving minhash components costs 40x (NOTES.md
+    // plan-shape traps — measured 0.7 s -> 32 s at sf0.1)
+    val p = planOf("d3_lsh_buckets")
+    val filterLines = p.linesIterator.filter(_.contains("Filter")).toSeq
+    assert(filterLines.nonEmpty, p)
+    filterLines.foreach { l =>
+      assert(!l.contains("md5") && !l.contains("conv("),
+        s"expensive hash pipeline inlined into a Filter:\n$l")
+    }
+  }
+
   test("near-dup pair join is blocked on (label, bucket), never label alone") {
     val p = planOf("s3_near_dup")
     // the equi-join key must include the LSH sign bucket — label-only

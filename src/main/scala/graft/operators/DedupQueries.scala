@@ -15,6 +15,7 @@ object DedupQueries {
 
   private val K = 4 // minhash signature width in the checked queries
   private val RowsPerBand = 2
+  private val DecontamN = 8 // decontamination word-n-gram width
 
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     // d1: exact dedup — survivor + duplicate count per content hash.
@@ -101,6 +102,29 @@ object DedupQueries {
         documents(s, d).select(col("doc_id")), pairs, "doc_id")
     }),
 
+    // d10: benchmark decontamination — flag training documents that
+    // share any word 8-gram with a held-out benchmark/eval set (the
+    // standard n-gram-overlap decontamination step of an LLM data
+    // pipeline; production uses 13-grams, 8 keeps the oracle
+    // expression aligned with this corpus's ~100-token docs). The
+    // benchmark gram set is orders of magnitude smaller than the
+    // training corpus, so the join broadcasts it and acts as a
+    // map-side semi-filter: the exploded training grams never
+    // shuffle — only the (rare) hits reach the per-doc aggregation.
+    "d10_decontaminate" -> ((s, d) => {
+      val docs = documents(s, d)
+        .withColumn("__toks", TextOps.tokens(col("text")))
+        .withColumn("__gs",
+          TextOps.shinglesFromTokens(col("__toks"), DecontamN))
+      val benchGrams = docs.filter(col("doc_id") % 20 === 7)
+        .select(explode(col("__gs")).as("g")).distinct()
+      docs.filter(col("doc_id") % 20 =!= 7)
+        .select(col("doc_id"), explode(col("__gs")).as("g"))
+        .join(broadcast(benchGrams), Seq("g"))
+        .groupBy(col("doc_id"))
+        .agg(countDistinct(col("g")).as("n_hits"))
+    }),
+
     // d7: group-level sketch union — the typed MinHashMerge Aggregator
     // folds each source's doc signatures into one k-vector (elementwise
     // min = signature of the union of shingle sets), with map-side
@@ -124,6 +148,10 @@ object DedupQueries {
   private val shingles =
     s"""list_transform(range(1, greatest(len($toks) - 2, 0) + 1),
         i -> $toks[i] || ' ' || $toks[i+1] || ' ' || $toks[i+2])"""
+  // Word n-grams joined by ' ' — mirrors TextOps.shinglesFromTokens.
+  private def nGramsSql(n: Int): String =
+    s"""list_transform(range(1, greatest(len($toks) - ${n - 1}, 0) + 1),
+        i -> ${(0 until n).map(k => s"($toks)[i+$k]").mkString(" || ' ' || ")})"""
   private def mh(i: Int): String = {
     val (a, b) = (DedupOps.minHashA(i), DedupOps.minHashB(i))
     s"list_min(list_transform(bh, h -> ($a * h + $b) % ${DedupOps.MinHashP}))"
@@ -230,6 +258,15 @@ object DedupQueries {
             FROM reach JOIN e ON e.a = reach.v)
           SELECT v AS doc_id, min(lbl) AS cluster_id
           FROM reach GROUP BY v""",
+    "d10_decontaminate" ->
+      s"""WITH g AS (
+            SELECT doc_id, ${nGramsSql(DecontamN)} AS gs FROM documents),
+          eg AS (SELECT DISTINCT unnest(gs) AS g FROM g
+                 WHERE doc_id % 20 = 7),
+          tg AS (SELECT doc_id, unnest(gs) AS g FROM g
+                 WHERE doc_id % 20 <> 7)
+          SELECT tg.doc_id, count(DISTINCT tg.g) AS n_hits
+          FROM tg JOIN eg USING (g) GROUP BY tg.doc_id""",
     "d7_source_sketch" ->
       s"""WITH bh AS (SELECT source,
             list_transform($shingles, sh -> ${h15("sh")} % ${DedupOps.MinHashP})

@@ -144,6 +144,37 @@ object ExtraQueries {
         .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("sum_toks"))
     }),
 
+    // x7: temperature-weighted source mixing — the data-mixing step
+    // that rebalances a multi-source corpus before training: source s
+    // gets a quota n_s = floor(T · w_s) with weights w_s ∝ c_s^0.5
+    // (temperature 0.5 flattens the source distribution), and the quota
+    // is filled by the n_s docs with the smallest stable hash — never
+    // rand(). Everything is integer-exact: the sqrt is floored to a
+    // BIGINT before the denominator sum (a double Σ√c would be
+    // partition-order-dependent), and the quota is integer division.
+    // Scale: the quota table is one row per source (broadcast); the
+    // rank is one per-source window — at extreme per-source
+    // cardinality you'd swap the exact rank for a hash-threshold cut
+    // (approximate quota, no sort), same selection semantics.
+    "x7_source_mix" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val counts = documents(s, d).groupBy(col("source"))
+        .agg(count(lit(1)).as("c"))
+        .withColumn("isq", floor(sqrt(col("c").cast("double"))).cast("long"))
+      val tot = counts.agg(sum(col("isq")).as("tot"))
+      val quota = counts.crossJoin(broadcast(tot))
+        .withColumn("n_s", expr("(100 * isq) div tot"))
+        .select("source", "n_s")
+      val w = Window.partitionBy(col("source"))
+        .orderBy(graft.operators.TextOps.hash15(
+          concat(lit("mix|"), col("doc_id"))), col("doc_id"))
+      documents(s, d)
+        .withColumn("r", row_number().over(w).cast("long"))
+        .join(broadcast(quota), Seq("source"))
+        .filter(col("r") <= col("n_s"))
+        .select(col("source"), col("doc_id"), col("r"))
+    }),
+
     // Banded interval join: clicks in the 5 minutes before each
     // purchase, as a (user, time-band) equi hash join with the exact
     // window as a post-filter (see operators.IntervalJoin) — never a
@@ -279,6 +310,21 @@ object ExtraQueries {
          SELECT lang, CAST(floor(prefix / 2048) AS BIGINT) AS bin,
            count(*) AS n_docs, sum(toks) AS sum_toks
          FROM p GROUP BY lang, bin""",
+    "x7_source_mix" ->
+      """WITH c AS (SELECT source, count(*) AS c FROM documents
+                    GROUP BY source),
+         i AS (SELECT source,
+                 CAST(floor(sqrt(CAST(c AS DOUBLE))) AS BIGINT) AS isq
+               FROM c),
+         t AS (SELECT sum(isq) AS tot FROM i),
+         q AS (SELECT source, (100 * isq) // tot AS n_s FROM i, t),
+         r AS (SELECT source, doc_id,
+                 CAST(row_number() OVER (PARTITION BY source
+                   ORDER BY ('0x' || substr(md5('mix|' || doc_id), 1, 15))
+                     ::BIGINT, doc_id) AS BIGINT) AS r
+               FROM documents)
+         SELECT r.source, r.doc_id, r.r
+         FROM r JOIN q USING (source) WHERE r.r <= q.n_s""",
     "x3_interval_join" ->
       """SELECT p.event_id, p.user_id, count(c.ts) AS clicks_5m
          FROM (SELECT event_id, user_id, ts FROM events

@@ -166,6 +166,54 @@ object SimilarityQueries {
           col("max_err") <= col("scale") / lit(254.0) + lit(1e-6))
     }),
 
+    // s6: ANN index quality — recall@k of the sign-LSH bucketed top-k
+    // (s2's index) against the exact brute-force top-k (s1's ground
+    // truth), per query. This is the evaluation op every approximate
+    // index needs before it replaces the exact path at scale; at 100 TB
+    // you run it over a sampled query set, and both sides here already
+    // broadcast the tiny query side. recall is exact integer
+    // arithmetic (matches·1e6 div k), never a rounded double average.
+    "s6_ann_recall" -> ((s, d) => {
+      val e = embeddings(s, d)
+      def topk(joined: DataFrame): DataFrame = {
+        val w = Window.partitionBy(col("q_id"))
+          .orderBy(col("sim").desc, col("vec_id").asc)
+        joined.withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= TopK).select("q_id", "vec_id")
+      }
+      val q = SimilarityOps.withNorm(
+        e.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("q_id"), col("embedding").as("qv")),
+        "qv", "qn")
+      val cand = SimilarityOps.withNorm(
+        e.select(col("vec_id"), col("embedding").as("cv")), "cv", "cn")
+      val exact = topk(
+        broadcast(q).join(cand, col("q_id") =!= col("vec_id"))
+          .select(col("q_id"), col("vec_id"),
+            round(SimilarityOps.pairCosine("qv", "cv", "qn", "cn"), 6)
+              .as("sim")))
+      val eb = e.withColumn("bucket", SimilarityOps.signBucket("embedding", 8))
+      val qb = SimilarityOps.withNorm(
+        eb.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("q_id"), col("embedding").as("qv"),
+            col("bucket")), "qv", "qn")
+      val cb = SimilarityOps.withNorm(
+        eb.select(col("vec_id"), col("embedding").as("cv"), col("bucket")),
+        "cv", "cn")
+      val approx = topk(
+        qb.join(cb, Seq("bucket"))
+          .filter(col("q_id") =!= col("vec_id"))
+          .select(col("q_id"), col("vec_id"),
+            round(SimilarityOps.pairCosine("qv", "cv", "qn", "cn"), 6)
+              .as("sim")))
+      exact.join(approx.withColumn("hit", lit(1)),
+          Seq("q_id", "vec_id"), "left")
+        .groupBy(col("q_id"))
+        .agg(count(col("hit")).as("n_match"))
+        .withColumn("recall",
+          expr(s"(n_match * 1000000) div $TopK").cast("double") / lit(1e6))
+    }),
+
     // s3: embedding near-dup pairs, blocked by (label, sign-bucket) with
     // a cosine threshold. Label alone is NOT a bounded blocking key — a
     // popular label is an O(n²) block on one shuffle key at 100 TB
@@ -314,6 +362,42 @@ object SimilarityQueries {
                - q[i]*scale/127.0))) * 1e6 + 0.5) / 1e6)
              <= scale / 254.0 + 1e-6 AS err_ok
          FROM q""",
+    "s6_ann_recall" ->
+      s"""WITH sim AS (
+            SELECT q.vec_id AS q_id, c.vec_id AS vec_id,
+              round(${dCos("q.embedding", "c.embedding")}, 6) AS sim
+            FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+            WHERE q.vec_id < 5),
+          ex AS (
+            SELECT q_id, vec_id FROM (
+              SELECT q_id, vec_id,
+                row_number() OVER (PARTITION BY q_id
+                  ORDER BY sim DESC, vec_id ASC) AS rank
+              FROM sim) WHERE rank <= $TopK),
+          e AS (
+            SELECT vec_id, embedding, ${dBucket("embedding")} AS bucket
+            FROM embeddings),
+          sim2 AS (
+            SELECT q.vec_id AS q_id, c.vec_id AS vec_id,
+              round(${dCos("q.embedding", "c.embedding")}, 6) AS sim
+            FROM e q JOIN e c
+              ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+            WHERE q.vec_id < 5),
+          ap AS (
+            SELECT q_id, vec_id FROM (
+              SELECT q_id, vec_id,
+                row_number() OVER (PARTITION BY q_id
+                  ORDER BY sim DESC, vec_id ASC) AS rank
+              FROM sim2) WHERE rank <= $TopK),
+          m AS (
+            SELECT ex.q_id, count(ap.vec_id) AS n_match
+            FROM ex LEFT JOIN ap
+              ON ex.q_id = ap.q_id AND ex.vec_id = ap.vec_id
+            GROUP BY ex.q_id)
+          SELECT q_id, n_match,
+            CAST((n_match * 1000000) // $TopK AS DOUBLE) / 1000000.0
+              AS recall
+          FROM m""",
     "s3_near_dup" ->
       s"""WITH e AS (
             SELECT label, vec_id, embedding,

@@ -175,12 +175,21 @@ object DedupOps {
     // a tiny fraction of the corpus) and union the untouched identity
     // mapping back at the end.
     val connected = edges.select(col("a").as(idCol)).distinct()
-    // `cached` is the persisted frontier; each round carries prev_id so
-    // convergence is a filter over the new cache, not a lineage
-    // self-join against the frame being replaced.
+    // `cached` is the materialized frontier. Each round must TRUNCATE
+    // lineage, not merely persist: the iterate is referenced twice per
+    // round (neighbor-min + carry join), and analyzer transforms copy
+    // shared subtrees, so an un-truncated plan DOUBLES per round —
+    // measured driver OOM (8g) at ~10 rounds on a 61-edge chain.
+    // localCheckpoint materializes the rows and replaces the plan with
+    // a constant-size leaf; dropped iterates are reclaimed by the
+    // ContextCleaner. On a multi-executor cluster, prefer a reliable
+    // checkpoint dir (localCheckpoint blocks die with their executor).
+    // Each round carries prev_id so convergence is a filter over the
+    // new iterate, not a self-join against the frame being replaced.
     var cached = connected
       .withColumn("prev_id", col(idCol))
-      .withColumn("cluster_id", col(idCol)).persist()
+      .withColumn("cluster_id", col(idCol))
+      .localCheckpoint(true)
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
@@ -193,10 +202,9 @@ object DedupOps {
         .select(labels(idCol), col("cluster_id").as("prev_id"),
           least(col("cluster_id"), coalesce(col("nmin"), col("cluster_id")))
             .as("cluster_id"))
-        .persist()
+        .localCheckpoint(true)
       val changed =
         next.filter(col("cluster_id") =!= col("prev_id")).count()
-      cached.unpersist()
       cached = next
       converged = changed == 0
       iter += 1
@@ -212,15 +220,110 @@ object DedupOps {
           "maxIter or switch to large-star/small-star")
     val resolved = cached.select(col(idCol), col("cluster_id"))
     // Hand the ONE remaining persist to the caller: the returned frame
-    // is itself the persisted one (materialized here), the internal
-    // frontier is released, and callers free it with .unpersist().
+    // is itself the persisted one (materialized here), the checkpointed
+    // frontier is reclaimed by the ContextCleaner once unreferenced,
+    // and callers free the result with .unpersist().
     val out = docs.select(col(idCol))
       .join(resolved, Seq(idCol), "left")
       .select(col(idCol),
         coalesce(col("cluster_id"), col(idCol)).as("cluster_id"))
       .persist()
     out.count()
-    cached.unpersist()
+    out
+  }
+
+  /** Connected components by the alternating large-star/small-star
+    * algorithm (Kiveris et al., "Connected Components in MapReduce and
+    * Beyond") — the scale path [[duplicateClusters]]'s doc points to:
+    * min-label propagation needs component-DIAMETER rounds (a pathological
+    * duplicate chain of length 10k is 10k joins), large/small-star
+    * converges in O(log n) rounds on any graph shape.
+    *
+    * large-star points every neighbor LARGER than u at u's neighborhood
+    * min (long chains collapse toward the root from everywhere at once);
+    * small-star re-points u and its smaller neighbors at that min. Both
+    * are one groupBy + one equi-join on node id — the same shuffle shape
+    * as one min-propagation round — and the edge set only shrinks toward
+    * the final star, so rounds get cheaper as they go. Same contract as
+    * [[duplicateClusters]]: every doc id maps to the smallest id in its
+    * component; the returned frame is persisted, callers unpersist.
+    */
+  def duplicateClustersStar(docs: DataFrame, pairs: DataFrame,
+      idCol: String, maxRounds: Int = 25): DataFrame = {
+    // One star step over the CANONICAL (lo < hi) edge set: group the
+    // bidirectional adjacency by node, attach each node's neighborhood
+    // min m = min(N(u) ∪ {u}), emit (v, m) for the step's v-selection,
+    // re-canonicalize. Self-loops drop; distinct keeps the set small.
+    def step(canon: DataFrame, large: Boolean): DataFrame = {
+      val adj = canon.select(col("a"), col("b"))
+        .union(canon.select(col("b").as("a"), col("a").as("b")))
+      val m = adj.groupBy(col("a")).agg(min(col("b")).as("nmin"))
+        .select(col("a"), least(col("nmin"), col("a")).as("m"))
+      val emitted =
+        if (large)
+          // neighbors v > u re-point at m(u)
+          adj.filter(col("b") > col("a")).join(m, Seq("a"))
+            .select(col("b").as("x"), col("m").as("y"))
+        else
+          // u itself and neighbors v <= u re-point at m(u)
+          adj.filter(col("b") <= col("a")).join(m, Seq("a"))
+            .select(col("b").as("x"), col("m").as("y"))
+            .union(m.select(col("a").as("x"), col("m").as("y")))
+      emitted.filter(col("x") =!= col("y"))
+        .select(least(col("x"), col("y")).as("a"),
+          greatest(col("x"), col("y")).as("b"))
+        .distinct()
+    }
+    // Convergence = canonical edge set unchanged over a full round,
+    // checked by (count, order-independent XOR of edge hashes) — one
+    // aggregation, no except-shuffle. XOR (not sum: ANSI long overflow)
+    // is exact on a distinct edge set; two 64-bit folds make a false
+    // "converged" collision negligible, and the spec cross-checks the
+    // labels against min-propagation output.
+    def sig(canon: DataFrame): (Long, Long, Long) = {
+      val r = canon.agg(count(lit(1)),
+        expr("bit_xor(xxhash64(a, b))"),
+        expr("bit_xor(xxhash64(b, a))")).head()
+      (r.getLong(0),
+        if (r.isNullAt(1)) 0L else r.getLong(1),
+        if (r.isNullAt(2)) 0L else r.getLong(2))
+    }
+    // localCheckpoint per round for the same reason as in
+    // [[duplicateClusters]]: each step references the iterate several
+    // times (adjacency union + neighborhood-min join), so an
+    // un-truncated plan grows exponentially with rounds.
+    var canon = pairs
+      .select(least(col("a"), col("b")).as("a"),
+        greatest(col("a"), col("b")).as("b"))
+      .filter(col("a") =!= col("b")).distinct().localCheckpoint(true)
+    var prevSig = sig(canon)
+    var round = 0
+    var converged = canon.isEmpty
+    while (!converged && round < maxRounds) {
+      val next = step(step(canon, large = true), large = false)
+        .localCheckpoint(true)
+      val nextSig = sig(next)
+      canon = next
+      converged = nextSig == prevSig
+      prevSig = nextSig
+      round += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"duplicateClustersStar did not converge in $maxRounds rounds")
+    // At the fixpoint the graph is a union of stars rooted at component
+    // minima: every node's label is min(self, neighbors).
+    val labels = canon.select(col("a"), col("b"))
+      .union(canon.select(col("b").as("a"), col("a").as("b")))
+      .groupBy(col("a")).agg(min(col("b")).as("nmin"))
+      .select(col("a").as(idCol),
+        least(col("nmin"), col("a")).as("cluster_id"))
+    val out = docs.select(col(idCol))
+      .join(labels, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("cluster_id"), col(idCol)).as("cluster_id"))
+      .persist()
+    out.count()
     out
   }
 }

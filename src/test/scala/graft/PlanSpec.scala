@@ -72,6 +72,21 @@ class PlanSpec extends SparkSpec {
     assert(joinLine.contains("bucket"), joinLine)
   }
 
+  test("decontamination broadcasts the benchmark gram set") {
+    // the eval-set grams must be the broadcast side: at 100 TB the
+    // exploded training grams never shuffle — the join is a map-side
+    // semi-filter followed by one per-doc aggregation
+    val p = planOf("d10_decontaminate")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("source-mix quota table is broadcast, docs shuffle once by source") {
+    val p = planOf("x7_source_mix")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("banded interval join runs as a hash join, not a nested loop") {
     val p = planOf("x3_interval_join")
     assert(!p.contains("NestedLoop"), p)

@@ -75,6 +75,48 @@ class TextDedupSpec extends SparkSpec {
       5L -> 5L, 6L -> 5L, 7L -> 7L))
   }
 
+  test("large/small-star clustering collapses a chain past min-prop's reach") {
+    // A 61-node chain has diameter 60: min-propagation needs 60 rounds
+    // (capped here at 10 — each un-checkpointed round also grows the
+    // plan, so high maxIter on a single JVM is driver-memory-bound),
+    // the alternating star algorithm converges in O(log n).
+    val docs = (0L to 60L).toDF("doc_id")
+    val pairs = (0L until 60L).map(i => (i, i + 1)).toDF("a", "b")
+    intercept[IllegalStateException] {
+      DedupOps.duplicateClusters(docs, pairs, "doc_id", maxIter = 10)
+    }
+    val got = DedupOps.duplicateClustersStar(docs, pairs, "doc_id")
+    val rows = got.as[(Long, Long)].collect().toSeq
+    got.unpersist()
+    assert(rows.size === 61 && rows.forall(_._2 === 0L))
+  }
+
+  test("star clustering matches min-propagation on a pseudo-random graph") {
+    // Deterministic scattered graph: multiple components, cycles,
+    // reversed-order edges, isolated nodes.
+    val n = 200L
+    val docs = (0L until n).toDF("doc_id")
+    val pairs = (0L until 150L)
+      .map(i => ((i * 37 + 11) % n, (i * i * 13 + 5) % n))
+      .filter { case (a, b) => a != b }
+      .toDF("a", "b")
+    val star = DedupOps.duplicateClustersStar(docs, pairs, "doc_id")
+    val prop = DedupOps.duplicateClusters(docs, pairs, "doc_id", 200)
+    val s = star.orderBy("doc_id").as[(Long, Long)].collect().toSeq
+    val p = prop.orderBy("doc_id").as[(Long, Long)].collect().toSeq
+    star.unpersist(); prop.unpersist()
+    assert(s === p)
+  }
+
+  test("star clustering with no pairs is the identity mapping") {
+    val docs = (1L to 3L).toDF("doc_id")
+    val pairs = Seq.empty[(Long, Long)].toDF("a", "b")
+    val got = DedupOps.duplicateClustersStar(docs, pairs, "doc_id")
+    val rows = got.orderBy("doc_id").as[(Long, Long)].collect().toSeq
+    got.unpersist()
+    assert(rows === Seq(1L -> 1L, 2L -> 2L, 3L -> 3L))
+  }
+
   test("duplicate clustering with no pairs is the identity mapping") {
     val docs = (1L to 3L).toDF("doc_id")
     val pairs = Seq.empty[(Long, Long)].toDF("a", "b")

@@ -15,6 +15,7 @@ object SimilarityQueries {
 
   private val TopK = 3
   private val Dim = 64
+  private val LloydSteps = 2 // trained-quantizer rounds in s4 (both engines)
 
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     // s1: brute-force cosine top-k — small query set broadcast against
@@ -61,20 +62,21 @@ object SimilarityQueries {
         .filter(col("rank") <= TopK)
     }),
 
-    // s4: IVF-style ANN with a TRAINED coarse quantizer: one seeded
-    // Lloyd step (spherical k-means) — assign every vector to its
-    // nearest of 8 deterministic seeds by cosine, recompute each cell's
-    // centroid as the elementwise mean, re-assign, then search only the
-    // query's cell. The cell id is the equi-join key, so the candidate
-    // join shuffles by cell exactly like a FAISS IVF list; the centroid
-    // table is 8 rows and broadcast.
+    // s4: IVF-style ANN with a TRAINED coarse quantizer: seeded Lloyd
+    // iterations (spherical k-means) — assign every vector to its
+    // nearest of 8 deterministic seeds by cosine, then LloydSteps ×
+    // (recompute each cell's centroid as the elementwise mean,
+    // re-assign), then search only the query's cell. The cell id is the
+    // equi-join key, so the candidate join shuffles by cell exactly
+    // like a FAISS IVF list; the centroid table is 8 rows and
+    // broadcast per round.
     //
-    // Cross-engine determinism of the training step: components are
-    // scaled to integers (floor(x*1e6 + 0.5)) before the mean, so the
+    // Cross-engine determinism of the training: components are scaled
+    // to integers (floor(x*1e6 + 0.5)) before the mean, so the
     // per-cell sums are EXACT regardless of partition order (NOTES.md
-    // rule 2 generalized to k-means); all 64-term dot/norm chains are
-    // generated left-deep on both engines so the fp fold order is
-    // identical.
+    // rule 2 generalized to k-means) and every round composes
+    // deterministically; all 64-term dot/norm chains are generated
+    // left-deep on both engines so the fp fold order is identical.
     "s4_ivf_topk" -> ((s, d) => {
       val e = SimilarityOps.withNorm(embeddings(s, d), "embedding", "n")
       val seeds = e.filter(col("vec_id") < 8)
@@ -99,29 +101,37 @@ object SimilarityQueries {
             round(SimilarityOps.pairCosine("embedding", "cvec", "n", "cn"), 6)
               .as("csim")),
         "c_id", "cell0")
-      // Lloyd step: exact integer-scaled elementwise means per cell.
+      // One Lloyd round: exact integer-scaled elementwise means per
+      // cell, then re-assignment of EVERY vector against all (8,
+      // broadcast) trained centroids.
       val sums = count(lit(1)).as("cnt") +: (1 to Dim).map(i =>
         sum(floor(element_at(col("embedding"), i).cast("double") * lit(1e6)
           + lit(0.5)).cast("long")).as(s"s$i"))
-      val cent0 = assigned0.groupBy(col("cell0")).agg(sums.head, sums.tail: _*)
-      val withM = (1 to Dim).foldLeft(cent0) { (acc, i) =>
-        acc.withColumn(s"m$i",
-          col(s"s$i").cast("double") / col("cnt") / lit(1e6))
+      def lloydRound(prev: DataFrame, cellCol: String,
+          outCell: String): DataFrame = {
+        val centBase = prev.groupBy(col(cellCol)).agg(sums.head, sums.tail: _*)
+        val withM = (1 to Dim).foldLeft(centBase) { (acc, i) =>
+          acc.withColumn(s"m$i",
+            col(s"s$i").cast("double") / col("cnt") / lit(1e6))
+        }
+        val mn = sqrt((1 to Dim).map(i => col(s"m$i") * col(s"m$i"))
+          .reduce(_ + _))
+        val cent = withM.withColumn("mn", mn)
+          .select(col(cellCol) +: col("mn") +:
+            (1 to Dim).map(i => col(s"m$i")): _*)
+        val dot = (1 to Dim).map(i =>
+          element_at(col("embedding"), i).cast("double") * col(s"m$i"))
+          .reduce(_ + _)
+        argmaxCell(
+          e.join(broadcast(cent))
+            .select(col("vec_id"), col("embedding"), col("n"), col(cellCol),
+              round(dot / (col("n") * col("mn")), 6).as("csim")),
+          cellCol, outCell)
       }
-      val mn = sqrt((1 to Dim).map(i => col(s"m$i") * col(s"m$i"))
-        .reduce(_ + _))
-      val cent = withM.withColumn("mn", mn)
-        .select(col("cell0") +: col("mn") +:
-          (1 to Dim).map(i => col(s"m$i")): _*)
-      // Re-assign every vector to its nearest TRAINED centroid.
-      val dot = (1 to Dim).map(i =>
-        element_at(col("embedding"), i).cast("double") * col(s"m$i"))
-        .reduce(_ + _)
-      val assigned = argmaxCell(
-        e.join(broadcast(cent))
-          .select(col("vec_id"), col("embedding"), col("n"), col("cell0"),
-            round(dot / (col("n") * col("mn")), 6).as("csim")),
-        "cell0", "cell")
+      val assigned = (1 to LloydSteps).foldLeft(assigned0) { (prev, r) =>
+        lloydRound(prev, s"cell${r - 1}",
+          if (r == LloydSteps) "cell" else s"cell$r")
+      }
       val q = assigned.filter(col("vec_id") < 5)
         .select(col("vec_id").as("q_id"), col("embedding").as("qv"),
           col("n").as("qn"), col("cell"))
@@ -284,8 +294,10 @@ object SimilarityQueries {
             FROM sim)
           SELECT q_id, vec_id, sim, rank FROM r WHERE rank <= $TopK""",
     "s4_ivf_topk" -> {
-      // Same seeded Lloyd step as the Spark side: every 64-term chain is
-      // generated left-deep so the double fold order matches exactly.
+      // Same seeded Lloyd rounds as the Spark side: every 64-term chain
+      // is generated left-deep so the double fold order matches
+      // exactly, and each of the LloydSteps rounds emits one
+      // cent/ms/cm/scored/assigned CTE block.
       def chain(f: Int => String): String =
         (1 to Dim).map(f).mkString("(", " + ", ")")
       val sumsSql = (1 to Dim).map(i =>
@@ -297,6 +309,29 @@ object SimilarityQueries {
       val dotSql = chain(i => s"CAST(e.embedding[$i] AS DOUBLE)*c.m$i")
       val xnSql = "sqrt(list_sum(list_transform(e.embedding, " +
         "x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))"
+      val rounds = (1 to LloydSteps).map { n =>
+        val pc = s"cell${n - 1}"
+        val outCell = if (n == LloydSteps) "cell" else s"cell$n"
+        s"""cent$n AS (
+            SELECT $pc, count(*) AS cnt, $sumsSql
+            FROM assigned${n - 1} GROUP BY $pc),
+          ms$n AS (SELECT $pc, $msSql FROM cent$n),
+          cm$n AS (SELECT $pc,
+              ${(1 to Dim).map(i => s"m$i").mkString(", ")},
+              $mnSql AS mn
+            FROM ms$n),
+          scored$n AS (
+            SELECT e.vec_id, e.embedding, c.$pc,
+              round($dotSql / ($xnSql * c.mn), 6) AS csim
+            FROM embeddings e CROSS JOIN cm$n c),
+          assigned$n AS (
+            SELECT vec_id, embedding, $pc AS $outCell FROM (
+              SELECT vec_id, embedding, $pc, csim,
+                row_number() OVER (PARTITION BY vec_id
+                  ORDER BY csim DESC, $pc ASC) AS rn
+              FROM scored$n) WHERE rn = 1)"""
+      }.mkString(",\n          ")
+      val last = s"assigned$LloydSteps"
       s"""WITH seeds AS (
             SELECT vec_id AS c_id, embedding AS cvec FROM embeddings
             WHERE vec_id < 8),
@@ -308,30 +343,13 @@ object SimilarityQueries {
             SELECT vec_id, embedding, c_id AS cell0 FROM (
               SELECT vec_id, embedding, c_id, csim,
                 row_number() OVER (PARTITION BY vec_id
-                  ORDER BY csim DESC, c_id ASC) AS r
-              FROM scored0) WHERE r = 1),
-          cent AS (
-            SELECT cell0, count(*) AS cnt, $sumsSql
-            FROM assigned0 GROUP BY cell0),
-          ms AS (SELECT cell0, $msSql FROM cent),
-          cm AS (SELECT cell0,
-              ${(1 to Dim).map(i => s"m$i").mkString(", ")},
-              $mnSql AS mn
-            FROM ms),
-          scored1 AS (
-            SELECT e.vec_id, e.embedding, c.cell0,
-              round($dotSql / ($xnSql * c.mn), 6) AS csim
-            FROM embeddings e CROSS JOIN cm c),
-          assigned AS (
-            SELECT vec_id, embedding, cell0 AS cell FROM (
-              SELECT vec_id, embedding, cell0, csim,
-                row_number() OVER (PARTITION BY vec_id
-                  ORDER BY csim DESC, cell0 ASC) AS r
-              FROM scored1) WHERE r = 1),
+                  ORDER BY csim DESC, c_id ASC) AS rn
+              FROM scored0) WHERE rn = 1),
+          $rounds,
           sim AS (
             SELECT q.vec_id AS q_id, c.vec_id AS vec_id,
               round(${dCos("q.embedding", "c.embedding")}, 6) AS sim
-            FROM assigned q JOIN assigned c
+            FROM $last q JOIN $last c
               ON q.cell = c.cell AND q.vec_id <> c.vec_id
             WHERE q.vec_id < 5),
           r AS (

@@ -95,10 +95,18 @@ object TextQueries {
     // rule 2). Docs with <2 tokens have no 2-grams and drop out on both
     // engines (explode/unnest of an empty list).
     "t7_repetition" -> ((s, d) => {
+      // explode_outer + null-drop, NOT plain explode: the non-outer
+      // generate lets InferFiltersFromGenerate push a size()>0 filter
+      // to the scan with the shingle tree inlined (re-tokenizing per
+      // gram slot — the d10 trap, 2x here). The isNotNull filter sits
+      // ABOVE the generate (its attribute is generator output), so the
+      // scan stays cheap; gram-less docs drop exactly as with explode.
       val grams = documents(s, d)
         .withColumn("__toks", TextOps.tokens(col("text")))
         .select(col("doc_id"),
-          explode(TextOps.shinglesFromTokens(col("__toks"), 2)).as("sh"))
+          explode_outer(TextOps.shinglesFromTokens(col("__toks"), 2))
+            .as("sh"))
+        .where(col("sh").isNotNull)
       grams.groupBy(col("doc_id"), col("sh"))
         .agg(count(lit(1)).as("n"))
         .groupBy(col("doc_id"))

@@ -72,6 +72,23 @@ class PlanSpec extends SparkSpec {
     assert(joinLine.contains("bucket"), joinLine)
   }
 
+  test("gram explodes admit no inferred size() filter at the scan") {
+    // InferFiltersFromGenerate on a non-outer explode pushes a
+    // size(arr) > 0 filter to the scan with the whole shingle tree
+    // inlined — re-tokenizing per gram slot (measured 18x on d10).
+    // The explode_outer form must keep tokenization out of every
+    // Filter and out of the scan's data filters.
+    for (q <- Seq("d10_decontaminate", "t7_repetition")) {
+      val p = planOf(q)
+      p.linesIterator
+        .filter(l => l.contains("Filter") || l.contains("FileScan"))
+        .foreach { l =>
+          assert(!l.contains("split("),
+            s"$q: tokenization inlined into a Filter/scan:\n$l")
+        }
+    }
+  }
+
   test("decontamination broadcasts the benchmark gram set") {
     // the eval-set grams must be the broadcast side: at 100 TB the
     // exploded training grams never shuffle — the join is a map-side

@@ -61,6 +61,31 @@ object ScaleProbe {
       spark.catalog.clearCache()
     }
 
+    // same candidate graph through the alternating star algorithm —
+    // the deep-graph path — PLUS a worst case min-propagation cannot
+    // touch: one 100k-node chain (diameter 100k; star needs ~log n
+    // rounds).
+    time("star clusters (2M docs)", docsN) {
+      val docs = spark.range(docsN).select(col("id").as("doc_id"))
+      val pairs = spark.range(docsN)
+        .filter(col("id") % 5 =!= 0)
+        .select((col("id") - col("id") % 5).as("a"), col("id").as("b"))
+      graft.operators.DedupOps
+        .duplicateClustersStar(docs, pairs, "doc_id")
+        .write.format("noop").mode("overwrite").save()
+      spark.catalog.clearCache()
+    }
+    val chainN = 100000L
+    time("star clusters (100k chain)", chainN) {
+      val docs = spark.range(chainN).select(col("id").as("doc_id"))
+      val pairs = spark.range(chainN - 1)
+        .select(col("id").as("a"), (col("id") + 1).as("b"))
+      graft.operators.DedupOps
+        .duplicateClustersStar(docs, pairs, "doc_id", maxRounds = 40)
+        .write.format("noop").mode("overwrite").save()
+      spark.catalog.clearCache()
+    }
+
     time("count-min sketch (4x1024)", n) {
       events.select(pmod(hash(col("id")).cast("long"),
           lit(graft.operators.DedupOps.MinHashP)).as("bh"))

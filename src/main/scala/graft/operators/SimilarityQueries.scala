@@ -110,15 +110,17 @@ object SimilarityQueries {
       def lloydRound(prev: DataFrame, cellCol: String,
           outCell: String): DataFrame = {
         val centBase = prev.groupBy(col(cellCol)).agg(sums.head, sums.tail: _*)
-        val withM = (1 to Dim).foldLeft(centBase) { (acc, i) =>
-          acc.withColumn(s"m$i",
-            col(s"s$i").cast("double") / col("cnt") / lit(1e6))
-        }
+        // ONE select for all 64 means (a withColumn foldLeft is 64
+        // analyzer passes over an ever-wider plan — the dominant cost
+        // of this query was plan-build, not data)
+        val withM = centBase.select(col(cellCol) +:
+          (1 to Dim).map(i =>
+            (col(s"s$i").cast("double") / col("cnt") / lit(1e6))
+              .as(s"m$i")): _*)
         val mn = sqrt((1 to Dim).map(i => col(s"m$i") * col(s"m$i"))
           .reduce(_ + _))
-        val cent = withM.withColumn("mn", mn)
-          .select(col(cellCol) +: col("mn") +:
-            (1 to Dim).map(i => col(s"m$i")): _*)
+        val cent = withM.select(col(cellCol) +: mn.as("mn") +:
+          (1 to Dim).map(i => col(s"m$i")): _*)
         val dot = (1 to Dim).map(i =>
           element_at(col("embedding"), i).cast("double") * col(s"m$i"))
           .reduce(_ + _)

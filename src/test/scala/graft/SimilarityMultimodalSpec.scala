@@ -48,4 +48,41 @@ class SimilarityMultimodalSpec extends SparkSpec {
     assert(frames.head.payload.toSeq === (0 until 10).map(_.toByte))
     assert(frames(1).payload.toSeq === (20 until 30).map(_.toByte))
   }
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("decontamination flags only non-benchmark docs, with real hits") {
+    val out = SparkEntry.queries("d10_decontaminate")(spark, sf)
+      .as[(Long, Long)].collect().toSeq
+    assert(out.forall { case (id, _) => id % 20 != 7 },
+      "a benchmark doc flagged itself")
+    assert(out.forall(_._2 >= 1L))
+  }
+
+  test("source mixing fills each quota exactly and never exceeds T") {
+    val out = SparkEntry.queries("x7_source_mix")(spark, sf)
+      .groupBy("source").count()
+      .as[(String, Long)].collect().toMap
+    // quotas: floor(100 * isqrt(c_s) / sum isqrt) docs per source,
+    // rank-filled — per-source output size must equal its quota
+    val counts = Tables.documents(spark, sf)
+      .groupBy("source").count().as[(String, Long)].collect().toMap
+    val isq = counts.view.mapValues(c => math.sqrt(c.toDouble).toLong).toMap
+    val tot = isq.values.sum
+    isq.foreach { case (s, q) =>
+      val quota = 100L * q / tot
+      assert(out.getOrElse(s, 0L) === quota, s"source $s")
+    }
+    assert(out.values.sum <= 100L)
+  }
+
+  test("ANN recall gate: one row per query, recall in [0,1] as n/k") {
+    val rows = SparkEntry.queries("s6_ann_recall")(spark, sf)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(rows.map(_._1).sorted === (0L until 5L))
+    rows.foreach { case (_, n, r) =>
+      assert(n >= 0L && n <= 3L)
+      assert(math.abs(r - math.floor(n * 1000000.0 / 3) / 1e6) < 1e-12)
+    }
+  }
 }

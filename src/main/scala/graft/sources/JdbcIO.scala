@@ -65,6 +65,28 @@ object JdbcIO {
     }
   }
 
+  /** M3 — mutation write-back: DELETE against the external database,
+    * the reference's delete_series / delete_values_by_series /
+    * delete_dvs (series_service.py:885-937). Spark has no
+    * DELETE/UPDATE pushdown, and these statements address dim-scale
+    * row sets (one series, one date range), so a single driver-side
+    * JDBC statement is the right shape at any scale — the database
+    * does the work; nothing streams through Spark. Returns the number
+    * of affected rows.
+    */
+  def deleteWhere(conn: Conn, table: String, predicate: String): Int =
+    execUpdate(conn, s"DELETE FROM $table WHERE $predicate")
+
+  /** Driver-side DML/DDL statement (see [[deleteWhere]]). */
+  def execUpdate(conn: Conn, sql: String): Int = {
+    val c = java.sql.DriverManager.getConnection(conn.url, conn.user,
+      conn.password)
+    try {
+      val st = c.createStatement()
+      try st.executeUpdate(sql) finally st.close()
+    } finally c.close()
+  }
+
   /** K5 — bulk append (the reference's to_sql(if_exists='append')).
     * Creates the table on first write. `options` passes writer options
     * such as `createTableColumnTypes` (e.g. VARCHAR instead of the

@@ -78,4 +78,23 @@ class JdbcRoundTripSpec extends SparkSpec {
     val after = JdbcIO.read(spark, conn, "events_rt").load().count()
     assert(after === before + 50)
   }
+
+  test("M3 delete write-back removes exactly the addressed rows") {
+    // own table — no order coupling with the events_rt tests
+    JdbcIO.append(sample, conn, "events_m3",
+      Map("createTableColumnTypes" -> "event_type VARCHAR(32)"))
+    val total = sample.count()
+    val clicks = sample.filter(col("event_type") === "click").count()
+    // the reference's delete_values_by_series shape: one predicate,
+    // executed by the database (series_service.py:903-926). Spark's
+    // JDBC writer creates case-sensitive quoted columns, so the
+    // predicate quotes them too (unquoted names fold to uppercase in
+    // Derby and miss).
+    val n = JdbcIO.deleteWhere(conn, "events_m3",
+      "\"event_type\" = 'click'")
+    assert(n.toLong === clicks)
+    val back = JdbcIO.read(spark, conn, "events_m3").load()
+    assert(back.count() === total - clicks)
+    assert(back.filter(col("event_type") === "click").count() === 0L)
+  }
 }

@@ -149,6 +149,20 @@ object DedupOps {
     inter / union.cast("double")
   }
 
+  /** Deterministically release a `localCheckpoint`ed iterate's blocks.
+    * Dropping the reference alone leaves the materialized partitions in
+    * the BlockManager until a driver GC triggers the ContextCleaner —
+    * on a long fixpoint run that accumulates every round's frontier.
+    * The checkpointed frame's plan is a LogicalRDD leaf; unpersist its
+    * RDD once no later round can reference it.
+    */
+  private def dropCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.logical match {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        l.rdd.unpersist(blocking = false)
+      case _ => () // not a checkpointed leaf; ContextCleaner reclaims
+    }
+
   /** Duplicate-cluster resolution: connected components of the LSH
     * candidate-pair graph by iterative min-label propagation — every doc
     * maps to the smallest doc id reachable through candidate pairs
@@ -181,9 +195,10 @@ object DedupOps {
     // shared subtrees, so an un-truncated plan DOUBLES per round —
     // measured driver OOM (8g) at ~10 rounds on a 61-edge chain.
     // localCheckpoint materializes the rows and replaces the plan with
-    // a constant-size leaf; dropped iterates are reclaimed by the
-    // ContextCleaner. On a multi-executor cluster, prefer a reliable
-    // checkpoint dir (localCheckpoint blocks die with their executor).
+    // a constant-size leaf; superseded iterates are released
+    // deterministically via [[dropCheckpoint]]. On a multi-executor
+    // cluster, prefer a reliable checkpoint dir (localCheckpoint
+    // blocks die with their executor).
     // Each round carries prev_id so convergence is a filter over the
     // new iterate, not a self-join against the frame being replaced.
     var cached = connected
@@ -205,6 +220,7 @@ object DedupOps {
         .localCheckpoint(true)
       val changed =
         next.filter(col("cluster_id") =!= col("prev_id")).count()
+      dropCheckpoint(cached)
       cached = next
       converged = changed == 0
       iter += 1
@@ -220,15 +236,16 @@ object DedupOps {
           "maxIter or switch to large-star/small-star")
     val resolved = cached.select(col(idCol), col("cluster_id"))
     // Hand the ONE remaining persist to the caller: the returned frame
-    // is itself the persisted one (materialized here), the checkpointed
-    // frontier is reclaimed by the ContextCleaner once unreferenced,
-    // and callers free the result with .unpersist().
+    // is itself the persisted one (materialized here, so the final
+    // frontier checkpoint can be released immediately after), and
+    // callers free the result with .unpersist().
     val out = docs.select(col(idCol))
       .join(resolved, Seq(idCol), "left")
       .select(col(idCol),
         coalesce(col("cluster_id"), col(idCol)).as("cluster_id"))
       .persist()
     out.count()
+    dropCheckpoint(cached)
     out
   }
 
@@ -303,6 +320,7 @@ object DedupOps {
       val next = step(step(canon, large = true), large = false)
         .localCheckpoint(true)
       val nextSig = sig(next)
+      dropCheckpoint(canon)
       canon = next
       converged = nextSig == prevSig
       prevSig = nextSig
@@ -324,6 +342,7 @@ object DedupOps {
         coalesce(col("cluster_id"), col(idCol)).as("cluster_id"))
       .persist()
     out.count()
+    dropCheckpoint(canon)
     out
   }
 }

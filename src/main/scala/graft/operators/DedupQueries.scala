@@ -153,13 +153,13 @@ object DedupQueries {
   private def h15(sql: String): String =
     s"('0x' || substr(md5($sql), 1, 15))::BIGINT"
   private val toks = "regexp_split_to_array(trim(text), '\\s+')"
-  private val shingles =
-    s"""list_transform(range(1, greatest(len($toks) - 2, 0) + 1),
-        i -> $toks[i] || ' ' || $toks[i+1] || ' ' || $toks[i+2])"""
   // Word n-grams joined by ' ' — mirrors TextOps.shinglesFromTokens.
+  // Single source of truth for every word-shingle oracle fragment
+  // (minhash 3-shingles and decontamination 8-grams alike).
   private def nGramsSql(n: Int): String =
     s"""list_transform(range(1, greatest(len($toks) - ${n - 1}, 0) + 1),
         i -> ${(0 until n).map(k => s"($toks)[i+$k]").mkString(" || ' ' || ")})"""
+  private val shingles = nGramsSql(3)
   private def mh(i: Int): String = {
     val (a, b) = (DedupOps.minHashA(i), DedupOps.minHashB(i))
     s"list_min(list_transform(bh, h -> ($a * h + $b) % ${DedupOps.MinHashP}))"

@@ -163,7 +163,10 @@ object ExtraQueries {
         .withColumn("isq", floor(sqrt(col("c").cast("double"))).cast("long"))
       val tot = counts.agg(sum(col("isq")).as("tot"))
       val quota = counts.crossJoin(broadcast(tot))
-        .withColumn("n_s", expr("(100 * isq) div tot"))
+        // capped at the source's own size: a tiny source must not be
+        // asked for more docs than it has (the rank filter would
+        // silently under-fill; the cap makes the contract explicit)
+        .withColumn("n_s", expr("least((100 * isq) div tot, c)"))
         .select("source", "n_s")
       val w = Window.partitionBy(col("source"))
         .orderBy(graft.operators.TextOps.hash15(
@@ -317,7 +320,8 @@ object ExtraQueries {
                  CAST(floor(sqrt(CAST(c AS DOUBLE))) AS BIGINT) AS isq
                FROM c),
          t AS (SELECT sum(isq) AS tot FROM i),
-         q AS (SELECT source, (100 * isq) // tot AS n_s FROM i, t),
+         q AS (SELECT source, least((100 * isq) // tot, c) AS n_s
+               FROM i JOIN c USING (source) CROSS JOIN t),
          r AS (SELECT source, doc_id,
                  CAST(row_number() OVER (PARTITION BY source
                    ORDER BY ('0x' || substr(md5('mix|' || doc_id), 1, 15))

@@ -73,17 +73,32 @@ object JdbcIO {
     * JDBC statement is the right shape at any scale — the database
     * does the work; nothing streams through Spark. Returns the number
     * of affected rows.
+    *
+    * `predicate` is a TEMPLATE with `?` placeholders; data-derived
+    * values go in `binds` and are bound through PreparedStatement —
+    * never interpolated into the SQL (quoting bugs and injection both
+    * die here). Column identifiers in the template must be quoted as
+    * the writer created them (Spark's JDBC writer emits
+    * case-sensitive quoted columns).
     */
-  def deleteWhere(conn: Conn, table: String, predicate: String): Int =
-    execUpdate(conn, s"DELETE FROM $table WHERE $predicate")
+  def deleteWhere(conn: Conn, table: String, predicate: String,
+      binds: Seq[Any] = Seq.empty): Int =
+    execUpdate(conn, s"DELETE FROM $table WHERE $predicate", binds)
 
-  /** Driver-side DML/DDL statement (see [[deleteWhere]]). */
-  def execUpdate(conn: Conn, sql: String): Int = {
+  /** Driver-side DML/DDL with `?`-placeholder binds (see
+    * [[deleteWhere]]).
+    */
+  def execUpdate(conn: Conn, sql: String, binds: Seq[Any] = Seq.empty): Int = {
     val c = java.sql.DriverManager.getConnection(conn.url, conn.user,
       conn.password)
     try {
-      val st = c.createStatement()
-      try st.executeUpdate(sql) finally st.close()
+      val st = c.prepareStatement(sql)
+      try {
+        binds.zipWithIndex.foreach { case (v, i) =>
+          st.setObject(i + 1, v)
+        }
+        st.executeUpdate()
+      } finally st.close()
     } finally c.close()
   }
 

@@ -86,12 +86,12 @@ class JdbcRoundTripSpec extends SparkSpec {
     val total = sample.count()
     val clicks = sample.filter(col("event_type") === "click").count()
     // the reference's delete_values_by_series shape: one predicate,
-    // executed by the database (series_service.py:903-926). Spark's
-    // JDBC writer creates case-sensitive quoted columns, so the
-    // predicate quotes them too (unquoted names fold to uppercase in
+    // executed by the database (series_service.py:903-926). The value
+    // is BOUND, not interpolated; the column identifier is quoted as
+    // the writer created it (unquoted names fold to uppercase in
     // Derby and miss).
     val n = JdbcIO.deleteWhere(conn, "events_m3",
-      "\"event_type\" = 'click'")
+      "\"event_type\" = ?", Seq("click"))
     assert(n.toLong === clicks)
     val back = JdbcIO.read(spark, conn, "events_m3").load()
     assert(back.count() === total - clicks)

@@ -70,7 +70,7 @@ class SimilarityMultimodalSpec extends SparkSpec {
     val isq = counts.view.mapValues(c => math.sqrt(c.toDouble).toLong).toMap
     val tot = isq.values.sum
     isq.foreach { case (s, q) =>
-      val quota = 100L * q / tot
+      val quota = math.min(100L * q / tot, counts(s))
       assert(out.getOrElse(s, 0L) === quota, s"source $s")
     }
     assert(out.values.sum <= 100L)

@@ -133,6 +133,40 @@ object DedupQueries {
         .agg(countDistinct(col("g")).as("n_hits"))
     }),
 
+    // x8: the corpus gate — the end-to-end assembly every stage above
+    // exists for: keep exactly the docs that are (a) exact-dedup
+    // survivors (d1), (b) not benchmark-contaminated (d10), (c) not in
+    // the benchmark set themselves, (d) in the train split (x4's hash
+    // bucket), and (e) above a minimum length; report the surviving
+    // corpus per (lang, source). Every predicate is a pure function of
+    // content/id (hash semi/anti joins, no rand()), so the final corpus
+    // is reproducible across runs, engines, and repartitioning.
+    "x8_corpus_final" -> ((s, d) => {
+      val docs = documents(s, d)
+      val survivors = DedupOps.exactDupGroups(docs, "text", "doc_id")
+        .select(col("keep_id").as("doc_id"))
+      val staged = docs
+        .withColumn("__toks", TextOps.tokens(col("text")))
+        .withColumn("__gs",
+          TextOps.shinglesFromTokens(col("__toks"), DecontamN))
+      val benchGrams = staged.filter(col("doc_id") % 20 === 7)
+        .select(explode_outer(col("__gs")).as("g")).distinct()
+      val contaminated = staged.filter(col("doc_id") % 20 =!= 7)
+        .select(col("doc_id"), explode_outer(col("__gs")).as("g"))
+        .join(broadcast(benchGrams), Seq("g"))
+        .select("doc_id").distinct()
+      val bucket = pmod(TextOps.hash15(
+        concat(lit("split|"), col("doc_id"))), lit(100))
+      docs
+        .join(survivors, Seq("doc_id"), "left_semi")
+        .join(contaminated, Seq("doc_id"), "left_anti")
+        .filter(col("doc_id") % 20 =!= 7)
+        .filter(bucket < 80)
+        .filter(size(TextOps.tokens(col("text"))) >= 40)
+        .groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n_docs"))
+    }),
+
     // d7: group-level sketch union — the typed MinHashMerge Aggregator
     // folds each source's doc signatures into one k-vector (elementwise
     // min = signature of the union of shingle sets), with map-side
@@ -275,6 +309,28 @@ object DedupQueries {
                  WHERE doc_id % 20 <> 7)
           SELECT tg.doc_id, count(DISTINCT tg.g) AS n_hits
           FROM tg JOIN eg USING (g) GROUP BY tg.doc_id""",
+    "x8_corpus_final" ->
+      s"""WITH n AS (SELECT doc_id,
+            ${h15("lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))")}
+              AS content_fp
+          FROM documents),
+          surv AS (SELECT min(doc_id) AS doc_id FROM n GROUP BY content_fp),
+          g AS (SELECT doc_id, ${nGramsSql(DecontamN)} AS gs FROM documents),
+          eg AS (SELECT DISTINCT unnest(gs) AS g FROM g
+                 WHERE doc_id % 20 = 7),
+          cont AS (SELECT DISTINCT tg.doc_id
+                   FROM (SELECT doc_id, unnest(gs) AS g FROM g
+                         WHERE doc_id % 20 <> 7) tg
+                   JOIN eg USING (g))
+          SELECT d.lang, d.source, count(*) AS n_docs
+          FROM documents d
+          JOIN surv USING (doc_id)
+          WHERE d.doc_id NOT IN (SELECT doc_id FROM cont)
+            AND d.doc_id % 20 <> 7
+            AND ('0x' || substr(md5('split|' || d.doc_id), 1, 15))::BIGINT
+                  % 100 < 80
+            AND len(regexp_split_to_array(trim(d.text), '\\s+')) >= 40
+          GROUP BY d.lang, d.source""",
     "d7_source_sketch" ->
       s"""WITH bh AS (SELECT source,
             list_transform($shingles, sh -> ${h15("sh")} % ${DedupOps.MinHashP})

@@ -296,7 +296,7 @@ object ExtraQueries {
                           WHEN lang = 'de' THEN 30 ELSE 10 END)
                   THEN 1 ELSE 0 END AS keep
            FROM documents)
-         SELECT lang, sum(keep) AS kept, count(*) AS total
+         SELECT lang, CAST(sum(keep) AS BIGINT) AS kept, count(*) AS total
          FROM b GROUP BY lang""",
     "x6_seq_pack" ->
       """WITH t AS (
@@ -311,7 +311,7 @@ object ExtraQueries {
                AS prefix
            FROM t)
          SELECT lang, CAST(floor(prefix / 2048) AS BIGINT) AS bin,
-           count(*) AS n_docs, sum(toks) AS sum_toks
+           count(*) AS n_docs, CAST(sum(toks) AS BIGINT) AS sum_toks
          FROM p GROUP BY lang, bin""",
     "x7_source_mix" ->
       """WITH c AS (SELECT source, count(*) AS c FROM documents

@@ -181,7 +181,11 @@ object SimilarityQueries {
       staged.select(
         col("vec_id"),
         col("scale"),
-        col("q"),
+        // the code vector is emitted as a comma-joined string, not a raw
+        // array<int>: the driver's pandas sorter cannot hash ndarray
+        // cells, and a delimiter-joined string is a lossless, hashable
+        // serialization of the int8 codes on both engines
+        concat_ws(",", col("q")).as("q"),
         (floor(expr(
           """array_max(zip_with(embedding, q,
              (x, c) -> abs(cast(x as double) - c*scale/127.0)))""")
@@ -360,7 +364,7 @@ object SimilarityQueries {
                x -> CAST(floor(CAST(x AS DOUBLE)/scale*127 + 0.5)
                  AS INTEGER)) AS q
            FROM s)
-         SELECT vec_id, scale, q,
+         SELECT vec_id, scale, array_to_string(q, ',') AS q,
            floor(list_max(list_transform(range(1, len(embedding) + 1),
              i -> abs(CAST(embedding[i] AS DOUBLE)
                - q[i]*scale/127.0))) * 1e6 + 0.5) / 1e6 AS max_err,

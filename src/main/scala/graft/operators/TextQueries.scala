@@ -314,7 +314,8 @@ object TextQueries {
             FROM t),
           c AS (
             SELECT doc_id, sh, count(*) AS n FROM g GROUP BY doc_id, sh)
-          SELECT doc_id, max(n) AS top_gram, sum(n) AS total_grams,
+          SELECT doc_id, max(n) AS top_gram,
+            CAST(sum(n) AS BIGINT) AS total_grams,
             floor(max(n) * 10000.0 / sum(n) + 0.5) / 10000.0 AS rep_ratio
           FROM c GROUP BY doc_id""",
     "t8_redact" -> {
@@ -336,7 +337,8 @@ object TextQueries {
                list_transform(range(1, greatest(length(text) - 2, 0) + 1),
                               i -> substr(text, i, 3)))) AS BIGINT) AS n_tri
            FROM documents)
-         SELECT lang, count(*) AS docs, sum(n_tri) AS sum_tri,
+         SELECT lang, count(*) AS docs,
+           CAST(sum(n_tri) AS BIGINT) AS sum_tri,
            floor(sum(n_tri) * 10000.0 / count(*) + 0.5) / 10000.0 AS avg_tri
          FROM t GROUP BY lang"""
   )

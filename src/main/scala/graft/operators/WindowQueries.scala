@@ -33,7 +33,13 @@ object WindowQueries {
       val m = col("s1").cast("double") / col("n") / lit(100.0)
       val msq = col("s2").cast("double") / col("n") / lit(10000.0)
       val varr = (msq - m * m) * col("n") / (col("n") - lit(1))
-      val z = (col("c").cast("double") / lit(100.0) - m) / sqrt(varr)
+      // zero-variance guard: a constant series has varr == 0 (or a tiny
+      // fp negative), making z NaN — and NaN sorts above every double in
+      // both engines, so abs(z) > 3 would flag EVERY point of a flat
+      // series as an outlier. Flat series must report 0 outliers.
+      val z = when(varr > lit(0.0),
+        (col("c").cast("double") / lit(100.0) - m) / sqrt(varr))
+        .otherwise(lit(0.0))
       stats.filter(col("n") > 1)
         .withColumn("is_out", (abs(z) > 3.0).cast("int"))
         .groupBy(col("user_id"))
@@ -147,17 +153,23 @@ object WindowQueries {
          st AS (
            SELECT user_id, count(*) AS n, sum(c) AS s1, sum(c * c) AS s2
            FROM c GROUP BY user_id),
+         v AS (
+           SELECT user_id, n, s1,
+             (CAST(s2 AS DOUBLE) / n / 10000.0
+               - (CAST(s1 AS DOUBLE) / n / 100.0)
+                 * (CAST(s1 AS DOUBLE) / n / 100.0))
+               * n / (n - 1) AS varr
+           FROM st),
          z AS (
            SELECT c.user_id,
-             (CAST(c.c AS DOUBLE) / 100.0
-               - CAST(st.s1 AS DOUBLE) / st.n / 100.0)
-             / sqrt((CAST(st.s2 AS DOUBLE) / st.n / 10000.0
-                 - (CAST(st.s1 AS DOUBLE) / st.n / 100.0)
-                   * (CAST(st.s1 AS DOUBLE) / st.n / 100.0))
-                 * st.n / (st.n - 1)) AS z
-           FROM c JOIN st USING (user_id) WHERE st.n > 1)
+             CASE WHEN v.varr > 0 THEN
+               (CAST(c.c AS DOUBLE) / 100.0
+                 - CAST(v.s1 AS DOUBLE) / v.n / 100.0) / sqrt(v.varr)
+             ELSE 0.0 END AS z
+           FROM c JOIN v USING (user_id) WHERE v.n > 1)
          SELECT user_id, count(*) AS n,
-           sum(CASE WHEN abs(z) > 3.0 THEN 1 ELSE 0 END) AS n_outliers
+           CAST(sum(CASE WHEN abs(z) > 3.0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_outliers
          FROM z GROUP BY user_id""",
     // users with a complete hourly grid have no missing rows and are
     // absent from the output on both sides

@@ -4,34 +4,79 @@
 Usage: python3 tools/check.py <sfDir> <verifyOutDir>
 
 For each query result parquet in <verifyOutDir>, runs the matching SQL from
-oracle_sql.json in DuckDB over the sfDir tables, sorts columns by name and
-rows by all columns, and compares values cell-by-cell.
-Dev-only tooling (runs on the driver-side python stack); the shipped
-library is pure Scala/Spark.
+oracle_sql.json in DuckDB over the sfDir tables and compares the way the
+DRIVER does: both sides go through pandas (`.df()`), columns sorted by name,
+rows sorted by all columns (pandas sort_values — this THROWS on unhashable
+cells like ndarray, exactly like the driver's sorter), and values compared
+cell-for-cell with NO rounding. Dtypes are compared by family so an oracle
+that comes back float64 (e.g. DuckDB HUGEINT from a bare integer sum())
+against a Spark int64 is flagged as a DTYPE mismatch — that difference fails
+the driver's hash even when every value is equal, and round-3 shipped five
+such reds while this tool said green. Dev-only tooling (runs on the
+driver-side python stack); the shipped library is pure Scala/Spark.
 """
 import sys, os, json, math
 import duckdb
+import pandas as pd
+import numpy as np
 
 TABLES = ["region","nation","customer","supplier","part","orders",
           "lineitem","events","documents","embeddings"]
 
-def norm(v):
-    if v is None:
-        return None
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "NaN"
-        # collapse -0.0 / fp print noise
-        return round(v, 9)
-    if isinstance(v, list):
-        return tuple(norm(x) for x in v)
-    return v
+def dtype_family(dt):
+    if pd.api.types.is_bool_dtype(dt):
+        return "bool"
+    if pd.api.types.is_integer_dtype(dt):
+        return "int"
+    if pd.api.types.is_float_dtype(dt):
+        return "float"
+    if pd.api.types.is_datetime64_any_dtype(dt):
+        return "datetime"
+    return "object"
 
-def canon(rows, cols):
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    out = [tuple(norm(r[i]) for i in order) for r in rows]
-    out.sort(key=lambda t: tuple((x is None, str(x)) for x in t))
-    return [cols[i] for i in order], out
+def canon(df):
+    """Sort columns by name, rows by all columns — the driver's shape.
+
+    Raises on unhashable cells (ndarray) just like the driver's sorter.
+    """
+    df = df[sorted(df.columns)]
+    if len(df.columns):
+        df = df.sort_values(by=list(df.columns),
+                            kind="mergesort", na_position="first")
+    return df.reset_index(drop=True)
+
+def cell_eq(a, b):
+    # exact compare, no rounding — the driver hashes raw values
+    if a is None or (isinstance(a, float) and math.isnan(a)):
+        return b is None or (isinstance(b, float) and math.isnan(b))
+    if b is None or (isinstance(b, float) and math.isnan(b)):
+        return False
+    if isinstance(a, (list, tuple, np.ndarray)) or \
+       isinstance(b, (list, tuple, np.ndarray)):
+        a = list(a) if isinstance(a, (list, tuple, np.ndarray)) else [a]
+        b = list(b) if isinstance(b, (list, tuple, np.ndarray)) else [b]
+        return len(a) == len(b) and all(cell_eq(x, y) for x, y in zip(a, b))
+    return a == b
+
+def compare(name, got, exp):
+    got, exp = canon(got), canon(exp)
+    if list(got.columns) != list(exp.columns):
+        return f"SCHEMA got={list(got.columns)} want={list(exp.columns)}"
+    bad_dt = [(c, dtype_family(got[c].dtype), dtype_family(exp[c].dtype))
+              for c in got.columns
+              if dtype_family(got[c].dtype) != dtype_family(exp[c].dtype)]
+    if bad_dt:
+        return ("DTYPE (driver hash would differ even if values equal): "
+                + ", ".join(f"{c}: spark={g} oracle={e}"
+                            for c, g, e in bad_dt))
+    if len(got) != len(exp):
+        return f"ROWS got={len(got)} want={len(exp)}"
+    for i in range(len(got)):
+        for c in got.columns:
+            a, b = got[c].iloc[i], exp[c].iloc[i]
+            if not cell_eq(a, b):
+                return f"VALUES first diff row {i} col {c}: got={a!r} want={b!r}"
+    return None
 
 def main(sfdir, outdir):
     con = duckdb.connect()
@@ -59,43 +104,41 @@ def main(sfdir, outdir):
     for name in dirs:
         qdir = os.path.join(outdir, name)
         try:
-            got = con.sql(f"SELECT * FROM read_parquet('{qdir}/*.parquet')")
-            gcols, grows = got.columns, got.fetchall()
+            got = con.sql(
+                f"SELECT * FROM read_parquet('{qdir}/*.parquet')").df()
         except Exception as e:
             print(f"  x {name}: UNREADABLE output ({e})")
             n_bad += 1
             continue
         if name not in oracle:
             # rows-only gate: a non-oracle query must at least return rows
-            if len(grows) > 0:
-                print(f"  ~ {name}: rows-only check OK, rows={len(grows)}")
+            if len(got) > 0:
+                print(f"  ~ {name}: rows-only check OK, rows={len(got)}")
                 n_ok += 1
             else:
                 print(f"  x {name}: rows-only check EMPTY")
                 n_bad += 1
             continue
-        exp = con.sql(oracle[name])
-        ecols, erows = exp.columns, exp.fetchall()
-        gc, gr = canon(grows, gcols)
-        ec, er = canon(erows, ecols)
-        if gc != ec:
-            print(f"  ✗ {name}: SCHEMA got={gc} want={ec}")
+        try:
+            exp = con.sql(oracle[name]).df()
+        except Exception as e:
+            print(f"  x {name}: ORACLE SQL failed ({e})")
             n_bad += 1
             continue
-        if gr != er:
-            print(f"  ✗ {name}: VALUES rows got={len(gr)} want={len(er)}")
-            for i,(a,b) in enumerate(zip(gr,er)):
-                if a != b:
-                    print(f"      first diff row {i}: got={a} want={b}")
-                    break
-            if len(gr) != len(er):
-                onlyg = set(gr)-set(er); onlye = set(er)-set(gr)
-                if onlyg: print(f"      extra: {list(onlyg)[:2]}")
-                if onlye: print(f"      missing: {list(onlye)[:2]}")
+        try:
+            diff = compare(name, got, exp)
+        except TypeError as e:
+            # the driver's pandas sorter dies the same way (e.g. a raw
+            # array column) — that IS a gate failure, not a tool bug
+            print(f"  x {name}: UNSORTABLE output, driver errs ({e})")
             n_bad += 1
             continue
-        n_ok += 1
-        print(f"  ✓ {name} ({len(gr)} rows)")
+        if diff:
+            print(f"  x {name}: {diff}")
+            n_bad += 1
+        else:
+            n_ok += 1
+            print(f"  + {name} ({len(got)} rows)")
     print(f"OK={n_ok} BAD={n_bad}")
     return 1 if n_bad else 0
 

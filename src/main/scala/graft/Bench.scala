@@ -23,8 +23,12 @@ object Bench {
       catch { case _: Throwable => () }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try force(fn(spark, sfDir)) catch { case _: Throwable => () }
-      val dt = (System.nanoTime() - t0) / 1e9
+      // a failed query reports -1, never its elapsed-time-to-failure —
+      // a fast crash must not read as a fast query
+      var ok = true
+      try force(fn(spark, sfDir))
+      catch { case _: Throwable => ok = false }
+      val dt = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
       // drop anything a query persisted (e.g. d4's bucket frame) so no
       // cache leaks across measurements
       spark.catalog.clearCache()

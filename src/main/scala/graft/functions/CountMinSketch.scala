@@ -27,8 +27,16 @@ final class CountMinSketch(d: Int, w: Int)
     extends Aggregator[Long, Array[Long], Seq[Long]] {
   import graft.operators.DedupOps.{minHashA, minHashB, MinHashP}
 
-  private def cell(r: Int, h: Long): Int =
-    (r * w + ((minHashA(r) * h + minHashB(r)) % MinHashP % w)).toInt
+  // The input hash is reduced mod P FIRST (floorMod: a negative Long is
+  // legal under the Aggregator contract even though the hash15/pmod
+  // call sites happen to be non-negative). This both prevents the
+  // buffer-index-out-of-bounds of a sign-following % and keeps
+  // a·h' + b ≤ 4097·d·2³¹ — no Long overflow, so the JVM cell equals
+  // the ANSI-SQL estimate cell bit-for-bit.
+  private def cell(r: Int, h: Long): Int = {
+    val hm = Math.floorMod(h, MinHashP)
+    (r * w + (minHashA(r) * hm + minHashB(r)) % MinHashP % w).toInt
+  }
 
   override def zero: Array[Long] = new Array[Long](d * w)
 
@@ -66,11 +74,12 @@ object CountMinSketch {
   def estimate(sketch: Column, baseHash: Column, d: Int, w: Int): Column = {
     import org.apache.spark.sql.functions._
     import graft.operators.DedupOps.{minHashA, minHashB, MinHashP}
+    val hm = pmod(baseHash, lit(MinHashP)) // mirror cell(): reduce first
     (0 until d).map { r =>
       element_at(sketch,
         (lit(r * w) +
-          (lit(minHashA(r)) * baseHash + lit(minHashB(r)))
-            % MinHashP % w + 1).cast("int"))
+          (lit(minHashA(r)) * hm + lit(minHashB(r))) % MinHashP % w
+          + 1).cast("int"))
     }.reduce(least(_, _))
   }
 }

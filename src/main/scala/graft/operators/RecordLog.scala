@@ -18,12 +18,36 @@ import org.apache.spark.sql.functions._
   */
 object RecordLog {
 
+  /** The serialized script is a delimiter format (`,` `=` `;` `)`), so
+    * every string that enters a script line must be delimiter-free —
+    * otherwise parse() mis-splits and the parse∘serialize ≡ identity
+    * provenance contract silently breaks. Column names are restricted
+    * to identifiers at CONSTRUCTION (fail fast, not at replay).
+    */
+  private def ident(field: String, v: String): String = {
+    require(v.matches("[A-Za-z0-9_]+"),
+      s"$field must match [A-Za-z0-9_]+ (script-safe identifier), got '$v'")
+    v
+  }
+
+  /** Free-text args (date bounds) may hold spaces/colons/dashes but
+    * never the script delimiters.
+    */
+  private def delimFree(field: String, v: String): String = {
+    require(!v.exists(c => ",=;()".contains(c)),
+      s"$field must not contain any of , = ; ( ) — got '$v'")
+    v
+  }
+
   /** Column shape of the series frame being edited: series key columns,
     * event-time order (+ tiebreak), the measured value, and the boolean
     * selection column the filter actions refine.
     */
   final case class Shape(keys: Seq[String], ts: String, tiebreak: String,
-      value: String, selected: String)
+      value: String, selected: String) {
+    (keys ++ Seq(ts, tiebreak, value, selected))
+      .foreach(ident("shape column", _))
+  }
 
   sealed trait EditAction {
     /** Replay this action on a session frame. */
@@ -55,6 +79,7 @@ object RecordLog {
     */
   final case class FilterDate(after: String, before: String,
       intersect: Boolean) extends EditAction {
+    delimFree("after", after); delimFree("before", before)
     def apply(shape: Shape, df: DataFrame): DataFrame = {
       val t = col(shape.ts)
       val preds = Seq(
@@ -70,6 +95,7 @@ object RecordLog {
   /** P10 — point selection by id list (edit_service.py:169-184). */
   final case class SelectPoints(idCol: String, ids: Seq[Long])
       extends EditAction {
+    ident("idCol", idCol)
     def apply(shape: Shape, df: DataFrame): DataFrame =
       refine(shape, df, col(idCol).isin(ids: _*), intersect = false)
     def line = s"select_points(idCol=$idCol, ids=${ids.mkString(";")})"
@@ -127,6 +153,7 @@ object RecordLog {
     */
   final case class FlagSelected(flagCol: String, flag: Long)
       extends EditAction {
+    ident("flagCol", flagCol)
     def apply(shape: Shape, df: DataFrame): DataFrame =
       df.withColumn(flagCol,
         when(sel(shape), lit(flag))
@@ -139,6 +166,7 @@ object RecordLog {
     * (edit_service.py:375-391).
     */
   final case class Rekey(keyCol: String, newValue: Long) extends EditAction {
+    ident("keyCol", keyCol)
     def apply(shape: Shape, df: DataFrame): DataFrame =
       df.withColumn(keyCol, lit(newValue))
     def line = s"rekey(keyCol=$keyCol, newValue=$newValue)"

@@ -68,6 +68,20 @@ class RecordLogSpec extends SparkSpec {
     assert(!out.exists(_._1 == 6L))
   }
 
+  test("delimiter-bearing names are rejected at construction") {
+    // a name with , = ; or ) would mis-split in parse() and break the
+    // parse∘serialize ≡ identity contract — fail fast instead
+    intercept[IllegalArgumentException](
+      Shape(Seq("user_id"), "ts", "event,id", "value", "selected"))
+    intercept[IllegalArgumentException](FlagSelected("flag=col", 7L))
+    intercept[IllegalArgumentException](Rekey("k;ey", 1L))
+    intercept[IllegalArgumentException](SelectPoints("id)col", Seq(1L)))
+    intercept[IllegalArgumentException](
+      FilterDate("2020-01-01 00:00:00", "2020, DROP", intersect = true))
+    // legal timestamp bounds still pass
+    FilterDate("2020-01-01 00:00:00", "", intersect = true)
+  }
+
   test("rollback drops both frame state and the provenance line") {
     val s0 = RecordedSession.open(base, shape)
     val s1 = s0(FilterValue(">", 40.0, intersect = false))

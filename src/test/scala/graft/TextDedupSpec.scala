@@ -64,6 +64,27 @@ class TextDedupSpec extends SparkSpec {
     exact.foreach { case (t, n) => assert(est(t) >= n, s"$t: ${est(t)} < $n") }
   }
 
+  test("count-min sketch accepts negative input hashes (floorMod cells)") {
+    import graft.functions.CountMinSketch
+    val (d, w) = (4, 16)
+    // raw Long hashes, half of them negative — the Aggregator contract
+    // is any Long, not just the non-negative hash15 range the query
+    // call sites happen to produce
+    val hs = Seq(-1L, Long.MinValue, -987654321L, 42L, -42L, Long.MaxValue)
+    val df = (hs ++ hs).toDF("bh") // every item twice
+    val sk = df.agg(CountMinSketch(d, w)(col("bh"))).head.getSeq[Long](0)
+    // no ArrayIndexOutOfBounds, every row conserves the item count
+    (0 until d).foreach { r =>
+      assert(sk.slice(r * w, (r + 1) * w).sum === (2 * hs.size).toLong)
+    }
+    // SQL-side estimate addresses the SAME cells (pmod mirror): each
+    // distinct item occurs twice, so no estimate may be below 2
+    val est = hs.toDF("bh").distinct()
+      .select(CountMinSketch.estimate(typedLit(sk), col("bh"), d, w))
+      .as[Long].collect()
+    assert(est.forall(_ >= 2L), est.mkString(","))
+  }
+
   test("duplicate clustering propagates the min id across chain components") {
     // chain 1-2-3-4 forces multiple propagation rounds (diameter 3);
     // 5-6 is a separate pair; 7 has no edges and maps to itself.

@@ -16,19 +16,21 @@ object StreamingQueries {
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     // st1: tumbling 1-hour window aggregation per event_type.
     "st1_stream_window" -> ((s, d) => {
-      val agg = StreamingOps.eventsStream(s, d)
+      val ss = StreamingOps.streamSession(s)
+      val agg = StreamingOps.eventsStream(ss, d)
         .groupBy(window(col("ts"), "1 hour"), col("event_type"))
         .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("sum_v"))
         .select(
           date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss")
             .as("win_start"),
           col("event_type"), col("cnt"), col("sum_v"))
-      StreamingOps.runToMemory(s, agg, "st1_stream_window", "complete")
+      StreamingOps.runToMemory(ss, agg, "st1_stream_window", "complete")
     }),
 
     // st2: session windows — 30-minute inactivity gap per user.
     "st2_stream_sessions" -> ((s, d) => {
-      val agg = StreamingOps.eventsStream(s, d)
+      val ss = StreamingOps.streamSession(s)
+      val agg = StreamingOps.eventsStream(ss, d)
         .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
         .agg(count(lit(1)).as("n_events"),
           round(sum(col("value")), 2).as("sum_v"))
@@ -38,16 +40,17 @@ object StreamingQueries {
           date_format(col("session_window.end"), "yyyy-MM-dd HH:mm:ss")
             .as("sess_end"),
           col("user_id"), col("n_events"), col("sum_v"))
-      StreamingOps.runToMemory(s, agg, "st2_stream_sessions", "complete")
+      StreamingOps.runToMemory(ss, agg, "st2_stream_sessions", "complete")
     }),
 
     // st3: incremental resume — append-mode stream of rows past the
     // last checkpointed timestamp (reference: series_service.py:415-430).
     "st3_stream_resume" -> ((s, d) => {
-      val resumed = StreamingOps.eventsStream(s, d)
+      val ss = StreamingOps.streamSession(s)
+      val resumed = StreamingOps.eventsStream(ss, d)
         .filter(col("ts") > to_timestamp(lit("2024-01-25 00:00:00")))
         .select("event_id", "user_id", "event_type", "value")
-      StreamingOps.runToMemory(s, resumed, "st3_stream_resume", "append")
+      StreamingOps.runToMemory(ss, resumed, "st3_stream_resume", "append")
     }),
 
     // st4: custom state via mapGroupsWithState — per-user profile
@@ -55,8 +58,9 @@ object StreamingQueries {
     // profile row per user per batch; the final profile per user is the
     // one with the highest count.
     "st4_stateful_profile" -> ((s, d) => {
-      val prof = StreamingOps.statefulProfiles(s, d)
-      StreamingOps.runToMemory(s, prof, "st4_stateful_profile", "update")
+      val ss = StreamingOps.streamSession(s)
+      val prof = StreamingOps.statefulProfiles(ss, d)
+      StreamingOps.runToMemory(ss, prof, "st4_stateful_profile", "update")
         .groupBy(col("user_id"))
         .agg(max(col("n")).as("n"),
           round(max_by(col("max_gap_s"), col("n")), 6).as("max_gap_s"),
@@ -67,30 +71,32 @@ object StreamingQueries {
     // (broadcastable) per-user profile computed from the batch table;
     // the static side is planned like any dim join.
     "st6_stream_enrich" -> ((s, d) => {
+      val ss = StreamingOps.streamSession(s)
       // user_avg on exact cents: the integer sum is exact in double, so
       // avg and delta are bit-identical across engines with NO rounding.
-      val profile = Tables.events(s, d)
+      val profile = Tables.events(ss, d)
         .withColumn("cents", round(col("value") * 100).cast("long"))
         .groupBy(col("user_id"))
         .agg((avg(col("cents")) / lit(100.0)).as("user_avg"))
-      val enriched = StreamingOps.eventsStream(s, d)
+      val enriched = StreamingOps.eventsStream(ss, d)
         .filter(col("event_type") === "purchase")
         .join(profile, Seq("user_id"))
         .select(col("event_id"), col("user_id"), col("value"),
           col("user_avg"),
           (col("value") - col("user_avg")).as("delta"))
-      StreamingOps.runToMemory(s, enriched, "st6_stream_enrich", "append")
+      StreamingOps.runToMemory(ss, enriched, "st6_stream_enrich", "append")
     }),
 
     // st7: streaming dedup — dropDuplicates keyed on the event id holds
     // a key set in state; with unique ids the result equals batch
     // distinct, which is what the oracle checks.
     "st7_stream_dedup" -> ((s, d) => {
-      val deduped = StreamingOps.eventsStream(s, d)
+      val ss = StreamingOps.streamSession(s)
+      val deduped = StreamingOps.eventsStream(ss, d)
         .dropDuplicates("event_id")
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("cnt"))
-      StreamingOps.runToMemory(s, deduped, "st7_stream_dedup", "complete")
+      StreamingOps.runToMemory(ss, deduped, "st7_stream_dedup", "complete")
     }),
 
     // st8: stream-stream inner join — purchases join clicks of the same
@@ -102,12 +108,13 @@ object StreamingQueries {
     // watermark to fire, so with AvailableNow the result equals the
     // batch interval join, which is what the oracle computes.
     "st8_stream_join" -> ((s, d) => {
-      val p = StreamingOps.eventsStream(s, d)
+      val ss = StreamingOps.streamSession(s)
+      val p = StreamingOps.eventsStream(ss, d)
         .filter(col("event_type") === "purchase")
         .select(col("event_id").as("p_id"), col("user_id"),
           col("ts").as("p_ts"))
         .withWatermark("p_ts", "1 hour")
-      val c = StreamingOps.eventsStream(s, d)
+      val c = StreamingOps.eventsStream(ss, d)
         .filter(col("event_type") === "click")
         .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
           col("value").as("click_value"))
@@ -120,7 +127,7 @@ object StreamingQueries {
           date_format(col("c_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS")
             .as("click_ts"),
           col("click_value"))
-      StreamingOps.runToMemory(s, joined, "st8_stream_join", "append")
+      StreamingOps.runToMemory(ss, joined, "st8_stream_join", "append")
     }),
 
     // st5: watermarked append-mode window — only windows the watermark
@@ -128,7 +135,8 @@ object StreamingQueries {
     // in-flight tail is deliberately dropped at end of input. This is
     // the bounded-state contract a 100 TB stream relies on.
     "st5_stream_watermark" -> ((s, d) => {
-      val agg = StreamingOps.eventsStream(s, d)
+      val ss = StreamingOps.streamSession(s)
+      val agg = StreamingOps.eventsStream(ss, d)
         .withWatermark("ts", "1 hour")
         .groupBy(window(col("ts"), "1 hour"), col("event_type"))
         .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("sum_v"))
@@ -136,7 +144,7 @@ object StreamingQueries {
           date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss")
             .as("win_start"),
           col("event_type"), col("cnt"), col("sum_v"))
-      StreamingOps.runToMemory(s, agg, "st5_stream_watermark", "append")
+      StreamingOps.runToMemory(ss, agg, "st5_stream_watermark", "append")
     })
   )
 

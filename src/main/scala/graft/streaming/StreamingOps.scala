@@ -22,6 +22,34 @@ import org.apache.spark.sql.types._
   */
 object StreamingOps {
 
+  /** Child session for streaming queries whose shuffle-partition count —
+    * which fixes the number of state-store instances per stateful
+    * operator — is sized for STATE VOLUME, decoupled from the batch
+    * shuffle default.
+    *
+    * Why (measured at sf0.1 on st8, the stream-stream join): state cost
+    * is dominated by per-partition store machinery, not data. The
+    * symmetric hash join keeps 4 store instances per partition, and with
+    * the batch default of 32 partitions even a zero-input-row micro-batch
+    * (the watermark-advance batch) costs ~2.5 s of store open/commit;
+    * at 8 partitions the identical query runs 6.1 s → 2.6 s with the
+    * same results. Switching the provider to RocksDB halved cumulative
+    * commit ms but NOT wall time (tasks run core-wide in parallel), so
+    * the provider stays default and the partition count is the knob.
+    *
+    * On a real cluster this is `graft.stream.statePartitions`, sized UP
+    * with state volume (in-flight windows × keys), independently of the
+    * batch shuffle width — the point is the decoupling, not a small
+    * constant.
+    */
+  def streamSession(spark: SparkSession): SparkSession = {
+    val parts = spark.conf.getOption("graft.stream.statePartitions")
+      .getOrElse("8")
+    val child = spark.newSession()
+    child.conf.set("spark.sql.shuffle.partitions", parts)
+    child
+  }
+
   /** The events table's on-disk schema. `ts` is parquet TIMESTAMP(NANOS)
     * read as a raw long under `spark.sql.legacy.parquet.nanosAsLong`
     * (set at session construction, see [[graft.Sessions]]).
@@ -111,6 +139,16 @@ object StreamingOps {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    // dev diagnostics: per-batch wall time + state-store metrics
+    if (sys.env.get("SPARK_GRAFT_STREAM_DEBUG").contains("1"))
+      q.recentProgress.foreach { p =>
+        val st = p.stateOperators.map(s =>
+          s"op=${s.operatorName} rows=${s.numRowsTotal} " +
+            s"updated=${s.numRowsUpdated} commitMs=${s.allUpdatesTimeMs}")
+          .mkString("; ")
+        println(s"[stream-debug] $name batch=${p.batchId} " +
+          s"durMs=${p.batchDuration} rows=${p.numInputRows} $st")
+      }
     spark.table(name)
   }
 }

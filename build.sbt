@@ -9,6 +9,14 @@ libraryDependencies ++= Seq(
   "org.scalatest" %% "scalatest" % "3.2.19" % Test,
   "org.scalacheck" %% "scalacheck" % "1.18.0" % Test,
 )
+// Second REAL JDBC dialect for JdbcRoundTripSpec: the DuckDB embedded
+// driver already present in the local cache (test classpath only — the
+// shipped library depends on nothing beyond Spark). Host-agnostic glob;
+// if the jar is absent the spec self-cancels.
+Test / unmanagedJars ++= {
+  val cache = file(sys.props("user.home")) / ".cache" / "coursier"
+  (cache ** "duckdb_jdbc-*.jar").classpath
+}
 Test / fork := true
 run / fork := true
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside

@@ -42,6 +42,33 @@ object JdbcIO {
   case object Derby extends Dialect {
     def url(h: String, db: String) = s"jdbc:derby:$db;create=true"
   }
+  /** Second embedded file-backed dialect (DuckDB) so the round-trip
+    * contract is executed against two REAL engines with different
+    * type/quoting behavior, not one — the same role SQLite plays for
+    * the reference's edit sessions (edit_service.py:32-48): a
+    * server-less, in-process database addressed by file path.
+    */
+  case object DuckDb extends Dialect {
+    def url(h: String, db: String) = s"jdbc:duckdb:$db"
+  }
+
+  /** Catalyst-side dialect hook for DuckDB URLs. Spark 4's
+    * `JdbcUtils.tableExists` probes with `SELECT 1 FROM t WHERE 1=0`
+    * and RETHROWS any SQLException it cannot classify as
+    * object-not-found; DuckDB's driver reports missing tables as a
+    * generic SQLException with no SQLState, so without this hook
+    * `SaveMode.Append` on a fresh table fails instead of creating it.
+    * Registered once at [[JdbcIO]] load (idempotent); no DuckDB classes
+    * are referenced — the shipped library still depends only on Spark.
+    */
+  private object DuckDbSparkDialect
+      extends org.apache.spark.sql.jdbc.JdbcDialect {
+    override def canHandle(url: String): Boolean =
+      url.startsWith("jdbc:duckdb:")
+    override def isObjectNotFoundException(e: java.sql.SQLException): Boolean =
+      Option(e.getMessage).exists(_.contains("does not exist"))
+  }
+  org.apache.spark.sql.jdbc.JdbcDialects.registerDialect(DuckDbSparkDialect)
 
   final case class Conn(dialect: Dialect, host: String, db: String,
       user: String = "", password: String = "") {

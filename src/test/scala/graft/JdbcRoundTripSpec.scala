@@ -3,35 +3,43 @@ package graft
 import org.apache.spark.sql.functions._
 import graft.io.JdbcIO
 
-/** S1/S2/K5 executed against a REAL database: Spark ships Apache Derby,
-  * so the JDBC write → scan → partitioned scan → pushdown-query → append
-  * cycle runs end-to-end in-process — the closest available analogue of
-  * the reference's embedded-DB path (reference: service_manager.py:
-  * 121-171 dialect connections; series_service.py:746-752 bulk append).
+/** S1/S2/K5/M3 executed against REAL databases: the full JDBC
+  * write → scan → partitioned scan → pushdown-query → append → delete
+  * cycle runs end-to-end in-process, once per embedded dialect — the
+  * closest available analogue of the reference's embedded-DB path
+  * (reference: service_manager.py:121-171 dialect connections;
+  * series_service.py:746-752 bulk append; edit_service.py:32-48 the
+  * SQLite embedded role). Exercising TWO engines (Derby, DuckDB) keeps
+  * the contract honest about dialect differences: Derby folds unquoted
+  * identifiers to uppercase and needs VARCHAR instead of its CLOB
+  * string default; DuckDB folds to lowercase and takes TEXT.
   */
-class JdbcRoundTripSpec extends SparkSpec {
+abstract class JdbcDialectRoundTrip(dialectName: String,
+    dialect: JdbcIO.Dialect, driverClass: String,
+    createOptions: Map[String, String]) extends SparkSpec {
 
   private val dbDir = {
-    val d = java.nio.file.Files.createTempDirectory("graft-derby")
-    // keep derby.log out of the repo working dir
+    val d = java.nio.file.Files.createTempDirectory(s"graft-$dialectName")
+    // keep engine logs (derby.log) out of the repo working dir
     System.setProperty("derby.system.home", d.toString)
     d.toString
   }
-  private val conn = JdbcIO.Conn(JdbcIO.Derby, "", s"$dbDir/rtdb")
+  private val conn = JdbcIO.Conn(dialect, "", s"$dbDir/rtdb")
   private val d = "/root/testdata/sf0.001"
 
-  // 500-row sample of the fact table; ts kept out (Derby TIMESTAMP vs
+  private lazy val available =
+    scala.util.Try(Class.forName(driverClass)).isSuccess
+
+  // 500-row sample of the fact table; ts kept out (TIMESTAMP vs
   // TimestampNTZ round-trip is a separate concern from the scan/append
   // contract under test).
   private lazy val sample = Tables.events(spark, d)
     .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
     .filter(col("event_id") < 500)
 
-  test("K5 append creates the table and a scan reads the rows back") {
-    JdbcIO.append(sample, conn, "events_rt",
-      // CLOB (the dialect's string default) can't be filtered/compared
-      // in Derby; the reference schema uses bounded VARCHARs anyway
-      Map("createTableColumnTypes" -> "event_type VARCHAR(32)"))
+  test(s"[$dialectName] K5 append creates the table and a scan reads the rows back") {
+    assume(available, s"$driverClass not on classpath")
+    JdbcIO.append(sample, conn, "events_rt", createOptions)
     val back = JdbcIO.read(spark, conn, "events_rt").load()
     assert(back.count() === sample.count())
     val (s1, s2) = (
@@ -40,7 +48,8 @@ class JdbcRoundTripSpec extends SparkSpec {
     assert(math.abs(s1 - s2) < 1e-6)
   }
 
-  test("S2/S3 partitioned read fans the scan out over ranges") {
+  test(s"[$dialectName] S2/S3 partitioned read fans the scan out over ranges") {
+    assume(available, s"$driverClass not on classpath")
     val parts = JdbcIO.read(spark, conn, "events_rt",
       partitionOn = Some(("event_id", 0L, 500L, 4))).load()
     assert(parts.rdd.getNumPartitions === 4)
@@ -49,10 +58,11 @@ class JdbcRoundTripSpec extends SparkSpec {
     assert(parts.select("event_id").distinct().count() === sample.count())
   }
 
-  test("S2 pushdown-query scan executes remote SQL") {
-    // Spark's JDBC writer quotes COLUMN identifiers (case-sensitive
-    // lowercase) but not the table name (folds to uppercase in Derby) —
-    // raw pushdown SQL must follow suit.
+  test(s"[$dialectName] S2 pushdown-query scan executes remote SQL") {
+    assume(available, s"$driverClass not on classpath")
+    // Spark's JDBC writer quotes COLUMN identifiers case-sensitively;
+    // raw pushdown SQL must follow suit (Derby would otherwise fold
+    // unquoted names to uppercase and miss).
     val q = "(SELECT \"user_id\", COUNT(*) AS n FROM events_rt " +
       "GROUP BY \"user_id\") t"
     val agg = JdbcIO.read(spark, conn, q).load()
@@ -60,7 +70,8 @@ class JdbcRoundTripSpec extends SparkSpec {
     assert(agg.count() === expected)
   }
 
-  test("filters push into the JDBC source, not post-scan") {
+  test(s"[$dialectName] filters push into the JDBC source, not post-scan") {
+    assume(available, s"$driverClass not on classpath")
     val df = JdbcIO.read(spark, conn, "events_rt").load()
       .filter(col("value") > 100.0 && col("event_type") === "purchase")
     val plan = df.queryExecution.executedPlan.toString
@@ -72,24 +83,24 @@ class JdbcRoundTripSpec extends SparkSpec {
     assert(df.count() === direct.count())
   }
 
-  test("K5 append to an existing table accumulates (reference to_sql semantics)") {
+  test(s"[$dialectName] K5 append to an existing table accumulates (reference to_sql semantics)") {
+    assume(available, s"$driverClass not on classpath")
     val before = JdbcIO.read(spark, conn, "events_rt").load().count()
     JdbcIO.append(sample.limit(50), conn, "events_rt")
     val after = JdbcIO.read(spark, conn, "events_rt").load().count()
     assert(after === before + 50)
   }
 
-  test("M3 delete write-back removes exactly the addressed rows") {
+  test(s"[$dialectName] M3 delete write-back removes exactly the addressed rows") {
+    assume(available, s"$driverClass not on classpath")
     // own table — no order coupling with the events_rt tests
-    JdbcIO.append(sample, conn, "events_m3",
-      Map("createTableColumnTypes" -> "event_type VARCHAR(32)"))
+    JdbcIO.append(sample, conn, "events_m3", createOptions)
     val total = sample.count()
     val clicks = sample.filter(col("event_type") === "click").count()
     // the reference's delete_values_by_series shape: one predicate,
     // executed by the database (series_service.py:903-926). The value
     // is BOUND, not interpolated; the column identifier is quoted as
-    // the writer created it (unquoted names fold to uppercase in
-    // Derby and miss).
+    // the writer created it.
     val n = JdbcIO.deleteWhere(conn, "events_m3",
       "\"event_type\" = ?", Seq("click"))
     assert(n.toLong === clicks)
@@ -98,3 +109,18 @@ class JdbcRoundTripSpec extends SparkSpec {
     assert(back.filter(col("event_type") === "click").count() === 0L)
   }
 }
+
+/** Derby: ships with Spark, always present. CLOB (its string-type
+  * default) can't be filtered/compared, so event_type is pinned to
+  * VARCHAR — the reference schema uses bounded VARCHARs anyway.
+  */
+class JdbcRoundTripSpec extends JdbcDialectRoundTrip(
+  "derby", JdbcIO.Derby, "org.apache.derby.jdbc.EmbeddedDriver",
+  Map("createTableColumnTypes" -> "event_type VARCHAR(32)"))
+
+/** DuckDB: embedded driver jar on the test classpath (see build.sbt);
+  * the spec self-cancels if absent. No type overrides needed — TEXT is
+  * first-class.
+  */
+class JdbcDuckDbRoundTripSpec extends JdbcDialectRoundTrip(
+  "duckdb", JdbcIO.DuckDb, "org.duckdb.DuckDBDriver", Map.empty)

@@ -92,6 +92,28 @@ object JdbcIO {
     }
   }
 
+  /** Scan-path retry, the upload Retry's twin — the reference retries
+    * its value query once on timeout (series_service.py:444-451).
+    * Wraps an arbitrary scan materialization so callers can guard any
+    * driver-side remote step; transient failures (timeouts, transient
+    * SQL states) retry, everything else rethrows immediately.
+    * Executor-side task failures are Spark's own retry domain
+    * (`spark.task.maxFailures`) — this policy covers the DRIVER's
+    * remote metadata/connection step, where the reference's timeout
+    * fired.
+    */
+  def scanWithRetry[T](retries: Int = 1)(scan: => T): T =
+    Retry.withRetry(retries)(scan)
+
+  /** [[read]] + `load()` under [[scanWithRetry]]: the driver-side
+    * schema-resolution query (a real remote round trip) is retried on
+    * transient failure before the DataFrame is returned.
+    */
+  def readWithRetry(spark: SparkSession, conn: Conn, table: String,
+      partitionOn: Option[(String, Long, Long, Int)] = None,
+      retries: Int = 1): DataFrame =
+    scanWithRetry(retries)(read(spark, conn, table, partitionOn).load())
+
   /** M3 — mutation write-back: DELETE against the external database,
     * the reference's delete_series / delete_values_by_series /
     * delete_dvs (series_service.py:885-937). Spark has no

@@ -91,6 +91,35 @@ abstract class JdbcDialectRoundTrip(dialectName: String,
     assert(after === before + 50)
   }
 
+  test(s"[$dialectName] S1 scan retry recovers from an injected transient failure") {
+    assume(available, s"$driverClass not on classpath")
+    // flaky source: first materialization times out (the reference's
+    // retried case, series_service.py:444-451), second succeeds
+    val expected = JdbcIO.read(spark, conn, "events_rt").load().count()
+    var calls = 0
+    val df = JdbcIO.scanWithRetry(retries = 1) {
+      calls += 1
+      if (calls == 1)
+        throw new java.sql.SQLTransientConnectionException("injected")
+      JdbcIO.read(spark, conn, "events_rt").load()
+    }
+    assert(calls === 2)
+    assert(df.count() === expected)
+    // a NON-transient failure is rethrown immediately, not retried
+    var hard = 0
+    intercept[IllegalStateException] {
+      JdbcIO.scanWithRetry(retries = 1) {
+        hard += 1
+        throw new IllegalStateException("schema mismatch")
+      }
+    }
+    assert(hard === 1)
+    // the convenience read path resolves the remote schema under the
+    // same policy
+    assert(JdbcIO.readWithRetry(spark, conn, "events_rt").count()
+      === expected)
+  }
+
   test(s"[$dialectName] M3 delete write-back removes exactly the addressed rows") {
     assume(available, s"$driverClass not on classpath")
     // own table — no order coupling with the events_rt tests

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Deduplication primitives for training-data pipelines: exact
@@ -149,19 +149,51 @@ object DedupOps {
     inter / union.cast("double")
   }
 
-  /** Deterministically release a `localCheckpoint`ed iterate's blocks.
-    * Dropping the reference alone leaves the materialized partitions in
-    * the BlockManager until a driver GC triggers the ContextCleaner —
-    * on a long fixpoint run that accumulates every round's frontier.
-    * The checkpointed frame's plan is a LogicalRDD leaf; unpersist its
-    * RDD once no later round can reference it.
+  /** Lineage-truncation strategy for the iterative fixpoint loops,
+    * config-switched per session:
+    *
+    *  - default: `localCheckpoint(eager = true)` — materialized blocks
+    *    live in executor storage; right for single-JVM / gate scale,
+    *    but the blocks die with their executor, so a lost executor
+    *    kills a long fixpoint run on a real cluster.
+    *  - `graft.checkpoint.dir` set: reliable `checkpoint(eager = true)`
+    *    into that directory (HDFS/object store on a cluster) — iterate
+    *    files survive executor loss, at the cost of a write+read per
+    *    round.
+    *
+    * Either way, [[release]] frees a superseded iterate
+    * DETERMINISTICALLY: dropping the reference alone leaves blocks in
+    * the BlockManager (and checkpoint files on disk) until a driver GC
+    * triggers the ContextCleaner — on a long fixpoint run that
+    * accumulates every round's frontier (measured driver OOM, see
+    * NOTES.md). The checkpointed frame's plan is a LogicalRDD leaf:
+    * unpersist its RDD, and in reliable mode also delete its
+    * checkpoint files — safe because release is only called once no
+    * later round can reference the iterate.
     */
-  private def dropCheckpoint(df: DataFrame): Unit =
-    df.queryExecution.logical match {
-      case l: org.apache.spark.sql.execution.LogicalRDD =>
-        l.rdd.unpersist(blocking = false)
-      case _ => () // not a checkpointed leaf; ContextCleaner reclaims
+  private[operators] final class Checkpointer(spark: SparkSession) {
+    private val reliableDir = spark.conf.getOption("graft.checkpoint.dir")
+    reliableDir.foreach { d =>
+      if (!spark.sparkContext.getCheckpointDir.contains(d))
+        spark.sparkContext.setCheckpointDir(d)
     }
+
+    def truncate(df: DataFrame): DataFrame =
+      if (reliableDir.isDefined) df.checkpoint(eager = true)
+      else df.localCheckpoint(eager = true)
+
+    def release(df: DataFrame): Unit =
+      df.queryExecution.logical match {
+        case l: org.apache.spark.sql.execution.LogicalRDD =>
+          l.rdd.unpersist(blocking = false)
+          if (reliableDir.isDefined) l.rdd.getCheckpointFile.foreach { p =>
+            val path = new org.apache.hadoop.fs.Path(p)
+            path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+              .delete(path, true)
+          }
+        case _ => () // not a checkpointed leaf; ContextCleaner reclaims
+      }
+  }
 
   /** Duplicate-cluster resolution: connected components of the LSH
     * candidate-pair graph by iterative min-label propagation — every doc
@@ -194,17 +226,17 @@ object DedupOps {
     // round (neighbor-min + carry join), and analyzer transforms copy
     // shared subtrees, so an un-truncated plan DOUBLES per round —
     // measured driver OOM (8g) at ~10 rounds on a 61-edge chain.
-    // localCheckpoint materializes the rows and replaces the plan with
-    // a constant-size leaf; superseded iterates are released
-    // deterministically via [[dropCheckpoint]]. On a multi-executor
-    // cluster, prefer a reliable checkpoint dir (localCheckpoint
-    // blocks die with their executor).
+    // Checkpointer.truncate materializes the rows and replaces the plan
+    // with a constant-size leaf (localCheckpoint by default, a reliable
+    // checkpoint dir when graft.checkpoint.dir is set — the cluster
+    // deployment mode, since localCheckpoint blocks die with their
+    // executor); superseded iterates are released deterministically.
     // Each round carries prev_id so convergence is a filter over the
     // new iterate, not a self-join against the frame being replaced.
-    var cached = connected
+    val ckpt = new Checkpointer(docs.sparkSession)
+    var cached = ckpt.truncate(connected
       .withColumn("prev_id", col(idCol))
-      .withColumn("cluster_id", col(idCol))
-      .localCheckpoint(true)
+      .withColumn("cluster_id", col(idCol)))
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
@@ -212,15 +244,14 @@ object DedupOps {
       val neighborMin = edges
         .join(labels, edges("b") === labels(idCol))
         .groupBy(col("a")).agg(min(col("cluster_id")).as("nmin"))
-      val next = labels.join(neighborMin,
+      val next = ckpt.truncate(labels.join(neighborMin,
           labels(idCol) === neighborMin("a"), "left")
         .select(labels(idCol), col("cluster_id").as("prev_id"),
           least(col("cluster_id"), coalesce(col("nmin"), col("cluster_id")))
-            .as("cluster_id"))
-        .localCheckpoint(true)
+            .as("cluster_id")))
       val changed =
         next.filter(col("cluster_id") =!= col("prev_id")).count()
-      dropCheckpoint(cached)
+      ckpt.release(cached)
       cached = next
       converged = changed == 0
       iter += 1
@@ -245,7 +276,7 @@ object DedupOps {
         coalesce(col("cluster_id"), col(idCol)).as("cluster_id"))
       .persist()
     out.count()
-    dropCheckpoint(cached)
+    ckpt.release(cached)
     out
   }
 
@@ -305,22 +336,23 @@ object DedupOps {
         if (r.isNullAt(1)) 0L else r.getLong(1),
         if (r.isNullAt(2)) 0L else r.getLong(2))
     }
-    // localCheckpoint per round for the same reason as in
+    // Checkpointer per round for the same reason as in
     // [[duplicateClusters]]: each step references the iterate several
     // times (adjacency union + neighborhood-min join), so an
     // un-truncated plan grows exponentially with rounds.
-    var canon = pairs
+    val ckpt = new Checkpointer(docs.sparkSession)
+    var canon = ckpt.truncate(pairs
       .select(least(col("a"), col("b")).as("a"),
         greatest(col("a"), col("b")).as("b"))
-      .filter(col("a") =!= col("b")).distinct().localCheckpoint(true)
+      .filter(col("a") =!= col("b")).distinct())
     var prevSig = sig(canon)
     var round = 0
     var converged = canon.isEmpty
     while (!converged && round < maxRounds) {
-      val next = step(step(canon, large = true), large = false)
-        .localCheckpoint(true)
+      val next = ckpt.truncate(step(step(canon, large = true),
+        large = false))
       val nextSig = sig(next)
-      dropCheckpoint(canon)
+      ckpt.release(canon)
       canon = next
       converged = nextSig == prevSig
       prevSig = nextSig
@@ -342,7 +374,7 @@ object DedupOps {
         coalesce(col("cluster_id"), col(idCol)).as("cluster_id"))
       .persist()
     out.count()
-    dropCheckpoint(canon)
+    ckpt.release(canon)
     out
   }
 }

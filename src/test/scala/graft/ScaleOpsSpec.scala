@@ -20,6 +20,44 @@ class ScaleOpsSpec extends SparkSpec {
     assert(out === Seq(("a", Seq(3L, 1L, 2L)), ("b", Seq(8L, 8L, 8L))))
   }
 
+  test("CC loops run on a reliable checkpoint dir and clean up as they go") {
+    import graft.operators.DedupOps
+    // cluster-deployment mode: graft.checkpoint.dir switches the
+    // fixpoint loops from localCheckpoint (blocks die with their
+    // executor) to reliable checkpoint files that survive executor loss
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-ckpt").toString
+    spark.conf.set("graft.checkpoint.dir", dir)
+    try {
+      val docs = (1L to 7L).toDF("doc_id")
+      val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (5L, 6L)).toDF("a", "b")
+      val want = Seq(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+        5L -> 5L, 6L -> 5L, 7L -> 7L)
+      type CC = (org.apache.spark.sql.DataFrame,
+        org.apache.spark.sql.DataFrame) => org.apache.spark.sql.DataFrame
+      val loops: Seq[CC] = Seq(
+        DedupOps.duplicateClusters(_, _, "doc_id"),
+        DedupOps.duplicateClustersStar(_, _, "doc_id"))
+      for (fn <- loops) {
+        val got = fn(docs, pairs)
+        assert(got.orderBy("doc_id").as[(Long, Long)].collect().toSeq
+          === want)
+        got.unpersist()
+      }
+      // deterministic release: every superseded iterate's rdd-N
+      // checkpoint directory was deleted when its round ended — no
+      // accumulation across a long fixpoint run
+      val leftover = new java.io.File(dir).listFiles().toSeq
+        .flatMap(d => Option(d.listFiles()).toSeq.flatten)
+        .filter(_.getName.startsWith("rdd-"))
+      assert(leftover.isEmpty, s"checkpoints not released: $leftover")
+    } finally {
+      spark.conf.unset("graft.checkpoint.dir")
+      org.apache.commons.io.FileUtils
+        .deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("salted join preserves exact join multiplicity") {
     val large = (1L to 1000L).map(i => (i % 3, i)).toDF("k", "id")
     val small = Seq((0L, "x"), (1L, "y"), (2L, "z")).toDF("k", "tag")

@@ -154,28 +154,14 @@ object ExtraQueries {
     // partition-order-dependent), and the quota is integer division.
     // Scale: the quota table is one row per source (broadcast); the
     // rank is one per-source window — at extreme per-source
-    // cardinality you'd swap the exact rank for a hash-threshold cut
-    // (approximate quota, no sort), same selection semantics.
+    // cardinality swap [[SourceMix.exactMix]] for
+    // [[SourceMix.thresholdMix]] (approximate quota, NO sort), same
+    // hash-prefix selection semantics (spec'd equivalent in
+    // ScaleOpsSpec).
     "x7_source_mix" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val counts = documents(s, d).groupBy(col("source"))
-        .agg(count(lit(1)).as("c"))
-        .withColumn("isq", floor(sqrt(col("c").cast("double"))).cast("long"))
-      val tot = counts.agg(sum(col("isq")).as("tot"))
-      val quota = counts.crossJoin(broadcast(tot))
-        // capped at the source's own size: a tiny source must not be
-        // asked for more docs than it has (the rank filter would
-        // silently under-fill; the cap makes the contract explicit)
-        .withColumn("n_s", expr("least((100 * isq) div tot, c)"))
-        .select("source", "n_s")
-      val w = Window.partitionBy(col("source"))
-        .orderBy(graft.operators.TextOps.hash15(
-          concat(lit("mix|"), col("doc_id"))), col("doc_id"))
-      documents(s, d)
-        .withColumn("r", row_number().over(w).cast("long"))
-        .join(broadcast(quota), Seq("source"))
-        .filter(col("r") <= col("n_s"))
-        .select(col("source"), col("doc_id"), col("r"))
+      val docs = documents(s, d)
+      graft.operators.SourceMix.exactMix(docs,
+        graft.operators.SourceMix.quotas(docs, totalBudget = 100L))
     }),
 
     // Banded interval join: clicks in the 5 minutes before each

@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Temperature-weighted source mixing — the data-mixing step that
+  * rebalances a multi-source corpus before training (x7). Source s gets
+  * a quota n_s = floor(T · w_s) with w_s ∝ c_s^0.5 (temperature 0.5
+  * flattens the source distribution), and the quota is filled from a
+  * deterministic stable-hash order — never rand(), so the mix is
+  * reproducible across engines and partitionings.
+  *
+  * Two fill paths with the same selection semantics (a prefix of the
+  * per-source hash order):
+  *
+  *  - [[exactMix]]: rank by hash within source (one per-source window),
+  *    keep rank ≤ n_s. Exact quota; costs a per-source sort.
+  *  - [[thresholdMix]]: keep docs whose hash is below
+  *    t_s = (n_s / c_s) · 2⁶⁰ — NO sort, a codegen'd filter after a
+  *    broadcast join. The quota is approximate (binomial concentration:
+  *    n_s ± O(√n_s)), which is the right trade at extreme per-source
+  *    cardinality where even a per-source window is a giant sort. The
+  *    threshold is a deterministic function of the counts, so the
+  *    selection is still exactly reproducible.
+  */
+object SourceMix {
+
+  /** The stable mix order: 60-bit md5-derived hash of the doc id. */
+  def mixHash(idCol: Column): Column =
+    TextOps.hash15(concat(lit("mix|"), idCol.cast("string")))
+
+  /** One row per source: (source, c, n_s). Integer-exact: the sqrt is
+    * floored to BIGINT before the denominator sum (a double Σ√c would
+    * be partition-order-dependent) and the quota is integer division,
+    * capped at the source's own size.
+    */
+  def quotas(docs: DataFrame, totalBudget: Long): DataFrame = {
+    val counts = docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("isq", floor(sqrt(col("c").cast("double"))).cast("long"))
+    val tot = counts.agg(sum(col("isq")).as("tot"))
+    counts.crossJoin(broadcast(tot))
+      .withColumn("n_s", expr(s"least(($totalBudget * isq) div tot, c)"))
+      .select("source", "c", "n_s")
+  }
+
+  /** Exact-quota fill: the n_s smallest-hash docs per source. */
+  def exactMix(docs: DataFrame, quota: DataFrame,
+      idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("source"))
+      .orderBy(mixHash(col(idCol)), col(idCol))
+    docs
+      .withColumn("r", row_number().over(w).cast("long"))
+      .join(broadcast(quota.select("source", "n_s")), Seq("source"))
+      .filter(col("r") <= col("n_s"))
+      .select(col("source"), col(idCol), col("r"))
+  }
+
+  /** Approximate-quota fill, no sort: hash < (n_s/c_s)·2⁶⁰. The
+    * threshold is computed in double (53-bit mantissa over a 60-bit
+    * space — quota precision ±2⁷ hash values, irrelevant against the
+    * binomial ±√n_s), deterministically from the quota table.
+    */
+  def thresholdMix(docs: DataFrame, quota: DataFrame,
+      idCol: String = "doc_id"): DataFrame = {
+    val hashSpace = math.pow(2.0, 60)
+    val t = floor(col("n_s").cast("double") / col("c") * hashSpace)
+    docs
+      .join(broadcast(quota.select("source", "c", "n_s")), Seq("source"))
+      .filter(mixHash(col(idCol)).cast("double") < t)
+      .select(col("source"), col(idCol))
+  }
+}

@@ -58,6 +58,37 @@ class ScaleOpsSpec extends SparkSpec {
     }
   }
 
+  test("threshold source mix is a same-order prefix with concentrated quota") {
+    import graft.operators.SourceMix
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val quota = SourceMix.quotas(docs, totalBudget = 100L).persist()
+    val exact = SourceMix.exactMix(docs, quota)
+      .select("source", "doc_id").as[(String, Long)].collect().toSet
+    val approx = SourceMix.thresholdMix(docs, quota)
+      .select("source", "doc_id").as[(String, Long)].collect().toSet
+    // same selection semantics: both paths select a prefix of the SAME
+    // per-source hash order, so within each source one selection
+    // contains the other — never two disjoint-ish samples
+    val bySrc = (exact.map(_._1) ++ approx.map(_._1))
+    for (s0 <- bySrc) {
+      val e = exact.filter(_._1 == s0).map(_._2)
+      val a = approx.filter(_._1 == s0).map(_._2)
+      assert(e.subsetOf(a) || a.subsetOf(e),
+        s"source $s0: selections are not nested prefixes")
+    }
+    // approximate quota concentrates: per source within n_s ± 4·√n_s ± 2
+    // (binomial bound, deterministic here — the corpus is fixed)
+    val want = quota.select("source", "n_s").as[(String, Long)]
+      .collect().toMap
+    for ((s0, n) <- want) {
+      val got = approx.count(_._1 == s0).toLong
+      val tol = 4 * math.sqrt(n.toDouble).ceil.toLong + 2
+      assert(math.abs(got - n) <= tol,
+        s"source $s0: got $got docs for quota $n (tol $tol)")
+    }
+    quota.unpersist()
+  }
+
   test("salted join preserves exact join multiplicity") {
     val large = (1L to 1000L).map(i => (i % 3, i)).toDF("k", "id")
     val small = Seq((0L, "x"), (1L, "y"), (2L, "z")).toDF("k", "tag")

@@ -164,6 +164,20 @@ object ExtraQueries {
         graft.operators.SourceMix.quotas(docs, totalBudget = 100L))
     }),
 
+    // x9: the NO-SORT fill path of the same mixing step — hash-threshold
+    // cut (approximate quota, a codegen'd filter after a broadcast join,
+    // zero windows). The threshold comparison is exact integer
+    // arithmetic (decimal128 / HUGEINT), so the selection is
+    // bit-reproducible and the per-source counts hash-gate against the
+    // oracle. This is the fill you run at extreme per-source
+    // cardinality; x7's exact rank is the bounded-cardinality fill.
+    "x9_threshold_mix" -> ((s, d) => {
+      val docs = documents(s, d)
+      graft.operators.SourceMix.thresholdMix(docs,
+          graft.operators.SourceMix.quotas(docs, totalBudget = 100L))
+        .groupBy(col("source")).agg(count(lit(1)).as("n"))
+    }),
+
     // Banded interval join: clicks in the 5 minutes before each
     // purchase, as a (user, time-band) equi hash join with the exact
     // window as a post-filter (see operators.IntervalJoin) — never a
@@ -315,6 +329,26 @@ object ExtraQueries {
                FROM documents)
          SELECT r.source, r.doc_id, r.r
          FROM r JOIN q USING (source) WHERE r.r <= q.n_s""",
+    // exact 128-bit threshold comparison: hash*c < n_s*2^60 in HUGEINT,
+    // mirroring the Spark side's decimal(19+14) arithmetic bit-for-bit
+    "x9_threshold_mix" ->
+      """WITH c AS (SELECT source, count(*) AS c FROM documents
+                    GROUP BY source),
+         i AS (SELECT source,
+                 CAST(floor(sqrt(CAST(c AS DOUBLE))) AS BIGINT) AS isq
+               FROM c),
+         t AS (SELECT sum(isq) AS tot FROM i),
+         q AS (SELECT source, c, least((100 * isq) // tot, c) AS n_s
+               FROM i JOIN c USING (source) CROSS JOIN t),
+         h AS (SELECT source, doc_id,
+                 ('0x' || substr(md5('mix|' || doc_id), 1, 15))::BIGINT
+                   AS h
+               FROM documents)
+         SELECT h.source, count(*) AS n
+         FROM h JOIN q USING (source)
+         WHERE h.h::HUGEINT * q.c::HUGEINT
+             < q.n_s::HUGEINT * 1152921504606846976::HUGEINT
+         GROUP BY h.source""",
     "x3_interval_join" ->
       """SELECT p.event_id, p.user_id, count(c.ts) AS clicks_5m
          FROM (SELECT event_id, user_id, ts FROM events

@@ -57,18 +57,24 @@ object SourceMix {
       .select(col("source"), col(idCol), col("r"))
   }
 
-  /** Approximate-quota fill, no sort: hash < (n_s/c_s)·2⁶⁰. The
-    * threshold is computed in double (53-bit mantissa over a 60-bit
-    * space — quota precision ±2⁷ hash values, irrelevant against the
-    * binomial ±√n_s), deterministically from the quota table.
+  /** Approximate-quota fill, no sort: keep docs with
+    * hash < (n_s/c_s)·2⁶⁰, written as the EXACT integer comparison
+    * hash·c_s < n_s·2⁶⁰ in decimal128 (19+14 digits, no precision
+    * overflow; DuckDB replicates it in HUGEINT) — no double rounding
+    * anywhere, so the selection is bit-reproducible and oracle-gated
+    * (x9), not merely spec'd. The quota lands within n_s ± O(√n_s)
+    * (binomial), which is the right trade at extreme per-source
+    * cardinality where even a per-source window is a giant sort.
     */
   def thresholdMix(docs: DataFrame, quota: DataFrame,
       idCol: String = "doc_id"): DataFrame = {
-    val hashSpace = math.pow(2.0, 60)
-    val t = floor(col("n_s").cast("double") / col("c") * hashSpace)
+    val lhs = mixHash(col(idCol)).cast("decimal(19,0)") *
+      col("c").cast("decimal(14,0)")
+    val rhs = col("n_s").cast("decimal(14,0)") *
+      lit(1152921504606846976L).cast("decimal(19,0)") // 2^60
     docs
       .join(broadcast(quota.select("source", "c", "n_s")), Seq("source"))
-      .filter(mixHash(col(idCol)).cast("double") < t)
+      .filter(lhs < rhs)
       .select(col("source"), col(idCol))
   }
 }

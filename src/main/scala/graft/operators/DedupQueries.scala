@@ -167,6 +167,55 @@ object DedupQueries {
         .agg(count(lit(1)).as("n_docs"))
     }),
 
+    // x10: pipeline funnel report — the observability counterpart of
+    // x8: per SOURCE, how many documents survive each successive stage
+    // of the corpus assembly (total → exact-dedup survivor → + length
+    // floor → + decontaminated/non-benchmark → + train split). The
+    // per-stage conjunctions are computed as per-row flags from two
+    // left joins (survivor set, contaminated set — the same frames x8
+    // semi/anti-joins) and folded in ONE aggregation pass, so the
+    // funnel costs two joins + one shuffle regardless of stage count;
+    // at 100 TB this is the report you page on when a pipeline change
+    // silently drops a source. Stage predicates and order match x8
+    // exactly: the last column per (lang-summed) source equals x8's
+    // surviving corpus.
+    "x10_funnel" -> ((s, d) => {
+      val docs = documents(s, d)
+      val survivors = DedupOps.exactDupGroups(docs, "text", "doc_id")
+        .select(col("keep_id").as("doc_id"), lit(1).as("__surv"))
+      val staged = docs
+        .withColumn("__toks", TextOps.tokens(col("text")))
+        .withColumn("__gs",
+          TextOps.shinglesFromTokens(col("__toks"), DecontamN))
+      val benchGrams = staged.filter(col("doc_id") % 20 === 7)
+        .select(explode_outer(col("__gs")).as("g")).distinct()
+      val contaminated = staged.filter(col("doc_id") % 20 =!= 7)
+        .select(col("doc_id"), explode_outer(col("__gs")).as("g"))
+        .join(broadcast(benchGrams), Seq("g"))
+        .select("doc_id").distinct()
+        .withColumn("__cont", lit(1))
+      val bucket = pmod(TextOps.hash15(
+        concat(lit("split|"), col("doc_id"))), lit(100))
+      val flags = docs
+        .join(survivors, Seq("doc_id"), "left")
+        .join(contaminated, Seq("doc_id"), "left")
+        .select(col("source"),
+          col("__surv").isNotNull.as("s1"),
+          (size(TextOps.tokens(col("text"))) >= 40).as("ok_len"),
+          (col("__cont").isNull && col("doc_id") % 20 =!= 7)
+            .as("ok_clean"),
+          (bucket < 80).as("ok_split"))
+      flags.groupBy(col("source")).agg(
+        count(lit(1)).as("n_total"),
+        sum(when(col("s1"), 1L).otherwise(0L)).as("n_dedup"),
+        sum(when(col("s1") && col("ok_len"), 1L).otherwise(0L))
+          .as("n_quality"),
+        sum(when(col("s1") && col("ok_len") && col("ok_clean"), 1L)
+          .otherwise(0L)).as("n_clean"),
+        sum(when(col("s1") && col("ok_len") && col("ok_clean")
+          && col("ok_split"), 1L).otherwise(0L)).as("n_train"))
+    }),
+
     // d7: group-level sketch union — the typed MinHashMerge Aggregator
     // folds each source's doc signatures into one k-vector (elementwise
     // min = signature of the union of shingle sets), with map-side
@@ -331,6 +380,39 @@ object DedupQueries {
                   % 100 < 80
             AND len(regexp_split_to_array(trim(d.text), '\\s+')) >= 40
           GROUP BY d.lang, d.source""",
+    "x10_funnel" ->
+      s"""WITH n AS (SELECT doc_id,
+            ${h15("lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))")}
+              AS content_fp
+          FROM documents),
+          surv AS (SELECT min(doc_id) AS doc_id FROM n GROUP BY content_fp),
+          g AS (SELECT doc_id, ${nGramsSql(DecontamN)} AS gs FROM documents),
+          eg AS (SELECT DISTINCT unnest(gs) AS g FROM g
+                 WHERE doc_id % 20 = 7),
+          cont AS (SELECT DISTINCT tg.doc_id
+                   FROM (SELECT doc_id, unnest(gs) AS g FROM g
+                         WHERE doc_id % 20 <> 7) tg
+                   JOIN eg USING (g)),
+          f AS (
+            SELECT d.source,
+              (d.doc_id IN (SELECT doc_id FROM surv)) AS s1,
+              (len(regexp_split_to_array(trim(d.text), '\\s+')) >= 40)
+                AS ok_len,
+              (d.doc_id NOT IN (SELECT doc_id FROM cont)
+                AND d.doc_id % 20 <> 7) AS ok_clean,
+              (('0x' || substr(md5('split|' || d.doc_id), 1, 15))::BIGINT
+                % 100 < 80) AS ok_split
+            FROM documents d)
+          SELECT source, count(*) AS n_total,
+            CAST(sum(CASE WHEN s1 THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_dedup,
+            CAST(sum(CASE WHEN s1 AND ok_len THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_quality,
+            CAST(sum(CASE WHEN s1 AND ok_len AND ok_clean
+              THEN 1 ELSE 0 END) AS BIGINT) AS n_clean,
+            CAST(sum(CASE WHEN s1 AND ok_len AND ok_clean AND ok_split
+              THEN 1 ELSE 0 END) AS BIGINT) AS n_train
+          FROM f GROUP BY source""",
     "d7_source_sketch" ->
       s"""WITH bh AS (SELECT source,
             list_transform($shingles, sh -> ${h15("sh")} % ${DedupOps.MinHashP})

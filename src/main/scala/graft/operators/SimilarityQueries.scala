@@ -217,6 +217,45 @@ object SimilarityQueries {
           expr(s"(n_match * 1000000) div $TopK").cast("double") / lit(1e6))
     }),
 
+    // s7: product-quantized ADC top-k — the compute/storage scale path
+    // past s5's int8: vectors become 8 code bytes against trained
+    // per-subspace codebooks (operators.ProductQuantization, 32×
+    // compression), and each query's distance to every encoded row is
+    // 8 literal-table lookups instead of 64 multiply-adds, all
+    // codegen'd. Deliberately a ROWS-ONLY gate (no oracleSql):
+    // mirroring 8 subspaces × 16 centroids × Lloyd training in oracle
+    // SQL is pure flake surface — the training determinism,
+    // compression, reconstruction-error and recall properties are
+    // spec-gated in ProductQuantizationSpec instead (NOTES.md), and
+    // training is integer-exact so this output is still reproducible
+    // across runs and partitionings. Only the k×subDim codebooks and
+    // the 5 query vectors touch the driver (dim-sized, the PQ
+    // equivalent of a broadcast dim table).
+    "s7_pq_adc_topk" -> ((s, d) => {
+      import graft.operators.ProductQuantization
+      val subspaces = 8
+      val subDim = Dim / subspaces
+      val e = embeddings(s, d)
+      val books = ProductQuantization.train(
+        e, "embedding", "vec_id", subspaces, subDim, k = 16, steps = 1)
+      val enc = ProductQuantization.encode(
+        e, "embedding", books, subDim, "code").persist()
+      val qvecs = e.filter(col("vec_id") < NQueries)
+        .select(col("vec_id"), col("embedding")).collect()
+        .map(r => r.getLong(0) ->
+          r.getSeq[Float](1).toArray.map(_.toDouble))
+      val sim = qvecs.map { case (qid, qv) =>
+        enc.filter(col("vec_id") =!= qid)
+          .select(lit(qid).as("q_id"), col("vec_id"),
+            round(ProductQuantization.adcDistance(
+              col("code"), qv, books, subDim), 6).as("adc_dist"))
+      }.reduce(_ unionAll _)
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("adc_dist").asc, col("vec_id").asc)
+      sim.withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= TopK)
+    }),
+
     // s3: embedding near-dup pairs, blocked by (label, sign-bucket) with
     // a cosine threshold. Label alone is NOT a bounded blocking key — a
     // popular label is an O(n²) block on one shuffle key at 100 TB

@@ -166,6 +166,69 @@ object TextQueries {
             .as("no_undercount"))
     }),
 
+    // t10: duplicate-n-gram fraction — the share of each document's
+    // word-3-gram OCCURRENCES whose gram also appears in at least one
+    // other document (the Dolma/RefinedWeb-style "duplicate n-gram
+    // fraction" quality signal: high fraction = boilerplate shared
+    // across the corpus). Grams shuffle as 60-bit hashes, never as
+    // strings — at 100 TB the shuffle key is 8 bytes, not the gram
+    // text — and the corpus-level document frequency is a second
+    // aggregation on the same key, so the whole signal is two
+    // hash-partitioned aggregations plus one equi join; no all-pairs
+    // anywhere. Ratio uses arithmetic rounding over exact integer
+    // counts (playbook rule 2).
+    "t10_dup_gram_frac" -> ((s, d) => {
+      val grams = documents(s, d)
+        .withColumn("__toks", TextOps.tokens(col("text")))
+        .select(col("doc_id"),
+          // explode_outer + null-drop — the t7/d10 InferFilters guard
+          explode_outer(TextOps.shinglesFromTokens(col("__toks"), 3))
+            .as("sh"))
+        .where(col("sh").isNotNull)
+        .select(col("doc_id"), TextOps.hash15(col("sh")).as("gh"))
+      val perDoc = grams.groupBy(col("doc_id"), col("gh"))
+        .agg(count(lit(1)).as("n"))
+      val docFreq = perDoc.groupBy(col("gh"))
+        .agg(count(lit(1)).as("ndocs"))
+      perDoc.join(docFreq, Seq("gh"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("n")).as("total_grams"),
+          sum(when(col("ndocs") > 1, col("n")).otherwise(lit(0L)))
+            .as("dup_grams"))
+        .select(col("doc_id"), col("total_grams"), col("dup_grams"),
+          (floor(col("dup_grams") * lit(10000.0) / col("total_grams")
+            + lit(0.5)) / lit(10000.0)).as("dup_frac"))
+    }),
+
+    // t11: TF-IDF top terms per document — the classic
+    // term-importance ranking, with an INTEGER idf surrogate
+    // ((N·10^6) div df instead of ln(N/df)): engine ln()
+    // implementations differ in the last ulp, an integer division
+    // does not, so score and ranking are bit-identical across
+    // engines while preserving the idf ordering (monotone in N/df).
+    // tf and df are the same two hash-partitioned aggregations as
+    // t10; the corpus size N is a 1-row broadcast.
+    "t11_tfidf_top" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = documents(s, d)
+      val nDocs = docs.agg(count(lit(1)).as("n_total"))
+      val tf = docs
+        .select(col("doc_id"),
+          explode(TextOps.tokens(col("text"))).as("token"))
+        .groupBy(col("doc_id"), col("token"))
+        .agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("score").desc, col("token").asc)
+      tf.join(dfreq, Seq("token"))
+        .crossJoin(broadcast(nDocs))
+        .withColumn("score", col("tf") * expr("(n_total * 1000000) div df"))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 3)
+        .select(col("doc_id"), col("token"), col("tf"), col("df"),
+          col("score"), col("rank"))
+    }),
+
     // t6: corpus vocabulary — top-5 tokens per language by frequency
     // (explode → two-level aggregation → ranked window). The explode is
     // the engine's generator path; the token count is map-side
@@ -330,6 +393,50 @@ object TextQueries {
             AS redacted_fp
           FROM documents"""
     },
+    "t10_dup_gram_frac" ->
+      s"""WITH t AS (
+            SELECT doc_id, $duckToks AS toks FROM documents),
+          g AS (
+            SELECT doc_id,
+              ('0x' || substr(md5(sh), 1, 15))::BIGINT AS gh
+            FROM (
+              SELECT doc_id,
+                unnest(list_transform(
+                  range(1, greatest(len(toks) - 2, 0) + 1),
+                  i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+                  AS sh
+              FROM t)),
+          pd AS (
+            SELECT doc_id, gh, count(*) AS n FROM g GROUP BY doc_id, gh),
+          df AS (
+            SELECT gh, count(*) AS ndocs FROM pd GROUP BY gh)
+          SELECT doc_id,
+            CAST(sum(n) AS BIGINT) AS total_grams,
+            CAST(sum(CASE WHEN ndocs > 1 THEN n ELSE 0 END) AS BIGINT)
+              AS dup_grams,
+            floor(sum(CASE WHEN ndocs > 1 THEN n ELSE 0 END)
+              * 10000.0 / sum(n) + 0.5) / 10000.0 AS dup_frac
+          FROM pd JOIN df USING (gh) GROUP BY doc_id""",
+    "t11_tfidf_top" ->
+      s"""WITH tf AS (
+            SELECT doc_id, unnest($duckToks) AS token FROM documents),
+          tfc AS (
+            SELECT doc_id, token, count(*) AS tf FROM tf
+            GROUP BY doc_id, token),
+          dfc AS (
+            SELECT token, count(*) AS df FROM tfc GROUP BY token),
+          n AS (SELECT count(*) AS n_total FROM documents),
+          s AS (
+            SELECT tfc.doc_id, tfc.token, tfc.tf, dfc.df,
+              tfc.tf * ((n.n_total * 1000000) // dfc.df) AS score
+            FROM tfc JOIN dfc USING (token) CROSS JOIN n),
+          r AS (
+            SELECT doc_id, token, tf, df, score,
+              CAST(row_number() OVER (PARTITION BY doc_id
+                ORDER BY score DESC, token ASC) AS BIGINT) AS rank
+            FROM s)
+          SELECT doc_id, token, tf, df, score, rank
+          FROM r WHERE rank <= 3""",
     "t5_trigram_profile" ->
       """WITH t AS (
            SELECT lang,

@@ -2,11 +2,12 @@ package graft.functions
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType}
 
 /** `vec_dot(a, b)` — native codegen'd dot product of two
   * `array<float>` columns, accumulating in double in index order.
@@ -82,6 +83,105 @@ case class FloatVecDot(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** `pq_assign(vec, codebook, offset, subdim)` — nearest-centroid id
+  * (argmin squared L2, lowest id on ties) of the sub-vector
+  * `vec[offset+1 .. offset+subdim]` against a FOLDABLE flattened
+  * codebook (`array<double>` of k·subdim, centroid-major).
+  *
+  * Why a custom Expression (the second hot path that earns it, after
+  * [[FloatVecDot]]): the composed form — an `array_min` over k structs
+  * each holding an unrolled subdim-term distance chain — generates
+  * O(k·subdim) Java per USE, and product-quantization encode has
+  * `subspaces` uses in one projection: at 8×16×8 the single generated
+  * method crossed janino's hard 64 KB limit and Spark disabled
+  * whole-stage codegen for the entire encode projection (interpreted
+  * eval on the innermost per-row loop of the PQ path). A HOF rewrite
+  * stays interpreted by construction. This expression generates a
+  * constant-size nested loop over a referenced codebook array, so
+  * encode codegen is O(subspaces) lines regardless of k and subdim and
+  * the projection stays inside whole-stage codegen at any codebook
+  * size. Semantics match the unrolled chain: per-component double
+  * arithmetic in index order, strict `<` keeps the lowest centroid id
+  * on exact ties, NULL vector or NULL element (or a vector too short
+  * for the slice) → NULL.
+  */
+case class PqAssign(child: Expression, book: Seq[Double], off: Int,
+    sub: Int) extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"pq_assign expects an array<float> vector, got ${t.simpleString}")
+  }
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "pq_assign"
+  // NULL on null vector, null element, or a vector too short to slice
+  override def nullable: Boolean = true
+
+  private lazy val bookArr: Array[Double] = book.toArray
+  private lazy val kV: Int = bookArr.length / sub
+
+  override protected def nullSafeEval(v: Any): Any = {
+    val a = v.asInstanceOf[ArrayData]
+    if (a.numElements() < off + sub) return null
+    var i = 0
+    while (i < sub) {
+      if (a.isNullAt(off + i)) return null
+      i += 1
+    }
+    var best = 0
+    var bestD = Double.PositiveInfinity
+    var c = 0
+    while (c < kV) {
+      var s = 0.0
+      i = 0
+      while (i < sub) {
+        val d = a.getFloat(off + i).toDouble - bookArr(c * sub + i)
+        s += d * d
+        i += 1
+      }
+      if (s < bestD) { bestD = s; best = c }
+      c += 1
+    }
+    best
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val bk = ctx.addReferenceObj("pqBook", bookArr, "double[]")
+      val (s, d, c, i, best, bestD) = (ctx.freshName("s"),
+        ctx.freshName("d"), ctx.freshName("c"), ctx.freshName("i"),
+        ctx.freshName("best"), ctx.freshName("bestD"))
+      s"""
+         |if ($a.numElements() < ${off + sub}) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  for (int $i = 0; $i < $sub; $i++) {
+         |    if ($a.isNullAt($off + $i)) { ${ev.isNull} = true; break; }
+         |  }
+         |}
+         |if (!${ev.isNull}) {
+         |  int $best = 0;
+         |  double $bestD = Double.POSITIVE_INFINITY;
+         |  for (int $c = 0; $c < $kV; $c++) {
+         |    double $s = 0.0;
+         |    for (int $i = 0; $i < $sub; $i++) {
+         |      double $d = (double) $a.getFloat($off + $i)
+         |        - $bk[$c * $sub + $i];
+         |      $s += $d * $d;
+         |    }
+         |    if ($s < $bestD) { $bestD = $s; $best = $c; }
+         |  }
+         |  ${ev.value} = $best;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(
+      newChild: Expression): PqAssign = copy(child = newChild)
+}
+
 /** Session extension registering the engine's native functions
   * (`spark.sql.extensions=graft.functions.GraftExtensions`, wired in
   * [[graft.Sessions]]).
@@ -92,6 +192,26 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[FloatVecDot].getName, "vec_dot"),
       (args: Seq[Expression]) => FloatVecDot(args(0), args(1))))
+    // pq_assign(vec, codebook, offset, subdim): codebook/offset/subdim
+    // must be foldable — they are evaluated once at plan build and
+    // embedded as the expression's reference objects, which is what
+    // keeps the generated code constant-size.
+    ext.injectFunction((
+      new FunctionIdentifier("pq_assign"),
+      new ExpressionInfo(classOf[PqAssign].getName, "pq_assign"),
+      (args: Seq[Expression]) => {
+        require(args.length == 4, "pq_assign(vec, codebook, offset, subdim)")
+        require(args(1).foldable &&
+          args(1).dataType.isInstanceOf[ArrayType] &&
+          args(1).dataType.asInstanceOf[ArrayType].elementType == DoubleType,
+          "pq_assign codebook must be a foldable array<double>")
+        require(args(2).foldable && args(3).foldable,
+          "pq_assign offset/subdim must be foldable")
+        PqAssign(args(0),
+          args(1).eval().asInstanceOf[ArrayData].toDoubleArray().toSeq,
+          args(2).eval().asInstanceOf[Number].intValue(),
+          args(3).eval().asInstanceOf[Number].intValue())
+      }))
     // Sentinel-equality → IS NULL on tagged columns (SURVEY §4.2).
     // Injected at RESOLUTION, not optimization: it is a semantic
     // normalization, and the optimizer's early LocalRelation batch

@@ -32,23 +32,22 @@ object ProductQuantization {
   private def subVec(vec: Column, j: Int, subDim: Int): Column =
     slice(vec, j * subDim + 1, subDim)
 
-  /** Squared L2 distance between a sub-vector column and a literal
-    * centroid, as one codegen'd expression (left-deep chain, exact
-    * component order).
+  /** Argmin centroid id for one subspace — the native
+    * [[graft.functions.PqAssign]] expression (min squared L2, lowest
+    * id on ties). The composed form (array_min over k structs of
+    * unrolled distance chains) generated O(k·subDim) Java per use;
+    * with `subspaces` uses in the encode projection the single
+    * generated method crossed janino's hard 64 KB limit and Spark
+    * disabled whole-stage codegen for the entire projection —
+    * interpreted eval on the per-row hot path. The native expression
+    * compiles to a constant-size nested loop over a referenced
+    * codebook, keeping encode inside whole-stage codegen at any
+    * codebook size.
     */
-  private def distSq(sub: Column, cent: Array[Double]): Column =
-    cent.zipWithIndex.map { case (c, i) =>
-      val d = element_at(sub, i + 1).cast("double") - lit(c)
-      d * d
-    }.reduce(_ + _)
-
-  /** Argmin centroid id for one subspace: array_min over (dist, idx)
-    * structs — min distance, lowest id on ties.
-    */
-  private def assignCode(sub: Column, cents: Array[Array[Double]]): Column =
-    array_min(array(cents.zipWithIndex.map { case (c, i) =>
-      struct(distSq(sub, c).as("d"), lit(i).as("i"))
-    }: _*)).getField("i")
+  private def assignCode(vec: Column, off: Int,
+      cents: Array[Array[Double]]): Column =
+    call_function("pq_assign", vec, typedLit(cents.flatten.toSeq),
+      lit(off), lit(cents.head.length))
 
   /** Train per-subspace codebooks: seeded init from the first k rows
     * (ordered by `idCol`), then `steps` Lloyd iterations with
@@ -62,36 +61,41 @@ object ProductQuantization {
       .select(col(vecCol)).collect()
       .map(_.getSeq[Float](0).toArray.map(_.toDouble))
     require(seedRows.length == k, s"need >= $k vectors to seed")
-    (0 until subspaces).map { j =>
-      var cents: Array[Array[Double]] =
-        seedRows.map(_.slice(j * subDim, (j + 1) * subDim))
-      for (_ <- 1 to steps) {
-        val sub = subVec(col(vecCol), j, subDim)
-        val assigned = df.select(sub.as("sv"))
-          .withColumn("code", assignCode(col("sv"), cents))
-        val sums = count(lit(1)).as("cnt") +: (1 to subDim).map(i =>
-          sum(floor(element_at(col("sv"), i).cast("double") * lit(1e6)
-            + lit(0.5)).cast("long")).as(s"s$i"))
-        val rows = assigned.groupBy(col("code"))
-          .agg(sums.head, sums.tail: _*).collect()
-        val byCode = rows.map(r => r.getInt(0) -> r).toMap
-        cents = cents.zipWithIndex.map { case (old, c) =>
-          byCode.get(c).fold(old) { r =>
-            val n = r.getLong(1).toDouble
-            (1 to subDim).map(i => r.getLong(1 + i).toDouble / n / 1e6)
-              .toArray
-          }
+    val books: Codebooks = Array.tabulate(subspaces)(j =>
+      seedRows.map(_.slice(j * subDim, (j + 1) * subDim)))
+    // ONE Spark job per Lloyd step for ALL subspaces (a per-subspace
+    // loop of assign→agg→collect jobs is `subspaces`× the scheduling +
+    // plan-build constant for identical results): each union branch
+    // assigns one subspace's codes, the shared groupBy aggregates on
+    // (subspace, code). The integer-scaled sums make the resulting
+    // means independent of job structure and partition order.
+    for (_ <- 1 to steps) {
+      val perSub = (0 until subspaces).map { j =>
+        df.select(lit(j).as("j"),
+          subVec(col(vecCol), j, subDim).as("sv"),
+          assignCode(col(vecCol), j * subDim, books(j)).as("code"))
+      }.reduce(_ unionAll _)
+      val sums = count(lit(1)).as("cnt") +: (1 to subDim).map(i =>
+        sum(floor(element_at(col("sv"), i).cast("double") * lit(1e6)
+          + lit(0.5)).cast("long")).as(s"s$i"))
+      val rows = perSub.groupBy(col("j"), col("code"))
+        .agg(sums.head, sums.tail: _*).collect()
+      val byCell = rows.map(r => (r.getInt(0), r.getInt(1)) -> r).toMap
+      for (j <- 0 until subspaces; c <- 0 until k)
+        byCell.get((j, c)).foreach { r =>
+          val n = r.getLong(2).toDouble
+          books(j)(c) = (1 to subDim)
+            .map(i => r.getLong(2 + i).toDouble / n / 1e6).toArray
         }
-      }
-      cents
-    }.toArray
+    }
+    books
   }
 
   /** Encode: adds `outCol` = array<int> of `subspaces` code ids. */
   def encode(df: DataFrame, vecCol: String, books: Codebooks,
       subDim: Int, outCol: String): DataFrame =
     df.withColumn(outCol, array(books.zipWithIndex.map { case (cents, j) =>
-      assignCode(subVec(col(vecCol), j, subDim), cents)
+      assignCode(col(vecCol), j * subDim, cents)
     }: _*))
 
   /** Decode a code array back to the (approximate) vector — centroid

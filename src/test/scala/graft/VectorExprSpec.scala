@@ -36,6 +36,58 @@ class VectorExprSpec extends SparkSpec {
     assert(short === 6.0) // min-length semantics
   }
 
+  test("pq_assign matches the composed argmin and handles nulls") {
+    val rnd = new scala.util.Random(11)
+    val cents = Array.fill(4)(Array.fill(3)(rnd.nextDouble() * 2 - 1))
+    val df = Seq.fill(60)(Seq.fill(8)(rnd.nextFloat() * 2 - 1))
+      .toDF("v")
+    // composed reference: array_min over (distSq, idx) structs at
+    // offset 2 — the exact semantics pq_assign replaces
+    val composed = array_min(array(cents.zipWithIndex.map { case (c, i) =>
+      struct(c.zipWithIndex.map { case (cc, j) =>
+        val d = element_at(col("v"), 2 + j + 1).cast("double") - lit(cc)
+        d * d
+      }.reduce(_ + _).as("d"), lit(i).as("i"))
+    }: _*)).getField("i")
+    val native = call_function("pq_assign", col("v"),
+      typedLit(cents.flatten.toSeq), lit(2), lit(3))
+    assert(df.select(native.as("n"), composed.as("c"))
+      .filter(col("n") =!= col("c")).count() === 0)
+    // null vector and too-short vector are NULL, never an exception
+    val edge = Seq((null: Seq[Float], Seq(1.0f))).toDF("a", "b")
+      .select(
+        call_function("pq_assign", col("a"),
+          typedLit(Seq(0.0, 0.0)), lit(0), lit(2)),
+        call_function("pq_assign", col("b"),
+          typedLit(Seq(0.0, 0.0)), lit(0), lit(2)))
+      .collect().head
+    assert(edge.isNullAt(0) && edge.isNullAt(1))
+  }
+
+  test("pq_assign keeps a full PQ encode inside whole-stage codegen") {
+    // the composed argmin form at production shape (8 subspaces x 16
+    // centroids x 8 dims) blew janino's 64 KB method limit and
+    // disabled codegen for the whole encode projection; the native
+    // loop must keep it compiled — fallback disabled makes a broken
+    // doGenCode throw instead of silently interpreting
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val rnd = new scala.util.Random(3)
+      val books = Array.fill(8)(Array.fill(16)(
+        Array.fill(8)(rnd.nextDouble() * 0.4 - 0.2)))
+      val df = graft.operators.ProductQuantization.encode(
+        Tables.embeddings(spark, "/root/testdata/sf0.001"),
+        "embedding", books, 8, "code")
+        .select("code")
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("*(1) Project"), plan)
+      val codes = df.as[Seq[Int]].collect()
+      assert(codes.length === 500)
+      assert(codes.forall(cs => cs.length === 8 &&
+        cs.forall(c => c >= 0 && c < 16)))
+    } finally spark.conf.set("spark.sql.codegen.fallback", "true")
+  }
+
   test("vec_dot compiles into whole-stage codegen on a real scan") {
     // literal frames constant-fold into LocalTableScan, so drive the
     // expression from parquet; with fallback disabled a broken

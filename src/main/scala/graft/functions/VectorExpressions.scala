@@ -182,6 +182,142 @@ case class PqAssign(child: Expression, book: Seq[Double], off: Int,
       newChild: Expression): PqAssign = copy(child = newChild)
 }
 
+/** `ivf_assign(vec, norm, cents, mns, cells, dim)` — nearest-centroid
+  * CELL ID by rounded cosine similarity: for each centroid c,
+  * `sim_c = round(dot(vec, cents_c) / (norm · mns_c), 6)`; returns the
+  * cell id of the max sim, lowest cell id on ties. cents (flattened
+  * centroid-major doubles), mns (centroid L2 norms), cells (cell ids,
+  * REQUIRED ascending — that is what makes strict `>` the lowest-id
+  * tiebreak) and dim are foldable and become reference objects.
+  *
+  * This is the assignment step of the trained-IVF query (s4)
+  * collapsed into one constant-size loop. The composed form — a
+  * broadcast cross join against the centroid frame, a 64-term dot
+  * chain per (vector, centroid), and a max_by aggregation, three
+  * times (seed round + 2 Lloyd rounds) — was ~95% plan-build and
+  * codegen constant (identical wall time at sf0.001 and sf0.1).
+  * Arithmetic is REPLICATED bit-for-bit so the DuckDB oracle still
+  * matches: the dot accumulates left-to-right in double exactly like
+  * the generated left-deep `+` chain, and rounding is Spark's own
+  * double round — `BigDecimal.valueOf(x).setScale(6, HALF_UP)` with
+  * NaN/Inf passthrough (verified against spark-catalyst 4.1.2
+  * RoundBase bytecode; spec'd against `round()` on adversarial
+  * boundaries in VectorExprSpec).
+  */
+case class IvfAssign(left: Expression, right: Expression,
+    books: Seq[Double], mns: Seq[Double], cells: Seq[Long], dim: Int)
+    extends BinaryExpression {
+  require(cells.length == mns.length &&
+    books.length == mns.length * dim &&
+    cells.sliding(2).forall(p => p.length < 2 || p(0) < p(1)),
+    "ivf_assign: |cells|==|mns|, |books|==k*dim, cells strictly ascending")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType, _), DoubleType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"ivf_assign expects (array<float>, double), got " +
+          s"${l.simpleString} / ${r.simpleString}")
+    }
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def prettyName: String = "ivf_assign"
+  override def nullable: Boolean = true
+
+  private lazy val bookArr: Array[Double] = books.toArray
+  private lazy val mnArr: Array[Double] = mns.toArray
+  private lazy val cellArr: Array[Long] = cells.toArray
+  private lazy val kV: Int = mnArr.length
+
+  /** Spark's Round on DoubleType, exactly (RoundBase): NaN/Inf pass
+    * through, else decimal HALF_UP at scale 6 via the canonical
+    * string representation (BigDecimal.valueOf).
+    */
+  @inline private def round6(x: Double): Double =
+    if (java.lang.Double.isNaN(x) || java.lang.Double.isInfinite(x)) x
+    else java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  override protected def nullSafeEval(v: Any, n: Any): Any = {
+    val a = v.asInstanceOf[ArrayData]
+    if (a.numElements() < dim) return null
+    var i = 0
+    while (i < dim) {
+      if (a.isNullAt(i)) return null
+      i += 1
+    }
+    val nv = n.asInstanceOf[Double]
+    var bestCell = 0L
+    var bestSim = 0.0
+    var first = true
+    var c = 0
+    while (c < kV) {
+      var dot = 0.0
+      i = 0
+      while (i < dim) {
+        dot += a.getFloat(i).toDouble * bookArr(c * dim + i)
+        i += 1
+      }
+      val sim = round6(dot / (nv * mnArr(c)))
+      if (first || sim > bestSim) {
+        bestSim = sim; bestCell = cellArr(c); first = false
+      }
+      c += 1
+    }
+    bestCell
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, n) => {
+      val bk = ctx.addReferenceObj("ivfBooks", bookArr, "double[]")
+      val mn = ctx.addReferenceObj("ivfMns", mnArr, "double[]")
+      val cl = ctx.addReferenceObj("ivfCells", cellArr, "long[]")
+      val (i, c, dot, raw, sim, bestC, bestS, first, nullEl) =
+        (ctx.freshName("i"), ctx.freshName("c"), ctx.freshName("dot"),
+          ctx.freshName("raw"), ctx.freshName("sim"),
+          ctx.freshName("bestC"), ctx.freshName("bestS"),
+          ctx.freshName("first"), ctx.freshName("nullEl"))
+      s"""
+         |if ($a.numElements() < $dim) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  boolean $nullEl = false;
+         |  for (int $i = 0; $i < $dim; $i++) {
+         |    if ($a.isNullAt($i)) { $nullEl = true; break; }
+         |  }
+         |  if ($nullEl) {
+         |    ${ev.isNull} = true;
+         |  } else {
+         |    long $bestC = 0L;
+         |    double $bestS = 0.0;
+         |    boolean $first = true;
+         |    for (int $c = 0; $c < $kV; $c++) {
+         |      double $dot = 0.0;
+         |      for (int $i = 0; $i < $dim; $i++) {
+         |        $dot += (double) $a.getFloat($i) * $bk[$c * $dim + $i];
+         |      }
+         |      double $raw = $dot / ($n * $mn[$c]);
+         |      double $sim =
+         |        (Double.isNaN($raw) || Double.isInfinite($raw)) ? $raw :
+         |        java.math.BigDecimal.valueOf($raw)
+         |          .setScale(6, java.math.RoundingMode.HALF_UP)
+         |          .doubleValue();
+         |      if ($first || $sim > $bestS) {
+         |        $bestS = $sim; $bestC = $cl[$c]; $first = false;
+         |      }
+         |    }
+         |    ${ev.value} = $bestC;
+         |  }
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): IvfAssign =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Session extension registering the engine's native functions
   * (`spark.sql.extensions=graft.functions.GraftExtensions`, wired in
   * [[graft.Sessions]]).
@@ -211,6 +347,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           args(1).eval().asInstanceOf[ArrayData].toDoubleArray().toSeq,
           args(2).eval().asInstanceOf[Number].intValue(),
           args(3).eval().asInstanceOf[Number].intValue())
+      }))
+    // ivf_assign(vec, norm, cents, mns, cells, dim) — same foldable-
+    // argument convention as pq_assign.
+    ext.injectFunction((
+      new FunctionIdentifier("ivf_assign"),
+      new ExpressionInfo(classOf[IvfAssign].getName, "ivf_assign"),
+      (args: Seq[Expression]) => {
+        require(args.length == 6,
+          "ivf_assign(vec, norm, cents, mns, cells, dim)")
+        require(args.drop(2).forall(_.foldable),
+          "ivf_assign cents/mns/cells/dim must be foldable")
+        IvfAssign(args(0), args(1),
+          args(2).eval().asInstanceOf[ArrayData].toDoubleArray().toSeq,
+          args(3).eval().asInstanceOf[ArrayData].toDoubleArray().toSeq,
+          args(4).eval().asInstanceOf[ArrayData].toLongArray().toSeq,
+          args(5).eval().asInstanceOf[Number].intValue())
       }))
     // Sentinel-equality → IS NULL on tagged columns (SURVEY §4.2).
     // Injected at RESOLUTION, not optimization: it is a semantic

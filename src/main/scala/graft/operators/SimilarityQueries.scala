@@ -93,61 +93,55 @@ object SimilarityQueries {
     // left-deep on both engines so the fp fold order is identical.
     "s4_ivf_topk" -> ((s, d) => {
       val e = SimilarityOps.withNorm(embeddings(s, d), "embedding", "n")
+      // Assignment runs as the native `ivf_assign` expression
+      // (functions.IvfAssign): one constant-size loop per row instead
+      // of a broadcast cross join + 64-term dot chain per (vector,
+      // centroid) + max_by aggregation. The composed form was ~95%
+      // plan-build/codegen constant (same wall time at sf0.001 and
+      // sf0.1); values are REPLICATED bit-for-bit (left-to-right
+      // double fold, Spark's own HALF_UP round-6, max sim with lowest
+      // cell id on ties), so the unchanged DuckDB oracle still
+      // hash-matches. Centroid state between Lloyd rounds is a
+      // dim-sized driver table (8 × 64), the same legitimacy class as
+      // broadcast dims and PQ codebooks; per-cell sums stay EXACT
+      // integer aggregations, so training is partition-order
+      // independent (NOTES.md rule 2 generalized to k-means).
       val seeds = e.filter(col("vec_id") < 8)
-        .select(col("vec_id").as("c_id"), col("embedding").as("cvec"),
-          col("n").as("cn"))
-      // Argmax as max_by over (csim, -cell): identical result to a
-      // row_number window (max sim, min cell id on ties) but a HASH
-      // aggregation — map-side combinable, no per-vector sort, one
-      // exchange. At scale this is the assignment shape you want: the
-      // per-vector candidate rows collapse 8→1 before the shuffle.
-      def argmaxCell(scored: DataFrame, cellCol: String,
-          outCell: String): DataFrame =
-        scored.groupBy(col("vec_id"))
-          .agg(max_by(
-            struct(col("embedding"), col("n"), col(cellCol)),
-            struct(col("csim"), -col(cellCol))).as("b"))
-          .select(col("vec_id"), col("b.embedding"), col("b.n"),
-            col(s"b.$cellCol").as(outCell))
-      val assigned0 = argmaxCell(
-        e.join(broadcast(seeds))
-          .select(col("vec_id"), col("embedding"), col("n"), col("c_id"),
-            round(SimilarityOps.pairCosine("embedding", "cvec", "n", "cn"), 6)
-              .as("csim")),
-        "c_id", "cell0")
-      // One Lloyd round: exact integer-scaled elementwise means per
-      // cell, then re-assignment of EVERY vector against all (8,
-      // broadcast) trained centroids.
+        .select(col("vec_id"), col("embedding"), col("n"))
+        .collect().sortBy(_.getLong(0))
+      var cells: Array[Long] = seeds.map(_.getLong(0))
+      var books: Array[Double] =
+        seeds.flatMap(_.getSeq[Float](1).map(_.toDouble))
+      var mns: Array[Double] = seeds.map(_.getDouble(2))
+      // reads the CURRENT round's centroid state at each call site
+      def assign = call_function("ivf_assign", col("embedding"), col("n"),
+        typedLit(books.toSeq), typedLit(mns.toSeq), typedLit(cells.toSeq),
+        lit(Dim))
       val sums = count(lit(1)).as("cnt") +: (1 to Dim).map(i =>
         sum(floor(element_at(col("embedding"), i).cast("double") * lit(1e6)
           + lit(0.5)).cast("long")).as(s"s$i"))
-      def lloydRound(prev: DataFrame, cellCol: String,
-          outCell: String): DataFrame = {
-        val centBase = prev.groupBy(col(cellCol)).agg(sums.head, sums.tail: _*)
-        // ONE select for all 64 means (a withColumn foldLeft is 64
-        // analyzer passes over an ever-wider plan — the dominant cost
-        // of this query was plan-build, not data)
-        val withM = centBase.select(col(cellCol) +:
-          (1 to Dim).map(i =>
-            (col(s"s$i").cast("double") / col("cnt") / lit(1e6))
-              .as(s"m$i")): _*)
-        val mn = sqrt((1 to Dim).map(i => col(s"m$i") * col(s"m$i"))
-          .reduce(_ + _))
-        val cent = withM.select(col(cellCol) +: mn.as("mn") +:
-          (1 to Dim).map(i => col(s"m$i")): _*)
-        val dot = (1 to Dim).map(i =>
-          element_at(col("embedding"), i).cast("double") * col(s"m$i"))
-          .reduce(_ + _)
-        argmaxCell(
-          e.join(broadcast(cent))
-            .select(col("vec_id"), col("embedding"), col("n"), col(cellCol),
-              round(dot / (col("n") * col("mn")), 6).as("csim")),
-          cellCol, outCell)
+      for (_ <- 1 to LloydSteps) {
+        // row layout: cell(0), cnt(1), s1..s64(2..65); ascending cell
+        // order is what makes ivf_assign's strict `>` the lowest-id
+        // tiebreak
+        val rows = e.withColumn("cell", assign)
+          .groupBy(col("cell")).agg(sums.head, sums.tail: _*)
+          .collect().sortBy(_.getLong(0))
+        val ms = rows.map { r =>
+          val cnt = r.getLong(1)
+          // same op order as the column form: s.toDouble / cnt / 1e6
+          Array.tabulate(Dim)(i => r.getLong(2 + i).toDouble / cnt / 1e6)
+        }
+        cells = rows.map(_.getLong(0))
+        books = ms.flatten
+        mns = ms.map { m =>
+          var t = 0.0
+          var i = 0
+          while (i < Dim) { t += m(i) * m(i); i += 1 }
+          math.sqrt(t) // left fold + sqrt == the generated m1*m1+... chain
+        }
       }
-      val assigned = (1 to LloydSteps).foldLeft(assigned0) { (prev, r) =>
-        lloydRound(prev, s"cell${r - 1}",
-          if (r == LloydSteps) "cell" else s"cell$r")
-      }
+      val assigned = e.withColumn("cell", assign)
       val q = assigned.filter(col("vec_id") < 5)
         .select(col("vec_id").as("q_id"), col("embedding").as("qv"),
           col("n").as("qn"), col("cell"))

@@ -88,6 +88,51 @@ class VectorExprSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.codegen.fallback", "true")
   }
 
+  test("ivf_assign matches the composed cross-join + max_by assignment") {
+    // the composed reference this expression replaced: broadcast
+    // centroid frame, per-pair rounded cosine, max_by(struct(csim,
+    // -cell)) — including Spark's own round(), so any divergence in
+    // the replicated HALF_UP rounding or tiebreak fails here
+    val e = operators.SimilarityOps.withNorm(
+      Tables.embeddings(spark, "/root/testdata/sf0.001"), "embedding", "n")
+    val cents = e.filter(col("vec_id") < 5)
+      .select(col("vec_id"), col("embedding"), col("n"))
+      .collect().sortBy(_.getLong(0))
+    val cells = cents.map(_.getLong(0) * 3 + 1) // non-contiguous ids
+    val books = cents.flatMap(_.getSeq[Float](1).map(_.toDouble))
+    val mns = cents.map(_.getDouble(2))
+    val centFrame = cents.zipWithIndex.map { case (r, i) =>
+      (cells(i), r.getSeq[Float](1), mns(i))
+    }.toSeq.toDF("cell", "cvec", "cn")
+    val dim = cents.head.getSeq[Float](1).length
+    val composed = e.join(broadcast(centFrame))
+      .select(col("vec_id"),
+        round(expr("vec_dot(embedding, cvec)") / (col("n") * col("cn")), 6)
+          .as("csim"), col("cell"))
+      .groupBy(col("vec_id"))
+      .agg(max_by(col("cell"), struct(col("csim"), -col("cell")))
+        .as("cell_ref"))
+    val native = e.select(col("vec_id"),
+      call_function("ivf_assign", col("embedding"), col("n"),
+        typedLit(books.toSeq), typedLit(mns.toSeq), typedLit(cells.toSeq),
+        lit(dim)).as("cell_got"))
+    val joined = native.join(composed, Seq("vec_id"))
+    assert(joined.count() === 500)
+    assert(joined.filter(col("cell_got") =!= col("cell_ref")).count() === 0)
+  }
+
+  test("ivf_assign resolves rounded ties to the lowest cell id") {
+    // two identical centroids under different cell ids: every sim is
+    // an exact tie after rounding, so the LOWER id must always win
+    val df = Seq(Seq(0.5f, -0.25f, 0.125f)).toDF("v")
+      .withColumn("n", expr("sqrt(vec_dot(v, v))"))
+    val book = Seq(0.2, 0.4, -0.1)
+    val got = df.select(call_function("ivf_assign", col("v"), col("n"),
+      typedLit(book ++ book), typedLit(Seq(1.0, 1.0)),
+      typedLit(Seq(4L, 9L)), lit(3))).as[Long].head()
+    assert(got === 4L)
+  }
+
   test("vec_dot compiles into whole-stage codegen on a real scan") {
     // literal frames constant-fold into LocalTableScan, so drive the
     // expression from parquet; with fallback disabled a broken

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Approximate-nearest-neighbor / similarity-search primitives over an
@@ -67,4 +67,66 @@ object SimilarityOps {
       .map(j => s"(CASE WHEN element_at($vec, ${j + 1}) > 0" +
         s" THEN ${1L << j} ELSE 0 END)")
       .mkString("CAST((", " + ", ") AS BIGINT)"))
+
+  /** Trained-IVF coarse-quantizer state: ascending cell ids, flattened
+    * centroid components (cell-major), and centroid L2 norms — the
+    * foldable arguments of the native `ivf_assign` expression.
+    */
+  final case class IvfCentroids(cells: Array[Long], books: Array[Double],
+      mns: Array[Double])
+
+  /** Assignment column for a centroid state: nearest cell by rounded
+    * cosine (max sim, lowest cell id on ties) via the native
+    * constant-size [[graft.functions.IvfAssign]] loop.
+    */
+  def ivfAssign(cents: IvfCentroids, dim: Int): Column =
+    call_function("ivf_assign", col("embedding"), col("n"),
+      typedLit(cents.books.toSeq), typedLit(cents.mns.toSeq),
+      typedLit(cents.cells.toSeq), lit(dim))
+
+  /** Train the IVF coarse quantizer: seed with the first 8 vectors,
+    * then `steps` Lloyd rounds of exact integer-scaled per-cell sums
+    * (partition-order independent — NOTES.md rule 2 generalized to
+    * k-means) with re-assignment through [[ivfAssign]]. `e` must carry
+    * `vec_id`, `embedding` (array<float>) and the precomputed norm
+    * `n`. Centroid state is a dim-sized driver table (8 × dim), the
+    * same legitimacy class as broadcast dims and PQ codebooks. The ONE
+    * index definition s4 gates and s8 routes with — change the
+    * training here and both queries see the same cells.
+    */
+  def trainIvf(e: DataFrame, dim: Int, steps: Int): IvfCentroids = {
+    val seeds = e.filter(col("vec_id") < 8)
+      .select(col("vec_id"), col("embedding"), col("n"))
+      .collect().sortBy(_.getLong(0))
+    var cents = IvfCentroids(
+      seeds.map(_.getLong(0)),
+      seeds.flatMap(_.getSeq[Float](1).map(_.toDouble)),
+      seeds.map(_.getDouble(2)))
+    val sums = count(lit(1)).as("cnt") +: (1 to dim).map(i =>
+      sum(floor(element_at(col("embedding"), i).cast("double") * lit(1e6)
+        + lit(0.5)).cast("long")).as(s"s$i"))
+    for (_ <- 1 to steps) {
+      // row layout: cell(0), cnt(1), s1..s_dim(2..); ascending cell
+      // order is what makes ivf_assign's strict `>` the lowest-id
+      // tiebreak
+      val rows = e.withColumn("cell", ivfAssign(cents, dim))
+        .groupBy(col("cell")).agg(sums.head, sums.tail: _*)
+        .collect().sortBy(_.getLong(0))
+      val ms = rows.map { r =>
+        val cnt = r.getLong(1)
+        // same op order as the column form: s.toDouble / cnt / 1e6
+        Array.tabulate(dim)(i => r.getLong(2 + i).toDouble / cnt / 1e6)
+      }
+      cents = IvfCentroids(
+        rows.map(_.getLong(0)),
+        ms.flatten,
+        ms.map { m =>
+          var t = 0.0
+          var i = 0
+          while (i < dim) { t += m(i) * m(i); i += 1 }
+          math.sqrt(t) // left fold + sqrt == the generated m1*m1+... chain
+        })
+    }
+    cents
+  }
 }

@@ -106,42 +106,9 @@ object SimilarityQueries {
       // broadcast dims and PQ codebooks; per-cell sums stay EXACT
       // integer aggregations, so training is partition-order
       // independent (NOTES.md rule 2 generalized to k-means).
-      val seeds = e.filter(col("vec_id") < 8)
-        .select(col("vec_id"), col("embedding"), col("n"))
-        .collect().sortBy(_.getLong(0))
-      var cells: Array[Long] = seeds.map(_.getLong(0))
-      var books: Array[Double] =
-        seeds.flatMap(_.getSeq[Float](1).map(_.toDouble))
-      var mns: Array[Double] = seeds.map(_.getDouble(2))
-      // reads the CURRENT round's centroid state at each call site
-      def assign = call_function("ivf_assign", col("embedding"), col("n"),
-        typedLit(books.toSeq), typedLit(mns.toSeq), typedLit(cells.toSeq),
-        lit(Dim))
-      val sums = count(lit(1)).as("cnt") +: (1 to Dim).map(i =>
-        sum(floor(element_at(col("embedding"), i).cast("double") * lit(1e6)
-          + lit(0.5)).cast("long")).as(s"s$i"))
-      for (_ <- 1 to LloydSteps) {
-        // row layout: cell(0), cnt(1), s1..s64(2..65); ascending cell
-        // order is what makes ivf_assign's strict `>` the lowest-id
-        // tiebreak
-        val rows = e.withColumn("cell", assign)
-          .groupBy(col("cell")).agg(sums.head, sums.tail: _*)
-          .collect().sortBy(_.getLong(0))
-        val ms = rows.map { r =>
-          val cnt = r.getLong(1)
-          // same op order as the column form: s.toDouble / cnt / 1e6
-          Array.tabulate(Dim)(i => r.getLong(2 + i).toDouble / cnt / 1e6)
-        }
-        cells = rows.map(_.getLong(0))
-        books = ms.flatten
-        mns = ms.map { m =>
-          var t = 0.0
-          var i = 0
-          while (i < Dim) { t += m(i) * m(i); i += 1 }
-          math.sqrt(t) // left fold + sqrt == the generated m1*m1+... chain
-        }
-      }
-      val assigned = e.withColumn("cell", assign)
+      val cents = SimilarityOps.trainIvf(e, Dim, LloydSteps)
+      val assigned = e.withColumn("cell",
+        SimilarityOps.ivfAssign(cents, Dim))
       val q = assigned.filter(col("vec_id") < 5)
         .select(col("vec_id").as("q_id"), col("embedding").as("qv"),
           col("n").as("qn"), col("cell"))
@@ -241,6 +208,45 @@ object SimilarityQueries {
       val sim = qvecs.map { case (qid, qv) =>
         enc.filter(col("vec_id") =!= qid)
           .select(lit(qid).as("q_id"), col("vec_id"),
+            round(ProductQuantization.adcDistance(
+              col("code"), qv, books, subDim), 6).as("adc_dist"))
+      }.reduce(_ unionAll _)
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("adc_dist").asc, col("vec_id").asc)
+      sim.withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= TopK)
+    }),
+
+    // s8: IVF+PQ — the full FAISS-IVFPQ shape, composing the two
+    // trained indexes: route each query to its coarse cell (s4's
+    // trained quantizer, SAME builder), then rank by PQ asymmetric
+    // distance scanning ONLY the query's cell (s7's codebooks). At
+    // 100 TB this is the serving topology: the cell is the shuffle/
+    // storage key, so a query touches one cell's worth of 8-byte
+    // codes instead of the corpus — candidate IO drops by both the
+    // cell fan-out and the 32× code compression. Rows-only gate for
+    // the same reason as s7 (PQ oracle SQL = flake surface);
+    // membership-in-cell, reproducibility, and ranking contracts are
+    // spec-gated in PipelineSignalsSpec.
+    "s8_ivfpq_topk" -> ((s, d) => {
+      import graft.operators.ProductQuantization
+      val subspaces = 8
+      val subDim = Dim / subspaces
+      val e = SimilarityOps.withNorm(embeddings(s, d), "embedding", "n")
+      val cents = SimilarityOps.trainIvf(e, Dim, LloydSteps)
+      val books = ProductQuantization.train(
+        e, "embedding", "vec_id", subspaces, subDim, k = 16, steps = 1)
+      val enc = ProductQuantization.encode(
+        e.withColumn("cell", SimilarityOps.ivfAssign(cents, Dim)),
+        "embedding", books, subDim, "code").persist()
+      val qrows = enc.filter(col("vec_id") < NQueries)
+        .select(col("vec_id"), col("embedding"), col("cell")).collect()
+        .sortBy(_.getLong(0))
+      val sim = qrows.map { r =>
+        val (qid, qcell) = (r.getLong(0), r.getLong(2))
+        val qv = r.getSeq[Float](1).toArray.map(_.toDouble)
+        enc.filter(col("cell") === qcell && col("vec_id") =!= qid)
+          .select(lit(qid).as("q_id"), col("vec_id"), col("cell"),
             round(ProductQuantization.adcDistance(
               col("code"), qv, books, subDim), 6).as("adc_dist"))
       }.reduce(_ unionAll _)

@@ -65,6 +65,34 @@ class PipelineSignalsSpec extends SparkSpec {
     assert(f.map(_._6).sum === x8Total)
   }
 
+  test("s8: IVFPQ candidates share the query's trained cell") {
+    val out = SparkEntry.queries("s8_ivfpq_topk")(spark, d)
+      .select("q_id", "vec_id", "cell", "adc_dist", "rank")
+      .as[(Long, Long, Long, Double, Long)].collect()
+    spark.catalog.clearCache()
+    assert(out.nonEmpty)
+    // every candidate row carries the cell it was scanned from; it
+    // must equal the query's own assignment under the SAME trained
+    // quantizer (shared builder — the routing cannot drift from the
+    // index it claims to probe)
+    val e = operators.SimilarityOps.withNorm(
+      Tables.embeddings(spark, d), "embedding", "n")
+    val cents = operators.SimilarityOps.trainIvf(e, 64, 2)
+    val cellOf = e.withColumn("cell",
+      operators.SimilarityOps.ivfAssign(cents, 64))
+      .select("vec_id", "cell").as[(Long, Long)].collect().toMap
+    out.foreach { case (q, v, cell, dist, _) =>
+      assert(cell === cellOf(q), s"q $q routed to ${cellOf(q)}")
+      assert(cell === cellOf(v), s"candidate $v not in q's cell")
+      assert(dist >= 0.0)
+    }
+    out.groupBy(_._1).foreach { case (q, rs) =>
+      assert(rs.map(_._5).sorted.toSeq === (1L to rs.length).toSeq, s"q $q")
+      assert(rs.sortBy(_._5).map(_._4).toSeq ===
+        rs.map(_._4).sorted.toSeq, s"q $q rank order")
+    }
+  }
+
   test("s7: PQ-ADC top-k is well-formed and reproducible") {
     def run() = SparkEntry.queries("s7_pq_adc_topk")(spark, d)
       .select("q_id", "vec_id", "adc_dist", "rank")

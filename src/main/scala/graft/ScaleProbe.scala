@@ -103,6 +103,32 @@ object ScaleProbe {
         .write.format("noop").mode("overwrite").save()
     }
 
+    // native trained-index expressions at production shape — the
+    // constant-size-codegen loops must sustain M rows/s, since at
+    // 100 TB they run once per corpus row (encode) or per candidate
+    // (assignment)
+    val prnd = new scala.util.Random(5)
+    val pqBooks = Array.fill(8)(Array.fill(16)(
+      Array.fill(8)(prnd.nextDouble() * 0.4 - 0.2)))
+    time("pq_assign encode (8x16x8)", m) {
+      graft.operators.ProductQuantization
+        .encode(vecs, "vec", pqBooks, 8, "code")
+        .select("code")
+        .write.format("noop").mode("overwrite").save()
+    }
+    val irnd = new scala.util.Random(9)
+    val cellK = 64
+    val ivfBooks = Array.fill(cellK)(
+      Array.fill(64)(irnd.nextDouble() * 0.4 - 0.2))
+    val ivfMns = ivfBooks.map(c => math.sqrt(c.map(x => x * x).sum))
+    time(s"ivf_assign ($cellK cells)", m) {
+      vecs.withColumn("n", expr("sqrt(vec_dot(vec, vec))"))
+        .select(call_function("ivf_assign", col("vec"), col("n"),
+          typedLit(ivfBooks.flatten.toSeq), typedLit(ivfMns.toSeq),
+          typedLit((0L until cellK.toLong).toSeq), lit(64)))
+        .write.format("noop").mode("overwrite").save()
+    }
+
     spark.stop()
   }
 }

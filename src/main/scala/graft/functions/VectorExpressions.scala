@@ -129,6 +129,12 @@ case class PqAssign(child: Expression, book: Seq[Double], off: Int,
       if (a.isNullAt(off + i)) return null
       i += 1
     }
+    // copy the sub-vector to a primitive buffer once: the centroid
+    // loop then runs k*subDim pure-arithmetic iterations instead of
+    // k*subDim virtual ArrayData.getFloat calls
+    val buf = new Array[Double](sub)
+    i = 0
+    while (i < sub) { buf(i) = a.getFloat(off + i).toDouble; i += 1 }
     var best = 0
     var bestD = Double.PositiveInfinity
     var c = 0
@@ -136,7 +142,7 @@ case class PqAssign(child: Expression, book: Seq[Double], off: Int,
       var s = 0.0
       i = 0
       while (i < sub) {
-        val d = a.getFloat(off + i).toDouble - bookArr(c * sub + i)
+        val d = buf(i) - bookArr(c * sub + i)
         s += d * d
         i += 1
       }
@@ -150,9 +156,10 @@ case class PqAssign(child: Expression, book: Seq[Double], off: Int,
       ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, a => {
       val bk = ctx.addReferenceObj("pqBook", bookArr, "double[]")
-      val (s, d, c, i, best, bestD) = (ctx.freshName("s"),
+      val (s, d, c, i, best, bestD, buf) = (ctx.freshName("s"),
         ctx.freshName("d"), ctx.freshName("c"), ctx.freshName("i"),
-        ctx.freshName("best"), ctx.freshName("bestD"))
+        ctx.freshName("best"), ctx.freshName("bestD"),
+        ctx.freshName("buf"))
       s"""
          |if ($a.numElements() < ${off + sub}) {
          |  ${ev.isNull} = true;
@@ -162,13 +169,16 @@ case class PqAssign(child: Expression, book: Seq[Double], off: Int,
          |  }
          |}
          |if (!${ev.isNull}) {
+         |  double[] $buf = new double[$sub];
+         |  for (int $i = 0; $i < $sub; $i++) {
+         |    $buf[$i] = (double) $a.getFloat($off + $i);
+         |  }
          |  int $best = 0;
          |  double $bestD = Double.POSITIVE_INFINITY;
          |  for (int $c = 0; $c < $kV; $c++) {
          |    double $s = 0.0;
          |    for (int $i = 0; $i < $sub; $i++) {
-         |      double $d = (double) $a.getFloat($off + $i)
-         |        - $bk[$c * $sub + $i];
+         |      double $d = $buf[$i] - $bk[$c * $sub + $i];
          |      $s += $d * $d;
          |    }
          |    if ($s < $bestD) { $bestD = $s; $best = $c; }
@@ -247,20 +257,39 @@ case class IvfAssign(left: Expression, right: Expression,
       i += 1
     }
     val nv = n.asInstanceOf[Double]
+    // round6 is monotone non-decreasing, so round6(raw) can only beat
+    // the incumbent when raw itself is a new record high — rounding is
+    // evaluated ONLY on record highs (expected H(k) ≈ ln k times, not
+    // k times). Identical selection to rounding every candidate:
+    // raw <= rawBest  ⇒ round6(raw) <= rBest (never replaces), and on
+    // a record high a rounded TIE keeps the earlier (lower) cell id.
+    // Measured: at k=64 the per-candidate BigDecimal was ~90% of the
+    // expression's runtime (ScaleProbe 2M×64-dim: 23.5 s → see NOTES).
+    // primitive buffer: the centroid loop is k*dim pure mult-adds,
+    // not k*dim virtual ArrayData.getFloat calls
+    val buf = new Array[Double](dim)
+    i = 0
+    while (i < dim) { buf(i) = a.getFloat(i).toDouble; i += 1 }
     var bestCell = 0L
-    var bestSim = 0.0
+    var rawBest = 0.0
+    var rBest = 0.0
     var first = true
     var c = 0
     while (c < kV) {
       var dot = 0.0
       i = 0
       while (i < dim) {
-        dot += a.getFloat(i).toDouble * bookArr(c * dim + i)
+        dot += buf(i) * bookArr(c * dim + i)
         i += 1
       }
-      val sim = round6(dot / (nv * mnArr(c)))
-      if (first || sim > bestSim) {
-        bestSim = sim; bestCell = cellArr(c); first = false
+      val raw = dot / (nv * mnArr(c))
+      if (first) {
+        rawBest = raw; rBest = round6(raw); bestCell = cellArr(c)
+        first = false
+      } else if (raw > rawBest) {
+        val r = round6(raw)
+        rawBest = raw
+        if (r > rBest) { rBest = r; bestCell = cellArr(c) }
       }
       c += 1
     }
@@ -273,11 +302,21 @@ case class IvfAssign(left: Expression, right: Expression,
       val bk = ctx.addReferenceObj("ivfBooks", bookArr, "double[]")
       val mn = ctx.addReferenceObj("ivfMns", mnArr, "double[]")
       val cl = ctx.addReferenceObj("ivfCells", cellArr, "long[]")
-      val (i, c, dot, raw, sim, bestC, bestS, first, nullEl) =
+      val (i, c, dot, raw, r, bestC, rawBest, rBest, first, nullEl, buf) =
         (ctx.freshName("i"), ctx.freshName("c"), ctx.freshName("dot"),
-          ctx.freshName("raw"), ctx.freshName("sim"),
-          ctx.freshName("bestC"), ctx.freshName("bestS"),
-          ctx.freshName("first"), ctx.freshName("nullEl"))
+          ctx.freshName("raw"), ctx.freshName("r"),
+          ctx.freshName("bestC"), ctx.freshName("rawBest"),
+          ctx.freshName("rBest"), ctx.freshName("first"),
+          ctx.freshName("nullEl"), ctx.freshName("buf"))
+      // record-high-only rounding — see nullSafeEval for the
+      // monotonicity argument; round6 inlined as Spark's DoubleType
+      // Round (BigDecimal.valueOf HALF_UP, NaN/Inf passthrough)
+      def round6(in: String, out: String): String =
+        s"""double $out =
+           |  (Double.isNaN($in) || Double.isInfinite($in)) ? $in :
+           |  java.math.BigDecimal.valueOf($in)
+           |    .setScale(6, java.math.RoundingMode.HALF_UP)
+           |    .doubleValue();""".stripMargin
       s"""
          |if ($a.numElements() < $dim) {
          |  ${ev.isNull} = true;
@@ -289,22 +328,28 @@ case class IvfAssign(left: Expression, right: Expression,
          |  if ($nullEl) {
          |    ${ev.isNull} = true;
          |  } else {
+         |    double[] $buf = new double[$dim];
+         |    for (int $i = 0; $i < $dim; $i++) {
+         |      $buf[$i] = (double) $a.getFloat($i);
+         |    }
          |    long $bestC = 0L;
-         |    double $bestS = 0.0;
+         |    double $rawBest = 0.0;
+         |    double $rBest = 0.0;
          |    boolean $first = true;
          |    for (int $c = 0; $c < $kV; $c++) {
          |      double $dot = 0.0;
          |      for (int $i = 0; $i < $dim; $i++) {
-         |        $dot += (double) $a.getFloat($i) * $bk[$c * $dim + $i];
+         |        $dot += $buf[$i] * $bk[$c * $dim + $i];
          |      }
          |      double $raw = $dot / ($n * $mn[$c]);
-         |      double $sim =
-         |        (Double.isNaN($raw) || Double.isInfinite($raw)) ? $raw :
-         |        java.math.BigDecimal.valueOf($raw)
-         |          .setScale(6, java.math.RoundingMode.HALF_UP)
-         |          .doubleValue();
-         |      if ($first || $sim > $bestS) {
-         |        $bestS = $sim; $bestC = $cl[$c]; $first = false;
+         |      if ($first) {
+         |        ${round6(raw, r)}
+         |        $rawBest = $raw; $rBest = $r; $bestC = $cl[$c];
+         |        $first = false;
+         |      } else if ($raw > $rawBest) {
+         |        ${round6(raw, r)}
+         |        $rawBest = $raw;
+         |        if ($r > $rBest) { $rBest = $r; $bestC = $cl[$c]; }
          |      }
          |    }
          |    ${ev.value} = $bestC;

@@ -1,0 +1,135 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Shared JVM helpers for the native text expressions — called from
+  * BOTH interpreted eval and generated code, so the two paths cannot
+  * drift. Character semantics are code points, matching Spark's
+  * `substring`/`length`/`ascii` on UTF8String (a supplementary
+  * character is ONE character).
+  */
+object TextExprOps {
+
+  /** Number of DISTINCT n-character substrings — the native equivalent
+    * of `array_distinct(transform(sequence(...), i -> substring(text,
+    * i, n)))` sized, without materializing the gram array or running
+    * an interpreted lambda per gram: one pass, one hash set.
+    */
+  def distinctNgrams(text: UTF8String, n: Int): Long = {
+    val s = text.toString
+    val set = new java.util.HashSet[String]()
+    if (s.length == text.numChars()) {
+      // no supplementary chars: UTF-16 index == character index
+      var i = 0
+      while (i + n <= s.length) {
+        set.add(s.substring(i, i + n))
+        i += 1
+      }
+    } else {
+      // code-point stepping: offsets(k) = UTF-16 index of character k
+      val cps = s.codePointCount(0, s.length)
+      val offs = new Array[Int](cps + 1)
+      var i = 0
+      var k = 0
+      while (k < cps) {
+        offs(k) = i
+        i += Character.charCount(s.codePointAt(i))
+        k += 1
+      }
+      offs(cps) = s.length
+      k = 0
+      while (k + n <= cps) {
+        set.add(s.substring(offs(k), offs(k + n)))
+        k += 1
+      }
+    }
+    set.size.toLong
+  }
+
+  /** Rabin–Karp rolling hash, base 31 mod 1e9+7, folded over the
+    * CHARACTERS' code points in order — the native equivalent of
+    * `aggregate(transform(sequence(1, greatest(length, 1)), i ->
+    * ascii(substring(text, i, 1))), 0L, (h, c) -> pmod(h*31 + c, p))`.
+    * Empty text folds the single clamped index over ascii('') = 0,
+    * i.e. 0 — preserved here.
+    */
+  def rollingHash(text: UTF8String): Long = {
+    val s = text.toString
+    if (s.isEmpty) return 0L
+    val P = 1000000007L
+    var h = 0L
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      h = (h * 31 + cp) % P
+      i += Character.charCount(cp)
+    }
+    h
+  }
+}
+
+/** `ngram_distinct_count(text, n)` — distinct character-n-gram count.
+  *
+  * Why native: the composed form runs an interpreted lambda per gram
+  * slot (HOFs don't compile) AND materializes the full gram array just
+  * to `array_distinct` + `size` it. This is the per-document kernel of
+  * the trigram profile (t5), so it runs once per corpus row at 100 TB.
+  * One pass, one hash set, no array, identical value (shared helper
+  * with eval; spec'd against the composed form including unicode and
+  * supplementary-character inputs).
+  */
+case class NgramDistinctCount(child: Expression, n: Int)
+    extends UnaryExpression {
+  require(n >= 1, "ngram_distinct_count: n >= 1")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"ngram_distinct_count expects a string, got ${t.simpleString}")
+  }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "ngram_distinct_count"
+
+  override protected def nullSafeEval(t: Any): Any =
+    TextExprOps.distinctNgrams(t.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, t =>
+      s"graft.functions.TextExprOps.distinctNgrams($t, $n)")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): NgramDistinctCount = copy(child = newChild)
+}
+
+/** `rolling_hash(text)` — Rabin–Karp content fingerprint (t4). Why
+  * native: the composed `aggregate` fold evaluates an interpreted
+  * lambda per CHARACTER (substring + ascii + pmod each as interpreted
+  * expressions), the most per-row work of any scalar in the text
+  * inventory. One primitive loop, identical value (shared helper,
+  * spec'd against the fold).
+  */
+case class RollingHash(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"rolling_hash expects a string, got ${t.simpleString}")
+  }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "rolling_hash"
+
+  override protected def nullSafeEval(t: Any): Any =
+    TextExprOps.rollingHash(t.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, t => s"graft.functions.TextExprOps.rollingHash($t)")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): RollingHash = copy(child = newChild)
+}

@@ -393,6 +393,23 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           args(2).eval().asInstanceOf[Number].intValue(),
           args(3).eval().asInstanceOf[Number].intValue())
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("ngram_distinct_count"),
+      new ExpressionInfo(classOf[NgramDistinctCount].getName,
+        "ngram_distinct_count"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2 && args(1).foldable,
+          "ngram_distinct_count(text, n) with foldable n")
+        NgramDistinctCount(args(0),
+          args(1).eval().asInstanceOf[Number].intValue())
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("rolling_hash"),
+      new ExpressionInfo(classOf[RollingHash].getName, "rolling_hash"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "rolling_hash(text)")
+        RollingHash(args(0))
+      }))
     // ivf_assign(vec, norm, cents, mns, cells, dim) — same foldable-
     // argument convention as pq_assign.
     ext.injectFunction((

@@ -111,13 +111,20 @@ object TextOps {
     }
 
   /** Rabin–Karp rolling hash of the character stream, mod 1e9+7 with
-    * base 31 — each step stays far below 2^63 so ANSI-mode arithmetic
-    * never overflows. Used for winnowing-style fingerprints.
+    * base 31 — each step stays far below 2^63 so arithmetic never
+    * overflows. Used for winnowing-style fingerprints. Native
+    * [[graft.functions.RollingHash]]: the composed `aggregate` fold
+    * ran an interpreted lambda per character (spec'd equivalent in
+    * VectorExprSpec).
     */
-  def rollingHash(textCol: String): Column =
-    expr(
-      s"""aggregate(
-            transform(sequence(1, greatest(length($textCol), 1)),
-                      i -> ascii(substring($textCol, i, 1))),
-            0L, (h, c) -> pmod(h * 31 + c, 1000000007L))""")
+  def rollingHash(textCol: String): Column = expr(s"rolling_hash($textCol)")
+
+  /** Distinct character-n-gram COUNT — the native one-pass equivalent
+    * of `size(charNgrams(...))` ([[graft.functions.NgramDistinctCount]]):
+    * no gram array, no interpreted lambda per gram slot. Use
+    * [[charNgrams]] only where the gram SET itself is needed (d5's
+    * Jaccard).
+    */
+  def distinctNgramCount(textCol: String, n: Int): Column =
+    expr(s"ngram_distinct_count($textCol, $n)")
 }

@@ -80,7 +80,7 @@ object TextQueries {
     "t5_trigram_profile" -> ((s, d) =>
       documents(s, d)
         .select(col("lang"),
-          size(TextOps.charNgrams("text", 3)).cast("long").as("n_tri"))
+          TextOps.distinctNgramCount("text", 3).as("n_tri"))
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("docs"),
           sum(col("n_tri")).as("sum_tri"))

@@ -133,6 +133,44 @@ class VectorExprSpec extends SparkSpec {
     assert(got === 4L)
   }
 
+  test("ngram_distinct_count equals the composed distinct-gram size") {
+    // real corpus + adversarial unicode: multibyte chars (character
+    // semantics, not bytes), a supplementary (non-BMP) char, short and
+    // empty strings
+    val edge = Seq("", "ab", "abc", "aaaa", "héllo wörld",
+      "a😀b😀a", "ééé").toDF("text")
+    val corpus = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("text")
+    for (df <- Seq(edge, corpus); n <- Seq(3, 4)) {
+      val cmp = df.select(
+        operators.TextOps.distinctNgramCount("text", n).as("native"),
+        size(operators.TextOps.charNgrams("text", n)).cast("long")
+          .as("composed"))
+      assert(cmp.filter(col("native") =!= col("composed")).count() === 0,
+        s"n=$n")
+    }
+    val nulls = Seq((null: String)).toDF("text")
+      .select(operators.TextOps.distinctNgramCount("text", 3)).collect()
+    assert(nulls.head.isNullAt(0))
+  }
+
+  test("rolling_hash equals the composed per-char aggregate fold") {
+    val fold = expr(
+      """aggregate(
+           transform(sequence(1, greatest(length(text), 1)),
+                     i -> ascii(substring(text, i, 1))),
+           0L, (h, c) -> pmod(h * 31 + c, 1000000007L))""")
+    val edge = Seq("", "a", "ab", "héllo", "a😀b").toDF("text")
+    val corpus = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("text")
+    for (df <- Seq(edge, corpus)) {
+      val cmp = df.select(
+        operators.TextOps.rollingHash("text").as("native"),
+        fold.as("composed"))
+      assert(cmp.filter(col("native") =!= col("composed")).count() === 0)
+    }
+  }
+
   test("vec_dot compiles into whole-stage codegen on a real scan") {
     // literal frames constant-fold into LocalTableScan, so drive the
     // expression from parquet; with fallback disabled a broken

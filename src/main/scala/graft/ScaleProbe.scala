@@ -129,6 +129,21 @@ object ScaleProbe {
         .write.format("noop").mode("overwrite").save()
     }
 
+    // native text kernels over 20M 64-char rows — per-character loops
+    // that replaced interpreted HOF folds (t4/t5 kernels)
+    val texts = spark.range(n)
+      .select(concat(md5(col("id").cast("string")),
+        md5((col("id") + 1).cast("string"))).as("text")).cache()
+    texts.count()
+    time("rolling_hash (64 chars)", n) {
+      texts.select(expr("rolling_hash(text)"))
+        .write.format("noop").mode("overwrite").save()
+    }
+    time("ngram_distinct_count n=3", n) {
+      texts.select(expr("ngram_distinct_count(text, 3)"))
+        .write.format("noop").mode("overwrite").save()
+    }
+
     spark.stop()
   }
 }

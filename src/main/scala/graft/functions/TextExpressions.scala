@@ -20,6 +20,32 @@ object TextExprOps {
     * an interpreted lambda per gram: one pass, one hash set.
     */
   def distinctNgrams(text: UTF8String, n: Int): Long = {
+    // ASCII fast path (byte count == char count, gram fits a long):
+    // pack each n-byte gram into a long, sort, count unique — zero
+    // per-gram allocation (a String + HashSet node per gram made the
+    // generic path allocation-bound at ~0.9 M rows/s in ScaleProbe)
+    if (n <= 8 && text.numBytes() == text.numChars()) {
+      val b = text.getBytes
+      val m = b.length - n + 1
+      if (m <= 0) return 0L
+      val packed = new Array[Long](m)
+      var i = 0
+      while (i < m) {
+        var v = 0L
+        var j = 0
+        while (j < n) { v = (v << 8) | (b(i + j) & 0xFFL); j += 1 }
+        packed(i) = v
+        i += 1
+      }
+      java.util.Arrays.sort(packed)
+      var distinct = 1L
+      i = 1
+      while (i < m) {
+        if (packed(i) != packed(i - 1)) distinct += 1
+        i += 1
+      }
+      return distinct
+    }
     val s = text.toString
     val set = new java.util.HashSet[String]()
     if (s.length == text.numChars()) {

@@ -256,6 +256,70 @@ object SimilarityQueries {
         .filter(col("rank") <= TopK)
     }),
 
+    // s9: multi-probe IVFPQ with full-precision re-rank — the two
+    // standard recall-recovery steps over s8's serving shape: (a)
+    // probe the P nearest coarse cells instead of 1 (recall lost to
+    // cell-boundary neighbors comes back at P× scan cost — still a
+    // tiny corpus fraction), and (b) re-rank the ADC top candidates
+    // by exact cosine over the full-precision vectors (ADC error
+    // cannot reorder the final top-k). Probe selection is pure
+    // driver-side arithmetic — query vectors AND centroids are
+    // dim-sized driver tables, so choosing P cells per query costs no
+    // Spark job. Candidate scan stays cell-pruned (isin over P cell
+    // ids); the exact re-rank touches only the ADC top CandPool rows
+    // per query. Rows-only gate like s7/s8; membership, re-rank
+    // ordering, and recall-dominance over single-probe are spec-gated.
+    "s9_ivfpq_multiprobe" -> ((s, d) => {
+      import graft.operators.ProductQuantization
+      val subspaces = 8
+      val subDim = Dim / subspaces
+      val Probes = 2
+      val CandPool = 8 // ADC shortlist size per query before re-rank
+      val e = SimilarityOps.withNorm(embeddings(s, d), "embedding", "n")
+      val cents = SimilarityOps.trainIvf(e, Dim, LloydSteps)
+      val books = ProductQuantization.train(
+        e, "embedding", "vec_id", subspaces, subDim, k = 16, steps = 1)
+      val enc = ProductQuantization.encode(
+        e.withColumn("cell", SimilarityOps.ivfAssign(cents, Dim)),
+        "embedding", books, subDim, "code").persist()
+      val qrows = e.filter(col("vec_id") < NQueries)
+        .select(col("vec_id"), col("embedding"), col("n")).collect()
+        .sortBy(_.getLong(0))
+      val k = cents.mns.length
+      val sim = qrows.map { r =>
+        val qid = r.getLong(0)
+        val qf = r.getSeq[Float](1).toArray
+        val qv = qf.map(_.toDouble)
+        val qn = r.getDouble(2)
+        // driver-side probe list: P nearest cells by raw cosine (desc,
+        // cell asc on ties) — same fold order as ivf_assign's loop
+        val probeCells = (0 until k).map { c =>
+          var dot = 0.0
+          var i = 0
+          while (i < Dim) { dot += qv(i) * cents.books(c * Dim + i); i += 1 }
+          (dot / (qn * cents.mns(c)), cents.cells(c))
+        }.sortBy { case (sim0, cell) => (-sim0, cell) }
+          .take(Probes).map(_._2)
+        enc.filter(col("cell").isInCollection(probeCells)
+            && col("vec_id") =!= qid)
+          .select(lit(qid).as("q_id"), col("vec_id"),
+            round(ProductQuantization.adcDistance(
+              col("code"), qv, books, subDim), 6).as("adc_dist"),
+            // exact full-precision cosine for the re-rank step
+            round(call_function("vec_dot", col("embedding"),
+              typedLit(qf.toSeq)) / (col("n") * lit(qn)), 6).as("sim"))
+      }.reduce(_ unionAll _)
+      val wAdc = Window.partitionBy(col("q_id"))
+        .orderBy(col("adc_dist").asc, col("vec_id").asc)
+      val wExact = Window.partitionBy(col("q_id"))
+        .orderBy(col("sim").desc, col("vec_id").asc)
+      sim.withColumn("adc_rank", row_number().over(wAdc))
+        .filter(col("adc_rank") <= CandPool) // ADC shortlist
+        .withColumn("rank", row_number().over(wExact).cast("long"))
+        .filter(col("rank") <= TopK) // exact-cosine final order
+        .select("q_id", "vec_id", "sim", "adc_dist", "rank")
+    }),
+
     // s3: embedding near-dup pairs, blocked by (label, sign-bucket) with
     // a cosine threshold. Label alone is NOT a bounded blocking key — a
     // popular label is an O(n²) block on one shuffle key at 100 TB

@@ -93,6 +93,36 @@ class PipelineSignalsSpec extends SparkSpec {
     }
   }
 
+  test("s9: multi-probe + re-rank is exact-ordered and dominates single-probe recall") {
+    val out = SparkEntry.queries("s9_ivfpq_multiprobe")(spark, d)
+      .select("q_id", "vec_id", "sim", "adc_dist", "rank")
+      .as[(Long, Long, Double, Double, Long)].collect()
+    spark.catalog.clearCache()
+    assert(out.nonEmpty)
+    // final ranking follows EXACT cosine (the re-rank contract), with
+    // contiguous ranks per query
+    out.groupBy(_._1).foreach { case (q, rs) =>
+      assert(rs.map(_._5).sorted.toSeq === (1L to rs.length).toSeq, s"q $q")
+      assert(rs.sortBy(_._5).map(-_._3).toSeq ===
+        rs.map(-_._3).sorted.toSeq, s"q $q not exact-cosine ordered")
+      assert(!rs.exists(_._2 == q), s"q $q includes itself")
+    }
+    // recall@k vs the exact brute-force top-k must be at least
+    // single-probe s8's: more probed cells + exact re-rank can only
+    // recover neighbors, never lose them
+    def recallOf(rows: Array[(Long, Long)]): Double = {
+      val exact = SparkEntry.queries("s1_cosine_topk")(spark, d)
+        .select("q_id", "vec_id").as[(Long, Long)].collect().toSet
+      rows.count(exact.contains).toDouble / exact.size
+    }
+    val r9 = recallOf(out.map(r => (r._1, r._2)))
+    val r8 = recallOf(
+      SparkEntry.queries("s8_ivfpq_topk")(spark, d)
+        .select("q_id", "vec_id").as[(Long, Long)].collect())
+    spark.catalog.clearCache()
+    assert(r9 >= r8, s"multi-probe recall $r9 < single-probe $r8")
+  }
+
   test("s7: PQ-ADC top-k is well-formed and reproducible") {
     def run() = SparkEntry.queries("s7_pq_adc_topk")(spark, d)
       .select("q_id", "vec_id", "adc_dist", "rank")

@@ -98,6 +98,92 @@ object TextExprOps {
   }
 }
 
+/** Second half of [[TextExprOps]]: word-shingle hashing. */
+object ShingleOps {
+
+  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** `hash15` of raw UTF-8 bytes: the numeric value of the first 15
+    * hex chars of md5 = the digest's first 60 bits =
+    * bigEndian(first 8 bytes) >>> 4. Matches
+    * `conv(substring(md5(x), 1, 15), 16, 10)` exactly.
+    */
+  def hash15(bytes: Array[Byte]): Long = {
+    val d = md5Local.get().digest(bytes)
+    val packed =
+      ((d(0) & 0xFFL) << 56) | ((d(1) & 0xFFL) << 48) |
+        ((d(2) & 0xFFL) << 40) | ((d(3) & 0xFFL) << 32) |
+        ((d(4) & 0xFFL) << 24) | ((d(5) & 0xFFL) << 16) |
+        ((d(6) & 0xFFL) << 8) | (d(7) & 0xFFL)
+    packed >>> 4
+  }
+
+  /** hash15 of every word n-shingle (n consecutive tokens joined by a
+    * single space), optionally reduced mod `mod` (mod <= 0: none).
+    * Equals `transform(shinglesFromTokens(toks, n), sh ->
+    * hash15(sh) [% mod])` — one JVM pass, no interpreted lambda, no
+    * intermediate shingle strings (token bytes are concatenated with
+    * 0x20 directly; UTF-8 concatenation of tokens + spaces IS the
+    * UTF-8 of the joined string). Empty array when fewer than n
+    * tokens, mirroring the slice-clamped composed form. A NULL token
+    * element contributes like concat_ws (null SKIPPED: that engine
+    * quirk is why short-doc exclusion exists upstream) — tokens from
+    * `split` are never null in practice, but the semantics match.
+    */
+  def shingleHashes(toks: org.apache.spark.sql.catalyst.util.ArrayData,
+      n: Int, mod: Long): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val total = toks.numElements()
+    val m = total - n + 1
+    if (m <= 0)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        Array.emptyLongArray)
+    val tokBytes = new Array[Array[Byte]](total)
+    var i = 0
+    while (i < total) {
+      tokBytes(i) =
+        if (toks.isNullAt(i)) null
+        else toks.getUTF8String(i).getBytes
+      i += 1
+    }
+    val out = new Array[Long](m)
+    var k = 0
+    while (k < m) {
+      // concat_ws semantics: null tokens are skipped, separators only
+      // between PRESENT tokens
+      var len = 0
+      var present = 0
+      var j = 0
+      while (j < n) {
+        val tb = tokBytes(k + j)
+        if (tb != null) { len += tb.length; present += 1 }
+        j += 1
+      }
+      if (present > 1) len += present - 1
+      val buf = new Array[Byte](len)
+      var pos = 0
+      var first = true
+      j = 0
+      while (j < n) {
+        val tb = tokBytes(k + j)
+        if (tb != null) {
+          if (!first) { buf(pos) = ' '; pos += 1 }
+          System.arraycopy(tb, 0, buf, pos, tb.length)
+          pos += tb.length
+          first = false
+        }
+        j += 1
+      }
+      val h = hash15(buf)
+      out(k) = if (mod > 0) h % mod else h
+      k += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
 /** `ngram_distinct_count(text, n)` — distinct character-n-gram count.
   *
   * Why native: the composed form runs an interpreted lambda per gram
@@ -130,6 +216,43 @@ case class NgramDistinctCount(child: Expression, n: Int)
 
   override protected def withNewChildInternal(
       newChild: Expression): NgramDistinctCount = copy(child = newChild)
+}
+
+/** `shingle_hashes(toks, n, mod)` — hash15 of every word n-shingle of
+  * a token array, optionally mod-reduced. Why native: this is the
+  * kernel of the whole minhash family (base hashes for d2/d3/d4/d7/d8
+  * signatures, token hashes for d6/d9 simhash, gram hashes for t10) —
+  * the composed `transform(shingles, sh -> hash15(sh) % p)` runs the
+  * md5 pipeline as an interpreted lambda per shingle, the most per-row
+  * work left after the t4/t5 kernels. One JVM pass; values identical
+  * (shared hash15 helper spec'd against the SQL md5/conv form,
+  * including concat_ws null-skipping and the empty-below-n clamp).
+  */
+case class ShingleHashes(child: Expression, n: Int, mod: Long)
+    extends UnaryExpression {
+  require(n >= 1, "shingle_hashes: n >= 1")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case org.apache.spark.sql.types.ArrayType(StringType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"shingle_hashes expects array<string>, got ${t.simpleString}")
+  }
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "shingle_hashes"
+
+  override protected def nullSafeEval(t: Any): Any =
+    ShingleOps.shingleHashes(
+      t.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], n, mod)
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, t =>
+      s"graft.functions.ShingleOps.shingleHashes($t, $n, ${mod}L)")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): ShingleHashes = copy(child = newChild)
 }
 
 /** `rolling_hash(text)` — Rabin–Karp content fingerprint (t4). Why

@@ -410,6 +410,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(args.length == 1, "rolling_hash(text)")
         RollingHash(args(0))
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("shingle_hashes"),
+      new ExpressionInfo(classOf[ShingleHashes].getName, "shingle_hashes"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3 && args(1).foldable && args(2).foldable,
+          "shingle_hashes(toks, n, mod) with foldable n/mod")
+        ShingleHashes(args(0),
+          args(1).eval().asInstanceOf[Number].intValue(),
+          args(2).eval().asInstanceOf[Number].longValue())
+      }))
     // ivf_assign(vec, norm, cents, mns, cells, dim) — same foldable-
     // argument convention as pq_assign.
     ext.injectFunction((

@@ -51,9 +51,10 @@ object DedupOps {
     // so an unstaged pipeline re-splits the text per shingle index.
     val staged = df
       .withColumn("__toks", TextOps.tokens(col(textCol)))
+      // native shingle_hashes: the composed transform ran the
+      // md5/conv pipeline as an interpreted lambda per shingle
       .withColumn("__bh",
-        transform(TextOps.shinglesFromTokens(col("__toks"), 3),
-          sh => TextOps.hash15(sh) % MinHashP))
+        expr(s"shingle_hashes(__toks, 3, $MinHashP)"))
       // Validity flag: a 3-shingle exists iff the doc has >= 3 tokens,
       // so mh_ok ⇔ every mh_i below is non-null. It is DELIBERATELY
       // re-derived from the raw text (one cheap split pass) rather than
@@ -118,10 +119,13 @@ object DedupOps {
       .select("a", "b").distinct()
   }
 
-  /** Per-token 60-bit hashes — the staging column for [[simHash]]. */
+  /** Per-token 60-bit hashes — the staging column for [[simHash]].
+    * Native: a 1-shingle is the token itself, so this is
+    * `shingle_hashes(toks, 1, 0)` (no modulus) — one JVM pass instead
+    * of an interpreted md5 lambda per token.
+    */
   def tokenHashes(textCol: String): Column =
-    expr(s"transform(split(trim($textCol), '\\\\s+'), t -> " +
-      s"cast(conv(substring(md5(t), 1, 15), 16, 10) as bigint))")
+    expr(s"shingle_hashes(split(trim($textCol), '\\\\s+'), 1, 0)")
 
   /** SimHash over a STAGED token-hash array column (see [[tokenHashes]]),
     * `bits` wide (production would use 64; oracle-checked tests use 16 to

@@ -181,11 +181,13 @@ object TextQueries {
       val grams = documents(s, d)
         .withColumn("__toks", TextOps.tokens(col("text")))
         .select(col("doc_id"),
-          // explode_outer + null-drop — the t7/d10 InferFilters guard
-          explode_outer(TextOps.shinglesFromTokens(col("__toks"), 3))
-            .as("sh"))
-        .where(col("sh").isNotNull)
-        .select(col("doc_id"), TextOps.hash15(col("sh")).as("gh"))
+          // native shingle_hashes (no mod): grams leave the row as
+          // 60-bit hashes directly — the string shingle never
+          // materializes. explode_outer + null-drop — the t7/d10
+          // InferFilters guard
+          explode_outer(expr("shingle_hashes(__toks, 3, 0)")).as("gh"))
+        .where(col("gh").isNotNull)
+        .select(col("doc_id"), col("gh"))
       val perDoc = grams.groupBy(col("doc_id"), col("gh"))
         .agg(count(lit(1)).as("n"))
       val docFreq = perDoc.groupBy(col("gh"))

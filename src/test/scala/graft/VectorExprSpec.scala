@@ -171,6 +171,38 @@ class VectorExprSpec extends SparkSpec {
     }
   }
 
+  test("shingle_hashes equals the composed hash15-per-shingle transform") {
+    // bit-packed JVM hash15 == hex-parsing JVM hash15 == SQL form
+    val rnd = new scala.util.Random(17)
+    for (_ <- 1 to 200) {
+      val bytes = Array.fill(rnd.nextInt(40))(rnd.nextInt().toByte)
+      assert(graft.functions.ShingleOps.hash15(bytes) ===
+        operators.MultimodalOps.hash15Jvm(bytes))
+    }
+    val corpus = Tables.documents(spark, "/root/testdata/sf0.001")
+      .withColumn("toks", operators.TextOps.tokens(col("text")))
+    val edge = Seq(Seq("a"), Seq("a", "b"), Seq("a", "b", "c"),
+      Seq("héllo", "wörld", "😀"), Seq[String]())
+      .toDF("toks")
+    for (df <- Seq(corpus, edge);
+         (n, mod) <- Seq((3, operators.DedupOps.MinHashP), (3, 0L), (1, 0L))) {
+      val modSql = if (mod > 0) s" % $mod" else ""
+      val composed = expr(
+        s"""transform(
+              slice(transform(sequence(1, greatest(size(toks) - ${n - 1}, 1)),
+                i -> concat_ws(' ', ${(0 until n)
+                  .map(k => s"try_element_at(toks, i + $k)").mkString(", ")})),
+                1, greatest(size(toks) - ${n - 1}, 0)),
+              sh -> cast(conv(substring(md5(sh), 1, 15), 16, 10)
+                AS BIGINT)$modSql)""")
+      val cmp = df.select(
+        expr(s"shingle_hashes(toks, $n, $mod)").as("native"),
+        composed.as("composed"))
+      assert(cmp.filter(col("native") =!= col("composed")).count() === 0,
+        s"n=$n mod=$mod")
+    }
+  }
+
   test("vec_dot compiles into whole-stage codegen on a real scan") {
     // literal frames constant-fold into LocalTableScan, so drive the
     // expression from parquet; with fallback disabled a broken

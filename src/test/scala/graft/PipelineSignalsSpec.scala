@@ -15,6 +15,14 @@ class PipelineSignalsSpec extends SparkSpec {
 
   private val d = "/root/testdata/sf0.001"
 
+  test("registry: every oracle references a declared query") {
+    // an orphaned oracleSql key (query renamed, oracle left behind)
+    // would silently stop being checked — the driver only compares
+    // oracles for output dirs that exist
+    val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(orphans.isEmpty, s"oracles without queries: $orphans")
+  }
+
   test("t10: gram occurrences conserve token counts and the ratio is exact") {
     val rows = SparkEntry.queries("t10_dup_gram_frac")(spark, d)
       .select("doc_id", "total_grams", "dup_grams", "dup_frac")

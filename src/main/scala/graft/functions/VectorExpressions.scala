@@ -107,6 +107,9 @@ case class FloatVecDot(left: Expression, right: Expression)
   */
 case class PqAssign(child: Expression, book: Seq[Double], off: Int,
     sub: Int) extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  require(sub >= 1 && book.nonEmpty && book.length % sub == 0,
+    "pq_assign: subdim >= 1 and |codebook| a non-zero multiple of subdim" +
+      s" (got |book|=${book.length}, sub=$sub)")
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
@@ -192,6 +195,119 @@ case class PqAssign(child: Expression, book: Seq[Double], off: Int,
       newChild: Expression): PqAssign = copy(child = newChild)
 }
 
+/** `pq_adc(code, qvec, codebook, subdim)` — product-quantization
+  * asymmetric distance (ADC): the squared L2 distance from a QUERY
+  * vector (`array<float>`, travels with the broadcast query table) to
+  * a candidate row's PQ code (`array<int>`, one id per subspace)
+  * against a FOLDABLE flattened codebook (`array<double>`, laid out
+  * subspace-major: `book[((j*k)+c)*subdim + i]`).
+  *
+  * Why a custom Expression: this is the ANN serving hot path — one
+  * evaluation per (query, candidate) pair. The previous shape
+  * precomputed per-query lookup tables as literal arrays, which forced
+  * ONE PLAN BRANCH PER QUERY VECTOR (a driver-side union loop): plan
+  * size and analysis time grew linearly with the query batch and the
+  * encoded frame was re-scanned per query. With the query vector as an
+  * ordinary column, all queries share one broadcast-join plan and the
+  * distance computation stays inside whole-stage codegen (constant-size
+  * generated loop over a referenced codebook, same janino-safe design
+  * as [[PqAssign]]).
+  *
+  * Semantics replicate the lookup-table form bit-for-bit: per subspace
+  * j (ascending) the partial is a left-fold over components of
+  * `(q_i - c_i)^2` in double, and the subspace partials accumulate in
+  * ascending-j order — identical fp op order to
+  * `tables.map(element_at).reduce(_ + _)`. NULL code/vector, NULL
+  * element, a vector too short for `subspaces*subdim`, or a code id
+  * outside `[0, k)` → NULL.
+  */
+case class PqAdc(left: Expression, right: Expression, book: Seq[Double],
+    sub: Int) extends BinaryExpression {
+  require(sub >= 1 && book.nonEmpty && book.length % sub == 0,
+    "pq_adc: subdim >= 1 and |codebook| a non-zero multiple of subdim" +
+      s" (got |book|=${book.length}, sub=$sub)")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(IntegerType, _), ArrayType(FloatType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"pq_adc expects (array<int> code, array<float> query), got " +
+          s"${l.simpleString} / ${r.simpleString}")
+    }
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "pq_adc"
+  override def nullable: Boolean = true
+
+  private lazy val bookArr: Array[Double] = book.toArray
+
+  override protected def nullSafeEval(c: Any, q: Any): Any = {
+    val code = c.asInstanceOf[ArrayData]
+    val qv = q.asInstanceOf[ArrayData]
+    val m = code.numElements()
+    if (m == 0 || bookArr.length % (m * sub) != 0 ||
+      qv.numElements() < m * sub) return null
+    val k = bookArr.length / (m * sub)
+    var total = 0.0
+    var j = 0
+    while (j < m) {
+      if (code.isNullAt(j)) return null
+      val cj = code.getInt(j)
+      if (cj < 0 || cj >= k) return null
+      var t = 0.0
+      var i = 0
+      while (i < sub) {
+        if (qv.isNullAt(j * sub + i)) return null
+        val d = qv.getFloat(j * sub + i).toDouble -
+          bookArr((j * k + cj) * sub + i)
+        t += d * d
+        i += 1
+      }
+      total += t
+      j += 1
+    }
+    total
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (c, q) => {
+      val bk = ctx.addReferenceObj("adcBook", bookArr, "double[]")
+      val (m, k, j, i, cj, t, total, d) = (ctx.freshName("m"),
+        ctx.freshName("k"), ctx.freshName("j"), ctx.freshName("i"),
+        ctx.freshName("cj"), ctx.freshName("t"), ctx.freshName("total"),
+        ctx.freshName("d"))
+      s"""
+         |int $m = $c.numElements();
+         |if ($m == 0 || $bk.length % ($m * $sub) != 0 ||
+         |    $q.numElements() < $m * $sub) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $k = $bk.length / ($m * $sub);
+         |  double $total = 0.0;
+         |  for (int $j = 0; $j < $m && !${ev.isNull}; $j++) {
+         |    if ($c.isNullAt($j)) { ${ev.isNull} = true; break; }
+         |    int $cj = $c.getInt($j);
+         |    if ($cj < 0 || $cj >= $k) { ${ev.isNull} = true; break; }
+         |    double $t = 0.0;
+         |    for (int $i = 0; $i < $sub; $i++) {
+         |      if ($q.isNullAt($j * $sub + $i)) { ${ev.isNull} = true; break; }
+         |      double $d = (double) $q.getFloat($j * $sub + $i)
+         |        - $bk[($j * $k + $cj) * $sub + $i];
+         |      $t += $d * $d;
+         |    }
+         |    $total += $t;
+         |  }
+         |  ${ev.value} = $total;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): PqAdc =
+    copy(left = newLeft, right = newRight)
+}
+
 /** `ivf_assign(vec, norm, cents, mns, cells, dim)` — nearest-centroid
   * CELL ID by rounded cosine similarity: for each centroid c,
   * `sim_c = round(dot(vec, cents_c) / (norm · mns_c), 6)`; returns the
@@ -221,6 +337,13 @@ case class IvfAssign(left: Expression, right: Expression,
     books.length == mns.length * dim &&
     cells.sliding(2).forall(p => p.length < 2 || p(0) < p(1)),
     "ivf_assign: |cells|==|mns|, |books|==k*dim, cells strictly ascending")
+  // A zero (or negative/NaN) centroid norm would make `raw` NaN for a
+  // zero dot product, and the strict `>` record-high scan orders NaN
+  // differently from the composed max_by it replicates (max_by treats
+  // NaN as largest). Requiring positive norms makes the divergent case
+  // impossible by construction rather than silently wrong.
+  require(mns.forall(m => m > 0.0 && !java.lang.Double.isNaN(m)),
+    "ivf_assign: centroid norms must be strictly positive")
 
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
@@ -391,6 +514,23 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         PqAssign(args(0),
           args(1).eval().asInstanceOf[ArrayData].toDoubleArray().toSeq,
           args(2).eval().asInstanceOf[Number].intValue(),
+          args(3).eval().asInstanceOf[Number].intValue())
+      }))
+    // pq_adc(code, qvec, codebook, subdim): codebook/subdim foldable,
+    // same reference-object convention as pq_assign — the generated
+    // code stays constant-size at any codebook size.
+    ext.injectFunction((
+      new FunctionIdentifier("pq_adc"),
+      new ExpressionInfo(classOf[PqAdc].getName, "pq_adc"),
+      (args: Seq[Expression]) => {
+        require(args.length == 4, "pq_adc(code, qvec, codebook, subdim)")
+        require(args(2).foldable &&
+          args(2).dataType.isInstanceOf[ArrayType] &&
+          args(2).dataType.asInstanceOf[ArrayType].elementType == DoubleType,
+          "pq_adc codebook must be a foldable array<double>")
+        require(args(3).foldable, "pq_adc subdim must be foldable")
+        PqAdc(args(0), args(1),
+          args(2).eval().asInstanceOf[ArrayData].toDoubleArray().toSeq,
           args(3).eval().asInstanceOf[Number].intValue())
       }))
     ext.injectFunction((

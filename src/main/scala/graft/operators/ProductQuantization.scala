@@ -109,9 +109,23 @@ object ProductQuantization {
         element_at(codeCol, j + 1) + 1)
     }: _*)
 
+  /** ADC as a two-COLUMN expression — the serving shape: the query
+    * vector is an ordinary `array<float>` column (from a broadcast
+    * query table), so ONE plan serves any query-batch size, vs
+    * [[adcDistance]]'s per-query literal tables which force one union
+    * branch per query vector. Backed by the native codegen'd
+    * [[graft.functions.PqAdc]]; identical fp semantics (per-subspace
+    * left fold of (q-c)^2, subspace partials summed in order).
+    */
+  def adcDistCol(codeCol: Column, qvecCol: Column, books: Codebooks,
+      subDim: Int): Column =
+    call_function("pq_adc", codeCol, qvecCol,
+      typedLit(books.flatMap(_.flatMap(_.toSeq)).toSeq), lit(subDim))
+
   /** ADC: asymmetric distance from a DRIVER-side query vector to every
     * encoded row = sum over subspaces of a k-entry lookup table (the
-    * precomputed distances query-subvector ↔ centroids).
+    * precomputed distances query-subvector ↔ centroids). Kept for
+    * single-query probing; batch serving should use [[adcDistCol]].
     */
   def adcDistance(codeCol: Column, query: Array[Double],
       books: Codebooks, subDim: Int): Column =

@@ -18,6 +18,10 @@ object SimilarityQueries {
   private val NQueries = 5 // query-set size (vec_id < NQueries)
   private val Bits = 8 // sign-LSH code width (s2/s3/s6 share the index)
   private val LloydSteps = 2 // trained-quantizer rounds in s4 (both engines)
+  // PQ geometry shared by s7/s8/s9 and their generated oracles
+  private val PqSub = 8 // subspaces
+  private val PqSubDim = Dim / PqSub // components per subspace
+  private val PqK = 16 // centroids per subspace codebook
 
   /** Exact per-pair cosine scores: tiny query set broadcast against the
     * full corpus (scanned once). The ground truth s1 reports and s6
@@ -182,35 +186,32 @@ object SimilarityQueries {
     // past s5's int8: vectors become 8 code bytes against trained
     // per-subspace codebooks (operators.ProductQuantization, 32×
     // compression), and each query's distance to every encoded row is
-    // 8 literal-table lookups instead of 64 multiply-adds, all
-    // codegen'd. Deliberately a ROWS-ONLY gate (no oracleSql):
-    // mirroring 8 subspaces × 16 centroids × Lloyd training in oracle
-    // SQL is pure flake surface — the training determinism,
-    // compression, reconstruction-error and recall properties are
-    // spec-gated in ProductQuantizationSpec instead (NOTES.md), and
-    // training is integer-exact so this output is still reproducible
-    // across runs and partitionings. Only the k×subDim codebooks and
-    // the 5 query vectors touch the driver (dim-sized, the PQ
-    // equivalent of a broadcast dim table).
+    // 8 codebook lookups instead of 64 multiply-adds, all codegen'd
+    // (native `pq_adc`). Serving shape: the query set is a TABLE
+    // broadcast against the encoded corpus — ONE plan regardless of
+    // query-batch size (the prior form unioned one branch per query
+    // vector, so plan size and encoded-frame scans grew linearly with
+    // the batch; PlanSpec now pins the no-union shape). Training is
+    // integer-exact (partition-order independent), so the generated
+    // DuckDB oracle mirrors it mechanically the same way s4's
+    // trained-IVF oracle does. Only the subspace×k×subDim codebooks
+    // touch the driver (dim-sized, the PQ equivalent of a broadcast
+    // dim table).
     "s7_pq_adc_topk" -> ((s, d) => {
       import graft.operators.ProductQuantization
-      val subspaces = 8
-      val subDim = Dim / subspaces
       val e = embeddings(s, d)
       val books = ProductQuantization.train(
-        e, "embedding", "vec_id", subspaces, subDim, k = 16, steps = 1)
+        e, "embedding", "vec_id", PqSub, PqSubDim, PqK, steps = 1)
       val enc = ProductQuantization.encode(
-        e, "embedding", books, subDim, "code").persist()
-      val qvecs = e.filter(col("vec_id") < NQueries)
-        .select(col("vec_id"), col("embedding")).collect()
-        .map(r => r.getLong(0) ->
-          r.getSeq[Float](1).toArray.map(_.toDouble))
-      val sim = qvecs.map { case (qid, qv) =>
-        enc.filter(col("vec_id") =!= qid)
-          .select(lit(qid).as("q_id"), col("vec_id"),
-            round(ProductQuantization.adcDistance(
-              col("code"), qv, books, subDim), 6).as("adc_dist"))
-      }.reduce(_ unionAll _)
+        e, "embedding", books, PqSubDim, "code")
+      val q = e.filter(col("vec_id") < NQueries)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+      val sim = broadcast(q)
+        .join(enc.select(col("vec_id"), col("code")),
+          col("q_id") =!= col("vec_id"))
+        .select(col("q_id"), col("vec_id"),
+          round(ProductQuantization.adcDistCol(
+            col("code"), col("qv"), books, PqSubDim), 6).as("adc_dist"))
       val w = Window.partitionBy(col("q_id"))
         .orderBy(col("adc_dist").asc, col("vec_id").asc)
       sim.withColumn("rank", row_number().over(w).cast("long"))
@@ -224,32 +225,31 @@ object SimilarityQueries {
     // 100 TB this is the serving topology: the cell is the shuffle/
     // storage key, so a query touches one cell's worth of 8-byte
     // codes instead of the corpus — candidate IO drops by both the
-    // cell fan-out and the 32× code compression. Rows-only gate for
-    // the same reason as s7 (PQ oracle SQL = flake surface);
-    // membership-in-cell, reproducibility, and ranking contracts are
-    // spec-gated in PipelineSignalsSpec.
+    // cell fan-out and the 32× code compression. The query table is
+    // broadcast and the cell is the equi-join key, so one plan serves
+    // any query-batch size and the candidate join is an ordinary
+    // broadcast hash join on cell. Oracle = s4's generated cell CTEs
+    // composed with s7's generated codebook CTEs.
     "s8_ivfpq_topk" -> ((s, d) => {
       import graft.operators.ProductQuantization
-      val subspaces = 8
-      val subDim = Dim / subspaces
       val e = SimilarityOps.withNorm(embeddings(s, d), "embedding", "n")
       val cents = SimilarityOps.trainIvf(e, Dim, LloydSteps)
       val books = ProductQuantization.train(
-        e, "embedding", "vec_id", subspaces, subDim, k = 16, steps = 1)
+        e, "embedding", "vec_id", PqSub, PqSubDim, PqK, steps = 1)
+      val assigned = e.withColumn("cell",
+        SimilarityOps.ivfAssign(cents, Dim))
       val enc = ProductQuantization.encode(
-        e.withColumn("cell", SimilarityOps.ivfAssign(cents, Dim)),
-        "embedding", books, subDim, "code").persist()
-      val qrows = enc.filter(col("vec_id") < NQueries)
-        .select(col("vec_id"), col("embedding"), col("cell")).collect()
-        .sortBy(_.getLong(0))
-      val sim = qrows.map { r =>
-        val (qid, qcell) = (r.getLong(0), r.getLong(2))
-        val qv = r.getSeq[Float](1).toArray.map(_.toDouble)
-        enc.filter(col("cell") === qcell && col("vec_id") =!= qid)
-          .select(lit(qid).as("q_id"), col("vec_id"), col("cell"),
-            round(ProductQuantization.adcDistance(
-              col("code"), qv, books, subDim), 6).as("adc_dist"))
-      }.reduce(_ unionAll _)
+        assigned, "embedding", books, PqSubDim, "code")
+      val q = assigned.filter(col("vec_id") < NQueries)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qv"),
+          col("cell"))
+      val sim = broadcast(q)
+        .join(enc.select(col("vec_id"), col("cell"), col("code")),
+          Seq("cell"))
+        .filter(col("q_id") =!= col("vec_id"))
+        .select(col("q_id"), col("vec_id"), col("cell"),
+          round(ProductQuantization.adcDistCol(
+            col("code"), col("qv"), books, PqSubDim), 6).as("adc_dist"))
       val w = Window.partitionBy(col("q_id"))
         .orderBy(col("adc_dist").asc, col("vec_id").asc)
       sim.withColumn("rank", row_number().over(w).cast("long"))
@@ -262,58 +262,65 @@ object SimilarityQueries {
     // cell-boundary neighbors comes back at P× scan cost — still a
     // tiny corpus fraction), and (b) re-rank the ADC top candidates
     // by exact cosine over the full-precision vectors (ADC error
-    // cannot reorder the final top-k). Probe selection is pure
-    // driver-side arithmetic — query vectors AND centroids are
-    // dim-sized driver tables, so choosing P cells per query costs no
-    // Spark job. Candidate scan stays cell-pruned (isin over P cell
-    // ids); the exact re-rank touches only the ADC top CandPool rows
-    // per query. Rows-only gate like s7/s8; membership, re-rank
-    // ordering, and recall-dominance over single-probe are spec-gated.
+    // cannot reorder the final top-k). Probe selection is the
+    // broadcast query table cross-joined with the 8-row centroid
+    // table (a deliberate tiny-side cross join, like t9/x7) and
+    // ranked per query — fully distributed, one plan for any query
+    // batch. The candidate scan joins on cell (P rows per query in
+    // the broadcast side = P probed cells); the exact re-rank touches
+    // only the ADC top CandPool rows per query. Oracle composes s4's
+    // cell CTEs + s7's codebook CTEs + a probe CTE + the re-rank.
     "s9_ivfpq_multiprobe" -> ((s, d) => {
       import graft.operators.ProductQuantization
-      val subspaces = 8
-      val subDim = Dim / subspaces
       val Probes = 2
       val CandPool = 8 // ADC shortlist size per query before re-rank
       val e = SimilarityOps.withNorm(embeddings(s, d), "embedding", "n")
       val cents = SimilarityOps.trainIvf(e, Dim, LloydSteps)
       val books = ProductQuantization.train(
-        e, "embedding", "vec_id", subspaces, subDim, k = 16, steps = 1)
+        e, "embedding", "vec_id", PqSub, PqSubDim, PqK, steps = 1)
+      val assigned = e.withColumn("cell",
+        SimilarityOps.ivfAssign(cents, Dim))
       val enc = ProductQuantization.encode(
-        e.withColumn("cell", SimilarityOps.ivfAssign(cents, Dim)),
-        "embedding", books, subDim, "code").persist()
-      val qrows = e.filter(col("vec_id") < NQueries)
-        .select(col("vec_id"), col("embedding"), col("n")).collect()
-        .sortBy(_.getLong(0))
-      val k = cents.mns.length
-      val sim = qrows.map { r =>
-        val qid = r.getLong(0)
-        val qf = r.getSeq[Float](1).toArray
-        val qv = qf.map(_.toDouble)
-        val qn = r.getDouble(2)
-        // driver-side probe list: P nearest cells by raw cosine (desc,
-        // cell asc on ties) — same fold order as ivf_assign's loop
-        val probeCells = (0 until k).map { c =>
-          var dot = 0.0
-          var i = 0
-          while (i < Dim) { dot += qv(i) * cents.books(c * Dim + i); i += 1 }
-          (dot / (qn * cents.mns(c)), cents.cells(c))
-        }.sortBy { case (sim0, cell) => (-sim0, cell) }
-          .take(Probes).map(_._2)
-        enc.filter(col("cell").isInCollection(probeCells)
-            && col("vec_id") =!= qid)
-          .select(lit(qid).as("q_id"), col("vec_id"),
-            round(ProductQuantization.adcDistance(
-              col("code"), qv, books, subDim), 6).as("adc_dist"),
-            // exact full-precision cosine for the re-rank step
-            round(call_function("vec_dot", col("embedding"),
-              typedLit(qf.toSeq)) / (col("n") * lit(qn)), 6).as("sim"))
-      }.reduce(_ unionAll _)
+        assigned, "embedding", books, PqSubDim, "code")
+      // centroid table from the trained driver state (k rows — the
+      // same legitimacy class as a broadcast dim table)
+      val centDf = {
+        import s.implicits._
+        cents.cells.indices.map(c => (cents.cells(c),
+          cents.books.slice(c * Dim, (c + 1) * Dim).toSeq,
+          cents.mns(c))).toDF("cell", "cvec", "cn")
+      }
+      val q = e.filter(col("vec_id") < NQueries)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qv"),
+          col("n").as("qn"))
+      // per-query probe list: P nearest cells by rounded cosine
+      // (desc, cell asc on ties); the HOF fold runs over
+      // |queries|×k rows only, never the corpus
+      val pw = Window.partitionBy(col("q_id"))
+        .orderBy(col("csim").desc, col("cell").asc)
+      val qprobe = broadcast(q).crossJoin(broadcast(centDf))
+        .withColumn("csim", round(
+          expr("""aggregate(zip_with(cast(qv as array<double>), cvec,
+                   (x, y) -> x * y), 0d, (a, v) -> a + v)""")
+            / (col("qn") * col("cn")), 6))
+        .withColumn("prn", row_number().over(pw))
+        .filter(col("prn") <= Probes)
+        .select(col("q_id"), col("qv"), col("qn"), col("cell"))
+      val cand = broadcast(qprobe)
+        .join(enc.select(col("vec_id"), col("cell"), col("code"),
+          col("embedding"), col("n")), Seq("cell"))
+        .filter(col("q_id") =!= col("vec_id"))
+        .select(col("q_id"), col("vec_id"),
+          // exact full-precision cosine for the re-rank step
+          round(call_function("vec_dot", col("embedding"), col("qv"))
+            / (col("n") * col("qn")), 6).as("sim"),
+          round(ProductQuantization.adcDistCol(
+            col("code"), col("qv"), books, PqSubDim), 6).as("adc_dist"))
       val wAdc = Window.partitionBy(col("q_id"))
         .orderBy(col("adc_dist").asc, col("vec_id").asc)
       val wExact = Window.partitionBy(col("q_id"))
         .orderBy(col("sim").desc, col("vec_id").asc)
-      sim.withColumn("adc_rank", row_number().over(wAdc))
+      cand.withColumn("adc_rank", row_number().over(wAdc))
         .filter(col("adc_rank") <= CandPool) // ADC shortlist
         .withColumn("rank", row_number().over(wExact).cast("long"))
         .filter(col("rank") <= TopK) // exact-cosine final order
@@ -347,6 +354,153 @@ object SimilarityQueries {
   )
 
   // --- DuckDB fragments ------------------------------------------------
+  // All multi-term sums are GENERATED left-deep so the double fold
+  // order matches the Spark side exactly (native expressions fold in
+  // index order); see s4's oracle note.
+
+  /** The trained-IVF CTE chain (seed + LloydSteps rounds), ending in
+    * `assigned{LloydSteps}(vec_id, embedding, cell)` — s4's proven
+    * mechanical mirror of [[SimilarityOps.trainIvf]], shared by the
+    * s8/s9 oracles which route by the same trained cells. The final
+    * round also leaves `cm{LloydSteps}` (per-cell means m1..m64 + norm
+    * mn) in scope — the centroid table the s9 probe CTE scores
+    * against.
+    */
+  private lazy val ivfCtes: String = {
+    def chain(f: Int => String): String =
+      (1 to Dim).map(f).mkString("(", " + ", ")")
+    val sumsSql = (1 to Dim).map(i =>
+      s"sum(CAST(floor(embedding[$i]*1000000.0 + 0.5) AS BIGINT)) AS s$i")
+      .mkString(", ")
+    val msSql = (1 to Dim).map(i =>
+      s"CAST(s$i AS DOUBLE)/cnt/1000000.0 AS m$i").mkString(", ")
+    val mnSql = "sqrt" + chain(i => s"m$i*m$i")
+    val dotSql = chain(i => s"CAST(e.embedding[$i] AS DOUBLE)*c.m$i")
+    val xnSql = "sqrt(list_sum(list_transform(e.embedding, " +
+      "x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))"
+    val rounds = (1 to LloydSteps).map { n =>
+      val pc = s"cell${n - 1}"
+      val outCell = if (n == LloydSteps) "cell" else s"cell$n"
+      s"""cent$n AS (
+          SELECT $pc, count(*) AS cnt, $sumsSql
+          FROM assigned${n - 1} GROUP BY $pc),
+        ms$n AS (SELECT $pc, $msSql FROM cent$n),
+        cm$n AS (SELECT $pc,
+            ${(1 to Dim).map(i => s"m$i").mkString(", ")},
+            $mnSql AS mn
+          FROM ms$n),
+        scored$n AS (
+          SELECT e.vec_id, e.embedding, c.$pc,
+            round($dotSql / ($xnSql * c.mn), 6) AS csim
+          FROM embeddings e CROSS JOIN cm$n c),
+        assigned$n AS (
+          SELECT vec_id, embedding, $pc AS $outCell FROM (
+            SELECT vec_id, embedding, $pc, csim,
+              row_number() OVER (PARTITION BY vec_id
+                ORDER BY csim DESC, $pc ASC) AS rn
+            FROM scored$n) WHERE rn = 1)"""
+    }.mkString(",\n          ")
+    s"""seeds AS (
+          SELECT vec_id AS c_id, embedding AS cvec FROM embeddings
+          WHERE vec_id < 8),
+        scored0 AS (
+          SELECT e.vec_id, e.embedding, c.c_id,
+            round(${dCos("e.embedding", "c.cvec")}, 6) AS csim
+          FROM embeddings e CROSS JOIN seeds c),
+        assigned0 AS (
+          SELECT vec_id, embedding, c_id AS cell0 FROM (
+            SELECT vec_id, embedding, c_id, csim,
+              row_number() OVER (PARTITION BY vec_id
+                ORDER BY csim DESC, c_id ASC) AS rn
+            FROM scored0) WHERE rn = 1),
+        $rounds"""
+  }
+
+  /** Per-subspace squared-L2 chain between `$e.embedding`'s j-th
+    * sub-vector and codebook row `$b` (m1..m{PqSubDim}), where j is
+    * `$b`'s own column — one expression scores every (vector,
+    * subspace, centroid) triple.
+    */
+  private def pqDistChain(e: String, b: String): String =
+    (1 to PqSubDim).map { i =>
+      val x = s"CAST($e.embedding[$b.j*$PqSubDim + $i] AS DOUBLE)"
+      s"($x - $b.m$i)*($x - $b.m$i)"
+    }.mkString("(", " + ", ")")
+
+  /** The PQ training + encode CTE chain — the mechanical mirror of
+    * [[ProductQuantization.train]] (seeded init = first PqK rows'
+    * subvector slices; one Lloyd step of integer-exact sums; empty
+    * cells keep their seed centroid via the LEFT JOIN + coalesce) and
+    * [[ProductQuantization.encode]]. Ends in `pqbook(j, c, m1..)` and
+    * `pqenc(vec_id, c0..c{PqSub-1})`.
+    */
+  private lazy val pqCtes: String = {
+    val ms0 = (1 to PqSubDim).map(i =>
+      s"CAST(s.embedding[j.j*$PqSubDim + $i] AS DOUBLE) AS m$i")
+      .mkString(", ")
+    val sums = (1 to PqSubDim).map(i =>
+      s"sum(CAST(floor(CAST(e.embedding[a.j*$PqSubDim + $i] AS DOUBLE)" +
+        s"*1000000.0 + 0.5) AS BIGINT)) AS s$i").mkString(", ")
+    val means = (1 to PqSubDim).map(i =>
+      s"coalesce(CAST(t.s$i AS DOUBLE)/t.cnt/1000000.0, b.m$i) AS m$i")
+      .mkString(", ")
+    val codeCols = (0 until PqSub).map(j =>
+      s"max(CASE WHEN j = $j THEN code END) AS c$j").mkString(", ")
+    s"""pqseed AS (
+          SELECT embedding, row_number() OVER (ORDER BY vec_id) - 1 AS c
+          FROM (SELECT vec_id, embedding FROM embeddings
+                ORDER BY vec_id LIMIT $PqK)),
+        pqb0 AS (
+          SELECT j.j, s.c, $ms0
+          FROM pqseed s CROSS JOIN range($PqSub) j(j)),
+        pqsc0 AS (
+          SELECT e.vec_id, b.j, b.c, ${pqDistChain("e", "b")} AS dist
+          FROM embeddings e CROSS JOIN pqb0 b),
+        pqa0 AS (
+          SELECT vec_id, j, c AS code FROM (
+            SELECT vec_id, j, c, row_number() OVER (PARTITION BY vec_id, j
+              ORDER BY dist ASC, c ASC) AS rn
+            FROM pqsc0) WHERE rn = 1),
+        pqcent AS (
+          SELECT a.j, a.code, count(*) AS cnt, $sums
+          FROM pqa0 a JOIN embeddings e ON a.vec_id = e.vec_id
+          GROUP BY a.j, a.code),
+        pqbook AS (
+          SELECT b.j, b.c, $means
+          FROM pqb0 b LEFT JOIN pqcent t ON t.j = b.j AND t.code = b.c),
+        pqsc AS (
+          SELECT e.vec_id, b.j, b.c, ${pqDistChain("e", "b")} AS dist
+          FROM embeddings e CROSS JOIN pqbook b),
+        pqcode AS (
+          SELECT vec_id, j, c AS code FROM (
+            SELECT vec_id, j, c, row_number() OVER (PARTITION BY vec_id, j
+              ORDER BY dist ASC, c ASC) AS rn
+            FROM pqsc) WHERE rn = 1),
+        pqenc AS (
+          SELECT vec_id, $codeCols FROM pqcode GROUP BY vec_id)"""
+  }
+
+  /** ADC distance chain for candidate `c` (joined to pqbook rows
+    * b0..b{PqSub-1}) against query `$q`'s embedding: per-subspace
+    * left-deep (q-m)^2 chains, subspace partials summed in ascending-j
+    * order — the exact fp op order of the native `pq_adc`.
+    */
+  private def adcChain(q: String): String =
+    (0 until PqSub).map { j =>
+      (1 to PqSubDim).map { i =>
+        val x = s"CAST($q.embedding[${j * PqSubDim + i}] AS DOUBLE)"
+        s"($x - b$j.m$i)*($x - b$j.m$i)"
+      }.mkString("(", " + ", ")")
+    }.mkString("(", " + ", ")")
+
+  /** The PqSub codebook joins resolving candidate `c`'s code ids to
+    * centroid rows b0..b{PqSub-1}.
+    */
+  private lazy val pqBookJoins: String =
+    (0 until PqSub).map(j =>
+      s"JOIN pqbook b$j ON b$j.j = $j AND b$j.c = c.c$j")
+      .mkString("\n          ")
+
   private def dCast(v: String) = s"list_transform($v, x -> CAST(x AS DOUBLE))"
   private def dCos(a: String, b: String): String =
     s"""(list_sum(list_transform(range(1, len($a) + 1),
@@ -390,70 +544,112 @@ object SimilarityQueries {
             FROM sim)
           SELECT q_id, vec_id, sim, rank FROM r WHERE rank <= $TopK""",
     "s4_ivf_topk" -> {
-      // Same seeded Lloyd rounds as the Spark side: every 64-term chain
-      // is generated left-deep so the double fold order matches
-      // exactly, and each of the LloydSteps rounds emits one
-      // cent/ms/cm/scored/assigned CTE block.
-      def chain(f: Int => String): String =
-        (1 to Dim).map(f).mkString("(", " + ", ")")
-      val sumsSql = (1 to Dim).map(i =>
-        s"sum(CAST(floor(embedding[$i]*1000000.0 + 0.5) AS BIGINT)) AS s$i")
-        .mkString(", ")
-      val msSql = (1 to Dim).map(i =>
-        s"CAST(s$i AS DOUBLE)/cnt/1000000.0 AS m$i").mkString(", ")
-      val mnSql = "sqrt" + chain(i => s"m$i*m$i")
-      val dotSql = chain(i => s"CAST(e.embedding[$i] AS DOUBLE)*c.m$i")
-      val xnSql = "sqrt(list_sum(list_transform(e.embedding, " +
-        "x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))"
-      val rounds = (1 to LloydSteps).map { n =>
-        val pc = s"cell${n - 1}"
-        val outCell = if (n == LloydSteps) "cell" else s"cell$n"
-        s"""cent$n AS (
-            SELECT $pc, count(*) AS cnt, $sumsSql
-            FROM assigned${n - 1} GROUP BY $pc),
-          ms$n AS (SELECT $pc, $msSql FROM cent$n),
-          cm$n AS (SELECT $pc,
-              ${(1 to Dim).map(i => s"m$i").mkString(", ")},
-              $mnSql AS mn
-            FROM ms$n),
-          scored$n AS (
-            SELECT e.vec_id, e.embedding, c.$pc,
-              round($dotSql / ($xnSql * c.mn), 6) AS csim
-            FROM embeddings e CROSS JOIN cm$n c),
-          assigned$n AS (
-            SELECT vec_id, embedding, $pc AS $outCell FROM (
-              SELECT vec_id, embedding, $pc, csim,
-                row_number() OVER (PARTITION BY vec_id
-                  ORDER BY csim DESC, $pc ASC) AS rn
-              FROM scored$n) WHERE rn = 1)"""
-      }.mkString(",\n          ")
+      // Same seeded Lloyd rounds as the Spark side, via the shared
+      // generator (left-deep chains; one cent/ms/cm/scored/assigned
+      // CTE block per round).
       val last = s"assigned$LloydSteps"
-      s"""WITH seeds AS (
-            SELECT vec_id AS c_id, embedding AS cvec FROM embeddings
-            WHERE vec_id < 8),
-          scored0 AS (
-            SELECT e.vec_id, e.embedding, c.c_id,
-              round(${dCos("e.embedding", "c.cvec")}, 6) AS csim
-            FROM embeddings e CROSS JOIN seeds c),
-          assigned0 AS (
-            SELECT vec_id, embedding, c_id AS cell0 FROM (
-              SELECT vec_id, embedding, c_id, csim,
-                row_number() OVER (PARTITION BY vec_id
-                  ORDER BY csim DESC, c_id ASC) AS rn
-              FROM scored0) WHERE rn = 1),
-          $rounds,
+      s"""WITH $ivfCtes,
           sim AS (
             SELECT q.vec_id AS q_id, c.vec_id AS vec_id,
               round(${dCos("q.embedding", "c.embedding")}, 6) AS sim
             FROM $last q JOIN $last c
               ON q.cell = c.cell AND q.vec_id <> c.vec_id
-            WHERE q.vec_id < 5),
+            WHERE q.vec_id < $NQueries),
           r AS (
             SELECT q_id, vec_id, sim,
               CAST(row_number() OVER (PARTITION BY q_id
                 ORDER BY sim DESC, vec_id ASC) AS BIGINT) AS rank
             FROM sim)
           SELECT q_id, vec_id, sim, rank FROM r WHERE rank <= $TopK"""
+    },
+    // s7/s8/s9: the PQ training + encode mirror is GENERATED the same
+    // way s4's trained-IVF mirror is — integer-exact training on both
+    // engines makes the codebooks deterministic by construction, and
+    // every fp chain is emitted left-deep to match the native
+    // expressions' fold order.
+    "s7_pq_adc_topk" ->
+      s"""WITH $pqCtes,
+          adc AS (
+            SELECT q.vec_id AS q_id, c.vec_id AS vec_id,
+              round(${adcChain("q")}, 6) AS adc_dist
+            FROM embeddings q
+            JOIN pqenc c ON q.vec_id <> c.vec_id
+            $pqBookJoins
+            WHERE q.vec_id < $NQueries),
+          r AS (
+            SELECT q_id, vec_id, adc_dist,
+              CAST(row_number() OVER (PARTITION BY q_id
+                ORDER BY adc_dist ASC, vec_id ASC) AS BIGINT) AS rank
+            FROM adc)
+          SELECT q_id, vec_id, adc_dist, rank FROM r WHERE rank <= $TopK""",
+    "s8_ivfpq_topk" ->
+      s"""WITH $ivfCtes,
+          $pqCtes,
+          q8 AS (
+            SELECT vec_id AS q_id, embedding, cell
+            FROM assigned$LloydSteps WHERE vec_id < $NQueries),
+          adc AS (
+            SELECT q.q_id, a.vec_id, a.cell,
+              round(${adcChain("q")}, 6) AS adc_dist
+            FROM q8 q
+            JOIN assigned$LloydSteps a
+              ON a.cell = q.cell AND a.vec_id <> q.q_id
+            JOIN pqenc c ON c.vec_id = a.vec_id
+            $pqBookJoins),
+          r AS (
+            SELECT q_id, vec_id, cell, adc_dist,
+              CAST(row_number() OVER (PARTITION BY q_id
+                ORDER BY adc_dist ASC, vec_id ASC) AS BIGINT) AS rank
+            FROM adc)
+          SELECT q_id, vec_id, cell, adc_dist, rank
+          FROM r WHERE rank <= $TopK""",
+    "s9_ivfpq_multiprobe" -> {
+      // probe CTE: score each query against the FINAL trained
+      // centroids (cm{LloydSteps}: means m1..m64 + norm mn, cell label
+      // column cell{LloydSteps-1}) by rounded cosine — the mirror of
+      // the Spark side's query-table × centroid-table cross join
+      val cm = s"cm$LloydSteps"
+      val cellCol = s"cell${LloydSteps - 1}"
+      val probeDot = (1 to Dim)
+        .map(i => s"CAST(q.embedding[$i] AS DOUBLE)*c.m$i")
+        .mkString("(", " + ", ")")
+      val qn = "sqrt(list_sum(list_transform(embedding, " +
+        "x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))"
+      s"""WITH $ivfCtes,
+          $pqCtes,
+          q9 AS (
+            SELECT vec_id AS q_id, embedding, $qn AS qn
+            FROM embeddings WHERE vec_id < $NQueries),
+          prsc AS (
+            SELECT q.q_id, q.embedding, c.$cellCol AS cell,
+              round($probeDot / (q.qn * c.mn), 6) AS csim
+            FROM q9 q CROSS JOIN $cm c),
+          probe AS (
+            SELECT q_id, embedding, cell FROM (
+              SELECT q_id, embedding, cell, row_number() OVER (
+                PARTITION BY q_id ORDER BY csim DESC, cell ASC) AS rn
+              FROM prsc) WHERE rn <= 2),
+          cand AS (
+            SELECT q.q_id, a.vec_id,
+              round(${dCos("q.embedding", "a.embedding")}, 6) AS sim,
+              round(${adcChain("q")}, 6) AS adc_dist
+            FROM probe q
+            JOIN assigned$LloydSteps a
+              ON a.cell = q.cell AND a.vec_id <> q.q_id
+            JOIN pqenc c ON c.vec_id = a.vec_id
+            $pqBookJoins),
+          shortlist AS (
+            SELECT q_id, vec_id, sim, adc_dist,
+              row_number() OVER (PARTITION BY q_id
+                ORDER BY adc_dist ASC, vec_id ASC) AS adc_rank
+            FROM cand),
+          r AS (
+            SELECT q_id, vec_id, sim, adc_dist,
+              CAST(row_number() OVER (PARTITION BY q_id
+                ORDER BY sim DESC, vec_id ASC) AS BIGINT) AS rank
+            FROM shortlist WHERE adc_rank <= 8)
+          SELECT q_id, vec_id, sim, adc_dist, rank
+          FROM r WHERE rank <= $TopK"""
     },
     "s5_quantize" ->
       """WITH s AS (

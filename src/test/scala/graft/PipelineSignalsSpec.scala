@@ -74,10 +74,15 @@ class PipelineSignalsSpec extends SparkSpec {
   }
 
   test("s8: IVFPQ candidates share the query's trained cell") {
+    spark.catalog.clearCache() // isolate from earlier suites' frames
     val out = SparkEntry.queries("s8_ivfpq_topk")(spark, d)
       .select("q_id", "vec_id", "cell", "adc_dist", "rank")
       .as[(Long, Long, Long, Double, Long)].collect()
-    spark.catalog.clearCache()
+    // serving queries must not leak cached frames into the session
+    // (the old per-query-branch shape persisted the encoded frame and
+    // never released it)
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "s8 left persisted frames behind")
     assert(out.nonEmpty)
     // every candidate row carries the cell it was scanned from; it
     // must equal the query's own assignment under the SAME trained
@@ -102,10 +107,12 @@ class PipelineSignalsSpec extends SparkSpec {
   }
 
   test("s9: multi-probe + re-rank is exact-ordered and dominates single-probe recall") {
+    spark.catalog.clearCache() // isolate from earlier suites' frames
     val out = SparkEntry.queries("s9_ivfpq_multiprobe")(spark, d)
       .select("q_id", "vec_id", "sim", "adc_dist", "rank")
       .as[(Long, Long, Double, Double, Long)].collect()
-    spark.catalog.clearCache()
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "s9 left persisted frames behind")
     assert(out.nonEmpty)
     // final ranking follows EXACT cosine (the re-rank contract), with
     // contiguous ranks per query
@@ -127,19 +134,19 @@ class PipelineSignalsSpec extends SparkSpec {
     val r8 = recallOf(
       SparkEntry.queries("s8_ivfpq_topk")(spark, d)
         .select("q_id", "vec_id").as[(Long, Long)].collect())
-    spark.catalog.clearCache()
     assert(r9 >= r8, s"multi-probe recall $r9 < single-probe $r8")
   }
 
   test("s7: PQ-ADC top-k is well-formed and reproducible") {
+    spark.catalog.clearCache() // isolate from earlier suites' frames
     def run() = SparkEntry.queries("s7_pq_adc_topk")(spark, d)
       .select("q_id", "vec_id", "adc_dist", "rank")
       .as[(Long, Long, Double, Long)].collect()
       .sortBy(r => (r._1, r._4))
     val a = run()
-    spark.catalog.clearCache()
     val b = run()
-    spark.catalog.clearCache()
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "s7 left persisted frames behind")
     assert(a.toSeq === b.toSeq) // integer-exact training => reproducible
     assert(a.forall(_._3 >= 0.0)) // squared distances
     a.groupBy(_._1).foreach { case (q, rs) =>

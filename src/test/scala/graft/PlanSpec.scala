@@ -109,4 +109,26 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("NestedLoop"), p)
     assert(p.contains("HashJoin") || p.contains("SortMergeJoin"), p)
   }
+
+  test("ANN serving queries build ONE plan for the whole query batch") {
+    // the per-query shape (a driver loop unioning one filter branch +
+    // literal ADC tables per query vector) scales plan size and
+    // encoded-frame scans linearly with the batch; the serving shape
+    // is a broadcast query TABLE, so the plan must contain no Union
+    // and the candidate side must join broadcast
+    for (q <- Seq("s7_pq_adc_topk", "s8_ivfpq_topk", "s9_ivfpq_multiprobe")) {
+      val p = planOf(q)
+      assert(!p.contains("Union"),
+        s"$q: per-query union branches are back:\n$p")
+      assert(p.contains("BroadcastHashJoin") ||
+        p.contains("BroadcastNestedLoopJoin"), s"$q: query side not broadcast")
+    }
+    // and the cell-routed variants join candidates on the cell key
+    for (q <- Seq("s8_ivfpq_topk", "s9_ivfpq_multiprobe")) {
+      val p = planOf(q)
+      val joinLine = p.linesIterator
+        .find(l => l.contains("BroadcastHashJoin") && l.contains("cell"))
+      assert(joinLine.isDefined, s"$q: no broadcast hash join on cell:\n$p")
+    }
+  }
 }

@@ -22,13 +22,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     coreQueries ++ WindowQueries.all ++ PivotQueries.all ++
       TextQueries.all ++ DedupQueries.all ++ SimilarityQueries.all ++
-      StreamingQueries.all ++ MultimodalQueries.all ++ ExtraQueries.all
+      StreamingQueries.all ++ MultimodalQueries.all ++ ExtraQueries.all ++
+      CvQueries.all
 
   def oracleSql: Map[String, String] =
     coreOracle ++ WindowQueries.oracle ++ PivotQueries.oracle ++
       TextQueries.oracle ++ DedupQueries.oracle ++ SimilarityQueries.oracle ++
       StreamingQueries.oracle ++ MultimodalQueries.oracle ++
-      ExtraQueries.oracle
+      ExtraQueries.oracle ++ CvQueries.oracle
 
   // ---------------------------------------------------------------------
   // Core relational inventory: scans (S), projections/filters (P),

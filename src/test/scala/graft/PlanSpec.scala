@@ -110,6 +110,14 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("HashJoin") || p.contains("SortMergeJoin"), p)
   }
 
+  test("CV validation anti-joins broadcast the vocabulary") {
+    // the CV dims are tiny; a shuffled anti-join would move the whole
+    // fact table for an 8-row vocabulary
+    val p = planOf("cv1_violations")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("ANN serving queries build ONE plan for the whole query batch") {
     // the per-query shape (a driver loop unioning one filter branch +
     // literal ADC tables per query vector) scales plan size and

@@ -58,6 +58,26 @@ object ScaleProbe {
       graft.operators.DedupOps
         .duplicateClusters(docs, pairs, "doc_id")
         .write.format("noop").mode("overwrite").save()
+      print(s"  [rounds=${graft.operators.DedupOps.lastIterations}] ")
+      spark.catalog.clearCache()
+    }
+
+    // same graph, seeded with the bucket-local min (each group of 5 is
+    // one bucket — the near-clique shape LSH produces): the seed IS
+    // the fixpoint, so the loop pays only its confirming round
+    time("dup clusters seeded (2M)", docsN) {
+      val docs = spark.range(docsN).select(col("id").as("doc_id"))
+      val buckets = spark.range(docsN).select(
+        col("id").as("doc_id"), lit(0L).as("band"),
+        (col("id") - col("id") % 5).as("bucket"))
+      val pairs = spark.range(docsN)
+        .filter(col("id") % 5 =!= 0)
+        .select((col("id") - col("id") % 5).as("a"), col("id").as("b"))
+      graft.operators.DedupOps
+        .duplicateClusters(docs, pairs, "doc_id", initLabels =
+          Some(graft.operators.DedupOps.bucketLocalMin(buckets, "doc_id")))
+        .write.format("noop").mode("overwrite").save()
+      print(s"  [rounds=${graft.operators.DedupOps.lastIterations}] ")
       spark.catalog.clearCache()
     }
 

@@ -199,6 +199,31 @@ object DedupOps {
       }
   }
 
+  /** Bucket-local minimum labels: for each doc, the smallest doc id
+    * sharing ANY of its (band, bucket) LSH buckets — exactly the
+    * neighbor-min a first min-propagation round would compute, but as
+    * two aggregations over the bucket frame instead of an edge
+    * self-join + join + aggregation. Used to SEED
+    * [[duplicateClusters]]: LSH candidate graphs are near-clique per
+    * duplicate group (often one bucket = one whole cluster), so the
+    * seed is frequently already the fixpoint and the loop only pays
+    * its confirming round. Returns `(idCol, cluster_id)`.
+    */
+  def bucketLocalMin(buckets: DataFrame, idCol: String): DataFrame = {
+    val gmin = buckets.groupBy(col("band"), col("bucket"))
+      .agg(min(col(idCol)).as("gmin"))
+    buckets.join(gmin, Seq("band", "bucket"))
+      .groupBy(col(idCol))
+      .agg(min(col("gmin")).as("cluster_id"))
+  }
+
+  /** Iteration count of the most recent [[duplicateClusters]] run —
+    * instrumentation for specs and ScaleProbe (the seeded-start
+    * round-count claim is measured, not asserted). Thread-local would
+    * be overkill: the builders run one loop at a time.
+    */
+  @volatile private[graft] var lastIterations: Int = 0
+
   /** Duplicate-cluster resolution: connected components of the LSH
     * candidate-pair graph by iterative min-label propagation — every doc
     * maps to the smallest doc id reachable through candidate pairs
@@ -214,9 +239,18 @@ object DedupOps {
     * switch to the alternating large-star/small-star algorithm
     * (same join shapes, O(log n) rounds); min-propagation is the right
     * tool for bounded near-clique candidate graphs.
+    *
+    * `initLabels` (optional, `(idCol, cluster_id)`) seeds the loop with
+    * precomputed labels — e.g. [[bucketLocalMin]], which unrolls the
+    * first propagation round into two cheap aggregations. Contract:
+    * every seed label must be the id of a node in the SAME component
+    * (a neighborhood min satisfies this); docs absent from the seed
+    * start at identity. The fixpoint — and therefore the result — is
+    * unchanged by seeding (spec-asserted); only the round count drops.
     */
   def duplicateClusters(docs: DataFrame, pairs: DataFrame,
-      idCol: String, maxIter: Int = 50): DataFrame = {
+      idCol: String, maxIter: Int = 50,
+      initLabels: Option[DataFrame] = None): DataFrame = {
     val edges = pairs.select(col("a"), col("b"))
       .union(pairs.select(col("b").as("a"), col("a").as("b")))
       .persist()
@@ -238,9 +272,17 @@ object DedupOps {
     // Each round carries prev_id so convergence is a filter over the
     // new iterate, not a self-join against the frame being replaced.
     val ckpt = new Checkpointer(docs.sparkSession)
-    var cached = ckpt.truncate(connected
-      .withColumn("prev_id", col(idCol))
-      .withColumn("cluster_id", col(idCol)))
+    val start = initLabels match {
+      case Some(init) => connected
+        .join(init.select(col(idCol), col("cluster_id").as("__seed")),
+          Seq(idCol), "left")
+        .select(col(idCol), col(idCol).as("prev_id"),
+          coalesce(col("__seed"), col(idCol)).as("cluster_id"))
+      case None => connected
+        .withColumn("prev_id", col(idCol))
+        .withColumn("cluster_id", col(idCol))
+    }
+    var cached = ckpt.truncate(start)
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
@@ -260,6 +302,7 @@ object DedupOps {
       converged = changed == 0
       iter += 1
     }
+    lastIterations = iter
     edges.unpersist()
     // Returning labels from a non-fixpoint would silently split real
     // clusters (and hash-mismatch the oracle's exact closure) — fail

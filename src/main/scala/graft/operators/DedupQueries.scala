@@ -98,8 +98,17 @@ object DedupQueries {
         DedupOps.withMinHash(documents(s, d), "text", K),
         "doc_id", K, RowsPerBand).persist()
       val pairs = DedupOps.lshCandidatePairs(buckets, "doc_id")
-      DedupOps.duplicateClusters(
-        documents(s, d).select(col("doc_id")), pairs, "doc_id")
+      // seed with the bucket-local min: the first propagation round
+      // unrolled into two aggregations over the (already persisted)
+      // bucket frame — on LSH's near-clique graphs the loop usually
+      // only pays its confirming round (measured in ScaleProbe)
+      val out = DedupOps.duplicateClusters(
+        documents(s, d).select(col("doc_id")), pairs, "doc_id",
+        initLabels = Some(DedupOps.bucketLocalMin(buckets, "doc_id")))
+      // out is materialized (persisted + counted) before return, so
+      // the bucket frame can be released here instead of leaking
+      buckets.unpersist()
+      out
     }),
 
     // d10: benchmark decontamination — flag training documents that

@@ -96,6 +96,31 @@ class TextDedupSpec extends SparkSpec {
       5L -> 5L, 6L -> 5L, 7L -> 7L))
   }
 
+  test("seeded clustering (bucket-local min) is result-identical in fewer rounds") {
+    // LSH-shaped input: buckets whose member sets define the clusters.
+    // Docs 1-4 share buckets transitively (1,2|2,3 in band 0; 3,4 in
+    // band 1), 5-6 pair up, 7 is bucketed alone.
+    val buckets = Seq(
+      (1L, 0L, 100L), (2L, 0L, 100L), (2L, 0L, 101L), (3L, 0L, 101L),
+      (3L, 1L, 200L), (4L, 1L, 200L), (5L, 0L, 300L), (6L, 0L, 300L),
+      (7L, 0L, 400L)).toDF("doc_id", "band", "bucket")
+    val docs = (1L to 7L).toDF("doc_id")
+    val pairs = DedupOps.lshCandidatePairs(buckets, "doc_id")
+    val plain = DedupOps.duplicateClusters(docs, pairs, "doc_id")
+      .orderBy("doc_id").as[(Long, Long)].collect().toSeq
+    val plainIters = DedupOps.lastIterations
+    val seeded = DedupOps.duplicateClusters(docs, pairs, "doc_id",
+        initLabels = Some(DedupOps.bucketLocalMin(buckets, "doc_id")))
+      .orderBy("doc_id").as[(Long, Long)].collect().toSeq
+    val seededIters = DedupOps.lastIterations
+    assert(seeded === plain) // the fixpoint is seed-independent
+    assert(seeded === Seq(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      5L -> 5L, 6L -> 5L, 7L -> 7L))
+    // the seed IS round 1's neighbor-min, so the loop saves >= 1 round
+    assert(seededIters < plainIters,
+      s"seeded $seededIters vs unseeded $plainIters rounds")
+  }
+
   test("large/small-star clustering collapses a chain past min-prop's reach") {
     // A 61-node chain has diameter 60: min-propagation needs 60 rounds
     // (capped here at 10 — each un-checkpointed round also grows the

@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.operators.{DedupOps, TextOps}
 
@@ -16,6 +16,46 @@ object DedupQueries {
   private val K = 4 // minhash signature width in the checked queries
   private val RowsPerBand = 2
   private val DecontamN = 8 // decontamination word-n-gram width
+
+  // --- shared corpus-assembly stages (x8 gate + x10 funnel) ----------
+  // Each stage frame/predicate is defined ONCE and composed by both
+  // queries, so the funnel report can never drift from the gate it
+  // observes (previously x10 re-implemented these by copy; only the
+  // final stage was cross-checked).
+
+  /** Exact-dedup survivor ids (d1's winners). */
+  private def survivorIds(docs: DataFrame): DataFrame =
+    DedupOps.exactDupGroups(docs, "text", "doc_id")
+      .select(col("keep_id").as("doc_id"))
+
+  /** Benchmark/holdout membership (the synthetic eval split). */
+  private def isHoldout: Column = col("doc_id") % 20 === 7
+
+  /** Ids of training docs sharing any word DecontamN-gram with the
+    * holdout set (d10's contamination criterion). The bench gram set
+    * broadcasts; explode_outer dodges the InferFiltersFromGenerate
+    * trap (see d10).
+    */
+  private def contaminatedIds(docs: DataFrame): DataFrame = {
+    val staged = docs
+      .withColumn("__toks", TextOps.tokens(col("text")))
+      .withColumn("__gs",
+        TextOps.shinglesFromTokens(col("__toks"), DecontamN))
+    val benchGrams = staged.filter(isHoldout)
+      .select(explode_outer(col("__gs")).as("g")).distinct()
+    staged.filter(!isHoldout)
+      .select(col("doc_id"), explode_outer(col("__gs")).as("g"))
+      .join(broadcast(benchGrams), Seq("g"))
+      .select("doc_id").distinct()
+  }
+
+  /** Deterministic 0-99 split bucket (x4's hash split). */
+  private def splitBucket: Column =
+    pmod(TextOps.hash15(concat(lit("split|"), col("doc_id"))), lit(100))
+
+  /** Minimum-length quality floor. */
+  private def lengthOk: Column =
+    size(TextOps.tokens(col("text"))) >= 40
 
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     // d1: exact dedup — survivor + duplicate count per content hash.
@@ -149,29 +189,17 @@ object DedupQueries {
     // bucket), and (e) above a minimum length; report the surviving
     // corpus per (lang, source). Every predicate is a pure function of
     // content/id (hash semi/anti joins, no rand()), so the final corpus
-    // is reproducible across runs, engines, and repartitioning.
+    // is reproducible across runs, engines, and repartitioning. Stage
+    // frames/predicates are the SHARED builders below — x10's funnel
+    // reports on literally the same stages.
     "x8_corpus_final" -> ((s, d) => {
       val docs = documents(s, d)
-      val survivors = DedupOps.exactDupGroups(docs, "text", "doc_id")
-        .select(col("keep_id").as("doc_id"))
-      val staged = docs
-        .withColumn("__toks", TextOps.tokens(col("text")))
-        .withColumn("__gs",
-          TextOps.shinglesFromTokens(col("__toks"), DecontamN))
-      val benchGrams = staged.filter(col("doc_id") % 20 === 7)
-        .select(explode_outer(col("__gs")).as("g")).distinct()
-      val contaminated = staged.filter(col("doc_id") % 20 =!= 7)
-        .select(col("doc_id"), explode_outer(col("__gs")).as("g"))
-        .join(broadcast(benchGrams), Seq("g"))
-        .select("doc_id").distinct()
-      val bucket = pmod(TextOps.hash15(
-        concat(lit("split|"), col("doc_id"))), lit(100))
       docs
-        .join(survivors, Seq("doc_id"), "left_semi")
-        .join(contaminated, Seq("doc_id"), "left_anti")
-        .filter(col("doc_id") % 20 =!= 7)
-        .filter(bucket < 80)
-        .filter(size(TextOps.tokens(col("text"))) >= 40)
+        .join(survivorIds(docs), Seq("doc_id"), "left_semi")
+        .join(contaminatedIds(docs), Seq("doc_id"), "left_anti")
+        .filter(!isHoldout)
+        .filter(splitBucket < 80)
+        .filter(lengthOk)
         .groupBy(col("lang"), col("source"))
         .agg(count(lit(1)).as("n_docs"))
     }),
@@ -185,35 +213,23 @@ object DedupQueries {
     // semi/anti-joins) and folded in ONE aggregation pass, so the
     // funnel costs two joins + one shuffle regardless of stage count;
     // at 100 TB this is the report you page on when a pipeline change
-    // silently drops a source. Stage predicates and order match x8
-    // exactly: the last column per (lang-summed) source equals x8's
-    // surviving corpus.
+    // silently drops a source. Stage frames/predicates are the SAME
+    // shared builders x8 composes — defined once, so the funnel cannot
+    // drift from the gate it reports on; the last column per
+    // (lang-summed) source equals x8's surviving corpus
+    // (PipelineSignalsSpec cross-check).
     "x10_funnel" -> ((s, d) => {
       val docs = documents(s, d)
-      val survivors = DedupOps.exactDupGroups(docs, "text", "doc_id")
-        .select(col("keep_id").as("doc_id"), lit(1).as("__surv"))
-      val staged = docs
-        .withColumn("__toks", TextOps.tokens(col("text")))
-        .withColumn("__gs",
-          TextOps.shinglesFromTokens(col("__toks"), DecontamN))
-      val benchGrams = staged.filter(col("doc_id") % 20 === 7)
-        .select(explode_outer(col("__gs")).as("g")).distinct()
-      val contaminated = staged.filter(col("doc_id") % 20 =!= 7)
-        .select(col("doc_id"), explode_outer(col("__gs")).as("g"))
-        .join(broadcast(benchGrams), Seq("g"))
-        .select("doc_id").distinct()
-        .withColumn("__cont", lit(1))
-      val bucket = pmod(TextOps.hash15(
-        concat(lit("split|"), col("doc_id"))), lit(100))
       val flags = docs
-        .join(survivors, Seq("doc_id"), "left")
-        .join(contaminated, Seq("doc_id"), "left")
+        .join(survivorIds(docs).withColumn("__surv", lit(1)),
+          Seq("doc_id"), "left")
+        .join(contaminatedIds(docs).withColumn("__cont", lit(1)),
+          Seq("doc_id"), "left")
         .select(col("source"),
           col("__surv").isNotNull.as("s1"),
-          (size(TextOps.tokens(col("text"))) >= 40).as("ok_len"),
-          (col("__cont").isNull && col("doc_id") % 20 =!= 7)
-            .as("ok_clean"),
-          (bucket < 80).as("ok_split"))
+          lengthOk.as("ok_len"),
+          (col("__cont").isNull && !isHoldout).as("ok_clean"),
+          (splitBucket < 80).as("ok_split"))
       flags.groupBy(col("source")).agg(
         count(lit(1)).as("n_total"),
         sum(when(col("s1"), 1L).otherwise(0L)).as("n_dedup"),

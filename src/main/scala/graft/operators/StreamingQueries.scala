@@ -130,6 +130,31 @@ object StreamingQueries {
       StreamingOps.runToMemory(ss, joined, "st8_stream_join", "append")
     }),
 
+    // st9: streaming CV validation — cv1's data-quality check at
+    // ingest time: out-of-vocabulary terms counted per tumbling day
+    // window as events arrive. The vocabulary is a broadcast STATIC
+    // dim (stream-static LeftAnti), so the validity check itself never
+    // shuffles the stream — only the (rare) violations reach the
+    // windowed aggregation state. At 100 TB/day this is the alerting
+    // feed: a schema drift or a bad producer shows up as a new term
+    // in the next window.
+    "st9_stream_cv" -> ((s, d) => {
+      val ss = StreamingOps.streamSession(s)
+      val vocab = CvQueries.cvTerms(ss)
+        .filter(col("cv_name") === "event_type_cv").select(col("term"))
+      val bad = StreamingOps.eventsStream(ss, d)
+        .select(col("ts"), col("event_type").as("term"))
+        .filter(col("term").isNotNull)
+        .join(broadcast(vocab), Seq("term"), "left_anti")
+        .groupBy(window(col("ts"), "1 day"), col("term"))
+        .agg(count(lit(1)).as("n_rows"))
+        .select(
+          date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss")
+            .as("win_start"),
+          col("term"), col("n_rows"))
+      StreamingOps.runToMemory(ss, bad, "st9_stream_cv", "complete")
+    }),
+
     // st5: watermarked append-mode window — only windows the watermark
     // has closed (end <= max event time - 1h) are ever emitted; the
     // in-flight tail is deliberately dropped at end of input. This is
@@ -215,6 +240,16 @@ object StreamingQueries {
            ON p.user_id = c.user_id
           AND epoch_us(c.ts) > epoch_us(p.ts) - 300000000
           AND epoch_us(c.ts) <= epoch_us(p.ts)""",
+    "st9_stream_cv" -> {
+      val inList = CvQueries.terms.filter(_._1 == "event_type_cv")
+        .map(t => s"'${t._2}'").mkString(", ")
+      s"""SELECT strftime(time_bucket(INTERVAL '1 day', ts),
+            '%Y-%m-%d %H:%M:%S') AS win_start,
+          event_type AS term, count(*) AS n_rows
+          FROM events
+          WHERE event_type IS NOT NULL AND event_type NOT IN ($inList)
+          GROUP BY 1, 2"""
+    },
     "st5_stream_watermark" ->
       """WITH m AS (SELECT max(ts) AS mx FROM events)
          SELECT strftime(time_bucket(INTERVAL '1 hour', ts),

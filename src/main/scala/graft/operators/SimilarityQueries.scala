@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.operators.SimilarityOps
+import graft.operators.{DedupOps, SimilarityOps}
 
 /** Similarity-search inventory over `embeddings` (64-dim float
   * vectors): brute-force cosine top-k as the correctness baseline, an
@@ -335,23 +335,49 @@ object SimilarityQueries {
     // 8 sign bits, so blocks stay small and near-identical vectors (the
     // near-dup targets) still collide. This is the same bounded-bucket
     // design as d4 and s2.
-    "s3_near_dup" -> ((s, d) => {
+    "s3_near_dup" -> ((s, d) =>
+      nearDupPairs(embeddings(s, d))
+        .select(col("label"), col("a"), col("b"), col("sim"))),
+
+    // d11: embedding-cosine dedup resolution — the missing last step of
+    // the embedding dedup modality (s3 emits candidate PAIRS; training
+    // pipelines need the cluster representative per vector, exactly as
+    // d8 resolves the text-LSH pairs): connected components over the
+    // near-dup pair graph by min-label propagation, every vector mapped
+    // to the smallest reachable vec_id. NOT seeded with a bucket-local
+    // min: s3's blocks are candidate SETS, not cliques (the cosine
+    // threshold prunes inside a block), so a block min can label across
+    // a non-edge — the seed contract (same-component labels only)
+    // forbids it. The pair graph is tiny relative to the corpus and the
+    // loop runs over the connected subgraph only.
+    "d11_embedding_dedup" -> ((s, d) => {
       val e = embeddings(s, d)
-        .withColumn("bucket", SimilarityOps.signBucket("embedding", Bits))
-      val a = SimilarityOps.withNorm(
-        e.select(col("label"), col("bucket"), col("vec_id").as("a"),
-          col("embedding").as("va")), "va", "na")
-      val b = SimilarityOps.withNorm(
-        e.select(col("label"), col("bucket"), col("vec_id").as("b"),
-          col("embedding").as("vb")), "vb", "nb")
-      a.join(b, Seq("label", "bucket"))
-        .filter(col("a") < col("b"))
-        .select(col("label").cast("long").as("label"), col("a"), col("b"),
-          round(SimilarityOps.pairCosine("va", "vb", "na", "nb"), 6)
-            .as("sim"))
-        .filter(col("sim") >= 0.35)
+      DedupOps.duplicateClusters(
+        e.select(col("vec_id")),
+        nearDupPairs(e).select(col("a"), col("b")), "vec_id")
     })
   )
+
+  /** s3's near-dup pair criterion — ONE definition shared by the pair
+    * report (s3) and the cluster resolution (d11), so the dedup can
+    * never drift from the pair semantics it claims to resolve.
+    */
+  private def nearDupPairs(e0: DataFrame): DataFrame = {
+    val e = e0.withColumn("bucket",
+      SimilarityOps.signBucket("embedding", Bits))
+    val a = SimilarityOps.withNorm(
+      e.select(col("label"), col("bucket"), col("vec_id").as("a"),
+        col("embedding").as("va")), "va", "na")
+    val b = SimilarityOps.withNorm(
+      e.select(col("label"), col("bucket"), col("vec_id").as("b"),
+        col("embedding").as("vb")), "vb", "nb")
+    a.join(b, Seq("label", "bucket"))
+      .filter(col("a") < col("b"))
+      .select(col("label").cast("long").as("label"), col("a"), col("b"),
+        round(SimilarityOps.pairCosine("va", "vb", "na", "nb"), 6)
+          .as("sim"))
+      .filter(col("sim") >= 0.35)
+  }
 
   // --- DuckDB fragments ------------------------------------------------
   // All multi-term sums are GENERATED left-deep so the double fold
@@ -719,6 +745,27 @@ object SimilarityQueries {
           FROM e a JOIN e b
             ON a.label = b.label AND a.bucket = b.bucket
            AND a.vec_id < b.vec_id
-          WHERE round(${dCos("a.embedding", "b.embedding")}, 6) >= 0.35"""
+          WHERE round(${dCos("a.embedding", "b.embedding")}, 6) >= 0.35""",
+    // Recursive transitive closure over the bidirectional near-dup
+    // graph — the d8 oracle shape over s3's pair criterion.
+    "d11_embedding_dedup" ->
+      s"""WITH RECURSIVE e AS (
+            SELECT label, vec_id, embedding,
+              ${dBucket("embedding")} AS bucket
+            FROM embeddings),
+          p AS (
+            SELECT a.vec_id AS a, b.vec_id AS b
+            FROM e a JOIN e b
+              ON a.label = b.label AND a.bucket = b.bucket
+             AND a.vec_id < b.vec_id
+            WHERE round(${dCos("a.embedding", "b.embedding")}, 6) >= 0.35),
+          ed AS (SELECT a, b FROM p UNION ALL SELECT b, a FROM p),
+          reach AS (
+            SELECT vec_id AS v, vec_id AS lbl FROM embeddings
+            UNION
+            SELECT ed.b AS v, reach.lbl
+            FROM reach JOIN ed ON ed.a = reach.v)
+          SELECT v AS vec_id, min(lbl) AS cluster_id
+          FROM reach GROUP BY v"""
   )
 }

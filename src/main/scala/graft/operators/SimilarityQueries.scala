@@ -327,6 +327,36 @@ object SimilarityQueries {
         .select("q_id", "vec_id", "sim", "adc_dist", "rank")
     }),
 
+    // s10: sampled-training IVF — the practice that makes a trained
+    // index viable at 100 TB: the coarse quantizer trains on a
+    // deterministic SAMPLE (here vec_id % 2 = 0; production uses a
+    // hash-bucket sample of ~1M vectors), so training cost is constant
+    // in corpus size, while SERVING assigns and scans the FULL corpus
+    // under the sampled centroids. Same builders as s4 — only the
+    // training frame differs — and the oracle reuses the generated
+    // Lloyd CTEs over a sample CTE plus a full-corpus serve
+    // assignment. Sampling drops the seed count to 4 cells (sampled
+    // ids < 8), a legitimate smaller index geometry.
+    "s10_ivf_sampled" -> ((s, d) => {
+      val e = SimilarityOps.withNorm(embeddings(s, d), "embedding", "n")
+      val cents = SimilarityOps.trainIvf(
+        e.filter(pmod(col("vec_id"), lit(2)) === 0), Dim, LloydSteps)
+      val assigned = e.withColumn("cell",
+        SimilarityOps.ivfAssign(cents, Dim))
+      val q = assigned.filter(col("vec_id") < NQueries)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qv"),
+          col("n").as("qn"), col("cell"))
+      val sim = broadcast(q).join(assigned, Seq("cell"))
+        .filter(col("q_id") =!= col("vec_id"))
+        .select(col("q_id"), col("vec_id"),
+          round(SimilarityOps.pairCosine("qv", "embedding", "qn", "n"), 6)
+            .as("sim"))
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("sim").desc, col("vec_id").asc)
+      sim.withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= TopK)
+    }),
+
     // s3: embedding near-dup pairs, blocked by (label, sign-bucket) with
     // a cosine threshold. Label alone is NOT a bounded blocking key — a
     // popular label is an O(n²) block on one shuffle key at 100 TB
@@ -384,26 +414,34 @@ object SimilarityQueries {
   // order matches the Spark side exactly (native expressions fold in
   // index order); see s4's oracle note.
 
-  /** The trained-IVF CTE chain (seed + LloydSteps rounds), ending in
-    * `assigned{LloydSteps}(vec_id, embedding, cell)` — s4's proven
-    * mechanical mirror of [[SimilarityOps.trainIvf]], shared by the
-    * s8/s9 oracles which route by the same trained cells. The final
-    * round also leaves `cm{LloydSteps}` (per-cell means m1..m64 + norm
-    * mn) in scope — the centroid table the s9 probe CTE scores
-    * against.
+  // The trained-IVF CTE chain (seed + LloydSteps rounds) ends in
+  // `assigned{LloydSteps}(vec_id, embedding, cell)` — s4's proven
+  // mechanical mirror of SimilarityOps.trainIvf, shared by the s8/s9
+  // oracles which route by the same trained cells. The final round
+  // also leaves `cm{LloydSteps}` (per-cell means m1..m64 + norm mn)
+  // in scope — the centroid table the s9 probe and s10 serve CTEs
+  // score against.
+  private def chainDim(f: Int => String): String =
+    (1 to Dim).map(f).mkString("(", " + ", ")")
+  private lazy val ivfDotSql =
+    chainDim(i => s"CAST(e.embedding[$i] AS DOUBLE)*c.m$i")
+  private lazy val ivfXnSql =
+    "sqrt(list_sum(list_transform(e.embedding, " +
+      "x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))"
+
+  /** The trained-IVF CTE chain over training relation `train`
+    * (`"embeddings"` for full-corpus training; a sample CTE name for
+    * s10's sampled training). Assignment/centroid CTEs cover ONLY the
+    * training rows; full-corpus serve assignment, when it differs, is
+    * [[ivfServeCtes]].
     */
-  private lazy val ivfCtes: String = {
-    def chain(f: Int => String): String =
-      (1 to Dim).map(f).mkString("(", " + ", ")")
+  private def ivfCtesFrom(train: String): String = {
     val sumsSql = (1 to Dim).map(i =>
       s"sum(CAST(floor(embedding[$i]*1000000.0 + 0.5) AS BIGINT)) AS s$i")
       .mkString(", ")
     val msSql = (1 to Dim).map(i =>
       s"CAST(s$i AS DOUBLE)/cnt/1000000.0 AS m$i").mkString(", ")
-    val mnSql = "sqrt" + chain(i => s"m$i*m$i")
-    val dotSql = chain(i => s"CAST(e.embedding[$i] AS DOUBLE)*c.m$i")
-    val xnSql = "sqrt(list_sum(list_transform(e.embedding, " +
-      "x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))"
+    val mnSql = "sqrt" + chainDim(i => s"m$i*m$i")
     val rounds = (1 to LloydSteps).map { n =>
       val pc = s"cell${n - 1}"
       val outCell = if (n == LloydSteps) "cell" else s"cell$n"
@@ -417,8 +455,8 @@ object SimilarityQueries {
           FROM ms$n),
         scored$n AS (
           SELECT e.vec_id, e.embedding, c.$pc,
-            round($dotSql / ($xnSql * c.mn), 6) AS csim
-          FROM embeddings e CROSS JOIN cm$n c),
+            round($ivfDotSql / ($ivfXnSql * c.mn), 6) AS csim
+          FROM $train e CROSS JOIN cm$n c),
         assigned$n AS (
           SELECT vec_id, embedding, $pc AS $outCell FROM (
             SELECT vec_id, embedding, $pc, csim,
@@ -427,12 +465,12 @@ object SimilarityQueries {
             FROM scored$n) WHERE rn = 1)"""
     }.mkString(",\n          ")
     s"""seeds AS (
-          SELECT vec_id AS c_id, embedding AS cvec FROM embeddings
+          SELECT vec_id AS c_id, embedding AS cvec FROM $train
           WHERE vec_id < 8),
         scored0 AS (
           SELECT e.vec_id, e.embedding, c.c_id,
             round(${dCos("e.embedding", "c.cvec")}, 6) AS csim
-          FROM embeddings e CROSS JOIN seeds c),
+          FROM $train e CROSS JOIN seeds c),
         assigned0 AS (
           SELECT vec_id, embedding, c_id AS cell0 FROM (
             SELECT vec_id, embedding, c_id, csim,
@@ -440,6 +478,29 @@ object SimilarityQueries {
                 ORDER BY csim DESC, c_id ASC) AS rn
             FROM scored0) WHERE rn = 1),
         $rounds"""
+  }
+
+  private lazy val ivfCtes: String = ivfCtesFrom("embeddings")
+
+  /** Full-corpus serve assignment under the FINAL trained centroids
+    * (`cm{LloydSteps}`): the mirror of `ivf_assign` applied to every
+    * vector — needed when the training set is a sample, so the last
+    * training round's `assigned` covers only sampled rows. Emits
+    * `served(vec_id, embedding, cell)`.
+    */
+  private lazy val ivfServeCtes: String = {
+    val cm = s"cm$LloydSteps"
+    val pc = s"cell${LloydSteps - 1}"
+    s"""servesc AS (
+          SELECT e.vec_id, e.embedding, c.$pc,
+            round($ivfDotSql / ($ivfXnSql * c.mn), 6) AS csim
+          FROM embeddings e CROSS JOIN $cm c),
+        served AS (
+          SELECT vec_id, embedding, $pc AS cell FROM (
+            SELECT vec_id, embedding, $pc, csim,
+              row_number() OVER (PARTITION BY vec_id
+                ORDER BY csim DESC, $pc ASC) AS rn
+            FROM servesc) WHERE rn = 1)"""
   }
 
   /** Per-subspace squared-L2 chain between `$e.embedding`'s j-th
@@ -746,6 +807,28 @@ object SimilarityQueries {
             ON a.label = b.label AND a.bucket = b.bucket
            AND a.vec_id < b.vec_id
           WHERE round(${dCos("a.embedding", "b.embedding")}, 6) >= 0.35""",
+    // Sampled-training mirror: the generated Lloyd CTEs run over a
+    // sample CTE (training-only), then the serve CTEs assign the FULL
+    // corpus under the final centroids — exactly the Spark side's
+    // trainIvf(sample) + ivfAssign(everything) split.
+    "s10_ivf_sampled" ->
+      s"""WITH strain AS (
+            SELECT vec_id, embedding FROM embeddings
+            WHERE vec_id % 2 = 0),
+          ${ivfCtesFrom("strain")},
+          $ivfServeCtes,
+          sim AS (
+            SELECT q.vec_id AS q_id, c.vec_id AS vec_id,
+              round(${dCos("q.embedding", "c.embedding")}, 6) AS sim
+            FROM served q JOIN served c
+              ON q.cell = c.cell AND q.vec_id <> c.vec_id
+            WHERE q.vec_id < $NQueries),
+          r AS (
+            SELECT q_id, vec_id, sim,
+              CAST(row_number() OVER (PARTITION BY q_id
+                ORDER BY sim DESC, vec_id ASC) AS BIGINT) AS rank
+            FROM sim)
+          SELECT q_id, vec_id, sim, rank FROM r WHERE rank <= $TopK""",
     // Recursive transitive closure over the bidirectional near-dup
     // graph — the d8 oracle shape over s3's pair criterion.
     "d11_embedding_dedup" ->

@@ -136,6 +136,17 @@ object ScaleProbe {
         .select("code")
         .write.format("noop").mode("overwrite").save()
     }
+    // ADC serving: one pq_adc evaluation per (candidate, query) pair —
+    // the innermost loop of a PQ index scan. Query travels as a column
+    // (broadcast-table form), codebook as a reference object.
+    time("pq_adc scan (8x16x8)", m) {
+      val q = Array.fill(64)((prnd.nextDouble() * 0.4 - 0.2).toFloat)
+      graft.operators.ProductQuantization
+        .encode(vecs, "vec", pqBooks, 8, "code")
+        .select(graft.operators.ProductQuantization.adcDistCol(
+          col("code"), typedLit(q.toSeq), pqBooks, 8).as("d"))
+        .write.format("noop").mode("overwrite").save()
+    }
     val irnd = new scala.util.Random(9)
     val cellK = 64
     val ivfBooks = Array.fill(cellK)(

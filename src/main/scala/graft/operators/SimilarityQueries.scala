@@ -327,6 +327,25 @@ object SimilarityQueries {
         .select("q_id", "vec_id", "sim", "adc_dist", "rank")
     }),
 
+    // s11: the index LIFECYCLE — build the IVF+PQ index as a persisted
+    // artifact (train both quantizers, write centroids + codebooks +
+    // the encoded corpus PARTITIONED BY CELL = on-disk inverted
+    // lists), reload it, and serve from the artifact. Training is
+    // integer-exact and parquet round-trips values bit-exactly, so
+    // build→load→serve ≡ train→serve: the oracle IS s8's oracle, which
+    // is the whole point — a production service builds once and serves
+    // many, and this gate proves the persisted form loses nothing
+    // while the bench prices the full build+load+serve path honestly.
+    "s11_index_artifact" -> ((s, d) => {
+      import graft.operators.VectorIndex
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-vecindex").toString
+      VectorIndex.build(
+        embeddings(s, d), Dim, LloydSteps, PqSub, PqSubDim, PqK, dir)
+      VectorIndex.serveTopK(VectorIndex.load(s, dir), PqSubDim,
+        NQueries, TopK)
+    }),
+
     // s10: sampled-training IVF — the practice that makes a trained
     // index viable at 100 TB: the coarse quantizer trains on a
     // deterministic SAMPLE (here vec_id % 2 = 0; production uses a
@@ -588,6 +607,31 @@ object SimilarityQueries {
       s"JOIN pqbook b$j ON b$j.j = $j AND b$j.c = c.c$j")
       .mkString("\n          ")
 
+  /** s8's IVF+PQ serve mirror — also s11's oracle (the artifact
+    * round-trip changes nothing, which is exactly what s11 gates).
+    */
+  private lazy val ivfPqServeSql: String =
+    s"""WITH $ivfCtes,
+        $pqCtes,
+        q8 AS (
+          SELECT vec_id AS q_id, embedding, cell
+          FROM assigned$LloydSteps WHERE vec_id < $NQueries),
+        adc AS (
+          SELECT q.q_id, a.vec_id, a.cell,
+            round(${adcChain("q")}, 6) AS adc_dist
+          FROM q8 q
+          JOIN assigned$LloydSteps a
+            ON a.cell = q.cell AND a.vec_id <> q.q_id
+          JOIN pqenc c ON c.vec_id = a.vec_id
+          $pqBookJoins),
+        r AS (
+          SELECT q_id, vec_id, cell, adc_dist,
+            CAST(row_number() OVER (PARTITION BY q_id
+              ORDER BY adc_dist ASC, vec_id ASC) AS BIGINT) AS rank
+          FROM adc)
+        SELECT q_id, vec_id, cell, adc_dist, rank
+        FROM r WHERE rank <= $TopK"""
+
   private def dCast(v: String) = s"list_transform($v, x -> CAST(x AS DOUBLE))"
   private def dCos(a: String, b: String): String =
     s"""(list_sum(list_transform(range(1, len($a) + 1),
@@ -669,27 +713,10 @@ object SimilarityQueries {
                 ORDER BY adc_dist ASC, vec_id ASC) AS BIGINT) AS rank
             FROM adc)
           SELECT q_id, vec_id, adc_dist, rank FROM r WHERE rank <= $TopK""",
-    "s8_ivfpq_topk" ->
-      s"""WITH $ivfCtes,
-          $pqCtes,
-          q8 AS (
-            SELECT vec_id AS q_id, embedding, cell
-            FROM assigned$LloydSteps WHERE vec_id < $NQueries),
-          adc AS (
-            SELECT q.q_id, a.vec_id, a.cell,
-              round(${adcChain("q")}, 6) AS adc_dist
-            FROM q8 q
-            JOIN assigned$LloydSteps a
-              ON a.cell = q.cell AND a.vec_id <> q.q_id
-            JOIN pqenc c ON c.vec_id = a.vec_id
-            $pqBookJoins),
-          r AS (
-            SELECT q_id, vec_id, cell, adc_dist,
-              CAST(row_number() OVER (PARTITION BY q_id
-                ORDER BY adc_dist ASC, vec_id ASC) AS BIGINT) AS rank
-            FROM adc)
-          SELECT q_id, vec_id, cell, adc_dist, rank
-          FROM r WHERE rank <= $TopK""",
+    "s8_ivfpq_topk" -> ivfPqServeSql,
+    // s11 serves the SAME result from the persisted artifact — one
+    // oracle, two engines-side paths (inline train vs build/load).
+    "s11_index_artifact" -> ivfPqServeSql,
     "s9_ivfpq_multiprobe" -> {
       // probe CTE: score each query against the FINAL trained
       // centroids (cm{LloydSteps}: means m1..m64 + norm mn, cell label

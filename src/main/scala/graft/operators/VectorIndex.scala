@@ -1,0 +1,110 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The IVF+PQ index as a PERSISTED ARTIFACT — the build-once/serve-many
+  * lifecycle a trained index actually has in production, instead of the
+  * retrain-per-query shape of the inline demos (s4/s8/s9 train on every
+  * invocation, which is right for a gate and wrong for a service).
+  *
+  * Artifact layout under `dir/`:
+  *  - `centroids/`  (cell, cvec array<double>, cn) — the trained coarse
+  *    quantizer, k rows (dim-sized; collected to the driver on load).
+  *  - `codebooks/`  (j, c, m array<double>) — the PQ codebooks,
+  *    subspaces×k rows (dim-sized).
+  *  - `corpus/`     (vec_id, embedding, n, code) PARTITIONED BY cell —
+  *    the encoded corpus laid out as on-disk inverted lists: a serving
+  *    query's cell filter becomes a partition filter, so a probe reads
+  *    ONLY its cells' files. At 100 TB this directory layout IS the
+  *    FAISS IVF-list topology expressed in parquet partitioning, and
+  *    the build is one distributed write.
+  *
+  * Determinism: training is the same integer-exact scheme as the
+  * inline queries (shared builders), and parquet round-trips
+  * float/double/int values bit-exactly, so build → load → serve equals
+  * train → serve EXACTLY (spec-asserted against s8, and s11's oracle
+  * is literally s8's oracle).
+  */
+object VectorIndex {
+
+  final case class Loaded(cents: SimilarityOps.IvfCentroids,
+      books: ProductQuantization.Codebooks, corpus: DataFrame)
+
+  /** Train both quantizers on `e0` (vec_id + embedding) and write the
+    * artifact. One pass over the corpus for the final encode+write;
+    * training jobs touch only integer-exact aggregates.
+    */
+  def build(e0: DataFrame, dim: Int, lloydSteps: Int, subspaces: Int,
+      subDim: Int, k: Int, dir: String): Unit = {
+    val s = e0.sparkSession
+    import s.implicits._
+    val e = SimilarityOps.withNorm(e0, "embedding", "n")
+    val cents = SimilarityOps.trainIvf(e, dim, lloydSteps)
+    val books = ProductQuantization.train(
+      e, "embedding", "vec_id", subspaces, subDim, k, steps = 1)
+    cents.cells.indices.map(c => (cents.cells(c),
+        cents.books.slice(c * dim, (c + 1) * dim).toSeq, cents.mns(c)))
+      .toDF("cell", "cvec", "cn")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
+    books.zipWithIndex.flatMap { case (cbs, j) =>
+        cbs.zipWithIndex.map { case (m, c) => (j, c, m.toSeq) } }.toSeq
+      .toDF("j", "c", "m")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/codebooks")
+    ProductQuantization.encode(
+        e.withColumn("cell", SimilarityOps.ivfAssign(cents, dim)),
+        "embedding", books, subDim, "code")
+      // only the serving columns: extra input columns (labels etc.)
+      // don't belong in the index artifact
+      .select("vec_id", "embedding", "n", "cell", "code")
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$dir/corpus")
+  }
+
+  /** Load an artifact: quantizer state to the driver (dim-sized, the
+    * broadcast-dim legitimacy class), corpus as a lazy cell-partitioned
+    * scan. The partition column comes back through partition-type
+    * inference, so `cell` is re-cast to its written long type.
+    */
+  def load(s: SparkSession, dir: String): Loaded = {
+    val cr = s.read.parquet(s"$dir/centroids").collect()
+      .sortBy(_.getLong(0))
+    val cents = SimilarityOps.IvfCentroids(
+      cr.map(_.getLong(0)),
+      cr.flatMap(_.getSeq[Double](1)),
+      cr.map(_.getDouble(2)))
+    val br = s.read.parquet(s"$dir/codebooks").collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Double](2).toArray)
+      .toMap
+    val subspaces = br.keys.map(_._1).max + 1
+    val k = br.keys.map(_._2).max + 1
+    val books: ProductQuantization.Codebooks =
+      Array.tabulate(subspaces)(j => Array.tabulate(k)(c => br((j, c))))
+    val corpus = s.read.parquet(s"$dir/corpus")
+      .withColumn("cell", col("cell").cast("long"))
+    Loaded(cents, books, corpus)
+  }
+
+  /** Cell-routed ADC top-k over a loaded artifact — s8's serving shape
+    * (broadcast query table, equi-join on cell, native `pq_adc`), with
+    * the candidate scan hitting ONLY the queries' partitions.
+    */
+  def serveTopK(l: Loaded, subDim: Int, nQueries: Long,
+      topK: Int): DataFrame = {
+    val q = l.corpus.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"),
+        col("cell"))
+    val sim = broadcast(q)
+      .join(l.corpus.select(col("vec_id"), col("cell"), col("code")),
+        Seq("cell"))
+      .filter(col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("vec_id"), col("cell"),
+        round(ProductQuantization.adcDistCol(
+          col("code"), col("qv"), l.books, subDim), 6).as("adc_dist"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("adc_dist").asc, col("vec_id").asc)
+    sim.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= topK)
+  }
+}

@@ -1,0 +1,83 @@
+package graft
+
+import java.nio.file.{Files, Path}
+import org.apache.spark.sql.functions._
+import graft.operators.{SimilarityOps, ProductQuantization, VectorIndex}
+
+/** The persisted-index lifecycle: build → load must round-trip the
+  * trained state exactly, serving from the artifact must equal the
+  * inline train-and-serve query, and the cell partitioning must prune
+  * the candidate scan to the probed cells' files.
+  */
+class IndexArtifactSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val d = "/root/testdata/sf0.001"
+  private val (dim, steps, sub, subDim, k) = (64, 2, 8, 8, 16)
+
+  private def withArtifact[A](f: String => A): A = {
+    val dir = Files.createTempDirectory("graft-idx-spec")
+    try {
+      VectorIndex.build(Tables.embeddings(spark, d), dim, steps, sub,
+        subDim, k, dir.toString)
+      f(dir.toString)
+    } finally {
+      def rm(p: Path): Unit = {
+        if (Files.isDirectory(p)) {
+          val s = Files.list(p)
+          try s.forEach(rm) finally s.close()
+        }
+        Files.deleteIfExists(p)
+      }
+      rm(dir)
+    }
+  }
+
+  test("build -> load round-trips the trained quantizer state exactly") {
+    withArtifact { dir =>
+      val e = SimilarityOps.withNorm(
+        Tables.embeddings(spark, d), "embedding", "n")
+      val cents = SimilarityOps.trainIvf(e, dim, steps)
+      val books = ProductQuantization.train(
+        e, "embedding", "vec_id", sub, subDim, k, steps = 1)
+      val l = VectorIndex.load(spark, dir)
+      assert(l.cents.cells.toSeq === cents.cells.toSeq)
+      assert(l.cents.books.toSeq === cents.books.toSeq) // bit-exact
+      assert(l.cents.mns.toSeq === cents.mns.toSeq)
+      assert(l.books.map(_.map(_.toSeq).toSeq).toSeq ===
+        books.map(_.map(_.toSeq).toSeq).toSeq)
+      // every corpus row is present with its cell and 8-byte code
+      assert(l.corpus.count() === e.count())
+      assert(l.corpus.columns.toSet ===
+        Set("vec_id", "embedding", "n", "code", "cell"))
+    }
+  }
+
+  test("serving from the artifact equals the inline train-and-serve (s8)") {
+    withArtifact { dir =>
+      val fromArtifact = VectorIndex
+        .serveTopK(VectorIndex.load(spark, dir), subDim, 5L, 3)
+        .select("q_id", "vec_id", "cell", "adc_dist", "rank")
+        .as[(Long, Long, Long, Double, Long)].collect().toSeq.sorted
+      val inline = SparkEntry.queries("s8_ivfpq_topk")(spark, d)
+        .select("q_id", "vec_id", "cell", "adc_dist", "rank")
+        .as[(Long, Long, Long, Double, Long)].collect().toSeq.sorted
+      assert(fromArtifact === inline)
+    }
+  }
+
+  test("cell predicates prune to partition filters on the corpus scan") {
+    withArtifact { dir =>
+      val l = VectorIndex.load(spark, dir)
+      val cell = l.cents.cells.head
+      val plan = l.corpus.filter(col("cell") === cell)
+        .queryExecution.executedPlan.toString
+      // the cell filter must reach the scan as a PARTITION filter (the
+      // inverted-list locality: a probe reads only its cells' files),
+      // never as a row-level data filter over the whole corpus
+      assert(plan.contains("PartitionFilters") &&
+        plan.split("PartitionFilters", 2)(1).takeWhile(_ != ']')
+          .contains("cell"), plan)
+    }
+  }
+}

@@ -308,6 +308,171 @@ case class PqAdc(left: Expression, right: Expression, book: Seq[Double],
     copy(left = newLeft, right = newRight)
 }
 
+/** `pq_tables(qvec, codebook, subdim, k)` — the per-QUERY half of
+  * asymmetric distance: the `subspaces × k` lookup table of squared
+  * distances from the query's sub-vectors to every codebook centroid,
+  * laid out `t[(j*k)+c]`. Evaluated ONCE per query row (in the
+  * broadcast query frame, before the exchange), it restores classic
+  * ADC asymmetry: [[PqAdc]] recomputes the full `dim`-component
+  * distance per (candidate, query) PAIR — `dim` multiply-adds — while
+  * table + [[PqAdcLookup]] makes each pair `subspaces` array loads.
+  * Entry values use the identical per-subspace left fold, so
+  * table+lookup is bit-equal to [[PqAdc]] (spec-asserted).
+  */
+case class PqAdcTables(child: Expression, book: Seq[Double], sub: Int,
+    k: Int) extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  require(sub >= 1 && k >= 1 && book.nonEmpty &&
+    book.length % (k * sub) == 0,
+    "pq_tables: |codebook| must be subspaces*k*subdim" +
+      s" (got |book|=${book.length}, sub=$sub, k=$k)")
+
+  private lazy val bookArr: Array[Double] = book.toArray
+  private lazy val m: Int = bookArr.length / (k * sub)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"pq_tables expects an array<float> query vector, got ${t.simpleString}")
+  }
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "pq_tables"
+  override def nullable: Boolean = true
+
+  override protected def nullSafeEval(q: Any): Any = {
+    val qv = q.asInstanceOf[ArrayData]
+    if (qv.numElements() < m * sub) return null
+    var p = 0
+    while (p < m * sub) {
+      if (qv.isNullAt(p)) return null
+      p += 1
+    }
+    val out = new Array[Double](m * k)
+    var j = 0
+    while (j < m) {
+      var c = 0
+      while (c < k) {
+        var t = 0.0
+        var i = 0
+        while (i < sub) {
+          val d = qv.getFloat(j * sub + i).toDouble -
+            bookArr((j * k + c) * sub + i)
+          t += d * d
+          i += 1
+        }
+        out(j * k + c) = t
+        c += 1
+      }
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, q => {
+      val bk = ctx.addReferenceObj("pqtBook", bookArr, "double[]")
+      val (out, j, c, i, t, d, p) = (ctx.freshName("out"),
+        ctx.freshName("j"), ctx.freshName("c"), ctx.freshName("i"),
+        ctx.freshName("t"), ctx.freshName("d"), ctx.freshName("p"))
+      s"""
+         |if ($q.numElements() < ${m * sub}) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  for (int $p = 0; $p < ${m * sub}; $p++) {
+         |    if ($q.isNullAt($p)) { ${ev.isNull} = true; break; }
+         |  }
+         |}
+         |if (!${ev.isNull}) {
+         |  double[] $out = new double[${m * k}];
+         |  for (int $j = 0; $j < $m; $j++) {
+         |    for (int $c = 0; $c < $k; $c++) {
+         |      double $t = 0.0;
+         |      for (int $i = 0; $i < $sub; $i++) {
+         |        double $d = (double) $q.getFloat($j * $sub + $i)
+         |          - $bk[($j * $k + $c) * $sub + $i];
+         |        $t += $d * $d;
+         |      }
+         |      $out[$j * $k + $c] = $t;
+         |    }
+         |  }
+         |  ${ev.value} =
+         |    new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(
+      newChild: Expression): PqAdcTables = copy(child = newChild)
+}
+
+/** `pq_adc_lookup(code, tables)` — the per-PAIR half of asymmetric
+  * distance: `subspaces` loads from the query's precomputed
+  * [[PqAdcTables]] column, summed in ascending-subspace order (the
+  * same fold as [[PqAdc]]'s subspace partials — bit-equal results).
+  * NULL code/tables, a code id outside `[0, k)`, or mismatched shapes
+  * → NULL.
+  */
+case class PqAdcLookup(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(IntegerType, _), ArrayType(DoubleType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"pq_adc_lookup expects (array<int> code, array<double> tables)," +
+          s" got ${l.simpleString} / ${r.simpleString}")
+    }
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "pq_adc_lookup"
+  override def nullable: Boolean = true
+
+  override protected def nullSafeEval(c: Any, t: Any): Any = {
+    val code = c.asInstanceOf[ArrayData]
+    val tab = t.asInstanceOf[ArrayData]
+    val m = code.numElements()
+    if (m == 0 || tab.numElements() % m != 0) return null
+    val k = tab.numElements() / m
+    var total = 0.0
+    var j = 0
+    while (j < m) {
+      if (code.isNullAt(j)) return null
+      val cj = code.getInt(j)
+      if (cj < 0 || cj >= k) return null
+      total += tab.getDouble(j * k + cj)
+      j += 1
+    }
+    total
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (c, t) => {
+      val (m, k, j, cj, total) = (ctx.freshName("m"), ctx.freshName("k"),
+        ctx.freshName("j"), ctx.freshName("cj"), ctx.freshName("total"))
+      s"""
+         |int $m = $c.numElements();
+         |if ($m == 0 || $t.numElements() % $m != 0) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $k = $t.numElements() / $m;
+         |  double $total = 0.0;
+         |  for (int $j = 0; $j < $m; $j++) {
+         |    if ($c.isNullAt($j)) { ${ev.isNull} = true; break; }
+         |    int $cj = $c.getInt($j);
+         |    if ($cj < 0 || $cj >= $k) { ${ev.isNull} = true; break; }
+         |    $total += $t.getDouble($j * $k + $cj);
+         |  }
+         |  ${ev.value} = $total;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): PqAdcLookup =
+    copy(left = newLeft, right = newRight)
+}
+
 /** `ivf_assign(vec, norm, cents, mns, cells, dim)` — nearest-centroid
   * CELL ID by rounded cosine similarity: for each centroid c,
   * `sim_c = round(dot(vec, cents_c) / (norm · mns_c), 6)`; returns the
@@ -532,6 +697,32 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         PqAdc(args(0), args(1),
           args(2).eval().asInstanceOf[ArrayData].toDoubleArray().toSeq,
           args(3).eval().asInstanceOf[Number].intValue())
+      }))
+    // pq_tables(qvec, codebook, subdim, k) + pq_adc_lookup(code,
+    // tables): the split ADC pair — tables once per query row,
+    // lookups per candidate pair.
+    ext.injectFunction((
+      new FunctionIdentifier("pq_tables"),
+      new ExpressionInfo(classOf[PqAdcTables].getName, "pq_tables"),
+      (args: Seq[Expression]) => {
+        require(args.length == 4, "pq_tables(qvec, codebook, subdim, k)")
+        require(args(1).foldable &&
+          args(1).dataType.isInstanceOf[ArrayType] &&
+          args(1).dataType.asInstanceOf[ArrayType].elementType == DoubleType,
+          "pq_tables codebook must be a foldable array<double>")
+        require(args(2).foldable && args(3).foldable,
+          "pq_tables subdim/k must be foldable")
+        PqAdcTables(args(0),
+          args(1).eval().asInstanceOf[ArrayData].toDoubleArray().toSeq,
+          args(2).eval().asInstanceOf[Number].intValue(),
+          args(3).eval().asInstanceOf[Number].intValue())
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("pq_adc_lookup"),
+      new ExpressionInfo(classOf[PqAdcLookup].getName, "pq_adc_lookup"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "pq_adc_lookup(code, tables)")
+        PqAdcLookup(args(0), args(1))
       }))
     ext.injectFunction((
       new FunctionIdentifier("ngram_distinct_count"),

@@ -73,6 +73,26 @@ object SimilarityQueries {
       .filter(col("rank") <= TopK)
   }
 
+  /** SORT-FREE per-query top-k-smallest for the ADC serving queries:
+    * the [[graft.functions.TopKMin]] aggregator keeps a k-slot buffer
+    * per group with map-side partial merge, so the scored pair stream
+    * is never sorted and the shuffle carries queries×k rows (vs
+    * row_number's full sort of the biggest intermediate in the path —
+    * measured 14.8 → 5.2 s on a 1k-query × 2M-row batch). Selection
+    * and rank numbering are EXACTLY row_number over (dist asc, id asc)
+    * — same oracle.
+    */
+  private def topkByDist(sim: DataFrame, groupCols: Seq[String],
+      distCol: String): DataFrame = {
+    val f = graft.functions.TopKMin(TopK)
+    sim.groupBy(groupCols.map(col): _*)
+      .agg(f(col(distCol), col("vec_id")).as("top"))
+      .select(groupCols.map(col) :+ posexplode(col("top")): _*)
+      .select((groupCols.map(col) :+ col("col._2").as("vec_id") :+
+        col("col._1").as(distCol) :+
+        (col("pos") + 1).cast("long").as("rank")): _*)
+  }
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     // s1: brute-force cosine top-k — the correctness baseline.
     "s1_cosine_topk" -> ((s, d) => topkRanked(exactSim(embeddings(s, d)))),
@@ -202,20 +222,36 @@ object SimilarityQueries {
       val e = embeddings(s, d)
       val books = ProductQuantization.train(
         e, "embedding", "vec_id", PqSub, PqSubDim, PqK, steps = 1)
+      // repartition = a MATERIALIZATION BARRIER, not data movement for
+      // its own sake: whole-stage codegen defers streamed-side column
+      // evaluation into a join's match loop, so without the barrier
+      // the 8-subspace encode re-runs once per (candidate, query) PAIR
+      // — measured 9.7 s vs 1.4 s on a 1k-query × 2M-row batch (see
+      // NOTES plan-shape traps). The shuffle moves only the 8-byte
+      // codes; at 100 TB it is the inverted-list build step.
       val enc = ProductQuantization.encode(
         e, "embedding", books, PqSubDim, "code")
+        .select(col("vec_id"), col("code"))
+        .repartition(s.sessionState.conf.numShufflePartitions,
+          col("vec_id"))
+      // classic ADC asymmetry: the subspaces×k lookup tables are
+      // staged ONCE per query row on the broadcast side (pq_tables);
+      // each pair then costs `subspaces` loads (pq_adc_lookup) —
+      // bit-equal to the direct form at ~1/8 the pair arithmetic
       val q = e.filter(col("vec_id") < NQueries)
-        .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+        .select(col("vec_id").as("q_id"),
+          ProductQuantization.adcTablesCol(
+            col("embedding"), books, PqSubDim).as("qt"))
       val sim = broadcast(q)
         .join(enc.select(col("vec_id"), col("code")),
           col("q_id") =!= col("vec_id"))
         .select(col("q_id"), col("vec_id"),
-          round(ProductQuantization.adcDistCol(
-            col("code"), col("qv"), books, PqSubDim), 6).as("adc_dist"))
-      val w = Window.partitionBy(col("q_id"))
-        .orderBy(col("adc_dist").asc, col("vec_id").asc)
-      sim.withColumn("rank", row_number().over(w).cast("long"))
-        .filter(col("rank") <= TopK)
+          round(ProductQuantization.adcLookupCol(
+            col("code"), col("qt")), 6).as("adc_dist"))
+      // sort-free top-k: the scored stream feeds a k-slot aggregator,
+      // never a window sort
+      topkByDist(sim, Seq("q_id"), "adc_dist")
+        .select("q_id", "vec_id", "adc_dist", "rank")
     }),
 
     // s8: IVF+PQ — the full FAISS-IVFPQ shape, composing the two
@@ -238,22 +274,31 @@ object SimilarityQueries {
         e, "embedding", "vec_id", PqSub, PqSubDim, PqK, steps = 1)
       val assigned = e.withColumn("cell",
         SimilarityOps.ivfAssign(cents, Dim))
+      // repartition by cell = the inverted-list build + the
+      // materialization barrier that keeps codegen's deferred
+      // evaluation from re-running assign+encode per join match
+      // (measured 5-7x, see s7 / NOTES plan-shape traps)
       val enc = ProductQuantization.encode(
         assigned, "embedding", books, PqSubDim, "code")
+        .select(col("vec_id"), col("cell"), col("code"))
+        .repartition(s.sessionState.conf.numShufflePartitions,
+          col("cell"))
       val q = assigned.filter(col("vec_id") < NQueries)
-        .select(col("vec_id").as("q_id"), col("embedding").as("qv"),
+        .select(col("vec_id").as("q_id"),
+          ProductQuantization.adcTablesCol(
+            col("embedding"), books, PqSubDim).as("qt"),
           col("cell"))
       val sim = broadcast(q)
         .join(enc.select(col("vec_id"), col("cell"), col("code")),
           Seq("cell"))
         .filter(col("q_id") =!= col("vec_id"))
         .select(col("q_id"), col("vec_id"), col("cell"),
-          round(ProductQuantization.adcDistCol(
-            col("code"), col("qv"), books, PqSubDim), 6).as("adc_dist"))
-      val w = Window.partitionBy(col("q_id"))
-        .orderBy(col("adc_dist").asc, col("vec_id").asc)
-      sim.withColumn("rank", row_number().over(w).cast("long"))
-        .filter(col("rank") <= TopK)
+          round(ProductQuantization.adcLookupCol(
+            col("code"), col("qt")), 6).as("adc_dist"))
+      // sort-free top-k; every candidate shares the query's cell, so
+      // grouping by (q_id, cell) preserves the output column
+      topkByDist(sim, Seq("q_id", "cell"), "adc_dist")
+        .select("q_id", "vec_id", "cell", "adc_dist", "rank")
     }),
 
     // s9: multi-probe IVFPQ with full-precision re-rank — the two
@@ -280,8 +325,16 @@ object SimilarityQueries {
         e, "embedding", "vec_id", PqSub, PqSubDim, PqK, steps = 1)
       val assigned = e.withColumn("cell",
         SimilarityOps.ivfAssign(cents, Dim))
+      // repartition by cell: inverted-list build + materialization
+      // barrier (the s7/s8 deferred-evaluation trap; here the exact
+      // re-rank needs embedding and n too, so they ride the same
+      // one-off shuffle)
       val enc = ProductQuantization.encode(
         assigned, "embedding", books, PqSubDim, "code")
+        .select(col("vec_id"), col("cell"), col("code"),
+          col("embedding"), col("n"))
+        .repartition(s.sessionState.conf.numShufflePartitions,
+          col("cell"))
       // centroid table from the trained driver state (k rows — the
       // same legitimacy class as a broadcast dim table)
       val centDf = {
@@ -305,7 +358,11 @@ object SimilarityQueries {
             / (col("qn") * col("cn")), 6))
         .withColumn("prn", row_number().over(pw))
         .filter(col("prn") <= Probes)
-        .select(col("q_id"), col("qv"), col("qn"), col("cell"))
+        // qv stays for the exact re-rank; qt is the staged per-query
+        // ADC table (pair cost = subspaces loads, see s7)
+        .select(col("q_id"), col("qv"), col("qn"), col("cell"),
+          ProductQuantization.adcTablesCol(
+            col("qv"), books, PqSubDim).as("qt"))
       val cand = broadcast(qprobe)
         .join(enc.select(col("vec_id"), col("cell"), col("code"),
           col("embedding"), col("n")), Seq("cell"))
@@ -314,8 +371,8 @@ object SimilarityQueries {
           // exact full-precision cosine for the re-rank step
           round(call_function("vec_dot", col("embedding"), col("qv"))
             / (col("n") * col("qn")), 6).as("sim"),
-          round(ProductQuantization.adcDistCol(
-            col("code"), col("qv"), books, PqSubDim), 6).as("adc_dist"))
+          round(ProductQuantization.adcLookupCol(
+            col("code"), col("qt")), 6).as("adc_dist"))
       val wAdc = Window.partitionBy(col("q_id"))
         .orderBy(col("adc_dist").asc, col("vec_id").asc)
       val wExact = Window.partitionBy(col("q_id"))

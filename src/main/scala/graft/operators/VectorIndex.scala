@@ -93,18 +93,25 @@ object VectorIndex {
   def serveTopK(l: Loaded, subDim: Int, nQueries: Long,
       topK: Int): DataFrame = {
     val q = l.corpus.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("q_id"), col("embedding").as("qv"),
+      .select(col("vec_id").as("q_id"),
+        ProductQuantization.adcTablesCol(
+          col("embedding"), l.books, subDim).as("qt"),
         col("cell"))
     val sim = broadcast(q)
       .join(l.corpus.select(col("vec_id"), col("cell"), col("code")),
         Seq("cell"))
       .filter(col("q_id") =!= col("vec_id"))
       .select(col("q_id"), col("vec_id"), col("cell"),
-        round(ProductQuantization.adcDistCol(
-          col("code"), col("qv"), l.books, subDim), 6).as("adc_dist"))
-    val w = Window.partitionBy(col("q_id"))
-      .orderBy(col("adc_dist").asc, col("vec_id").asc)
-    sim.withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= topK)
+        round(ProductQuantization.adcLookupCol(
+          col("code"), col("qt")), 6).as("adc_dist"))
+    // sort-free top-k (TopKMin aggregator): the scored stream never
+    // sorts; the shuffle carries queries×k rows
+    val f = graft.functions.TopKMin(topK)
+    sim.groupBy(col("q_id"), col("cell"))
+      .agg(f(col("adc_dist"), col("vec_id")).as("top"))
+      .select(col("q_id"), col("cell"), posexplode(col("top")))
+      .select(col("q_id"), col("col._2").as("vec_id"), col("cell"),
+        col("col._1").as("adc_dist"),
+        (col("pos") + 1).cast("long").as("rank"))
   }
 }

@@ -109,8 +109,16 @@ class VectorExprSpec extends SparkSpec {
       graft.operators.ProductQuantization
         .adcDistCol(col("code"), col("qv"), books, 4).as("native"),
       graft.operators.ProductQuantization
-        .adcDistance(col("code"), qd, books, 4).as("literal"))
+        .adcDistance(col("code"), qd, books, 4).as("literal"),
+      // the split serving form: per-query tables + per-pair lookups
+      graft.operators.ProductQuantization.adcLookupCol(col("code"),
+        graft.operators.ProductQuantization
+          .adcTablesCol(col("qv"), books, 4)).as("split"))
     assert(cmp.filter(col("native") =!= col("literal")).count() === 0)
+    // all three forms share the exact per-subspace folds and summing
+    // order — bit-equal, which is what lets the serving queries use
+    // the cheap split form under the same oracle
+    assert(cmp.filter(col("split") =!= col("native")).count() === 0)
   }
 
   test("pq_adc null/edge semantics: null inputs, short vector, bad code") {
@@ -150,6 +158,41 @@ class VectorExprSpec extends SparkSpec {
       val ds = scored.as[Double].collect()
       assert(ds.length === 3 * 499 && ds.forall(_ >= 0.0))
     } finally spark.conf.set("spark.sql.codegen.fallback", "true")
+  }
+
+  test("TopKMin equals the row_number window top-k on any partitioning") {
+    // random groups/values incl. duplicate values (id tiebreak) — the
+    // aggregator's selection and rank-by-position must equal
+    // row_number() OVER (ORDER BY v ASC, id ASC) <= k exactly,
+    // independent of partitioning (map-side partial merge)
+    val rnd = new scala.util.Random(29)
+    val rows = (0 until 5000).map { i =>
+      (rnd.nextInt(40).toLong, (rnd.nextInt(50) / 10.0), i.toLong)
+    }
+    for (parts <- Seq(1, 7)) {
+      val df = rows.toDF("g", "v", "id").repartition(parts)
+      val f = graft.functions.TopKMin(3)
+      val agg = df.groupBy(col("g"))
+        .agg(f(col("v"), col("id")).as("top"))
+        .select(col("g"), posexplode(col("top")))
+        .select(col("g"), col("col._2").as("id"),
+          col("col._1").as("v"), (col("pos") + 1).as("rank"))
+        .as[(Long, Long, Double, Int)].collect().toSeq.sorted
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("g")).orderBy(col("v").asc, col("id").asc)
+      val win = df.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("g"), col("id"), col("v"), col("rank"))
+        .as[(Long, Long, Double, Int)].collect().toSeq.sorted
+      assert(agg === win, s"parts=$parts")
+    }
+    // groups smaller than k emit only their real rows (no sentinels)
+    val tiny = Seq((1L, 0.5, 10L)).toDF("g", "v", "id")
+    val f1 = graft.functions.TopKMin(3)
+    val out = tiny.groupBy(col("g"))
+      .agg(f1(col("v"), col("id")).as("top"))
+      .select(size(col("top"))).as[Int].head()
+    assert(out === 1)
   }
 
   test("ivf_assign matches the composed cross-join + max_by assignment") {

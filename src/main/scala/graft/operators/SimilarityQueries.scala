@@ -83,8 +83,8 @@ object SimilarityQueries {
     * — same oracle.
     */
   private def topkByDist(sim: DataFrame, groupCols: Seq[String],
-      distCol: String): DataFrame = {
-    val f = graft.functions.TopKMin(TopK)
+      distCol: String, k: Int = TopK): DataFrame = {
+    val f = graft.functions.TopKMin(k)
     sim.groupBy(groupCols.map(col): _*)
       .agg(f(col(distCol), col("vec_id")).as("top"))
       .select(groupCols.map(col) :+ posexplode(col("top")): _*)
@@ -325,14 +325,12 @@ object SimilarityQueries {
         e, "embedding", "vec_id", PqSub, PqSubDim, PqK, steps = 1)
       val assigned = e.withColumn("cell",
         SimilarityOps.ivfAssign(cents, Dim))
-      // repartition by cell: inverted-list build + materialization
-      // barrier (the s7/s8 deferred-evaluation trap; here the exact
-      // re-rank needs embedding and n too, so they ride the same
-      // one-off shuffle)
+      // LEAN inverted list: only (vec_id, cell, code) rides the
+      // barrier shuffle — full-precision vectors are fetched later,
+      // for the shortlist only (see the re-rank below)
       val enc = ProductQuantization.encode(
         assigned, "embedding", books, PqSubDim, "code")
-        .select(col("vec_id"), col("cell"), col("code"),
-          col("embedding"), col("n"))
+        .select(col("vec_id"), col("cell"), col("code"))
         .repartition(s.sessionState.conf.numShufflePartitions,
           col("cell"))
       // centroid table from the trained driver state (k rows — the
@@ -358,27 +356,35 @@ object SimilarityQueries {
             / (col("qn") * col("cn")), 6))
         .withColumn("prn", row_number().over(pw))
         .filter(col("prn") <= Probes)
-        // qv stays for the exact re-rank; qt is the staged per-query
-        // ADC table (pair cost = subspaces loads, see s7)
-        .select(col("q_id"), col("qv"), col("qn"), col("cell"),
+        .select(col("q_id"), col("cell"),
           ProductQuantization.adcTablesCol(
             col("qv"), books, PqSubDim).as("qt"))
+      // ADC pass over the probed cells: codes only, 8 loads per pair,
+      // then the SORT-FREE per-query shortlist (TopKMin)
       val cand = broadcast(qprobe)
-        .join(enc.select(col("vec_id"), col("cell"), col("code"),
-          col("embedding"), col("n")), Seq("cell"))
+        .join(enc, Seq("cell"))
         .filter(col("q_id") =!= col("vec_id"))
         .select(col("q_id"), col("vec_id"),
-          // exact full-precision cosine for the re-rank step
-          round(call_function("vec_dot", col("embedding"), col("qv"))
-            / (col("n") * col("qn")), 6).as("sim"),
           round(ProductQuantization.adcLookupCol(
             col("code"), col("qt")), 6).as("adc_dist"))
-      val wAdc = Window.partitionBy(col("q_id"))
-        .orderBy(col("adc_dist").asc, col("vec_id").asc)
+      val short = topkByDist(cand, Seq("q_id"), "adc_dist", CandPool)
+        .select(col("q_id"), col("vec_id"), col("adc_dist"))
+      // exact re-rank touches full-precision vectors ONLY for the
+      // shortlist (queries × CandPool rows): one broadcast hash join
+      // fetches the candidate embeddings for the whole batch in a
+      // single corpus scan — the point of a re-rank stage is that the
+      // expensive distance is NEVER computed per probed pair
+      val reranked = broadcast(short)
+        .join(e.select(col("vec_id"), col("embedding"), col("n")),
+          Seq("vec_id"))
+        .join(broadcast(q), Seq("q_id"))
+        .select(col("q_id"), col("vec_id"),
+          round(call_function("vec_dot", col("embedding"), col("qv"))
+            / (col("n") * col("qn")), 6).as("sim"),
+          col("adc_dist"))
       val wExact = Window.partitionBy(col("q_id"))
         .orderBy(col("sim").desc, col("vec_id").asc)
-      cand.withColumn("adc_rank", row_number().over(wAdc))
-        .filter(col("adc_rank") <= CandPool) // ADC shortlist
+      reranked
         .withColumn("rank", row_number().over(wExact).cast("long"))
         .filter(col("rank") <= TopK) // exact-cosine final order
         .select("q_id", "vec_id", "sim", "adc_dist", "rank")

@@ -64,13 +64,23 @@ object SimilarityQueries {
   }
 
   /** Per-query top-k on (rounded sim desc, id asc) — the shared
-    * deterministic ranking.
+    * deterministic ranking, computed SORT-FREE: (sim desc, id asc) is
+    * exactly (-sim asc, id asc), so the k-slot [[TopKMin]] aggregator
+    * applies with an exact IEEE negation on the way in and out (sign
+    * flips are bit-exact; a -0.0/0.0 pair compares equal on both
+    * paths and falls to the id tiebreak, matching the window's
+    * normalized sort). Selection and rank numbering equal
+    * `row_number() OVER (sim DESC, vec_id ASC) <= k` — the oracles
+    * are unchanged.
     */
   private def topkRanked(sim: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("q_id"))
-      .orderBy(col("sim").desc, col("vec_id").asc)
-    sim.withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= TopK)
+    val f = graft.functions.TopKMin(TopK)
+    sim.groupBy(col("q_id"))
+      .agg(f(-col("sim"), col("vec_id")).as("top"))
+      .select(col("q_id"), posexplode(col("top")))
+      .select(col("q_id"), col("col._2").as("vec_id"),
+        (-col("col._1")).as("sim"),
+        (col("pos") + 1).cast("long").as("rank"))
   }
 
   /** SORT-FREE per-query top-k-smallest for the ADC serving queries:

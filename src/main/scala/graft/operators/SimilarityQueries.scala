@@ -83,6 +83,22 @@ object SimilarityQueries {
         (col("pos") + 1).cast("long").as("rank"))
   }
 
+  /** Cell-routed exact-cosine serve over an assigned frame — the ONE
+    * IVF serving shape s4 and s10 share (they differ only in how the
+    * quantizer was trained): broadcast query table, equi-join on cell,
+    * pair cosine from precomputed norms, sort-free top-k.
+    */
+  private def cellServeTopK(assigned: DataFrame): DataFrame = {
+    val q = assigned.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"),
+        col("n").as("qn"), col("cell"))
+    topkRanked(broadcast(q).join(assigned, Seq("cell"))
+      .filter(col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("vec_id"),
+        round(SimilarityOps.pairCosine("qv", "embedding", "qn", "n"), 6)
+          .as("sim")))
+  }
+
   /** SORT-FREE per-query top-k-smallest for the ADC serving queries:
     * the [[graft.functions.TopKMin]] aggregator keeps a k-slot buffer
     * per group with map-side partial merge, so the scored pair stream
@@ -141,20 +157,8 @@ object SimilarityQueries {
       // integer aggregations, so training is partition-order
       // independent (NOTES.md rule 2 generalized to k-means).
       val cents = SimilarityOps.trainIvf(e, Dim, LloydSteps)
-      val assigned = e.withColumn("cell",
-        SimilarityOps.ivfAssign(cents, Dim))
-      val q = assigned.filter(col("vec_id") < 5)
-        .select(col("vec_id").as("q_id"), col("embedding").as("qv"),
-          col("n").as("qn"), col("cell"))
-      val sim = q.join(assigned, Seq("cell"))
-        .filter(col("q_id") =!= col("vec_id"))
-        .select(col("q_id"), col("vec_id"),
-          round(SimilarityOps.pairCosine("qv", "embedding", "qn", "n"), 6)
-            .as("sim"))
-      val w = Window.partitionBy(col("q_id"))
-        .orderBy(col("sim").desc, col("vec_id").asc)
-      sim.withColumn("rank", row_number().over(w).cast("long"))
-        .filter(col("rank") <= TopK)
+      cellServeTopK(e.withColumn("cell",
+        SimilarityOps.ivfAssign(cents, Dim)))
     }),
 
     // s5: int8 embedding quantization — the storage-scale path for a
@@ -433,20 +437,8 @@ object SimilarityQueries {
       val e = SimilarityOps.withNorm(embeddings(s, d), "embedding", "n")
       val cents = SimilarityOps.trainIvf(
         e.filter(pmod(col("vec_id"), lit(2)) === 0), Dim, LloydSteps)
-      val assigned = e.withColumn("cell",
-        SimilarityOps.ivfAssign(cents, Dim))
-      val q = assigned.filter(col("vec_id") < NQueries)
-        .select(col("vec_id").as("q_id"), col("embedding").as("qv"),
-          col("n").as("qn"), col("cell"))
-      val sim = broadcast(q).join(assigned, Seq("cell"))
-        .filter(col("q_id") =!= col("vec_id"))
-        .select(col("q_id"), col("vec_id"),
-          round(SimilarityOps.pairCosine("qv", "embedding", "qn", "n"), 6)
-            .as("sim"))
-      val w = Window.partitionBy(col("q_id"))
-        .orderBy(col("sim").desc, col("vec_id").asc)
-      sim.withColumn("rank", row_number().over(w).cast("long"))
-        .filter(col("rank") <= TopK)
+      cellServeTopK(e.withColumn("cell",
+        SimilarityOps.ivfAssign(cents, Dim)))
     }),
 
     // s3: embedding near-dup pairs, blocked by (label, sign-bucket) with

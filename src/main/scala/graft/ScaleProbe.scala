@@ -181,6 +181,41 @@ object ScaleProbe {
         .agg(topk(col("d"), col("vec_id")).as("top"))
         .write.format("noop").mode("overwrite").save()
     }
+    // batch-size crossover: past ~10^5 queries the broadcast side
+    // (1 KB of ADC tables per query) outgrows executor broadcast
+    // budgets; the alternative is a shuffle hash join on cell — the
+    // corpus side pays NO new exchange (the barrier already partitions
+    // it by cell), only the tiny query table shuffles. Measured at 10k
+    // queries (~312M pair scores): bcast 60.9 s, shuffle 58.7 s —
+    // within 4%, so serving cost is pair-scoring, not join shape, and
+    // the shuffle form loses nothing when broadcast stops being an
+    // option.
+    for ((mode, qjoin) <- Seq(
+        ("bcast", (q: org.apache.spark.sql.DataFrame) => broadcast(q)),
+        ("shuffle", (q: org.apache.spark.sql.DataFrame) =>
+          q.repartition(32, col("cell")).hint("shuffle_hash")))) {
+      time(s"ivfpq serve 10k-q $mode", m) {
+        val enc = graft.operators.ProductQuantization
+          .encode(vecs, "vec", pqBooks, 8, "code")
+          .select(col("id").as("vec_id"), col("code"),
+            pmod(hash(col("id")), lit(64)).cast("long").as("cell"))
+          .repartition(32, col("cell"))
+        val q = vecs.filter(col("id") < 10000)
+          .select(col("id").as("q_id"),
+            graft.operators.ProductQuantization.adcTablesCol(
+              col("vec"), pqBooks, 8).as("qt"),
+            pmod(hash(col("id")), lit(64)).cast("long").as("cell"))
+        val topk = graft.functions.TopKMin(3)
+        qjoin(q).join(enc, Seq("cell"))
+          .filter(col("q_id") =!= col("vec_id"))
+          .select(col("q_id"), col("vec_id"),
+            graft.operators.ProductQuantization.adcLookupCol(
+              col("code"), col("qt")).as("d"))
+          .groupBy(col("q_id"))
+          .agg(topk(col("d"), col("vec_id")).as("top"))
+          .write.format("noop").mode("overwrite").save()
+      }
+    }
     val irnd = new scala.util.Random(9)
     val cellK = 64
     val ivfBooks = Array.fill(cellK)(

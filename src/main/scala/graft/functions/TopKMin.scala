@@ -19,7 +19,12 @@ import org.apache.spark.sql.functions.udaf
   * Total order is `(value, id)` ascending — ties impossible with
   * unique ids, so the result is partition-order independent and equals
   * `row_number() OVER (ORDER BY value ASC, id ASC) <= k` exactly
-  * (spec-asserted). Inputs must be non-null.
+  * (spec-asserted). Inputs must be non-null and FINITE: `+Inf` is the
+  * empty-slot sentinel (a +Inf input is indistinguishable from an
+  * empty slot and is dropped from the output), and NaN never beats
+  * any slot (NaN inputs are silently ignored, unlike the window form
+  * where Spark orders NaN last). ADC distances and negated rounded
+  * cosines — the serving inputs — are finite by construction.
   */
 final class TopKMin(k: Int)
     extends Aggregator[(Double, Long), (Array[Double], Array[Long]),

@@ -193,6 +193,17 @@ class VectorExprSpec extends SparkSpec {
       .agg(f1(col("v"), col("id")).as("top"))
       .select(size(col("top"))).as[Int].head()
     assert(out === 1)
+    // documented non-finite contract: NaN never beats a slot (ignored),
+    // +Inf is indistinguishable from the empty-slot sentinel (dropped)
+    val nonFinite = Seq(
+      (1L, Double.NaN, 1L), (1L, 2.0, 2L),
+      (1L, Double.PositiveInfinity, 3L), (1L, 1.0, 4L)
+    ).toDF("g", "v", "id")
+    val kept = nonFinite.groupBy(col("g"))
+      .agg(f1(col("v"), col("id")).as("top"))
+      .select(explode(col("top"))).select(col("col._2"))
+      .as[Long].collect().toSeq
+    assert(kept === Seq(4L, 2L))
   }
 
   test("ivf_assign matches the composed cross-join + max_by assignment") {

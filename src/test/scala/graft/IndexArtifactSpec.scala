@@ -80,4 +80,23 @@ class IndexArtifactSpec extends SparkSpec {
           .contains("cell"), plan)
     }
   }
+
+  test("the serve join itself prunes the candidate scan via DPP") {
+    withArtifact { dir =>
+      // serveTopK has NO literal cell filter — the candidate side is an
+      // equi join on the partition column against the broadcast query
+      // table, so the files-read guarantee rests on DYNAMIC partition
+      // pruning inserting a cell IN (...) partition filter fed from the
+      // broadcast side. Pin that: without it the scan silently degrades
+      // to reading every inverted list and only the claim in the
+      // Scaladoc would remain.
+      val plan = VectorIndex.serveTopK(VectorIndex.load(spark, dir),
+        subDim, 5L, 3).queryExecution.executedPlan.toString
+      val candScans = plan.split("\n").filter(l =>
+        l.contains("PartitionFilters") && l.contains("dynamicpruning"))
+      assert(candScans.nonEmpty, plan)
+      assert(candScans.exists(_.split("PartitionFilters", 2)(1)
+        .takeWhile(_ != ']').contains("cell")), candScans.mkString("\n"))
+    }
+  }
 }

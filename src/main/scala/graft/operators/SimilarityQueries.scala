@@ -423,6 +423,51 @@ object SimilarityQueries {
         NQueries, TopK)
     }),
 
+    // s12: FILTERED ANN — top-k under a metadata predicate (the
+    // "pre-filtering" every production vector service exposes: search
+    // only candidates the query is allowed to see — here, candidates
+    // sharing the query's label). The predicate is folded INTO the
+    // candidate equi-join key — (cell, label) instead of (cell) — so
+    // the hash join drops non-matching candidates at probe time: no
+    // second scan, no post-filter pass over scored pairs, and at
+    // 100 TB the predicate rides the shuffle the cell routing already
+    // pays. Everything else is s8's serving shape (same trained
+    // builders, broadcast query table, native ADC, sort-free top-k);
+    // the oracle is s8's generated CTE chain plus the label equality.
+    "s12_filtered_ann" -> ((s, d) => {
+      import graft.operators.ProductQuantization
+      val e = SimilarityOps.withNorm(embeddings(s, d), "embedding", "n")
+      val cents = SimilarityOps.trainIvf(e, Dim, LloydSteps)
+      val books = ProductQuantization.train(
+        e, "embedding", "vec_id", PqSub, PqSubDim, PqK, steps = 1)
+      val assigned = e.withColumn("cell",
+        SimilarityOps.ivfAssign(cents, Dim))
+      // the inverted list carries the filter column next to the code —
+      // the artifact-layout point: predicate columns live WITH the
+      // index so filtered serving never joins back to the corpus
+      val enc = ProductQuantization.encode(
+        assigned, "embedding", books, PqSubDim, "code")
+        .select(col("vec_id"), col("label").cast("long").as("label"),
+          col("cell"), col("code"))
+        .repartition(s.sessionState.conf.numShufflePartitions,
+          col("cell"))
+      val q = assigned.filter(col("vec_id") < NQueries)
+        .select(col("vec_id").as("q_id"),
+          ProductQuantization.adcTablesCol(
+            col("embedding"), books, PqSubDim).as("qt"),
+          col("cell"), col("label").cast("long").as("label"))
+      val sim = broadcast(q)
+        .join(enc, Seq("cell", "label"))
+        .filter(col("q_id") =!= col("vec_id"))
+        .select(col("q_id"), col("vec_id"), col("label"), col("cell"),
+          round(ProductQuantization.adcLookupCol(
+            col("code"), col("qt")), 6).as("adc_dist"))
+      // every candidate shares the query's (cell, label), so grouping
+      // by them preserves the output columns
+      topkByDist(sim, Seq("q_id", "cell", "label"), "adc_dist")
+        .select("q_id", "vec_id", "label", "cell", "adc_dist", "rank")
+    }),
+
     // s10: sampled-training IVF — the practice that makes a trained
     // index viable at 100 TB: the coarse quantizer trains on a
     // deterministic SAMPLE (here vec_id % 2 = 0; production uses a
@@ -782,6 +827,34 @@ object SimilarityQueries {
     // s11 serves the SAME result from the persisted artifact — one
     // oracle, two engines-side paths (inline train vs build/load).
     "s11_index_artifact" -> ivfPqServeSql,
+    // s12 = s8's serve mirror + the label equality the Spark side
+    // folds into the join key.
+    "s12_filtered_ann" ->
+      s"""WITH $ivfCtes,
+          $pqCtes,
+          q12 AS (
+            SELECT a.vec_id AS q_id, a.embedding, a.cell,
+              CAST(e.label AS BIGINT) AS label
+            FROM assigned$LloydSteps a
+            JOIN embeddings e ON e.vec_id = a.vec_id
+            WHERE a.vec_id < $NQueries),
+          adc AS (
+            SELECT q.q_id, a.vec_id, q.label, a.cell,
+              round(${adcChain("q")}, 6) AS adc_dist
+            FROM q12 q
+            JOIN assigned$LloydSteps a
+              ON a.cell = q.cell AND a.vec_id <> q.q_id
+            JOIN embeddings le ON le.vec_id = a.vec_id
+              AND CAST(le.label AS BIGINT) = q.label
+            JOIN pqenc c ON c.vec_id = a.vec_id
+            $pqBookJoins),
+          r AS (
+            SELECT q_id, vec_id, label, cell, adc_dist,
+              CAST(row_number() OVER (PARTITION BY q_id
+                ORDER BY adc_dist ASC, vec_id ASC) AS BIGINT) AS rank
+            FROM adc)
+          SELECT q_id, vec_id, label, cell, adc_dist, rank
+          FROM r WHERE rank <= $TopK""",
     "s9_ivfpq_multiprobe" -> {
       // probe CTE: score each query against the FINAL trained
       // centroids (cm{LloydSteps}: means m1..m64 + norm mn, cell label

@@ -85,4 +85,54 @@ class SimilarityMultimodalSpec extends SparkSpec {
       assert(math.abs(r - math.floor(n * 1000000.0 / 3) / 1e6) < 1e-12)
     }
   }
+
+  test("filtered ANN equals an independently composed filter + ADC rank") {
+    // s12 folds the label predicate into the (cell, label) join key,
+    // stages per-query ADC tables on the broadcast side, and ranks
+    // with the sort-free TopKMin aggregator. Recompute it through a
+    // DIFFERENT composition — driver-side query vectors scored by the
+    // direct pq_adc form, a post-join label/cell row filter, and a
+    // row_number window — and require identical rows.
+    import graft.operators.ProductQuantization
+    val (dim, steps, sub, subDim, k, nq, topK) = (64, 2, 8, 8, 16, 5, 3)
+    val got = SparkEntry.queries("s12_filtered_ann")(spark, sf)
+      .as[(Long, Long, Long, Long, Double, Long)].collect().toSeq.sorted
+    val e = SimilarityOps.withNorm(
+      Tables.embeddings(spark, sf), "embedding", "n")
+    val cents = SimilarityOps.trainIvf(e, dim, steps)
+    val books = ProductQuantization.train(
+      e, "embedding", "vec_id", sub, subDim, k, steps = 1)
+    val assigned = e.withColumn("cell",
+      SimilarityOps.ivfAssign(cents, dim))
+    val enc = ProductQuantization.encode(
+      assigned, "embedding", books, subDim, "code")
+    val queries = assigned.filter(col("vec_id") < nq)
+      .select(col("vec_id"), col("embedding"), col("cell"),
+        col("label").cast("long").as("label"))
+      .collect().sortBy(_.getLong(0))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(1)).orderBy(col("adc_dist").asc, col("vec_id").asc)
+    val expected = queries.flatMap { qr =>
+      val qv = qr.getSeq[Float](1).toArray.map(_.toDouble)
+      enc.filter(col("cell") === qr.getLong(2) &&
+          col("label").cast("long") === qr.getLong(3) &&
+          col("vec_id") =!= qr.getLong(0))
+        .select(col("vec_id"),
+          round(ProductQuantization.adcDistance(col("code"), qv, books,
+            subDim), 6).as("adc_dist"))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= topK)
+        .select(lit(qr.getLong(0)).as("q_id"), col("vec_id"),
+          lit(qr.getLong(3)).as("label"), lit(qr.getLong(2)).as("cell"),
+          col("adc_dist"), col("rank"))
+        .as[(Long, Long, Long, Long, Double, Long)].collect()
+    }.toSeq.sorted
+    assert(got === expected)
+    // the predicate actually bites: some query has fewer same-label
+    // candidates than its whole cell (else the filter tested nothing)
+    val unfiltered = SparkEntry.queries("s8_ivfpq_topk")(spark, sf)
+      .select(col("q_id"), col("vec_id"))
+      .as[(Long, Long)].collect().toSeq.sorted
+    assert(got.map(r => (r._1, r._2)).toSeq !== unfiltered)
+  }
 }

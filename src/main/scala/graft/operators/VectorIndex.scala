@@ -62,6 +62,30 @@ object VectorIndex {
       .parquet(s"$dir/corpus")
   }
 
+  /** Incremental ingest — the lifecycle's second half (build once,
+    * APPEND forever, retrain only when drift demands it): encode the
+    * new vectors under the artifact's FROZEN quantizers and append
+    * them into the cell-partitioned corpus. One distributed job;
+    * dynamic-partition append touches only the new rows' files, so
+    * existing inverted lists are never rewritten and a 100 TB index
+    * absorbs a batch of arrivals at the cost of encoding that batch.
+    * Frozen-quantizer encoding is the standard index practice (FAISS
+    * `add` after `train`); recall drifts only as the data
+    * distribution leaves the training sample — the s6-style recall
+    * gate is the re-train trigger.
+    */
+  def append(s: SparkSession, dir: String, newVecs: DataFrame): Unit = {
+    val l = load(s, dir)
+    val dim = l.cents.books.length / l.cents.cells.length
+    val subDim = l.books.head.head.length
+    ProductQuantization.encode(
+        SimilarityOps.withNorm(newVecs, "embedding", "n")
+          .withColumn("cell", SimilarityOps.ivfAssign(l.cents, dim)),
+        "embedding", l.books, subDim, "code")
+      .select("vec_id", "embedding", "n", "cell", "code")
+      .write.mode("append").partitionBy("cell").parquet(s"$dir/corpus")
+  }
+
   /** Load an artifact: quantizer state to the driver (dim-sized, the
     * broadcast-dim legitimacy class), corpus as a lazy cell-partitioned
     * scan. The partition column comes back through partition-type

@@ -15,11 +15,12 @@ class IndexArtifactSpec extends SparkSpec {
   private val d = "/root/testdata/sf0.001"
   private val (dim, steps, sub, subDim, k) = (64, 2, 8, 8, 16)
 
-  private def withArtifact[A](f: String => A): A = {
+  private def withArtifact[A](
+      base: => org.apache.spark.sql.DataFrame =
+        Tables.embeddings(spark, d))(f: String => A): A = {
     val dir = Files.createTempDirectory("graft-idx-spec")
     try {
-      VectorIndex.build(Tables.embeddings(spark, d), dim, steps, sub,
-        subDim, k, dir.toString)
+      VectorIndex.build(base, dim, steps, sub, subDim, k, dir.toString)
       f(dir.toString)
     } finally {
       def rm(p: Path): Unit = {
@@ -34,7 +35,7 @@ class IndexArtifactSpec extends SparkSpec {
   }
 
   test("build -> load round-trips the trained quantizer state exactly") {
-    withArtifact { dir =>
+    withArtifact() { dir =>
       val e = SimilarityOps.withNorm(
         Tables.embeddings(spark, d), "embedding", "n")
       val cents = SimilarityOps.trainIvf(e, dim, steps)
@@ -54,7 +55,7 @@ class IndexArtifactSpec extends SparkSpec {
   }
 
   test("serving from the artifact equals the inline train-and-serve (s8)") {
-    withArtifact { dir =>
+    withArtifact() { dir =>
       val fromArtifact = VectorIndex
         .serveTopK(VectorIndex.load(spark, dir), subDim, 5L, 3)
         .select("q_id", "vec_id", "cell", "adc_dist", "rank")
@@ -67,7 +68,7 @@ class IndexArtifactSpec extends SparkSpec {
   }
 
   test("cell predicates prune to partition filters on the corpus scan") {
-    withArtifact { dir =>
+    withArtifact() { dir =>
       val l = VectorIndex.load(spark, dir)
       val cell = l.cents.cells.head
       val plan = l.corpus.filter(col("cell") === cell)
@@ -81,8 +82,38 @@ class IndexArtifactSpec extends SparkSpec {
     }
   }
 
+  test("append ingests under frozen quantizers; serving equals inline") {
+    // build on a BASE slice (quantizers train on base only), append
+    // the rest: the appended artifact must serve exactly what an
+    // inline frozen-quantizer encode of the full corpus serves, and
+    // the quantizer state must be untouched by the append
+    val all = Tables.embeddings(spark, d)
+    withArtifact(all.filter(col("vec_id") < 300)) { dir =>
+      val before = VectorIndex.load(spark, dir)
+      VectorIndex.append(spark, dir, all.filter(col("vec_id") >= 300))
+      val after = VectorIndex.load(spark, dir)
+      assert(after.cents.books.toSeq === before.cents.books.toSeq)
+      assert(after.books.map(_.map(_.toSeq).toSeq).toSeq ===
+        before.books.map(_.map(_.toSeq).toSeq).toSeq)
+      assert(after.corpus.count() === all.count())
+      val inline = VectorIndex.Loaded(before.cents, before.books,
+        ProductQuantization.encode(
+          SimilarityOps.withNorm(all, "embedding", "n")
+            .withColumn("cell",
+              SimilarityOps.ivfAssign(before.cents, dim)),
+          "embedding", before.books, subDim, "code"))
+      val fromArtifact = VectorIndex.serveTopK(after, subDim, 5L, 3)
+        .as[(Long, Long, Long, Double, Long)].collect().toSeq.sorted
+      val fromInline = VectorIndex.serveTopK(inline, subDim, 5L, 3)
+        .as[(Long, Long, Long, Double, Long)].collect().toSeq.sorted
+      assert(fromArtifact === fromInline)
+      // the appended rows actually reach the served candidate pool
+      assert(fromArtifact.exists(_._2 >= 300L))
+    }
+  }
+
   test("the serve join itself prunes the candidate scan via DPP") {
-    withArtifact { dir =>
+    withArtifact() { dir =>
       // serveTopK has NO literal cell filter — the candidate side is an
       // equi join on the partition column against the broadcast query
       // table, so the files-read guarantee rests on DYNAMIC partition

@@ -35,9 +35,15 @@ object VectorIndex {
   /** Train both quantizers on `e0` (vec_id + embedding) and write the
     * artifact. One pass over the corpus for the final encode+write;
     * training jobs touch only integer-exact aggregates.
+    *
+    * `metaCols` names metadata columns of `e0` to carry INTO the
+    * inverted lists (e.g. `label`) — the filtered-serving design
+    * (s12): predicate columns live next to the codes so a filtered
+    * probe never joins back to the corpus.
     */
   def build(e0: DataFrame, dim: Int, lloydSteps: Int, subspaces: Int,
-      subDim: Int, k: Int, dir: String): Unit = {
+      subDim: Int, k: Int, dir: String,
+      metaCols: Seq[String] = Seq.empty): Unit = {
     val s = e0.sparkSession
     import s.implicits._
     val e = SimilarityOps.withNorm(e0, "embedding", "n")
@@ -55,9 +61,10 @@ object VectorIndex {
     ProductQuantization.encode(
         e.withColumn("cell", SimilarityOps.ivfAssign(cents, dim)),
         "embedding", books, subDim, "code")
-      // only the serving columns: extra input columns (labels etc.)
-      // don't belong in the index artifact
-      .select("vec_id", "embedding", "n", "cell", "code")
+      // the serving columns plus any declared filter metadata — other
+      // input columns don't belong in the index artifact
+      .select((Seq("vec_id", "embedding", "n", "cell", "code") ++
+        metaCols).map(col): _*)
       .write.mode("overwrite").partitionBy("cell")
       .parquet(s"$dir/corpus")
   }
@@ -78,11 +85,16 @@ object VectorIndex {
     val l = load(s, dir)
     val dim = l.cents.books.length / l.cents.cells.length
     val subDim = l.books.head.head.length
+    // the artifact's metadata columns (anything beyond the serving
+    // five) must arrive with the new vectors too
+    val metaCols = l.corpus.columns.toSeq
+      .filterNot(Set("vec_id", "embedding", "n", "cell", "code"))
     ProductQuantization.encode(
         SimilarityOps.withNorm(newVecs, "embedding", "n")
           .withColumn("cell", SimilarityOps.ivfAssign(l.cents, dim)),
         "embedding", l.books, subDim, "code")
-      .select("vec_id", "embedding", "n", "cell", "code")
+      .select((Seq("vec_id", "embedding", "n", "cell", "code") ++
+        metaCols).map(col): _*)
       .write.mode("append").partitionBy("cell").parquet(s"$dir/corpus")
   }
 
@@ -112,30 +124,43 @@ object VectorIndex {
 
   /** Cell-routed ADC top-k over a loaded artifact — s8's serving shape
     * (broadcast query table, equi-join on cell, native `pq_adc`), with
-    * the candidate scan hitting ONLY the queries' partitions.
+    * the candidate scan hitting ONLY the queries' partitions (via
+    * dynamic partition pruning; spec-pinned).
+    *
+    * `filterKeys` names artifact metadata columns a candidate must
+    * MATCH the query on (s12's filtered serving): the predicate is
+    * folded into the candidate equi-join key alongside cell, so the
+    * hash join drops disallowed candidates at probe time — no second
+    * scan, no post-filter pass over scored pairs.
     */
-  def serveTopK(l: Loaded, subDim: Int, nQueries: Long,
-      topK: Int): DataFrame = {
+  def serveTopK(l: Loaded, subDim: Int, nQueries: Long, topK: Int,
+      filterKeys: Seq[String] = Seq.empty): DataFrame = {
     val q = l.corpus.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("q_id"),
+      .select(Seq(col("vec_id").as("q_id"),
         ProductQuantization.adcTablesCol(
           col("embedding"), l.books, subDim).as("qt"),
-        col("cell"))
+        col("cell")) ++ filterKeys.map(col): _*)
     val sim = broadcast(q)
-      .join(l.corpus.select(col("vec_id"), col("cell"), col("code")),
-        Seq("cell"))
+      .join(l.corpus.select(
+          (Seq("vec_id", "cell", "code") ++ filterKeys).map(col): _*),
+        Seq("cell") ++ filterKeys)
       .filter(col("q_id") =!= col("vec_id"))
-      .select(col("q_id"), col("vec_id"), col("cell"),
+      .select(Seq(col("q_id"), col("vec_id"), col("cell")) ++
+        filterKeys.map(col) :+
         round(ProductQuantization.adcLookupCol(
-          col("code"), col("qt")), 6).as("adc_dist"))
+          col("code"), col("qt")), 6).as("adc_dist"): _*)
     // sort-free top-k (TopKMin aggregator): the scored stream never
-    // sorts; the shuffle carries queries×k rows
+    // sorts; the shuffle carries queries×k rows. Every candidate
+    // shares the query's (cell, filterKeys), so grouping by them
+    // preserves the output columns.
     val f = graft.functions.TopKMin(topK)
-    sim.groupBy(col("q_id"), col("cell"))
+    val gcols = Seq(col("q_id"), col("cell")) ++ filterKeys.map(col)
+    sim.groupBy(gcols: _*)
       .agg(f(col("adc_dist"), col("vec_id")).as("top"))
-      .select(col("q_id"), col("cell"), posexplode(col("top")))
-      .select(col("q_id"), col("col._2").as("vec_id"), col("cell"),
-        col("col._1").as("adc_dist"),
-        (col("pos") + 1).cast("long").as("rank"))
+      .select(gcols :+ posexplode(col("top")): _*)
+      .select(Seq(col("q_id"), col("col._2").as("vec_id"),
+        col("cell")) ++ filterKeys.map(col) :+
+        col("col._1").as("adc_dist") :+
+        (col("pos") + 1).cast("long").as("rank"): _*)
   }
 }

@@ -17,10 +17,12 @@ class IndexArtifactSpec extends SparkSpec {
 
   private def withArtifact[A](
       base: => org.apache.spark.sql.DataFrame =
-        Tables.embeddings(spark, d))(f: String => A): A = {
+        Tables.embeddings(spark, d),
+      metaCols: Seq[String] = Seq.empty)(f: String => A): A = {
     val dir = Files.createTempDirectory("graft-idx-spec")
     try {
-      VectorIndex.build(base, dim, steps, sub, subDim, k, dir.toString)
+      VectorIndex.build(base, dim, steps, sub, subDim, k, dir.toString,
+        metaCols)
       f(dir.toString)
     } finally {
       def rm(p: Path): Unit = {
@@ -109,6 +111,27 @@ class IndexArtifactSpec extends SparkSpec {
       assert(fromArtifact === fromInline)
       // the appended rows actually reach the served candidate pool
       assert(fromArtifact.exists(_._2 >= 300L))
+    }
+  }
+
+  test("filtered serving from the artifact equals the inline s12 query") {
+    // build with `label` carried into the inverted lists, serve with
+    // the label as a filter key: the artifact path must reproduce the
+    // inline filtered-ANN query exactly — predicate columns living
+    // next to the codes is what makes filtered serving possible
+    // without joining back to the corpus
+    withArtifact(metaCols = Seq("label")) { dir =>
+      val got = VectorIndex
+        .serveTopK(VectorIndex.load(spark, dir), subDim, 5L, 3,
+          filterKeys = Seq("label"))
+        .select(col("q_id"), col("vec_id"),
+          col("label").cast("long").as("label"), col("cell"),
+          col("adc_dist"), col("rank"))
+        .as[(Long, Long, Long, Long, Double, Long)].collect().toSeq.sorted
+      val inline = SparkEntry.queries("s12_filtered_ann")(spark, d)
+        .select("q_id", "vec_id", "label", "cell", "adc_dist", "rank")
+        .as[(Long, Long, Long, Long, Double, Long)].collect().toSeq.sorted
+      assert(got === inline)
     }
   }
 

@@ -1,0 +1,104 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The text-dedup index as a PERSISTED ARTIFACT — incremental ingest
+  * for the minhash/LSH dedup family (the text twin of [[VectorIndex]]):
+  * at 100 TB you do not re-shingle the corpus to ask whether TODAY'S
+  * arrivals duplicate it. Build once (signatures → banded buckets →
+  * parquet), PROBE each arriving batch against the stored buckets
+  * (cost: the batch's own signatures + one equi-join on (band,
+  * bucket)), and APPEND the batch's buckets so the index stays
+  * current — build-then-append serves the same probes as one full
+  * build (spec-asserted).
+  *
+  * Layout under `dir/`:
+  *  - `params/`  one row (k, rows_per_band): probe/append re-derive
+  *    the banding from the artifact, so a probe can never use a
+  *    different geometry than the index was built with.
+  *  - `buckets/` (doc_id, bucket) PARTITIONED BY band. The probe
+  *    joins on (band, bucket); at cluster scale this table is the
+  *    natural [[graft.io.BucketedIO]] candidate (bucketBy on bucket)
+  *    for a zero-exchange probe join.
+  *
+  * Candidate semantics are EXACTLY d3/d4's — the same shared builders
+  * ([[DedupOps.withMinHash]] → [[DedupOps.lshBuckets]]) produce the
+  * stored and the probing buckets, so a probe returns precisely the
+  * batch-run candidate set ([[DedupOps.lshCandidatePairs]]) restricted
+  * to pairs touching the batch: batch×corpus plus batch×batch.
+  * Downstream verification (Jaccard/SimHash thresholds, d5/d9) and
+  * cluster resolution (d8) compose unchanged on the probe output.
+  */
+object DedupIndex {
+
+  final case class Loaded(k: Int, rowsPerBand: Int, buckets: DataFrame)
+
+  /** Signature + banded buckets of `docs` — ONE definition shared by
+    * build, probe, and append; the index can never drift from the
+    * query-side bucketing.
+    */
+  private def bucketsOf(docs: DataFrame, textCol: String, idCol: String,
+      k: Int, rowsPerBand: Int): DataFrame =
+    DedupOps.lshBuckets(
+      DedupOps.withMinHash(docs, textCol, k), idCol, k, rowsPerBand)
+
+  def build(docs: DataFrame, textCol: String, idCol: String, k: Int,
+      rowsPerBand: Int, dir: String): Unit = {
+    val s = docs.sparkSession
+    import s.implicits._
+    Seq((k, rowsPerBand)).toDF("k", "rows_per_band")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/params")
+    bucketsOf(docs, textCol, idCol, k, rowsPerBand)
+      .write.mode("overwrite").partitionBy("band")
+      .parquet(s"$dir/buckets")
+  }
+
+  /** Banding geometry to the driver, buckets as a lazy partitioned
+    * scan (`band` re-cast to its written long type).
+    */
+  def load(s: SparkSession, dir: String): Loaded = {
+    val p = s.read.parquet(s"$dir/params").head()
+    Loaded(p.getInt(0), p.getInt(1),
+      s.read.parquet(s"$dir/buckets")
+        .withColumn("band", col("band").cast("long")))
+  }
+
+  /** Candidate pairs TOUCHING the batch: `(a, b)` with a < b, distinct
+    * across bands — batch×corpus via the stored buckets plus
+    * batch×batch, i.e. the full batch-run pair set minus pairs among
+    * already-indexed docs. The batch side is signatures for the batch
+    * only; the corpus is never re-shingled.
+    */
+  def probe(l: Loaded, newDocs: DataFrame, textCol: String,
+      idCol: String): DataFrame = {
+    // The batch bucket subtree appears on both join sides, so its
+    // signature pipeline evaluates twice. That is DELIBERATE: a
+    // persist here would leak cached state from a library call (the
+    // r4 lesson), an eager checkpoint would turn a lazy query builder
+    // into an action — and the double-priced side is the BATCH (small
+    // by definition), while the corpus side is scanned once, lazily,
+    // from the artifact. Callers probing a huge batch can persist the
+    // batch frame themselves.
+    val nb = bucketsOf(newDocs, textCol, idCol, l.k, l.rowsPerBand)
+    val a = nb.select(col(idCol).as("a"), col("band"), col("bucket"))
+    val b = l.buckets.select(col(idCol), col("band"), col("bucket"))
+      .unionByName(nb)
+      .select(col(idCol).as("b"), col("band"), col("bucket"))
+    a.join(b, Seq("band", "bucket"))
+      .filter(col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("a"),
+        greatest(col("a"), col("b")).as("b"))
+      .distinct()
+  }
+
+  /** Append the batch's buckets — existing bucket files untouched;
+    * ingest costs the batch's own signatures only.
+    */
+  def append(s: SparkSession, dir: String, newDocs: DataFrame,
+      textCol: String, idCol: String): Unit = {
+    val l = load(s, dir)
+    bucketsOf(newDocs, textCol, idCol, l.k, l.rowsPerBand)
+      .write.mode("append").partitionBy("band").parquet(s"$dir/buckets")
+  }
+}

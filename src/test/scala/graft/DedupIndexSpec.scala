@@ -1,0 +1,95 @@
+package graft
+
+import java.nio.file.{Files, Path}
+import org.apache.spark.sql.functions._
+import graft.operators.{DedupIndex, DedupOps}
+
+/** The persisted dedup-index lifecycle: a probe must return exactly
+  * the batch-run candidate set restricted to pairs touching the batch
+  * (same builders as d3/d4 — no drift possible), and appending a batch
+  * must leave the index serving the same probes as one full build.
+  */
+class DedupIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val d = "/root/testdata/sf0.001"
+  private val (k, rpb) = (4, 2) // d3/d4's banding geometry
+  private val splitId = 400L
+
+  private def withDir[A](f: String => A): A = {
+    val dir = Files.createTempDirectory("graft-dedup-idx")
+    try f(dir.toString)
+    finally {
+      def rm(p: Path): Unit = {
+        if (Files.isDirectory(p)) {
+          val s = Files.list(p)
+          try s.forEach(rm) finally s.close()
+        }
+        Files.deleteIfExists(p)
+      }
+      rm(dir)
+    }
+  }
+
+  private def batchPairsTouching(minId: Long): Seq[(Long, Long)] =
+    DedupOps.lshCandidatePairs(
+        DedupOps.lshBuckets(
+          DedupOps.withMinHash(Tables.documents(spark, d), "text", k),
+          "doc_id", k, rpb),
+        "doc_id")
+      .filter(col("a") >= minId || col("b") >= minId)
+      .as[(Long, Long)].collect().toSeq.sorted
+
+  test("probe equals the batch-run pairs touching the new docs") {
+    val docs = Tables.documents(spark, d)
+    withDir { dir =>
+      DedupIndex.build(docs.filter(col("doc_id") < splitId),
+        "text", "doc_id", k, rpb, dir)
+      val l = DedupIndex.load(spark, dir)
+      assert((l.k, l.rowsPerBand) === ((k, rpb)))
+      val probed = DedupIndex
+        .probe(l, docs.filter(col("doc_id") >= splitId), "text", "doc_id")
+        .as[(Long, Long)].collect().toSeq.sorted
+      assert(probed === batchPairsTouching(splitId))
+      // the probe is doing real work on this corpus: it finds
+      // cross-boundary candidates (else the contract tested nothing)
+      assert(probed.nonEmpty)
+      assert(probed.exists { case (a, b) => a < splitId && b >= splitId })
+    }
+  }
+
+  test("append keeps the index equivalent to a full build") {
+    val docs = Tables.documents(spark, d)
+    withDir { dir =>
+      DedupIndex.build(docs.filter(col("doc_id") < splitId),
+        "text", "doc_id", k, rpb, dir)
+      DedupIndex.append(spark, dir,
+        docs.filter(col("doc_id") >= splitId), "text", "doc_id")
+      val appended = DedupIndex.load(spark, dir)
+      // bucket content equals a fresh full build's (set semantics)
+      val fresh = DedupOps.lshBuckets(
+          DedupOps.withMinHash(docs, "text", k), "doc_id", k, rpb)
+        .as[(Long, Long, Long)].collect().toSeq.sorted
+      val stored = appended.buckets.select("doc_id", "band", "bucket")
+        .as[(Long, Long, Long)].collect().toSeq.sorted
+      assert(stored === fresh)
+      // and a probe of a further batch against the appended index
+      // equals the batch-run contract over the grown corpus: probe a
+      // copy of the last 50 docs with fresh ids (guaranteed bucket
+      // collisions with their originals)
+      val again = docs.filter(col("doc_id") >= 450)
+        .withColumn("doc_id", col("doc_id") + 1000)
+      val probed = DedupIndex.probe(appended, again, "text", "doc_id")
+        .as[(Long, Long)].collect().toSeq.sorted
+      val expected = DedupOps.lshCandidatePairs(
+          DedupOps.lshBuckets(
+            DedupOps.withMinHash(docs.unionByName(again), "text", k),
+            "doc_id", k, rpb),
+          "doc_id")
+        .filter(col("a") >= 1000L || col("b") >= 1000L)
+        .as[(Long, Long)].collect().toSeq.sorted
+      assert(probed === expected)
+      assert(probed.exists { case (a, b) => b === a + 1000L })
+    }
+  }
+}

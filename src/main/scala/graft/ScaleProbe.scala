@@ -5,9 +5,10 @@ import org.apache.spark.sql.functions._
 
 /** Throughput probe on synthetic data well beyond the bench SF —
   * evidence that the operator shapes scale with rows, not with
-  * driver-side loops. Generates data with `spark.range` (no disk), so
-  * the numbers isolate operator cost. Run:
-  * `sbt "runMain graft.ScaleProbe"`.
+  * driver-side loops. Generates data with `spark.range` (no disk
+  * except the index-lifecycle probes, which write and then remove a
+  * temp artifact — persistence is what they measure), so the numbers
+  * isolate operator cost. Run: `sbt "runMain graft.ScaleProbe"`.
   */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
@@ -186,10 +187,11 @@ object ScaleProbe {
     // budgets; the alternative is a shuffle hash join on cell — the
     // corpus side pays NO new exchange (the barrier already partitions
     // it by cell), only the tiny query table shuffles. Measured at 10k
-    // queries (~312M pair scores): bcast 60.9 s, shuffle 58.7 s —
-    // within 4%, so serving cost is pair-scoring, not join shape, and
-    // the shuffle form loses nothing when broadcast stops being an
-    // option.
+    // queries (~312M pair scores) across two runs: bcast 61-111 s,
+    // shuffle 52-59 s. The shuffle form never lost and its spread is
+    // far tighter (no per-task hashed-relation rebuild of a 10 MB
+    // query table under memory pressure), so it is the safer default
+    // once batches reach 10^4 queries.
     for ((mode, qjoin) <- Seq(
         ("bcast", (q: org.apache.spark.sql.DataFrame) => broadcast(q)),
         ("shuffle", (q: org.apache.spark.sql.DataFrame) =>
@@ -227,6 +229,45 @@ object ScaleProbe {
           typedLit(ivfBooks.flatten.toSeq), typedLit(ivfMns.toSeq),
           typedLit((0L until cellK.toLong).toSeq), lit(64)))
         .write.format("noop").mode("overwrite").save()
+    }
+
+    // incremental dedup at ingest shape: build the LSH bucket index
+    // once over a 2M-doc corpus (the only step that touches the
+    // corpus; writes a temp artifact), then probe a 20k-doc arriving
+    // batch — half exact copies of indexed docs (guaranteed bucket
+    // collisions), half novel — against the store. The probe prices
+    // what continuous ingestion actually pays per batch: the batch's
+    // own signatures + one (band, bucket) equi-join.
+    val dedupN = 2000000L
+    val mkText = (base: org.apache.spark.sql.Column) => concat_ws(" ",
+      (0 to 7).map(j => md5((base * 8 + j).cast("string"))): _*)
+    val idxDocs = spark.range(dedupN)
+      .select(col("id").as("doc_id"), mkText(col("id")).as("text"))
+    val idxDir = java.nio.file.Files
+      .createTempDirectory("graft-probe-didx").toString
+    time("dedup index build (2M)", dedupN) {
+      graft.operators.DedupIndex.build(
+        idxDocs, "text", "doc_id", 4, 2, idxDir)
+    }
+    val batch = spark.range(20000).select(
+      (col("id") + 10000000L).as("doc_id"),
+      mkText(when(col("id") < 10000, col("id"))
+        .otherwise(col("id") + 30000000L)).as("text"))
+    time("dedup index probe (20k)", 20000L) {
+      graft.operators.DedupIndex.probe(
+          graft.operators.DedupIndex.load(spark, idxDir),
+          batch, "text", "doc_id")
+        .write.format("noop").mode("overwrite").save()
+    }
+    locally {
+      def rm(p: java.nio.file.Path): Unit = {
+        if (java.nio.file.Files.isDirectory(p)) {
+          val st = java.nio.file.Files.list(p)
+          try st.forEach(rm) finally st.close()
+        }
+        java.nio.file.Files.deleteIfExists(p)
+      }
+      rm(java.nio.file.Paths.get(idxDir))
     }
 
     // native text kernels over 20M 64-char rows — per-character loops

@@ -80,10 +80,22 @@ object DedupIndex {
     // by definition), while the corpus side is scanned once, lazily,
     // from the artifact. Callers probing a huge batch can persist the
     // batch frame themselves.
-    val nb = bucketsOf(newDocs, textCol, idCol, l.k, l.rowsPerBand)
-    val a = nb.select(col(idCol).as("a"), col("band"), col("bucket"))
-    val b = l.buckets.select(col(idCol), col("band"), col("bucket"))
-      .unionByName(nb)
+    probePairs(l.buckets.select(col(idCol), col("band"), col("bucket")),
+      bucketsOf(newDocs, textCol, idCol, l.k, l.rowsPerBand), idCol)
+  }
+
+  /** The probe join at the bucket level — shared by the artifact
+    * [[probe]] and the oracle-gated ingest-gate query (d12), so the
+    * serving path and the gate can never drift: candidates are ids
+    * sharing any (band, bucket) where at least one side is in
+    * `newBuckets`, `(a, b)` with a < b, distinct across bands.
+    */
+  def probePairs(stored: DataFrame, newBuckets: DataFrame,
+      idCol: String): DataFrame = {
+    val a = newBuckets
+      .select(col(idCol).as("a"), col("band"), col("bucket"))
+    val b = stored.unionByName(
+        newBuckets.select(col(idCol), col("band"), col("bucket")))
       .select(col(idCol).as("b"), col("band"), col("bucket"))
     a.join(b, Seq("band", "bucket"))
       .filter(col("a") =!= col("b"))

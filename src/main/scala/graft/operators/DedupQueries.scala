@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{DedupOps, TextOps}
+import graft.operators.{DedupIndex, DedupOps, TextOps}
 
 /** Deduplication inventory over `documents`: exact content-hash dedup,
   * MinHash signatures, banded LSH buckets + candidate pairs, SimHash,
@@ -16,6 +16,8 @@ object DedupQueries {
   private val K = 4 // minhash signature width in the checked queries
   private val RowsPerBand = 2
   private val DecontamN = 8 // decontamination word-n-gram width
+  private val IngestSplit = 400L // d12: docs >= this are "arriving"
+  private val IngestJacThreshold = 0.5 // d12: confirm-duplicate bar
 
   // --- shared corpus-assembly stages (x8 gate + x10 funnel) ----------
   // Each stage frame/predicate is defined ONCE and composed by both
@@ -259,6 +261,47 @@ object DedupQueries {
         .select(col("source") +:
           (0 until K).map(i =>
             element_at(col("sketch"), i + 1).as(s"smh$i")): _*)
+    }),
+
+    // d12: the INGEST GATE — incremental dedup as an admission
+    // decision, the query continuous ingestion actually runs: docs at
+    // or past IngestSplit are "arriving"; candidates touching the
+    // batch come from DedupIndex.probePairs (the SAME join the
+    // persisted-index probe serves — the gate and the artifact path
+    // cannot drift), each candidate is VERIFIED by char-4-gram
+    // Jaccard (d5's builders), and an arrival is admitted iff no
+    // confirmed duplicate with an EARLIER doc exists (earliest-wins,
+    // non-recursive — deterministic and mirrorable; the corpus-side
+    // doc of a confirmed pair always wins, and within the batch the
+    // earlier arrival wins). At 100 TB the base side reads from the
+    // DedupIndex artifact instead of re-bucketing — spec-equal by
+    // probePairs sharing.
+    "d12_ingest_gate" -> ((s, d) => {
+      val docs = documents(s, d)
+      val bkts = (f: DataFrame) => DedupOps.lshBuckets(
+        DedupOps.withMinHash(f, "text", K), "doc_id", K, RowsPerBand)
+      val cand = DedupIndex.probePairs(
+        bkts(docs.filter(col("doc_id") < IngestSplit)),
+        bkts(docs.filter(col("doc_id") >= IngestSplit)), "doc_id")
+      val g = docs.select(col("doc_id"),
+        TextOps.charNgrams("text", 4).as("grams"))
+      val confirmed = cand
+        .join(g.select(col("doc_id").as("a"), col("grams").as("ga")),
+          Seq("a"))
+        .join(g.select(col("doc_id").as("b"), col("grams").as("gb")),
+          Seq("b"))
+        .select(col("a"), col("b"),
+          round(DedupOps.jaccard(col("ga"), col("gb")), 4).as("jac"))
+        .filter(col("jac") >= IngestJacThreshold)
+      // a < b throughout, so the rejected side of a confirmed pair is
+      // always b (the later doc); dup_of = the earliest confirmed a
+      val rejected = confirmed
+        .groupBy(col("b")).agg(min(col("a")).as("dup_of"))
+        .withColumnRenamed("b", "doc_id")
+      docs.filter(col("doc_id") >= IngestSplit).select(col("doc_id"))
+        .join(rejected, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("dup_of"),
+          col("dup_of").isNull.as("admitted"))
     })
   )
 
@@ -325,6 +368,42 @@ object DedupQueries {
           FROM bk x JOIN bk y
             ON x.band = y.band AND x.bucket = y.bucket
            AND x.doc_id < y.doc_id""",
+    // d12: the probe's "pairs touching the batch" reduce to
+    // b >= IngestSplit because a < b and every arriving id is above
+    // the split; verification and admission mirror the Spark side
+    // (d5's gram/jaccard fragments, filter on the ROUNDED value).
+    "d12_ingest_gate" ->
+      s"""$bucketsSql,
+          cand AS (
+            SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+            FROM bk x JOIN bk y
+              ON x.band = y.band AND x.bucket = y.bucket
+             AND x.doc_id < y.doc_id
+            WHERE y.doc_id >= $IngestSplit),
+          g AS (
+            SELECT doc_id,
+              list_distinct(list_transform(
+                range(1, greatest(length(text) - 3, 0) + 1),
+                i -> substr(text, i, 4))) AS grams
+            FROM documents),
+          confirmed AS (
+            SELECT c.a, c.b,
+              round(CAST(len(list_filter(x.grams,
+                        t -> list_contains(y.grams, t))) AS DOUBLE)
+                / (len(x.grams) + len(y.grams)
+                   - len(list_filter(x.grams,
+                       t -> list_contains(y.grams, t)))),
+                4) AS jac
+            FROM cand c
+            JOIN g x ON x.doc_id = c.a
+            JOIN g y ON y.doc_id = c.b),
+          rej AS (
+            SELECT b AS doc_id, min(a) AS dup_of
+            FROM confirmed WHERE jac >= $IngestJacThreshold
+            GROUP BY b)
+          SELECT d.doc_id, r.dup_of, r.dup_of IS NULL AS admitted
+          FROM documents d LEFT JOIN rej r ON r.doc_id = d.doc_id
+          WHERE d.doc_id >= $IngestSplit""",
     "d5_ngram_jaccard" ->
       """WITH g AS (
            SELECT doc_id,

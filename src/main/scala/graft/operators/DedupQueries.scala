@@ -13,11 +13,12 @@ import graft.operators.{DedupIndex, DedupOps, TextOps}
 object DedupQueries {
   import Tables._
 
-  private val K = 4 // minhash signature width in the checked queries
-  private val RowsPerBand = 2
+  private[graft] val K = 4 // minhash signature width in the checked queries
+  private[graft] val RowsPerBand = 2
   private val DecontamN = 8 // decontamination word-n-gram width
-  private val IngestSplit = 400L // d12: docs >= this are "arriving"
-  private val IngestJacThreshold = 0.5 // d12: confirm-duplicate bar
+  // d12/st10 ingest gate: docs >= the split are "arriving"
+  private[graft] val IngestSplit = 400L
+  private[graft] val IngestJacThreshold = 0.5 // confirm-duplicate bar
 
   // --- shared corpus-assembly stages (x8 gate + x10 funnel) ----------
   // Each stage frame/predicate is defined ONCE and composed by both
@@ -283,25 +284,11 @@ object DedupQueries {
       val cand = DedupIndex.probePairs(
         bkts(docs.filter(col("doc_id") < IngestSplit)),
         bkts(docs.filter(col("doc_id") >= IngestSplit)), "doc_id")
-      val g = docs.select(col("doc_id"),
-        TextOps.charNgrams("text", 4).as("grams"))
-      val confirmed = cand
-        .join(g.select(col("doc_id").as("a"), col("grams").as("ga")),
-          Seq("a"))
-        .join(g.select(col("doc_id").as("b"), col("grams").as("gb")),
-          Seq("b"))
-        .select(col("a"), col("b"),
-          round(DedupOps.jaccard(col("ga"), col("gb")), 4).as("jac"))
-        .filter(col("jac") >= IngestJacThreshold)
-      // a < b throughout, so the rejected side of a confirmed pair is
-      // always b (the later doc); dup_of = the earliest confirmed a
-      val rejected = confirmed
-        .groupBy(col("b")).agg(min(col("a")).as("dup_of"))
-        .withColumnRenamed("b", "doc_id")
-      docs.filter(col("doc_id") >= IngestSplit).select(col("doc_id"))
-        .join(rejected, Seq("doc_id"), "left")
-        .select(col("doc_id"), col("dup_of"),
-          col("dup_of").isNull.as("admitted"))
+      DedupIndex.gateDecisions(cand,
+        docs.select(col("doc_id"),
+          TextOps.charNgrams("text", 4).as("grams")),
+        docs.filter(col("doc_id") >= IngestSplit), "doc_id",
+        IngestJacThreshold)
     })
   )
 

@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.operators.DedupIndex
 import graft.streaming.StreamingOps
 
 /** Structured Streaming inventory over the `events` stream: tumbling
@@ -170,6 +171,23 @@ object StreamingQueries {
             .as("win_start"),
           col("event_type"), col("cnt"), col("sum_v"))
       StreamingOps.runToMemory(ss, agg, "st5_stream_watermark", "append")
+    }),
+
+    // st10: CONTINUOUS dedup ingestion — d12's admission gate driven
+    // from a file stream against the persisted LSH index artifact.
+    // Arrivals replay as 3 id-ordered micro-batches; each batch runs
+    // probe → gateDecisions → append on the public DedupIndex API, so
+    // the final decision set equals the one-shot batch gate's and the
+    // oracle is d12's SQL verbatim (the strongest possible gate for a
+    // stream: its output hash-matches the batch semantics it claims).
+    "st10_stream_ingest_gate" -> ((s, d) => {
+      val ss = StreamingOps.streamSession(s)
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-ingest-gate").toString
+      DedupIndex.streamIngestGate(ss, Tables.documents(ss, d),
+        "text", "doc_id", DedupQueries.K, DedupQueries.RowsPerBand,
+        DedupQueries.IngestSplit, DedupQueries.IngestJacThreshold,
+        nFiles = 3, root)
     })
   )
 
@@ -258,6 +276,9 @@ object StreamingQueries {
          FROM events, m
          WHERE time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour'
            <= m.mx - INTERVAL '1 hour'
-         GROUP BY 1, 2"""
+         GROUP BY 1, 2""",
+    // st10 ≡ d12 by construction (same gate, same split): the stream
+    // is held to the BATCH oracle, not a weaker streaming one.
+    "st10_stream_ingest_gate" -> DedupQueries.oracle("d12_ingest_gate")
   )
 }

@@ -92,4 +92,35 @@ class DedupIndexSpec extends SparkSpec {
       assert(probed.exists { case (a, b) => b === a + 1000L })
     }
   }
+
+  test("streaming ingest gate: ordered micro-batches ≡ the batch gate") {
+    val docs = Tables.documents(spark, d)
+    withDir { root =>
+      val streamed = DedupIndex.streamIngestGate(spark, docs,
+          "text", "doc_id", k, rpb, splitId, threshold = 0.5,
+          nFiles = 3, root)
+        .as[(Long, Option[Long], Boolean)].collect().toSeq.sorted
+      // the stream's final decisions equal the ONE-SHOT batch gate's
+      // (d12) — the equivalence the oracle sharing relies on
+      val batch = SparkEntry.queries("d12_ingest_gate")(spark, d)
+        .as[(Long, Option[Long], Boolean)].collect().toSeq.sorted
+      assert(streamed === batch)
+      // real rejections happened, including at least one whose winner
+      // was only reachable THROUGH the artifact (a base-corpus doc)
+      assert(streamed.exists { case (_, dup, adm) =>
+        !adm && dup.exists(_ < splitId) })
+      // the stream genuinely ran as 3 micro-batches, in id order —
+      // the monotone-arrival premise the gate documents
+      val perBatch = spark.read.parquet(s"$root/decisions")
+        .groupBy(col("batch"))
+        .agg(min(col("doc_id")).as("lo"), max(col("doc_id")).as("hi"))
+        .orderBy(col("batch"))
+        .as[(Long, Long, Long)].collect().toSeq
+      assert(perBatch.map(_._1) === Seq(0L, 1L, 2L))
+      assert(perBatch.sliding(2).forall {
+        case Seq((_, _, hi0), (_, lo1, _)) => hi0 < lo1
+        case _ => true
+      })
+    }
+  }
 }

@@ -129,4 +129,44 @@ object SimilarityOps {
     }
     cents
   }
+
+  /** The EMBEDDING ingest gate — d12's admission decision for vectors,
+    * blocked by the index topology: candidates must agree with the
+    * arrival on (cell, bucket) — the trained coarse cell composed with
+    * the sign-LSH bucket, the same bounded-block design as s3 (cell
+    * alone is an O(n²/k) block at 100 TB; the sign bits bound it) —
+    * and are CONFIRMED by exact cosine at or past `threshold` on the
+    * ROUNDED value (so the oracle's comparison sees identical
+    * doubles). `stored` and `batch` both carry (vec_id, embedding, n,
+    * cell, bucket); admission is [[DedupIndex.admit]]'s earliest-wins
+    * rule — one definition for both modalities' gates. Pairs touching
+    * the batch only: batch×(stored ∪ batch), normalized a < b. Shared
+    * by the one-shot gate (s13) and the streaming artifact-backed
+    * gate (st11) so the two cannot drift.
+    */
+  def ingestGate(stored: DataFrame, batch: DataFrame,
+      threshold: Double): DataFrame = {
+    val key = (f: DataFrame) =>
+      f.select(col("vec_id"), col("cell"), col("bucket"))
+    val a = key(batch).select(col("vec_id").as("a"),
+      col("cell"), col("bucket"))
+    val b = key(stored).unionByName(key(batch))
+      .select(col("vec_id").as("b"), col("cell"), col("bucket"))
+    val cand = a.join(b, Seq("cell", "bucket"))
+      .filter(col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("a"),
+        greatest(col("a"), col("b")).as("b"))
+      .distinct()
+    val v = stored.select("vec_id", "embedding", "n")
+      .unionByName(batch.select("vec_id", "embedding", "n"))
+    val confirmed = cand
+      .join(v.select(col("vec_id").as("a"), col("embedding").as("va"),
+        col("n").as("na")), Seq("a"))
+      .join(v.select(col("vec_id").as("b"), col("embedding").as("vb"),
+        col("n").as("nb")), Seq("b"))
+      .select(col("a"), col("b"),
+        round(pairCosine("va", "vb", "na", "nb"), 6).as("csim"))
+      .filter(col("csim") >= threshold)
+    DedupIndex.admit(confirmed, batch, "vec_id")
+  }
 }

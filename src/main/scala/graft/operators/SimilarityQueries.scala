@@ -14,14 +14,23 @@ object SimilarityQueries {
   import Tables._
 
   private val TopK = 3
-  private val Dim = 64
+  private[graft] val Dim = 64
   private val NQueries = 5 // query-set size (vec_id < NQueries)
   private val Bits = 8 // sign-LSH code width (s2/s3/s6 share the index)
-  private val LloydSteps = 2 // trained-quantizer rounds in s4 (both engines)
+  // trained-quantizer rounds in s4 (both engines)
+  private[graft] val LloydSteps = 2
   // PQ geometry shared by s7/s8/s9 and their generated oracles
-  private val PqSub = 8 // subspaces
-  private val PqSubDim = Dim / PqSub // components per subspace
-  private val PqK = 16 // centroids per subspace codebook
+  private[graft] val PqSub = 8 // subspaces
+  private[graft] val PqSubDim = Dim / PqSub // components per subspace
+  private[graft] val PqK = 16 // centroids per subspace codebook
+  // s13/st11 embedding ingest gate: vectors >= the split are
+  // "arriving"; the blocking key uses 4 sign bits (coarser buckets
+  // than s3's 8, so enough candidate pairs collide at the small SFs —
+  // at scale the bit width grows with corpus density, like any LSH
+  // geometry); confirm bar is s3's near-dup cosine threshold.
+  private[graft] val VecGateSplit = 400L
+  private[graft] val VecGateBits = 4
+  private[graft] val VecGateThr = 0.35
 
   /** Exact per-pair cosine scores: tiny query set broadcast against the
     * full corpus (scanned once). The ground truth s1 reports and s6
@@ -514,6 +523,29 @@ object SimilarityQueries {
       DedupOps.duplicateClusters(
         e.select(col("vec_id")),
         nearDupPairs(e).select(col("a"), col("b")), "vec_id")
+    }),
+
+    // s13: the EMBEDDING INGEST GATE — d12's admission decision for
+    // the vector modality, blocked by the index topology: quantizers
+    // train on the BASE corpus only (vec_id < split — the frozen-
+    // quantizer contract an index gives arrivals), every vector is
+    // assigned under the final centroids (s10's serve shape), and
+    // candidates must agree on (cell, sign-bucket) — cell alone is an
+    // O(n²/k) block at 100 TB, the sign bits bound it (s3's design).
+    // Confirmed = exact cosine ≥ the near-dup bar; admission is the
+    // shared earliest-wins rule. SimilarityOps.ingestGate is the ONE
+    // definition the streaming artifact gate (st11) also runs.
+    "s13_vec_ingest_gate" -> ((s, d) => {
+      val e = SimilarityOps.withNorm(embeddings(s, d), "embedding", "n")
+      val cents = SimilarityOps.trainIvf(
+        e.filter(col("vec_id") < VecGateSplit), Dim, LloydSteps)
+      val assigned = e
+        .withColumn("cell", SimilarityOps.ivfAssign(cents, Dim))
+        .withColumn("bucket",
+          SimilarityOps.signBucket("embedding", VecGateBits))
+      SimilarityOps.ingestGate(
+        assigned.filter(col("vec_id") < VecGateSplit),
+        assigned.filter(col("vec_id") >= VecGateSplit), VecGateThr)
     })
   )
 
@@ -750,10 +782,11 @@ object SimilarityQueries {
              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
            * sqrt(list_sum(list_transform($b,
              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))))"""
-  private val dBucket = (v: String) =>
-    "CAST((" + (0 until Bits).map(j =>
+  private def dBucketW(v: String, bits: Int): String =
+    "CAST((" + (0 until bits).map(j =>
       s"(CASE WHEN $v[${j + 1}] > 0 THEN ${1L << j} ELSE 0 END)")
       .mkString(" + ") + ") AS BIGINT)"
+  private val dBucket = (v: String) => dBucketW(v, Bits)
 
   def oracle: Map[String, String] = Map(
     "s1_cosine_topk" ->
@@ -994,6 +1027,37 @@ object SimilarityQueries {
                 ORDER BY sim DESC, vec_id ASC) AS BIGINT) AS rank
             FROM sim)
           SELECT q_id, vec_id, sim, rank FROM r WHERE rank <= $TopK""",
+    // Ingest-gate mirror: base-only Lloyd training (s10's sampled-
+    // training composition with the base CTE as the sample), full-
+    // corpus serve assignment, (cell, 4-bit sign bucket) candidate
+    // block with pairs touching the arrivals, exact-cosine confirm on
+    // the rounded value, earliest-wins admission.
+    "s13_vec_ingest_gate" ->
+      s"""WITH base AS (
+            SELECT vec_id, embedding FROM embeddings
+            WHERE vec_id < $VecGateSplit),
+          ${ivfCtesFrom("base")},
+          $ivfServeCtes,
+          sb AS (
+            SELECT vec_id, embedding, cell,
+              ${dBucketW("embedding", VecGateBits)} AS bucket
+            FROM served),
+          cand AS (
+            SELECT x.vec_id AS a, x.embedding AS ea,
+                   y.vec_id AS b, y.embedding AS eb
+            FROM sb x JOIN sb y
+              ON x.cell = y.cell AND x.bucket = y.bucket
+             AND x.vec_id < y.vec_id
+            WHERE y.vec_id >= $VecGateSplit),
+          conf AS (
+            SELECT a, b, round(${dCos("ea", "eb")}, 6) AS csim
+            FROM cand),
+          rej AS (
+            SELECT b AS vec_id, min(a) AS dup_of
+            FROM conf WHERE csim >= $VecGateThr GROUP BY b)
+          SELECT e.vec_id, r.dup_of, r.dup_of IS NULL AS admitted
+          FROM embeddings e LEFT JOIN rej r ON r.vec_id = e.vec_id
+          WHERE e.vec_id >= $VecGateSplit""",
     // Recursive transitive closure over the bidirectional near-dup
     // graph — the d8 oracle shape over s3's pair criterion.
     "d11_embedding_dedup" ->

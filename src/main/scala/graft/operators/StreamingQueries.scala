@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.DedupIndex
+import graft.operators.{DedupIndex, VectorIndex}
 import graft.streaming.StreamingOps
 
 /** Structured Streaming inventory over the `events` stream: tumbling
@@ -188,6 +188,22 @@ object StreamingQueries {
         "text", "doc_id", DedupQueries.K, DedupQueries.RowsPerBand,
         DedupQueries.IngestSplit, DedupQueries.IngestJacThreshold,
         nFiles = 3, root)
+    }),
+
+    // st11: continuous VECTOR ingestion — s13's admission gate driven
+    // from a file stream against the persisted IVF+PQ index artifact
+    // (probe under frozen quantizers → exact-cosine gate → append),
+    // the embedding twin of st10. Held to s13's BATCH oracle.
+    "st11_stream_vec_ingest" -> ((s, d) => {
+      val ss = StreamingOps.streamSession(s)
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-vec-ingest").toString
+      VectorIndex.streamIngestGate(ss, Tables.embeddings(ss, d),
+        SimilarityQueries.Dim, SimilarityQueries.LloydSteps,
+        SimilarityQueries.PqSub, SimilarityQueries.PqSubDim,
+        SimilarityQueries.PqK, SimilarityQueries.VecGateBits,
+        SimilarityQueries.VecGateSplit, SimilarityQueries.VecGateThr,
+        nFiles = 3, root)
     })
   )
 
@@ -277,8 +293,11 @@ object StreamingQueries {
          WHERE time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour'
            <= m.mx - INTERVAL '1 hour'
          GROUP BY 1, 2""",
-    // st10 ≡ d12 by construction (same gate, same split): the stream
-    // is held to the BATCH oracle, not a weaker streaming one.
-    "st10_stream_ingest_gate" -> DedupQueries.oracle("d12_ingest_gate")
+    // st10 ≡ d12 and st11 ≡ s13 by construction (same gate, same
+    // split): the streams are held to the BATCH oracles, not weaker
+    // streaming ones.
+    "st10_stream_ingest_gate" -> DedupQueries.oracle("d12_ingest_gate"),
+    "st11_stream_vec_ingest" ->
+      SimilarityQueries.oracle("s13_vec_ingest_gate")
   )
 }

@@ -81,8 +81,14 @@ object VectorIndex {
     * distribution leaves the training sample — the s6-style recall
     * gate is the re-train trigger.
     */
-  def append(s: SparkSession, dir: String, newVecs: DataFrame): Unit = {
-    val l = load(s, dir)
+  def append(s: SparkSession, dir: String, newVecs: DataFrame): Unit =
+    appendWith(load(s, dir), dir, newVecs)
+
+  /** Append under an already-loaded artifact — the ingest-loop fast
+    * path (quantizers are frozen, so a stream collects them once, not
+    * per batch; only `l.corpus`'s column list is consulted here).
+    */
+  def appendWith(l: Loaded, dir: String, newVecs: DataFrame): Unit = {
     val dim = l.cents.books.length / l.cents.cells.length
     val subDim = l.books.head.head.length
     // the artifact's metadata columns (anything beyond the serving
@@ -96,6 +102,73 @@ object VectorIndex {
       .select((Seq("vec_id", "embedding", "n", "cell", "code") ++
         metaCols).map(col): _*)
       .write.mode("append").partitionBy("cell").parquet(s"$dir/corpus")
+  }
+
+  /** CONTINUOUS vector ingestion: the artifact's probe → gate →
+    * append loop driven from a Structured Streaming file source — the
+    * embedding twin of [[DedupIndex.streamIngestGate]]. Vectors below
+    * `splitId` build the index; the rest replay as `nFiles` id-ordered
+    * micro-batches ([[graft.streaming.StreamingOps.stageOrderedArrivals]]).
+    * Each batch is encoded under the artifact's FROZEN quantizers,
+    * gated by [[SimilarityOps.ingestGate]] against the stored corpus
+    * (candidates agree on (cell, sign-bucket); exact-cosine confirm;
+    * earliest-wins admission), then appended — so by the same
+    * monotone-arrival argument as the text gate, the stream's final
+    * decisions equal the one-shot batch gate's (s13) and the stream
+    * is held to the BATCH oracle. Decisions parquet keeps a `batch`
+    * column for the spec; the returned frame drops it.
+    */
+  def streamIngestGate(ss: SparkSession, e0: DataFrame, dim: Int,
+      lloydSteps: Int, subspaces: Int, subDim: Int, k: Int,
+      bits: Int, splitId: Long, threshold: Double, nFiles: Int,
+      root: String): DataFrame = {
+    build(e0.filter(col("vec_id") < splitId)
+        .select("vec_id", "embedding"),
+      dim, lloydSteps, subspaces, subDim, k, s"$root/index")
+    graft.streaming.StreamingOps.stageOrderedArrivals(
+      e0.filter(col("vec_id") >= splitId), "vec_id", nFiles,
+      s"$root/arrivals")
+    val stream = ss.readStream.schema(e0.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$root/arrivals")
+    // quantizers are FROZEN: collect them once; per batch only the
+    // corpus frame is re-created so its scan re-lists the files the
+    // previous batch appended
+    val frozen = load(ss, s"$root/index")
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val corpus = ss.read.parquet(s"$root/index/corpus")
+          .withColumn("cell", col("cell").cast("long"))
+        // the corpus side needs no re-encode — cells and norms are
+        // stored; only the gate's sign-bucket is derived on the fly
+        // (at scale it would be one more stored artifact column)
+        val stored = corpus.withColumn("bucket",
+          SimilarityOps.signBucket("embedding", bits))
+        // the batch is encoded ONCE (norm, cell, PQ code, bucket),
+        // persisted for the batch's lifetime, and both served to the
+        // gate and appended — instead of encoding separately for each
+        val enc = ProductQuantization.encode(
+            SimilarityOps.withNorm(
+              batch.select("vec_id", "embedding"), "embedding", "n")
+              .withColumn("cell",
+                SimilarityOps.ivfAssign(frozen.cents, dim)),
+            "embedding", frozen.books, subDim, "code")
+          .withColumn("bucket",
+            SimilarityOps.signBucket("embedding", bits))
+          .persist()
+        try {
+          SimilarityOps.ingestGate(stored, enc, threshold)
+            .withColumn("batch", lit(batchId))
+            .write.mode("append").parquet(s"$root/decisions")
+          enc.select("vec_id", "embedding", "n", "cell", "code")
+            .write.mode("append").partitionBy("cell")
+            .parquet(s"$root/index/corpus")
+        } finally enc.unpersist()
+      }
+      .option("checkpointLocation", s"$root/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    ss.read.parquet(s"$root/decisions").drop("batch")
   }
 
   /** Load an artifact: quantizer state to the driver (dim-sized, the

@@ -22,6 +22,51 @@ import org.apache.spark.sql.types._
   */
 object StreamingOps {
 
+  /** Stage `arrivals` as `nFiles` id-range parquet files under `dir`
+    * with strictly increasing modification times, so a file-stream
+    * source (`maxFilesPerTrigger=1`, `AvailableNow`) replays them as
+    * `nFiles` ordered micro-batches in id order — the monotone-id
+    * arrival contract the ingest gates (st10/st11) assume (arrival
+    * order = id order, the normal shape of an ingest log). Shared by
+    * the text and vector streaming gates.
+    */
+  def stageOrderedArrivals(arrivals: DataFrame, idCol: String,
+      nFiles: Int, dir: String): Unit = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import java.nio.file.attribute.FileTime
+    val mm = arrivals.agg(min(col(idCol)), max(col(idCol))).head()
+    val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+    val step = (hi - lo) / nFiles + 1
+    Files.createDirectories(Paths.get(dir))
+    // ONE pass cuts all the range files (dynamic-partition write on
+    // the computed file index; the index column stays out of the file
+    // contents) — one filtered scan per file priced ~nFiles scans
+    // before. repartition(1) keeps exactly one part file per range.
+    arrivals
+      .withColumn("__f", expr(s"CAST(($idCol - $lo) DIV $step AS INT)"))
+      .repartition(1)
+      .write.mode("overwrite").partitionBy("__f")
+      .parquet(s"$dir/.stage")
+    for (i <- 0 until nFiles) {
+      val stage = Paths.get(s"$dir/.stage/__f=$i")
+      if (Files.isDirectory(stage)) {
+        val part = {
+          val s = Files.list(stage)
+          try s.filter(p => p.getFileName.toString.startsWith("part-"))
+            .findFirst.get
+          finally s.close()
+        }
+        val dest = Paths.get(f"$dir/b$i%03d.parquet")
+        Files.move(part, dest, StandardCopyOption.REPLACE_EXISTING)
+        // distinct mtimes pin the file source's oldest-first order
+        // (fixed epoch: deterministic, and a minute apart so
+        // ms-precision timestamps can never collide)
+        Files.setLastModifiedTime(dest,
+          FileTime.fromMillis(1700000000000L + i * 60000L))
+      }
+    }
+  }
+
   /** Child session for streaming queries whose shuffle-partition count —
     * which fixes the number of state-store instances per stateful
     * operator — is sized for STATE VOLUME, decoupled from the batch

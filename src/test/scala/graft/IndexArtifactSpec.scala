@@ -153,4 +153,45 @@ class IndexArtifactSpec extends SparkSpec {
         .takeWhile(_ != ']').contains("cell")), candScans.mkString("\n"))
     }
   }
+
+  test("streaming vector ingest gate ≡ the batch gate, per-batch ordered") {
+    import graft.SimilarityQueries._
+    val root = Files.createTempDirectory("graft-vec-ingest-spec")
+    try {
+      val streamed = VectorIndex.streamIngestGate(spark,
+          Tables.embeddings(spark, d), dim, steps, sub, subDim, k,
+          VecGateBits, VecGateSplit, VecGateThr, nFiles = 3,
+          root.toString)
+        .as[(Long, Option[Long], Boolean)].collect().toSeq.sorted
+      // the stream's final decisions equal the ONE-SHOT batch gate's
+      // (s13) — the equivalence the oracle sharing relies on
+      val batch = SparkEntry.queries("s13_vec_ingest_gate")(spark, d)
+        .as[(Long, Option[Long], Boolean)].collect().toSeq.sorted
+      assert(streamed === batch)
+      // real rejections happened, including one whose winner was only
+      // reachable THROUGH the artifact (a base-corpus vector)
+      assert(streamed.exists { case (_, dup, adm) =>
+        !adm && dup.exists(_ < VecGateSplit) })
+      // the stream genuinely ran as 3 micro-batches, in id order
+      val perBatch = spark.read.parquet(s"$root/decisions")
+        .groupBy(col("batch"))
+        .agg(min(col("vec_id")).as("lo"), max(col("vec_id")).as("hi"))
+        .orderBy(col("batch"))
+        .as[(Long, Long, Long)].collect().toSeq
+      assert(perBatch.map(_._1) === Seq(0L, 1L, 2L))
+      assert(perBatch.sliding(2).forall {
+        case Seq((_, _, hi0), (_, lo1, _)) => hi0 < lo1
+        case _ => true
+      })
+    } finally {
+      def rm(p: Path): Unit = {
+        if (Files.isDirectory(p)) {
+          val s = Files.list(p)
+          try s.forEach(rm) finally s.close()
+        }
+        Files.deleteIfExists(p)
+      }
+      rm(root)
+    }
+  }
 }

@@ -1,0 +1,44 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Changelog application — the incremental-maintenance staple for a
+  * 100 TB snapshot (the reference's insert/update/delete surface, §2.12,
+  * generalized to the batch-CDC shape every lakehouse MERGE runs):
+  * given a base snapshot and a keyed changelog of (op, seq, payload)
+  * rows, produce the next snapshot. Latest-wins per key by `seqCol`;
+  * a delete op drops the key; any other op upserts its payload.
+  *
+  * Scale shape: the changelog collapses with ONE hash aggregation
+  * (`max_by` of the payload struct over seq — map-side partial merge,
+  * no per-key window sort, which would shuffle-and-sort the whole
+  * changelog), and the base joins the collapsed keys once (left-anti;
+  * at cluster scale both sides bucket by the key, making the join
+  * zero-exchange). Nothing sorts, nothing broadcasts the big side.
+  */
+object CdcOps {
+
+  /** Apply `log` to `base`. `base`'s columns must equal `log`'s minus
+    * (`seqCol`, `opCol`) — i.e. the key plus the payload; the caller
+    * maps both inputs to that common shape. Ties on `seqCol` within a
+    * key are the caller's contract to avoid (upstream CDC sequence
+    * numbers are unique per key by construction).
+    */
+  def applyChangelog(base: DataFrame, log: DataFrame, keys: Seq[String],
+      seqCol: String, opCol: String, deleteOp: String = "D"): DataFrame = {
+    val payload = log.columns.toSeq
+      .filterNot(c => keys.contains(c) || c == seqCol)
+    require((keys ++ payload).filterNot(_ == opCol).toSet ==
+      base.columns.toSet,
+      s"base columns ${base.columns.toSeq} must be keys $keys + " +
+        s"changelog payload ${payload.filterNot(_ == opCol)}")
+    val latest = log.groupBy(keys.map(col): _*)
+      .agg(max_by(struct(payload.map(col): _*), col(seqCol)).as("__c"))
+      .select(keys.map(col) ++ payload.map(p => col(s"__c.$p")): _*)
+    val untouched = base
+      .join(latest.select(keys.map(col): _*), keys, "left_anti")
+    untouched.unionByName(
+      latest.filter(col(opCol) =!= deleteOp).drop(opCol))
+  }
+}

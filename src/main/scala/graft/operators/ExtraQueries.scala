@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.operators.CdcOps
 
 /** Coverage completions for SURVEY.md §2 rows not already exercised by
   * the core inventory: point selection by key set (P10), sentinel
@@ -249,7 +250,39 @@ object ExtraQueries {
         (abs(col("apx_part") - col("nd_part")).cast("double")
           <= col("nd_part") * lit(0.05)).as("part_ok"),
         (abs(col("apx_supp") - col("nd_supp")).cast("double")
-          <= col("nd_supp") * lit(0.05)).as("supp_ok")))
+          <= col("nd_supp") * lit(0.05)).as("supp_ok"))),
+
+    // x11: CDC changelog application — the next snapshot from a base
+    // plus a two-generation keyed changelog (upserts, re-updates, and
+    // deletes), latest seq wins per key ([[CdcOps.applyChangelog]]:
+    // one max_by aggregation, no window sort; base joins the
+    // collapsed keys once). The changelog derives deterministically
+    // from `orders`: gen-1 re-prices keys %10 < 5 (×1.05), gen-2
+    // re-prices keys %10 < 3 again (×1.10) or deletes every third of
+    // them — so the result exercises base-untouched rows, once- and
+    // twice-changed keys, pure inserts (keys outside the base), and
+    // deletes. Prices stay RAW double products (one IEEE multiply is
+    // bit-identical on both engines; a round() here would sit on the
+    // .xx5 boundary trap).
+    "x11_cdc_apply" -> ((s, d) => {
+      val o = orders(s, d)
+      val base = o.filter(col("o_orderkey") % 10 >= 3)
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("o_totalprice").as("price"), lit("base").as("src"))
+      val gen1 = o.filter(col("o_orderkey") % 10 < 5)
+        .select(col("o_orderkey"), col("o_custkey"),
+          lit(1L).as("seq"), lit("U").as("op"),
+          (col("o_totalprice") * 1.05).as("price"),
+          lit("cdc").as("src"))
+      val gen2 = o.filter(col("o_orderkey") % 10 < 3)
+        .select(col("o_orderkey"), col("o_custkey"),
+          lit(2L).as("seq"),
+          when(col("o_orderkey") % 3 === 0, "D").otherwise("U").as("op"),
+          (col("o_totalprice") * 1.10).as("price"),
+          lit("cdc").as("src"))
+      CdcOps.applyChangelog(base, gen1.unionByName(gen2),
+        keys = Seq("o_orderkey"), seqCol = "seq", opCol = "op")
+    })
   )
 
   def oracle: Map[String, String] = Map(
@@ -401,6 +434,34 @@ object ExtraQueries {
       """SELECT count(DISTINCT l_partkey) AS nd_part,
          count(DISTINCT l_suppkey) AS nd_supp,
          true AS part_ok, true AS supp_ok
-         FROM lineitem"""
+         FROM lineitem""",
+    // Latest-wins mirror via row_number over seq DESC (seqs are unique
+    // per key by construction, so the pick is deterministic); the
+    // untouched-base leg is the anti-join's NULL-probe form.
+    "x11_cdc_apply" ->
+      """WITH base AS (
+           SELECT o_orderkey, o_custkey, o_totalprice AS price,
+             'base' AS src
+           FROM orders WHERE o_orderkey % 10 >= 3),
+         log AS (
+           SELECT o_orderkey, o_custkey, 1 AS seq, 'U' AS op,
+             o_totalprice * 1.05 AS price, 'cdc' AS src
+           FROM orders WHERE o_orderkey % 10 < 5
+           UNION ALL
+           SELECT o_orderkey, o_custkey, 2 AS seq,
+             CASE WHEN o_orderkey % 3 = 0 THEN 'D' ELSE 'U' END AS op,
+             o_totalprice * 1.10 AS price, 'cdc' AS src
+           FROM orders WHERE o_orderkey % 10 < 3),
+         latest AS (
+           SELECT o_orderkey, o_custkey, op, price, src FROM (
+             SELECT *, row_number() OVER (PARTITION BY o_orderkey
+               ORDER BY seq DESC) AS rn
+             FROM log) WHERE rn = 1)
+         SELECT b.o_orderkey, b.o_custkey, b.price, b.src
+         FROM base b LEFT JOIN latest l ON l.o_orderkey = b.o_orderkey
+         WHERE l.o_orderkey IS NULL
+         UNION ALL
+         SELECT o_orderkey, o_custkey, price, src
+         FROM latest WHERE op <> 'D'"""
   )
 }

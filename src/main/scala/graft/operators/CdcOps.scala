@@ -41,4 +41,39 @@ object CdcOps {
     untouched.unionByName(
       latest.filter(col(opCol) =!= deleteOp).drop(opCol))
   }
+
+  /** CONTINUOUS changelog application: the stream maintains a
+    * VERSIONED parquet snapshot (`snap0` = base, `snapN` after batch
+    * N — each micro-batch reads the previous version and writes the
+    * next, never overwriting what it reads: the lakehouse
+    * snapshot-isolation shape). The changelog replays as `nFiles`
+    * seq-ordered micro-batches; because latest-wins COMPOSES across
+    * seq-monotone batches (a later batch's change beats an earlier
+    * batch's by the same per-key rule the one-shot apply uses), the
+    * final snapshot equals [[applyChangelog]] of the whole log — the
+    * stream is held to the batch oracle (x11), like the ingest gates.
+    */
+  def streamApply(ss: org.apache.spark.sql.SparkSession,
+      base: DataFrame, log: DataFrame, keys: Seq[String],
+      seqCol: String, opCol: String, nFiles: Int,
+      root: String): DataFrame = {
+    base.write.mode("overwrite").parquet(s"$root/snap0")
+    graft.streaming.StreamingOps.stageOrderedArrivals(
+      log, seqCol, nFiles, s"$root/arrivals")
+    var cur = 0 // driver-side version cursor (foreachBatch is serial)
+    val q = ss.readStream.schema(log.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$root/arrivals")
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val snap = ss.read.parquet(s"$root/snap$cur")
+        applyChangelog(snap, batch, keys, seqCol, opCol)
+          .write.mode("overwrite").parquet(s"$root/snap${cur + 1}")
+        cur += 1
+      }
+      .option("checkpointLocation", s"$root/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    ss.read.parquet(s"$root/snap$cur")
+  }
 }

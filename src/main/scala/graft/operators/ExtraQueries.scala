@@ -265,25 +265,35 @@ object ExtraQueries {
     // bit-identical on both engines; a round() here would sit on the
     // .xx5 boundary trap).
     "x11_cdc_apply" -> ((s, d) => {
-      val o = orders(s, d)
-      val base = o.filter(col("o_orderkey") % 10 >= 3)
-        .select(col("o_orderkey"), col("o_custkey"),
-          col("o_totalprice").as("price"), lit("base").as("src"))
-      val gen1 = o.filter(col("o_orderkey") % 10 < 5)
-        .select(col("o_orderkey"), col("o_custkey"),
-          lit(1L).as("seq"), lit("U").as("op"),
-          (col("o_totalprice") * 1.05).as("price"),
-          lit("cdc").as("src"))
-      val gen2 = o.filter(col("o_orderkey") % 10 < 3)
-        .select(col("o_orderkey"), col("o_custkey"),
-          lit(2L).as("seq"),
-          when(col("o_orderkey") % 3 === 0, "D").otherwise("U").as("op"),
-          (col("o_totalprice") * 1.10).as("price"),
-          lit("cdc").as("src"))
-      CdcOps.applyChangelog(base, gen1.unionByName(gen2),
+      val (base, log) = cdcFrames(s, d)
+      CdcOps.applyChangelog(base, log,
         keys = Seq("o_orderkey"), seqCol = "seq", opCol = "op")
     })
   )
+
+  /** x11/st12's shared inputs: the base snapshot and the
+    * two-generation changelog derived from `orders` — ONE definition
+    * so the streaming apply is held to exactly the batch gate's data.
+    */
+  private[graft] def cdcFrames(s: SparkSession, d: String)
+      : (DataFrame, DataFrame) = {
+    val o = orders(s, d)
+    val base = o.filter(col("o_orderkey") % 10 >= 3)
+      .select(col("o_orderkey"), col("o_custkey"),
+        col("o_totalprice").as("price"), lit("base").as("src"))
+    val gen1 = o.filter(col("o_orderkey") % 10 < 5)
+      .select(col("o_orderkey"), col("o_custkey"),
+        lit(1L).as("seq"), lit("U").as("op"),
+        (col("o_totalprice") * 1.05).as("price"),
+        lit("cdc").as("src"))
+    val gen2 = o.filter(col("o_orderkey") % 10 < 3)
+      .select(col("o_orderkey"), col("o_custkey"),
+        lit(2L).as("seq"),
+        when(col("o_orderkey") % 3 === 0, "D").otherwise("U").as("op"),
+        (col("o_totalprice") * 1.10).as("price"),
+        lit("cdc").as("src"))
+    (base, gen1.unionByName(gen2))
+  }
 
   def oracle: Map[String, String] = Map(
     "p10_key_select" ->

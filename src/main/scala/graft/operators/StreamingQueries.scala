@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{DedupIndex, VectorIndex}
+import graft.operators.{CdcOps, DedupIndex, VectorIndex}
 import graft.streaming.StreamingOps
 
 /** Structured Streaming inventory over the `events` stream: tumbling
@@ -204,6 +204,20 @@ object StreamingQueries {
         SimilarityQueries.PqK, SimilarityQueries.VecGateBits,
         SimilarityQueries.VecGateSplit, SimilarityQueries.VecGateThr,
         nFiles = 3, root)
+    }),
+
+    // st12: continuous CDC — x11's changelog replayed as seq-ordered
+    // micro-batches maintaining a VERSIONED parquet snapshot (each
+    // batch reads version N, writes N+1). Latest-wins composes across
+    // seq-monotone batches, so the final snapshot is held to x11's
+    // BATCH oracle.
+    "st12_stream_cdc" -> ((s, d) => {
+      val ss = StreamingOps.streamSession(s)
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-stream-cdc").toString
+      val (base, log) = ExtraQueries.cdcFrames(ss, d)
+      CdcOps.streamApply(ss, base, log, keys = Seq("o_orderkey"),
+        seqCol = "seq", opCol = "op", nFiles = 2, root)
     })
   )
 
@@ -298,6 +312,7 @@ object StreamingQueries {
     // streaming ones.
     "st10_stream_ingest_gate" -> DedupQueries.oracle("d12_ingest_gate"),
     "st11_stream_vec_ingest" ->
-      SimilarityQueries.oracle("s13_vec_ingest_gate")
+      SimilarityQueries.oracle("s13_vec_ingest_gate"),
+    "st12_stream_cdc" -> ExtraQueries.oracle("x11_cdc_apply")
   )
 }

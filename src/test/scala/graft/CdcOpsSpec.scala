@@ -41,4 +41,41 @@ class CdcOpsSpec extends SparkSpec {
     assert(plan.contains("max_by") || plan.contains("HashAggregate"), plan)
     assert(!plan.contains("Window"), plan)
   }
+
+  test("streaming apply ≡ one-shot apply; every version is a real snapshot") {
+    val d = "/root/testdata/sf0.001"
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-cdc-spec")
+    try {
+      val (b, log) = ExtraQueries.cdcFrames(spark, d)
+      val streamed = CdcOps.streamApply(spark, b, log,
+          Seq("o_orderkey"), "seq", "op", nFiles = 2, root.toString)
+        .as[(Long, Long, Double, String)].collect().toSeq.sorted
+      val oneShot = CdcOps.applyChangelog(b, log,
+          Seq("o_orderkey"), "seq", "op")
+        .as[(Long, Long, Double, String)].collect().toSeq.sorted
+      assert(streamed === oneShot)
+      // versions snap0..snap2 all exist, and the INTERMEDIATE version
+      // is exactly the one-generation apply — each micro-batch
+      // produced a correct, queryable snapshot, not just the last
+      assert((0 to 2).forall(i => java.nio.file.Files
+        .isDirectory(root.resolve(s"snap$i"))))
+      val v1 = spark.read.parquet(s"$root/snap1")
+        .as[(Long, Long, Double, String)].collect().toSeq.sorted
+      val gen1Only = CdcOps.applyChangelog(b,
+          log.filter(col("seq") === 1L), Seq("o_orderkey"), "seq", "op")
+        .as[(Long, Long, Double, String)].collect().toSeq.sorted
+      assert(v1 === gen1Only)
+      assert(streamed !== v1) // generation 2 really changed the state
+    } finally {
+      def rm(p: java.nio.file.Path): Unit = {
+        if (java.nio.file.Files.isDirectory(p)) {
+          val s = java.nio.file.Files.list(p)
+          try s.forEach(rm) finally s.close()
+        }
+        java.nio.file.Files.deleteIfExists(p)
+      }
+      rm(root)
+    }
+  }
 }

@@ -10,12 +10,15 @@ import org.apache.spark.sql.functions._
   * rows, produce the next snapshot. Latest-wins per key by `seqCol`;
   * a delete op drops the key; any other op upserts its payload.
   *
-  * Scale shape: the changelog collapses with ONE hash aggregation
-  * (`max_by` of the payload struct over seq — map-side partial merge,
-  * no per-key window sort, which would shuffle-and-sort the whole
-  * changelog), and the base joins the collapsed keys once (left-anti;
-  * at cluster scale both sides bucket by the key, making the join
-  * zero-exchange). Nothing sorts, nothing broadcasts the big side.
+  * Scale shape: the changelog collapses with ONE aggregation
+  * (`max_by` of the payload struct over seq). A string-bearing
+  * payload buffer rules out HashAggregate, so the plan is a
+  * SortAggregate pair — but the PARTIAL aggregate still collapses
+  * keys map-side, so the exchange carries ~one row per key; a window
+  * `row_number` would instead shuffle AND sort every change row
+  * (plan-audited in PLANS.md). The base then joins the collapsed
+  * keys once (left-anti; at cluster scale both sides bucket by the
+  * key, making the join zero-exchange).
   */
 object CdcOps {
 

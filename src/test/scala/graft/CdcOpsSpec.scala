@@ -35,10 +35,13 @@ class CdcOpsSpec extends SparkSpec {
     ))
   }
 
-  test("the changelog collapses by hash aggregation, not a window sort") {
+  test("the changelog collapses by aggregation, never a whole-log window") {
     val plan = CdcOps.applyChangelog(base, log, Seq("k"), "seq", "op")
       .queryExecution.executedPlan.toString
-    assert(plan.contains("max_by") || plan.contains("HashAggregate"), plan)
+    // max_by aggregate (SortAggregate pair: the string payload buffer
+    // rules out hash agg, but the partial side still collapses keys
+    // BEFORE the exchange) — and no window operator anywhere
+    assert(plan.contains("max_by"), plan)
     assert(!plan.contains("Window"), plan)
   }
 

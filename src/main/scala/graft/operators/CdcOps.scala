@@ -63,20 +63,24 @@ object CdcOps {
     base.write.mode("overwrite").parquet(s"$root/snap0")
     graft.streaming.StreamingOps.stageOrderedArrivals(
       log, seqCol, nFiles, s"$root/arrivals")
-    var cur = 0 // driver-side version cursor (foreachBatch is serial)
+    // version = batchId + 1: the DURABLE counter — a replayed batch
+    // reads version batchId and overwrites version batchId+1, so the
+    // retry is idempotent and a restarted stream resumes correctly
+    // (a driver-side cursor would reset and corrupt the chain)
+    var last = 0L
     val q = ss.readStream.schema(log.schema)
       .option("maxFilesPerTrigger", 1).parquet(s"$root/arrivals")
       .writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val snap = ss.read.parquet(s"$root/snap$cur")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val snap = ss.read.parquet(s"$root/snap$batchId")
         applyChangelog(snap, batch, keys, seqCol, opCol)
-          .write.mode("overwrite").parquet(s"$root/snap${cur + 1}")
-        cur += 1
+          .write.mode("overwrite").parquet(s"$root/snap${batchId + 1}")
+        last = batchId + 1
       }
       .option("checkpointLocation", s"$root/ckpt")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    ss.read.parquet(s"$root/snap$cur")
+    ss.read.parquet(s"$root/snap$last")
   }
 }

@@ -50,7 +50,8 @@ object DedupIndex {
     Seq((k, rowsPerBand)).toDF("k", "rows_per_band")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/params")
     bucketsOf(docs, textCol, idCol, k, rowsPerBand)
-      .write.mode("overwrite").partitionBy("band")
+      .withColumn("ingest", lit(0L))
+      .write.mode("overwrite").partitionBy("ingest", "band")
       .parquet(s"$dir/buckets")
   }
 
@@ -61,7 +62,8 @@ object DedupIndex {
     val p = s.read.parquet(s"$dir/params").head()
     Loaded(p.getInt(0), p.getInt(1),
       s.read.parquet(s"$dir/buckets")
-        .withColumn("band", col("band").cast("long")))
+        .withColumn("band", col("band").cast("long"))
+        .withColumn("ingest", col("ingest").cast("long")))
   }
 
   /** Candidate pairs TOUCHING the batch: `(a, b)` with a < b, distinct
@@ -110,17 +112,27 @@ object DedupIndex {
   def append(s: SparkSession, dir: String, newDocs: DataFrame,
       textCol: String, idCol: String): Unit = {
     val l = load(s, dir)
-    appendWith(l.k, l.rowsPerBand, dir, newDocs, textCol, idCol)
+    val gen = l.buckets.agg(max(col("ingest"))).head().getLong(0) + 1
+    appendWith(l.k, l.rowsPerBand, dir, newDocs, textCol, idCol, gen)
   }
 
-  /** Append under already-known banding geometry — the ingest-loop
-    * fast path (geometry is frozen, so a stream reads `params` once,
-    * not per batch).
+  /** Append one ingest GENERATION under already-known banding
+    * geometry — the ingest-loop fast path (geometry is frozen, so a
+    * stream reads `params` once, not per batch). The generation is a
+    * partition column and the write is a DYNAMIC partition overwrite:
+    * re-running the same generation (a replayed micro-batch after a
+    * crash) replaces its own partitions instead of double-appending —
+    * per-batch ingest is idempotent, which is what turns the stream's
+    * at-least-once replay into effectively-once index maintenance.
     */
   def appendWith(k: Int, rowsPerBand: Int, dir: String,
-      newDocs: DataFrame, textCol: String, idCol: String): Unit =
+      newDocs: DataFrame, textCol: String, idCol: String,
+      generation: Long): Unit =
     bucketsOf(newDocs, textCol, idCol, k, rowsPerBand)
-      .write.mode("append").partitionBy("band").parquet(s"$dir/buckets")
+      .withColumn("ingest", lit(generation))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("ingest", "band").parquet(s"$dir/buckets")
 
   /** Admission decisions for an arriving batch: every candidate pair
     * is VERIFIED by char-4-gram Jaccard over `grams` (`idCol`,
@@ -225,10 +237,18 @@ object DedupIndex {
           .persist()
         try {
           val cand = probePairs(stored, bb, idCol)
+          // batch-keyed dynamic overwrites: a replayed micro-batch
+          // replaces its own decisions/generation instead of
+          // double-writing — effectively-once ingest
           gateDecisions(cand, grams, batch, idCol, threshold)
             .withColumn("batch", lit(batchId))
-            .write.mode("append").parquet(s"$root/decisions")
-          bb.write.mode("append").partitionBy("band")
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch").parquet(s"$root/decisions")
+          bb.withColumn("ingest", lit(batchId + 1))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("ingest", "band")
             .parquet(s"$root/index/buckets")
         } finally bb.unpersist()
       }

@@ -65,7 +65,8 @@ object VectorIndex {
       // input columns don't belong in the index artifact
       .select((Seq("vec_id", "embedding", "n", "cell", "code") ++
         metaCols).map(col): _*)
-      .write.mode("overwrite").partitionBy("cell")
+      .withColumn("ingest", lit(0L))
+      .write.mode("overwrite").partitionBy("ingest", "cell")
       .parquet(s"$dir/corpus")
   }
 
@@ -81,27 +82,39 @@ object VectorIndex {
     * distribution leaves the training sample — the s6-style recall
     * gate is the re-train trigger.
     */
-  def append(s: SparkSession, dir: String, newVecs: DataFrame): Unit =
-    appendWith(load(s, dir), dir, newVecs)
+  def append(s: SparkSession, dir: String, newVecs: DataFrame): Unit = {
+    val l = load(s, dir)
+    val gen = l.corpus.agg(max(col("ingest"))).head().getLong(0) + 1
+    appendWith(l, dir, newVecs, gen)
+  }
 
-  /** Append under an already-loaded artifact — the ingest-loop fast
-    * path (quantizers are frozen, so a stream collects them once, not
-    * per batch; only `l.corpus`'s column list is consulted here).
+  /** Append one ingest GENERATION under an already-loaded artifact —
+    * the ingest-loop fast path (quantizers are frozen, so a stream
+    * collects them once, not per batch; only `l.corpus`'s column list
+    * is consulted here). The generation is a partition column and the
+    * write is a DYNAMIC partition overwrite, so a replayed
+    * micro-batch replaces its own partitions instead of
+    * double-appending — per-batch ingest is idempotent.
     */
-  def appendWith(l: Loaded, dir: String, newVecs: DataFrame): Unit = {
+  def appendWith(l: Loaded, dir: String, newVecs: DataFrame,
+      generation: Long): Unit = {
     val dim = l.cents.books.length / l.cents.cells.length
     val subDim = l.books.head.head.length
     // the artifact's metadata columns (anything beyond the serving
-    // five) must arrive with the new vectors too
+    // five and the generation) must arrive with the new vectors too
     val metaCols = l.corpus.columns.toSeq
-      .filterNot(Set("vec_id", "embedding", "n", "cell", "code"))
+      .filterNot(Set("vec_id", "embedding", "n", "cell", "code",
+        "ingest"))
     ProductQuantization.encode(
         SimilarityOps.withNorm(newVecs, "embedding", "n")
           .withColumn("cell", SimilarityOps.ivfAssign(l.cents, dim)),
         "embedding", l.books, subDim, "code")
       .select((Seq("vec_id", "embedding", "n", "cell", "code") ++
         metaCols).map(col): _*)
-      .write.mode("append").partitionBy("cell").parquet(s"$dir/corpus")
+      .withColumn("ingest", lit(generation))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("ingest", "cell").parquet(s"$dir/corpus")
   }
 
   /** CONTINUOUS vector ingestion: the artifact's probe → gate →
@@ -156,11 +169,19 @@ object VectorIndex {
             SimilarityOps.signBucket("embedding", bits))
           .persist()
         try {
+          // batch-keyed dynamic overwrites: a replayed micro-batch
+          // replaces its own decisions/generation instead of
+          // double-writing — effectively-once ingest
           SimilarityOps.ingestGate(stored, enc, threshold)
             .withColumn("batch", lit(batchId))
-            .write.mode("append").parquet(s"$root/decisions")
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch").parquet(s"$root/decisions")
           enc.select("vec_id", "embedding", "n", "cell", "code")
-            .write.mode("append").partitionBy("cell")
+            .withColumn("ingest", lit(batchId + 1))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("ingest", "cell")
             .parquet(s"$root/index/corpus")
         } finally enc.unpersist()
       }
@@ -192,6 +213,7 @@ object VectorIndex {
       Array.tabulate(subspaces)(j => Array.tabulate(k)(c => br((j, c))))
     val corpus = s.read.parquet(s"$dir/corpus")
       .withColumn("cell", col("cell").cast("long"))
+      .withColumn("ingest", col("ingest").cast("long"))
     Loaded(cents, books, corpus)
   }
 

@@ -93,6 +93,33 @@ class DedupIndexSpec extends SparkSpec {
     }
   }
 
+  test("replaying an ingest generation is idempotent") {
+    val docs = Tables.documents(spark, d)
+    withDir { dir =>
+      DedupIndex.build(docs.filter(col("doc_id") < splitId),
+        "text", "doc_id", k, rpb, dir)
+      val batch = docs.filter(col("doc_id") >= splitId)
+      def buckets() = DedupIndex.load(spark, dir).buckets
+        .select("doc_id", "band", "bucket")
+        .as[(Long, Long, Long)].collect().toSeq.sorted
+      DedupIndex.appendWith(k, rpb, dir, batch, "text", "doc_id",
+        generation = 1L)
+      val once = buckets()
+      // the replayed generation REPLACES its own partitions (dynamic
+      // overwrite) — a crashed-and-retried micro-batch cannot
+      // double-ingest
+      DedupIndex.appendWith(k, rpb, dir, batch, "text", "doc_id",
+        generation = 1L)
+      assert(buckets() === once)
+      // and a NEW generation still accretes
+      val more = docs.filter(col("doc_id") >= 450)
+        .withColumn("doc_id", col("doc_id") + 1000)
+      DedupIndex.appendWith(k, rpb, dir, more, "text", "doc_id",
+        generation = 2L)
+      assert(buckets().size > once.size)
+    }
+  }
+
   test("streaming ingest gate: ordered micro-batches ≡ the batch gate") {
     val docs = Tables.documents(spark, d)
     withDir { root =>

@@ -49,10 +49,12 @@ class IndexArtifactSpec extends SparkSpec {
       assert(l.cents.mns.toSeq === cents.mns.toSeq)
       assert(l.books.map(_.map(_.toSeq).toSeq).toSeq ===
         books.map(_.map(_.toSeq).toSeq).toSeq)
-      // every corpus row is present with its cell and 8-byte code
+      // every corpus row is present with its cell, 8-byte code, and
+      // ingest generation (0 = the build itself)
       assert(l.corpus.count() === e.count())
       assert(l.corpus.columns.toSet ===
-        Set("vec_id", "embedding", "n", "code", "cell"))
+        Set("vec_id", "embedding", "n", "code", "cell", "ingest"))
+      assert(l.corpus.filter(col("ingest") =!= 0L).count() === 0L)
     }
   }
 
@@ -151,6 +153,23 @@ class IndexArtifactSpec extends SparkSpec {
       assert(candScans.nonEmpty, plan)
       assert(candScans.exists(_.split("PartitionFilters", 2)(1)
         .takeWhile(_ != ']').contains("cell")), candScans.mkString("\n"))
+    }
+  }
+
+  test("replaying a vector ingest generation is idempotent") {
+    val e = Tables.embeddings(spark, d)
+    withArtifact(e.filter(col("vec_id") < 400)) { dir =>
+      val l = VectorIndex.load(spark, dir)
+      val batch = e.filter(col("vec_id") >= 400)
+        .select("vec_id", "embedding")
+      def corpus() = VectorIndex.load(spark, dir).corpus
+        .select("vec_id", "cell", "code")
+        .as[(Long, Long, Seq[Int])].collect().toSeq
+        .map { case (v, c, cd) => (v, c, cd.mkString(",")) }.sorted
+      VectorIndex.appendWith(l, dir, batch, generation = 1L)
+      val once = corpus()
+      VectorIndex.appendWith(l, dir, batch, generation = 1L)
+      assert(corpus() === once) // replay replaced, not doubled
     }
   }
 

@@ -66,21 +66,24 @@ object CdcOps {
     // version = batchId + 1: the DURABLE counter — a replayed batch
     // reads version batchId and overwrites version batchId+1, so the
     // retry is idempotent and a restarted stream resumes correctly
-    // (a driver-side cursor would reset and corrupt the chain)
-    var last = 0L
-    val q = ss.readStream.schema(log.schema)
-      .option("maxFilesPerTrigger", 1).parquet(s"$root/arrivals")
-      .writeStream
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val snap = ss.read.parquet(s"$root/snap$batchId")
-        applyChangelog(snap, batch, keys, seqCol, opCol)
-          .write.mode("overwrite").parquet(s"$root/snap${batchId + 1}")
-        last = batchId + 1
-      }
-      .option("checkpointLocation", s"$root/ckpt")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    ss.read.parquet(s"$root/snap$last")
+    graft.streaming.StreamingOps.replayOrdered(ss, log.schema,
+        s"$root/arrivals", s"$root/ckpt") { (batch, batchId) =>
+      val snap = ss.read.parquet(s"$root/snap$batchId")
+      applyChangelog(snap, batch, keys, seqCol, opCol)
+        .write.mode("overwrite").parquet(s"$root/snap${batchId + 1}")
+    }
+    // the CURRENT version comes from the durable snapshot chain, not
+    // a driver-side counter: a restarted stream that finds every
+    // batch already committed runs zero foreachBatch invocations, and
+    // an in-memory cursor would reset to the base and silently
+    // discard every applied change
+    val p = new org.apache.hadoop.fs.Path(root)
+    val fs = p.getFileSystem(ss.sparkContext.hadoopConfiguration)
+    val latest = fs.listStatus(p).map(_.getPath.getName).collect {
+      case n if n.startsWith("snap") &&
+        n.drop(4).nonEmpty && n.drop(4).forall(_.isDigit) =>
+        n.drop(4).toLong
+    }.max
+    ss.read.parquet(s"$root/snap$latest")
   }
 }

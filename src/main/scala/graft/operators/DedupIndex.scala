@@ -34,6 +34,26 @@ object DedupIndex {
 
   final case class Loaded(k: Int, rowsPerBand: Int, buckets: DataFrame)
 
+  /** Next ingest generation of a `(ingest, …)`-partitioned artifact
+    * dir — a DRIVER-SIDE directory listing (one filesystem metadata
+    * call), never a corpus scan: a `max(ingest)` aggregation would
+    * schedule a task per corpus file, which on a 100 TB index is a
+    * full footer sweep to compute one integer. Shared by both index
+    * artifacts.
+    */
+  private[operators] def nextGeneration(s: SparkSession,
+      partitionedDir: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(partitionedDir)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val gens = fs.listStatus(p).map(_.getPath.getName).collect {
+      case n if n.startsWith("ingest=") &&
+        n.drop(7).forall(_.isDigit) => n.drop(7).toLong
+    }
+    require(gens.nonEmpty,
+      s"$partitionedDir has no ingest= partitions — not a built artifact")
+    gens.max + 1
+  }
+
   /** Signature + banded buckets of `docs` — ONE definition shared by
     * build, probe, and append; the index can never drift from the
     * query-side bucketing.
@@ -112,8 +132,8 @@ object DedupIndex {
   def append(s: SparkSession, dir: String, newDocs: DataFrame,
       textCol: String, idCol: String): Unit = {
     val l = load(s, dir)
-    val gen = l.buckets.agg(max(col("ingest"))).head().getLong(0) + 1
-    appendWith(l.k, l.rowsPerBand, dir, newDocs, textCol, idCol, gen)
+    appendWith(l.k, l.rowsPerBand, dir, newDocs, textCol, idCol,
+      nextGeneration(s, s"$dir/buckets"))
   }
 
   /** Append one ingest GENERATION under already-known banding
@@ -124,6 +144,14 @@ object DedupIndex {
     * crash) replaces its own partitions instead of double-appending —
     * per-batch ingest is idempotent, which is what turns the stream's
     * at-least-once replay into effectively-once index maintenance.
+    *
+    * SINGLE-WRITER contract: generation assignment is not
+    * coordinated — two concurrent appenders picking the same
+    * generation would silently overwrite each other's partitions.
+    * Plain-parquet artifacts have no commit protocol to detect that;
+    * run one ingest writer per artifact (the streaming gates
+    * guarantee this — foreachBatch is serial), or front the artifact
+    * with a table format that has a transaction log.
     */
   def appendWith(k: Int, rowsPerBand: Int, dir: String,
       newDocs: DataFrame, textCol: String, idCol: String,
@@ -218,10 +246,8 @@ object DedupIndex {
     docs.select(col(idCol), TextOps.charNgrams(textCol, 4).as("grams"))
       .write.mode("overwrite").parquet(s"$root/grams")
     val grams = ss.read.parquet(s"$root/grams")
-    val stream = ss.readStream.schema(docs.schema)
-      .option("maxFilesPerTrigger", 1).parquet(s"$root/arrivals")
-    val q = stream.writeStream
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+    graft.streaming.StreamingOps.replayOrdered(ss, docs.schema,
+        s"$root/arrivals", s"$root/ckpt") { (batch, batchId) =>
         // geometry is frozen (build wrote it above); only the bucket
         // frame is re-created per batch, so the scan re-lists the
         // files the previous batch appended. The batch's OWN buckets
@@ -252,10 +278,6 @@ object DedupIndex {
             .parquet(s"$root/index/buckets")
         } finally bb.unpersist()
       }
-      .option("checkpointLocation", s"$root/ckpt")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
     ss.read.parquet(s"$root/decisions").drop("batch")
   }
 }

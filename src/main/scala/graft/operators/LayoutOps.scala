@@ -36,17 +36,34 @@ object LayoutOps {
     * a small `parquet.block.size` to force many row groups in tests).
     */
   def clusterWrite(df: DataFrame, cols: Seq[String], partitions: Int,
-      dir: String, extraWriteOpts: Map[String, String] = Map.empty): Unit =
+      dir: String, extraWriteOpts: Map[String, String] = Map.empty): Unit = {
+    require(cols.nonEmpty && partitions >= 1,
+      s"clusterWrite: need cluster columns and partitions >= 1 " +
+        s"(got $cols, $partitions)")
     df.repartitionByRange(partitions, cols.map(col): _*)
       .sortWithinPartitions(cols.map(col): _*)
       .write.options(extraWriteOpts).mode("overwrite").parquet(dir)
+  }
 
   /** Rewrite `srcDir` as `targetFiles` parquet files in `dstDir`.
     * Round-robin repartition packs evenly regardless of input file
     * sizes; rows are untouched.
     */
   def compact(s: SparkSession, srcDir: String, dstDir: String,
-      targetFiles: Int): Unit =
+      targetFiles: Int): Unit = {
+    require(targetFiles >= 1,
+      s"compact: targetFiles >= 1 (got $targetFiles)")
+    // compare resolved paths, not spellings: a trailing slash or a
+    // relative alias of the same dir would pass a string check and
+    // the overwrite would destroy the source mid-read
+    val (srcP, dstP) = (
+      new org.apache.hadoop.fs.Path(srcDir),
+      new org.apache.hadoop.fs.Path(dstDir))
+    val fs = srcP.getFileSystem(s.sparkContext.hadoopConfiguration)
+    require(fs.makeQualified(srcP) != fs.makeQualified(dstP),
+      "compact: dstDir must differ from srcDir (the rewrite reads " +
+        "srcDir while writing)")
     s.read.parquet(srcDir).repartition(targetFiles)
       .write.mode("overwrite").parquet(dstDir)
+  }
 }

@@ -82,11 +82,9 @@ object VectorIndex {
     * distribution leaves the training sample — the s6-style recall
     * gate is the re-train trigger.
     */
-  def append(s: SparkSession, dir: String, newVecs: DataFrame): Unit = {
-    val l = load(s, dir)
-    val gen = l.corpus.agg(max(col("ingest"))).head().getLong(0) + 1
-    appendWith(l, dir, newVecs, gen)
-  }
+  def append(s: SparkSession, dir: String, newVecs: DataFrame): Unit =
+    appendWith(load(s, dir), dir, newVecs,
+      DedupIndex.nextGeneration(s, s"$dir/corpus"))
 
   /** Append one ingest GENERATION under an already-loaded artifact —
     * the ingest-loop fast path (quantizers are frozen, so a stream
@@ -94,7 +92,10 @@ object VectorIndex {
     * is consulted here). The generation is a partition column and the
     * write is a DYNAMIC partition overwrite, so a replayed
     * micro-batch replaces its own partitions instead of
-    * double-appending — per-batch ingest is idempotent.
+    * double-appending — per-batch ingest is idempotent. Same
+    * SINGLE-WRITER contract as [[DedupIndex.appendWith]]: generation
+    * assignment is uncoordinated, so run one ingest writer per
+    * artifact.
     */
   def appendWith(l: Loaded, dir: String, newVecs: DataFrame,
       generation: Long): Unit = {
@@ -141,14 +142,12 @@ object VectorIndex {
     graft.streaming.StreamingOps.stageOrderedArrivals(
       e0.filter(col("vec_id") >= splitId), "vec_id", nFiles,
       s"$root/arrivals")
-    val stream = ss.readStream.schema(e0.schema)
-      .option("maxFilesPerTrigger", 1).parquet(s"$root/arrivals")
     // quantizers are FROZEN: collect them once; per batch only the
     // corpus frame is re-created so its scan re-lists the files the
     // previous batch appended
     val frozen = load(ss, s"$root/index")
-    val q = stream.writeStream
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+    graft.streaming.StreamingOps.replayOrdered(ss, e0.schema,
+        s"$root/arrivals", s"$root/ckpt") { (batch, batchId) =>
         val corpus = ss.read.parquet(s"$root/index/corpus")
           .withColumn("cell", col("cell").cast("long"))
         // the corpus side needs no re-encode — cells and norms are
@@ -185,10 +184,6 @@ object VectorIndex {
             .parquet(s"$root/index/corpus")
         } finally enc.unpersist()
       }
-      .option("checkpointLocation", s"$root/ckpt")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
     ss.read.parquet(s"$root/decisions").drop("batch")
   }
 

@@ -34,7 +34,20 @@ object StreamingOps {
       nFiles: Int, dir: String): Unit = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     import java.nio.file.attribute.FileTime
+    require(nFiles >= 1, s"stageOrderedArrivals: nFiles >= 1 (got $nFiles)")
     val mm = arrivals.agg(min(col(idCol)), max(col(idCol))).head()
+    require(!mm.isNullAt(0),
+      "stageOrderedArrivals: the arrivals frame is empty")
+    // clear range files from any PRIOR staging first: a re-stage with
+    // fewer files (or an empty range) must not leave a stale bNNN
+    // behind for the file source to replay as phantom data
+    if (Files.isDirectory(Paths.get(dir))) {
+      val old = Files.list(Paths.get(dir))
+      try old.filter(p =>
+          p.getFileName.toString.matches("b\\d+\\.parquet"))
+        .forEach(p => Files.delete(p))
+      finally old.close()
+    }
     val (lo, hi) = (mm.getLong(0), mm.getLong(1))
     val step = (hi - lo) / nFiles + 1
     Files.createDirectories(Paths.get(dir))
@@ -65,6 +78,29 @@ object StreamingOps {
           FileTime.fromMillis(1700000000000L + i * 60000L))
       }
     }
+  }
+
+  /** Run the staged arrivals as ordered one-file micro-batches through
+    * `body` and wait for completion — the shared driver loop of the
+    * lifecycle streams (st10/st11/st12); one definition so a fix to
+    * the replay semantics cannot miss a copy. `body` must be
+    * idempotent per batch id (generation-keyed dynamic overwrites):
+    * the checkpoint gives at-least-once replay after a crash, and
+    * idempotence is what turns that into effectively-once.
+    */
+  def replayOrdered(ss: SparkSession, schema: StructType,
+      arrivalsDir: String, ckptDir: String)(
+      body: (DataFrame, Long) => Unit): Unit = {
+    val q = ss.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(arrivalsDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        body(batch, batchId)
+      }
+      .option("checkpointLocation", ckptDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
   }
 
   /** Child session for streaming queries whose shuffle-partition count —

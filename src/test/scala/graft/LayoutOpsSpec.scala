@@ -89,6 +89,11 @@ class LayoutOpsSpec extends SparkSpec {
         } finally s.close()
       }
       assert(parts(s"$root/small").size === 64)
+      // aliased spellings of the source dir must be rejected — an
+      // overwrite into the dir being read destroys the source
+      intercept[IllegalArgumentException] {
+        LayoutOps.compact(spark, s"$root/small", s"$root/small/", 4)
+      }
       LayoutOps.compact(spark, s"$root/small", s"$root/compact", 4)
       assert(parts(s"$root/compact").size === 4)
       assert(spark.read.parquet(s"$root/compact")

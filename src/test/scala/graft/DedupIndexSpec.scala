@@ -148,6 +148,9 @@ class DedupIndexSpec extends SparkSpec {
         case Seq((_, _, hi0), (_, lo1, _)) => hi0 < lo1
         case _ => true
       })
+      // the per-batch persisted bucket frames were all released — a
+      // library call must not leak cache
+      assert(spark.sharedState.cacheManager.isEmpty)
     }
   }
 }

@@ -202,6 +202,9 @@ class IndexArtifactSpec extends SparkSpec {
         case Seq((_, _, hi0), (_, lo1, _)) => hi0 < lo1
         case _ => true
       })
+      // the per-batch persisted encode frames were all released — a
+      // library call must not leak cache
+      assert(spark.sharedState.cacheManager.isEmpty)
     } finally {
       def rm(p: Path): Unit = {
         if (Files.isDirectory(p)) {

@@ -270,6 +270,23 @@ object ScaleProbe {
       rm(java.nio.file.Paths.get(idxDir))
     }
 
+    // CDC apply at churn scale: a 20M-key snapshot absorbs a 2M-row
+    // changelog (updates + deletes, two generations on overlapping
+    // keys) — one max_by collapse of the changelog + one anti-join of
+    // the base; the whole snapshot is never sorted or windowed.
+    time("cdc apply (20M + 2M log)", n + 2000000L) {
+      val base = spark.range(n).select(col("id").as("k"),
+        (col("id") % 1000).cast("double").as("v"),
+        lit("base").as("src"))
+      val log = spark.range(2000000L).select(
+        (col("id") * 10).as("k"), (col("id") % 2L + 1L).as("seq"),
+        when(col("id") % 3 === 0, "D").otherwise("U").as("op"),
+        (col("id") % 7).cast("double").as("v"), lit("cdc").as("src"))
+      graft.operators.CdcOps
+        .applyChangelog(base, log, Seq("k"), "seq", "op")
+        .write.format("noop").mode("overwrite").save()
+    }
+
     // native text kernels over 20M 64-char rows — per-character loops
     // that replaced interpreted HOF folds (t4/t5 kernels)
     val texts = spark.range(n)

@@ -39,8 +39,15 @@ object CdcOps {
     val latest = log.groupBy(keys.map(col): _*)
       .agg(max_by(struct(payload.map(col): _*), col(seqCol)).as("__c"))
       .select(keys.map(col) ++ payload.map(p => col(s"__c.$p")): _*)
-    val untouched = base
-      .join(latest.select(keys.map(col): _*), keys, "left_anti")
+    // shuffle-hash build on the collapsed keys: the base (the 100 TB
+    // side) must never be SORTED for this join — SMJ would sort every
+    // snapshot partition to anti-join a key set bounded by the
+    // changelog's churn (ScaleProbe, 20M base + 2M log: 54 s SMJ →
+    // 7.7 s SHJ). At cluster scale both sides bucket by the key
+    // instead.
+    val untouched = base.join(
+      latest.select(keys.map(col): _*).hint("shuffle_hash"),
+      keys, "left_anti")
     untouched.unionByName(
       latest.filter(col(opCol) =!= deleteOp).drop(opCol))
   }

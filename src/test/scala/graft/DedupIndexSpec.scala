@@ -123,6 +123,9 @@ class DedupIndexSpec extends SparkSpec {
   test("streaming ingest gate: ordered micro-batches ≡ the batch gate") {
     val docs = Tables.documents(spark, d)
     withDir { root =>
+      // start from a clean cache so the leak assertion below is about
+      // THIS call, not whatever another suite left in the shared session
+      spark.catalog.clearCache()
       val streamed = DedupIndex.streamIngestGate(spark, docs,
           "text", "doc_id", k, rpb, splitId, threshold = 0.5,
           nFiles = 3, root)

@@ -177,6 +177,9 @@ class IndexArtifactSpec extends SparkSpec {
     import graft.SimilarityQueries._
     val root = Files.createTempDirectory("graft-vec-ingest-spec")
     try {
+      // start from a clean cache so the leak assertion below is about
+      // THIS call, not whatever another suite left in the shared session
+      spark.catalog.clearCache()
       val streamed = VectorIndex.streamIngestGate(spark,
           Tables.embeddings(spark, d), dim, steps, sub, subDim, k,
           VecGateBits, VecGateSplit, VecGateThr, nFiles = 3,

@@ -144,19 +144,28 @@ object SimilarityOps {
     * by the one-shot gate (s13) and the streaming artifact-backed
     * gate (st11) so the two cannot drift.
     */
-  def ingestGate(stored: DataFrame, batch: DataFrame,
-      threshold: Double): DataFrame = {
+  /** The gate's candidate PAIR set alone — (a, b) with a < b sharing
+    * the arrival's (cell, bucket), at least one side in `batch`,
+    * distinct. Exposed so the recall gate (s14) measures exactly the
+    * blocking the admission gate runs.
+    */
+  def gateCandidates(stored: DataFrame, batch: DataFrame): DataFrame = {
     val key = (f: DataFrame) =>
       f.select(col("vec_id"), col("cell"), col("bucket"))
     val a = key(batch).select(col("vec_id").as("a"),
       col("cell"), col("bucket"))
     val b = key(stored).unionByName(key(batch))
       .select(col("vec_id").as("b"), col("cell"), col("bucket"))
-    val cand = a.join(b, Seq("cell", "bucket"))
+    a.join(b, Seq("cell", "bucket"))
       .filter(col("a") =!= col("b"))
       .select(least(col("a"), col("b")).as("a"),
         greatest(col("a"), col("b")).as("b"))
       .distinct()
+  }
+
+  def ingestGate(stored: DataFrame, batch: DataFrame,
+      threshold: Double): DataFrame = {
+    val cand = gateCandidates(stored, batch)
     val v = stored.select("vec_id", "embedding", "n")
       .unionByName(batch.select("vec_id", "embedding", "n"))
     val confirmed = cand

@@ -546,6 +546,51 @@ object SimilarityQueries {
       SimilarityOps.ingestGate(
         assigned.filter(col("vec_id") < VecGateSplit),
         assigned.filter(col("vec_id") >= VecGateSplit), VecGateThr)
+    }),
+
+    // s14: RECALL of the ingest gate's blocking, PER SIMILARITY BAND —
+    // the evaluation op the admission gate needs before it guards a
+    // corpus (s6's role for s2, here for s13): of ALL true pairs
+    // touching the arrivals (brute force, the arrival side broadcast —
+    // s1's deliberate-bounded shape), what fraction does the
+    // (cell, sign-bucket) block catch, bucketed by cosine? The banding
+    // is the point: sign-LSH collision probability rises steeply with
+    // cosine ((1 - θ/π)^bits), so the gate catches actual duplicates
+    // while borderline pairs at the threshold slip the block — the
+    // report shows exactly that curve instead of one blended number.
+    // One definition (SimilarityOps.gateCandidates) is both served
+    // and measured, so the gate cannot drift from its own report
+    // card. recall is integer-exact (matches·1e6 div total).
+    "s14_gate_recall" -> ((s, d) => {
+      val e = SimilarityOps.withNorm(embeddings(s, d), "embedding", "n")
+      val cents = SimilarityOps.trainIvf(
+        e.filter(col("vec_id") < VecGateSplit), Dim, LloydSteps)
+      val assigned = e
+        .withColumn("cell", SimilarityOps.ivfAssign(cents, Dim))
+        .withColumn("bucket",
+          SimilarityOps.signBucket("embedding", VecGateBits))
+      val cand = SimilarityOps.gateCandidates(
+        assigned.filter(col("vec_id") < VecGateSplit),
+        assigned.filter(col("vec_id") >= VecGateSplit))
+      val arr = e.filter(col("vec_id") >= VecGateSplit)
+        .select(col("vec_id").as("b"), col("embedding").as("vb"),
+          col("n").as("nb"))
+      val all = e.select(col("vec_id").as("a"),
+        col("embedding").as("va"), col("n").as("na"))
+      val truth = broadcast(arr).join(all, col("a") < col("b"))
+        .select(col("a"), col("b"),
+          round(SimilarityOps.pairCosine("va", "vb", "na", "nb"), 6)
+            .as("csim"))
+        .filter(col("csim") >= VecGateThr)
+        // 0.05-wide cosine bands; identical double ops on both
+        // engines, so boundary fp lands the same side everywhere
+        .select(col("a"), col("b"),
+          floor(col("csim") * 20).cast("long").as("band"))
+      truth.join(cand.withColumn("hit", lit(1)), Seq("a", "b"), "left")
+        .groupBy(col("band"))
+        .agg(count(lit(1)).as("n_true"), count(col("hit")).as("n_caught"))
+        .withColumn("recall",
+          expr("(n_caught * 1000000) div n_true").cast("double") / lit(1e6))
     })
   )
 
@@ -1058,6 +1103,42 @@ object SimilarityQueries {
           SELECT e.vec_id, r.dup_of, r.dup_of IS NULL AS admitted
           FROM embeddings e LEFT JOIN rej r ON r.vec_id = e.vec_id
           WHERE e.vec_id >= $VecGateSplit""",
+    // Gate-recall mirror: s13's blocked candidate CTEs vs the brute-
+    // force confirmed pair set; integer-exact recall like s6's.
+    "s14_gate_recall" ->
+      s"""WITH base AS (
+            SELECT vec_id, embedding FROM embeddings
+            WHERE vec_id < $VecGateSplit),
+          ${ivfCtesFrom("base")},
+          $ivfServeCtes,
+          sb AS (
+            SELECT vec_id, cell,
+              ${dBucketW("embedding", VecGateBits)} AS bucket
+            FROM served),
+          cand AS (
+            SELECT x.vec_id AS a, y.vec_id AS b
+            FROM sb x JOIN sb y
+              ON x.cell = y.cell AND x.bucket = y.bucket
+             AND x.vec_id < y.vec_id
+            WHERE y.vec_id >= $VecGateSplit),
+          truth AS (
+            SELECT a, b, CAST(floor(csim * 20) AS BIGINT) AS band
+            FROM (
+              SELECT x.vec_id AS a, y.vec_id AS b,
+                round(${dCos("x.embedding", "y.embedding")}, 6) AS csim
+              FROM embeddings x JOIN embeddings y
+                ON x.vec_id < y.vec_id
+              WHERE y.vec_id >= $VecGateSplit)
+            WHERE csim >= $VecGateThr),
+          m AS (
+            SELECT t.band, count(*) AS n_true, count(c.a) AS n_caught
+            FROM truth t
+            LEFT JOIN cand c ON c.a = t.a AND c.b = t.b
+            GROUP BY t.band)
+          SELECT band, n_true, n_caught,
+            CAST((n_caught * 1000000) // n_true AS DOUBLE) / 1000000.0
+              AS recall
+          FROM m""",
     // Recursive transitive closure over the bidirectional near-dup
     // graph — the d8 oracle shape over s3's pair criterion.
     "d11_embedding_dedup" ->

@@ -47,6 +47,37 @@ object ScaleProbe {
         .write.format("noop").mode("overwrite").save()
     }
 
+    // sequence packing at corpus shape: 20M docs over THREE languages.
+    // The naive per-lang cumsum window serializes each language's
+    // ~6.7M-row token stream through ONE task; the hierarchical form
+    // (PackOps.packBins) bounds every window at shardSize rows and
+    // reduces the cross-shard carry to a broadcast offsets table.
+    // Identical bins — ScaleOpsSpec proves value equality and the
+    // plan shape; this times both at a scale where the serialization
+    // actually bites.
+    val packDocs = spark.range(n).select(
+      element_at(typedLit(Seq("en", "de", "zh")),
+        (pmod(col("id"), lit(3)) + 1).cast("int")).as("lang"),
+      col("id").as("doc_id"),
+      (pmod(hash(col("id")), lit(500)) + 1).cast("long").as("toks"))
+    time("seq-pack naive window (20M)", n) {
+      val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      packDocs
+        .withColumn("prefix", coalesce(sum(col("toks")).over(w), lit(0L)))
+        .withColumn("bin", floor(col("prefix") / 2048L).cast("long"))
+        .groupBy(col("lang"), col("bin"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("sum_toks"))
+        .write.format("noop").mode("overwrite").save()
+    }
+    time("seq-pack hierarchical (20M)", n) {
+      graft.operators.PackOps
+        .packBins(packDocs, "lang", "doc_id", "toks", budget = 2048L)
+        .groupBy(col("lang"), col("bin"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("sum_toks"))
+        .write.format("noop").mode("overwrite").save()
+    }
+
     // duplicate-cluster fixpoint over a star-shaped candidate graph
     // (groups of 5, the near-clique shape LSH produces): 2M docs,
     // 1.6M candidate pairs, converges in 2 rounds + 1 confirm.

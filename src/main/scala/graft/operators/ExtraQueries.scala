@@ -126,21 +126,22 @@ object ExtraQueries {
     // x6: sequence packing — assign documents to fixed token-budget
     // bins (the LLM-training context-window packing step) by exclusive
     // prefix sum over a deterministic order, bin = floor(prefix/budget).
-    // Packing windows partition by lang so the cumsum never bottlenecks
-    // on one partition; token counts are exact ints, so bin assignment
-    // is engine-identical. Output: per (lang, bin) doc count + tokens.
+    // lang has cardinality ~3, so a plain per-lang cumsum window would
+    // serialize each language's whole token stream through ONE task;
+    // PackOps.packBins computes the identical prefix hierarchically
+    // (bounded per-shard windows + broadcast shard offsets), so the
+    // bins — and this oracle — are unchanged while every stage stays
+    // parallel at corpus scale. Token counts are exact ints, so bin
+    // assignment is engine-identical. Output: per (lang, bin) doc
+    // count + tokens.
     "x6_seq_pack" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
       val budget = 2048L
-      val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
-        .rowsBetween(Window.unboundedPreceding, -1)
-      documents(s, d)
-        .select(col("lang"), col("doc_id"),
-          size(graft.operators.TextOps.tokens(col("text")))
-            .cast("long").as("toks"))
-        .withColumn("prefix",
-          coalesce(sum(col("toks")).over(w), lit(0L)))
-        .withColumn("bin", floor(col("prefix") / budget).cast("long"))
+      graft.operators.PackOps.packBins(
+          documents(s, d).select(col("lang"), col("doc_id"),
+            size(graft.operators.TextOps.tokens(col("text")))
+              .cast("long").as("toks")),
+          groupCol = "lang", orderCol = "doc_id", weightCol = "toks",
+          budget = budget)
         .groupBy(col("lang"), col("bin"))
         .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("sum_toks"))
     }),

@@ -1,0 +1,84 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sequence packing: assign rows to fixed-budget bins by an exclusive
+  * prefix sum over a deterministic order (the LLM context-window
+  * packing step), `bin = floor(prefix / budget)`.
+  *
+  * The naive shape — `sum(w) OVER (PARTITION BY group ORDER BY ord)`
+  * — serializes each group's ENTIRE stream through one task, and the
+  * group key (language) has cardinality ~3: a plan that dies at 100 TB
+  * even though it is green at bench SF. This operator computes the
+  * identical prefix hierarchically:
+  *
+  *  1. shard every row by a contiguous, order-preserving range of the
+  *     order key (`shard = ord div shardSize`) and cumsum WITHIN
+  *     (group, shard) — thousands of bounded parallel windows;
+  *  2. aggregate one `(group, shard, shard_total)` row per shard (a
+  *     map-side-combined groupBy — the only full pass), turn the tiny
+  *     table into exclusive per-shard offsets with a window over
+  *     shards (rows = n_shards, not n_docs), and broadcast it back;
+  *  3. `prefix = shard_offset + local_prefix` — bit-identical to the
+  *     global cumsum because shards are contiguous in `ord`, so bins
+  *     (and any oracle over them) are unchanged.
+  *
+  * Two jobs instead of one, no global per-group sort anywhere. If the
+  * weight column is expensive to derive (tokenization over raw text),
+  * both jobs recompute it from lineage — persist the weighted input
+  * first when the scan dominates.
+  *
+  * The order key must be non-negative and numeric (the synthetic
+  * corpus' `doc_id` is a dense int64); `shardSize` bounds the rows a
+  * single window task sees and sizes the offset table at
+  * `n_rows / shardSize` rows per group — 10B docs at the default
+  * 65536 is ~152k offset rows, comfortably broadcastable.
+  */
+object PackOps {
+
+  /** Adds `prefix` (exclusive running sum of `weightCol` in `orderCol`
+    * order within `groupCol`) and `bin` (= floor(prefix/budget)) to
+    * `rows`, without ever sorting a whole group in one task.
+    */
+  def packBins(
+      rows: DataFrame,
+      groupCol: String,
+      orderCol: String,
+      weightCol: String,
+      budget: Long,
+      shardSize: Long = 65536L): DataFrame = {
+    require(budget > 0, s"packBins budget must be positive, got $budget")
+    require(shardSize > 0, s"packBins shardSize must be positive, got $shardSize")
+    val shard: Column = floor(col(orderCol) / shardSize).cast("long")
+    val base = rows.withColumn("pack_shard", shard)
+
+    // job 1 input: bounded cumsum within each contiguous shard
+    val wLocal = Window
+      .partitionBy(col(groupCol), col("pack_shard"))
+      .orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+
+    // job 2: one row per (group, shard) → exclusive shard offsets.
+    // The window here orders SHARDS (tiny), never documents.
+    val wShard = Window
+      .partitionBy(col(groupCol))
+      .orderBy(col("pack_shard"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = base
+      .groupBy(col(groupCol), col("pack_shard"))
+      .agg(sum(col(weightCol)).as("pack_shard_total"))
+      .withColumn("pack_shard_offset",
+        coalesce(sum(col("pack_shard_total")).over(wShard), lit(0L)))
+      .select(col(groupCol), col("pack_shard"), col("pack_shard_offset"))
+
+    base
+      .withColumn("pack_local",
+        coalesce(sum(col(weightCol)).over(wLocal), lit(0L)))
+      .join(broadcast(offsets), Seq(groupCol, "pack_shard"))
+      .withColumn("prefix", col("pack_shard_offset") + col("pack_local"))
+      .withColumn("bin", floor(col("prefix") / budget).cast("long"))
+      .drop("pack_shard", "pack_shard_offset", "pack_local")
+  }
+}

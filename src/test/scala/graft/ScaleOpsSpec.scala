@@ -89,6 +89,43 @@ class ScaleOpsSpec extends SparkSpec {
     quota.unpersist()
   }
 
+  test("hierarchical seq-pack equals the global cumsum without a whole-group window") {
+    import graft.operators.PackOps
+    import org.apache.spark.sql.expressions.Window
+    val langs = Array("en", "de", "zh")
+    // 999 rows over 3 langs with shardSize 64 → ~16 shards: every shard
+    // boundary and the empty-prefix head are exercised
+    val rows = (0L until 999L)
+      .map(i => (langs((i % 3).toInt), i, i % 7 + 1))
+      .toDF("lang", "doc_id", "toks")
+    val packed = PackOps.packBins(rows, "lang", "doc_id", "toks",
+      budget = 50L, shardSize = 64L)
+    val w = Window.partitionBy("lang").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val naive = rows
+      .withColumn("prefix", coalesce(sum("toks").over(w), lit(0L)))
+      .withColumn("bin", floor(col("prefix") / 50L).cast("long"))
+    val got = packed.select("lang", "doc_id", "prefix", "bin")
+      .as[(String, Long, Long, Long)].collect().toSet
+    val want = naive.select("lang", "doc_id", "prefix", "bin")
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(got === want)
+    // the 100 TB property: no window over raw rows may partition by the
+    // low-cardinality group alone — only the per-shard offset table
+    // (one row per shard, behind an Aggregate) gets a single-key window
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    val wins = packed.queryExecution.optimizedPlan.collect {
+      case lw: LWindow => lw
+    }
+    assert(wins.nonEmpty)
+    wins.filter(_.partitionSpec.size < 2).foreach { lw =>
+      assert(lw.child.collectFirst { case a: Aggregate => a }.nonEmpty,
+        s"single-key window must run over the per-shard aggregate, not raw rows:\n$lw")
+    }
+    assert(wins.exists(_.partitionSpec.size == 2),
+      s"expected a (group, shard) window:\n${wins.mkString("\n")}")
+  }
+
   test("salted join preserves exact join multiplicity") {
     val large = (1L to 1000L).map(i => (i % 3, i)).toDF("k", "id")
     val small = Seq((0L, "x"), (1L, "y"), (2L, "z")).toDF("k", "tag")

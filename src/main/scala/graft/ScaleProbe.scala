@@ -8,14 +8,19 @@ import org.apache.spark.sql.functions._
   * driver-side loops. Generates data with `spark.range` (no disk
   * except the index-lifecycle probes, which write and then remove a
   * temp artifact — persistence is what they measure), so the numbers
-  * isolate operator cost. Run: `sbt "runMain graft.ScaleProbe"`.
+  * isolate operator cost. Run: `sbt "runMain graft.ScaleProbe"`; pass
+  * substrings as args to run only matching probes (e.g.
+  * `runMain graft.ScaleProbe seq-pack` re-measures one operator
+  * without the full hour).
   */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val spark = Sessions.local("graft-probe")
     import spark.implicits._
 
+    val only = args.toSeq
     def time[A](name: String, rows: Long)(f: => A): Unit = {
+      if (only.nonEmpty && !only.exists(name.contains)) return
       val t0 = System.nanoTime()
       f
       val s = (System.nanoTime() - t0) / 1e9
@@ -73,6 +78,31 @@ object ScaleProbe {
     time("seq-pack hierarchical (20M)", n) {
       graft.operators.PackOps
         .packBins(packDocs, "lang", "doc_id", "toks", budget = 2048L)
+        .groupBy(col("lang"), col("bin"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("sum_toks"))
+        .write.format("noop").mode("overwrite").save()
+    }
+    // the worst case the hierarchy exists for: ONE dominant group (en
+    // is ~2/3 of real corpora) — the naive window funnels ALL rows
+    // through a single sorting task no matter how many executors
+    // exist, the hierarchical form keeps every task at shardSize rows
+    val packOneN = 50000000L
+    val packOne = spark.range(packOneN).select(
+      lit("en").as("lang"), col("id").as("doc_id"),
+      (pmod(hash(col("id")), lit(500)) + 1).cast("long").as("toks"))
+    time("seq-pack naive 1-group (50M)", packOneN) {
+      val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      packOne
+        .withColumn("prefix", coalesce(sum(col("toks")).over(w), lit(0L)))
+        .withColumn("bin", floor(col("prefix") / 2048L).cast("long"))
+        .groupBy(col("lang"), col("bin"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("sum_toks"))
+        .write.format("noop").mode("overwrite").save()
+    }
+    time("seq-pack hier 1-group (50M)", packOneN) {
+      graft.operators.PackOps
+        .packBins(packOne, "lang", "doc_id", "toks", budget = 2048L)
         .groupBy(col("lang"), col("bin"))
         .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("sum_toks"))
         .write.format("noop").mode("overwrite").save()

@@ -20,11 +20,13 @@ import org.apache.spark.sql.functions.udaf
   * unique ids, so the result is partition-order independent and equals
   * `row_number() OVER (ORDER BY value ASC, id ASC) <= k` exactly
   * (spec-asserted). Inputs must be non-null and FINITE: `+Inf` is the
-  * empty-slot sentinel (a +Inf input is indistinguishable from an
-  * empty slot and is dropped from the output), and NaN never beats
-  * any slot (NaN inputs are silently ignored, unlike the window form
-  * where Spark orders NaN last). ADC distances and negated rounded
-  * cosines — the serving inputs — are finite by construction.
+  * empty-slot sentinel and NaN has no place in the `(value, id)`
+  * total order, so `reduce` REJECTS non-finite values loudly rather
+  * than silently dropping them (the window form it replaces would
+  * rank NaN first — a silent divergence is worse than a failure).
+  * ADC distances and negated rounded cosines — the serving inputs —
+  * are finite by construction; a zero-norm embedding's cosine is the
+  * one upstream source of NaN, filter it before ranking.
   */
 final class TopKMin(k: Int)
     extends Aggregator[(Double, Long), (Array[Double], Array[Long]),
@@ -52,6 +54,10 @@ final class TopKMin(k: Int)
 
   override def reduce(buf: (Array[Double], Array[Long]),
       x: (Double, Long)): (Array[Double], Array[Long]) = {
+    require(java.lang.Double.isFinite(x._1),
+      s"TopKMin requires finite values, got ${x._1} for id ${x._2} — " +
+        "filter or score non-finite candidates (e.g. zero-norm " +
+        "embeddings) before ranking")
     insert(buf, x._1, x._2)
     buf
   }

@@ -660,7 +660,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       new FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[FloatVecDot].getName, "vec_dot"),
-      (args: Seq[Expression]) => FloatVecDot(args(0), args(1))))
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "vec_dot(a, b)")
+        FloatVecDot(args(0), args(1))
+      }))
     // pq_assign(vec, codebook, offset, subdim): codebook/offset/subdim
     // must be foldable — they are evaluated once at plan build and
     // embedded as the expression's reference objects, which is what

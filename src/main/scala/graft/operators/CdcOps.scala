@@ -48,8 +48,15 @@ object CdcOps {
     val untouched = base.join(
       latest.select(keys.map(col): _*).hint("shuffle_hash"),
       keys, "left_anti")
-    untouched.unionByName(
-      latest.filter(col(opCol) =!= deleteOp).drop(opCol))
+    // op is NOT NULL by contract: a null op would make the =!= predicate
+    // NULL and silently drop the row as if deleted — fail loudly at the
+    // first null instead (raise_error costs nothing on the happy path,
+    // unlike a validation count's extra pass over the changelog)
+    val opOk = when(col(opCol).isNull,
+      raise_error(lit("CdcOps: null op in changelog — every change row " +
+        "must carry a non-null op code")).cast("boolean"))
+      .otherwise(col(opCol) =!= deleteOp)
+    untouched.unionByName(latest.filter(opOk).drop(opCol))
   }
 
   /** CONTINUOUS changelog application: the stream maintains a
@@ -79,18 +86,19 @@ object CdcOps {
       applyChangelog(snap, batch, keys, seqCol, opCol)
         .write.mode("overwrite").parquet(s"$root/snap${batchId + 1}")
     }
-    // the CURRENT version comes from the durable snapshot chain, not
-    // a driver-side counter: a restarted stream that finds every
-    // batch already committed runs zero foreachBatch invocations, and
-    // an in-memory cursor would reset to the base and silently
-    // discard every applied change
-    val p = new org.apache.hadoop.fs.Path(root)
+    // the CURRENT version is DERIVED, not discovered: the staged log
+    // replays as exactly `nFiles` one-file micro-batches, so the final
+    // snapshot is snap{nFiles} — batch N reads snapN and writes
+    // snapN+1, and a restarted stream that finds every batch committed
+    // still lands on the same version. A max() over the directory
+    // would instead adopt a HIGHER-numbered leftover snapshot from a
+    // previous longer run sharing the root; assert the derived version
+    // exists rather than trusting the listing.
+    val p = new org.apache.hadoop.fs.Path(s"$root/snap$nFiles")
     val fs = p.getFileSystem(ss.sparkContext.hadoopConfiguration)
-    val latest = fs.listStatus(p).map(_.getPath.getName).collect {
-      case n if n.startsWith("snap") &&
-        n.drop(4).nonEmpty && n.drop(4).forall(_.isDigit) =>
-        n.drop(4).toLong
-    }.max
-    ss.read.parquet(s"$root/snap$latest")
+    require(fs.exists(p),
+      s"streamApply: expected final snapshot $p after $nFiles " +
+        "micro-batches — the replay did not commit every staged file")
+    ss.read.parquet(s"$root/snap$nFiles")
   }
 }

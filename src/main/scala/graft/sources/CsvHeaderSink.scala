@@ -29,35 +29,61 @@ object CsvHeaderSink {
   /** K1 — write `df` as a single CSV file at `out`, preceded by
     * `headerLines` each prefixed `# `. Ordering inside the file is the
     * caller's `orderBy`; `coalesce(1)` preserves a sorted parent's order.
+    * The file is staged next to the target and moved in atomically, so
+    * a failure mid-write never leaves a truncated deliverable; staging
+    * and the Spark temp dir are released on every path.
     */
   def write(df: DataFrame, headerLines: Seq[String], out: String): Unit = {
-    val tmp = Files.createTempDirectory("csvsink").toString
-    df.coalesce(1).write.mode("overwrite")
-      .option("header", "true").csv(tmp)
-    val part = firstPart(tmp)
-    val target = Paths.get(out)
-    if (target.getParent != null) Files.createDirectories(target.getParent)
-    val os = new BufferedOutputStream(new FileOutputStream(out))
+    val tmp = Files.createTempDirectory("csvsink")
     try {
-      for (line <- headerLines)
-        os.write(s"# $line\n".getBytes(StandardCharsets.UTF_8))
-      Files.copy(part, os)
-    } finally os.close()
-    deleteRecursively(Paths.get(tmp))
+      df.coalesce(1).write.mode("overwrite")
+        .option("header", "true").csv(tmp.toString)
+      val part = firstPart(tmp.toString)
+      val target = Paths.get(out)
+      if (target.getParent != null) Files.createDirectories(target.getParent)
+      val staged = stagedSibling(target)
+      try {
+        val os = new BufferedOutputStream(
+          new FileOutputStream(staged.toFile))
+        try {
+          for (line <- headerLines)
+            os.write(s"# $line\n".getBytes(StandardCharsets.UTF_8))
+          Files.copy(part, os)
+        } finally os.close()
+        moveInto(staged, target)
+      } finally Files.deleteIfExists(staged)
+    } finally deleteRecursively(tmp)
   }
 
   /** K2 — append rows (no header lines, no column header) to an existing
-    * CSV file.
+    * CSV file (created if missing). The existing content plus the new
+    * rows are staged as a sibling file and moved in atomically — an
+    * exception mid-append leaves the target exactly as it was, never
+    * partially appended. Per-series deliverables are individually small
+    * (see the scale note above), so re-staging the file is O(file), not
+    * O(corpus); concurrent appends to ONE file are out of contract
+    * (single-writer per deliverable, as in the reference's
+    * AppendSeriesToFile).
     */
   def append(df: DataFrame, out: String): Unit = {
-    val tmp = Files.createTempDirectory("csvappend").toString
-    df.coalesce(1).write.mode("overwrite")
-      .option("header", "false").csv(tmp)
-    val part = firstPart(tmp)
-    val os = Files.newOutputStream(Paths.get(out),
-      StandardOpenOption.CREATE, StandardOpenOption.APPEND)
-    try Files.copy(part, os) finally os.close()
-    deleteRecursively(Paths.get(tmp))
+    val tmp = Files.createTempDirectory("csvappend")
+    try {
+      df.coalesce(1).write.mode("overwrite")
+        .option("header", "false").csv(tmp.toString)
+      val part = firstPart(tmp.toString)
+      val target = Paths.get(out)
+      if (target.getParent != null) Files.createDirectories(target.getParent)
+      val staged = stagedSibling(target)
+      try {
+        val os = Files.newOutputStream(staged,
+          StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+        try {
+          if (Files.exists(target)) Files.copy(target, os)
+          Files.copy(part, os)
+        } finally os.close()
+        moveInto(staged, target)
+      } finally Files.deleteIfExists(staged)
+    } finally deleteRecursively(tmp)
   }
 
   /** Read a published `#`-header CSV (or a glob/directory of them) back
@@ -110,6 +136,23 @@ object CsvHeaderSink {
     df.agg(max(col(tsCol)).cast("timestamp")).collect().headOption
       .flatMap(r => Option(r.getTimestamp(0)))
   }
+
+  /** Staging file in the TARGET's directory (atomic moves need the same
+    * filesystem), unique per call so an abandoned stage from a crashed
+    * run can't be picked up by the next one.
+    */
+  private def stagedSibling(target: Path): Path = {
+    val dir = Option(target.getParent).getOrElse(Paths.get("."))
+    Files.createTempFile(dir, s".${target.getFileName}", ".staging")
+  }
+
+  private def moveInto(staged: Path, target: Path): Unit =
+    try Files.move(staged, target,
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    catch {
+      case _: java.nio.file.AtomicMoveNotSupportedException =>
+        Files.move(staged, target, StandardCopyOption.REPLACE_EXISTING)
+    }
 
   private def firstPart(dir: String): Path =
     Files.list(Paths.get(dir)).iterator().asScala

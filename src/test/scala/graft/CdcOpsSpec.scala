@@ -35,6 +35,19 @@ class CdcOpsSpec extends SparkSpec {
     ))
   }
 
+  test("a null op fails loudly instead of acting as a silent delete") {
+    val nullOp = Seq((3L, 1L, "c9")).toDF("k", "seq", "v")
+      .withColumn("src", lit("cdc"))
+      .withColumn("op", lit(null).cast("string"))
+      .select("k", "seq", "op", "v", "src")
+    val ex = intercept[Exception] {
+      CdcOps.applyChangelog(base, nullOp, Seq("k"), "seq", "op").collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => e.getMessage +: msgs(e.getCause))
+    assert(msgs(ex).exists(m => m != null && m.contains("null op")), ex)
+  }
+
   test("the changelog collapses by aggregation, never a whole-log window") {
     val plan = CdcOps.applyChangelog(base, log, Seq("k"), "seq", "op")
       .queryExecution.executedPlan.toString
@@ -51,6 +64,11 @@ class CdcOpsSpec extends SparkSpec {
       .createTempDirectory("graft-cdc-spec")
     try {
       val (b, log) = ExtraQueries.cdcFrames(spark, d)
+      // a leftover snapshot from some earlier, longer run sharing the
+      // root: the current version is DERIVED from the staged batch
+      // count, so this must never be adopted as the result
+      Seq((0L, "junk")).toDF("o_orderkey", "junk")
+        .write.parquet(s"$root/snap99")
       val streamed = CdcOps.streamApply(spark, b, log,
           Seq("o_orderkey"), "seq", "op", nFiles = 2, root.toString)
         .as[(Long, Long, Double, String)].collect().toSeq.sorted

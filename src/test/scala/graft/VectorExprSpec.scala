@@ -193,17 +193,22 @@ class VectorExprSpec extends SparkSpec {
       .agg(f1(col("v"), col("id")).as("top"))
       .select(size(col("top"))).as[Int].head()
     assert(out === 1)
-    // documented non-finite contract: NaN never beats a slot (ignored),
-    // +Inf is indistinguishable from the empty-slot sentinel (dropped)
-    val nonFinite = Seq(
-      (1L, Double.NaN, 1L), (1L, 2.0, 2L),
-      (1L, Double.PositiveInfinity, 3L), (1L, 1.0, 4L)
-    ).toDF("g", "v", "id")
-    val kept = nonFinite.groupBy(col("g"))
-      .agg(f1(col("v"), col("id")).as("top"))
-      .select(explode(col("top"))).select(col("col._2"))
-      .as[Long].collect().toSeq
-    assert(kept === Seq(4L, 2L))
+    // the finiteness contract is ENFORCED, not conventional: a NaN
+    // score (e.g. a zero-norm embedding's cosine) must fail loudly —
+    // the window form it replaces would rank NaN first, so a silent
+    // drop would be an invisible divergence
+    for (bad <- Seq(Double.NaN, Double.PositiveInfinity,
+        Double.NegativeInfinity)) {
+      val ex = intercept[Exception] {
+        Seq((1L, bad, 1L), (1L, 2.0, 2L)).toDF("g", "v", "id")
+          .groupBy(col("g"))
+          .agg(f1(col("v"), col("id")).as("top"))
+          .collect()
+      }
+      def msgs(t: Throwable): Seq[String] =
+        Option(t).toSeq.flatMap(e => e.getMessage +: msgs(e.getCause))
+      assert(msgs(ex).exists(m => m != null && m.contains("finite")), ex)
+    }
   }
 
   test("ivf_assign matches the composed cross-join + max_by assignment") {

@@ -116,25 +116,32 @@ class IndexArtifactSpec extends SparkSpec {
     }
   }
 
-  test("filtered serving from the artifact equals the inline s12 query") {
-    // build with `label` carried into the inverted lists, serve with
-    // the label as a filter key: the artifact path must reproduce the
-    // inline filtered-ANN query exactly — predicate columns living
-    // next to the codes is what makes filtered serving possible
-    // without joining back to the corpus
-    withArtifact(metaCols = Seq("label")) { dir =>
-      val got = VectorIndex
-        .serveTopK(VectorIndex.load(spark, dir), subDim, 5L, 3,
-          filterKeys = Seq("label"))
-        .select(col("q_id"), col("vec_id"),
-          col("label").cast("long").as("label"), col("cell"),
-          col("adc_dist"), col("rank"))
-        .as[(Long, Long, Long, Long, Double, Long)].collect().toSeq.sorted
-      val inline = SparkEntry.queries("s12_filtered_ann")(spark, d)
-        .select("q_id", "vec_id", "label", "cell", "adc_dist", "rank")
-        .as[(Long, Long, Long, Long, Double, Long)].collect().toSeq.sorted
-      assert(got === inline)
-    }
+  test("filtered artifact serving (s12) equals inline-trained filtered serving") {
+    // s12 itself now serves from the persisted artifact (build-or-
+    // load), so the reference here is an INLINE-trained index that
+    // never touches disk: train the same quantizers in memory, serve
+    // through the same filtered shape, and require identical rows —
+    // the artifact round trip must not move a single result. Predicate
+    // columns living next to the codes is what makes filtered serving
+    // possible without joining back to the corpus.
+    val e = SimilarityOps.withNorm(
+      Tables.embeddings(spark, d), "embedding", "n")
+    val cents = SimilarityOps.trainIvf(e, dim, steps)
+    val books = ProductQuantization.train(
+      e, "embedding", "vec_id", sub, subDim, k, steps = 1)
+    val inline = VectorIndex.Loaded(cents, books,
+      ProductQuantization.encode(
+          e.withColumn("cell", SimilarityOps.ivfAssign(cents, dim)),
+          "embedding", books, subDim, "code")
+        .withColumn("label", col("label").cast("long")))
+    val want = VectorIndex
+      .serveTopK(inline, subDim, 5L, 3, filterKeys = Seq("label"))
+      .select("q_id", "vec_id", "label", "cell", "adc_dist", "rank")
+      .as[(Long, Long, Long, Long, Double, Long)].collect().toSeq.sorted
+    val got = SparkEntry.queries("s12_filtered_ann")(spark, d)
+      .select("q_id", "vec_id", "label", "cell", "adc_dist", "rank")
+      .as[(Long, Long, Long, Long, Double, Long)].collect().toSeq.sorted
+    assert(got === want)
   }
 
   test("the serve join itself prunes the candidate scan via DPP") {

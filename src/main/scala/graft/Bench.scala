@@ -52,12 +52,19 @@ object Bench {
         dt
       }
       val good = dts.filter(_ >= 0.0)
-      name -> (if (good.nonEmpty) good.min else -1.0)
+      name -> (if (good.nonEmpty) good.min else -1.0, dts)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, (v, _)) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","mode":"best_of_2"}""")
+    // Per-run times alongside the min: best-of-2 strips most ambient
+    // scheduling bands but not all — a wide [a, b] spread flags a
+    // banded number so a single outlier run can't masquerade as a
+    // regression in the round file.
+    val runs = results.map { case (k, (_, dts)) =>
+      s"\"" + k + "\":" + dts.mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+    val total = if (results.nonEmpty) results.values.map(_._1).sum else 0.0
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runs,"sf":"$sfDir","mode":"best_of_2"}""")
     spark.stop()
   }
 }

@@ -163,6 +163,26 @@ object SimilarityOps {
       .distinct()
   }
 
+  /** Deterministic arrival-side sample predicate for ground-truth
+    * recall reports (s14): keep ids whose salted hash15 lands in
+    * residue 0 mod `f`. A recall report's truth side is INHERENTLY
+    * brute-force — O(arrivals × corpus) exact-cosine pairs — so
+    * without a bound a naive caller at 100 TB launches a quadratic
+    * job; this is the bound. Per-band recall is a ratio of counts
+    * over pairs, so a hash sample of the arrival anchor estimates it
+    * unbiasedly (each pair is kept iff its arrival anchor is kept,
+    * independent of band), with relative error ~1/sqrt(kept pairs
+    * per band) — size `f` so the smallest band keeps O(10²) pairs.
+    * `f = 1` disables sampling (gate-scale runs); the salt keeps the
+    * sample independent of every other hash-bucket decision (splits,
+    * mixing) on the same ids. Mirrored exactly in oracle SQL.
+    */
+  def recallSample(idCol: Column, f: Long, salt: String = "s14"): Column = {
+    require(f >= 1, s"recallSample modulus must be >= 1, got $f")
+    if (f == 1) lit(true)
+    else pmod(TextOps.hash15(concat(lit(s"$salt|"), idCol)), lit(f)) === 0
+  }
+
   def ingestGate(stored: DataFrame, batch: DataFrame,
       threshold: Double): DataFrame = {
     val cand = gateCandidates(stored, batch)

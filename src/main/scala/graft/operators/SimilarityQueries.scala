@@ -31,6 +31,12 @@ object SimilarityQueries {
   private[graft] val VecGateSplit = 400L
   private[graft] val VecGateBits = 4
   private[graft] val VecGateThr = 0.35
+  // s14 recall report: arrival-anchor sample modulus (keep ~1/F of
+  // arrivals; the truth side's brute-force budget scales as
+  // sample × corpus). 2 at bench SF keeps every cosine band
+  // populated; at 100 TB F grows with the corpus so the kept sample
+  // stays O(10³-10⁴) anchors.
+  private[graft] val VecRecallSampleF = 2L
 
   /** Exact per-pair cosine scores: tiny query set broadcast against the
     * full corpus (scanned once). The ground truth s1 reports and s6
@@ -559,7 +565,14 @@ object SimilarityQueries {
       val cand = SimilarityOps.gateCandidates(
         assigned.filter(col("vec_id") < VecGateSplit),
         assigned.filter(col("vec_id") >= VecGateSplit))
+      // the truth side is inherently O(arrivals × corpus) brute force;
+      // the deterministic hash-sample of the arrival anchors is the
+      // scaling bound (see SimilarityOps.recallSample — per-band
+      // recall is a count ratio, so the sample estimates it
+      // unbiasedly; the oracle applies the identical predicate)
       val arr = e.filter(col("vec_id") >= VecGateSplit)
+        .filter(SimilarityOps.recallSample(col("vec_id"),
+          VecRecallSampleF))
         .select(col("vec_id").as("b"), col("embedding").as("vb"),
           col("n").as("nb"))
       val all = e.select(col("vec_id").as("a"),
@@ -1115,7 +1128,9 @@ object SimilarityQueries {
                 round(${dCos("x.embedding", "y.embedding")}, 6) AS csim
               FROM embeddings x JOIN embeddings y
                 ON x.vec_id < y.vec_id
-              WHERE y.vec_id >= $VecGateSplit)
+              WHERE y.vec_id >= $VecGateSplit
+                AND ('0x' || substr(md5('s14|' || y.vec_id), 1, 15))
+                  ::BIGINT % $VecRecallSampleF = 0)
             WHERE csim >= $VecGateThr),
           m AS (
             SELECT t.band, count(*) AS n_true, count(c.a) AS n_caught

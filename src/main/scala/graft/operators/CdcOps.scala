@@ -69,11 +69,29 @@ object CdcOps {
     * batch's by the same per-key rule the one-shot apply uses), the
     * final snapshot equals [[applyChangelog]] of the whole log — the
     * stream is held to the batch oracle (x11), like the ingest gates.
+    *
+    * RETENTION: without a bound the `snap0..snapN` chain stores the
+    * full snapshot once PER BATCH — at real churn rates that is the
+    * first operational fire, long before correctness. Each batch
+    * therefore prunes the version falling off the retention window:
+    * after writing `snap{B+1}`, versions below `B+1 - retainVersions`
+    * are deleted. `retainVersions >= 1` is a REPLAY-SAFETY floor, not
+    * a tuning choice: a micro-batch that crashes after its snapshot
+    * write but before its checkpoint commit replays and re-reads
+    * `snap{B}` — so the current batch's INPUT version must survive its
+    * own pruning pass (anything older belongs to committed batches,
+    * which the checkpoint never replays). Larger values buy
+    * time-travel depth at one snapshot of storage each;
+    * `Int.MaxValue` keeps every version (the spec's
+    * every-version-queryable mode).
     */
   def streamApply(ss: org.apache.spark.sql.SparkSession,
       base: DataFrame, log: DataFrame, keys: Seq[String],
       seqCol: String, opCol: String, nFiles: Int,
-      root: String): DataFrame = {
+      root: String, retainVersions: Int = 2): DataFrame = {
+    require(retainVersions >= 1,
+      s"streamApply: retainVersions >= 1 (got $retainVersions) — the " +
+        "in-flight batch's input version must survive for replay")
     base.write.mode("overwrite").parquet(s"$root/snap0")
     graft.streaming.StreamingOps.stageOrderedArrivals(
       log, seqCol, nFiles, s"$root/arrivals")
@@ -85,6 +103,16 @@ object CdcOps {
       val snap = ss.read.parquet(s"$root/snap$batchId")
       applyChangelog(snap, batch, keys, seqCol, opCol)
         .write.mode("overwrite").parquet(s"$root/snap${batchId + 1}")
+      // prune the ONE version falling off the window (batch K+retain
+      // deletes snapK, so every expired version is eventually the
+      // boundary of exactly one batch — O(1) filesystem work per
+      // batch, idempotent under replay, no directory sweep)
+      val expired = batchId - retainVersions
+      if (expired >= 0 && retainVersions != Int.MaxValue) {
+        val dead = new org.apache.hadoop.fs.Path(s"$root/snap$expired")
+        dead.getFileSystem(ss.sparkContext.hadoopConfiguration)
+          .delete(dead, true)
+      }
     }
     // the CURRENT version is DERIVED, not discovered: the staged log
     // replays as exactly `nFiles` one-file micro-batches, so the final

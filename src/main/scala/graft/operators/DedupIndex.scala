@@ -35,20 +35,13 @@ object DedupIndex {
   final case class Loaded(k: Int, rowsPerBand: Int, buckets: DataFrame)
 
   /** Next ingest generation of a `(ingest, …)`-partitioned artifact
-    * dir — a DRIVER-SIDE directory listing (one filesystem metadata
-    * call), never a corpus scan: a `max(ingest)` aggregation would
-    * schedule a task per corpus file, which on a 100 TB index is a
-    * full footer sweep to compute one integer. Shared by both index
-    * artifacts.
+    * dir — driver-side listing via [[LayoutOps.ingestGenerations]]
+    * (one filesystem metadata call, never a corpus scan). Shared by
+    * both index artifacts.
     */
   private[operators] def nextGeneration(s: SparkSession,
       partitionedDir: String): Long = {
-    val p = new org.apache.hadoop.fs.Path(partitionedDir)
-    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-    val gens = fs.listStatus(p).map(_.getPath.getName).collect {
-      case n if n.startsWith("ingest=") &&
-        n.drop(7).forall(_.isDigit) => n.drop(7).toLong
-    }
+    val gens = LayoutOps.ingestGenerations(s, partitionedDir)
     require(gens.nonEmpty,
       s"$partitionedDir has no ingest= partitions — not a built artifact")
     gens.max + 1
@@ -127,13 +120,28 @@ object DedupIndex {
   }
 
   /** Append the batch's buckets — existing bucket files untouched;
-    * ingest costs the batch's own signatures only.
+    * ingest costs the batch's own signatures only. MAINTENANCE is
+    * wired in, not left to an operator nobody schedules: every
+    * generation adds ≥1 file per band, so once the artifact carries
+    * `compactEvery` generations the append triggers
+    * [[LayoutOps.compactGenerations]] and the bucket tree collapses
+    * back to one generation (one file per band) — file count stays
+    * bounded by the compaction period at any ingest rate, and the
+    * amortized cost is one artifact rewrite per `compactEvery`
+    * appends. Probe results are identical across the collapse
+    * (spec-asserted); generation numbering stays monotone (the max
+    * survives).
     */
   def append(s: SparkSession, dir: String, newDocs: DataFrame,
-      textCol: String, idCol: String): Unit = {
+      textCol: String, idCol: String, compactEvery: Int = 16): Unit = {
+    require(compactEvery >= 2,
+      s"append: compactEvery >= 2 (got $compactEvery)")
     val l = load(s, dir)
     appendWith(l.k, l.rowsPerBand, dir, newDocs, textCol, idCol,
       nextGeneration(s, s"$dir/buckets"))
+    if (LayoutOps.ingestGenerations(s, s"$dir/buckets")
+        .size >= compactEvery)
+      LayoutOps.compactGenerations(s, s"$dir/buckets", "band")
   }
 
   /** Append one ingest GENERATION under already-known banding

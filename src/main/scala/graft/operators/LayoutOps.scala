@@ -45,6 +45,68 @@ object LayoutOps {
       .write.options(extraWriteOpts).mode("overwrite").parquet(dir)
   }
 
+  /** Ingest generations present in an `(ingest, …)`-partitioned
+    * artifact subtree — a DRIVER-SIDE directory listing (one
+    * filesystem metadata call), never a corpus scan: a `max(ingest)`
+    * aggregation would schedule a task per corpus file, which on a
+    * 100 TB index is a full footer sweep to compute one integer.
+    * Shared by both index artifacts' generation assignment and by
+    * [[compactGenerations]].
+    */
+  private[operators] def ingestGenerations(s: SparkSession,
+      partitionedDir: String): Seq[Long] = {
+    val p = new org.apache.hadoop.fs.Path(partitionedDir)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.listStatus(p).map(_.getPath.getName).collect {
+      case n if n.startsWith("ingest=") &&
+        n.drop(7).forall(_.isDigit) => n.drop(7).toLong
+    }.toSeq
+  }
+
+  /** Collapse every ingest generation of an `(ingest, partCol)`-
+    * partitioned artifact subtree into ONE — the maintenance pass the
+    * append-mode index artifacts need: each appended generation adds
+    * at least one file per `partCol` value, so after G appends a probe
+    * of one partition opens G small files; at real ingest rates file
+    * COUNT is the first operational fire (listing, open cost, one
+    * scan task per tiny split), long before data size. The rewrite
+    * shuffles once on `partCol` (each partition value lands in one
+    * task → one file), keeps the MAX generation number so the next
+    * append's `max+1` assignment stays monotone (a consolidated
+    * artifact can never hand out a generation some earlier append
+    * already used), stages the result as a sibling, and swaps by
+    * rename. The swap is not atomic on a plain filesystem — same
+    * SINGLE-WRITER contract as the appends: compaction is a
+    * maintenance window of the one ingest writer, not a concurrent
+    * job (a table format's transaction log is what buys concurrent
+    * readers).
+    *
+    * Returns the surviving generation number. Content-preserving by
+    * construction (one repartition, no column touches) and
+    * probe-identical by spec.
+    */
+  def compactGenerations(s: SparkSession, dir: String,
+      partCol: String): Long = {
+    val gens = ingestGenerations(s, dir)
+    require(gens.nonEmpty,
+      s"compactGenerations: $dir has no ingest= partitions — not a " +
+        "built artifact")
+    val keep = gens.max
+    val staging = s"${dir}__compact"
+    val dp = new org.apache.hadoop.fs.Path(dir)
+    val sp = new org.apache.hadoop.fs.Path(staging)
+    val fs = dp.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(sp, true) // leftover staging from a crashed pass
+    s.read.parquet(dir)
+      .withColumn("ingest", lit(keep))
+      .repartition(col(partCol))
+      .write.mode("overwrite").partitionBy("ingest", partCol)
+      .parquet(staging)
+    require(fs.delete(dp, true) && fs.rename(sp, dp),
+      s"compactGenerations: swap of $staging over $dir failed")
+    keep
+  }
+
   /** Rewrite `srcDir` as `targetFiles` parquet files in `dstDir`.
     * Round-robin repartition packs evenly regardless of input file
     * sizes; rows are untouched.

@@ -115,10 +115,25 @@ object VectorIndex {
     * `add` after `train`); recall drifts only as the data
     * distribution leaves the training sample — the s6-style recall
     * gate is the re-train trigger.
+    *
+    * MAINTENANCE is wired in (the text twin's contract,
+    * [[DedupIndex.append]]): at `compactEvery` accumulated
+    * generations the append triggers
+    * [[LayoutOps.compactGenerations]], collapsing the per-batch cell
+    * files back to one file per cell — a serving probe of one cell
+    * opens a bounded file count at any ingest rate. Serve results are
+    * identical across the collapse (spec-asserted).
     */
-  def append(s: SparkSession, dir: String, newVecs: DataFrame): Unit =
+  def append(s: SparkSession, dir: String, newVecs: DataFrame,
+      compactEvery: Int = 16): Unit = {
+    require(compactEvery >= 2,
+      s"append: compactEvery >= 2 (got $compactEvery)")
     appendWith(load(s, dir), dir, newVecs,
       DedupIndex.nextGeneration(s, s"$dir/corpus"))
+    if (LayoutOps.ingestGenerations(s, s"$dir/corpus")
+        .size >= compactEvery)
+      LayoutOps.compactGenerations(s, s"$dir/corpus", "cell")
+  }
 
   /** Append one ingest GENERATION under an already-loaded artifact —
     * the ingest-loop fast path (quantizers are frozen, so a stream

@@ -10,6 +10,14 @@ import graft.operators.CdcOps
 class CdcOpsSpec extends SparkSpec {
   import spark.implicits._
 
+  private def rmTree(p: java.nio.file.Path): Unit = {
+    if (java.nio.file.Files.isDirectory(p)) {
+      val s = java.nio.file.Files.list(p)
+      try s.forEach(rmTree) finally s.close()
+    }
+    java.nio.file.Files.deleteIfExists(p)
+  }
+
   private def base = Seq(
     (1L, "a"), (2L, "b"), (3L, "c")
   ).toDF("k", "v").withColumn("src", lit("base"))
@@ -58,6 +66,35 @@ class CdcOpsSpec extends SparkSpec {
     assert(!plan.contains("Window"), plan)
   }
 
+  test("retention prunes expired snapshots; the result is unchanged") {
+    val d = "/root/testdata/sf0.001"
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-cdc-retain")
+    try {
+      val (b, log) = ExtraQueries.cdcFrames(spark, d)
+      // retain 1 predecessor: after batch 1 writes snap2, snap0 (the
+      // base copy) falls off the window and must be GONE — unbounded
+      // snapshot storage is the operational fire retention exists for
+      val streamed = CdcOps.streamApply(spark, b, log,
+          Seq("o_orderkey"), "seq", "op", nFiles = 2, root.toString,
+          retainVersions = 1)
+        .as[(Long, Long, Double, String)].collect().toSeq.sorted
+      val oneShot = CdcOps.applyChangelog(b, log,
+          Seq("o_orderkey"), "seq", "op")
+        .as[(Long, Long, Double, String)].collect().toSeq.sorted
+      assert(streamed === oneShot)
+      assert(!java.nio.file.Files.exists(root.resolve("snap0")))
+      assert((1 to 2).forall(i => java.nio.file.Files
+        .isDirectory(root.resolve(s"snap$i"))))
+      // a replay of the LAST batch must still be possible: its input
+      // version (snap1) is inside the window by the retain >= 1 floor
+      assert(intercept[IllegalArgumentException] {
+        CdcOps.streamApply(spark, b, log, Seq("o_orderkey"), "seq",
+          "op", nFiles = 2, s"$root-x", retainVersions = 0)
+      }.getMessage.contains("retainVersions"))
+    } finally rmTree(root)
+  }
+
   test("streaming apply ≡ one-shot apply; every version is a real snapshot") {
     val d = "/root/testdata/sf0.001"
     val root = java.nio.file.Files
@@ -69,8 +106,11 @@ class CdcOpsSpec extends SparkSpec {
       // count, so this must never be adopted as the result
       Seq((0L, "junk")).toDF("o_orderkey", "junk")
         .write.parquet(s"$root/snap99")
+      // retainVersions = MaxValue: the keep-every-version mode this
+      // test's per-version assertions need
       val streamed = CdcOps.streamApply(spark, b, log,
-          Seq("o_orderkey"), "seq", "op", nFiles = 2, root.toString)
+          Seq("o_orderkey"), "seq", "op", nFiles = 2, root.toString,
+          retainVersions = Int.MaxValue)
         .as[(Long, Long, Double, String)].collect().toSeq.sorted
       val oneShot = CdcOps.applyChangelog(b, log,
           Seq("o_orderkey"), "seq", "op")
@@ -88,15 +128,6 @@ class CdcOpsSpec extends SparkSpec {
         .as[(Long, Long, Double, String)].collect().toSeq.sorted
       assert(v1 === gen1Only)
       assert(streamed !== v1) // generation 2 really changed the state
-    } finally {
-      def rm(p: java.nio.file.Path): Unit = {
-        if (java.nio.file.Files.isDirectory(p)) {
-          val s = java.nio.file.Files.list(p)
-          try s.forEach(rm) finally s.close()
-        }
-        java.nio.file.Files.deleteIfExists(p)
-      }
-      rm(root)
-    }
+    } finally rmTree(root)
   }
 }

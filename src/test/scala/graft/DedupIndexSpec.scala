@@ -2,7 +2,7 @@ package graft
 
 import java.nio.file.{Files, Path}
 import org.apache.spark.sql.functions._
-import graft.operators.{DedupIndex, DedupOps}
+import graft.operators.{DedupIndex, DedupOps, LayoutOps}
 
 /** The persisted dedup-index lifecycle: a probe must return exactly
   * the batch-run candidate set restricted to pairs touching the batch
@@ -117,6 +117,76 @@ class DedupIndexSpec extends SparkSpec {
       DedupIndex.appendWith(k, rpb, dir, more, "text", "doc_id",
         generation = 2L)
       assert(buckets().size > once.size)
+    }
+  }
+
+  import scala.jdk.CollectionConverters._
+
+  private def ingestDirs(sub: String, dir: String): Seq[String] = {
+    val s = Files.list(java.nio.file.Paths.get(dir, sub))
+    try s.iterator().asScala.map(_.getFileName.toString)
+      .filter(_.startsWith("ingest=")).toSeq.sorted
+    finally s.close()
+  }
+  private def parquetFiles(sub: String, dir: String): Long = {
+    val s = Files.walk(java.nio.file.Paths.get(dir, sub))
+    try s.iterator().asScala.count(_.toString.endsWith(".parquet"))
+    finally s.close()
+  }
+
+  test("generation compaction: probe-identical, files collapsed, numbering monotone") {
+    val docs = Tables.documents(spark, d)
+    withDir { dir =>
+      DedupIndex.build(docs.filter(col("doc_id") < splitId),
+        "text", "doc_id", k, rpb, dir)
+      DedupIndex.appendWith(k, rpb, dir,
+        docs.filter(col("doc_id") >= splitId && col("doc_id") < 450),
+        "text", "doc_id", generation = 1L)
+      DedupIndex.appendWith(k, rpb, dir,
+        docs.filter(col("doc_id") >= 450), "text", "doc_id",
+        generation = 2L)
+      val again = docs.filter(col("doc_id") >= 450)
+        .withColumn("doc_id", col("doc_id") + 1000)
+      def probed() = DedupIndex
+        .probe(DedupIndex.load(spark, dir), again, "text", "doc_id")
+        .as[(Long, Long)].collect().toSeq.sorted
+      val before = probed()
+      assert(before.nonEmpty)
+      val filesBefore = parquetFiles("buckets", dir)
+      val kept = LayoutOps.compactGenerations(spark,
+        s"$dir/buckets", "band")
+      // the MAX generation number survives, so the next append's
+      // max+1 can never reuse a number an earlier append handed out
+      assert(kept === 2L)
+      assert(ingestDirs("buckets", dir) === Seq("ingest=2"))
+      assert(parquetFiles("buckets", dir) < filesBefore)
+      // probes are identical across the collapse — compaction is a
+      // physical-layout pass, not a semantic one
+      assert(probed() === before)
+    }
+  }
+
+  test("append auto-compacts once the generation count crosses the threshold") {
+    val docs = Tables.documents(spark, d)
+    withDir { dir =>
+      DedupIndex.build(docs.filter(col("doc_id") < splitId),
+        "text", "doc_id", k, rpb, dir)
+      // threshold 2: this append lands generation 1, the artifact now
+      // carries 2 generations, and the append itself triggers the
+      // collapse — maintenance is part of ingest, not a separate
+      // operator nobody schedules
+      DedupIndex.append(spark, dir,
+        docs.filter(col("doc_id") >= splitId), "text", "doc_id",
+        compactEvery = 2)
+      assert(ingestDirs("buckets", dir) === Seq("ingest=1"))
+      // the collapsed index still equals a fresh full build
+      val stored = DedupIndex.load(spark, dir).buckets
+        .select("doc_id", "band", "bucket")
+        .as[(Long, Long, Long)].collect().toSeq.sorted
+      val fresh = DedupOps.lshBuckets(
+          DedupOps.withMinHash(docs, "text", k), "doc_id", k, rpb)
+        .as[(Long, Long, Long)].collect().toSeq.sorted
+      assert(stored === fresh)
     }
   }
 

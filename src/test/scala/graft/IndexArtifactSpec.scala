@@ -2,7 +2,8 @@ package graft
 
 import java.nio.file.{Files, Path}
 import org.apache.spark.sql.functions._
-import graft.operators.{SimilarityOps, ProductQuantization, VectorIndex}
+import graft.operators.{LayoutOps, SimilarityOps, ProductQuantization,
+  VectorIndex}
 
 /** The persisted-index lifecycle: build → load must round-trip the
   * trained state exactly, serving from the artifact must equal the
@@ -160,6 +161,52 @@ class IndexArtifactSpec extends SparkSpec {
       assert(candScans.nonEmpty, plan)
       assert(candScans.exists(_.split("PartitionFilters", 2)(1)
         .takeWhile(_ != ']').contains("cell")), candScans.mkString("\n"))
+    }
+  }
+
+  test("generation compaction: serve-identical, cell files collapsed, auto-triggered") {
+    import scala.jdk.CollectionConverters._
+    def ingestDirs(dir: String): Seq[String] = {
+      val s = Files.list(java.nio.file.Paths.get(dir, "corpus"))
+      try s.iterator().asScala.map(_.getFileName.toString)
+        .filter(_.startsWith("ingest=")).toSeq.sorted
+      finally s.close()
+    }
+    def parquetFiles(dir: String): Long = {
+      val s = Files.walk(java.nio.file.Paths.get(dir, "corpus"))
+      try s.iterator().asScala.count(_.toString.endsWith(".parquet"))
+      finally s.close()
+    }
+    val all = Tables.embeddings(spark, d)
+    withArtifact(all.filter(col("vec_id") < 300)) { dir =>
+      val l = VectorIndex.load(spark, dir)
+      VectorIndex.appendWith(l, dir, all
+        .filter(col("vec_id") >= 300 && col("vec_id") < 400)
+        .select("vec_id", "embedding"), generation = 1L)
+      VectorIndex.appendWith(l, dir, all.filter(col("vec_id") >= 400)
+        .select("vec_id", "embedding"), generation = 2L)
+      def served() = VectorIndex
+        .serveTopK(VectorIndex.load(spark, dir), subDim, 5L, 3)
+        .as[(Long, Long, Long, Double, Long)].collect().toSeq.sorted
+      val before = served()
+      val filesBefore = parquetFiles(dir)
+      val kept = LayoutOps.compactGenerations(spark, s"$dir/corpus",
+        "cell")
+      assert(kept === 2L) // max generation survives: numbering monotone
+      assert(ingestDirs(dir) === Seq("ingest=2"))
+      assert(parquetFiles(dir) < filesBefore)
+      // serving is identical across the collapse — compaction is a
+      // physical-layout pass, not a semantic one
+      assert(served() === before)
+      // and the maintenance is WIRED INTO ingest: an append that lands
+      // the threshold-th generation triggers the collapse itself
+      VectorIndex.append(spark, dir,
+        all.filter(col("vec_id") >= 400)
+          .select((col("vec_id") + 10000).as("vec_id"),
+            col("embedding")),
+        compactEvery = 2)
+      assert(ingestDirs(dir) === Seq("ingest=3"))
+      assert(served().nonEmpty)
     }
   }
 

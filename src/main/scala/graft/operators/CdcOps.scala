@@ -59,6 +59,24 @@ object CdcOps {
     untouched.unionByName(latest.filter(opOk).drop(opCol))
   }
 
+  /** The DELETE-ONLY special case of [[applyChangelog]]: a tombstone
+    * set (keys only — no payload, no sequencing: deletion is
+    * idempotent and order-free) applied as one anti-join. Same scale
+    * contract as the full apply: the base side is never sorted
+    * (`shuffle_hash` build on the collapsed key set; at cluster scale
+    * both sides bucket by the key), and the tombstone side collapses
+    * to distinct keys first so a noisy takedown feed (the same id
+    * listed many times) costs one row per key in the build. This is
+    * the collapse the index artifacts' takedown path
+    * ([[VectorIndex.delete]] / [[DedupIndex.delete]]) runs over the
+    * affected partitions.
+    */
+  def applyTombstones(base: DataFrame, tombs: DataFrame,
+      keys: Seq[String]): DataFrame =
+    base.join(
+      tombs.select(keys.map(col): _*).distinct().hint("shuffle_hash"),
+      keys, "left_anti")
+
   /** CONTINUOUS changelog application: the stream maintains a
     * VERSIONED parquet snapshot (`snap0` = base, `snapN` after batch
     * N — each micro-batch reads the previous version and writes the

@@ -170,6 +170,21 @@ object DedupIndex {
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("ingest", "band").parquet(s"$dir/buckets")
 
+  /** Delete documents from the index by id — the takedown path (the
+    * text twin of [[VectorIndex.delete]]): every bucket row of a
+    * tombstoned doc leaves the artifact, so later probes can no
+    * longer collide with it; banding geometry (`params`) is
+    * untouched. Only the bands containing a tombstoned doc's buckets
+    * are rewritten ([[LayoutOps.deleteKeysPartitioned]]); a doc's
+    * signature spans every band, so a text takedown touches all
+    * bands but still only the affected generations' files. Probing
+    * after a delete equals probing an index built without the ids —
+    * the oracle-gated contract (d13).
+    */
+  def delete(s: SparkSession, dir: String, tombs: DataFrame): Unit =
+    LayoutOps.deleteKeysPartitioned(s, s"$dir/buckets", "band",
+      "doc_id", tombs)
+
   /** Admission decisions for an arriving batch: every candidate pair
     * is VERIFIED by char-4-gram Jaccard over `grams` (`idCol`,
     * `grams`), and an arrival is admitted iff no confirmed duplicate

@@ -19,6 +19,9 @@ object DedupQueries {
   // d12/st10 ingest gate: docs >= the split are "arriving"
   private[graft] val IngestSplit = 400L
   private[graft] val IngestJacThreshold = 0.5 // confirm-duplicate bar
+  // d13 takedown: tombstoned doc_ids are ≡ DocDelRes (mod DocDelMod)
+  private[graft] val DocDelMod = 13L
+  private[graft] val DocDelRes = 2L
 
   // --- shared corpus-assembly stages (x8 gate + x10 funnel) ----------
   // Each stage frame/predicate is defined ONCE and composed by both
@@ -289,6 +292,29 @@ object DedupQueries {
           TextOps.charNgrams("text", 4).as("grams")),
         docs.filter(col("doc_id") >= IngestSplit), "doc_id",
         IngestJacThreshold)
+    }),
+
+    // d13: INDEX TAKEDOWN for the text-dedup artifact — the delete
+    // path (VectorIndex's s15, for the text twin): build the index on
+    // the sub-split corpus, tombstone doc_id ≡ 2 (mod 13), compact,
+    // then probe the arrivals. A deleted doc's bucket rows leave every
+    // band (only affected partitions rewritten — the CDC collapse over
+    // a pruned scan), so the probe's candidate pairs equal those of an
+    // index BUILT without the tombstoned docs: the stored side of the
+    // oracle's pair join excludes them, the arriving side (probed, not
+    // stored) is unaffected.
+    "d13_index_delete" -> ((s, d) => {
+      import graft.operators.LayoutOps
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-dedupdel").toString
+      val docs = documents(s, d)
+      DedupIndex.build(docs.filter(col("doc_id") < IngestSplit),
+        "text", "doc_id", K, RowsPerBand, dir)
+      DedupIndex.delete(s, dir, docs.select(col("doc_id"))
+        .filter(pmod(col("doc_id"), lit(DocDelMod)) === DocDelRes))
+      LayoutOps.compactGenerations(s, s"$dir/buckets", "band")
+      DedupIndex.probe(DedupIndex.load(s, dir),
+        docs.filter(col("doc_id") >= IngestSplit), "text", "doc_id")
     })
   )
 
@@ -391,6 +417,21 @@ object DedupQueries {
           SELECT d.doc_id, r.dup_of, r.dup_of IS NULL AS admitted
           FROM documents d LEFT JOIN rej r ON r.doc_id = d.doc_id
           WHERE d.doc_id >= $IngestSplit""",
+    // d13: the post-takedown probe — pairs touching the batch where
+    // the STORED side (doc_id < split, i.e. what the index persists)
+    // excludes the tombstoned docs; arriving docs are probed, not
+    // stored, so the tombstone predicate never applies to them. With
+    // a < b and every arrival id above the split, the a-side is the
+    // only one that can be stored.
+    "d13_index_delete" ->
+      s"""$bucketsSql
+          SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+          FROM bk x JOIN bk y
+            ON x.band = y.band AND x.bucket = y.bucket
+           AND x.doc_id < y.doc_id
+          WHERE y.doc_id >= $IngestSplit
+            AND (x.doc_id >= $IngestSplit
+                 OR x.doc_id % $DocDelMod <> $DocDelRes)""",
     "d5_ngram_jaccard" ->
       """WITH g AS (
            SELECT doc_id,

@@ -107,6 +107,76 @@ object LayoutOps {
     keep
   }
 
+  /** Delete rows by key from an `(ingest, partCol)`-partitioned
+    * artifact subtree, rewriting ONLY the partitions that contain a
+    * tombstoned key — the physical half of the index takedown path
+    * (the legal deletion LLM-corpus pipelines owe; the logical half
+    * is [[CdcOps.applyTombstones]]). Shape:
+    *
+    *  1. one pruned probe finds the affected `(ingest, partCol)`
+    *     partitions (semi-join against the broadcast tombstones;
+    *     driver-side result bounded by the tombstone count);
+    *  2. survivors of ONLY those partitions are rewritten via a
+    *     dynamic partition overwrite — a 100 TB artifact pays for the
+    *     partitions its tombstones touch, never a full rewrite;
+    *  3. partitions whose every row was tombstoned produce no
+    *     overwrite output (dynamic overwrite only replaces partitions
+    *     that receive rows), so their directories are deleted
+    *     driver-side — without this step a fully-emptied partition
+    *     would silently KEEP its deleted rows.
+    *
+    * Generation numbering is untouched (deletes happen in place
+    * within each generation), so append monotonicity survives. Bulk
+    * takedowns leave small rewritten files behind; run
+    * [[compactGenerations]] after, exactly like an append burst.
+    * Same single-writer contract as every artifact mutation.
+    *
+    * `tombs` must be an EXTERNAL input (a takedown feed, a collected
+    * id list) — not a lazy view over `dir` itself: the rewrite
+    * replaces the files such a view would re-read.
+    */
+  def deleteKeysPartitioned(s: SparkSession, dir: String,
+      partCol: String, keyCol: String, tombs: DataFrame): Unit = {
+    val t = tombs.select(col(keyCol)).distinct()
+    val corpus = s.read.parquet(dir)
+    val affectedDf = corpus
+      .join(broadcast(t), Seq(keyCol), "left_semi")
+      .select(col("ingest"), col(partCol)).distinct()
+    val affected = affectedDf.collect()
+    if (affected.nonEmpty) {
+      // the affected-partition restriction is an equi-join on the
+      // PARTITION columns (native types — a cast would defeat
+      // pruning) against the broadcast pair list, so the rewrite's
+      // scan reads only the affected partitions' files
+      val pairs = broadcast(s.createDataFrame(
+        java.util.Arrays.asList(affected: _*), affectedDf.schema))
+      val survivors = CdcOps.applyTombstones(
+        corpus.join(pairs, Seq("ingest", partCol), "left_semi"),
+        t, Seq(keyCol))
+      // survivors' partitions, BEFORE the write consumes the frame:
+      // the difference from `affected` is the fully-emptied set
+      val alive = survivors.select(col("ingest"), col(partCol))
+        .distinct().collect()
+        .map(r => (r.get(0).toString, r.get(1).toString)).toSet
+      survivors.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("ingest", partCol).parquet(dir)
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      for (r <- affected; g = r.get(0).toString; p = r.get(1).toString
+          if !alive.contains((g, p))) {
+        fs.delete(new org.apache.hadoop.fs.Path(
+          s"$dir/ingest=$g/$partCol=$p"), true)
+        // a generation whose every partition emptied leaves a bare
+        // ingest= dir behind — drop it so the generation listing
+        // reflects live data only
+        val gp = new org.apache.hadoop.fs.Path(s"$dir/ingest=$g")
+        if (fs.exists(gp) && fs.listStatus(gp).isEmpty)
+          fs.delete(gp, true)
+      }
+    }
+  }
+
   /** Rewrite `srcDir` as `targetFiles` parquet files in `dstDir`.
     * Round-robin repartition packs evenly regardless of input file
     * sizes; rows are untouched.

@@ -37,6 +37,11 @@ object SimilarityQueries {
   // populated; at 100 TB F grows with the corpus so the kept sample
   // stays O(10³-10⁴) anchors.
   private[graft] val VecRecallSampleF = 2L
+  // s15 takedown: tombstone ids are vec_id ≡ VecDelRes (mod VecDelMod)
+  // — deliberately hits one of the NQueries query ids (3) so the
+  // delete visibly removes a query, not just candidates
+  private[graft] val VecDelMod = 17L
+  private[graft] val VecDelRes = 3L
 
   /** Exact per-pair cosine scores: tiny query set broadcast against the
     * full corpus (scanned once). The ground truth s1 reports and s6
@@ -470,6 +475,32 @@ object SimilarityQueries {
         .select("q_id", "vec_id", "label", "cell", "adc_dist", "rank")
     }),
 
+    // s15: INDEX TAKEDOWN — the delete path the lifecycle was missing
+    // (an LLM-corpus index legally owes deletion; before this, a
+    // takedown meant a full rebuild): build the artifact, apply a
+    // tombstone set (vec_id ≡ 3 mod 17 — including query id 3, so the
+    // delete visibly removes a query), compact, and serve. Deletes
+    // ride the CDC collapse (CdcOps.applyTombstones) over ONLY the
+    // cells containing a tombstoned vector (dynamic partition
+    // overwrite; fully-emptied cells dropped driver-side), quantizers
+    // stay frozen, and the oracle serves the corpus minus the
+    // tombstones under CTEs still trained on the FULL corpus —
+    // build → delete → compact → serve must equal an index that never
+    // contained the ids.
+    "s15_index_delete" -> ((s, d) => {
+      import graft.operators.{LayoutOps, VectorIndex}
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-vecdel").toString
+      VectorIndex.build(
+        embeddings(s, d), Dim, LloydSteps, PqSub, PqSubDim, PqK, dir)
+      VectorIndex.delete(s, dir, embeddings(s, d)
+        .select(col("vec_id"))
+        .filter(pmod(col("vec_id"), lit(VecDelMod)) === VecDelRes))
+      LayoutOps.compactGenerations(s, s"$dir/corpus", "cell")
+      VectorIndex.serveTopK(VectorIndex.load(s, dir), PqSubDim,
+        NQueries, TopK)
+    }),
+
     // s10: sampled-training IVF — the practice that makes a trained
     // index viable at 100 TB: the coarse quantizer trains on a
     // deterministic SAMPLE (here vec_id % 2 = 0; production uses a
@@ -795,20 +826,29 @@ object SimilarityQueries {
       .mkString("\n          ")
 
   /** s8's IVF+PQ serve mirror — also s11's oracle (the artifact
-    * round-trip changes nothing, which is exactly what s11 gates).
+    * round-trip changes nothing, which is exactly what s11 gates) and,
+    * with `afterDelete = true`, s15's: quantizer CTEs still train on
+    * the FULL corpus (the frozen-quantizer contract — a takedown
+    * changes WHAT is indexed, never HOW), while the tombstoned ids
+    * leave both the query set and the candidate pool.
     */
-  private lazy val ivfPqServeSql: String =
+  private def ivfPqServeSqlWith(afterDelete: Boolean): String = {
+    val qDel =
+      if (afterDelete) s" AND vec_id % $VecDelMod <> $VecDelRes" else ""
+    val aDel =
+      if (afterDelete) s" AND a.vec_id % $VecDelMod <> $VecDelRes"
+      else ""
     s"""WITH $ivfCtes,
         $pqCtes,
         q8 AS (
           SELECT vec_id AS q_id, embedding, cell
-          FROM assigned$LloydSteps WHERE vec_id < $NQueries),
+          FROM assigned$LloydSteps WHERE vec_id < $NQueries$qDel),
         adc AS (
           SELECT q.q_id, a.vec_id, a.cell,
             round(${adcChain("q")}, 6) AS adc_dist
           FROM q8 q
           JOIN assigned$LloydSteps a
-            ON a.cell = q.cell AND a.vec_id <> q.q_id
+            ON a.cell = q.cell AND a.vec_id <> q.q_id$aDel
           JOIN pqenc c ON c.vec_id = a.vec_id
           $pqBookJoins),
         r AS (
@@ -818,6 +858,9 @@ object SimilarityQueries {
           FROM adc)
         SELECT q_id, vec_id, cell, adc_dist, rank
         FROM r WHERE rank <= $TopK"""
+  }
+  private lazy val ivfPqServeSql: String =
+    ivfPqServeSqlWith(afterDelete = false)
 
   private def dCast(v: String) = s"list_transform($v, x -> CAST(x AS DOUBLE))"
   private def dCos(a: String, b: String): String =
@@ -905,6 +948,7 @@ object SimilarityQueries {
     // s11 serves the SAME result from the persisted artifact — one
     // oracle, two engines-side paths (inline train vs build/load).
     "s11_index_artifact" -> ivfPqServeSql,
+    "s15_index_delete" -> ivfPqServeSqlWith(afterDelete = true),
     // s12 = s8's serve mirror + the label equality the Spark side
     // folds into the join key.
     "s12_filtered_ann" ->

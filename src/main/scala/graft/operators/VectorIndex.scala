@@ -167,6 +167,24 @@ object VectorIndex {
       .partitionBy("ingest", "cell").parquet(s"$dir/corpus")
   }
 
+  /** Delete vectors from the artifact by id — the TAKEDOWN path (the
+    * deletion obligation an LLM-corpus index legally carries): the
+    * tombstoned ids' rows leave the inverted lists; quantizer state
+    * (centroids, codebooks) is untouched, exactly like [[append]]'s
+    * frozen-quantizer contract — a delete changes WHAT is indexed,
+    * never HOW, so no retrain and no re-encode of survivors. Physical
+    * shape is [[LayoutOps.deleteKeysPartitioned]]: only the cells
+    * that contain a tombstoned vector are rewritten, a fully-emptied
+    * cell's directory is dropped, and a bulk takedown is followed by
+    * [[LayoutOps.compactGenerations]] like any other burst of small
+    * rewrites. Serving after a delete equals serving an index that
+    * never contained the ids, under the same quantizers — the
+    * oracle-gated contract (s15).
+    */
+  def delete(s: SparkSession, dir: String, tombs: DataFrame): Unit =
+    LayoutOps.deleteKeysPartitioned(s, s"$dir/corpus", "cell",
+      "vec_id", tombs)
+
   /** CONTINUOUS vector ingestion: the artifact's probe → gate →
     * append loop driven from a Structured Streaming file source — the
     * embedding twin of [[DedupIndex.streamIngestGate]]. Vectors below

@@ -66,6 +66,19 @@ class CdcOpsSpec extends SparkSpec {
     assert(!plan.contains("Window"), plan)
   }
 
+  test("tombstone apply drops keys without sorting the base") {
+    // 99 is absent; 1 is listed twice (a noisy takedown feed) — both
+    // harmless by the distinct-then-anti-join shape
+    val tombs = Seq(1L, 1L, 5L, 99L).toDF("k")
+    val applied = CdcOps.applyTombstones(base, tombs, Seq("k"))
+    assert(applied.as[(Long, String, String)].collect().toSeq.sorted ===
+      Seq((2L, "b", "base"), (3L, "c", "base")))
+    val plan = applied.queryExecution.executedPlan.toString
+    // the base (100 TB) side joins hash-built, never sort-merged
+    assert(plan.contains("LeftAnti"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
   test("retention prunes expired snapshots; the result is unchanged") {
     val d = "/root/testdata/sf0.001"
     val root = java.nio.file.Files

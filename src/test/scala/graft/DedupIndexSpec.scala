@@ -166,6 +166,33 @@ class DedupIndexSpec extends SparkSpec {
     }
   }
 
+  test("delete leaves the index probing as if built without the docs") {
+    val docs = Tables.documents(spark, d)
+    withDir { dir =>
+      DedupIndex.build(docs.filter(col("doc_id") < splitId),
+        "text", "doc_id", k, rpb, dir)
+      val tombs = docs.select(col("doc_id"))
+        .filter(col("doc_id") % 7 === 1 && col("doc_id") < splitId)
+      DedupIndex.delete(spark, dir, tombs)
+      val arrivals = docs.filter(col("doc_id") >= splitId)
+      val probed = DedupIndex
+        .probe(DedupIndex.load(spark, dir), arrivals, "text", "doc_id")
+        .as[(Long, Long)].collect().toSeq.sorted
+      // ground truth: an index BUILT without the tombstoned docs
+      withDir { dir2 =>
+        DedupIndex.build(docs.filter(col("doc_id") < splitId &&
+            col("doc_id") % 7 =!= 1), "text", "doc_id", k, rpb, dir2)
+        val want = DedupIndex
+          .probe(DedupIndex.load(spark, dir2), arrivals, "text",
+            "doc_id")
+          .as[(Long, Long)].collect().toSeq.sorted
+        assert(probed === want)
+      }
+      // the takedown really removed colliding candidates
+      assert(probed !== batchPairsTouching(splitId))
+    }
+  }
+
   test("append auto-compacts once the generation count crosses the threshold") {
     val docs = Tables.documents(spark, d)
     withDir { dir =>

@@ -210,6 +210,60 @@ class IndexArtifactSpec extends SparkSpec {
     }
   }
 
+  test("delete rewrites only affected cells; emptied cells vanish; absent keys no-op") {
+    import scala.jdk.CollectionConverters._
+    def files(dir: String): Map[String, Set[String]] = {
+      val s = Files.walk(java.nio.file.Paths.get(dir, "corpus"))
+      try s.iterator().asScala
+        .filter(_.toString.endsWith(".parquet")).toSeq
+        .groupBy(_.getParent.getFileName.toString)
+        .map { case (k, v) =>
+          k -> v.map(_.getFileName.toString).toSet }
+      finally s.close()
+    }
+    val all = Tables.embeddings(spark, d)
+    withArtifact() { dir =>
+      val l = VectorIndex.load(spark, dir)
+      // tombstone every vector of ONE cell plus a few of another:
+      // the first cell's directory must vanish (all rows deleted),
+      // the second's must be rewritten, every other cell's files
+      // must be the IDENTICAL paths — the partition-pruned rewrite
+      // is the whole 100 TB point of the delete path
+      val byCell = l.corpus.groupBy(col("cell"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").asc, col("cell").asc)
+        .as[(Long, Long)].collect()
+      val (emptyCell, partialCell) = (byCell.head._1, byCell.last._1)
+      // materialize the tombstone ids up front: a takedown feed is an
+      // EXTERNAL input, not a view over the artifact being rewritten —
+      // a frame lazily reading the corpus would dangle once the delete
+      // replaces those files
+      val tombIds = l.corpus.filter(col("cell") === emptyCell ||
+          (col("cell") === partialCell && pmod(col("vec_id"), lit(2))
+            === 0))
+        .select("vec_id").as[Long].collect().toSet
+      val tombs = tombIds.toSeq.toDF("vec_id")
+      val before = files(dir)
+      VectorIndex.delete(spark, dir, tombs)
+      val after = files(dir)
+      assert(!after.contains(s"cell=$emptyCell")) // emptied dir dropped
+      assert(after(s"cell=$partialCell") !==
+        before(s"cell=$partialCell")) // rewritten
+      for ((p, fs) <- before
+          if p != s"cell=$emptyCell" && p != s"cell=$partialCell")
+        assert(after(p) === fs, s"untouched partition $p was rewritten")
+      // the rows are really gone, survivors intact
+      val left = VectorIndex.load(spark, dir).corpus
+        .select("vec_id").as[Long].collect().toSet
+      assert(left.intersect(tombIds).isEmpty)
+      assert(left.size ===
+        all.count().toInt - tombIds.size)
+      // absent-key tombstones change nothing (idempotent takedown)
+      VectorIndex.delete(spark, dir, tombs)
+      assert(files(dir) === after)
+    }
+  }
+
   test("replaying a vector ingest generation is idempotent") {
     val e = Tables.embeddings(spark, d)
     withArtifact(e.filter(col("vec_id") < 400)) { dir =>

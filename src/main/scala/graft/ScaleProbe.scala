@@ -331,6 +331,59 @@ object ScaleProbe {
       rm(java.nio.file.Paths.get(idxDir))
     }
 
+    // takedown at artifact scale: a 2M-row, 64-cell artifact with
+    // PRODUCTION-WIDTH rows (64-dim float embedding + code — ~300 B,
+    // what a vector-index row actually weighs) absorbs a ~23k-id
+    // tombstone set confined to 3 cells. The pruned delete
+    // (LayoutOps.deleteKeysPartitioned: one COLUMN-PRUNED scan of the
+    // key column finds the affected partitions, survivors of only
+    // those rewrite via dynamic overwrite) is measured against the
+    // naive full rewrite — the shape a takedown WOULD pay without
+    // partition routing. The locate step is corpus-wide by nature (a
+    // takedown feed carries ids, not cells) but reads ONE narrow
+    // column; the rewrite touches 3/64ths of the files. At 100 TB
+    // that write ratio is the difference between a maintenance job
+    // and an outage.
+    locally {
+      val artN = 2000000L
+      val artRoot = java.nio.file.Files
+        .createTempDirectory("graft-probe-del").toString
+      val artDir = s"$artRoot/corpus"
+      spark.range(artN).select(col("id").as("vec_id"),
+          expr("transform(sequence(1, 64), i -> " +
+            "cast(pmod(hash(id * 64 + i), 1000) / 1000.0 as float))")
+            .as("embedding"),
+          expr("transform(sequence(1, 8), i -> " +
+            "cast(pmod(hash(id + i), 16) as int))").as("code"),
+          lit(0L).as("ingest"),
+          pmod(hash(col("id")), lit(64)).cast("long").as("cell"))
+        .repartition(col("cell"))
+        .write.partitionBy("ingest", "cell").parquet(artDir)
+      // tombstones recomputed from range (an EXTERNAL feed, per the
+      // delete contract), not a view over the artifact
+      val tombs = spark.range(artN).select(col("id").as("vec_id"))
+        .filter(pmod(hash(col("id")), lit(64)) < 3 &&
+          pmod(col("id"), lit(4)) === 0)
+      time("artifact delete pruned (2M)", artN) {
+        graft.operators.LayoutOps.deleteKeysPartitioned(
+          spark, artDir, "cell", "vec_id", tombs)
+      }
+      time("artifact delete full-rw (2M)", artN) {
+        spark.read.parquet(artDir)
+          .join(broadcast(tombs), Seq("vec_id"), "left_anti")
+          .write.partitionBy("ingest", "cell")
+          .parquet(s"$artRoot/corpus2")
+      }
+      def rm(p: java.nio.file.Path): Unit = {
+        if (java.nio.file.Files.isDirectory(p)) {
+          val st = java.nio.file.Files.list(p)
+          try st.forEach(rm) finally st.close()
+        }
+        java.nio.file.Files.deleteIfExists(p)
+      }
+      rm(java.nio.file.Paths.get(artRoot))
+    }
+
     // CDC apply at churn scale: a 20M-key snapshot absorbs a 2M-row
     // changelog (updates + deletes, two generations on overlapping
     // keys) — one max_by collapse of the changelog + one anti-join of

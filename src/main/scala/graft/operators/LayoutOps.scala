@@ -144,15 +144,25 @@ object LayoutOps {
       .select(col("ingest"), col(partCol)).distinct()
     val affected = affectedDf.collect()
     if (affected.nonEmpty) {
-      // the affected-partition restriction is an equi-join on the
-      // PARTITION columns (native types — a cast would defeat
-      // pruning) against the broadcast pair list, so the rewrite's
-      // scan reads only the affected partitions' files
-      val pairs = broadcast(s.createDataFrame(
-        java.util.Arrays.asList(affected: _*), affectedDf.schema))
-      val survivors = CdcOps.applyTombstones(
-        corpus.join(pairs, Seq("ingest", partCol), "left_semi"),
-        t, Seq(keyCol))
+      // the affected-partition restriction is a STATIC predicate over
+      // the partition columns (the pair list is already driver-side):
+      // an OR-of-equalities prunes at plan time — guaranteed, unlike
+      // dynamic pruning on a semi-join, which measured as two full
+      // wide scans when it failed to fire (2M×64-cell probe: 21.7 s
+      // semi-join vs 5.8 s static predicate vs 7.2 s full rewrite).
+      // The pair count is bounded by the artifact's PARTITION count,
+      // not the tombstone count; past a planner-safe bound the
+      // restriction is dropped — at that spread the job was a full
+      // rewrite regardless, and correctness is unchanged (the
+      // tombstone anti-join is the semantics; the predicate is only
+      // scan pruning).
+      val restricted =
+        if (affected.length > 4096) corpus
+        else corpus.filter(affected.map(r =>
+            col("ingest") === lit(r.get(0)) &&
+              col(partCol) === lit(r.get(1)))
+          .reduce(_ || _))
+      val survivors = CdcOps.applyTombstones(restricted, t, Seq(keyCol))
       // survivors' partitions, BEFORE the write consumes the frame:
       // the difference from `affected` is the fully-emptied set
       val alive = survivors.select(col("ingest"), col(partCol))

@@ -13,9 +13,9 @@ import graft.operators.{DedupOps, SimilarityOps}
 object SimilarityQueries {
   import Tables._
 
-  private val TopK = 3
+  private[graft] val TopK = 3
   private[graft] val Dim = 64
-  private val NQueries = 5 // query-set size (vec_id < NQueries)
+  private[graft] val NQueries = 5 // query-set size (vec_id < NQueries)
   private val Bits = 8 // sign-LSH code width (s2/s3/s6 share the index)
   // trained-quantizer rounds in s4 (both engines)
   private[graft] val LloydSteps = 2

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{CdcOps, DedupIndex, VectorIndex}
+import graft.operators.{CdcOps, DedupIndex, LayoutOps, VectorIndex}
 import graft.streaming.StreamingOps
 
 /** Structured Streaming inventory over the `events` stream: tumbling
@@ -218,6 +218,40 @@ object StreamingQueries {
       val (base, log) = ExtraQueries.cdcFrames(ss, d)
       CdcOps.streamApply(ss, base, log, keys = Seq("o_orderkey"),
         seqCol = "seq", opCol = "op", nFiles = 2, root)
+    }),
+
+    // st13: CONTINUOUS TAKEDOWN — s15's delete path driven from a
+    // file stream against the persisted index artifact: tombstone ids
+    // replay as id-ordered micro-batches, each batch applies through
+    // VectorIndex.delete (the CDC tombstone collapse rewriting only
+    // the affected cells), then the artifact compacts and serves.
+    // Deletion is idempotent and composes order-free across batches
+    // (A∪B deleted is A deleted then B deleted), so the stream's
+    // final state equals the one-shot takedown and the query is held
+    // to s15's BATCH oracle — the complete streaming lifecycle:
+    // ingest (st11), changelog (st12), takedown (st13).
+    "st13_stream_takedown" -> ((s, d) => {
+      val ss = StreamingOps.streamSession(s)
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-stream-del").toString
+      val e = Tables.embeddings(ss, d)
+      VectorIndex.build(e, SimilarityQueries.Dim,
+        SimilarityQueries.LloydSteps, SimilarityQueries.PqSub,
+        SimilarityQueries.PqSubDim, SimilarityQueries.PqK,
+        s"$root/index")
+      val tombs = e.select(col("vec_id"))
+        .filter(pmod(col("vec_id"), lit(SimilarityQueries.VecDelMod))
+          === SimilarityQueries.VecDelRes)
+      StreamingOps.stageOrderedArrivals(tombs, "vec_id", nFiles = 2,
+        s"$root/arrivals")
+      StreamingOps.replayOrdered(ss, tombs.schema, s"$root/arrivals",
+          s"$root/ckpt") { (batch, _) =>
+        VectorIndex.delete(ss, s"$root/index", batch)
+      }
+      LayoutOps.compactGenerations(ss, s"$root/index/corpus", "cell")
+      VectorIndex.serveTopK(VectorIndex.load(ss, s"$root/index"),
+        SimilarityQueries.PqSubDim, SimilarityQueries.NQueries,
+        SimilarityQueries.TopK)
     })
   )
 
@@ -313,6 +347,7 @@ object StreamingQueries {
     "st10_stream_ingest_gate" -> DedupQueries.oracle("d12_ingest_gate"),
     "st11_stream_vec_ingest" ->
       SimilarityQueries.oracle("s13_vec_ingest_gate"),
-    "st12_stream_cdc" -> ExtraQueries.oracle("x11_cdc_apply")
+    "st12_stream_cdc" -> ExtraQueries.oracle("x11_cdc_apply"),
+    "st13_stream_takedown" -> SimilarityQueries.oracle("s15_index_delete")
   )
 }

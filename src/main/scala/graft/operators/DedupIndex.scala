@@ -254,7 +254,7 @@ object DedupIndex {
   def streamIngestGate(ss: SparkSession, docs: DataFrame,
       textCol: String, idCol: String, k: Int, rowsPerBand: Int,
       splitId: Long, threshold: Double, nFiles: Int,
-      root: String): DataFrame = {
+      root: String, compactEvery: Int = 16): DataFrame = {
     build(docs.filter(col(idCol) < splitId), textCol, idCol,
       k, rowsPerBand, s"$root/index")
     graft.streaming.StreamingOps.stageOrderedArrivals(
@@ -301,6 +301,14 @@ object DedupIndex {
             .parquet(s"$root/index/buckets")
         } finally bb.unpersist()
       }
+    // maintenance runs AFTER the replay completes — never inside the
+    // loop, where a replayed micro-batch's generation-keyed dynamic
+    // overwrite would target a partition the collapse removed. At
+    // this point every batch is checkpoint-committed, so nothing can
+    // replay, and collapsing the per-batch bucket files is safe.
+    if (LayoutOps.ingestGenerations(ss, s"$root/index/buckets")
+        .size >= compactEvery)
+      LayoutOps.compactGenerations(ss, s"$root/index/buckets", "band")
     ss.read.parquet(s"$root/decisions").drop("batch")
   }
 }

@@ -501,6 +501,32 @@ object SimilarityQueries {
         NQueries, TopK)
     }),
 
+    // s16: INDEX REBUILD — the drift response, closing the lifecycle
+    // (build / load / serve / append / delete / compact / REBUILD):
+    // the index is built on the base slice only (quantizers trained
+    // on < VecGateSplit — the stale state), the rest of the corpus
+    // arrives through append (encoded under those stale quantizers),
+    // then rebuild re-trains on the artifact's CURRENT contents and
+    // serves. The gate: the oracle is s8's VERBATIM — full-corpus
+    // training — so rebuild-after-drift must serve exactly what an
+    // index trained on today's data serves. Works because training is
+    // id-seeded and integer-exact (partition-order free) and parquet
+    // round-trips vectors bit-exactly.
+    "s16_index_rebuild" -> ((s, d) => {
+      import graft.operators.VectorIndex
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-vecrebuild").toString
+      val e = embeddings(s, d)
+      VectorIndex.build(e.filter(col("vec_id") < VecGateSplit),
+        Dim, LloydSteps, PqSub, PqSubDim, PqK, dir)
+      VectorIndex.append(s, dir,
+        e.filter(col("vec_id") >= VecGateSplit)
+          .select("vec_id", "embedding"))
+      VectorIndex.rebuild(s, dir, LloydSteps, PqSub, PqSubDim, PqK)
+      VectorIndex.serveTopK(VectorIndex.load(s, dir), PqSubDim,
+        NQueries, TopK)
+    }),
+
     // s10: sampled-training IVF — the practice that makes a trained
     // index viable at 100 TB: the coarse quantizer trains on a
     // deterministic SAMPLE (here vec_id % 2 = 0; production uses a
@@ -949,6 +975,9 @@ object SimilarityQueries {
     // oracle, two engines-side paths (inline train vs build/load).
     "s11_index_artifact" -> ivfPqServeSql,
     "s15_index_delete" -> ivfPqServeSqlWith(afterDelete = true),
+    // s16: rebuild-after-drift ≡ full-corpus training — s8's oracle
+    // verbatim is the entire point of the gate
+    "s16_index_rebuild" -> ivfPqServeSql,
     // s12 = s8's serve mirror + the label equality the Spark side
     // folds into the join key.
     "s12_filtered_ann" ->

@@ -167,6 +167,40 @@ object VectorIndex {
       .partitionBy("ingest", "cell").parquet(s"$dir/corpus")
   }
 
+  /** Retrain the artifact's quantizers on its CURRENT contents — the
+    * drift response (the s6-style recall gate is the documented
+    * re-train trigger; this is the op it triggers): appended batches
+    * encode under frozen, possibly-stale quantizers, and when the
+    * data distribution has left the training sample, recall decays
+    * until a rebuild re-trains on what the index NOW holds. Trains
+    * into a staging sibling and swaps by rename (the corpus being
+    * read is never the tree being written), preserving the artifact's
+    * metadata columns; the rebuild starts a new generation epoch
+    * (everything re-encodes as ingest=0). Training is id-seeded and
+    * integer-exact, so rebuild(artifact) ≡ build(its rows) EXACTLY —
+    * the oracle-gated contract (s16): build-stale → append → rebuild
+    * serves what full-corpus training serves. Same single-writer
+    * maintenance-window contract as compaction.
+    */
+  def rebuild(s: SparkSession, dir: String, lloydSteps: Int,
+      subspaces: Int, subDim: Int, k: Int): Unit = {
+    val l = load(s, dir)
+    val dim = l.cents.books.length / l.cents.cells.length
+    val metaCols = l.corpus.columns.toSeq
+      .filterNot(Set("vec_id", "embedding", "n", "cell", "code",
+        "ingest"))
+    val staging = s"${dir}__rebuild"
+    val dp = new org.apache.hadoop.fs.Path(dir)
+    val sp = new org.apache.hadoop.fs.Path(staging)
+    val fs = dp.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(sp, true) // leftover staging from a crashed pass
+    build(l.corpus.select((Seq("vec_id", "embedding") ++ metaCols)
+      .map(col): _*), dim, lloydSteps, subspaces, subDim, k, staging,
+      metaCols)
+    require(fs.delete(dp, true) && fs.rename(sp, dp),
+      s"rebuild: swap of $staging over $dir failed")
+  }
+
   /** Delete vectors from the artifact by id — the TAKEDOWN path (the
     * deletion obligation an LLM-corpus index legally carries): the
     * tombstoned ids' rows leave the inverted lists; quantizer state
@@ -202,7 +236,7 @@ object VectorIndex {
   def streamIngestGate(ss: SparkSession, e0: DataFrame, dim: Int,
       lloydSteps: Int, subspaces: Int, subDim: Int, k: Int,
       bits: Int, splitId: Long, threshold: Double, nFiles: Int,
-      root: String): DataFrame = {
+      root: String, compactEvery: Int = 16): DataFrame = {
     build(e0.filter(col("vec_id") < splitId)
         .select("vec_id", "embedding"),
       dim, lloydSteps, subspaces, subDim, k, s"$root/index")
@@ -251,6 +285,13 @@ object VectorIndex {
             .parquet(s"$root/index/corpus")
         } finally enc.unpersist()
       }
+    // maintenance AFTER the replay completes — never inside the loop
+    // (a replayed batch's generation-keyed overwrite would target a
+    // partition the collapse removed); every batch is
+    // checkpoint-committed here, so nothing can replay
+    if (LayoutOps.ingestGenerations(ss, s"$root/index/corpus")
+        .size >= compactEvery)
+      LayoutOps.compactGenerations(ss, s"$root/index/corpus", "cell")
     ss.read.parquet(s"$root/decisions").drop("batch")
   }
 

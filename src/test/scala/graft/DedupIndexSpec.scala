@@ -223,9 +223,11 @@ class DedupIndexSpec extends SparkSpec {
       // start from a clean cache so the leak assertion below is about
       // THIS call, not whatever another suite left in the shared session
       spark.catalog.clearCache()
+      // compactEvery = 2: the 3-batch replay accretes 4 generations,
+      // so the gate's post-replay maintenance must collapse them
       val streamed = DedupIndex.streamIngestGate(spark, docs,
           "text", "doc_id", k, rpb, splitId, threshold = 0.5,
-          nFiles = 3, root)
+          nFiles = 3, root, compactEvery = 2)
         .as[(Long, Option[Long], Boolean)].collect().toSeq.sorted
       // the stream's final decisions equal the ONE-SHOT batch gate's
       // (d12) — the equivalence the oracle sharing relies on
@@ -251,6 +253,9 @@ class DedupIndexSpec extends SparkSpec {
       // the per-batch persisted bucket frames were all released — a
       // library call must not leak cache
       assert(spark.sharedState.cacheManager.isEmpty)
+      // post-replay maintenance collapsed the per-batch generations
+      // (decisions above already proved the collapse changed nothing)
+      assert(ingestDirs("index/buckets", root) === Seq("ingest=3"))
     }
   }
 }

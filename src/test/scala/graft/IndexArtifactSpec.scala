@@ -264,6 +264,36 @@ class IndexArtifactSpec extends SparkSpec {
     }
   }
 
+  test("rebuild re-trains on current contents and starts a new epoch") {
+    val all = Tables.embeddings(spark, d)
+    withArtifact(all.filter(col("vec_id") < 300)
+        .withColumn("label", col("label").cast("long")),
+      metaCols = Seq("label")) { dir =>
+      VectorIndex.append(spark, dir, all.filter(col("vec_id") >= 300)
+        .select(col("vec_id"), col("embedding"),
+          col("label").cast("long").as("label")))
+      VectorIndex.rebuild(spark, dir, steps, sub, subDim, k)
+      val l = VectorIndex.load(spark, dir)
+      // quantizers now equal DIRECT full-corpus training — the stale
+      // base-only state is gone (this is what "drift response" means)
+      val e = SimilarityOps.withNorm(all, "embedding", "n")
+      val cents = SimilarityOps.trainIvf(e, dim, steps)
+      val books = ProductQuantization.train(
+        e, "embedding", "vec_id", sub, subDim, k, steps = 1)
+      assert(l.cents.cells.toSeq === cents.cells.toSeq)
+      assert(l.cents.books.toSeq === cents.books.toSeq)
+      assert(l.books.map(_.map(_.toSeq).toSeq).toSeq ===
+        books.map(_.map(_.toSeq).toSeq).toSeq)
+      // every row survived re-encode, metadata intact, new epoch
+      assert(l.corpus.count() === all.count())
+      assert(l.corpus.columns.contains("label"))
+      assert(l.corpus.filter(col("ingest") =!= 0L).count() === 0L)
+      // no staging sibling left behind
+      assert(!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(s"${dir}__rebuild")))
+    }
+  }
+
   test("replaying a vector ingest generation is idempotent") {
     val e = Tables.embeddings(spark, d)
     withArtifact(e.filter(col("vec_id") < 400)) { dir =>
@@ -288,10 +318,12 @@ class IndexArtifactSpec extends SparkSpec {
       // start from a clean cache so the leak assertion below is about
       // THIS call, not whatever another suite left in the shared session
       spark.catalog.clearCache()
+      // compactEvery = 2: the 3-batch replay accretes 4 generations,
+      // so the gate's post-replay maintenance must collapse them
       val streamed = VectorIndex.streamIngestGate(spark,
           Tables.embeddings(spark, d), dim, steps, sub, subDim, k,
           VecGateBits, VecGateSplit, VecGateThr, nFiles = 3,
-          root.toString)
+          root.toString, compactEvery = 2)
         .as[(Long, Option[Long], Boolean)].collect().toSeq.sorted
       // the stream's final decisions equal the ONE-SHOT batch gate's
       // (s13) — the equivalence the oracle sharing relies on
@@ -316,6 +348,17 @@ class IndexArtifactSpec extends SparkSpec {
       // the per-batch persisted encode frames were all released — a
       // library call must not leak cache
       assert(spark.sharedState.cacheManager.isEmpty)
+      // post-replay maintenance collapsed the per-batch generations
+      // (decisions above already proved the collapse changed nothing)
+      locally {
+        import scala.jdk.CollectionConverters._
+        val s = Files.list(root.resolve("index/corpus"))
+        val gens = try s.iterator().asScala
+          .map(_.getFileName.toString)
+          .filter(_.startsWith("ingest=")).toSeq.sorted
+        finally s.close()
+        assert(gens === Seq("ingest=3"))
+      }
     } finally {
       def rm(p: Path): Unit = {
         if (Files.isDirectory(p)) {

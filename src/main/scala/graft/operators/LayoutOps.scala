@@ -86,7 +86,10 @@ object LayoutOps {
     * probe-identical by spec.
     */
   def compactGenerations(s: SparkSession, dir: String,
-      partCol: String): Long = {
+      partCol: String, filesPerPartition: Int = 1): Long = {
+    require(filesPerPartition >= 1,
+      s"compactGenerations: filesPerPartition >= 1 " +
+        s"(got $filesPerPartition)")
     val gens = ingestGenerations(s, dir)
     require(gens.nonEmpty,
       s"compactGenerations: $dir has no ingest= partitions — not a " +
@@ -97,9 +100,16 @@ object LayoutOps {
     val sp = new org.apache.hadoop.fs.Path(staging)
     val fs = dp.getFileSystem(s.sparkContext.hadoopConfiguration)
     fs.delete(sp, true) // leftover staging from a crashed pass
-    s.read.parquet(dir)
-      .withColumn("ingest", lit(keep))
-      .repartition(col(partCol))
+    // one writer task per (partition value, salt): at bench scale
+    // filesPerPartition = 1 is right (few files IS the goal), but a
+    // 100 TB artifact's largest partition through ONE task is an
+    // outage — size filesPerPartition to largest-partition-bytes /
+    // parquet-target-file-size. The salt is a whole-row hash:
+    // deterministic for a given row set, evenly spread.
+    val rows = s.read.parquet(dir).withColumn("ingest", lit(keep))
+    rows
+      .repartition(col(partCol),
+        pmod(hash(rows.columns.map(col): _*), lit(filesPerPartition)))
       .write.mode("overwrite").partitionBy("ingest", partCol)
       .parquet(staging)
     require(fs.delete(dp, true) && fs.rename(sp, dp),

@@ -70,12 +70,23 @@ object CdcOps {
     * the collapse the index artifacts' takedown path
     * ([[VectorIndex.delete]] / [[DedupIndex.delete]]) runs over the
     * affected partitions.
+    *
+    * `broadcastTombs = true` switches the anti-join build side to a
+    * broadcast: with a takedown-feed-sized tombstone set the join
+    * becomes MAP-ONLY — the base rows are never exchanged — which is
+    * what the partition-pruned delete wants (its survivors are wide
+    * index rows; shuffling them would dominate the rewrite). Leave
+    * false when the tombstone set may exceed broadcast budgets (the
+    * general CDC case): both sides then shuffle by key, base side
+    * hash-built, still never sorted.
     */
   def applyTombstones(base: DataFrame, tombs: DataFrame,
-      keys: Seq[String]): DataFrame =
+      keys: Seq[String], broadcastTombs: Boolean = false): DataFrame = {
+    val t = tombs.select(keys.map(col): _*).distinct()
     base.join(
-      tombs.select(keys.map(col): _*).distinct().hint("shuffle_hash"),
+      if (broadcastTombs) broadcast(t) else t.hint("shuffle_hash"),
       keys, "left_anti")
+  }
 
   /** CONTINUOUS changelog application: the stream maintains a
     * VERSIONED parquet snapshot (`snap0` = base, `snapN` after batch

@@ -172,21 +172,44 @@ object LayoutOps {
             col("ingest") === lit(r.get(0)) &&
               col(partCol) === lit(r.get(1)))
           .reduce(_ || _))
-      val survivors = CdcOps.applyTombstones(restricted, t, Seq(keyCol))
-      // survivors' partitions, BEFORE the write consumes the frame:
-      // the difference from `affected` is the fully-emptied set
-      val alive = survivors.select(col("ingest"), col(partCol))
-        .distinct().collect()
-        .map(r => (r.get(0).toString, r.get(1).toString)).toSet
-      survivors.write.mode("overwrite")
+      // ONE narrow counting pass over the affected partitions finds
+      // the fully-emptied set (total == dead) — cheaper than
+      // re-evaluating the survivor plan for its partition list, and
+      // it never touches the wide payload columns
+      val emptied = restricted.select(col("ingest"), col(partCol),
+          col(keyCol))
+        .join(broadcast(t.withColumn("__dead", lit(1))), Seq(keyCol),
+          "left")
+        .groupBy(col("ingest"), col(partCol))
+        .agg(count(lit(1)).as("__total"), count(col("__dead"))
+          .as("__dead"))
+        .filter(col("__total") === col("__dead"))
+        .select(col("ingest"), col(partCol)).collect()
+        .map(r => (r.get(0).toString, r.get(1).toString))
+      // broadcast anti-join: the rewrite is MAP-ONLY — affected
+      // partitions scan, filter, write; the wide survivor rows are
+      // never exchanged
+      CdcOps.applyTombstones(restricted, t, Seq(keyCol),
+          broadcastTombs = true)
+        .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("ingest", partCol).parquet(dir)
       val fs = new org.apache.hadoop.fs.Path(dir)
         .getFileSystem(s.sparkContext.hadoopConfiguration)
-      for (r <- affected; g = r.get(0).toString; p = r.get(1).toString
-          if !alive.contains((g, p))) {
-        fs.delete(new org.apache.hadoop.fs.Path(
-          s"$dir/ingest=$g/$partCol=$p"), true)
+      for ((g, p) <- emptied) {
+        // fail LOUDLY if the doomed partition can't be resolved or
+        // removed: silently keeping rows a takedown promised to
+        // delete is a compliance breach, not a warning (partition
+        // values here are numeric, so the path form is exact; a
+        // non-numeric partCol would need Spark's escapePathName)
+        val dead = new org.apache.hadoop.fs.Path(
+          s"$dir/ingest=$g/$partCol=$p")
+        require(fs.exists(dead),
+          s"deleteKeysPartitioned: emptied partition $dead not found " +
+            "— partition-path resolution failed; rows NOT removed")
+        require(fs.delete(dead, true),
+          s"deleteKeysPartitioned: failed to remove emptied " +
+            s"partition $dead — rows NOT removed")
         // a generation whose every partition emptied leaves a bare
         // ingest= dir behind — drop it so the generation listing
         // reflects live data only

@@ -19,8 +19,15 @@ object ScaleProbe {
     import spark.implicits._
 
     val only = args.toSeq
+    // a probe runs iff some arg substring matches its name; `want`
+    // applies the SAME predicate to a setup block shared by a set of
+    // probes, so a substring-filtered run (e.g. `ScaleProbe seq-pack`)
+    // never pays for excluded probes' data generation / caches /
+    // artifact writes
+    def want(names: String*): Boolean =
+      only.isEmpty || names.exists(nm => only.exists(nm.contains))
     def time[A](name: String, rows: Long)(f: => A): Unit = {
-      if (only.nonEmpty && !only.exists(name.contains)) return
+      if (!want(name)) return
       val t0 = System.nanoTime()
       f
       val s = (System.nanoTime() - t0) / 1e9
@@ -28,13 +35,18 @@ object ScaleProbe {
     }
 
     val n = 20000000L
-    val events = spark.range(n).select(
-      col("id"),
-      (col("id") % 10000).as("series"),
-      (col("id") * 37 % 1000000).as("tsec"),
-      (pmod(hash(col("id")), lit(10000)) / 100.0).as("v"))
-      .cache()
-    events.count() // materialize outside the timings
+    lazy val events = {
+      val e = spark.range(n).select(
+        col("id"),
+        (col("id") % 10000).as("series"),
+        (col("id") * 37 % 1000000).as("tsec"),
+        (pmod(hash(col("id")), lit(10000)) / 100.0).as("v"))
+        .cache()
+      e.count() // materialize outside the timings
+      e
+    }
+    if (want("groupBy agg", "window lag", "running sum",
+        "count-min sketch")) events
 
     time("groupBy agg (10k keys)", n) {
       events.groupBy("series").agg(sum("v"), avg("v"), count(lit(1)))
@@ -176,10 +188,15 @@ object ScaleProbe {
     }
 
     val m = 2000000L
-    val vecs = spark.range(m).select(col("id"),
-      expr("transform(sequence(1, 64), i -> cast(pmod(hash(id * 64 + i), 1000) / 1000.0 as float))")
-        .as("vec")).cache()
-    vecs.count()
+    lazy val vecs = {
+      val v = spark.range(m).select(col("id"),
+        expr("transform(sequence(1, 64), i -> cast(pmod(hash(id * 64 + i), 1000) / 1000.0 as float))")
+          .as("vec")).cache()
+      v.count()
+      v
+    }
+    if (want("vec_dot", "pq_assign", "pq_adc", "ivfpq serve",
+        "ivf_assign")) vecs
     time("vec_dot self (64-dim)", m) {
       vecs.select(expr("vec_dot(vec, vec)"))
         .write.format("noop").mode("overwrite").save()
@@ -344,7 +361,7 @@ object ScaleProbe {
     // column; the rewrite touches 3/64ths of the files. At 100 TB
     // that write ratio is the difference between a maintenance job
     // and an outage.
-    locally {
+    if (want("artifact delete")) {
       val artN = 2000000L
       val artRoot = java.nio.file.Files
         .createTempDirectory("graft-probe-del").toString
@@ -403,10 +420,14 @@ object ScaleProbe {
 
     // native text kernels over 20M 64-char rows — per-character loops
     // that replaced interpreted HOF folds (t4/t5 kernels)
-    val texts = spark.range(n)
-      .select(concat(md5(col("id").cast("string")),
-        md5((col("id") + 1).cast("string"))).as("text")).cache()
-    texts.count()
+    lazy val texts = {
+      val t = spark.range(n)
+        .select(concat(md5(col("id").cast("string")),
+          md5((col("id") + 1).cast("string"))).as("text")).cache()
+      t.count()
+      t
+    }
+    if (want("rolling_hash", "ngram_distinct_count")) texts
     time("rolling_hash (64 chars)", n) {
       texts.select(expr("rolling_hash(text)"))
         .write.format("noop").mode("overwrite").save()

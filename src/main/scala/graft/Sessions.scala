@@ -5,10 +5,12 @@ import org.apache.spark.sql.SparkSession
 /** Canonical SparkSession construction for the engine's entry points
   * (Verify, Bench, tests). Centralizes the settings every session needs:
   *
-  *  - `spark.sql.legacy.parquet.nanosAsLong` — the driver's
-  *    `events.parquet` stores TIMESTAMP(NANOS), which Spark reads only as
-  *    a raw long under this flag (see [[Tables.events]]). Set once here so
-  *    no DataFrame builder ever mutates session config as a side effect.
+  *  - `spark.sql.legacy.parquet.nanosAsLong` — earlier driver data
+  *    generations stored `events.ts` as TIMESTAMP(NANOS), which Spark
+  *    reads only as a raw long under this flag (see [[Tables.events]],
+  *    which normalizes whatever encoding the current generation uses).
+  *    Kept so the loaders stay generation-agnostic; set once here so no
+  *    DataFrame builder ever mutates session config as a side effect.
   *  - UTC session zone — the data model's timestamps are naive wall-clock
   *    values (SURVEY.md §1.3); pinning UTC keeps them stable.
   *  - shuffle partitions sized to the local core count rather than the

@@ -26,17 +26,26 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 
-  /** `events.parquet` stores `ts` as parquet TIMESTAMP(NANOS), which Spark
-    * cannot represent natively (TimestampType is microseconds). Read the
-    * raw nanos as a long and truncate to microseconds — identical to what
-    * microsecond-based engines (e.g. DuckDB) do on read.
-    *
-    * Requires `spark.sql.legacy.parquet.nanosAsLong=true`, set once at
-    * session construction (see [[Sessions.builder]], Verify, Bench, and
-    * the test harness) — NOT flipped here, so building this frame has no
-    * session-wide side effects and no read-order dependence.
+  /** Canonical read of `events.parquet`, normalizing `ts` to
+    * session-zone TimestampType (micros) whatever the file encodes.
+    * The driver has shipped this column three ways across data
+    * generations — parquet TIMESTAMP(NANOS) (readable only as a raw
+    * long under `spark.sql.legacy.parquet.nanosAsLong`, truncated here
+    * to micros exactly as microsecond engines like DuckDB do),
+    * timestamp[us] with isAdjustedToUTC=false (surfacing as
+    * TIMESTAMP_NTZ), and plain TimestampType. The session zone is
+    * pinned to UTC ([[Sessions.builder]]), so the NTZ→timestamp cast
+    * preserves the wall-clock micros bit-for-bit and every downstream
+    * consumer (windows, watermarks, epoch arithmetic) sees one type.
     */
-  def events(spark: SparkSession, dir: String): DataFrame =
-    table(spark, dir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    val raw = table(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => raw
+    }
+  }
 }

@@ -45,6 +45,32 @@ object LayoutOps {
       .write.options(extraWriteOpts).mode("overwrite").parquet(dir)
   }
 
+  /** Swap a fully-written staging tree into place at `dir` without a
+    * window where the artifact path is the only missing copy. The
+    * naive `delete(dir); rename(staging, dir)` order loses the only
+    * complete copy if the process dies between the two calls; here
+    * the live tree is renamed ASIDE first (`dir` → `dir__old`), the
+    * staging tree renamed in, and only then the old tree deleted — at
+    * every instant at least one complete tree exists, and a crash
+    * between the renames leaves `dir__old` recoverable by a single
+    * rename. Leftover `__old` trees from a crashed earlier pass are
+    * cleared first (same idempotent-retry contract as the staging
+    * dirs). Not atomic on a plain filesystem — same SINGLE-WRITER
+    * maintenance-window contract as every artifact mutation.
+    */
+  private[operators] def swapInto(fs: org.apache.hadoop.fs.FileSystem,
+      dir: org.apache.hadoop.fs.Path,
+      staging: org.apache.hadoop.fs.Path): Unit = {
+    val old = new org.apache.hadoop.fs.Path(dir.toString + "__old")
+    fs.delete(old, true) // leftover from a crashed earlier swap
+    require(fs.rename(dir, old),
+      s"swapInto: could not move live $dir aside to $old")
+    require(fs.rename(staging, dir),
+      s"swapInto: could not move $staging into place at $dir — the " +
+        s"previous tree is intact at $old (rename it back to recover)")
+    fs.delete(old, true)
+  }
+
   /** Ingest generations present in an `(ingest, …)`-partitioned
     * artifact subtree — a DRIVER-SIDE directory listing (one
     * filesystem metadata call), never a corpus scan: a `max(ingest)`
@@ -74,12 +100,13 @@ object LayoutOps {
     * task → one file), keeps the MAX generation number so the next
     * append's `max+1` assignment stays monotone (a consolidated
     * artifact can never hand out a generation some earlier append
-    * already used), stages the result as a sibling, and swaps by
-    * rename. The swap is not atomic on a plain filesystem — same
-    * SINGLE-WRITER contract as the appends: compaction is a
-    * maintenance window of the one ingest writer, not a concurrent
-    * job (a table format's transaction log is what buys concurrent
-    * readers).
+    * already used), stages the result as a sibling, and swaps via
+    * [[swapInto]] (live tree aside → staging in → old tree deleted,
+    * so the artifact path is never the only missing copy). The swap
+    * is not atomic on a plain filesystem — same SINGLE-WRITER
+    * contract as the appends: compaction is a maintenance window of
+    * the one ingest writer, not a concurrent job (a table format's
+    * transaction log is what buys concurrent readers).
     *
     * Returns the surviving generation number. Content-preserving by
     * construction (one repartition, no column touches) and
@@ -112,8 +139,7 @@ object LayoutOps {
         pmod(hash(rows.columns.map(col): _*), lit(filesPerPartition)))
       .write.mode("overwrite").partitionBy("ingest", partCol)
       .parquet(staging)
-    require(fs.delete(dp, true) && fs.rename(sp, dp),
-      s"compactGenerations: swap of $staging over $dir failed")
+    swapInto(fs, dp, sp)
     keep
   }
 
@@ -144,6 +170,18 @@ object LayoutOps {
     * `tombs` must be an EXTERNAL input (a takedown feed, a collected
     * id list) — not a lazy view over `dir` itself: the rewrite
     * replaces the files such a view would re-read.
+    *
+    * Crash consistency: the dynamic overwrite rewrites the SAME path
+    * it lazily reads — valid on the V1 commit path (the job writes to
+    * a staging subdir and commits per partition), and a failure mid
+    * job-commit can leave a partially applied takedown. The recovery
+    * contract is IDEMPOTENT RE-RUN under the single-writer rule:
+    * re-running the same delete completes it (surviving rows are
+    * unchanged by a second anti-join; already-replaced partitions
+    * simply rewrite again). If a takedown ever needs to be
+    * crash-atomic rather than crash-recoverable, stage the whole
+    * subtree and swap via [[swapInto]] as [[compactGenerations]] does
+    * — at the price of rewriting unaffected partitions too.
     */
   def deleteKeysPartitioned(s: SparkSession, dir: String,
       partCol: String, keyCol: String, tombs: DataFrame): Unit = {

@@ -71,18 +71,30 @@ object VectorIndex {
   }
 
   /** Deterministic artifact root for build-or-load serving: keyed by
-    * the dataset's canonical path (hashed) and a caller tag that must
-    * encode the index geometry, so two datasets or two geometries
-    * never share an artifact. Lives under the JVM temp dir here; at
-    * cluster scale this is a shared-filesystem path provisioned by the
-    * platform. The artifact does NOT track source mutations — it is an
-    * index lifecycle (refreshed by append / rebuild policy), not a
-    * cache with invalidation; delete the directory to force a rebuild.
+    * the dataset's canonical path plus a cheap CONTENT fingerprint
+    * (every file's relative path, length, and mtime — one driver-side
+    * metadata walk, no data read), and a caller tag that must encode
+    * the index geometry — so two datasets, two geometries, or two
+    * GENERATIONS of the same dataset path never share an artifact.
+    * Regenerating the dataset in place (as the test-data driver does
+    * between rounds) therefore changes the root and the next
+    * buildOrLoad builds fresh instead of silently serving a stale
+    * index. Lives under the JVM temp dir here; at cluster scale this
+    * is a shared-filesystem path provisioned by the platform, and the
+    * fingerprint walk is one filesystem listing of the dataset dir.
+    * Within one fingerprint the artifact still follows the index
+    * lifecycle (append / rebuild policy), not cache invalidation.
     */
   def artifactRoot(tag: String, datasetDir: String): String = {
-    val canon = new java.io.File(datasetDir).getCanonicalPath
+    val root = new java.io.File(datasetDir)
+    def walk(f: java.io.File): Seq[String] =
+      if (f.isDirectory)
+        f.listFiles().sortBy(_.getName).toSeq.flatMap(walk)
+      else Seq(s"${f.getPath}:${f.length}:${f.lastModified}")
+    val sig = root.getCanonicalPath +: walk(root)
     val key = java.security.MessageDigest.getInstance("MD5")
-      .digest(canon.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .digest(sig.mkString("\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
       .map("%02x".format(_)).mkString.take(16)
     s"${sys.props("java.io.tmpdir")}/graft-artifacts/$tag-$key"
   }
@@ -179,8 +191,10 @@ object VectorIndex {
     * (everything re-encodes as ingest=0). Training is id-seeded and
     * integer-exact, so rebuild(artifact) ≡ build(its rows) EXACTLY —
     * the oracle-gated contract (s16): build-stale → append → rebuild
-    * serves what full-corpus training serves. Same single-writer
-    * maintenance-window contract as compaction.
+    * serves what full-corpus training serves. The swap is
+    * [[LayoutOps.swapInto]] (live aside → staging in → old deleted),
+    * so the artifact path is never the only missing copy. Same
+    * single-writer maintenance-window contract as compaction.
     */
   def rebuild(s: SparkSession, dir: String, lloydSteps: Int,
       subspaces: Int, subDim: Int, k: Int): Unit = {
@@ -197,8 +211,7 @@ object VectorIndex {
     build(l.corpus.select((Seq("vec_id", "embedding") ++ metaCols)
       .map(col): _*), dim, lloydSteps, subspaces, subDim, k, staging,
       metaCols)
-    require(fs.delete(dp, true) && fs.rename(sp, dp),
-      s"rebuild: swap of $staging over $dir failed")
+    LayoutOps.swapInto(fs, dp, sp)
   }
 
   /** Delete vectors from the artifact by id — the TAKEDOWN path (the

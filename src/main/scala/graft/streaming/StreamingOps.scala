@@ -131,29 +131,32 @@ object StreamingOps {
     child
   }
 
-  /** The events table's on-disk schema. `ts` is parquet TIMESTAMP(NANOS)
-    * read as a raw long under `spark.sql.legacy.parquet.nanosAsLong`
-    * (set at session construction, see [[graft.Sessions]]).
+  /** Streaming scan of the events parquet, normalized to the same
+    * schema [[graft.Tables.events]] produces — the streaming twin.
+    *
+    * A file-stream source needs a user-supplied schema, and the
+    * driver's data generations have encoded `ts` differently
+    * (TIMESTAMP(NANOS)-as-long, then timestamp[us] NTZ), so the
+    * schema is probed once from the batch reader's footer inference
+    * and the matching normalization applied (see Tables.events for
+    * the per-encoding rationale).
     */
-  val EventsRawSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType),
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
-
-  /** Streaming scan of the events parquet with nanos→micros conversion —
-    * the streaming twin of [[graft.Tables.events]].
-    */
-  def eventsStream(spark: SparkSession, dir: String): DataFrame =
+  def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+    val onDisk = spark.read.parquet(s"$dir/events.parquet").schema
     // The streaming file source wants a directory; select just the
     // events file out of the shared testdata dir via glob filter.
-    spark.readStream
-      .schema(EventsRawSchema)
+    val raw = spark.readStream
+      .schema(onDisk)
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    onDisk("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => raw
+    }
+  }
 
   /** Typed event row for stateful streaming ops. */
   final case class EventRow(event_id: Long, ts: java.sql.Timestamp,

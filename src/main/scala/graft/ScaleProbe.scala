@@ -418,6 +418,71 @@ object ScaleProbe {
         .write.format("noop").mode("overwrite").save()
     }
 
+    // incremental MV maintenance vs full recompute at the same churn:
+    // the maintained path's cost tracks the CHANGELOG (semi-join probe
+    // of the base + group-sized delta merge), the recompute's tracks
+    // the full post-apply snapshot — the gap is the entire point of
+    // maintainAggs, and it widens linearly with base/churn ratio.
+    if (want("mv maintain", "mv recompute")) {
+      def mvBase = spark.range(n).select(col("id").as("k"),
+        (col("id") % 1000).as("g"),
+        (col("id") % 97).as("x"))
+      def mvLog = spark.range(2000000L).select(
+        (col("id") * 10).as("k"), (col("id") % 2L + 1L).as("seq"),
+        when(col("id") % 3 === 0, "D").otherwise("U").as("op"),
+        (col("id") % 1000).as("g"), (col("id") % 89).as("x"))
+      val prevAgg = mvBase.groupBy("g")
+        .agg(sum("x").as("x"), count(lit(1)).as("n")).cache()
+      prevAgg.count() // the materialized view exists before the batch
+      time("mv maintain (20M base, 2M log, 1k groups)", 2000000L) {
+        graft.operators.CdcOps.maintainAggs(prevAgg, mvBase, mvLog,
+            Seq("k"), "seq", "op", dims = Seq("g"), sumCols = Seq("x"))
+          .write.format("noop").mode("overwrite").save()
+      }
+      time("mv recompute (apply + full re-agg)", n + 2000000L) {
+        graft.operators.CdcOps
+          .applyChangelog(mvBase, mvLog, Seq("k"), "seq", "op")
+          .groupBy("g").agg(sum("x").as("x"), count(lit(1)).as("n"))
+          .write.format("noop").mode("overwrite").save()
+      }
+      prevAgg.unpersist()
+    }
+
+    // z-order at write scale: the write pays one quantile pass + one
+    // range shuffle; the payoff is that a selective predicate on
+    // EITHER z column prunes row groups (timed against the same scan
+    // over a flat layout — the delta is parquet min/max skipping,
+    // exactly what a 100 TB table's maintenance job buys its readers)
+    if (want("zorder")) {
+      val zRoot = java.nio.file.Files
+        .createTempDirectory("graft-probe-z").toString
+      val zdf = spark.range(n).select(
+        (pmod(hash(col("id")), lit(1000000))).as("k1"),
+        (pmod(hash(col("id") + 7), lit(1000000))).as("k2"),
+        col("id").as("payload"))
+      time("zorder write (20M, 2 cols)", n) {
+        graft.operators.LayoutOps.zorderWrite(zdf, Seq("k1", "k2"),
+          32, s"$zRoot/z")
+      }
+      time("flat write (20M)", n) {
+        zdf.repartition(32).write.mode("overwrite")
+          .parquet(s"$zRoot/flat")
+      }
+      def slice(dir: String) = spark.read.parquet(dir)
+        .filter(col("k2") >= 10000 && col("k2") < 40000)
+      time("k2-slice scan, zordered (3% of domain)", n) {
+        slice(s"$zRoot/z").write.format("noop")
+          .mode("overwrite").save()
+      }
+      time("k2-slice scan, flat", n) {
+        slice(s"$zRoot/flat").write.format("noop")
+          .mode("overwrite").save()
+      }
+      val zp = new org.apache.hadoop.fs.Path(zRoot)
+      zp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(zp, true)
+    }
+
     // native text kernels over 20M 64-char rows — per-character loops
     // that replaced interpreted HOF folds (t4/t5 kernels)
     lazy val texts = {

@@ -30,15 +30,12 @@ object CdcOps {
     */
   def applyChangelog(base: DataFrame, log: DataFrame, keys: Seq[String],
       seqCol: String, opCol: String, deleteOp: String = "D"): DataFrame = {
-    val payload = log.columns.toSeq
-      .filterNot(c => keys.contains(c) || c == seqCol)
+    val payload = logPayload(log, keys, seqCol)
     require((keys ++ payload).filterNot(_ == opCol).toSet ==
       base.columns.toSet,
       s"base columns ${base.columns.toSeq} must be keys $keys + " +
         s"changelog payload ${payload.filterNot(_ == opCol)}")
-    val latest = log.groupBy(keys.map(col): _*)
-      .agg(max_by(struct(payload.map(col): _*), col(seqCol)).as("__c"))
-      .select(keys.map(col) ++ payload.map(p => col(s"__c.$p")): _*)
+    val latest = collapseLatest(log, keys, seqCol, payload)
     // shuffle-hash build on the collapsed keys: the base (the 100 TB
     // side) must never be SORTED for this join — SMJ would sort every
     // snapshot partition to anti-join a key set bounded by the
@@ -48,15 +45,145 @@ object CdcOps {
     val untouched = base.join(
       latest.select(keys.map(col): _*).hint("shuffle_hash"),
       keys, "left_anti")
-    // op is NOT NULL by contract: a null op would make the =!= predicate
-    // NULL and silently drop the row as if deleted — fail loudly at the
-    // first null instead (raise_error costs nothing on the happy path,
-    // unlike a validation count's extra pass over the changelog)
-    val opOk = when(col(opCol).isNull,
+    untouched.unionByName(
+      latest.filter(notDeleted(opCol, deleteOp)).drop(opCol))
+  }
+
+  /** One row per key: latest-wins collapse of the changelog by `seqCol`
+    * — ONE `max_by` aggregation whose PARTIAL stage collapses keys
+    * map-side, so the exchange carries ~one row per key (a window
+    * `row_number` would shuffle AND sort every change row).
+    */
+  private def collapseLatest(log: DataFrame, keys: Seq[String],
+      seqCol: String, payload: Seq[String]): DataFrame =
+    log.groupBy(keys.map(col): _*)
+      .agg(max_by(struct(payload.map(col): _*), col(seqCol)).as("__c"))
+      .select(keys.map(col) ++ payload.map(p => col(s"__c.$p")): _*)
+
+  private def logPayload(log: DataFrame, keys: Seq[String],
+      seqCol: String): Seq[String] =
+    log.columns.toSeq.filterNot(c => keys.contains(c) || c == seqCol)
+
+  /** op is NOT NULL by contract: a null op would make the `=!=`
+    * predicate NULL and silently drop the row as if deleted — fail
+    * loudly at the first null instead (raise_error costs nothing on
+    * the happy path, unlike a validation count's extra pass).
+    */
+  private def notDeleted(opCol: String, deleteOp: String) =
+    when(col(opCol).isNull,
       raise_error(lit("CdcOps: null op in changelog — every change row " +
         "must carry a non-null op code")).cast("boolean"))
       .otherwise(col(opCol) =!= deleteOp)
-    untouched.unionByName(latest.filter(opOk).drop(opCol))
+
+  /** INCREMENTAL MAINTENANCE of a grouped aggregate under a changelog
+    * — the materialized-view delta update: given the previous
+    * aggregate (`prevAgg`: one row per `dims` group carrying each
+    * `sumCols` sum and a `cntCol` row count), the previous base
+    * snapshot, and the keyed changelog, produce the aggregate of the
+    * NEXT snapshot without re-aggregating the base.
+    *
+    * Sums and counts are the incrementally-maintainable aggregates
+    * (algebraic and subtraction-invertible); avg/ratio views derive
+    * from them at read time. Exactness of `sum` maintenance is the
+    * caller's contract — pass integer-scaled measures when the result
+    * must equal a recompute bit-for-bit (float addition is not
+    * associative).
+    *
+    * Scale shape — the whole point of the op: the 100 TB base is
+    * touched ONLY by a semi-join against the changelog's collapsed
+    * key set (churn-sized; with both sides bucketed by key the probe
+    * reads just the touched buckets — never sorted, same
+    * `shuffle_hash` contract as [[applyChangelog]]). Everything else
+    * is churn- or group-cardinality-sized: removed contributions
+    * (the touched keys' OLD rows, negated) union added contributions
+    * (the surviving latest payloads) collapse to a per-group delta in
+    * one partial-aggregated exchange, and the delta full-outer-joins
+    * the previous aggregate — group-count rows, not base rows. A
+    * group whose count reaches zero is dropped (it no longer exists
+    * in the view); a group first seen in the delta is born from the
+    * outer join's null side.
+    *
+    * Equivalence contract (the x12 oracle): maintainAggs(agg(base))
+    * ≡ agg(applyChangelog(base, log)) for the same keys/seq/op.
+    */
+  def maintainAggs(prevAgg: DataFrame, base: DataFrame, log: DataFrame,
+      keys: Seq[String], seqCol: String, opCol: String,
+      dims: Seq[String], sumCols: Seq[String], cntCol: String = "n",
+      deleteOp: String = "D"): DataFrame = {
+    val payload = logPayload(log, keys, seqCol)
+    require(prevAgg.columns.toSet == (dims ++ sumCols :+ cntCol).toSet,
+      s"prevAgg columns ${prevAgg.columns.toSeq} must be dims $dims + " +
+        s"sums $sumCols + count $cntCol")
+    val latest = collapseLatest(log, keys, seqCol, payload)
+    val touched = latest.select(keys.map(col): _*)
+    // the ONLY read of the base: old contributions of touched keys,
+    // negated. Churn-sized output; bucketed-by-key base at cluster
+    // scale makes this a pruned probe, not a scan.
+    val removed = base
+      .join(touched.hint("shuffle_hash"), keys, "left_semi")
+      .select(dims.map(col) ++ sumCols.map(c => (-col(c)).as(c))
+        :+ lit(-1L).as(cntCol): _*)
+    val added = latest.filter(notDeleted(opCol, deleteOp))
+      .select(dims.map(col) ++ sumCols.map(col)
+        :+ lit(1L).as(cntCol): _*)
+    val dAggs = (sumCols :+ cntCol).map(c => sum(col(c)).as(s"__d_$c"))
+    val delta = removed.unionByName(added)
+      .groupBy(dims.map(col): _*)
+      .agg(dAggs.head, dAggs.tail: _*)
+    prevAgg.join(delta, dims, "full_outer")
+      .select(dims.map(col) ++ (sumCols :+ cntCol).map { c =>
+        (coalesce(col(c), lit(0)) + coalesce(col(s"__d_$c"), lit(0)))
+          .as(c)
+      }: _*)
+      .filter(col(cntCol) > 0)
+  }
+
+  /** Audit diff of two snapshot versions sharing a schema — what a
+    * changelog batch (or a time-travel window) DID to the table:
+    * per key, `change` = 'A' (present only in `next`), 'R' (present
+    * only in `prev`), or 'C' (present in both with any payload column
+    * differing, null-safely); identical rows are not emitted. Output
+    * carries `old_<c>`/`new_<c>` for every payload column (null on
+    * the absent side).
+    *
+    * NOT a join: the two versions union with a side tag and collapse
+    * in ONE keyed aggregation (`max` over a side-filtered payload
+    * struct — each key appears at most once per side, so `max` just
+    * selects the present struct, and the PARTIAL aggregate collapses
+    * pairs map-side). One exchange total, versus a full-outer join's
+    * two — and it sidesteps a planner hazard: when `next`
+    * structurally CONTAINS `prev` (the natural successive-version
+    * composition, next = applyChangelog(prev, log)), both join
+    * inputs are Unions of same-partitioned legs, and this Spark
+    * build plans the join directly over the Unions, whose RDDs carry
+    * the SUM of their children's partitions — the join's zip then
+    * fails with "Can't zip RDDs with unequal numbers of partitions".
+    * An aggregation has no second leg to zip.
+    */
+  def snapshotDiff(prev: DataFrame, next: DataFrame,
+      keys: Seq[String]): DataFrame = {
+    require(prev.columns.toSet == next.columns.toSet,
+      s"snapshotDiff: schemas differ — ${prev.columns.toSeq} vs " +
+        s"${next.columns.toSeq}")
+    val payload = prev.columns.toSeq.filterNot(keys.contains)
+    def side(df: DataFrame, tag: String) =
+      df.select(keys.map(col) ++ payload.map(col)
+        :+ lit(tag).as("__side"): _*)
+    side(prev, "p").unionByName(side(next, "n"))
+      .groupBy(keys.map(col): _*)
+      .agg(
+        max(when(col("__side") === "p",
+          struct(payload.map(col): _*))).as("__old"),
+        max(when(col("__side") === "n",
+          struct(payload.map(col): _*))).as("__new"))
+      .withColumn("change",
+        when(col("__old").isNull, lit("A"))
+          .when(col("__new").isNull, lit("R"))
+          .when(!(col("__old") <=> col("__new")), lit("C")))
+      .filter(col("change").isNotNull)
+      .select(keys.map(col) ++ Seq(col("change"))
+        ++ payload.flatMap(c => Seq(col(s"__old.$c").as(s"old_$c"),
+          col(s"__new.$c").as(s"new_$c"))): _*)
   }
 
   /** The DELETE-ONLY special case of [[applyChangelog]]: a tombstone
@@ -157,5 +284,67 @@ object CdcOps {
       s"streamApply: expected final snapshot $p after $nFiles " +
         "micro-batches — the replay did not commit every staged file")
     ss.read.parquet(s"$root/snap$nFiles")
+  }
+
+  /** CONTINUOUS incremental-aggregate maintenance — the streaming MV
+    * pipeline: each micro-batch advances BOTH the versioned snapshot
+    * (as [[streamApply]]) and a versioned aggregate artifact, the
+    * aggregate via [[maintainAggs]] against the PRE-batch snapshot
+    * version (which snapshot isolation keeps intact — batch B reads
+    * `snap{B}`/`agg{B}` and writes `snap{B+1}`/`agg{B+1}`, never
+    * overwriting its inputs, so a crashed batch replays cleanly).
+    *
+    * The aggregate is seeded ONCE from the base — the only full
+    * aggregation in the lifetime of the view; every subsequent batch
+    * does churn-sized work regardless of snapshot size. Because
+    * maintenance against the current snapshot composes across
+    * seq-monotone batches, the final aggregate equals a full
+    * recompute over the fully-applied snapshot — held to the BATCH
+    * oracle (x12), like every streaming twin.
+    *
+    * Same retention contract as [[streamApply]] (`retainVersions >= 1`
+    * is the replay-safety floor), applied to both artifact chains.
+    * Returns the final aggregate version.
+    */
+  def streamMaintain(ss: org.apache.spark.sql.SparkSession,
+      base: DataFrame, log: DataFrame, keys: Seq[String],
+      seqCol: String, opCol: String, nFiles: Int, root: String,
+      dims: Seq[String], sumCols: Seq[String], cntCol: String = "n",
+      retainVersions: Int = 2): DataFrame = {
+    require(retainVersions >= 1,
+      s"streamMaintain: retainVersions >= 1 (got $retainVersions)")
+    def aggOf(df: DataFrame): DataFrame = {
+      val aggs = sumCols.map(c => sum(col(c)).as(c)) :+
+        count(lit(1)).as(cntCol)
+      df.groupBy(dims.map(col): _*).agg(aggs.head, aggs.tail: _*)
+    }
+    base.write.mode("overwrite").parquet(s"$root/snap0")
+    aggOf(base).write.mode("overwrite").parquet(s"$root/agg0")
+    graft.streaming.StreamingOps.stageOrderedArrivals(
+      log, seqCol, nFiles, s"$root/arrivals")
+    graft.streaming.StreamingOps.replayOrdered(ss, log.schema,
+        s"$root/arrivals", s"$root/ckpt") { (batch, batchId) =>
+      val snap = ss.read.parquet(s"$root/snap$batchId")
+      val agg = ss.read.parquet(s"$root/agg$batchId")
+      maintainAggs(agg, snap, batch, keys, seqCol, opCol,
+        dims, sumCols, cntCol)
+        .write.mode("overwrite").parquet(s"$root/agg${batchId + 1}")
+      applyChangelog(snap, batch, keys, seqCol, opCol)
+        .write.mode("overwrite").parquet(s"$root/snap${batchId + 1}")
+      val expired = batchId - retainVersions
+      if (expired >= 0 && retainVersions != Int.MaxValue) {
+        val conf = ss.sparkContext.hadoopConfiguration
+        Seq(s"$root/snap$expired", s"$root/agg$expired").foreach { d =>
+          val dead = new org.apache.hadoop.fs.Path(d)
+          dead.getFileSystem(conf).delete(dead, true)
+        }
+      }
+    }
+    val p = new org.apache.hadoop.fs.Path(s"$root/agg$nFiles")
+    val fs = p.getFileSystem(ss.sparkContext.hadoopConfiguration)
+    require(fs.exists(p),
+      s"streamMaintain: expected final aggregate $p after $nFiles " +
+        "micro-batches — the replay did not commit every staged file")
+    ss.read.parquet(s"$root/agg$nFiles")
   }
 }

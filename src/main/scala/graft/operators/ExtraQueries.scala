@@ -269,6 +269,41 @@ object ExtraQueries {
       val (base, log) = cdcFrames(s, d)
       CdcOps.applyChangelog(base, log,
         keys = Seq("o_orderkey"), seqCol = "seq", opCol = "op")
+    }),
+
+    // x12: incremental aggregate maintenance — the materialized-view
+    // delta update ([[CdcOps.maintainAggs]]): the previous per-group
+    // aggregate plus the changelog produce the next aggregate while
+    // the base is touched only by a churn-keyed semi-join (never
+    // re-aggregated). The measure is integer-scaled (price in
+    // hundredths of a cent) so subtraction-based maintenance is
+    // EXACT and the oracle — a full recompute over the applied
+    // snapshot — must hash-match, proving maintain(agg(base), log)
+    // ≡ agg(apply(base, log)). Groups: o_custkey % 100.
+    "x12_incr_agg" -> ((s, d) => {
+      val (b, l) = incrAggFrames(s, d)
+      val prevAgg = b.groupBy("grp")
+        .agg(sum("price_tc").as("price_tc"), count(lit(1)).as("n"))
+      CdcOps.maintainAggs(prevAgg, b, l,
+        keys = Seq("o_orderkey"), seqCol = "seq", opCol = "op",
+        dims = Seq("grp"), sumCols = Seq("price_tc"))
+    }),
+
+    // x13: snapshot version diff — the time-travel audit view
+    // ([[CdcOps.snapshotDiff]]): what generation 2 of the changelog
+    // DID to the table, computed as the keyed full-outer diff of two
+    // successive snapshot versions (v1 = gen-1 applied, v2 = gen-2
+    // applied on v1 — the same versions streamApply retains on
+    // disk). Emits only changed keys: 'C' re-prices and 'R'
+    // takedowns here; the 'A' class is spec-covered.
+    "x13_snapshot_diff" -> ((s, d) => {
+      val (base, log) = cdcFrames(s, d)
+      val keys = Seq("o_orderkey")
+      val v1 = CdcOps.applyChangelog(base,
+        log.filter(col("seq") === 1), keys, "seq", "op")
+      val v2 = CdcOps.applyChangelog(v1,
+        log.filter(col("seq") === 2), keys, "seq", "op")
+      CdcOps.snapshotDiff(v1, v2, keys)
     })
   )
 
@@ -294,6 +329,21 @@ object ExtraQueries {
         (col("o_totalprice") * 1.10).as("price"),
         lit("cdc").as("src"))
     (base, gen1.unionByName(gen2))
+  }
+
+  /** x12/st14's shared inputs: [[cdcFrames]] projected to the
+    * maintenance shape — group key `grp` = o_custkey % 100 and the
+    * measure integer-scaled to hundredths of a cent (`price_tc`) so
+    * subtraction-based maintenance is exact. ONE definition so the
+    * streaming maintenance is held to exactly the batch gate's data.
+    */
+  private[graft] def incrAggFrames(s: SparkSession, d: String)
+      : (DataFrame, DataFrame) = {
+    val (base, log) = cdcFrames(s, d)
+    val grp = pmod(col("o_custkey"), lit(100)).as("grp")
+    val tc = round(col("price") * 10000).cast("long").as("price_tc")
+    (base.select(col("o_orderkey"), grp, tc),
+      log.select(col("o_orderkey"), col("seq"), col("op"), grp, tc))
   }
 
   def oracle: Map[String, String] = Map(
@@ -473,6 +523,83 @@ object ExtraQueries {
          WHERE l.o_orderkey IS NULL
          UNION ALL
          SELECT o_orderkey, o_custkey, price, src
-         FROM latest WHERE op <> 'D'"""
+         FROM latest WHERE op <> 'D'""",
+    // Full recompute over the applied snapshot — the equivalence the
+    // incremental maintenance must hash-match. Measures integer-scale
+    // BEFORE summing (hundredths of a cent), exactly as the Spark
+    // side's per-row scaling, so both sums are exact integers.
+    "x12_incr_agg" ->
+      """WITH base AS (
+           SELECT o_orderkey, o_custkey, o_totalprice AS price
+           FROM orders WHERE o_orderkey % 10 >= 3),
+         log AS (
+           SELECT o_orderkey, o_custkey, 1 AS seq, 'U' AS op,
+             o_totalprice * 1.05 AS price
+           FROM orders WHERE o_orderkey % 10 < 5
+           UNION ALL
+           SELECT o_orderkey, o_custkey, 2 AS seq,
+             CASE WHEN o_orderkey % 3 = 0 THEN 'D' ELSE 'U' END AS op,
+             o_totalprice * 1.10 AS price
+           FROM orders WHERE o_orderkey % 10 < 3),
+         latest AS (
+           SELECT o_orderkey, o_custkey, op, price FROM (
+             SELECT *, row_number() OVER (PARTITION BY o_orderkey
+               ORDER BY seq DESC) AS rn
+             FROM log) WHERE rn = 1),
+         applied AS (
+           SELECT b.o_orderkey, b.o_custkey, b.price
+           FROM base b LEFT JOIN latest l ON l.o_orderkey = b.o_orderkey
+           WHERE l.o_orderkey IS NULL
+           UNION ALL
+           SELECT o_orderkey, o_custkey, price
+           FROM latest WHERE op <> 'D')
+         SELECT o_custkey % 100 AS grp,
+           CAST(sum(CAST(round(price * 10000, 0) AS BIGINT)) AS BIGINT)
+             AS price_tc,
+           count(*) AS n
+         FROM applied GROUP BY 1""",
+    // v1 = generation 1 applied, v2 = generation 2 applied on v1;
+    // the diff emits only keys the second generation touched, with
+    // old/new payload side by side (nulls on the absent side).
+    "x13_snapshot_diff" ->
+      """WITH base AS (
+           SELECT o_orderkey, o_custkey, o_totalprice AS price,
+             'base' AS src
+           FROM orders WHERE o_orderkey % 10 >= 3),
+         g1 AS (
+           SELECT o_orderkey, o_custkey,
+             o_totalprice * 1.05 AS price, 'cdc' AS src
+           FROM orders WHERE o_orderkey % 10 < 5),
+         g2 AS (
+           SELECT o_orderkey, o_custkey,
+             CASE WHEN o_orderkey % 3 = 0 THEN 'D' ELSE 'U' END AS op,
+             o_totalprice * 1.10 AS price, 'cdc' AS src
+           FROM orders WHERE o_orderkey % 10 < 3),
+         v1 AS (
+           SELECT b.o_orderkey, b.o_custkey, b.price, b.src
+           FROM base b LEFT JOIN g1 ON g1.o_orderkey = b.o_orderkey
+           WHERE g1.o_orderkey IS NULL
+           UNION ALL
+           SELECT o_orderkey, o_custkey, price, src FROM g1),
+         v2 AS (
+           SELECT v.o_orderkey, v.o_custkey, v.price, v.src
+           FROM v1 v LEFT JOIN g2 ON g2.o_orderkey = v.o_orderkey
+           WHERE g2.o_orderkey IS NULL
+           UNION ALL
+           SELECT o_orderkey, o_custkey, price, src
+           FROM g2 WHERE op <> 'D')
+         SELECT * FROM (
+           SELECT coalesce(a.o_orderkey, b.o_orderkey) AS o_orderkey,
+             CASE WHEN a.o_orderkey IS NULL THEN 'A'
+                  WHEN b.o_orderkey IS NULL THEN 'R'
+                  WHEN (a.o_custkey IS DISTINCT FROM b.o_custkey)
+                    OR (a.price IS DISTINCT FROM b.price)
+                    OR (a.src IS DISTINCT FROM b.src) THEN 'C'
+             END AS change,
+             a.o_custkey AS old_o_custkey, b.o_custkey AS new_o_custkey,
+             a.price AS old_price, b.price AS new_price,
+             a.src AS old_src, b.src AS new_src
+           FROM v1 a FULL JOIN v2 b ON a.o_orderkey = b.o_orderkey)
+         WHERE change IS NOT NULL"""
   )
 }

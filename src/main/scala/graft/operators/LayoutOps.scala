@@ -45,6 +45,69 @@ object LayoutOps {
       .write.options(extraWriteOpts).mode("overwrite").parquet(dir)
   }
 
+  /** Write `df` clustered on a Z-ORDER (Morton) curve over `cols` —
+    * the multi-column generalization of [[clusterWrite]]: range
+    * clustering serves predicates on its leading column only, while
+    * interleaving the bits of per-column QUANTILE buckets gives every
+    * row group a narrow min/max envelope on EVERY z-column, so pushed
+    * predicates on any of them (or any combination) skip row groups.
+    * This is the lakehouse OPTIMIZE ... ZORDER BY write path.
+    *
+    * Quantile buckets, not value-range buckets: computed from one
+    * `percentile_approx` aggregation pass (driver receives
+    * `2^bits - 1` cut points per column — dim-sized), they stay
+    * balanced under arbitrarily skewed value distributions, which is
+    * what a 100 TB column looks like. The interleave itself is a pure
+    * bit expression (shift/and/or — codegen-friendly, no UDF), and
+    * the write is one range-shuffle on the z-value: `partitions`
+    * contiguous curve segments, sorted within each so row-group
+    * boundaries cut the curve into spatially-local tiles.
+    *
+    * Content-preserving by construction (the z column is dropped
+    * after the sort, which adds no exchange). `bits` per column;
+    * `cols.size * bits` must fit a long (≤ 63).
+    */
+  def zorderWrite(df: DataFrame, cols: Seq[String], partitions: Int,
+      dir: String, bits: Int = 8,
+      extraWriteOpts: Map[String, String] = Map.empty): Unit = {
+    require(cols.size >= 2,
+      s"zorderWrite: z-order needs >= 2 columns (got $cols) — use " +
+        "clusterWrite for a single cluster key")
+    require(bits >= 1 && cols.size * bits <= 63,
+      s"zorderWrite: ${cols.size} cols x $bits bits must fit a long")
+    require(partitions >= 1, s"zorderWrite: partitions >= 1")
+    val nBuckets = 1 << bits
+    // one aggregation pass for every column's quantile cuts (the
+    // probabilities exclude 0.0: bucket of v = #cuts <= v, so the
+    // lowest bucket is "below the first cut")
+    val probs = (1 until nBuckets).map(_.toDouble / nBuckets)
+    val cutRow = df.select(cols.map(c =>
+      percentile_approx(col(c).cast("double"),
+        typedLit(probs), lit(10000)).as(c)): _*).head()
+    val cuts: Map[String, Seq[Double]] = cols.zipWithIndex.map {
+      case (c, i) => c -> cutRow.getSeq[Double](i)
+    }.toMap
+    // bucket of v in [0, 2^bits): count of cuts <= v. 2^bits - 1
+    // comparisons per row per column — a maintenance-write cost, and
+    // native array ops (no UDF).
+    def bucket(c: String) = size(filter(typedLit(cuts(c)),
+      x => x <= col(c).cast("double"))).cast("long")
+    // Morton interleave: bit b of column i lands at position
+    // b * nCols + i
+    val n = cols.size
+    val z = (0 until bits).foldLeft(lit(0L)) { (acc, b) =>
+      cols.zipWithIndex.foldLeft(acc) { case (a, (c, i)) =>
+        a.bitwiseOR(shiftleft(
+          shiftright(bucket(c), b).bitwiseAND(lit(1L)), b * n + i))
+      }
+    }
+    df.withColumn("__z", z)
+      .repartitionByRange(partitions, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.options(extraWriteOpts).mode("overwrite").parquet(dir)
+  }
+
   /** Swap a fully-written staging tree into place at `dir` without a
     * window where the artifact path is the only missing copy. The
     * naive `delete(dir); rename(staging, dir)` order loses the only

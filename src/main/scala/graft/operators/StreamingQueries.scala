@@ -220,6 +220,21 @@ object StreamingQueries {
         seqCol = "seq", opCol = "op", nFiles = 2, root)
     }),
 
+    // st14 ≡ x12: continuous materialized-view maintenance — each
+    // micro-batch advances the versioned snapshot AND the versioned
+    // aggregate (churn-sized delta against the pre-batch snapshot,
+    // CdcOps.streamMaintain); the final aggregate version is held to
+    // the batch recompute oracle.
+    "st14_stream_incr_agg" -> ((s, d) => {
+      val ss = StreamingOps.streamSession(s)
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-stream-mv").toString
+      val (base, log) = ExtraQueries.incrAggFrames(ss, d)
+      CdcOps.streamMaintain(ss, base, log, keys = Seq("o_orderkey"),
+        seqCol = "seq", opCol = "op", nFiles = 2, root,
+        dims = Seq("grp"), sumCols = Seq("price_tc"))
+    }),
+
     // st13: CONTINUOUS TAKEDOWN — s15's delete path driven from a
     // file stream against the persisted index artifact: tombstone ids
     // replay as id-ordered micro-batches, each batch applies through
@@ -348,6 +363,7 @@ object StreamingQueries {
     "st11_stream_vec_ingest" ->
       SimilarityQueries.oracle("s13_vec_ingest_gate"),
     "st12_stream_cdc" -> ExtraQueries.oracle("x11_cdc_apply"),
-    "st13_stream_takedown" -> SimilarityQueries.oracle("s15_index_delete")
+    "st13_stream_takedown" -> SimilarityQueries.oracle("s15_index_delete"),
+    "st14_stream_incr_agg" -> ExtraQueries.oracle("x12_incr_agg")
   )
 }

@@ -108,6 +108,116 @@ class CdcOpsSpec extends SparkSpec {
     } finally rmTree(root)
   }
 
+  // ---- incremental aggregate maintenance ----
+
+  // k1: in-place update (same group, new measure); k2: delete (g1
+  // loses a member); k3: update that MOVES groups (g2 dies, g3 is
+  // born); k4: insert into a brand-new group. Every maintenance path:
+  // -old/+new same group, -old only, -old one group +new another,
+  // +new only, group death, group birth.
+  private def mvBase = Seq(
+    (1L, "g1", 10L), (2L, "g1", 20L), (3L, "g2", 30L)
+  ).toDF("k", "grp", "x")
+  private def mvLog = Seq(
+    (1L, 1L, "U", "g1", 15L),
+    (2L, 1L, "D", "g1", 0L),
+    (3L, 1L, "U", "g3", 31L),
+    (4L, 1L, "U", "g4", 40L)
+  ).toDF("k", "seq", "op", "grp", "x")
+
+  test("maintained aggregate ≡ recompute over the applied snapshot") {
+    val prevAgg = mvBase.groupBy("grp")
+      .agg(sum("x").as("x"), count(lit(1)).as("n"))
+    val maintained = CdcOps.maintainAggs(prevAgg, mvBase, mvLog,
+        Seq("k"), "seq", "op", dims = Seq("grp"), sumCols = Seq("x"))
+      .as[(String, Long, Long)].collect().toSeq.sorted
+    val recomputed = CdcOps.applyChangelog(mvBase, mvLog,
+        Seq("k"), "seq", "op")
+      .groupBy("grp").agg(sum("x").as("x"), count(lit(1)).as("n"))
+      .as[(String, Long, Long)].collect().toSeq.sorted
+    assert(maintained === recomputed)
+    // the classes really happened: g2 died, g3/g4 were born
+    assert(maintained === Seq(
+      ("g1", 15L, 1L), ("g3", 31L, 1L), ("g4", 40L, 1L)))
+  }
+
+  test("maintenance touches the base only via a hash semi-join") {
+    val prevAgg = mvBase.groupBy("grp")
+      .agg(sum("x").as("x"), count(lit(1)).as("n"))
+    val plan = CdcOps.maintainAggs(prevAgg, mvBase, mvLog,
+        Seq("k"), "seq", "op", dims = Seq("grp"), sumCols = Seq("x"))
+      .queryExecution.executedPlan.toString
+    // the churn-keyed probe of the base: semi join, hash-built, never
+    // sorted (the base is the 100 TB side — the agg-sized full-outer
+    // merge may sort all it likes); no window anywhere
+    val semiLines = plan.linesIterator.filter(_.contains("LeftSemi")).toSeq
+    assert(semiLines.nonEmpty, plan)
+    assert(semiLines.forall(_.contains("HashJoin")), plan)
+    assert(!plan.contains("Window"), plan)
+  }
+
+  // ---- snapshot diff ----
+
+  test("snapshot diff classifies adds, removes, changes; equals drop out") {
+    val prev = Seq((1L, Some("a")), (2L, Some("b")), (3L, Some("c")),
+      (5L, Option.empty[String])).toDF("k", "v")
+    val next = Seq((2L, Some("b")), (3L, Some("c2")), (4L, Some("d")),
+      (5L, Some("x"))).toDF("k", "v")
+    val out = CdcOps.snapshotDiff(prev, next, Seq("k"))
+      .as[(Long, String, Option[String], Option[String])]
+      .collect().toSeq.sorted
+    assert(out === Seq(
+      (1L, "R", Some("a"), None),        // only in prev
+      (3L, "C", Some("c"), Some("c2")),  // payload changed
+      (4L, "A", None, Some("d")),        // only in next
+      (5L, "C", None, Some("x"))         // null → value is a change
+      // 2 identical: not emitted
+    ))
+    // the diff is ONE keyed aggregation over the tagged union — no
+    // join at all (one exchange, and nothing to zip when one version
+    // is an in-plan composition over the other)
+    val plan = CdcOps.snapshotDiff(prev, next, Seq("k"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), plan)
+  }
+
+  test("diffing a version against its own in-plan successor works") {
+    // next CONTAINS prev as a subplan — the successive-version case
+    // that breaks a join-over-union formulation in this Spark build
+    val next = CdcOps.applyChangelog(base, log, Seq("k"), "seq", "op")
+    val out = CdcOps.snapshotDiff(base, next, Seq("k"))
+      .select("k", "change").as[(Long, String)].collect().toSeq.sorted
+    assert(out === Seq((1L, "C"), (2L, "R"), (4L, "A")))
+  }
+
+  test("stream-maintained aggregate ≡ batch maintenance, versions retained") {
+    val d = "/root/testdata/sf0.001"
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-mv-retain")
+    try {
+      val (b, log) = ExtraQueries.incrAggFrames(spark, d)
+      val streamed = CdcOps.streamMaintain(spark, b, log,
+          Seq("o_orderkey"), "seq", "op", nFiles = 2, root.toString,
+          dims = Seq("grp"), sumCols = Seq("price_tc"),
+          retainVersions = 1)
+        .as[(Long, Long, Long)].collect().toSeq.sorted
+      val prevAgg = b.groupBy("grp")
+        .agg(sum("price_tc").as("price_tc"), count(lit(1)).as("n"))
+      val batch = CdcOps.maintainAggs(prevAgg, b, log,
+          Seq("o_orderkey"), "seq", "op",
+          dims = Seq("grp"), sumCols = Seq("price_tc"))
+        .as[(Long, Long, Long)].collect().toSeq.sorted
+      assert(streamed === batch)
+      // retention pruned BOTH version-0 artifacts; the in-window
+      // versions of both chains exist
+      assert(!java.nio.file.Files.exists(root.resolve("snap0")))
+      assert(!java.nio.file.Files.exists(root.resolve("agg0")))
+      assert((1 to 2).forall(i =>
+        java.nio.file.Files.isDirectory(root.resolve(s"snap$i")) &&
+          java.nio.file.Files.isDirectory(root.resolve(s"agg$i"))))
+    } finally rmTree(root)
+  }
+
   test("streaming apply ≡ one-shot apply; every version is a real snapshot") {
     val d = "/root/testdata/sf0.001"
     val root = java.nio.file.Files

@@ -40,6 +40,18 @@ class LayoutOpsSpec extends SparkSpec {
     * the row groups that survived min/max pruning; record-level
     * parquet filtering is off by default in Spark).
     */
+  private def scannedRowsFor(dir: String,
+      pred: org.apache.spark.sql.Column): Long = {
+    val df = spark.read.parquet(dir).filter(pred)
+    // run THIS frame's own plan (a derived count() would execute a
+    // different queryExecution and leave these metrics untouched)
+    df.collect()
+    val scan = df.queryExecution.executedPlan.collect {
+      case s: FileSourceScanExec => s
+    }.head
+    scan.metrics("numOutputRows").value
+  }
+
   private def scannedRows(dir: String): Long = {
     val df = spark.read.parquet(dir)
       .filter(col("k") >= 1000 && col("k") < 5000)
@@ -73,6 +85,55 @@ class LayoutOpsSpec extends SparkSpec {
       assert(flat >= 350000L, s"flat=$flat")
       assert(clustered <= flat / 10,
         s"clustered=$clustered flat=$flat")
+    }
+  }
+
+  test("z-order clustering serves pushed predicates on EVERY z column") {
+    withDir { root =>
+      // two independent uniform-shuffled keys: a single-column range
+      // cluster can serve one of them; the z-order serves both
+      val data2 = spark.range(0, 400000)
+        .select(((col("id") * 48271) % 400000).as("k1"),
+          ((col("id") * 69621) % 400000).as("k2"),
+          col("id").as("payload"))
+      val opts = Map("parquet.block.size" -> (64 * 1024).toString)
+      data2.repartition(4).write.options(opts)
+        .mode("overwrite").parquet(s"$root/flat")
+      LayoutOps.clusterWrite(data2, Seq("k1"), 4, s"$root/linear", opts)
+      LayoutOps.zorderWrite(data2, Seq("k1", "k2"), 4, s"$root/z",
+        bits = 8, extraWriteOpts = opts)
+      // identical content
+      assert(spark.read.parquet(s"$root/z")
+        .as[(Long, Long, Long)].collect().sorted ===
+        data2.as[(Long, Long, Long)].collect().sorted)
+      val p1 = col("k1") >= 10000 && col("k1") < 35000  // 1/16 of k1
+      val p2 = col("k2") >= 10000 && col("k2") < 35000  // 1/16 of k2
+      val flat1 = scannedRowsFor(s"$root/flat", p1)
+      val lin1 = scannedRowsFor(s"$root/linear", p1)
+      val lin2 = scannedRowsFor(s"$root/linear", p2)
+      val z1 = scannedRowsFor(s"$root/z", p1)
+      val z2 = scannedRowsFor(s"$root/z", p2)
+      // the flat layout reads everything; the linear cluster serves
+      // its own key but is blind on the other; the z layout skips on
+      // BOTH dimensions — measured via scan metrics, not plan strings
+      assert(flat1 >= 350000L, s"flat1=$flat1")
+      assert(lin1 <= flat1 / 10, s"lin1=$lin1 flat1=$flat1")
+      assert(lin2 >= (flat1 * 3) / 4, s"lin2=$lin2 flat1=$flat1")
+      assert(z1 <= flat1 / 4, s"z1=$z1 flat1=$flat1")
+      assert(z2 <= flat1 / 4, s"z2=$z2 flat1=$flat1")
+    }
+  }
+
+  test("z-order write rejects degenerate geometry") {
+    withDir { root =>
+      val df = Seq((1L, 2L)).toDF("a", "b")
+      intercept[IllegalArgumentException] {
+        LayoutOps.zorderWrite(df, Seq("a"), 1, s"$root/x")
+      }
+      intercept[IllegalArgumentException] {
+        LayoutOps.zorderWrite(df, Seq("a", "b"), 1, s"$root/x",
+          bits = 32) // 64 interleaved bits overflow a long
+      }
     }
   }
 

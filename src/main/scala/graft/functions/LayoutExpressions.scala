@@ -1,0 +1,70 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.types.{DataType, DoubleType, IntegerType}
+
+/** `quantile_bucket(value, cuts)` — bucket id of `value` against a
+  * sorted, foldable cut-point array: the count of cuts <= value
+  * (upper-bound binary search), i.e. a value below the first cut is
+  * bucket 0 and one above the last cut is bucket |cuts|.
+  *
+  * Exists for [[graft.operators.LayoutOps.zorderWrite]]'s per-column
+  * quantile bucketization. The composable alternative
+  * `size(filter(cuts, c -> c <= v))` is a higher-order function —
+  * interpreted lambda evaluation per ELEMENT, outside whole-stage
+  * codegen, and linear in the cut count (255 comparisons per row per
+  * column at 8 bits; measured 130 s for a 20M-row two-column z-order
+  * write, with the range partitioner's sampling pass paying it
+  * twice). This expression binary-searches a referenced primitive
+  * array — log2(256) = 8 comparisons — and stays inside whole-stage
+  * codegen; eval and generated code share one static helper.
+  */
+case class QuantileBucket(child: Expression, cuts: Seq[Double])
+    extends UnaryExpression {
+  require(cuts.nonEmpty, "quantile_bucket: empty cut array")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case DoubleType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"quantile_bucket expects a double value, got ${t.simpleString}")
+  }
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "quantile_bucket"
+
+  private lazy val cutArr: Array[Double] = cuts.toArray
+
+  override protected def nullSafeEval(v: Any): Any =
+    QuantileBucket.search(cutArr, v.asInstanceOf[Double])
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val arr = ctx.addReferenceObj("qbCuts", cutArr, "double[]")
+      s"${ev.value} = graft.functions.QuantileBucket.search($arr, $v);"
+    })
+
+  override protected def withNewChildInternal(
+      newChild: Expression): QuantileBucket = copy(child = newChild)
+}
+
+object QuantileBucket {
+  /** Upper bound: first index with cuts(i) > v — equivalently the
+    * count of cuts <= v under SPARK comparison semantics, where NaN
+    * is greater than every other double (Java's primitive `<=` would
+    * instead fail every NaN comparison): NaN lands in the LAST
+    * bucket, exactly as the HOF spelling
+    * `size(filter(cuts, c -> c <= v))` does.
+    */
+  def search(cuts: Array[Double], v: Double): Int = {
+    if (java.lang.Double.isNaN(v)) return cuts.length
+    var lo = 0
+    var hi = cuts.length
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (cuts(mid) <= v) lo = mid + 1 else hi = mid
+    }
+    lo
+  }
+}

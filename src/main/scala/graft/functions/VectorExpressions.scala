@@ -727,6 +727,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(args.length == 2, "pq_adc_lookup(code, tables)")
         PqAdcLookup(args(0), args(1))
       }))
+    // quantile_bucket(value, cuts): cuts foldable — embedded as a
+    // reference array and binary-searched (see LayoutExpressions).
+    ext.injectFunction((
+      new FunctionIdentifier("quantile_bucket"),
+      new ExpressionInfo(classOf[QuantileBucket].getName,
+        "quantile_bucket"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "quantile_bucket(value, cuts)")
+        require(args(1).foldable &&
+          args(1).dataType.isInstanceOf[ArrayType] &&
+          args(1).dataType.asInstanceOf[ArrayType].elementType == DoubleType,
+          "quantile_bucket cuts must be a foldable array<double>")
+        QuantileBucket(args(0),
+          args(1).eval().asInstanceOf[ArrayData].toDoubleArray().toSeq)
+      }))
     ext.injectFunction((
       new FunctionIdentifier("ngram_distinct_count"),
       new ExpressionInfo(classOf[NgramDistinctCount].getName,

@@ -87,11 +87,18 @@ object LayoutOps {
     val cuts: Map[String, Seq[Double]] = cols.zipWithIndex.map {
       case (c, i) => c -> cutRow.getSeq[Double](i)
     }.toMap
-    // bucket of v in [0, 2^bits): count of cuts <= v. 2^bits - 1
-    // comparisons per row per column — a maintenance-write cost, and
-    // native array ops (no UDF).
-    def bucket(c: String) = size(filter(typedLit(cuts(c)),
-      x => x <= col(c).cast("double"))).cast("long")
+    // bucket of v in [0, 2^bits): count of cuts <= v — the native
+    // binary-search expression ([[graft.functions.QuantileBucket]]):
+    // log2 comparisons per row per column inside whole-stage codegen,
+    // where the HOF spelling (size(filter(cuts, c -> c <= v))) is
+    // interpreted and linear in the cut count, and the range
+    // partitioner's sampling pass pays the bucketization twice.
+    def bucket(c: String) = {
+      val lits = cuts(c)
+        .map(d => java.lang.Double.toString(d) + "D").mkString(",")
+      expr(s"quantile_bucket(cast(`$c` as double), array($lits))")
+        .cast("long")
+    }
     // Morton interleave: bit b of column i lands at position
     // b * nCols + i
     val n = cols.size

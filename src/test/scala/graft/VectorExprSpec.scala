@@ -36,6 +36,28 @@ class VectorExprSpec extends SparkSpec {
     assert(short === 6.0) // min-length semantics
   }
 
+  test("quantile_bucket equals the HOF count of cuts <= v; edges hold") {
+    val cuts = Seq(10.0, 20.0, 20.0, 30.0) // duplicate cut: v=20 -> 3
+    val lits = cuts.map(d => s"${d}D").mkString(",")
+    val df = Seq(5.0, 10.0, 15.0, 20.0, 25.0, 30.0, 99.0,
+      Double.NaN).toDF("v")
+    val cmp = df.select(col("v"),
+      expr(s"quantile_bucket(v, array($lits))").as("native"),
+      expr(s"size(filter(array($lits), c -> c <= v))").as("hof"))
+    // NaN is GREATER than every double under Spark comparison
+    // semantics (Java's `<=` would say false) — the native search
+    // special-cases it into the last bucket, agreeing with the HOF
+    // on EVERY input
+    assert(cmp.filter(col("native") =!= col("hof")).count() === 0)
+    val edge = df.select(expr(s"quantile_bucket(v, array($lits))"))
+      .as[Int].collect().toSeq
+    assert(edge === Seq(0, 1, 1, 3, 3, 4, 4, 4))
+    // null in, null out
+    assert(Seq(Option.empty[Double]).toDF("v")
+      .select(expr(s"quantile_bucket(v, array($lits))"))
+      .as[Option[Int]].head() === None)
+  }
+
   test("pq_assign matches the composed argmin and handles nulls") {
     val rnd = new scala.util.Random(11)
     val cents = Array.fill(4)(Array.fill(3)(rnd.nextDouble() * 2 - 1))

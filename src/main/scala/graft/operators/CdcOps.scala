@@ -138,6 +138,49 @@ object CdcOps {
       .filter(col(cntCol) > 0)
   }
 
+  /** GROUP-PRUNED RECOMPUTE maintenance — the honest strategy for
+    * aggregates that subtraction can NOT maintain (min/max, exact
+    * distinct counts, percentiles): a delete may remove the current
+    * extreme, so the touched group must genuinely re-aggregate. The
+    * pruning insight is that only groups the changelog TOUCHES can
+    * change: the touched-group set is (old groups of touched keys —
+    * from a churn-keyed semi-join of the base) ∪ (new groups in the
+    * surviving payloads), a group-cardinality-bounded frame. Every
+    * untouched group carries over from `prevAgg` by an anti-join
+    * (never re-aggregated, never even read from the base); only the
+    * next snapshot's rows in touched groups — `applyChangelog`
+    * output semi-joined to the touched groups, a partition-pruned
+    * read when the snapshot is stored partitioned/bucketed by the
+    * group key — flow through the caller's aggregation.
+    *
+    * `aggFn(rows)` computes the per-`dims` aggregate of a snapshot
+    * slice — the SAME definition that produced `prevAgg`, so
+    * maintainByRecompute(aggFn(base), …) ≡ aggFn(apply(base, log))
+    * (the x14 oracle). Complements [[maintainAggs]]: use that for
+    * sums/counts (churn-sized work), this for everything else
+    * (touched-group-sized work).
+    */
+  def maintainByRecompute(prevAgg: DataFrame, base: DataFrame,
+      log: DataFrame, keys: Seq[String], seqCol: String, opCol: String,
+      dims: Seq[String], aggFn: DataFrame => DataFrame,
+      deleteOp: String = "D"): DataFrame = {
+    val payload = logPayload(log, keys, seqCol)
+    val latest = collapseLatest(log, keys, seqCol, payload)
+    val touched = latest.select(keys.map(col): _*)
+    val oldGroups = base
+      .join(touched.hint("shuffle_hash"), keys, "left_semi")
+      .select(dims.map(col): _*)
+    val newGroups = latest.filter(notDeleted(opCol, deleteOp))
+      .select(dims.map(col): _*)
+    val touchedGroups = oldGroups.unionByName(newGroups).distinct()
+    val next = applyChangelog(base, log, keys, seqCol, opCol, deleteOp)
+    val recomputed = aggFn(
+      next.join(touchedGroups.hint("shuffle_hash"), dims, "left_semi"))
+    val carried = prevAgg.join(
+      touchedGroups.hint("shuffle_hash"), dims, "left_anti")
+    carried.unionByName(recomputed)
+  }
+
   /** Audit diff of two snapshot versions sharing a schema — what a
     * changelog batch (or a time-travel window) DID to the table:
     * per key, `change` = 'A' (present only in `next`), 'R' (present

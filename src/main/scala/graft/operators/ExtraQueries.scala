@@ -289,6 +289,29 @@ object ExtraQueries {
         dims = Seq("grp"), sumCols = Seq("price_tc"))
     }),
 
+    // x14: group-pruned recompute maintenance — min/max (and any
+    // non-subtraction-invertible aggregate) under the same changelog
+    // ([[CdcOps.maintainByRecompute]]): only the groups the changelog
+    // touches re-aggregate (keys %10 < 5 → groups {0..4}); groups
+    // {5..9} carry over from the previous view untouched. A delete
+    // can remove a group's current extreme, which is exactly why
+    // subtraction can't maintain these — the oracle recomputes over
+    // the applied snapshot and must hash-match.
+    "x14_incr_minmax" -> ((s, d) => {
+      val (base, log) = cdcFrames(s, d)
+      val kg = pmod(col("o_orderkey"), lit(10)).as("kgrp")
+      val tc = round(col("price") * 10000).cast("long").as("price_tc")
+      val b = base.select(col("o_orderkey"), kg, tc)
+      val l = log.select(col("o_orderkey"), col("seq"), col("op"),
+        kg, tc)
+      def aggFn(rows: DataFrame): DataFrame = rows.groupBy("kgrp")
+        .agg(min("price_tc").as("mn"), max("price_tc").as("mx"),
+          count(lit(1)).as("n"))
+      CdcOps.maintainByRecompute(aggFn(b), b, l,
+        keys = Seq("o_orderkey"), seqCol = "seq", opCol = "op",
+        dims = Seq("kgrp"), aggFn)
+    }),
+
     // x13: snapshot version diff — the time-travel audit view
     // ([[CdcOps.snapshotDiff]]): what generation 2 of the changelog
     // DID to the table, computed as the keyed full-outer diff of two
@@ -556,6 +579,39 @@ object ExtraQueries {
          SELECT o_custkey % 100 AS grp,
            CAST(sum(CAST(round(price * 10000, 0) AS BIGINT)) AS BIGINT)
              AS price_tc,
+           count(*) AS n
+         FROM applied GROUP BY 1""",
+    // Full recompute over the applied snapshot — x14's equivalence
+    // target (min/max CANNOT be maintained by subtraction; the op
+    // re-aggregates touched groups only, which must equal this).
+    "x14_incr_minmax" ->
+      """WITH base AS (
+           SELECT o_orderkey, o_custkey, o_totalprice AS price
+           FROM orders WHERE o_orderkey % 10 >= 3),
+         log AS (
+           SELECT o_orderkey, o_custkey, 1 AS seq, 'U' AS op,
+             o_totalprice * 1.05 AS price
+           FROM orders WHERE o_orderkey % 10 < 5
+           UNION ALL
+           SELECT o_orderkey, o_custkey, 2 AS seq,
+             CASE WHEN o_orderkey % 3 = 0 THEN 'D' ELSE 'U' END AS op,
+             o_totalprice * 1.10 AS price
+           FROM orders WHERE o_orderkey % 10 < 3),
+         latest AS (
+           SELECT o_orderkey, op, price FROM (
+             SELECT *, row_number() OVER (PARTITION BY o_orderkey
+               ORDER BY seq DESC) AS rn
+             FROM log) WHERE rn = 1),
+         applied AS (
+           SELECT b.o_orderkey, b.price
+           FROM base b LEFT JOIN latest l ON l.o_orderkey = b.o_orderkey
+           WHERE l.o_orderkey IS NULL
+           UNION ALL
+           SELECT o_orderkey, price
+           FROM latest WHERE op <> 'D')
+         SELECT o_orderkey % 10 AS kgrp,
+           min(CAST(round(price * 10000, 0) AS BIGINT)) AS mn,
+           max(CAST(round(price * 10000, 0) AS BIGINT)) AS mx,
            count(*) AS n
          FROM applied GROUP BY 1""",
     // v1 = generation 1 applied, v2 = generation 2 applied on v1;

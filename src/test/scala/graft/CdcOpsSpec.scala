@@ -156,6 +156,36 @@ class CdcOpsSpec extends SparkSpec {
     assert(!plan.contains("Window"), plan)
   }
 
+  test("group-pruned recompute maintains min/max through extreme-deletes") {
+    def aggFn(rows: org.apache.spark.sql.DataFrame) =
+      rows.groupBy("grp").agg(min("x").as("mn"), max("x").as("mx"),
+        count(lit(1)).as("n"))
+    // k2 holds g1's MAX (20): deleting it must drop the max to 15 —
+    // the case subtraction-based maintenance cannot express. g2's row
+    // moves to g3 (group death + birth), g4 is born; an all-groups-
+    // untouched view would carry over verbatim.
+    val maintained = CdcOps.maintainByRecompute(aggFn(mvBase), mvBase,
+        mvLog, Seq("k"), "seq", "op", dims = Seq("grp"), aggFn)
+      .as[(String, Long, Long, Long)].collect().toSeq.sorted
+    val recomputed = aggFn(CdcOps.applyChangelog(mvBase, mvLog,
+        Seq("k"), "seq", "op"))
+      .as[(String, Long, Long, Long)].collect().toSeq.sorted
+    assert(maintained === recomputed)
+    assert(maintained === Seq(
+      ("g1", 15L, 15L, 1L), ("g3", 31L, 31L, 1L), ("g4", 40L, 40L, 1L)))
+    // an untouched group really carries over: add one to the base
+    val base2 = mvBase.unionByName(
+      Seq((9L, "g9", 99L)).toDF("k", "grp", "x"))
+    val m2 = CdcOps.maintainByRecompute(aggFn(base2), base2, mvLog,
+        Seq("k"), "seq", "op", dims = Seq("grp"), aggFn)
+    assert(m2.filter(col("grp") === "g9")
+      .as[(String, Long, Long, Long)].head() === ("g9", 99L, 99L, 1L))
+    // the carried leg is an anti-join of the previous aggregate —
+    // untouched groups never re-aggregate
+    val plan = m2.queryExecution.executedPlan.toString
+    assert(plan.contains("LeftAnti"), plan)
+  }
+
   // ---- snapshot diff ----
 
   test("snapshot diff classifies adds, removes, changes; equals drop out") {

@@ -54,30 +54,44 @@ object Bench {
       val good = dts.filter(_ >= 0.0)
       name -> (if (good.nonEmpty) good.min else -1.0, dts)
     }
-    val total = if (results.nonEmpty) results.values.map(_._1).sum else 0.0
-    def r3(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
+    // total over SUCCEEDED queries only — summing the -1 sentinels
+    // would subtract a second per fully-failed query from the
+    // headline (n_failed reports them separately)
+    val total = results.values.map(_._1).filter(_ >= 0.0).sum
+    // Locale.ROOT: an `f"%.3f"` under a comma-decimal default locale
+    // would print 12,345 and break the driver's JSON parse
+    def r3(v: Double): String = if (v < 0) "-1"
+      else String.format(java.util.Locale.ROOT, "%.3f",
+        Double.box(v))
     // The driver keeps only the last ~2000 chars of stdout; a line
-    // carrying all ~121 queries at full double precision (plus per-run
-    // arrays) has never fit, so every prior round's file recorded
-    // parsed:null. Split the output: stdout gets ONE compact line that
-    // fits the tail (total + the slowest queries at 3 decimals), and
-    // the full per-query + per-run detail goes to BENCH_DETAIL.json in
-    // the repo, committed with the round.
-    val detail = results.toSeq.sortBy(-_._2._1).map { case (k, (v, dts)) =>
-      s"\"" + k + "\":{\"best\":" + v + ",\"runs\":" +
-        dts.mkString("[", ",", "]") + "}"
-    }.mkString("{", ",", "}")
-    val detailPath = java.nio.file.Paths.get("/root/repo/BENCH_DETAIL.json")
-    java.nio.file.Files.write(detailPath,
-      s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","mode":"best_of_2","queries":$detail}"""
-        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    // Top slowest queries, 3-decimal values: ~45 entries keep the whole
-    // line comfortably under the 2000-char tail window.
+    // carrying all ~125 queries at full double precision (plus
+    // per-run arrays) has never fit, so every prior round's file
+    // recorded parsed:null. Split the output: stdout gets ONE compact
+    // line that fits the tail (total + the slowest queries at 3
+    // decimals), and the full per-query + per-run detail goes to
+    // BENCH_DETAIL.json in the repo, committed with the round. The
+    // stdout line prints FIRST — a failed detail write must not cost
+    // the whole run's results.
     val top = results.toSeq.sortBy(-_._2._1).take(45)
       .map { case (k, (v, _)) => s"\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val nFail = results.values.count(_._1 < 0)
     println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$top,"sf":"$sfDir","mode":"best_of_2","n_queries":${results.size},"n_failed":$nFail,"detail":"BENCH_DETAIL.json"}""")
+    val detail = results.toSeq.sortBy(-_._2._1).map { case (k, (v, dts)) =>
+      s"\"" + k + "\":{\"best\":" + v + ",\"runs\":" +
+        dts.mkString("[", ",", "]") + "}"
+    }.mkString("{", ",", "}")
+    try {
+      // cwd-relative: sbt runs from the repo root; a clone elsewhere
+      // still gets its detail file next to its build
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get("BENCH_DETAIL.json").toAbsolutePath,
+        s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","mode":"best_of_2","queries":$detail}"""
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } catch {
+      case e: java.io.IOException =>
+        System.err.println(s"[bench] detail write failed: $e")
+    }
     spark.stop()
   }
 }

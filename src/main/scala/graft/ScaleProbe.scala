@@ -19,11 +19,14 @@ object ScaleProbe {
     import spark.implicits._
 
     val only = args.toSeq
-    // a probe runs iff some arg substring matches its name; `want`
-    // applies the SAME predicate to a setup block shared by a set of
-    // probes, so a substring-filtered run (e.g. `ScaleProbe seq-pack`)
-    // never pays for excluded probes' data generation / caches /
-    // artifact writes
+    // a probe runs iff some arg is a substring of its name; `want`
+    // applies the SAME predicate to a setup block (or probe group),
+    // so a substring-filtered run (e.g. `ScaleProbe seq-pack`) never
+    // pays for excluded probes' data generation / caches / artifact
+    // writes. The names passed here must be the FULL probe names —
+    // a prefix would reject filter args that match only the name's
+    // tail (e.g. `ScaleProbe 10k` matches "groupBy agg (10k keys)"
+    // in time() but not the prefix "groupBy agg").
     def want(names: String*): Boolean =
       only.isEmpty || names.exists(nm => only.exists(nm.contains))
     def time[A](name: String, rows: Long)(f: => A): Unit = {
@@ -45,8 +48,8 @@ object ScaleProbe {
       e.count() // materialize outside the timings
       e
     }
-    if (want("groupBy agg", "window lag", "running sum",
-        "count-min sketch")) events
+    if (want("groupBy agg (10k keys)", "window lag/gap flags",
+        "running sum window", "count-min sketch (4x1024)")) events
 
     time("groupBy agg (10k keys)", n) {
       events.groupBy("series").agg(sum("v"), avg("v"), count(lit(1)))
@@ -195,8 +198,8 @@ object ScaleProbe {
       v.count()
       v
     }
-    if (want("vec_dot", "pq_assign", "pq_adc", "ivfpq serve",
-        "ivf_assign")) vecs
+    if (want("vec_dot self (64-dim)", "pq_assign encode (8x16x8)",
+        "pq_adc scan (8x16x8)", "ivfpq serve 1k-q batch")) vecs
     time("vec_dot self (64-dim)", m) {
       vecs.select(expr("vec_dot(vec, vec)"))
         .write.format("noop").mode("overwrite").save()
@@ -361,7 +364,7 @@ object ScaleProbe {
     // column; the rewrite touches 3/64ths of the files. At 100 TB
     // that write ratio is the difference between a maintenance job
     // and an outage.
-    if (want("artifact delete")) {
+    if (want("artifact delete pruned (2M)", "artifact delete full-rw (2M)")) {
       val artN = 2000000L
       val artRoot = java.nio.file.Files
         .createTempDirectory("graft-probe-del").toString
@@ -423,7 +426,8 @@ object ScaleProbe {
     // of the base + group-sized delta merge), the recompute's tracks
     // the full post-apply snapshot — the gap is the entire point of
     // maintainAggs, and it widens linearly with base/churn ratio.
-    if (want("mv maintain", "mv recompute")) {
+    if (want("mv maintain (20M base, 2M log, 1k groups)",
+        "mv recompute (apply + full re-agg)")) {
       def mvBase = spark.range(n).select(col("id").as("k"),
         (col("id") % 1000).as("g"),
         (col("id") % 97).as("x"))
@@ -460,7 +464,9 @@ object ScaleProbe {
     // EITHER z column prunes row groups (timed against the same scan
     // over a flat layout — the delta is parquet min/max skipping,
     // exactly what a 100 TB table's maintenance job buys its readers)
-    if (want("zorder")) {
+    if (want("zorder write (20M, 2 cols)", "flat write (20M)",
+        "k2-slice scan, zordered (3% of domain)",
+        "k2-slice scan, flat")) {
       val zRoot = java.nio.file.Files
         .createTempDirectory("graft-probe-z").toString
       val zdf = spark.range(n).select(
@@ -499,7 +505,8 @@ object ScaleProbe {
       t.count()
       t
     }
-    if (want("rolling_hash", "ngram_distinct_count")) texts
+    if (want("rolling_hash (64 chars)",
+        "ngram_distinct_count n=3")) texts
     time("rolling_hash (64 chars)", n) {
       texts.select(expr("rolling_hash(text)"))
         .write.format("noop").mode("overwrite").save()

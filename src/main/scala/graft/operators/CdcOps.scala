@@ -36,6 +36,15 @@ object CdcOps {
       s"base columns ${base.columns.toSeq} must be keys $keys + " +
         s"changelog payload ${payload.filterNot(_ == opCol)}")
     val latest = collapseLatest(log, keys, seqCol, payload)
+    applyCollapsed(base, latest, keys, opCol, deleteOp)
+  }
+
+  /** [[applyChangelog]] body over an ALREADY-collapsed changelog (one
+    * row per key) — shared so ops that need the collapse themselves
+    * ([[maintainByRecompute]]) never pay the max_by aggregation twice.
+    */
+  private def applyCollapsed(base: DataFrame, latest: DataFrame,
+      keys: Seq[String], opCol: String, deleteOp: String): DataFrame = {
     // shuffle-hash build on the collapsed keys: the base (the 100 TB
     // side) must never be SORTED for this join — SMJ would sort every
     // snapshot partition to anti-join a key set bounded by the
@@ -96,12 +105,15 @@ object CdcOps {
     * `shuffle_hash` contract as [[applyChangelog]]). Everything else
     * is churn- or group-cardinality-sized: removed contributions
     * (the touched keys' OLD rows, negated) union added contributions
-    * (the surviving latest payloads) collapse to a per-group delta in
-    * one partial-aggregated exchange, and the delta full-outer-joins
-    * the previous aggregate — group-count rows, not base rows. A
-    * group whose count reaches zero is dropped (it no longer exists
-    * in the view); a group first seen in the delta is born from the
-    * outer join's null side.
+    * (the surviving latest payloads) union the previous aggregate's
+    * rows and collapse per group in ONE summing aggregation — the
+    * partial stage collapses map-side, group-count rows cross the
+    * exchange, and a NULL group key merges correctly (grouping
+    * treats null as a group; a join-based merge would split it — the
+    * same null-safety reasoning as [[snapshotDiff]]'s formulation).
+    * A group whose count reaches zero is dropped (it no longer
+    * exists in the view); a group first seen in the delta is born
+    * with its contributions alone.
     *
     * Equivalence contract (the x12 oracle): maintainAggs(agg(base))
     * ≡ agg(applyChangelog(base, log)) for the same keys/seq/op.
@@ -126,15 +138,11 @@ object CdcOps {
     val added = latest.filter(notDeleted(opCol, deleteOp))
       .select(dims.map(col) ++ sumCols.map(col)
         :+ lit(1L).as(cntCol): _*)
-    val dAggs = (sumCols :+ cntCol).map(c => sum(col(c)).as(s"__d_$c"))
-    val delta = removed.unionByName(added)
+    val merged = (sumCols :+ cntCol).map(c => sum(col(c)).as(c))
+    prevAgg.select(dims.map(col) ++ (sumCols :+ cntCol).map(col): _*)
+      .unionByName(removed).unionByName(added)
       .groupBy(dims.map(col): _*)
-      .agg(dAggs.head, dAggs.tail: _*)
-    prevAgg.join(delta, dims, "full_outer")
-      .select(dims.map(col) ++ (sumCols :+ cntCol).map { c =>
-        (coalesce(col(c), lit(0)) + coalesce(col(s"__d_$c"), lit(0)))
-          .as(c)
-      }: _*)
+      .agg(merged.head, merged.tail: _*)
       .filter(col(cntCol) > 0)
   }
 
@@ -173,11 +181,19 @@ object CdcOps {
     val newGroups = latest.filter(notDeleted(opCol, deleteOp))
       .select(dims.map(col): _*)
     val touchedGroups = oldGroups.unionByName(newGroups).distinct()
-    val next = applyChangelog(base, log, keys, seqCol, opCol, deleteOp)
-    val recomputed = aggFn(
-      next.join(touchedGroups.hint("shuffle_hash"), dims, "left_semi"))
-    val carried = prevAgg.join(
-      touchedGroups.hint("shuffle_hash"), dims, "left_anti")
+    val next = applyCollapsed(base, latest, keys, opCol, deleteOp)
+    // the group joins must be NULL-SAFE: a null group key is a real
+    // group (aggFn's groupBy treats it as one), but an equality join
+    // never matches null — the null group would neither re-aggregate
+    // nor be evicted from the carried previous view. Renamed right
+    // side + <=> conditions (renaming also severs attribute lineage
+    // shared through `latest`/`base` on both sides of the join).
+    val tg = touchedGroups.select(dims.map(d =>
+      col(d).as(s"__tg_$d")): _*).hint("shuffle_hash")
+    def nullSafeOn(left: DataFrame) = dims.map(d =>
+      left(d) <=> tg(s"__tg_$d")).reduce(_ && _)
+    val recomputed = aggFn(next.join(tg, nullSafeOn(next), "left_semi"))
+    val carried = prevAgg.join(tg, nullSafeOn(prevAgg), "left_anti")
     carried.unionByName(recomputed)
   }
 

@@ -85,8 +85,20 @@ object LayoutOps {
       percentile_approx(col(c).cast("double"),
         typedLit(probs), lit(10000)).as(c)): _*).head()
     val cuts: Map[String, Seq[Double]] = cols.zipWithIndex.map {
-      case (c, i) => c -> cutRow.getSeq[Double](i)
+      case (c, i) =>
+        require(!cutRow.isNullAt(i),
+          s"zorderWrite: column `$c` has no non-null values (or the " +
+            "input is empty) — no quantile cuts to cluster on")
+        // non-finite cuts (a column containing ±Infinity) are useless
+        // as bucket boundaries AND unrepresentable as SQL literals;
+        // dropping them folds infinite values into the edge buckets,
+        // which is where they belong
+        c -> cutRow.getSeq[Double](i).filter(java.lang.Double.isFinite)
     }.toMap
+    require(cuts.values.forall(_.nonEmpty),
+      s"zorderWrite: a z column's quantile cuts are all non-finite — " +
+        s"cannot cluster on it (cuts per column: " +
+        s"${cuts.view.mapValues(_.size).toMap})")
     // bucket of v in [0, 2^bits): count of cuts <= v — the native
     // binary-search expression ([[graft.functions.QuantileBucket]]):
     // log2 comparisons per row per column inside whole-stage codegen,

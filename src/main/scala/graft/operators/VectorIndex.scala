@@ -86,12 +86,18 @@ object VectorIndex {
     * lifecycle (append / rebuild policy), not cache invalidation.
     */
   def artifactRoot(tag: String, datasetDir: String): String = {
-    val root = new java.io.File(datasetDir)
+    // canonicalize BEFORE walking so every child path inherits the
+    // canonical prefix — two spellings of the same dataset dir
+    // (trailing dot, symlink) must produce one key, not duplicate
+    // artifacts; a child listing that races a concurrent delete
+    // (listFiles -> null) contributes nothing rather than NPE-ing
+    val root = new java.io.File(datasetDir).getCanonicalFile
     def walk(f: java.io.File): Seq[String] =
       if (f.isDirectory)
-        f.listFiles().sortBy(_.getName).toSeq.flatMap(walk)
+        Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
+          .sortBy(_.getName).toSeq.flatMap(walk)
       else Seq(s"${f.getPath}:${f.length}:${f.lastModified}")
-    val sig = root.getCanonicalPath +: walk(root)
+    val sig = root.getPath +: walk(root)
     val key = java.security.MessageDigest.getInstance("MD5")
       .digest(sig.mkString("\n")
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))

@@ -156,6 +156,43 @@ class CdcOpsSpec extends SparkSpec {
     assert(!plan.contains("Window"), plan)
   }
 
+  test("a NULL group key is one group in both maintenance paths") {
+    // null is a legitimate group under groupBy; equality-based joins
+    // would either split it (delta merge) or let it dodge both the
+    // recompute and the eviction (group pruning). k10 lives in the
+    // null group and gets updated; k11 joins the null group from g1.
+    val base = mvBase.unionByName(Seq((10L, Option.empty[String], 7L))
+      .toDF("k", "grp", "x"))
+    val log = mvLog.unionByName(Seq(
+      (10L, 1L, "U", Option.empty[String], 9L),
+      (11L, 1L, "U", Option.empty[String], 5L))
+      .toDF("k", "seq", "op", "grp", "x"))
+    val applied = CdcOps.applyChangelog(base, log, Seq("k"), "seq", "op")
+    val sumPrev = base.groupBy("grp")
+      .agg(sum("x").as("x"), count(lit(1)).as("n"))
+    val sumMaint = CdcOps.maintainAggs(sumPrev, base, log,
+        Seq("k"), "seq", "op", dims = Seq("grp"), sumCols = Seq("x"))
+      .as[(Option[String], Long, Long)].collect().toSeq.sortBy(_.toString)
+    val sumRecomp = applied.groupBy("grp")
+      .agg(sum("x").as("x"), count(lit(1)).as("n"))
+      .as[(Option[String], Long, Long)].collect().toSeq.sortBy(_.toString)
+    assert(sumMaint === sumRecomp)
+    assert(sumMaint.exists { case (g, x, n) => g.isEmpty && x == 14L && n == 2L })
+    def aggFn(rows: org.apache.spark.sql.DataFrame) =
+      rows.groupBy("grp").agg(min("x").as("mn"), max("x").as("mx"),
+        count(lit(1)).as("n"))
+    val mmMaint = CdcOps.maintainByRecompute(aggFn(base), base, log,
+        Seq("k"), "seq", "op", dims = Seq("grp"), aggFn)
+      .as[(Option[String], Long, Long, Long)].collect().toSeq
+      .sortBy(_.toString)
+    val mmRecomp = aggFn(applied)
+      .as[(Option[String], Long, Long, Long)].collect().toSeq
+      .sortBy(_.toString)
+    assert(mmMaint === mmRecomp)
+    assert(mmMaint.exists { case (g, mn, mx, n) =>
+      g.isEmpty && mn == 5L && mx == 9L && n == 2L })
+  }
+
   test("group-pruned recompute maintains min/max through extreme-deletes") {
     def aggFn(rows: org.apache.spark.sql.DataFrame) =
       rows.groupBy("grp").agg(min("x").as("mn"), max("x").as("mx"),

@@ -197,6 +197,44 @@ object CdcOps {
     carried.unionByName(recomputed)
   }
 
+  /** Versions of a `prefix`-chained artifact present under `root`
+    * (snapshots as `snap0..snapN`, aggregates as `agg0..aggN`) — ONE
+    * driver-side directory listing, never a data read. Sorted
+    * ascending; subject to the writer's retention window.
+    */
+  def listVersions(ss: org.apache.spark.sql.SparkSession, root: String,
+      prefix: String = "snap"): Seq[Int] = {
+    val p = new org.apache.hadoop.fs.Path(root)
+    val fs = p.getFileSystem(ss.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq.map(_.getPath.getName)
+      .filter(_.startsWith(prefix))
+      .flatMap(n => n.drop(prefix.length).toIntOption)
+      .sorted
+  }
+
+  /** TIME-TRAVEL READ: version `v` of a chained artifact — the
+    * snapshot after micro-batch v-1 committed (v = 0 is the seeded
+    * base). Fails with the available window rather than a bare
+    * missing-path error when `v` has been retention-pruned; pair
+    * with [[snapshotDiff]] for an audit of what any version range
+    * changed.
+    */
+  def readVersion(ss: org.apache.spark.sql.SparkSession, root: String,
+      v: Int, prefix: String = "snap"): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(s"$root/$prefix$v")
+    val fs = p.getFileSystem(ss.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) {
+      val have = listVersions(ss, root, prefix)
+      throw new IllegalArgumentException(
+        s"readVersion: $prefix$v not present under $root — " +
+          (if (have.isEmpty) "no versions exist"
+           else s"retained versions: ${have.mkString(", ")}") +
+          " (older versions fall off the writer's retention window)")
+    }
+    ss.read.parquet(p.toString)
+  }
+
   /** Audit diff of two snapshot versions sharing a schema — what a
     * changelog batch (or a time-travel window) DID to the table:
     * per key, `change` = 'A' (present only in `next`), 'R' (present

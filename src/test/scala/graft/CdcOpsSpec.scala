@@ -99,6 +99,15 @@ class CdcOpsSpec extends SparkSpec {
       assert(!java.nio.file.Files.exists(root.resolve("snap0")))
       assert((1 to 2).forall(i => java.nio.file.Files
         .isDirectory(root.resolve(s"snap$i"))))
+      // the version API sees exactly the retained window, and a
+      // pruned version fails with the window in the message instead
+      // of a bare missing-path error
+      assert(CdcOps.listVersions(spark, root.toString) === Seq(1, 2))
+      assert(CdcOps.readVersion(spark, root.toString, 2).count() ===
+        oneShot.size.toLong)
+      assert(intercept[IllegalArgumentException] {
+        CdcOps.readVersion(spark, root.toString, 0)
+      }.getMessage.contains("retained versions: 1, 2"))
       // a replay of the LAST batch must still be possible: its input
       // version (snap1) is inside the window by the retain >= 1 floor
       assert(intercept[IllegalArgumentException] {
@@ -311,7 +320,7 @@ class CdcOpsSpec extends SparkSpec {
       // produced a correct, queryable snapshot, not just the last
       assert((0 to 2).forall(i => java.nio.file.Files
         .isDirectory(root.resolve(s"snap$i"))))
-      val v1 = spark.read.parquet(s"$root/snap1")
+      val v1 = CdcOps.readVersion(spark, root.toString, 1)
         .as[(Long, Long, Double, String)].collect().toSeq.sorted
       val gen1Only = CdcOps.applyChangelog(b,
           log.filter(col("seq") === 1L), Seq("o_orderkey"), "seq", "op")

@@ -40,12 +40,22 @@ object Tables {
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     val raw = table(spark, dir, "events")
-    raw.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType =>
-        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case org.apache.spark.sql.types.TimestampNTZType =>
-        raw.withColumn("ts", col("ts").cast("timestamp"))
-      case _ => raw
-    }
+    normalizeTs(raw, raw.schema("ts").dataType)
   }
+
+  /** The per-encoding `ts` normalization — ONE definition shared by
+    * the batch loader above and the streaming twin
+    * ([[graft.streaming.StreamingOps.eventsStream]]), so a future
+    * encoding can't be handled in one and silently missed in the
+    * other.
+    */
+  private[graft] def normalizeTs(df: DataFrame,
+      onDisk: org.apache.spark.sql.types.DataType): DataFrame =
+    onDisk match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => df
+    }
 }

@@ -40,9 +40,33 @@ object LayoutOps {
     require(cols.nonEmpty && partitions >= 1,
       s"clusterWrite: need cluster columns and partitions >= 1 " +
         s"(got $cols, $partitions)")
+    requireNotSelfOverwrite(df, dir, "clusterWrite")
     df.repartitionByRange(partitions, cols.map(col): _*)
       .sortWithinPartitions(cols.map(col): _*)
       .write.options(extraWriteOpts).mode("overwrite").parquet(dir)
+  }
+
+  /** An overwrite into a directory the frame READS destroys the
+    * source mid-job (the overwrite deletes `dir` before the write
+    * job's scan runs — nothing is written and the input is gone).
+    * [[compact]] guards its explicit src/dst pair; the clustered
+    * writes take an arbitrary frame, so the guard checks the frame's
+    * resolved input files against the target.
+    */
+  private def requireNotSelfOverwrite(df: DataFrame, dir: String,
+      op: String): Unit = {
+    val target = new org.apache.hadoop.fs.Path(dir)
+    val fs = target.getFileSystem(
+      df.sparkSession.sparkContext.hadoopConfiguration)
+    val q = fs.makeQualified(target).toString
+    val hit = df.inputFiles.find(f =>
+      fs.makeQualified(new org.apache.hadoop.fs.Path(f)).toString
+        .startsWith(q + "/"))
+    require(hit.isEmpty,
+      s"$op: the input frame reads from the overwrite target $dir " +
+        s"(e.g. ${hit.getOrElse("")}) — the overwrite would destroy " +
+        "the source before the write job scans it; write to a " +
+        "sibling and swap instead")
   }
 
   /** Write `df` clustered on a Z-ORDER (Morton) curve over `cols` —
@@ -63,9 +87,12 @@ object LayoutOps {
     * contiguous curve segments, sorted within each so row-group
     * boundaries cut the curve into spatially-local tiles.
     *
-    * Content-preserving by construction (the z column is dropped
-    * after the sort, which adds no exchange). `bits` per column;
-    * `cols.size * bits` must fit a long (≤ 63).
+    * Content-preserving by construction (the working columns are
+    * collision-free generated names, dropped after the sort, which
+    * adds no exchange). `bits` per column, capped at 16: beyond that
+    * the cut array per column (2^bits − 1 doubles) stops being
+    * dim-sized and the curve resolution long exceeds what row-group
+    * min/max stats can use; `cols.size * bits` must also fit a long.
     */
   def zorderWrite(df: DataFrame, cols: Seq[String], partitions: Int,
       dir: String, bits: Int = 8,
@@ -73,9 +100,12 @@ object LayoutOps {
     require(cols.size >= 2,
       s"zorderWrite: z-order needs >= 2 columns (got $cols) — use " +
         "clusterWrite for a single cluster key")
-    require(bits >= 1 && cols.size * bits <= 63,
+    require(bits >= 1 && bits <= 16,
+      s"zorderWrite: bits must be in [1, 16] (got $bits)")
+    require(cols.size * bits <= 63,
       s"zorderWrite: ${cols.size} cols x $bits bits must fit a long")
     require(partitions >= 1, s"zorderWrite: partitions >= 1")
+    requireNotSelfOverwrite(df, dir, "zorderWrite")
     val nBuckets = 1 << bits
     // one aggregation pass for every column's quantile cuts (the
     // probabilities exclude 0.0: bucket of v = #cuts <= v, so the
@@ -111,19 +141,32 @@ object LayoutOps {
       expr(s"quantile_bucket(cast(`$c` as double), array($lits))")
         .cast("long")
     }
-    // Morton interleave: bit b of column i lands at position
-    // b * nCols + i
+    // working column names that cannot collide with the caller's
+    // schema — "content-preserving" must hold even for a frame that
+    // already carries a __z column
+    def fresh(base: String): String = Iterator.from(0)
+      .map(i => if (i == 0) base else s"$base$i")
+      .find(n => !df.columns.contains(n)).get
+    val zc = fresh("__z")
+    val bcols = cols.map(c => c -> fresh(s"__zb_${c.hashCode.toHexString}"))
+    // each bucket is computed ONCE into its own column, then the
+    // Morton interleave reads the materialized buckets — the z
+    // expression would otherwise embed `bits` copies of every
+    // bucket search (and its cut-literal array) per column, leaving
+    // the cost to the mercy of codegen subexpression elimination.
+    // Interleave: bit b of column i lands at position b * nCols + i.
     val n = cols.size
     val z = (0 until bits).foldLeft(lit(0L)) { (acc, b) =>
-      cols.zipWithIndex.foldLeft(acc) { case (a, (c, i)) =>
+      bcols.zipWithIndex.foldLeft(acc) { case (a, ((_, bc), i)) =>
         a.bitwiseOR(shiftleft(
-          shiftright(bucket(c), b).bitwiseAND(lit(1L)), b * n + i))
+          shiftright(col(bc), b).bitwiseAND(lit(1L)), b * n + i))
       }
     }
-    df.withColumn("__z", z)
-      .repartitionByRange(partitions, col("__z"))
-      .sortWithinPartitions("__z")
-      .drop("__z")
+    bcols.foldLeft(df) { case (d, (c, bc)) => d.withColumn(bc, bucket(c)) }
+      .withColumn(zc, z)
+      .repartitionByRange(partitions, col(zc))
+      .sortWithinPartitions(zc)
+      .drop(zc +: bcols.map(_._2): _*)
       .write.options(extraWriteOpts).mode("overwrite").parquet(dir)
   }
 

@@ -86,23 +86,55 @@ object VectorIndex {
     * lifecycle (append / rebuild policy), not cache invalidation.
     */
   def artifactRoot(tag: String, datasetDir: String): String = {
-    // canonicalize BEFORE walking so every child path inherits the
-    // canonical prefix — two spellings of the same dataset dir
-    // (trailing dot, symlink) must produce one key, not duplicate
-    // artifacts; a child listing that races a concurrent delete
-    // (listFiles -> null) contributes nothing rather than NPE-ing
+    // canonicalize BEFORE walking so two spellings of the same
+    // dataset dir (trailing dot, symlinked root) produce one key,
+    // not duplicate artifacts; children are recorded RELATIVE to the
+    // root (as documented — two identical copies at different mounts
+    // still key differently only via the root line). A child listing
+    // that races a concurrent delete (listFiles -> null) contributes
+    // nothing rather than NPE-ing, and symlinked DIRECTORIES are
+    // fingerprinted as links, not followed — following would let a
+    // self- or ancestor-pointing link recurse forever.
     val root = new java.io.File(datasetDir).getCanonicalFile
-    def walk(f: java.io.File): Seq[String] =
-      if (f.isDirectory)
+    val prefix = root.getPath + java.io.File.separator
+    def walk(f: java.io.File): Seq[String] = {
+      val rel = f.getPath.stripPrefix(prefix)
+      if (java.nio.file.Files.isSymbolicLink(f.toPath))
+        Seq(s"$rel:link:${java.nio.file.Files.readSymbolicLink(f.toPath)}")
+      else if (f.isDirectory)
         Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
           .sortBy(_.getName).toSeq.flatMap(walk)
-      else Seq(s"${f.getPath}:${f.length}:${f.lastModified}")
-    val sig = root.getPath +: walk(root)
-    val key = java.security.MessageDigest.getInstance("MD5")
-      .digest(sig.mkString("\n")
-        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      .map("%02x".format(_)).mkString.take(16)
-    s"${sys.props("java.io.tmpdir")}/graft-artifacts/$tag-$key"
+      else Seq(s"$rel:${f.length}:${f.lastModified}")
+    }
+    def md5(s: String): String = java.security.MessageDigest
+      .getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
+    // the root name carries TWO keys: the dataset PATH key (which
+    // dataset) and the CONTENT key (which generation of it). A
+    // regeneration changes only the content key — the previous
+    // generation's root under the same (tag, path) is then garbage
+    // by construction (nothing can ever resolve it again), and is
+    // pruned here so fingerprint-keyed roots don't accumulate one
+    // abandoned index per regeneration. Roots of OTHER datasets
+    // sharing the tag (different path key) are never touched. Same
+    // single-writer contract as every artifact mutation.
+    val pathKey = md5(root.getPath).take(8)
+    val contentKey = md5(walk(root).mkString("\n")).take(16)
+    val parent = new java.io.File(
+      s"${sys.props("java.io.tmpdir")}/graft-artifacts")
+    val name = s"$tag-$pathKey-$contentKey"
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory && !java.nio.file.Files.isSymbolicLink(f.toPath))
+        Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
+          .foreach(rm)
+      f.delete()
+    }
+    Option(parent.listFiles()).getOrElse(Array.empty[java.io.File])
+      .filter(f => f.getName.startsWith(s"$tag-$pathKey-") &&
+        f.getName != name)
+      .foreach(rm)
+    s"${parent.getPath}/$name"
   }
 
   /** Build the artifact only if absent (detected by the corpus write's

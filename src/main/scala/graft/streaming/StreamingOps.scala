@@ -149,13 +149,7 @@ object StreamingOps {
       .schema(onDisk)
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
-    onDisk("ts").dataType match {
-      case LongType =>
-        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case TimestampNTZType =>
-        raw.withColumn("ts", col("ts").cast("timestamp"))
-      case _ => raw
-    }
+    graft.Tables.normalizeTs(raw, onDisk("ts").dataType)
   }
 
   /** Typed event row for stateful streaming ops. */

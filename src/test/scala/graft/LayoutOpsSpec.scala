@@ -131,8 +131,37 @@ class LayoutOpsSpec extends SparkSpec {
         LayoutOps.zorderWrite(df, Seq("a"), 1, s"$root/x")
       }
       intercept[IllegalArgumentException] {
+        // bits past the cap: 31 would also overflow 1 << bits into
+        // Int.MinValue while passing a cols*bits <= 63 check
         LayoutOps.zorderWrite(df, Seq("a", "b"), 1, s"$root/x",
-          bits = 32) // 64 interleaved bits overflow a long
+          bits = 31)
+      }
+      intercept[IllegalArgumentException] {
+        // an all-null z column has no quantile cuts
+        LayoutOps.zorderWrite(Seq((Option.empty[java.lang.Long], 2L))
+          .toDF("a", "b"), Seq("a", "b"), 1, s"$root/x")
+      }
+    }
+  }
+
+  test("z-order preserves a caller column named __z; self-overwrite rejected") {
+    withDir { root =>
+      // __z is a legal user column — the op's working columns must
+      // dodge it, not silently destroy it
+      val df = Seq((1L, 10L, "keep1"), (2L, 20L, "keep2"),
+        (3L, 30L, "keep3")).toDF("a", "b", "__z")
+      LayoutOps.zorderWrite(df, Seq("a", "b"), 1, s"$root/z", bits = 2)
+      assert(spark.read.parquet(s"$root/z")
+        .as[(Long, Long, String)].collect().sorted ===
+        Seq((1L, 10L, "keep1"), (2L, 20L, "keep2"), (3L, 30L, "keep3")))
+      // overwriting the directory the frame reads would destroy the
+      // source mid-job — both clustered writes refuse
+      val back = spark.read.parquet(s"$root/z")
+      intercept[IllegalArgumentException] {
+        LayoutOps.zorderWrite(back, Seq("a", "b"), 1, s"$root/z")
+      }
+      intercept[IllegalArgumentException] {
+        LayoutOps.clusterWrite(back, Seq("a"), 1, s"$root/z")
       }
     }
   }

@@ -459,6 +459,50 @@ object ScaleProbe {
       prevAgg.unpersist()
     }
 
+    // the same comparison at AGGREGATION WIDTH: a narrow 1k-group /
+    // 1-sum view buries the maintained path's advantage under the
+    // shared base shuffle (the unbucketed local shape — measured
+    // within noise above); widening the view to a string-keyed
+    // composite group and 4 sums makes the recompute's full re-agg
+    // pass genuinely expensive while the maintained path's delta stays
+    // churn-sized. This is the dimension the gap actually scales
+    // with (the other being base:churn ratio, which bucketing serves).
+    if (want("mv maintain wide (4 sums)",
+        "mv recompute wide (4 sums)")) {
+      def wBase = spark.range(n).select(col("id").as("k"),
+        concat(lit("grp-"), (col("id") % 100000).cast("string")).as("g"),
+        (col("id") % 97).as("x1"), (col("id") % 89).as("x2"),
+        (col("id") % 83).as("x3"), (col("id") % 79).as("x4"))
+      def wLog = spark.range(2000000L).select(
+        (col("id") * 10).as("k"), (col("id") % 2L + 1L).as("seq"),
+        when(col("id") % 3 === 0, "D").otherwise("U").as("op"),
+        concat(lit("grp-"), (col("id") % 100000).cast("string")).as("g"),
+        (col("id") % 71).as("x1"), (col("id") % 67).as("x2"),
+        (col("id") % 61).as("x3"), (col("id") % 59).as("x4"))
+      val sums = Seq("x1", "x2", "x3", "x4")
+      def aggOf(df: org.apache.spark.sql.DataFrame) =
+        df.groupBy("g").agg(sum("x1").as("x1"), sum("x2").as("x2"),
+          sum("x3").as("x3"), sum("x4").as("x4"),
+          count(lit(1)).as("n"))
+      val wPrev = aggOf(wBase).cache()
+      wPrev.count()
+      graft.operators.CdcOps.maintainAggs(wPrev,
+          wBase.limit(1000000), wLog.limit(1000000),
+          Seq("k"), "seq", "op", dims = Seq("g"), sumCols = sums)
+        .write.format("noop").mode("overwrite").save()
+      time("mv maintain wide (4 sums)", 2000000L) {
+        graft.operators.CdcOps.maintainAggs(wPrev, wBase, wLog,
+            Seq("k"), "seq", "op", dims = Seq("g"), sumCols = sums)
+          .write.format("noop").mode("overwrite").save()
+      }
+      time("mv recompute wide (4 sums)", n + 2000000L) {
+        aggOf(graft.operators.CdcOps
+            .applyChangelog(wBase, wLog, Seq("k"), "seq", "op"))
+          .write.format("noop").mode("overwrite").save()
+      }
+      wPrev.unpersist()
+    }
+
     // z-order at write scale: the write pays one quantile pass + one
     // range shuffle; the payoff is that a selective predicate on
     // EITHER z column prunes row groups (timed against the same scan

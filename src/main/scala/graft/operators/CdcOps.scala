@@ -346,7 +346,7 @@ object CdcOps {
       s"streamApply: retainVersions >= 1 (got $retainVersions) — the " +
         "in-flight batch's input version must survive for replay")
     base.write.mode("overwrite").parquet(s"$root/snap0")
-    graft.streaming.StreamingOps.stageOrderedArrivals(
+    val staged = graft.streaming.StreamingOps.stageOrderedArrivals(
       log, seqCol, nFiles, s"$root/arrivals")
     // version = batchId + 1: the DURABLE counter — a replayed batch
     // reads version batchId and overwrites version batchId+1, so the
@@ -368,19 +368,20 @@ object CdcOps {
       }
     }
     // the CURRENT version is DERIVED, not discovered: the staged log
-    // replays as exactly `nFiles` one-file micro-batches, so the final
-    // snapshot is snap{nFiles} — batch N reads snapN and writes
-    // snapN+1, and a restarted stream that finds every batch committed
-    // still lands on the same version. A max() over the directory
-    // would instead adopt a HIGHER-numbered leftover snapshot from a
-    // previous longer run sharing the root; assert the derived version
-    // exists rather than trusting the listing.
-    val p = new org.apache.hadoop.fs.Path(s"$root/snap$nFiles")
+    // replays as exactly one micro-batch per STAGED file (sparse seq
+    // ranges can stage fewer than nFiles), so the final snapshot is
+    // snap{staged} — batch N reads snapN and writes snapN+1, and a
+    // restarted stream that finds every batch committed still lands
+    // on the same version. A max() over the directory would instead
+    // adopt a HIGHER-numbered leftover snapshot from a previous
+    // longer run sharing the root; assert the derived version exists
+    // rather than trusting the listing.
+    val p = new org.apache.hadoop.fs.Path(s"$root/snap$staged")
     val fs = p.getFileSystem(ss.sparkContext.hadoopConfiguration)
     require(fs.exists(p),
-      s"streamApply: expected final snapshot $p after $nFiles " +
+      s"streamApply: expected final snapshot $p after $staged " +
         "micro-batches — the replay did not commit every staged file")
-    ss.read.parquet(s"$root/snap$nFiles")
+    ss.read.parquet(s"$root/snap$staged")
   }
 
   /** CONTINUOUS incremental-aggregate maintenance — the streaming MV
@@ -417,7 +418,7 @@ object CdcOps {
     }
     base.write.mode("overwrite").parquet(s"$root/snap0")
     aggOf(base).write.mode("overwrite").parquet(s"$root/agg0")
-    graft.streaming.StreamingOps.stageOrderedArrivals(
+    val staged = graft.streaming.StreamingOps.stageOrderedArrivals(
       log, seqCol, nFiles, s"$root/arrivals")
     graft.streaming.StreamingOps.replayOrdered(ss, log.schema,
         s"$root/arrivals", s"$root/ckpt") { (batch, batchId) =>
@@ -437,11 +438,11 @@ object CdcOps {
         }
       }
     }
-    val p = new org.apache.hadoop.fs.Path(s"$root/agg$nFiles")
+    val p = new org.apache.hadoop.fs.Path(s"$root/agg$staged")
     val fs = p.getFileSystem(ss.sparkContext.hadoopConfiguration)
     require(fs.exists(p),
-      s"streamMaintain: expected final aggregate $p after $nFiles " +
+      s"streamMaintain: expected final aggregate $p after $staged " +
         "micro-batches — the replay did not commit every staged file")
-    ss.read.parquet(s"$root/agg$nFiles")
+    ss.read.parquet(s"$root/agg$staged")
   }
 }

@@ -181,9 +181,10 @@ object DedupIndex {
     * after a delete equals probing an index built without the ids —
     * the oracle-gated contract (d13).
     */
-  def delete(s: SparkSession, dir: String, tombs: DataFrame): Unit =
+  def delete(s: SparkSession, dir: String, tombs: DataFrame,
+      idCol: String = "doc_id"): Unit =
     LayoutOps.deleteKeysPartitioned(s, s"$dir/buckets", "band",
-      "doc_id", tombs)
+      idCol, tombs)
 
   /** Admission decisions for an arriving batch: every candidate pair
     * is VERIFIED by char-4-gram Jaccard over `grams` (`idCol`,
@@ -197,13 +198,29 @@ object DedupIndex {
     */
   def gateDecisions(cand: DataFrame, grams: DataFrame,
       arrivals: DataFrame, idCol: String, threshold: Double): DataFrame = {
+    // LEFT joins + loud failure on a missing grams row: an inner join
+    // would silently DROP a candidate pair whose id is absent from
+    // the verification table — and a dropped pair means the arrival
+    // is ADMITTED unverified, the worst silent failure a dedup gate
+    // can have. The grams store must cover every indexed doc
+    // (admitted or not — rejected docs are indexed too); if it ever
+    // doesn't, fail the batch rather than let duplicates through.
+    def verified(side: String, g: String) =
+      when(col(g).isNull,
+        raise_error(concat(lit(s"gateDecisions: no grams row for " +
+          s"candidate $side-side id "), col(side),
+          lit(" — the verification store must cover every indexed " +
+            "doc; a dropped pair would admit a duplicate unverified")))
+          .cast("array<string>"))
+        .otherwise(col(g))
     val confirmed = cand
       .join(grams.select(col(idCol).as("a"), col("grams").as("ga")),
-        Seq("a"))
+        Seq("a"), "left")
       .join(grams.select(col(idCol).as("b"), col("grams").as("gb")),
-        Seq("b"))
+        Seq("b"), "left")
       .select(col("a"), col("b"),
-        round(DedupOps.jaccard(col("ga"), col("gb")), 4).as("jac"))
+        round(DedupOps.jaccard(verified("a", "ga"),
+          verified("b", "gb")), 4).as("jac"))
       .filter(col("jac") >= threshold)
     admit(confirmed, arrivals, idCol)
   }
@@ -255,8 +272,20 @@ object DedupIndex {
       textCol: String, idCol: String, k: Int, rowsPerBand: Int,
       splitId: Long, threshold: Double, nFiles: Int,
       root: String, compactEvery: Int = 16): DataFrame = {
-    build(docs.filter(col(idCol) < splitId), textCol, idCol,
-      k, rowsPerBand, s"$root/index")
+    // RESTART SAFETY: recovery from a mid-stream crash is re-invoking
+    // this function with the same root — the build must then be
+    // SKIPPED, not repeated: a rebuild statically overwrites the
+    // bucket artifact, destroying every committed batch's appended
+    // generation while the checkpoint (correctly) refuses to replay
+    // those batches — their buckets would be gone for good. The
+    // staging signature guard rejects a DIFFERENT docs frame against
+    // a used root, so an existing index here always belongs to this
+    // exact run.
+    val built = new org.apache.hadoop.fs.Path(s"$root/index/buckets")
+    val fs = built.getFileSystem(ss.sparkContext.hadoopConfiguration)
+    if (!fs.exists(built))
+      build(docs.filter(col(idCol) < splitId), textCol, idCol,
+        k, rowsPerBand, s"$root/index")
     graft.streaming.StreamingOps.stageOrderedArrivals(
       docs.filter(col(idCol) >= splitId), idCol, nFiles,
       s"$root/arrivals")

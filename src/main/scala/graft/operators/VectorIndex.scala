@@ -288,9 +288,18 @@ object VectorIndex {
       lloydSteps: Int, subspaces: Int, subDim: Int, k: Int,
       bits: Int, splitId: Long, threshold: Double, nFiles: Int,
       root: String, compactEvery: Int = 16): DataFrame = {
-    build(e0.filter(col("vec_id") < splitId)
-        .select("vec_id", "embedding"),
-      dim, lloydSteps, subspaces, subDim, k, s"$root/index")
+    // RESTART SAFETY (same contract as the text twin,
+    // [[DedupIndex.streamIngestGate]]): a recovery re-invocation must
+    // SKIP the build — rebuilding statically overwrites the corpus,
+    // destroying committed batches' appended cells that the
+    // checkpoint will never replay. The staging signature guard
+    // pins the root to this exact arrivals frame.
+    val built = new org.apache.hadoop.fs.Path(s"$root/index/corpus")
+    val bfs = built.getFileSystem(ss.sparkContext.hadoopConfiguration)
+    if (!bfs.exists(built))
+      build(e0.filter(col("vec_id") < splitId)
+          .select("vec_id", "embedding"),
+        dim, lloydSteps, subspaces, subDim, k, s"$root/index")
     graft.streaming.StreamingOps.stageOrderedArrivals(
       e0.filter(col("vec_id") >= splitId), "vec_id", nFiles,
       s"$root/arrivals")

@@ -31,13 +31,40 @@ object StreamingOps {
     * the text and vector streaming gates.
     */
   def stageOrderedArrivals(arrivals: DataFrame, idCol: String,
-      nFiles: Int, dir: String): Unit = {
+      nFiles: Int, dir: String): Int = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     import java.nio.file.attribute.FileTime
     require(nFiles >= 1, s"stageOrderedArrivals: nFiles >= 1 (got $nFiles)")
-    val mm = arrivals.agg(min(col(idCol)), max(col(idCol))).head()
-    require(!mm.isNullAt(0),
+    // the id is read as LONG whatever integral type the caller's
+    // column carries (an INT seq would ClassCastException on getLong)
+    val idL = col(idCol).cast("long")
+    // bit_xor combines the per-row hashes order-independently and
+    // cannot overflow (a SUM of full-range xxhash64 longs trips the
+    // ANSI overflow check)
+    val sigRow = arrivals.agg(count(lit(1)), min(idL), max(idL),
+      bit_xor(xxhash64(arrivals.columns.map(col): _*))).head()
+    require(sigRow.getLong(0) > 0,
       "stageOrderedArrivals: the arrivals frame is empty")
+    // CONTENT-SIGNATURE GUARD: the file-stream checkpoint keys seen
+    // files by PATH, and the staged names/mtimes are fixed — staging
+    // DIFFERENT content into an already-used root would replay zero
+    // batches and the caller would silently read the previous run's
+    // results. A crash-recovery re-stage of the SAME content is
+    // allowed (and is exactly how the replay resumes); anything else
+    // must use a fresh root.
+    val sig = (0 until 4).map(i =>
+      if (sigRow.isNullAt(i)) "null" else sigRow.getLong(i).toString)
+      .mkString(":")
+    val sigPath = Paths.get(dir, "_log_sig")
+    if (Files.exists(sigPath)) {
+      val prev = new String(Files.readAllBytes(sigPath),
+        java.nio.charset.StandardCharsets.UTF_8)
+      require(prev == sig,
+        s"stageOrderedArrivals: $dir was already staged with a " +
+          s"DIFFERENT arrivals frame (sig $prev vs $sig) — the " +
+          "replay checkpoint would silently skip the new data; use " +
+          "a fresh root per changelog")
+    }
     // clear range files from any PRIOR staging first: a re-stage with
     // fewer files (or an empty range) must not leave a stale bNNN
     // behind for the file source to replay as phantom data
@@ -48,7 +75,7 @@ object StreamingOps {
         .forEach(p => Files.delete(p))
       finally old.close()
     }
-    val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+    val (lo, hi) = (sigRow.getLong(1), sigRow.getLong(2))
     val step = (hi - lo) / nFiles + 1
     Files.createDirectories(Paths.get(dir))
     // ONE pass cuts all the range files (dynamic-partition write on
@@ -56,10 +83,17 @@ object StreamingOps {
     // contents) — one filtered scan per file priced ~nFiles scans
     // before. repartition(1) keeps exactly one part file per range.
     arrivals
-      .withColumn("__f", expr(s"CAST(($idCol - $lo) DIV $step AS INT)"))
+      .withColumn("__f",
+        expr(s"CAST((CAST($idCol AS BIGINT) - $lo) DIV $step AS INT)"))
       .repartition(1)
       .write.mode("overwrite").partitionBy("__f")
       .parquet(s"$dir/.stage")
+    // staged files are renumbered CONTIGUOUSLY: a sparse id
+    // distribution leaves range slots empty (fewer than nFiles
+    // files), and the replay runs exactly one micro-batch per staged
+    // file — the returned count is the batch count callers must use
+    // (a hardcoded nFiles would over-assert)
+    var staged = 0
     for (i <- 0 until nFiles) {
       val stage = Paths.get(s"$dir/.stage/__f=$i")
       if (Files.isDirectory(stage)) {
@@ -69,15 +103,19 @@ object StreamingOps {
             .findFirst.get
           finally s.close()
         }
-        val dest = Paths.get(f"$dir/b$i%03d.parquet")
+        val dest = Paths.get(f"$dir/b$staged%03d.parquet")
         Files.move(part, dest, StandardCopyOption.REPLACE_EXISTING)
         // distinct mtimes pin the file source's oldest-first order
         // (fixed epoch: deterministic, and a minute apart so
         // ms-precision timestamps can never collide)
         Files.setLastModifiedTime(dest,
-          FileTime.fromMillis(1700000000000L + i * 60000L))
+          FileTime.fromMillis(1700000000000L + staged * 60000L))
+        staged += 1
       }
     }
+    Files.write(sigPath,
+      sig.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    staged
   }
 
   /** Run the staged arrivals as ordered one-file micro-batches through
@@ -179,7 +217,15 @@ object StreamingOps {
     val fn = (user: Long, events: Iterator[EventRow],
         state: GroupState[(Long, Double, Long, Double)]) => {
       // sort by FULL microsecond time — ms-precision sorting could
-      // order same-millisecond events differently than the oracle
+      // order same-millisecond events differently than the oracle.
+      // SCALE BOUND: the max-gap statistic is order-dependent and
+      // mapGroupsWithState guarantees no within-group order, so the
+      // group's batch slice must materialize to sort — per-task heap
+      // is bounded by the hottest key's per-batch volume. At real
+      // ingest rates cap it upstream: trigger more often, or
+      // pre-reduce to one row per (user, time-bucket) before the
+      // stateful op (gaps within a bucket are below the reporting
+      // floor) so a bot-grade hot key cannot OOM its task.
       val sorted = events.toSeq.sortBy(e => (micros(e.ts), e.event_id))
       var (n, maxGap, lastUs, lastV) =
         state.getOption.getOrElse((0L, 0.0, Long.MinValue, 0.0))

@@ -294,6 +294,56 @@ class CdcOpsSpec extends SparkSpec {
     } finally rmTree(root)
   }
 
+  test("sparse sequence ranges stage fewer files and still complete") {
+    // seqs cluster at the bottom of the range with one far outlier —
+    // the CDC-LSN shape: range-cut staging leaves middle slots empty,
+    // so fewer than nFiles files exist and the replay must run (and
+    // the final version be derived from) the ACTUAL staged count
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-cdc-sparse")
+    try {
+      val base = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+      val log = Seq(
+        (1L, 1L, "U", "a1"), (2L, 2L, "U", "b1"),
+        (3L, 10000L, "U", "c1")
+      ).toDF("k", "seq", "op", "v")
+      val streamed = CdcOps.streamApply(spark, base, log,
+          Seq("k"), "seq", "op", nFiles = 4, root.toString,
+          retainVersions = Int.MaxValue)
+        .as[(Long, String)].collect().toSeq.sorted
+      val oneShot = CdcOps.applyChangelog(base, log, Seq("k"), "seq", "op")
+        .as[(Long, String)].collect().toSeq.sorted
+      assert(streamed === oneShot)
+      // only 2 of 4 range slots had rows -> versions 0..2, not 0..4
+      assert(CdcOps.listVersions(spark, root.toString) === Seq(0, 1, 2))
+    } finally rmTree(root)
+  }
+
+  test("a used root rejects a DIFFERENT changelog instead of serving stale") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-cdc-reuse")
+    try {
+      val base = Seq((1L, "a")).toDF("k", "v")
+      val log1 = Seq((1L, 1L, "U", "a1")).toDF("k", "seq", "op", "v")
+      val log2 = Seq((1L, 1L, "U", "a2")).toDF("k", "seq", "op", "v")
+      CdcOps.streamApply(spark, base, log1, Seq("k"), "seq", "op",
+        nFiles = 1, root.toString).collect()
+      // same content: allowed (this is exactly how crash recovery
+      // resumes) and the result is unchanged
+      val again = CdcOps.streamApply(spark, base, log1, Seq("k"),
+          "seq", "op", nFiles = 1, root.toString)
+        .as[(Long, String)].collect().toSeq
+      assert(again === Seq((1L, "a1")))
+      // different content: the file-source checkpoint would silently
+      // skip it — must fail loudly instead
+      val ex = intercept[IllegalArgumentException] {
+        CdcOps.streamApply(spark, base, log2, Seq("k"), "seq", "op",
+          nFiles = 1, root.toString)
+      }
+      assert(ex.getMessage.contains("DIFFERENT arrivals"))
+    } finally rmTree(root)
+  }
+
   test("streaming apply ≡ one-shot apply; every version is a real snapshot") {
     val d = "/root/testdata/sf0.001"
     val root = java.nio.file.Files

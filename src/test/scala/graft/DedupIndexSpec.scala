@@ -256,6 +256,19 @@ class DedupIndexSpec extends SparkSpec {
       // post-replay maintenance collapsed the per-batch generations
       // (decisions above already proved the collapse changed nothing)
       assert(ingestDirs("index/buckets", root) === Seq("ingest=3"))
+
+      // RECOVERY CONTRACT: re-invoking with the same inputs and root
+      // (how a crashed stream resumes) must SKIP the build — a
+      // rebuild would statically overwrite the bucket artifact,
+      // destroying the committed batches' generations while the
+      // checkpoint never replays them. Decisions and artifact state
+      // must come through unchanged.
+      val again = DedupIndex.streamIngestGate(spark, docs,
+          "text", "doc_id", k, rpb, splitId, threshold = 0.5,
+          nFiles = 3, root, compactEvery = 2)
+        .as[(Long, Option[Long], Boolean)].collect().toSeq.sorted
+      assert(again === streamed)
+      assert(ingestDirs("index/buckets", root) === Seq("ingest=3"))
     }
   }
 }

@@ -281,7 +281,12 @@ object DedupIndex {
     // staging signature guard rejects a DIFFERENT docs frame against
     // a used root, so an existing index here always belongs to this
     // exact run.
-    val built = new org.apache.hadoop.fs.Path(s"$root/index/buckets")
+    // the COMMIT MARKER, not bare directory existence: the buckets
+    // dir exists from the first committer temp file, so a crash
+    // mid-build would otherwise skip the rebuild and probe a partial
+    // (or unreadable) index
+    val built = new org.apache.hadoop.fs.Path(
+      s"$root/index/buckets/_SUCCESS")
     val fs = built.getFileSystem(ss.sparkContext.hadoopConfiguration)
     if (!fs.exists(built))
       build(docs.filter(col(idCol) < splitId), textCol, idCol,

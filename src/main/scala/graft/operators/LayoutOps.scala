@@ -142,13 +142,24 @@ object LayoutOps {
         .cast("long")
     }
     // working column names that cannot collide with the caller's
-    // schema — "content-preserving" must hold even for a frame that
-    // already carries a __z column
-    def fresh(base: String): String = Iterator.from(0)
-      .map(i => if (i == 0) base else s"$base$i")
-      .find(n => !df.columns.contains(n)).get
+    // schema OR each other — "content-preserving" must hold even for
+    // a frame that already carries a __z column, and two z-columns
+    // with colliding hashCodes must not share one bucket column
+    // (which would silently drop a column out of the curve), so
+    // bucket names are indexed by POSITION and fresh() tracks what
+    // it has already handed out
+    val taken = scala.collection.mutable.Set(df.columns: _*)
+    def fresh(base: String): String = {
+      val n = Iterator.from(0)
+        .map(i => if (i == 0) base else s"$base$i")
+        .find(n => !taken.contains(n)).get
+      taken += n
+      n
+    }
     val zc = fresh("__z")
-    val bcols = cols.map(c => c -> fresh(s"__zb_${c.hashCode.toHexString}"))
+    val bcols = cols.zipWithIndex.map { case (c, i) =>
+      c -> fresh(s"__zb$i")
+    }
     // each bucket is computed ONCE into its own column, then the
     // Morton interleave reads the materialized buckets — the z
     // expression would otherwise embed `bits` copies of every
@@ -401,7 +412,13 @@ object LayoutOps {
     require(fs.makeQualified(srcP) != fs.makeQualified(dstP),
       "compact: dstDir must differ from srcDir (the rewrite reads " +
         "srcDir while writing)")
-    s.read.parquet(srcDir).repartition(targetFiles)
+    val rows = s.read.parquet(srcDir)
+    // equality alone misses dstDir being an ANCESTOR of srcDir — the
+    // overwrite would delete the whole dst tree, source included,
+    // before the scan runs; the input-file prefix guard catches any
+    // containment
+    requireNotSelfOverwrite(rows, dstDir, "compact")
+    rows.repartition(targetFiles)
       .write.mode("overwrite").parquet(dstDir)
   }
 }

@@ -62,11 +62,16 @@ object SimilarityOps {
     * hyperplanes keep the code engine-portable; production would rotate
     * by a seeded random matrix first.
     */
-  def signBucket(vec: String, bits: Int): Column =
+  def signBucket(vec: String, bits: Int): Column = {
+    // bits = 0 would generate unparseable SQL; bits > 63 would wrap
+    // 1L << j and silently collide distinct sign patterns
+    require(bits >= 1 && bits <= 63,
+      s"signBucket: bits must be in [1, 63] (got $bits)")
     expr((0 until bits)
       .map(j => s"(CASE WHEN element_at($vec, ${j + 1}) > 0" +
         s" THEN ${1L << j} ELSE 0 END)")
       .mkString("CAST((", " + ", ") AS BIGINT)"))
+  }
 
   /** Trained-IVF coarse-quantizer state: ascending cell ids, flattened
     * centroid components (cell-major), and centroid L2 norms — the
@@ -98,6 +103,17 @@ object SimilarityOps {
     val seeds = e.filter(col("vec_id") < 8)
       .select(col("vec_id"), col("embedding"), col("n"))
       .collect().sortBy(_.getLong(0))
+    // FEWER than 8 seeds is legitimate (sampled training — s10 —
+    // keeps the seed ids its sample retains and trains that many
+    // cells), but ZERO seeds must fail LOUDLY: training would
+    // otherwise "succeed" with an empty centroid table, ivf_assign
+    // would return cell 0 for every row, and the "index" silently
+    // degenerates to one cell that scans the whole corpus per query
+    require(seeds.nonEmpty,
+      "trainIvf: no seed vectors (vec_id < 8) in the training input " +
+        "— a takedown may have removed the seed ids; reseed before " +
+        "rebuilding (training with zero cells would silently " +
+        "degenerate the index to a single full-scan cell)")
     var cents = IvfCentroids(
       seeds.map(_.getLong(0)),
       seeds.flatMap(_.getSeq[Float](1).map(_.toDouble)),
@@ -185,16 +201,42 @@ object SimilarityOps {
 
   def ingestGate(stored: DataFrame, batch: DataFrame,
       threshold: Double): DataFrame = {
-    val cand = gateCandidates(stored, batch)
-    val v = stored.select("vec_id", "embedding", "n")
-      .unionByName(batch.select("vec_id", "embedding", "n"))
-    val confirmed = cand
-      .join(v.select(col("vec_id").as("a"), col("embedding").as("va"),
-        col("n").as("na")), Seq("a"))
-      .join(v.select(col("vec_id").as("b"), col("embedding").as("vb"),
-        col("n").as("nb")), Seq("b"))
-      .select(col("a"), col("b"),
+    // a zero (or NaN) norm makes every cosine it touches NaN, and a
+    // NaN >= threshold comparison is EVAL-MODE-DEPENDENT (Spark's
+    // interpreted ordering ranks NaN above every double; codegen's
+    // primitive >= says false) — the admission decision would be
+    // silently wrong either way, so fail loudly at the first bad norm
+    def nOk(c: org.apache.spark.sql.Column) =
+      when(c.isNull || c === 0.0 || isnan(c),
+        raise_error(lit("ingestGate: zero/NaN embedding norm — " +
+          "cosine is undefined; filter or fix degenerate vectors " +
+          "upstream")).cast("double"))
+        .otherwise(c)
+    // embeddings and norms RIDE the candidate join: confirming via
+    // id re-joins against stored ∪ batch would scan the corpus twice
+    // more per batch. The stored side is also pruned to the batch's
+    // touched (cell, bucket) blocks FIRST — a batch-sized broadcast
+    // semi-join, which against the cell-partitioned artifact is
+    // partition pruning: the gate reads the blocks the batch can
+    // collide with, not the corpus. Same pair set and cosines as
+    // [[gateCandidates]] + id joins (s14 keeps measuring that
+    // definition); pairCosine is symmetric, so the least/greatest id
+    // normalization needs no payload swap.
+    val touched = batch.select("cell", "bucket").distinct()
+    val prunedStored = stored.join(broadcast(touched),
+      Seq("cell", "bucket"), "left_semi")
+    def side(f: DataFrame, id: String, v: String, n: String) =
+      f.select(col("vec_id").as(id), col("cell"), col("bucket"),
+        col("embedding").as(v), nOk(col("n")).as(n))
+    val a = side(batch, "a", "va", "na")
+    val b = side(prunedStored, "b", "vb", "nb")
+      .unionByName(side(batch, "b", "vb", "nb"))
+    val confirmed = a.join(b, Seq("cell", "bucket"))
+      .filter(col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("a"),
+        greatest(col("a"), col("b")).as("b"),
         round(pairCosine("va", "vb", "na", "nb"), 6).as("csim"))
+      .dropDuplicates("a", "b")
       .filter(col("csim") >= threshold)
     DedupIndex.admit(confirmed, batch, "vec_id")
   }

@@ -294,7 +294,12 @@ object VectorIndex {
     // destroying committed batches' appended cells that the
     // checkpoint will never replay. The staging signature guard
     // pins the root to this exact arrivals frame.
-    val built = new org.apache.hadoop.fs.Path(s"$root/index/corpus")
+    // the COMMIT MARKER, not bare directory existence: the corpus
+    // dir exists from the first committer temp file, so a crash
+    // mid-build would otherwise skip the rebuild and gate every
+    // batch against a partial (or unreadable) corpus
+    val built = new org.apache.hadoop.fs.Path(
+      s"$root/index/corpus/_SUCCESS")
     val bfs = built.getFileSystem(ss.sparkContext.hadoopConfiguration)
     if (!bfs.exists(built))
       build(e0.filter(col("vec_id") < splitId)

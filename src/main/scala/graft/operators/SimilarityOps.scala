@@ -200,6 +200,20 @@ object SimilarityOps {
   }
 
   def ingestGate(stored: DataFrame, batch: DataFrame,
+      threshold: Double): DataFrame =
+    DedupIndex.admit(confirmedPairs(stored, batch, threshold),
+      batch, "vec_id")
+
+  /** The gate's confirmed duplicate pairs alone — (a, b, csim) with
+    * a < b. Exposed (a) as the audit view of WHY an arrival was
+    * rejected and (b) so the spec can pin that this join's pair set
+    * equals [[gateCandidates]]'s blocking exactly (run with
+    * `threshold = -1` every blocked pair survives the filter, since
+    * cosine ∈ [-1, 1]) — the two formulations must never drift,
+    * because s14's recall report measures gateCandidates and claims
+    * it is the blocking the admission gate runs.
+    */
+  def confirmedPairs(stored: DataFrame, batch: DataFrame,
       threshold: Double): DataFrame = {
     // a zero (or NaN) norm makes every cosine it touches NaN, and a
     // NaN >= threshold comparison is EVAL-MODE-DEPENDENT (Spark's
@@ -238,6 +252,6 @@ object SimilarityOps {
         round(pairCosine("va", "vb", "na", "nb"), 6).as("csim"))
       .dropDuplicates("a", "b")
       .filter(col("csim") >= threshold)
-    DedupIndex.admit(confirmed, batch, "vec_id")
+    confirmed
   }
 }

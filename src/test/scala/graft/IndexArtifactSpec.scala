@@ -370,4 +370,32 @@ class IndexArtifactSpec extends SparkSpec {
       rm(root)
     }
   }
+
+  test("the gate's confirm join blocks exactly gateCandidates' pair set") {
+    import graft.operators.SimilarityOps
+    // the gate's confirm stage carries embeddings through its own
+    // (cell, bucket) join instead of calling gateCandidates — this
+    // pins that the two formulations CANNOT drift: with threshold -1
+    // every blocked pair survives the cosine filter (cosine is in
+    // [-1, 1]), so confirmedPairs' id set must equal gateCandidates'
+    // blocking, which is what the s14 recall report measures and
+    // claims is the gate's.
+    val e = SimilarityOps.withNorm(
+      Tables.embeddings(spark, "/root/testdata/sf0.001"),
+      "embedding", "n")
+    val split = 400L
+    val cents = SimilarityOps.trainIvf(
+      e.filter(col("vec_id") < split), 64, 2)
+    val assigned = e
+      .withColumn("cell", SimilarityOps.ivfAssign(cents, 64))
+      .withColumn("bucket", SimilarityOps.signBucket("embedding", 6))
+    val stored = assigned.filter(col("vec_id") < split)
+    val batch = assigned.filter(col("vec_id") >= split)
+    val viaGate = SimilarityOps.confirmedPairs(stored, batch, -1.0)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    val viaBlocking = SimilarityOps.gateCandidates(stored, batch)
+      .as[(Long, Long)].collect().toSet
+    assert(viaGate === viaBlocking)
+    assert(viaGate.nonEmpty) // the pin is vacuous on an empty block set
+  }
 }

@@ -66,11 +66,14 @@ object DedupOps {
       // 10× for size(__bh). The token-count form inlines to a single
       // codegen'd split at the scan.
       .withColumn("mh_ok", size(TextOps.tokens(col(textCol))) >= 3)
-    val out = (0 until k).foldLeft(staged) { (acc, i) =>
-      acc.withColumn(s"mh$i",
+    // ONE select for all k signature columns: a k-step withColumn
+    // fold re-analyzes the growing plan each step (quadratic driver
+    // work at production signature widths of 100-200 hashes)
+    val out = staged.select(staged.columns.map(col) ++
+      (0 until k).map(i =>
         array_min(transform(col("__bh"),
-          h => (lit(minHashA(i)) * h + lit(minHashB(i))) % MinHashP)))
-    }
+          h => (lit(minHashA(i)) * h + lit(minHashB(i))) % MinHashP))
+          .as(s"mh$i")): _*)
     out.drop("__toks", "__bh")
   }
 
@@ -148,9 +151,15 @@ object DedupOps {
     * columns: |A∩B| / |A∪B|.
     */
   def jaccard(a: Column, b: Column): Column = {
-    val inter = size(array_intersect(a, b)).cast("double")
-    val union = size(a) + size(b) - size(array_intersect(a, b))
-    inter / union.cast("double")
+    val inter = size(array_intersect(a, b))
+    val union = size(a) + size(b) - inter
+    // two EMPTY sets have union 0 — under ANSI (this project's mode)
+    // the division would throw DIVIDE_BY_ZERO and kill the whole
+    // verification job on one degenerate pair (empty docs are
+    // routine in a web corpus); define jaccard(∅, ∅) = 0: no shared
+    // content, not a duplicate
+    when(union === 0, lit(0.0))
+      .otherwise(inter.cast("double") / union.cast("double"))
   }
 
   /** Lineage-truncation strategy for the iterative fixpoint loops,
@@ -178,7 +187,11 @@ object DedupOps {
   private[operators] final class Checkpointer(spark: SparkSession) {
     private val reliableDir = spark.conf.getOption("graft.checkpoint.dir")
     reliableDir.foreach { d =>
-      if (!spark.sparkContext.getCheckpointDir.contains(d))
+      // getCheckpointDir returns "<dir>/<random-UUID>", so equality
+      // (Option.contains) against the raw configured string is never
+      // true — substring containment is the real idempotence check
+      // (without it every construction mkdirs a fresh UUID dir)
+      if (!spark.sparkContext.getCheckpointDir.exists(_.contains(d)))
         spark.sparkContext.setCheckpointDir(d)
     }
 
@@ -307,11 +320,13 @@ object DedupOps {
     // Returning labels from a non-fixpoint would silently split real
     // clusters (and hash-mismatch the oracle's exact closure) — fail
     // loudly instead; diameter-50+ chains need large-star/small-star.
-    if (!converged)
+    if (!converged) {
+      ckpt.release(cached) // the failure path must not leak the iterate
       throw new IllegalStateException(
         s"duplicateClusters did not reach the fixpoint in $maxIter " +
           "iterations (candidate-graph diameter too large); raise " +
           "maxIter or switch to large-star/small-star")
+    }
     val resolved = cached.select(col(idCol), col("cluster_id"))
     // Hand the ONE remaining persist to the caller: the returned frame
     // is itself the persisted one (materialized here, so the final
@@ -405,9 +420,11 @@ object DedupOps {
       prevSig = nextSig
       round += 1
     }
-    if (!converged)
+    if (!converged) {
+      ckpt.release(canon) // the failure path must not leak the iterate
       throw new IllegalStateException(
         s"duplicateClustersStar did not converge in $maxRounds rounds")
+    }
     // At the fixpoint the graph is a union of stars rooted at component
     // minima: every node's label is min(self, neighbors).
     val labels = canon.select(col("a"), col("b"))

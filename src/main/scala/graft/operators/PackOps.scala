@@ -58,6 +58,15 @@ object PackOps {
       shardSize: Long = 65536L): DataFrame = {
     require(budget > 0, s"packBins budget must be positive, got $budget")
     require(shardSize > 0, s"packBins shardSize must be positive, got $shardSize")
+    // the working/output names must not already exist — withColumn
+    // would silently OVERWRITE a caller's column, and a pre-existing
+    // pack_shard would corrupt the shard computation itself
+    val reserved = Seq("pack_shard", "pack_local", "pack_shard_total",
+      "pack_shard_offset", "prefix", "bin")
+    val clash = rows.columns.toSeq.intersect(reserved)
+    require(clash.isEmpty,
+      s"packBins: input columns $clash collide with the operator's " +
+        s"working/output names ($reserved) — rename them first")
     val shard: Column = floor(col(orderCol) / shardSize).cast("long")
     val base = rows.withColumn("pack_shard", shard)
 
@@ -80,12 +89,23 @@ object PackOps {
         coalesce(sum(col("pack_shard_total")).over(wShard), lit(0L)))
       .select(col(groupCol), col("pack_shard"), col("pack_shard_offset"))
 
+    // NULL-SAFE offsets join: a null group key (or a null order key,
+    // which nulls the shard) is a real partition to the naive window
+    // this op claims bit-identity with — an equality join would
+    // silently DROP every such row. Renamed right side + <=>
+    // conditions (the same null-group discipline as
+    // [[CdcOps.maintainByRecompute]]).
+    val off = offsets.select(col(groupCol).as("__po_g"),
+      col("pack_shard").as("__po_s"), col("pack_shard_offset"))
     base
       .withColumn("pack_local",
         coalesce(sum(col(weightCol)).over(wLocal), lit(0L)))
-      .join(broadcast(offsets), Seq(groupCol, "pack_shard"))
+      .join(broadcast(off),
+        col(groupCol) <=> col("__po_g") &&
+          col("pack_shard") <=> col("__po_s"))
       .withColumn("prefix", col("pack_shard_offset") + col("pack_local"))
       .withColumn("bin", floor(col("prefix") / budget).cast("long"))
-      .drop("pack_shard", "pack_shard_offset", "pack_local")
+      .drop("pack_shard", "pack_shard_offset", "pack_local",
+        "__po_g", "__po_s")
   }
 }

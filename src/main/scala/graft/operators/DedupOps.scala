@@ -21,11 +21,20 @@ object DedupOps {
   /** Exact dedup groups: one row per distinct normalized content hash
     * with the survivor id (min), duplicate count. Survivor choice is
     * deterministic.
+    *
+    * The group key is the FULL 128-bit md5 (hex string), not the 60-bit
+    * `hash15`: at 10B docs a 60-bit key expects ~n²/2⁶¹ birthday
+    * collisions, each of which silently merges two distinct documents
+    * and drops one from the corpus. 128 bits puts the expected
+    * collision count at ~10⁻²⁰ for any realistic corpus. The wider
+    * shuffle key (32 bytes vs 8) is noise next to the text column the
+    * aggregation already reads.
     */
   def exactDupGroups(df: DataFrame, textCol: String,
       idCol: String): DataFrame =
     df.select(col(idCol),
-        TextOps.hash15(TextOps.normalize(col(textCol))).as("content_fp"))
+        md5(TextOps.normalize(col(textCol)).cast("binary"))
+          .as("content_fp"))
       .groupBy(col("content_fp"))
       .agg(min(col(idCol)).as("keep_id"),
         count(lit(1)).as("n_dups"))
@@ -328,19 +337,43 @@ object DedupOps {
           "maxIter or switch to large-star/small-star")
     }
     val resolved = cached.select(col(idCol), col("cluster_id"))
-    // Hand the ONE remaining persist to the caller: the returned frame
-    // is itself the persisted one (materialized here, so the final
-    // frontier checkpoint can be released immediately after), and
-    // callers free the result with .unpersist().
-    val out = docs.select(col(idCol))
+    // The result is TRUNCATED through the checkpointer (a materialized
+    // LogicalRDD leaf), not merely persisted: a persisted frame keeps
+    // its lineage, so once the final iterate's checkpoint is released
+    // below, losing a block of the result on a cluster would recompute
+    // through deleted checkpoint data. Truncating first makes the
+    // result self-contained; only then is the iterate released.
+    // Callers free the result deterministically with [[free]]
+    // (`.unpersist()` on it is a harmless no-op — the ContextCleaner
+    // reclaims the blocks after the reference drops).
+    val out = ckpt.truncate(docs.select(col(idCol))
       .join(resolved, Seq(idCol), "left")
       .select(col(idCol),
-        coalesce(col("cluster_id"), col(idCol)).as("cluster_id"))
-      .persist()
-    out.count()
+        coalesce(col("cluster_id"), col(idCol)).as("cluster_id")))
     ckpt.release(cached)
     out
   }
+
+  /** Deterministically release a frame returned by [[duplicateClusters]]
+    * / [[duplicateClustersStar]]: unpersists the materialized blocks and
+    * deletes reliable-checkpoint files if the session ran with
+    * `graft.checkpoint.dir`. Safe to skip — the ContextCleaner reclaims
+    * blocks after the frame is unreachable — but long-lived drivers that
+    * run many loops should call it (same accumulation argument as the
+    * per-round release, see [[Checkpointer]]).
+    */
+  def free(result: DataFrame): Unit =
+    result.queryExecution.logical match {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        l.rdd.unpersist(blocking = false)
+        l.rdd.getCheckpointFile.foreach { p =>
+          val path = new org.apache.hadoop.fs.Path(p)
+          path.getFileSystem(
+              result.sparkSession.sparkContext.hadoopConfiguration)
+            .delete(path, true)
+        }
+      case _ => result.unpersist()
+    }
 
   /** Connected components by the alternating large-star/small-star
     * algorithm (Kiveris et al., "Connected Components in MapReduce and
@@ -356,7 +389,8 @@ object DedupOps {
     * as one min-propagation round — and the edge set only shrinks toward
     * the final star, so rounds get cheaper as they go. Same contract as
     * [[duplicateClusters]]: every doc id maps to the smallest id in its
-    * component; the returned frame is persisted, callers unpersist.
+    * component; the returned frame is a materialized checkpoint leaf,
+    * released with [[free]].
     */
   def duplicateClustersStar(docs: DataFrame, pairs: DataFrame,
       idCol: String, maxRounds: Int = 25): DataFrame = {
@@ -432,12 +466,13 @@ object DedupOps {
       .groupBy(col("a")).agg(min(col("b")).as("nmin"))
       .select(col("a").as(idCol),
         least(col("nmin"), col("a")).as("cluster_id"))
-    val out = docs.select(col(idCol))
+    // Same lifetime discipline as [[duplicateClusters]]: truncate the
+    // result to a self-contained leaf BEFORE releasing the final edge
+    // set its plan references; free with [[free]].
+    val out = ckpt.truncate(docs.select(col(idCol))
       .join(labels, Seq(idCol), "left")
       .select(col(idCol),
-        coalesce(col("cluster_id"), col(idCol)).as("cluster_id"))
-      .persist()
-    out.count()
+        coalesce(col("cluster_id"), col(idCol)).as("cluster_id")))
     ckpt.release(canon)
     out
   }

@@ -6,9 +6,11 @@ import graft.operators.{DedupIndex, DedupOps, TextOps}
 
 /** Deduplication inventory over `documents`: exact content-hash dedup,
   * MinHash signatures, banded LSH buckets + candidate pairs, SimHash,
-  * and char-4-gram Jaccard verification. All hash primitives are the
-  * md5-based 60-bit [[TextOps.hash15]] so DuckDB oracles compute bit-
-  * identical values.
+  * and char-4-gram Jaccard verification. Sketch/bucket hash primitives
+  * are the md5-based 60-bit [[TextOps.hash15]] so DuckDB oracles compute
+  * bit-identical values; the exact-dedup GROUP KEY alone uses the full
+  * 128-bit md5 (collision-safety at corpus scale — see
+  * [[DedupOps.exactDupGroups]]).
   */
 object DedupQueries {
   import Tables._
@@ -152,7 +154,7 @@ object DedupQueries {
       val out = DedupOps.duplicateClusters(
         documents(s, d).select(col("doc_id")), pairs, "doc_id",
         initLabels = Some(DedupOps.bucketLocalMin(buckets, "doc_id")))
-      // out is materialized (persisted + counted) before return, so
+      // out is materialized (eager checkpoint leaf) before return, so
       // the bucket frame can be released here instead of leaking
       buckets.unpersist()
       out
@@ -364,9 +366,12 @@ object DedupQueries {
           FROM sig WHERE $sigNotNull)"""
 
   def oracle: Map[String, String] = Map(
+    // full 128-bit md5 as the group key (hex string) — mirrors
+    // DedupOps.exactDupGroups' collision-safety argument; Spark's
+    // md5() and DuckDB's md5() both emit lowercase hex.
     "d1_exact_dedup" ->
       s"""WITH n AS (SELECT doc_id,
-            ${h15("lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))")}
+            md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))
               AS content_fp
           FROM documents)
           SELECT content_fp, min(doc_id) AS keep_id, count(*) AS n_dups
@@ -502,7 +507,7 @@ object DedupQueries {
           FROM tg JOIN eg USING (g) GROUP BY tg.doc_id""",
     "x8_corpus_final" ->
       s"""WITH n AS (SELECT doc_id,
-            ${h15("lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))")}
+            md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))
               AS content_fp
           FROM documents),
           surv AS (SELECT min(doc_id) AS doc_id FROM n GROUP BY content_fp),
@@ -524,7 +529,7 @@ object DedupQueries {
           GROUP BY d.lang, d.source""",
     "x10_funnel" ->
       s"""WITH n AS (SELECT doc_id,
-            ${h15("lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))")}
+            md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))
               AS content_fp
           FROM documents),
           surv AS (SELECT min(doc_id) AS doc_id FROM n GROUP BY content_fp),

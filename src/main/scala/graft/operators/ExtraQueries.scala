@@ -27,12 +27,30 @@ object ExtraQueries {
 
     // F6: sentinel pretty-print — integral floats render as integers
     // (reference: float.is_integer() formatting, DatasetUtilities.py:642).
-    "f6_pretty_sentinel" -> ((s, d) =>
+    // Non-integral values render via exact INTEGER string math on
+    // micro-units (6 decimal places, trailing zeros trimmed) rather
+    // than the engine's double→string cast: Spark's cast goes
+    // scientific outside ~[1e-3, 1e7) where DuckDB prints plain
+    // decimal, so the cast-based rendering was a latent cross-engine
+    // break waiting for a wider data generation. Integer division /
+    // modulo / lpad are bit-identical everywhere.
+    "f6_pretty_sentinel" -> ((s, d) => {
+      val micros = "abs(cast(round(value * 1000000, 0) as bigint))"
+      val whole = s"cast($micros div 1000000 as string)"
+      val frac =
+        s"regexp_replace(lpad(cast($micros % 1000000 as string), 6, '0')," +
+          " '0+$', '')"
       events(s, d).select(
         col("event_id"),
         when(col("value") === floor(col("value")),
           col("value").cast("long").cast("string"))
-          .otherwise(col("value").cast("string")).as("value_str"))),
+          .otherwise(concat(
+            when(col("value") < 0, lit("-")).otherwise(lit("")),
+            expr(whole),
+            when(expr(frac) === "", lit(""))
+              .otherwise(concat(lit("."), expr(frac)))))
+          .as("value_str"))
+    }),
 
     // F12 + A5: global re-key of a series and catalog-row recompute
     // (reference: edit_service.py:375-391, 407-428 + :430-434).
@@ -58,11 +76,16 @@ object ExtraQueries {
 
     // Rollup: hierarchical subtotals (engine completeness; maps to the
     // same shuffle as a grouping-sets expansion).
+    // Integer-cents sum (like w9/a11/x12): a double sum is
+    // partition-order-dependent, so round(sum(double), 2) is a latent
+    // cross-engine flake whenever a group's sum lands within ulps of a
+    // .xx5 boundary; summing exact BIGINT cents is order-free.
     "a9_rollup" -> ((s, d) =>
       orders(s, d)
         .rollup(col("o_orderstatus"), col("o_orderpriority"))
         .agg(count(lit(1)).as("cnt"),
-          round(sum(col("o_totalprice")), 2).as("sum_price"))),
+          (sum(expr("cast(round(o_totalprice * 100, 0) as bigint)"))
+            / 100.0).as("sum_price"))),
 
     // As-of join: each purchase picks up the latest click value at or
     // before its timestamp per user — composed union+window (see
@@ -375,11 +398,24 @@ object ExtraQueries {
          WHERE event_id IN
            (SELECT x * 197 + 11 FROM range(0, 50) t(x))""",
     "f6_pretty_sentinel" ->
-      """SELECT event_id,
-         CASE WHEN value = floor(value)
-              THEN CAST(CAST(value AS BIGINT) AS VARCHAR)
-              ELSE CAST(value AS VARCHAR) END AS value_str
-         FROM events""",
+      """WITH m AS (
+           SELECT event_id, value,
+             abs(CAST(round(value * 1000000, 0) AS BIGINT)) AS au
+           FROM events),
+         f AS (
+           SELECT event_id, value, au,
+             regexp_replace(lpad(CAST(au % 1000000 AS VARCHAR), 6, '0'),
+                            '0+$', '') AS frac
+           FROM m)
+         SELECT event_id,
+           CASE WHEN value = floor(value)
+                THEN CAST(CAST(value AS BIGINT) AS VARCHAR)
+                ELSE (CASE WHEN value < 0 THEN '-' ELSE '' END)
+                     || CAST(au // 1000000 AS VARCHAR)
+                     || (CASE WHEN frac = '' THEN ''
+                         ELSE '.' || frac END)
+           END AS value_str
+         FROM f""",
     "f12_rekey_catalog" ->
       """SELECT user_id, 1::BIGINT AS qc_level,
          strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS begin_ts,
@@ -500,7 +536,8 @@ object ExtraQueries {
          FROM events""",
     "a9_rollup" ->
       """SELECT o_orderstatus, o_orderpriority, count(*) AS cnt,
-         round(sum(o_totalprice), 2) AS sum_price
+         sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) / 100.0
+           AS sum_price
          FROM orders
          GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""",
     "a11_approx_quantile" ->

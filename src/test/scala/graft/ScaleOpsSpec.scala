@@ -40,13 +40,21 @@ class ScaleOpsSpec extends SparkSpec {
         DedupOps.duplicateClustersStar(_, _, "doc_id"))
       for (fn <- loops) {
         val got = fn(docs, pairs)
+        // the result is a self-contained checkpoint LEAF: its plan must
+        // not reference the loop's internal iterates (whose checkpoint
+        // files were released before return) — losing a result block on
+        // a cluster recomputes from the result's own checkpoint, never
+        // through deleted iterate files
+        assert(got.queryExecution.logical
+          .isInstanceOf[org.apache.spark.sql.execution.LogicalRDD])
         assert(got.orderBy("doc_id").as[(Long, Long)].collect().toSeq
           === want)
-        got.unpersist()
+        DedupOps.free(got)
       }
       // deterministic release: every superseded iterate's rdd-N
-      // checkpoint directory was deleted when its round ended — no
-      // accumulation across a long fixpoint run
+      // checkpoint directory was deleted when its round ended, and
+      // free() deleted the results' own — no accumulation across a
+      // long fixpoint run
       val leftover = new java.io.File(dir).listFiles().toSeq
         .flatMap(d => Option(d.listFiles()).toSeq.flatten)
         .filter(_.getName.startsWith("rdd-"))

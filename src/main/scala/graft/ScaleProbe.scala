@@ -540,6 +540,42 @@ object ScaleProbe {
         .delete(zp, true)
     }
 
+    // --- bloom semi-join pruning: 50M fact vs a 100k-key dim whose
+    // keys cover 2% of fact rows, with broadcast DISABLED to emulate
+    // a dim too large to broadcast (the regime the operator exists
+    // for). The prune drops ~97% of fact rows before the exchange;
+    // the plain shuffle join ships all 50M.
+    if (want("bloom build (100k keys)", "plain shuffle join (50M fact)",
+        "bloom prune+join (50M fact)")) locally {
+      val factN = 50000000L
+      val dimN = 100000L
+      val fact = spark.range(factN)
+        .select((col("id") % 5000000L).as("key"), col("id").as("v"))
+      val dim = spark.range(dimN)
+        .select((col("id") * 50).as("key"), (col("id") % 97).as("attr"))
+      val bcastDefault = spark.conf.get(
+        "spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        var bloom: (Array[Long], Int) = null
+        time("bloom build (100k keys)", dimN) {
+          bloom = graft.operators.BloomPrune.buildSized(
+            dim, "key", dimN, 0.01)
+        }
+        time("plain shuffle join (50M fact)", factN) {
+          fact.join(dim, Seq("key"))
+            .write.format("noop").mode("overwrite").save()
+        }
+        time("bloom prune+join (50M fact)", factN) {
+          graft.operators.BloomPrune.prune(fact, "key",
+              bloom._1, bloom._2)
+            .join(dim, Seq("key"))
+            .write.format("noop").mode("overwrite").save()
+        }
+      } finally spark.conf.set(
+        "spark.sql.autoBroadcastJoinThreshold", bcastDefault)
+    }
+
     // native text kernels over 20M 64-char rows — per-character loops
     // that replaced interpreted HOF folds (t4/t5 kernels)
     lazy val texts = {

@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, 
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType, LongType}
 
 /** `vec_dot(a, b)` — native codegen'd dot product of two
   * `array<float>` columns, accumulating in double in index order.
@@ -784,6 +784,24 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           args(3).eval().asInstanceOf[ArrayData].toDoubleArray().toSeq,
           args(4).eval().asInstanceOf[ArrayData].toLongArray().toSeq,
           args(5).eval().asInstanceOf[Number].intValue())
+      }))
+    // bloom_might_contain(key, bits, k): bits foldable array<bigint>
+    // — embedded once as a reference object (never a per-row array),
+    // probe stays in whole-stage codegen. See BloomExpressions.
+    ext.injectFunction((
+      new FunctionIdentifier("bloom_might_contain"),
+      new ExpressionInfo(classOf[BloomMightContain].getName,
+        "bloom_might_contain"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3, "bloom_might_contain(key, bits, k)")
+        require(args(1).foldable &&
+          args(1).dataType.isInstanceOf[ArrayType] &&
+          args(1).dataType.asInstanceOf[ArrayType].elementType == LongType,
+          "bloom_might_contain bits must be a foldable array<bigint>")
+        require(args(2).foldable, "bloom_might_contain k must be foldable")
+        BloomMightContain(args(0),
+          args(1).eval().asInstanceOf[ArrayData].toLongArray().toSeq,
+          args(2).eval().asInstanceOf[Number].intValue())
       }))
     // Sentinel-equality → IS NULL on tagged columns (SURVEY §4.2).
     // Injected at RESOLUTION, not optimization: it is a semantic

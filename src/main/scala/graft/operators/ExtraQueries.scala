@@ -203,6 +203,28 @@ object ExtraQueries {
         .groupBy(col("source")).agg(count(lit(1)).as("n"))
     }),
 
+    // J8 (extension): bloom semi-join pruning — the fact scan is
+    // pre-filtered by a fixed-memory membership sketch of the filtered
+    // dim's keys BEFORE the join exchange (operators.BloomPrune).
+    // False positives survive the probe and die in the exact join, so
+    // the result is byte-identical to the plain join — which is
+    // exactly what the oracle computes; the sketch's only observable
+    // effect is fewer fact rows shuffled (spec-measured).
+    "j8_bloom_join" -> ((s, d) => {
+      val dim = orders(s, d)
+        .filter(col("o_orderpriority") === "1-URGENT")
+      val (bits, k) = graft.operators.BloomPrune.buildSized(
+        dim, "o_orderkey",
+        expectedKeys = math.max(1L, dim.count()), fpp = 0.01)
+      val pruned = graft.operators.BloomPrune.prune(
+        lineitem(s, d), "l_orderkey", bits, k)
+      pruned.join(dim, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("cnt"),
+          (sum(expr("cast(round(l_extendedprice * 100, 0) as bigint)"))
+            / 100.0).as("sum_price"))
+    }),
+
     // Banded interval join: clicks in the 5 minutes before each
     // purchase, as a (user, time-band) equi hash join with the exact
     // window as a post-filter (see operators.IntervalJoin) — never a
@@ -502,6 +524,13 @@ object ExtraQueries {
          WHERE h.h::HUGEINT * q.c::HUGEINT
              < q.n_s::HUGEINT * 1152921504606846976::HUGEINT
          GROUP BY h.source""",
+    "j8_bloom_join" ->
+      """SELECT l_returnflag, count(*) AS cnt,
+         sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) / 100.0
+           AS sum_price
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         WHERE o_orderpriority = '1-URGENT'
+         GROUP BY l_returnflag""",
     "x3_interval_join" ->
       """SELECT p.event_id, p.user_id, count(c.ts) AS clicks_5m
          FROM (SELECT event_id, user_id, ts FROM events

@@ -1,0 +1,108 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.BloomSketch
+import graft.operators.BloomPrune
+
+class BloomSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("bloom never false-negatives and holds the sized fp rate") {
+    val n = 2000L
+    val (bits, k) = BloomSketch.sizing(n, 0.01)
+    val members = spark.range(0, n).select((col("id") * 7 + 3).as("key"))
+    val sketch = BloomPrune.build(members, "key", bits, k)
+    // no false negatives: every inserted key probes true (the property
+    // pruning correctness rests on — a miss here would DROP joinable
+    // fact rows)
+    val missed = members.as[Long].collect()
+      .count(key => !BloomSketch.mightContain(sketch, key, k))
+    assert(missed === 0)
+    // false positives bounded near the sized target: probe 20k keys
+    // disjoint from the member set (members are ≡3 mod 7; probes at
+    // *7+4 are ≡4 mod 7). Deterministic — fixed keys, fixed mixing.
+    val probes = (0L until 20000L).map(_ * 7 + 4)
+    val fps = probes.count(BloomSketch.mightContain(sketch, _, k))
+    val rate = fps.toDouble / probes.size
+    assert(rate < 0.03, s"fp rate $rate at sized 1% target")
+  }
+
+  test("sizing follows the standard bloom formulas") {
+    val (bits, k) = BloomSketch.sizing(1000000L, 0.01)
+    // -n ln p / ln^2 2 ≈ 9.585 bits/key at 1%
+    assert(bits >= 9500000 && bits <= 9700000, s"bits=$bits")
+    assert(k === 7, s"k=$k") // (bits/n) ln 2 ≈ 6.64 → rounds to 7
+    assert(bits % 64 === 0)
+  }
+
+  test("pruned join returns exactly the plain join's rows") {
+    val dim = spark.range(0, 50).select((col("id") * 13).as("key"),
+      concat(lit("d"), col("id")).as("attr"))
+    val fact = spark.range(0, 5000).select((col("id") % 650).as("key"),
+      col("id").as("v"))
+    val (bits, k) = BloomPrune.buildSized(dim, "key", 50L, 0.01)
+    val pruned = BloomPrune.prune(fact, "key", bits, k)
+      .join(dim, Seq("key")).orderBy("key", "v")
+      .as[(Long, Long, String)].collect().toSeq
+    val plain = fact.join(dim, Seq("key")).orderBy("key", "v")
+      .as[(Long, Long, String)].collect().toSeq
+    assert(pruned === plain)
+    assert(pruned.nonEmpty) // the equality is not vacuous
+  }
+
+  test("bloom probe prunes the fact side before the join and stays " +
+      "in codegen") {
+    // fallback disabled: a broken doGenCode throws instead of silently
+    // interpreting (the native-expression discipline)
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val dim = spark.range(0, 100).select((col("id") * 101).as("key"))
+      val fact = spark.range(0, 100000)
+        .select((col("id") % 10100).as("key"), col("id").as("v"))
+      val (bits, k) = BloomPrune.buildSized(dim, "key", 100L, 0.01)
+      val pruned = BloomPrune.prune(fact, "key", bits, k)
+      val plan = pruned.queryExecution.executedPlan.toString
+      assert(plan.contains("bloom_might_contain"), plan)
+      assert(plan.contains("*(1)"), plan) // whole-stage codegen span
+      // selectivity: 100 of 10100 distinct key values are members →
+      // ~1% survives (+ fp). A count far under the input row count is
+      // the pruning working; the exact join then needs only these.
+      val kept = pruned.count()
+      assert(kept >= 100000L / 101, s"kept=$kept (dropped true matches?)")
+      assert(kept < 5000L, s"kept=$kept of 100000 — not pruning")
+    } finally spark.conf.set("spark.sql.codegen.fallback", "true")
+  }
+
+  test("null keys drop at the probe (they cannot equi-join)") {
+    val dim = spark.range(0, 10).select(col("id").as("key"))
+    val (bits, k) = BloomPrune.buildSized(dim, "key", 10L, 0.01)
+    val fact = Seq[(java.lang.Long, Long)]((1L, 10L), (null, 11L),
+      (3L, 12L)).toDF("key", "v")
+    val kept = BloomPrune.prune(fact, "key", bits, k)
+      .select("v").as[Long].collect().toSeq.sorted
+    assert(kept === Seq(10L, 12L))
+  }
+
+  test("empty dim yields an all-reject sketch, not a crash") {
+    val dim = spark.range(0, 10).filter(col("id") < 0)
+      .select(col("id").as("key"))
+    val bits = BloomPrune.build(dim, "key", 640, 3)
+    assert(bits.forall(_ === 0L))
+    val fact = spark.range(0, 100).select(col("id").as("key"))
+    assert(BloomPrune.prune(fact, "key", bits, 3).count() === 0L)
+  }
+
+  test("sketch artifact round-trips through save/load") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-bloom").toString
+    try {
+      val dim = spark.range(0, 500).select((col("id") * 3).as("key"))
+      val (bits, k) = BloomPrune.buildSized(dim, "key", 500L, 0.05)
+      BloomPrune.save(spark, bits, k, s"$dir/sketch")
+      val (bits2, k2) = BloomPrune.load(spark, s"$dir/sketch")
+      assert(k2 === k)
+      assert(bits2.toSeq === bits.toSeq)
+    } finally org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(dir))
+  }
+}

@@ -562,6 +562,11 @@ object ScaleProbe {
           bloom = graft.operators.BloomPrune.buildSized(
             dim, "key", dimN, 0.01)
         }
+        // a substring filter can skip the build TIMING while still
+        // running the join probes — build untimed in that case
+        if (bloom == null)
+          bloom = graft.operators.BloomPrune.buildSized(
+            dim, "key", dimN, 0.01)
         time("plain shuffle join (50M fact)", factN) {
           fact.join(dim, Seq("key"))
             .write.format("noop").mode("overwrite").save()

@@ -46,7 +46,11 @@ object BloomSketch {
     require(n > 0 && p > 0 && p < 1, s"bloom sizing: n=$n, p=$p")
     val ln2 = math.log(2.0)
     val bits0 = math.ceil(-n * math.log(p) / (ln2 * ln2)).toLong
-    val bits = math.min(((bits0 + 63) / 64) * 64, 1L << 31).toInt
+    // cap below Int.MaxValue at a multiple of 64 — (1L<<31) itself
+    // overflows .toInt to a NEGATIVE count exactly in the billion-key
+    // regime the cap exists for
+    val cap = (1L << 31) - 64
+    val bits = math.min(((bits0 + 63) / 64) * 64, cap).toInt
     val k = math.max(1, math.round((bits.toDouble / n) * ln2).toInt)
     (bits, k)
   }

@@ -65,14 +65,15 @@ object BloomPrune {
     * ([[graft.functions.BloomMightContain]]).
     */
   def prune(fact: DataFrame, keyCol: String, bits: Array[Long],
-      numHashes: Int): DataFrame = {
-    // L-suffixed literals: a bare small value would parse as INT and
-    // type the array as array<int>, failing the function's bigint check
-    val lits = bits.map(_.toString + "L").mkString(",")
-    fact.where(expr(
-      s"bloom_might_contain(cast(`$keyCol` as bigint), " +
-        s"array($lits), $numHashes)"))
-  }
+      numHashes: Int): DataFrame =
+    // call_function + typedLit (the pq_tables convention), NOT a SQL
+    // string: rendering the bitset as array literals would hand the
+    // parser one literal per word — ~15M of them (~300 MB of SQL) for
+    // a 10⁸-key sketch. typedLit builds the foldable array<bigint>
+    // directly; the registered builder still embeds it as one
+    // reference object.
+    fact.where(call_function("bloom_might_contain",
+      col(keyCol).cast("long"), typedLit(bits.toSeq), lit(numHashes)))
 
   /** Persist the sketch as a one-row parquet artifact (bits + k):
     * the reusable-membership form — build once over the dim/corpus,

@@ -208,18 +208,27 @@ object DedupOps {
       if (reliableDir.isDefined) df.checkpoint(eager = true)
       else df.localCheckpoint(eager = true)
 
-    def release(df: DataFrame): Unit =
-      df.queryExecution.logical match {
-        case l: org.apache.spark.sql.execution.LogicalRDD =>
-          l.rdd.unpersist(blocking = false)
-          if (reliableDir.isDefined) l.rdd.getCheckpointFile.foreach { p =>
-            val path = new org.apache.hadoop.fs.Path(p)
-            path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-              .delete(path, true)
-          }
-        case _ => () // not a checkpointed leaf; ContextCleaner reclaims
-      }
+    def release(df: DataFrame): Unit = releaseCheckpointLeaf(df)
   }
+
+  /** Shared release body for a checkpointed LogicalRDD leaf: unpersist
+    * the blocks and delete reliable-checkpoint files (getCheckpointFile
+    * is None under localCheckpoint, so the delete is a no-op there).
+    * One implementation for both the per-round iterate release and the
+    * caller-facing [[free]] — the two must never drift.
+    */
+  private def releaseCheckpointLeaf(df: DataFrame): Unit =
+    df.queryExecution.logical match {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        l.rdd.unpersist(blocking = false)
+        l.rdd.getCheckpointFile.foreach { p =>
+          val path = new org.apache.hadoop.fs.Path(p)
+          path.getFileSystem(
+              df.sparkSession.sparkContext.hadoopConfiguration)
+            .delete(path, true)
+        }
+      case _ => df.unpersist()
+    }
 
   /** Bucket-local minimum labels: for each doc, the smallest doc id
     * sharing ANY of its (band, bucket) LSH buckets — exactly the
@@ -357,23 +366,19 @@ object DedupOps {
   /** Deterministically release a frame returned by [[duplicateClusters]]
     * / [[duplicateClustersStar]]: unpersists the materialized blocks and
     * deletes reliable-checkpoint files if the session ran with
-    * `graft.checkpoint.dir`. Safe to skip — the ContextCleaner reclaims
-    * blocks after the frame is unreachable — but long-lived drivers that
-    * run many loops should call it (same accumulation argument as the
-    * per-round release, see [[Checkpointer]]).
+    * `graft.checkpoint.dir`.
+    *
+    * Skipping it is safe only in the default localCheckpoint mode
+    * (blocks are reclaimed by the ContextCleaner after the reference
+    * drops). In RELIABLE mode the ContextCleaner does NOT delete
+    * checkpoint files unless
+    * `spark.cleaner.referenceTracking.cleanCheckpoints=true` (Spark
+    * default false), so a reliable-mode driver that never frees its
+    * results leaks one rdd-N directory per loop run on the checkpoint
+    * store — call free() once the result is consumed (ScaleOpsSpec
+    * pins that it really deletes the directory).
     */
-  def free(result: DataFrame): Unit =
-    result.queryExecution.logical match {
-      case l: org.apache.spark.sql.execution.LogicalRDD =>
-        l.rdd.unpersist(blocking = false)
-        l.rdd.getCheckpointFile.foreach { p =>
-          val path = new org.apache.hadoop.fs.Path(p)
-          path.getFileSystem(
-              result.sparkSession.sparkContext.hadoopConfiguration)
-            .delete(path, true)
-        }
-      case _ => result.unpersist()
-    }
+  def free(result: DataFrame): Unit = releaseCheckpointLeaf(result)
 
   /** Connected components by the alternating large-star/small-star
     * algorithm (Kiveris et al., "Connected Components in MapReduce and

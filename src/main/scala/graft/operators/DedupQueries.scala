@@ -155,7 +155,11 @@ object DedupQueries {
         documents(s, d).select(col("doc_id")), pairs, "doc_id",
         initLabels = Some(DedupOps.bucketLocalMin(buckets, "doc_id")))
       // out is materialized (eager checkpoint leaf) before return, so
-      // the bucket frame can be released here instead of leaking
+      // the bucket frame can be released here instead of leaking.
+      // The result itself is not free()d — Verify/Bench consume it
+      // after return and run localCheckpoint mode (no
+      // graft.checkpoint.dir), where dropping the reference suffices;
+      // reliable-mode callers own the free() call (see DedupOps.free)
       buckets.unpersist()
       out
     }),

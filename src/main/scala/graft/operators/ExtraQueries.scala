@@ -76,15 +76,20 @@ object ExtraQueries {
 
     // Rollup: hierarchical subtotals (engine completeness; maps to the
     // same shuffle as a grouping-sets expansion).
-    // Integer-cents sum (like w9/a11/x12): a double sum is
+    // Exact-cents sum (like w9/a11/x12): a double sum is
     // partition-order-dependent, so round(sum(double), 2) is a latent
     // cross-engine flake whenever a group's sum lands within ulps of a
-    // .xx5 boundary; summing exact BIGINT cents is order-free.
+    // .xx5 boundary; summing exact integer cents is order-free. The
+    // cents here sum as DECIMAL, not BIGINT: the rollup's grand-total
+    // group aggregates the WHOLE table, and at ~10¹¹ rows × ~10⁷ cents
+    // a Long sum crosses 2⁶³ and ANSI mode throws where DuckDB's
+    // HUGEINT sum would not — grand-total-class groups get the 128-bit
+    // accumulator; bounded-group windows (w9 etc.) keep cheap Longs.
     "a9_rollup" -> ((s, d) =>
       orders(s, d)
         .rollup(col("o_orderstatus"), col("o_orderpriority"))
         .agg(count(lit(1)).as("cnt"),
-          (sum(expr("cast(round(o_totalprice * 100, 0) as bigint)"))
+          (sum(expr("cast(round(o_totalprice * 100, 0) as decimal(20,0))"))
             / 100.0).as("sum_price"))),
 
     // As-of join: each purchase picks up the latest click value at or
@@ -218,10 +223,12 @@ object ExtraQueries {
         expectedKeys = math.max(1L, dim.count()), fpp = 0.01)
       val pruned = graft.operators.BloomPrune.prune(
         lineitem(s, d), "l_orderkey", bits, k)
+      // decimal cents accumulator — 3 return flags over the whole
+      // fact table are grand-total-class groups (see a9_rollup)
       pruned.join(dim, col("l_orderkey") === col("o_orderkey"))
         .groupBy(col("l_returnflag"))
         .agg(count(lit(1)).as("cnt"),
-          (sum(expr("cast(round(l_extendedprice * 100, 0) as bigint)"))
+          (sum(expr("cast(round(l_extendedprice * 100, 0) as decimal(20,0))"))
             / 100.0).as("sum_price"))
     }),
 

@@ -305,6 +305,35 @@ object ExtraQueries {
         (abs(col("apx_supp") - col("nd_supp")).cast("double")
           <= col("nd_supp") * lit(0.05)).as("supp_ok"))),
 
+    // a12: incremental cardinality via mergeable HLL sketches (Spark's
+    // DataSketches hll_sketch_agg/hll_union_agg built-ins) — the
+    // append-only pattern: each ingest batch keeps a sketch ARTIFACT,
+    // corpus cardinality is the union of batch sketches, never a
+    // rescan of old batches. Deterministic halves of lineitem stand in
+    // for batches. The pinned invariant is PARTITION-COUNT INVARIANCE
+    // of the unioned estimate (2-way union ≡ 4-way union, exactly):
+    // registers are per-slot maxima, so any batching yields identical
+    // union state. (A never-unioned sketch is NOT comparable — its HIP
+    // estimator is presentation-order-dependent and invalidated by
+    // union — so the single-pass estimate is held only to the same 5%
+    // band as the exact count, a10-style.)
+    "a12_hll_incremental" -> ((s, d) => {
+      val li = lineitem(s, d)
+      def unionEst(ways: Int) = li
+        .groupBy(pmod(col("l_orderkey"), lit(ways)).as("b"))
+        .agg(expr("hll_sketch_agg(l_partkey, 12)").as("sk"))
+        .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("est"))
+      val exact = li.agg(
+        countDistinct(col("l_partkey")).as("nd_part"))
+      exact
+        .crossJoin(unionEst(2).select(col("est").as("e2")))
+        .crossJoin(unionEst(4).select(col("est").as("e4")))
+        .select(col("nd_part"),
+          (col("e2") === col("e4")).as("merge_invariant"),
+          (abs(col("e2") - col("nd_part")).cast("double")
+            <= col("nd_part") * lit(0.05)).as("apx_ok"))
+    }),
+
     // x11: CDC changelog application — the next snapshot from a base
     // plus a two-generation keyed changelog (upserts, re-updates, and
     // deletes), latest seq wins per key ([[CdcOps.applyChangelog]]:
@@ -587,6 +616,10 @@ object ExtraQueries {
     // Exact counts + literal tolerance flags: the Spark side asserts its
     // HLL estimate is within ±5% of exact, so a drifting sketch fails
     // the hash compare instead of hiding behind a rows-only gate.
+    "a12_hll_incremental" ->
+      """SELECT count(DISTINCT l_partkey) AS nd_part,
+         true AS merge_invariant, true AS apx_ok
+         FROM lineitem""",
     "a10_approx_distinct" ->
       """SELECT count(DISTINCT l_partkey) AS nd_part,
          count(DISTINCT l_suppkey) AS nd_supp,

@@ -34,8 +34,11 @@ object RecordLog {
     * never the script delimiters.
     */
   private def delimFree(field: String, v: String): String = {
-    require(!v.exists(c => ",=;()".contains(c)),
-      s"$field must not contain any of , = ; ( ) — got '$v'")
+    // newline/CR are delimiters too — they terminate the physical
+    // script LINE, so a bound containing one would serialize an
+    // unparseable log (violating fail-fast-at-construction)
+    require(!v.exists(c => ",=;()\n\r".contains(c)),
+      s"$field must not contain any of , = ; ( ) or line breaks — got '$v'")
     v
   }
 
@@ -59,9 +62,16 @@ object RecordLog {
   private def sel(shape: Shape): Column = col(shape.selected)
 
   private def refine(shape: Shape, df: DataFrame, pred: Column,
-      intersect: Boolean): DataFrame =
+      intersect: Boolean): DataFrame = {
+    // coalesce the three-valued predicate to FALSE: a NULL measurement
+    // makes `value < x` NULL, and a NULL stored in the selection column
+    // later inverts to NULL in DeleteSelected's filter(!sel) — which
+    // DROPS the row, silently deleting points the user never selected.
+    // Selection semantics are boolean: unknown = not selected.
+    val p = coalesce(pred, lit(false))
     df.withColumn(shape.selected,
-      if (intersect) sel(shape) && pred else pred)
+      if (intersect) sel(shape) && p else p)
+  }
 
   /** P8 — value threshold selection (edit_service.py:66-85). */
   final case class FilterValue(op: String, v: Double, intersect: Boolean)
@@ -201,8 +211,11 @@ object RecordLog {
     val shape = lines.head match {
       case Call("shape", a) =>
         val m = args(a)
-        Shape(m("keys").split(";").toSeq, m("ts"), m("tiebreak"),
-          m("value"), m("selected"))
+        // filter empties so a keyless (single-series) session's
+        // `keys=` round-trips to Nil instead of Seq("") — which the
+        // Shape ident check would reject at replay time
+        Shape(m("keys").split(";").toSeq.filter(_.nonEmpty),
+          m("ts"), m("tiebreak"), m("value"), m("selected"))
       case other => sys.error(s"expected shape header, got: $other")
     }
     val actions = lines.tail.map {

@@ -55,14 +55,20 @@ object Publish {
       year.map(y => s"_Year_$y").getOrElse("") + ".csv"
 
   /** Collision-free chunk filename: each key value is percent-escaped
-    * ('%' then '_') BEFORE joining with '_', so values containing the
-    * separator (the reference's site codes do, e.g. "LR_Mendon") cannot
-    * alias another chunk's path. Without this, two distinct chunk keys
-    * could map to one file — which under the parallel writer would be a
-    * concurrent-write race on the same CSV.
+    * ('%' then '_' then '/') BEFORE joining with '_', so values
+    * containing the separator (the reference's site codes do, e.g.
+    * "LR_Mendon") cannot alias another chunk's path. Without this, two
+    * distinct chunk keys could map to one file — which under the
+    * parallel writer would be a concurrent-write race on the same CSV.
+    * '/' must be escaped for a different reason: un-escaped it nests
+    * the file OUTSIDE the flat output layout (and "../x" would escape
+    * outDir entirely), while the uploader keys remote files by
+    * BASENAME, so "a/b" and "b" would silently overwrite each other's
+    * remote copy.
     */
   def chunkFileName(cv: Seq[Any]): String =
-    cv.map(_.toString.replace("%", "%25").replace("_", "%5F"))
+    cv.map(_.toString.replace("%", "%25").replace("_", "%5F")
+        .replace("/", "%2F"))
       .mkString("_") + ".csv"
 
   /** One chunk's wide frame: filter → pivot → sentinel fill → sort. */
@@ -97,6 +103,15 @@ object Publish {
       .select(spec.chunkKeys.map(col): _*).distinct()
       .orderBy(spec.chunkKeys.map(col): _*)
       .collect().map(_.toSeq).toSeq
+    // fail loudly on NULL chunk keys: the filename composition would
+    // NPE inside a Future, and wideChunk's `===` filter can never
+    // match a null anyway — rows with null keys are unpublishable
+    // under this layout, which the caller must resolve, not discover
+    // as a concurrency stack trace
+    val nullChunks = chunkVals.filter(_.exists(_ == null))
+    require(nullChunks.isEmpty,
+      s"publishChunks: NULL in chunk key(s) ${spec.chunkKeys.mkString(",")} " +
+        s"for ${nullChunks.size} chunk value(s); filter or fill them first")
     import java.util.concurrent.Executors
     import scala.concurrent.{Await, ExecutionContext, Future}
     import scala.concurrent.duration.Duration

@@ -33,7 +33,17 @@ object CsvHeaderSink {
     * a failure mid-write never leaves a truncated deliverable; staging
     * and the Spark temp dir are released on every path.
     */
-  def write(df: DataFrame, headerLines: Seq[String], out: String): Unit = {
+  def write(df: DataFrame, headerLines: Seq[String], out: String): Unit =
+    writeComposed(df, headerLines.map(l => s"# $l\n").mkString, out)
+
+  /** [[write]] with a PRE-RENDERED header block written verbatim — the
+    * adapter for [[FileHeader.build]], whose composed text already
+    * carries the reference's own decorations (`# ` prefixes, quoted
+    * comma-value lines, trailing spaces) that per-line `# ` prefixing
+    * would double or lose.
+    */
+  def writeComposed(df: DataFrame, headerText: String,
+      out: String): Unit = {
     val tmp = Files.createTempDirectory("csvsink")
     try {
       df.coalesce(1).write.mode("overwrite")
@@ -46,8 +56,7 @@ object CsvHeaderSink {
         val os = new BufferedOutputStream(
           new FileOutputStream(staged.toFile))
         try {
-          for (line <- headerLines)
-            os.write(s"# $line\n".getBytes(StandardCharsets.UTF_8))
+          os.write(headerText.getBytes(StandardCharsets.UTF_8))
           Files.copy(part, os)
         } finally os.close()
         moveInto(staged, target)
@@ -96,13 +105,26 @@ object CsvHeaderSink {
     * read is fully distributed — at scale, point it at the whole
     * published tree and let Spark parallelize per file/split.
     */
+  /** A metadata-header line as published: plain `# ...`, or the
+    * reference's comma-value form, where the WHOLE line is wrapped in
+    * quotes (`"# SiteName: Logan, UT"` — DatasetUtilities.py:680-681).
+    * The quoted form defeats a naive `comment='#'` reader, so every
+    * read path must use this predicate, not the char option.
+    */
+  private[io] def isCommentLine(l: String): Boolean =
+    l.startsWith("#") || l.startsWith("\"#")
+
   def read(spark: SparkSession, path: String,
       schema: Option[org.apache.spark.sql.types.StructType] = None)
       : DataFrame = {
-    val r = spark.read
-      .option("header", "true")
-      .option("comment", "#")
-    schema.fold(r.option("inferSchema", "true"))(r.schema).csv(path)
+    // text-read first, drop header-section lines (incl. the quoted
+    // comma-value form `comment='#'` cannot express), then parse the
+    // remainder as CSV — still fully distributed (csv over a
+    // Dataset[String] runs the same codegen'd parser per partition)
+    val txt = spark.read.textFile(path)
+      .filter((l: String) => !isCommentLine(l))
+    val r = spark.read.option("header", "true")
+    schema.fold(r.option("inferSchema", "true"))(r.schema).csv(txt)
   }
 
   /** The `#`-prefixed metadata header lines of one published file, with
@@ -114,26 +136,34 @@ object CsvHeaderSink {
     val in = Files.newBufferedReader(Paths.get(path),
       StandardCharsets.UTF_8)
     try Iterator.continually(in.readLine())
-      .takeWhile(l => l != null && l.startsWith("#"))
-      .map(_.stripPrefix("#").stripPrefix(" "))
+      .takeWhile(l => l != null && isCommentLine(l))
+      .map { l =>
+        // unwrap the reference's quoted comma-value form first
+        val unq = if (l.startsWith("\"") && l.endsWith("\""))
+          l.substring(1, l.length - 1)
+        else l
+        unq.stripPrefix("#").stripPrefix(" ")
+      }
       .toList
     finally in.close()
   }
 
   /** S5 — resume probe: max value of `tsCol` in an existing output file,
-    * or None if the file doesn't exist / has no rows. Comment lines are
-    * skipped; the schema is inferred from the column header.
+    * or None if the file doesn't exist / has no rows. Comment lines
+    * (incl. the quoted form) are skipped. Single pass: columns read as
+    * strings (no inference scan) and only `tsCol` is cast — this runs
+    * once per resumed chunk per micro-batch under StreamingPublish, so
+    * the old infer-then-aggregate double scan was the probe's whole
+    * cost.
     */
   def tailProbe(spark: SparkSession, path: String,
       tsCol: String): Option[java.sql.Timestamp] = {
     if (!Files.exists(Paths.get(path))) return None
-    val df = spark.read
-      .option("header", "true")
-      .option("comment", "#")
-      .option("inferSchema", "true")
-      .csv(path)
+    val txt = spark.read.textFile(path)
+      .filter((l: String) => !isCommentLine(l))
+    val df = spark.read.option("header", "true").csv(txt)
     if (!df.columns.contains(tsCol)) return None
-    df.agg(max(col(tsCol)).cast("timestamp")).collect().headOption
+    df.agg(max(col(tsCol).cast("timestamp"))).collect().headOption
       .flatMap(r => Option(r.getTimestamp(0)))
   }
 
@@ -154,15 +184,30 @@ object CsvHeaderSink {
         Files.move(staged, target, StandardCopyOption.REPLACE_EXISTING)
     }
 
-  private def firstPart(dir: String): Path =
-    Files.list(Paths.get(dir)).iterator().asScala
+  // Files.list returns a Stream backed by an open directory fd — close
+  // it or leak one per call (publishChunks runs one write per chunk per
+  // micro-batch under StreamingPublish; thousands of leaked fds →
+  // EMFILE on a long-lived driver). Same discipline as Uploader.
+
+  private def firstPart(dir: String): Path = {
+    val s = Files.list(Paths.get(dir))
+    try s.iterator().asScala
       .filter(_.getFileName.toString.startsWith("part-"))
       .toSeq.sortBy(_.getFileName.toString).headOption
       .getOrElse(throw new IllegalStateException(s"no part file in $dir"))
+    finally s.close()
+  }
 
   private def deleteRecursively(p: Path): Unit = {
-    if (Files.isDirectory(p))
-      Files.list(p).iterator().asScala.foreach(deleteRecursively)
+    if (Files.isDirectory(p)) {
+      // materialize before recursing — don't delete under an open
+      // directory stream
+      val children = {
+        val s = Files.list(p)
+        try s.iterator().asScala.toList finally s.close()
+      }
+      children.foreach(deleteRecursively)
+    }
     Files.deleteIfExists(p)
   }
 }

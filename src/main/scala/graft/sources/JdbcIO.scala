@@ -65,8 +65,15 @@ object JdbcIO {
       extends org.apache.spark.sql.jdbc.JdbcDialect {
     override def canHandle(url: String): Boolean =
       url.startsWith("jdbc:duckdb:")
+    // match the TABLE/VIEW-not-found messages specifically ("Catalog
+    // Error: Table with name t does not exist!") — a bare
+    // "does not exist" also matches missing SCHEMAS and COLUMNS, which
+    // would send SaveMode.Append down the CREATE TABLE path and bury
+    // the real error under a misleading create failure
     override def isObjectNotFoundException(e: java.sql.SQLException): Boolean =
-      Option(e.getMessage).exists(_.contains("does not exist"))
+      Option(e.getMessage).exists(m =>
+        m.contains("does not exist") &&
+          (m.contains("Table with name") || m.contains("View with name")))
   }
   org.apache.spark.sql.jdbc.JdbcDialects.registerDialect(DuckDbSparkDialect)
 

@@ -137,4 +137,52 @@ class IoPublishSpec extends SparkSpec {
       .filter(_.contains("sid=")).sorted
     assert(dirs.map(_.split("/").last).toSeq === Seq("sid=1", "sid=2"))
   }
+
+  test("reference-faithful quoted header lines survive the read paths") {
+    // a comma-valued metadata line is quoted WHOLE-LINE by the
+    // reference format (FileHeader.line) — the readers must treat it
+    // as a comment, not as the column-header row
+    val out = s"${tmpDir()}/quoted.csv"
+    val df = Seq(
+      (ts("2024-01-01 00:00:00"), 1.0),
+      (ts("2024-01-01 01:00:00"), 2.0)).toDF("t", "v").orderBy("t")
+    val header = graft.io.FileHeader.line("SiteCode", "S1") +
+      graft.io.FileHeader.line("SiteName", "Logan, UT") // quoted form
+    CsvHeaderSink.writeComposed(df, header, out)
+    val raw = Files.readAllLines(Paths.get(out))
+    assert(raw.get(1) === "\"# SiteName: Logan, UT\"") // really quoted
+    // distributed read: 2 data rows, correct columns
+    val back = CsvHeaderSink.read(spark, out)
+    assert(back.columns.toSeq === Seq("t", "v"))
+    assert(back.count() === 2)
+    // resume probe still finds the max timestamp
+    assert(CsvHeaderSink.tailProbe(spark, out, "t")
+      === Some(ts("2024-01-01 01:00:00")))
+    // header read-back strips both decorations
+    assert(CsvHeaderSink.readHeader(out) ===
+      Seq("SiteCode: S1 ", "SiteName: Logan, UT"))
+  }
+
+  test("chunk keys with path separators cannot escape the output dir") {
+    assert(Publish.chunkFileName(Seq("LR/Mendon", 1)) ===
+      "LR%2FMendon_1.csv")
+    assert(Publish.chunkFileName(Seq("../up", 1)) === "..%2Fup_1.csv")
+    // distinctness: "a/b"+"c" vs "a"+"b/c" must not collide
+    assert(Publish.chunkFileName(Seq("a/b", "c")) !==
+      Publish.chunkFileName(Seq("a", "b/c")))
+  }
+
+  test("null chunk keys fail loudly before any file is written") {
+    val bad = Seq((Some(1), "x"), (None: Option[Int], "y"))
+      .toDF("sid", "pv")
+      .withColumn("t", to_timestamp(lit("2024-01-01 00:00:00")))
+      .withColumn("v", lit(1.0))
+    val badSpec = Publish.ChunkSpec(Seq("sid"), "t", "pv", "v",
+      Seq("x", "y"), -9999.0)
+    val e = intercept[IllegalArgumentException] {
+      Publish.publishChunks(spark, bad, badSpec, tmpDir(),
+        _ => Seq("h"))
+    }
+    assert(e.getMessage.contains("NULL in chunk key"))
+  }
 }

@@ -92,4 +92,40 @@ class RecordLogSpec extends SparkSpec {
 
   private def canon2(df: org.apache.spark.sql.DataFrame): Seq[Seq[Any]] =
     rowsOf(df.select("event_id", "value", "selected").orderBy("event_id"))
+
+  test("null measurements are never selected — and never deleted") {
+    // value NULL makes `value < x` three-valued NULL; the selection
+    // must coalesce it to false, or DeleteSelected's filter(!sel)
+    // silently drops the never-selected row
+    val withNull = Seq(
+      (1L, "2024-01-01 00:00:00", 10L, Some(5.0)),
+      (2L, "2024-01-01 01:00:00", 10L, None: Option[Double]),
+      (3L, "2024-01-01 02:00:00", 10L, Some(60.0)))
+      .toDF("event_id", "tss", "user_id", "value")
+      .withColumn("ts", to_timestamp(col("tss"))).drop("tss")
+    val out = RecordLog.replay(withNull, shape, Seq(
+      FilterValue("<", 10.0, intersect = false),
+      DeleteSelected()))
+    // row 1 (5.0 < 10) deleted; row 2 (NULL value) SURVIVES; row 3 too
+    assert(out.select("event_id").as[Long].collect().toSeq.sorted
+      === Seq(2L, 3L))
+    // and the surviving rows' selection column is false, not null
+    assert(out.select("selected").as[Boolean].collect().toSeq
+      === Seq(false, false))
+  }
+
+  test("line-break-bearing bounds are rejected at construction") {
+    intercept[IllegalArgumentException](
+      FilterDate("2020-01-01 00:00:00\nx", "", intersect = true))
+    intercept[IllegalArgumentException](
+      FilterDate("", "2020-01-01 00:00:00\r", intersect = true))
+  }
+
+  test("keyless (single-series) shape round-trips through the script") {
+    val keyless = Shape(Nil, "ts", "event_id", "value", "selected")
+    val (parsed, acts) = RecordLog.parse(
+      RecordLog.serialize(keyless, Seq(DeleteSelected())))
+    assert(parsed === keyless)
+    assert(acts === Seq(DeleteSelected()))
+  }
 }

@@ -40,16 +40,27 @@ object SparkEntry {
   private def coreQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // A-group + flagship: grouped aggregation with map-side partial agg
     // (reference: per-series stats, series_service.py:430-434 analogue).
+    // Exact-cents sums (w9/a9/x12 convention): round(sum(double), n)
+    // is partition-order-dependent within ulps of rounding boundaries;
+    // per-row cents are exact BIGINTs, so the sums — and the division
+    // by 100.0 — are bit-identical across engines and partitionings.
+    // The avg uses the floor(x+0.5) idiom (t7's): pure IEEE ops, which
+    // both engines compute bit-identically, where round() differs
+    // (Spark rounds the shortest decimal repr, DuckDB the raw binary).
     "q1_agg" -> ((s, d) =>
       lineitem(s, d)
         .filter(col("l_shipdate") <= to_timestamp(lit("1998-09-02 00:00:00")))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          round(sum(col("l_quantity")), 2).as("sum_qty"),
-          round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
-          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
-            .as("sum_disc_price"),
-          round(avg(col("l_quantity")), 4).as("avg_qty"),
+          (sum(expr("cast(round(l_quantity * 100, 0) as bigint)"))
+            / 100.0).as("sum_qty"),
+          (sum(expr("cast(round(l_extendedprice * 100, 0) as bigint)"))
+            / 100.0).as("sum_base_price"),
+          (sum(expr(
+            "cast(round(l_extendedprice * (1 - l_discount) * 100, 0) as bigint)"))
+            / 100.0).as("sum_disc_price"),
+          (floor(sum(expr("cast(round(l_quantity * 100, 0) as bigint)"))
+            * 100.0 / count(lit(1)) + 0.5) / 10000.0).as("avg_qty"),
           count(lit(1)).as("cnt"))),
 
     // P1+P7: column projection + NOT NULL predicate
@@ -132,7 +143,8 @@ object SparkEntry {
       lineitem(s, d)
         .join(part(s, d), col("l_partkey") === col("p_partkey"))
         .groupBy(col("p_brand"))
-        .agg(round(sum(col("l_extendedprice")), 2).as("revenue"),
+        .agg((sum(expr("cast(round(l_extendedprice * 100, 0) as bigint)"))
+            / 100.0).as("revenue"),
           count(lit(1)).as("cnt"))),
 
     // J2: composite-key (multi-column) equi-join — the 5-col series
@@ -145,7 +157,9 @@ object SparkEntry {
         .select("user_id", "event_type").distinct()
       e.join(keys, Seq("user_id", "event_type"))
         .groupBy(col("user_id"), col("event_type"))
-        .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("sum_v"))
+        .agg(count(lit(1)).as("cnt"),
+          (sum(expr("cast(round(value * 100, 0) as bigint)"))
+            / 100.0).as("sum_v"))
     }),
 
     // J3-J5: left-semi join (distinct-ids-used-by subquery pattern,
@@ -299,10 +313,13 @@ object SparkEntry {
   private def coreOracle: Map[String, String] = Map(
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
-         round(sum(l_quantity),2) AS sum_qty,
-         round(sum(l_extendedprice),2) AS sum_base_price,
-         round(sum(l_extendedprice*(1-l_discount)),2) AS sum_disc_price,
-         round(avg(l_quantity),4) AS avg_qty,
+         sum(CAST(round(l_quantity * 100, 0) AS BIGINT)) / 100.0 AS sum_qty,
+         sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) / 100.0
+           AS sum_base_price,
+         sum(CAST(round(l_extendedprice * (1 - l_discount) * 100, 0)
+             AS BIGINT)) / 100.0 AS sum_disc_price,
+         floor(sum(CAST(round(l_quantity * 100, 0) AS BIGINT))
+             * 100.0 / count(*) + 0.5) / 10000.0 AS avg_qty,
          count(*) AS cnt
          FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
          GROUP BY l_returnflag, l_linestatus""",
@@ -343,13 +360,15 @@ object SparkEntry {
            AND l_shipdate BETWEEN TIMESTAMP '1997-01-01 00:00:00'
              AND TIMESTAMP '1998-12-31 23:59:59'""",
     "j1_dim_join" ->
-      """SELECT p_brand, round(sum(l_extendedprice),2) AS revenue,
+      """SELECT p_brand,
+         sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) / 100.0
+           AS revenue,
          count(*) AS cnt
          FROM lineitem JOIN part ON l_partkey = p_partkey
          GROUP BY p_brand""",
     "j2_composite_join" ->
       """SELECT user_id, event_type, count(*) AS cnt,
-         round(sum(value),2) AS sum_v
+         sum(CAST(round(value * 100, 0) AS BIGINT)) / 100.0 AS sum_v
          FROM events e JOIN
            (SELECT DISTINCT user_id, event_type FROM events
             WHERE value > 195.0) k

@@ -34,25 +34,36 @@ object AsOfJoin {
   def asOf(left: DataFrame, right: DataFrame, keys: Seq[String],
       ts: String, payloadCol: String, outCol: String): DataFrame = {
     val lCols = left.columns
+    // The payload travels WRAPPED in a struct: `last(payload,
+    // ignoreNulls)` on the bare column cannot tell a left-row
+    // placeholder NULL from a matched right row whose payload is
+    // genuinely NULL — it would skip the latter and attach an OLDER
+    // stale payload where native ASOF (and the DuckDB oracle) returns
+    // NULL. A struct from a right row is never null even when its
+    // payload field is, so ignoreNulls skips exactly the left rows.
+    val pType = right.schema(payloadCol).dataType
     val l = left
       .withColumn("__side", lit(1))
-      .withColumn("__payload", lit(null).cast(
-        right.schema(payloadCol).dataType))
+      .withColumn("__p",
+        lit(null).cast(org.apache.spark.sql.types.StructType(
+          Seq(org.apache.spark.sql.types.StructField("v", pType)))))
     val r = right
-      .select((keys :+ ts).map(col) :+ col(payloadCol).as("__payload"): _*)
+      .select((keys :+ ts).map(col)
+        :+ struct(col(payloadCol).as("v")).as("__p"): _*)
       .withColumn("__side", lit(0))
     // align schemas: left keeps all its columns; right fills the rest
     val united = l.select(
-      (lCols.toIndexedSeq.map(col) :+ col("__side") :+ col("__payload")): _*)
+      (lCols.toIndexedSeq.map(col) :+ col("__side") :+ col("__p")): _*)
       .unionByName(
         r.select(
-          (keys :+ ts).map(col) :+ col("__side") :+ col("__payload"): _*),
+          (keys :+ ts).map(col) :+ col("__side") :+ col("__p"): _*),
         allowMissingColumns = true)
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col(ts).asc, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, 0)
     united
-      .withColumn(outCol, last(col("__payload"), ignoreNulls = true).over(w))
+      .withColumn(outCol,
+        last(col("__p"), ignoreNulls = true).over(w).getField("v"))
       .filter(col("__side") === 1)
       .select(lCols.toIndexedSeq.map(col) :+ col(outCol): _*)
   }

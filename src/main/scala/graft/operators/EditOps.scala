@@ -59,8 +59,11 @@ object EditOps {
     * the selected groups (a boundary is a selected row whose predecessor
     * is not selected).
     */
-  def withRunIds(df: DataFrame, keys: Seq[String], ts: String,
-      tiebreak: String, selected: Column): DataFrame = {
+  /** The run-id expression behind [[withRunIds]], reusable under any
+    * output column name.
+    */
+  private def runIdExpr(keys: Seq[String], ts: String, tiebreak: String,
+      selected: Column): Column = {
     val ww = w(keys, ts, tiebreak)
     val sel = selected.cast("boolean")
     // boundary = selected row starting a new selected run (prev row is
@@ -68,8 +71,12 @@ object EditOps {
     val boundary = sel && !coalesce(lag(sel, 1).over(ww), lit(false))
     val runId = sum(boundary.cast("long")).over(
       w(keys, ts, tiebreak).rowsBetween(Window.unboundedPreceding, 0))
-    df.withColumn("run_id", when(sel, runId))
+    when(sel, runId)
   }
+
+  def withRunIds(df: DataFrame, keys: Seq[String], ts: String,
+      tiebreak: String, selected: Column): DataFrame =
+    df.withColumn("run_id", runIdExpr(keys, ts, tiebreak, selected))
 
   /** W4 — linear interpolation over selected runs
     * (reference: interpolate, edit_service.py:279-309).
@@ -84,15 +91,24 @@ object EditOps {
     val before = ww.rowsBetween(Window.unboundedPreceding, -1)
     val after  = ww.rowsBetween(1, Window.unboundedFollowing)
     val us = unix_micros(col(ts)).cast("double")
-    val goodV  = when(!selected, col(value))
-    val goodTs = when(!selected, us)
+    // An anchor must contribute its value AND its timestamp from the
+    // SAME row, so both are gated on the same predicate — gating only
+    // the value (the old shape) desynced them when a non-selected
+    // neighbor held a NULL value: its timestamp still anchored pt/nt
+    // while its value was skipped for an older row's, silently bending
+    // the interpolation slope.
+    val anchor = !selected && col(value).isNotNull
+    val goodV  = when(anchor, col(value))
+    val goodTs = when(anchor, us)
     val pv = last(goodV, ignoreNulls = true).over(before)
     val pt = last(goodTs, ignoreNulls = true).over(before)
     val nv = first(goodV, ignoreNulls = true).over(after)
     val nt = first(goodTs, ignoreNulls = true).over(after)
     val interp = pv + (us - pt) / (nt - pt) * (nv - pv)
+    // nt === pt (tied anchor timestamps) would divide by zero → NaN;
+    // keep the original value, as at the series ends
     df.withColumn(out,
-      when(selected && pv.isNotNull && nv.isNotNull, interp)
+      when(selected && pv.isNotNull && nv.isNotNull && nt =!= pt, interp)
         .otherwise(col(value)))
   }
 
@@ -128,16 +144,21 @@ object EditOps {
   def driftCorrectRuns(df: DataFrame, keys: Seq[String], ts: String,
       tiebreak: String, value: String, selected: Column, gradient: Double,
       out: String): DataFrame = {
-    val withRuns = withRunIds(df, keys, ts, tiebreak, selected)
-    val wp = Window.partitionBy((keys :+ "run_id").map(col): _*)
+    // internal working column (the __ convention): building on the
+    // public "run_id" name would clobber — and then drop — a caller's
+    // own run_id column
+    val runCol = "__drift_run_id"
+    val withRuns = df.withColumn(runCol,
+      runIdExpr(keys, ts, tiebreak, selected))
+    val wp = Window.partitionBy((keys :+ runCol).map(col): _*)
     val us = unix_micros(col(ts)).cast("double")
     val x0 = min(us).over(wp)
     val x1 = max(us).over(wp)
     val corrected = col(value) + lit(gradient) * ((us - x0) / (x1 - x0))
     withRuns.withColumn(out,
-      when(col("run_id").isNotNull && (x1 > x0), corrected)
+      when(col(runCol).isNotNull && (x1 > x0), corrected)
         .otherwise(col(value)))
-      .drop("run_id")
+      .drop(runCol)
   }
 
   /** W6 — season bucket from month (reference: calcSeason,

@@ -25,10 +25,18 @@ final class EditSession private (val df: DataFrame,
   def edit(f: DataFrame => DataFrame): EditSession =
     new EditSession(f(df), Some(this))
 
-  /** P8-P11 — refine the boolean selection column. */
-  def select(selCol: String, pred: Column, intersect: Boolean): EditSession =
+  /** P8-P11 — refine the boolean selection column. The predicate is
+    * coalesced to FALSE (same contract as RecordLog.refine): a NULL
+    * measurement makes `value < x` three-valued NULL, and a NULL
+    * stored in the selection later inverts to NULL in a
+    * delete-selected `filter(!sel)` — which drops rows the user never
+    * selected. Selection semantics are boolean: unknown = not selected.
+    */
+  def select(selCol: String, pred: Column, intersect: Boolean): EditSession = {
+    val p = coalesce(pred, lit(false))
     edit(d => d.withColumn(selCol,
-      if (intersect) col(selCol) && pred else pred))
+      if (intersect) col(selCol) && p else p))
+  }
 
   /** M6 — rollback to the previous state (no-op at the root). */
   def rollback: EditSession = parent.getOrElse(this)

@@ -115,7 +115,7 @@ object ExtraQueries {
         .orderBy(unix_micros(col("ts")))
         .rangeBetween(-3600L * 1000000L, 0L)
       events(s, d)
-        .withColumn("cents", round(col("value") * 100).cast("long"))
+        .withColumn("cents", graft.operators.PivotOps.centsOf(col("value")))
         .select(col("event_id"), col("user_id"),
           (sum(col("cents")).over(w) / lit(100.0)).as("hour_sum"))
     }),
@@ -254,7 +254,7 @@ object ExtraQueries {
     "x2_salted_agg" -> ((s, d) =>
       graft.operators.SkewOps.saltedAgg(
         events(s, d).withColumn("cents",
-          round(col("value") * 100).cast("long")),
+          graft.operators.PivotOps.centsOf(col("value"))),
         "event_type", 16, col("event_id"),
         partial = Seq(sum(col("cents")).as("pc"),
           count(lit(1)).as("pn")),

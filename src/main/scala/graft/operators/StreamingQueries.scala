@@ -20,7 +20,9 @@ object StreamingQueries {
       val ss = StreamingOps.streamSession(s)
       val agg = StreamingOps.eventsStream(ss, d)
         .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-        .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("sum_v"))
+        .agg(count(lit(1)).as("cnt"),
+          (sum(expr("cast(round(value * 100, 0) as bigint)"))
+            / 100.0).as("sum_v"))
         .select(
           date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss")
             .as("win_start"),
@@ -34,7 +36,8 @@ object StreamingQueries {
       val agg = StreamingOps.eventsStream(ss, d)
         .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
         .agg(count(lit(1)).as("n_events"),
-          round(sum(col("value")), 2).as("sum_v"))
+          (sum(expr("cast(round(value * 100, 0) as bigint)"))
+            / 100.0).as("sum_v"))
         .select(
           date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss")
             .as("sess_start"),
@@ -76,7 +79,7 @@ object StreamingQueries {
       // user_avg on exact cents: the integer sum is exact in double, so
       // avg and delta are bit-identical across engines with NO rounding.
       val profile = Tables.events(ss, d)
-        .withColumn("cents", round(col("value") * 100).cast("long"))
+        .withColumn("cents", graft.operators.PivotOps.centsOf(col("value")))
         .groupBy(col("user_id"))
         .agg((avg(col("cents")) / lit(100.0)).as("user_avg"))
       val enriched = StreamingOps.eventsStream(ss, d)
@@ -165,7 +168,9 @@ object StreamingQueries {
       val agg = StreamingOps.eventsStream(ss, d)
         .withWatermark("ts", "1 hour")
         .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-        .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("sum_v"))
+        .agg(count(lit(1)).as("cnt"),
+          (sum(expr("cast(round(value * 100, 0) as bigint)"))
+            / 100.0).as("sum_v"))
         .select(
           date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss")
             .as("win_start"),
@@ -274,7 +279,7 @@ object StreamingQueries {
     "st1_stream_window" ->
       """SELECT strftime(time_bucket(INTERVAL '1 hour', ts),
            '%Y-%m-%d %H:%M:%S') AS win_start,
-         event_type, count(*) AS cnt, round(sum(value), 2) AS sum_v
+         event_type, count(*) AS cnt, sum(CAST(round(value * 100, 0) AS BIGINT)) / 100.0 AS sum_v
          FROM events GROUP BY 1, 2""",
     // Session semantics: a session breaks when the gap from the previous
     // event is > 30 min; Spark's session end = last event + gap.
@@ -294,7 +299,7 @@ object StreamingQueries {
          SELECT strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS sess_start,
            strftime(max(ts) + INTERVAL '30 minutes',
              '%Y-%m-%d %H:%M:%S') AS sess_end,
-           user_id, count(*) AS n_events, round(sum(value), 2) AS sum_v
+           user_id, count(*) AS n_events, sum(CAST(round(value * 100, 0) AS BIGINT)) / 100.0 AS sum_v
          FROM g GROUP BY user_id, sess""",
     "st3_stream_resume" ->
       """SELECT event_id, user_id, event_type, value FROM events
@@ -351,7 +356,7 @@ object StreamingQueries {
       """WITH m AS (SELECT max(ts) AS mx FROM events)
          SELECT strftime(time_bucket(INTERVAL '1 hour', ts),
            '%Y-%m-%d %H:%M:%S') AS win_start,
-         event_type, count(*) AS cnt, round(sum(value), 2) AS sum_v
+         event_type, count(*) AS cnt, sum(CAST(round(value * 100, 0) AS BIGINT)) / 100.0 AS sum_v
          FROM events, m
          WHERE time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour'
            <= m.mx - INTERVAL '1 hour'

@@ -24,7 +24,7 @@ object WindowQueries {
     "w10_zscore_outliers" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy(col("user_id"))
-      val c = round(col("value") * 100).cast("long")
+      val c = graft.operators.PivotOps.centsOf(col("value"))
       val stats = events(s, d)
         .withColumn("c", c)
         .withColumn("n", count(lit(1)).over(w))
@@ -107,7 +107,8 @@ object WindowQueries {
         .groupBy(year(col("l_shipdate")).cast("long").as("yr"),
           EditOps.season(col("l_shipdate")).cast("long").as("season"))
         .agg(count(lit(1)).as("cnt"),
-          round(sum(col("l_quantity")), 2).as("sum_qty"))),
+          (sum(expr("cast(round(l_quantity * 100, 0) as bigint)"))
+            / 100.0).as("sum_qty"))),
 
     // W7: month/year derivation (reference: series_service.py:619-620)
     "w7_month_year" -> ((s, d) =>
@@ -115,7 +116,8 @@ object WindowQueries {
         .groupBy(year(col("o_orderdate")).cast("long").as("yr"),
           month(col("o_orderdate")).cast("long").as("mo"))
         .agg(count(lit(1)).as("cnt"),
-          round(sum(col("o_totalprice")), 2).as("sum_price"))),
+          (sum(expr("cast(round(o_totalprice * 100, 0) as bigint)"))
+            / 100.0).as("sum_price"))),
 
     // O1-analogue running aggregation: cumulative per-series sum —
     // ordered window frame (rowsBetween unboundedPreceding..current).
@@ -125,7 +127,8 @@ object WindowQueries {
         .orderBy(col("ts"), col("event_id"))
         .rowsBetween(Window.unboundedPreceding, 0)
       events(s, d).select(col("event_id"), col("user_id"),
-        round(sum(col("value")).over(w), 2).as("running_v"))
+        (sum(expr("cast(round(value * 100, 0) as bigint)")).over(w)
+          / 100.0).as("running_v"))
     })
   )
 
@@ -209,22 +212,30 @@ object WindowQueries {
              ts
            FROM events),
          n AS (
+           -- anchor value AND timestamp gated on the SAME predicate
+           -- (non-miss with a non-null value) so both come from one
+           -- row — mirrors EditOps.interpolate's anchor contract
            SELECT event_id, user_id, value, miss, us,
-             last_value(CASE WHEN NOT miss THEN value END IGNORE NULLS)
+             last_value(CASE WHEN NOT miss AND value IS NOT NULL
+                 THEN value END IGNORE NULLS)
                OVER (PARTITION BY user_id ORDER BY ts, event_id
                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pv,
-             last_value(CASE WHEN NOT miss THEN us END IGNORE NULLS)
+             last_value(CASE WHEN NOT miss AND value IS NOT NULL
+                 THEN us END IGNORE NULLS)
                OVER (PARTITION BY user_id ORDER BY ts, event_id
                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pt,
-             first_value(CASE WHEN NOT miss THEN value END IGNORE NULLS)
+             first_value(CASE WHEN NOT miss AND value IS NOT NULL
+                 THEN value END IGNORE NULLS)
                OVER (PARTITION BY user_id ORDER BY ts, event_id
                      ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nv,
-             first_value(CASE WHEN NOT miss THEN us END IGNORE NULLS)
+             first_value(CASE WHEN NOT miss AND value IS NOT NULL
+                 THEN us END IGNORE NULLS)
                OVER (PARTITION BY user_id ORDER BY ts, event_id
                      ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nt
            FROM base)
          SELECT event_id, user_id,
            CASE WHEN miss AND pv IS NOT NULL AND nv IS NOT NULL
+                     AND nt <> pt
                 THEN pv + (us - pt) / (nt - pt) * (nv - pv)
                 ELSE value END AS value_interp
          FROM n""",
@@ -248,16 +259,20 @@ object WindowQueries {
     "w6_season" ->
       """SELECT year(l_shipdate) AS yr,
          CAST(floor((month(l_shipdate)-1)/3)+1 AS BIGINT) AS season,
-         count(*) AS cnt, round(sum(l_quantity),2) AS sum_qty
+         count(*) AS cnt,
+         sum(CAST(round(l_quantity * 100, 0) AS BIGINT)) / 100.0 AS sum_qty
          FROM lineitem GROUP BY 1, 2""",
     "w7_month_year" ->
       """SELECT year(o_orderdate) AS yr, month(o_orderdate) AS mo,
-         count(*) AS cnt, round(sum(o_totalprice),2) AS sum_price
+         count(*) AS cnt,
+         sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) / 100.0
+           AS sum_price
          FROM orders GROUP BY 1, 2""",
     "w8_running_sum" ->
       """SELECT event_id, user_id,
-         round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                ROWS UNBOUNDED PRECEDING), 2) AS running_v
+         sum(CAST(round(value * 100, 0) AS BIGINT))
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING) / 100.0 AS running_v
          FROM events"""
   )
 }

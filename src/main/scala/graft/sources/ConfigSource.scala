@@ -30,14 +30,22 @@ object ConfigSource {
   def load(spark: SparkSession, path: String): RunConfig = {
     val df = spark.read.option("multiLine", "true").json(path)
     val row = df.head()
-    def str(n: String) = row.getAs[String](n)
-    def bool(n: String) = row.getAs[Boolean](n)
-    val sels = row.getAs[scala.collection.Seq[org.apache.spark.sql.Row]](
-      "selections").map { r =>
-      SeriesSelection(r.getAs[Long]("site"), r.getAs[Long]("variable"),
-        r.getAs[Long]("method"), r.getAs[Long]("source"),
-        r.getAs[Long]("qcLevel"))
+    // fail fast on null/absent fields: a bare getAs[Long] UNBOXES a
+    // null to 0L (and getAs[Boolean] to false), so a config with one
+    // malformed selection would silently select series id 0 or flip
+    // the output mode instead of rejecting the file
+    def req[T](r: org.apache.spark.sql.Row, n: String): T = {
+      val i = r.fieldIndex(n)
+      require(!r.isNullAt(i), s"config $path: field '$n' is null/absent")
+      r.getAs[T](i)
+    }
+    val sels = req[scala.collection.Seq[org.apache.spark.sql.Row]](
+      row, "selections").map { r =>
+      SeriesSelection(req[Long](r, "site"), req[Long](r, "variable"),
+        req[Long](r, "method"), req[Long](r, "source"),
+        req[Long](r, "qcLevel"))
     }.toSeq
-    RunConfig(str("outputDir"), bool("singleFile"), bool("chunkYears"), sels)
+    RunConfig(req[String](row, "outputDir"), req[Boolean](row, "singleFile"),
+      req[Boolean](row, "chunkYears"), sels)
   }
 }

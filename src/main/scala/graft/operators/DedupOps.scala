@@ -137,7 +137,13 @@ object DedupOps {
     * of an interpreted md5 lambda per token.
     */
   def tokenHashes(textCol: String): Column =
-    expr(s"shingle_hashes(split(trim($textCol), '\\\\s+'), 1, 0)")
+    // TextOps.WsClass, not \s: Java \s includes \x0B, RE2 \s does not.
+    // Built with the Column API, NOT an expr() string: Spark SQL
+    // literals recognize \t/\n/\r but NOT \f — the unknown escape
+    // drops its backslash and turns the class into one containing the
+    // LETTER 'f', silently splitting tokens at every 'f'
+    call_function("shingle_hashes",
+      split(trim(col(textCol)), TextOps.WsClass + "+"), lit(1), lit(0L))
 
   /** SimHash over a STAGED token-hash array column (see [[tokenHashes]]),
     * `bits` wide (production would use 64; oracle-checked tests use 16 to

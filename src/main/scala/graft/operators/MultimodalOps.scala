@@ -1,6 +1,5 @@
 package graft.operators
 
-import java.security.MessageDigest
 
 import org.apache.spark.sql.{Dataset, SparkSession}
 
@@ -35,11 +34,12 @@ object MultimodalOps {
     * (Values match Spark's `conv(substring(md5(x),1,15),16,10)` and
     * DuckDB's `('0x' || substr(md5(x),1,15))::BIGINT` exactly.)
     */
-  def hash15Jvm(bytes: Array[Byte]): Long = {
-    val d = MessageDigest.getInstance("MD5").digest(bytes)
-    val hex = d.map(b => f"$b%02x").mkString
-    java.lang.Long.parseLong(hex.substring(0, 15), 16)
-  }
+  def hash15Jvm(bytes: Array[Byte]): Long =
+    // one implementation of the cross-engine hash primitive: delegate
+    // to ShingleOps.hash15 (ThreadLocal digest + bit packing) instead
+    // of a per-row MessageDigest lookup, 16 format-string allocations,
+    // and a hex parse that computed the identical value
+    graft.functions.ShingleOps.hash15(bytes)
 
   /** STUB decode: deterministic pseudo-features from the content hash.
     * Each component is a 16-bit slice of the fingerprint divided by

@@ -22,14 +22,17 @@ import org.apache.spark.sql.functions._
   */
 object PivotOps {
 
-  /** V1 — long→wide pivot with explicit column domain. `cellAgg`
-    * defaults to the reference's duplicate-averaging mean rounded to
-    * cents; pass [[centsMean]] over a cents column for cross-engine
-    * bit-determinism.
+  /** V1 — long→wide pivot with explicit column domain. `cellAgg` is
+    * REQUIRED (no default): the natural-looking `round(avg(v), 2)`
+    * default was exactly the engine-round-over-raw-double-average trap
+    * the determinism playbook forbids (partition-order-dependent sum +
+    * engine-divergent rounding at .xx5), and every caller already
+    * passes [[centsMean]] over a [[centsOf]] column — which is the
+    * shape new callers should copy.
     */
   def pivotWide(df: DataFrame, index: Seq[Column], pivot: Column,
       domain: Seq[String], value: Column,
-      cellAgg: Column => Column = v => round(avg(v), 2)): DataFrame =
+      cellAgg: Column => Column): DataFrame =
     df.groupBy(index: _*)
       .pivot(pivot, domain)
       .agg(cellAgg(value))

@@ -17,6 +17,15 @@ import org.apache.spark.sql.functions._
   */
 object TextOps {
 
+  /** RE2's whitespace set, spelled explicitly: Java's `\\s` ALSO
+    * matches vertical tab (\\x0B), which DuckDB's RE2 `\\s` does not —
+    * a document containing one would tokenize differently on the two
+    * engines. Every Spark-side tokenizer/normalizer uses this class so
+    * both engines agree on ANY input, not just the current corpus.
+    */
+  val WsChars = " \\t\\n\\f\\r"
+  val WsClass = s"[$WsChars]"
+
   /** 60-bit stable content hash both Spark and DuckDB can compute
     * identically: first 15 hex chars of md5, parsed base-16.
     * (DuckDB equivalent: `('0x' || substr(md5(x),1,15))::BIGINT`.)
@@ -29,12 +38,13 @@ object TextOps {
     hash15(concat(lit(salt.toString), lit("|"), c))
 
   /** Whitespace tokens of trimmed text. */
-  def tokens(text: Column): Column = split(trim(text), "\\s+")
+  def tokens(text: Column): Column =
+    split(trim(text), WsClass + "+")
 
   /** BPE-ish subword pre-tokenization: letter runs, single digits,
     * single punctuation marks — the classic GPT-2 style splitter shape.
     */
-  val BpePattern = "[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"
+  val BpePattern = s"[A-Za-z]+|[0-9]|[^A-Za-z0-9${WsChars}]"
   def bpeTokens(text: Column): Column =
     regexp_extract_all(text, lit(BpePattern), lit(0))
 
@@ -42,7 +52,7 @@ object TextOps {
     * exact-dup hashing and fingerprinting.
     */
   def normalize(text: Column): Column =
-    lower(trim(regexp_replace(text, "\\s+", " ")))
+    lower(trim(regexp_replace(text, WsClass + "+", " ")))
 
   /** Word n-gram shingles (n consecutive tokens joined by a space).
     * Documents with fewer than n tokens yield an empty array.

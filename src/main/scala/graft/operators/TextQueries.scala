@@ -28,7 +28,10 @@ object TextQueries {
       val toks = TextOps.tokens(col("text"))
       val nTok = size(toks).cast("double")
       val chars = length(col("text")).cast("double")
-      val punct = length(regexp_replace(col("text"), "[A-Za-z0-9\\s]", ""))
+      // WsChars, not Java \s: the oracle's RE2 \s excludes \x0B, so
+      // the two engines must agree on what counts as whitespace here
+      val punct = length(regexp_replace(col("text"),
+          s"[A-Za-z0-9${TextOps.WsChars}]", ""))
         .cast("double")
       val stops = TextOps.markerCount(toks,
         Seq("the", "a", "of", "and", "is", "to", "in")).cast("double")
@@ -36,12 +39,20 @@ object TextQueries {
       val stopRatio = stops / nTok
       val quality = least(lit(1.0), nTok / lit(100.0)) *
         (lit(1.0) - punctRatio) * (lit(1.0) - lit(0.5) * stopRatio)
+      // floor(x*1e4 + 0.5)/1e4, not round(x, 4): engine round() on a
+      // raw double diverges at .xxxx5 boundaries (Spark rounds the
+      // shortest decimal repr HALF_UP, DuckDB the raw binary), while
+      // the floor idiom is pure IEEE ops both engines compute
+      // bit-identically (non-negative ratios, so floor(x+0.5) is
+      // exactly half-up)
+      def r4(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+        floor(c * lit(10000.0) + lit(0.5)) / 10000.0
       documents(s, d).select(
         col("doc_id"),
         size(toks).cast("long").as("n_tokens"),
-        round(punctRatio, 4).as("punct_ratio"),
-        round(stopRatio, 4).as("stop_ratio"),
-        round(quality, 4).as("quality"))
+        r4(punctRatio).as("punct_ratio"),
+        r4(stopRatio).as("stop_ratio"),
+        r4(quality).as("quality"))
     }),
 
     // t3: language ID — stopword-marker n-gram heuristic with exact
@@ -278,10 +289,11 @@ object TextQueries {
                 / len($duckToks) AS stop_ratio
             FROM documents)
           SELECT doc_id, n_tokens,
-            round(punct_ratio, 4) AS punct_ratio,
-            round(stop_ratio, 4) AS stop_ratio,
-            round(least(1.0, n_tokens / 100.0) * (1.0 - punct_ratio)
-                  * (1.0 - 0.5 * stop_ratio), 4) AS quality
+            floor(punct_ratio * 10000.0 + 0.5) / 10000.0 AS punct_ratio,
+            floor(stop_ratio * 10000.0 + 0.5) / 10000.0 AS stop_ratio,
+            floor(least(1.0, n_tokens / 100.0) * (1.0 - punct_ratio)
+                  * (1.0 - 0.5 * stop_ratio) * 10000.0 + 0.5) / 10000.0
+              AS quality
           FROM b""",
     "t3_lang_id" -> {
       val scores = TextOps.LangMarkers.map { case (l, ws) =>
@@ -315,10 +327,14 @@ object TextQueries {
            SELECT doc_id, text, L, i + 1,
              (h * 31 + ascii(substr(text, i + 1, 1))) % 1000000007
            FROM r WHERE i < L)
+         -- LEFT join + L=0 case: an empty text has no terminal r row
+         -- (the seed starts at i=1), but the engine's rolling_hash
+         -- defines hash('') = 0 — an inner join would silently DROP
+         -- empty documents from the oracle while Spark keeps them
          SELECT n.doc_id,
            ('0x' || substr(md5(n.norm), 1, 15))::BIGINT AS fp,
-           r.h AS rolling_fp
-         FROM n JOIN r ON n.doc_id = r.doc_id AND r.i = n.L""",
+           CASE WHEN n.L = 0 THEN 0 ELSE r.h END AS rolling_fp
+         FROM n LEFT JOIN r ON n.doc_id = r.doc_id AND r.i = n.L""",
     "t6_top_tokens" ->
       s"""WITH f AS (
             SELECT lang, unnest($duckToks) AS token FROM documents),

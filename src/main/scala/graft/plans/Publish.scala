@@ -77,8 +77,13 @@ object Publish {
     val filtered = spec.chunkKeys.zip(chunkValue).foldLeft(fact) {
       case (df, (k, v)) => df.filter(col(k) === lit(v))
     }
+    // duplicate cells average as exact integer cents (centsOf →
+    // centsMean): deterministic under any partition order, where the
+    // old round(avg(double), 2) default was the playbook's
+    // engine-round trap
     val wide = PivotOps.pivotWide(filtered, Seq(col(spec.indexCol)),
-      col(spec.pivotKey), spec.domain, col(spec.valueCol))
+      col(spec.pivotKey), spec.domain, col(spec.valueCol),
+      v => PivotOps.centsMean(PivotOps.centsOf(v)))
     PivotOps.fillSentinels(wide,
         spec.sentinels)
       .orderBy(col(spec.indexCol))
@@ -162,7 +167,8 @@ object Publish {
       outDir: String): Unit = {
     val wide = PivotOps.pivotWide(fact,
       (spec.chunkKeys :+ spec.indexCol).map(col),
-      col(spec.pivotKey), spec.domain, col(spec.valueCol))
+      col(spec.pivotKey), spec.domain, col(spec.valueCol),
+      v => PivotOps.centsMean(PivotOps.centsOf(v)))
     PivotOps.fillSentinels(wide, spec.sentinels)
       .repartition(spec.chunkKeys.map(col): _*)
       .sortWithinPartitions(col(spec.indexCol))

@@ -52,9 +52,13 @@ object StreamingOps {
     // results. A crash-recovery re-stage of the SAME content is
     // allowed (and is exactly how the replay resumes); anything else
     // must use a fresh root.
-    val sig = (0 until 4).map(i =>
+    // nFiles is part of the signature: the SAME content re-staged at a
+    // different file count renames the id ranges under the same bNNN
+    // paths, and the checkpoint (which keys by path) would replay a
+    // half-shifted subset — content alone is not the full layout
+    val sig = ((0 until 4).map(i =>
       if (sigRow.isNullAt(i)) "null" else sigRow.getLong(i).toString)
-      .mkString(":")
+      :+ s"n$nFiles").mkString(":")
     val sigPath = Paths.get(dir, "_log_sig")
     if (Files.exists(sigPath)) {
       val prev = new String(Files.readAllBytes(sigPath),
@@ -213,7 +217,11 @@ object StreamingOps {
     // exact epoch micros: getTime is ms-truncated, getNanos holds the
     // full fractional second
     def micros(t: java.sql.Timestamp): Long =
-      t.getTime / 1000L * 1000000L + t.getNanos / 1000L
+      // floorDiv, not truncating '/': for a pre-1970 timestamp with
+      // fractional seconds getTime is negative and truncation rounds
+      // toward zero, landing the seconds base one second HIGH before
+      // the (always-positive) nano part is added back
+      Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
     val fn = (user: Long, events: Iterator[EventRow],
         state: GroupState[(Long, Double, Long, Double)]) => {
       // sort by FULL microsecond time — ms-precision sorting could

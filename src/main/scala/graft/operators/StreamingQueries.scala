@@ -240,6 +240,43 @@ object StreamingQueries {
         dims = Seq("grp"), sumCols = Seq("price_tc"))
     }),
 
+    // st15 ≡ a12: CONTINUOUS CARDINALITY — each micro-batch appends
+    // ONE HLL sketch row to a parquet sketch store (hll_sketch_agg
+    // over just the batch; earlier batches are never rescanned), and
+    // the corpus estimate is the union of the stored batch sketches.
+    // Union state depends only on the item SET, not the batching, so
+    // the streamed union must EXACTLY equal a batch 2-way union over
+    // the same rows (merge_invariant) — the stream is held to a12's
+    // exact-count oracle shape.
+    "st15_stream_hll" -> ((s, d) => {
+      val ss = StreamingOps.streamSession(s)
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-stream-hll").toString
+      val li = Tables.lineitem(ss, d)
+        .select(col("l_orderkey"), col("l_partkey"))
+      StreamingOps.stageOrderedArrivals(li, "l_orderkey", nFiles = 3,
+        s"$root/arrivals")
+      StreamingOps.replayOrdered(ss, li.schema, s"$root/arrivals",
+          s"$root/ckpt") { (batch, batchId) =>
+        if (!batch.isEmpty)
+          batch.agg(expr("hll_sketch_agg(l_partkey, 12)").as("sk"))
+            .withColumn("batch", lit(batchId))
+            .coalesce(1).write.mode("append").parquet(s"$root/sketches")
+      }
+      val streamed = ss.read.parquet(s"$root/sketches")
+        .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("e_stream"))
+      val batch2 = li
+        .groupBy(pmod(col("l_orderkey"), lit(2)).as("b"))
+        .agg(expr("hll_sketch_agg(l_partkey, 12)").as("sk"))
+        .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("e_batch"))
+      val exact = li.agg(countDistinct(col("l_partkey")).as("nd_part"))
+      exact.crossJoin(streamed).crossJoin(batch2)
+        .select(col("nd_part"),
+          (col("e_stream") === col("e_batch")).as("merge_invariant"),
+          (abs(col("e_stream") - col("nd_part")).cast("double")
+            <= col("nd_part") * lit(0.05)).as("apx_ok"))
+    }),
+
     // st13: CONTINUOUS TAKEDOWN — s15's delete path driven from a
     // file stream against the persisted index artifact: tombstone ids
     // replay as id-ordered micro-batches, each batch applies through
@@ -368,6 +405,11 @@ object StreamingQueries {
     "st11_stream_vec_ingest" ->
       SimilarityQueries.oracle("s13_vec_ingest_gate"),
     "st12_stream_cdc" -> ExtraQueries.oracle("x11_cdc_apply"),
+    // a12's oracle shape: exact distinct + pinned invariant flags
+    "st15_stream_hll" ->
+      """SELECT count(DISTINCT l_partkey) AS nd_part,
+         true AS merge_invariant, true AS apx_ok
+         FROM lineitem""",
     "st13_stream_takedown" -> SimilarityQueries.oracle("s15_index_delete"),
     "st14_stream_incr_agg" -> ExtraQueries.oracle("x12_incr_agg")
   )

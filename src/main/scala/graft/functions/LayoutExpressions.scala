@@ -24,6 +24,11 @@ import org.apache.spark.sql.types.{DataType, DoubleType, IntegerType}
 case class QuantileBucket(child: Expression, cuts: Seq[Double])
     extends UnaryExpression {
   require(cuts.nonEmpty, "quantile_bucket: empty cut array")
+  // binary search is only equivalent to the documented
+  // `size(filter(cuts, c -> c <= v))` semantics on a SORTED array —
+  // fail at construction, not with silently wrong bucket ids
+  require(cuts.zip(cuts.tail).forall { case (a, b) => a <= b },
+    "quantile_bucket: cuts must be non-decreasing")
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case DoubleType => TypeCheckResult.TypeCheckSuccess

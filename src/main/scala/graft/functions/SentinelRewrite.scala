@@ -47,10 +47,16 @@ object SentinelRewrite extends Rule[LogicalPlan] {
     */
   private def attrOf(e: Expression): Option[AttributeReference] = e match {
     case a: AttributeReference => Some(a)
-    case c: Cast => c.child match {
-      case a: AttributeReference => Some(a)
-      case _ => None
-    }
+    // only LOSSLESS (widening) casts may be unwrapped: the intended
+    // match is the implicit float→double coercion. A narrowing cast
+    // like CAST(col AS INT) = sentinel matches a whole RANGE of values
+    // under truncation (col ∈ (-10000,-9998) for -9999), and rewriting
+    // it to IS NULL would silently change which rows match.
+    case c: Cast if Cast.canUpCast(c.child.dataType, c.dataType) =>
+      c.child match {
+        case a: AttributeReference => Some(a)
+        case _ => None
+      }
     case _ => None
   }
 

@@ -263,7 +263,13 @@ object DedupQueries {
     // min = signature of the union of shingle sets), with map-side
     // partial merge.
     "d7_source_sketch" -> ((s, d) => {
+      // drop docs whose signature is NULL (fewer tokens than the
+      // shingle width — the same corpus case lshBuckets filters):
+      // the typed Aggregator's Seq[Long] input encoder cannot even
+      // represent a null component and would fail the job
       val sig = DedupOps.withMinHash(documents(s, d), "text", K)
+        .filter((0 until K).map(i => col(s"mh$i").isNotNull)
+          .reduce(_ && _))
         .select(col("source"),
           array((0 until K).map(i => col(s"mh$i")): _*).as("sig"))
       val merged = graft.functions.MinHashMerge(K)(col("sig"))
@@ -574,6 +580,6 @@ object DedupQueries {
           FROM bh)
           SELECT source,
             ${(0 until K).map(i => s"min(mh$i) AS smh$i").mkString(", ")}
-          FROM sig GROUP BY source"""
+          FROM sig WHERE $sigNotNull GROUP BY source"""
   )
 }

@@ -527,36 +527,39 @@ object ExtraQueries {
     "x7_source_mix" ->
       """WITH c AS (SELECT source, count(*) AS c FROM documents
                     GROUP BY source),
-         i AS (SELECT source,
+         i AS (SELECT source, c,
                  CAST(floor(sqrt(CAST(c AS DOUBLE))) AS BIGINT) AS isq
                FROM c),
          t AS (SELECT sum(isq) AS tot FROM i),
+         -- no re-join on source: an equality join would drop a NULL
+         -- source group the engine's quotas() keeps
          q AS (SELECT source, least((100 * isq) // tot, c) AS n_s
-               FROM i JOIN c USING (source) CROSS JOIN t),
+               FROM i CROSS JOIN t),
          r AS (SELECT source, doc_id,
                  CAST(row_number() OVER (PARTITION BY source
                    ORDER BY ('0x' || substr(md5('mix|' || doc_id), 1, 15))
                      ::BIGINT, doc_id) AS BIGINT) AS r
                FROM documents)
          SELECT r.source, r.doc_id, r.r
-         FROM r JOIN q USING (source) WHERE r.r <= q.n_s""",
+         FROM r JOIN q ON r.source IS NOT DISTINCT FROM q.source
+         WHERE r.r <= q.n_s""",
     // exact 128-bit threshold comparison: hash*c < n_s*2^60 in HUGEINT,
     // mirroring the Spark side's decimal(19+14) arithmetic bit-for-bit
     "x9_threshold_mix" ->
       """WITH c AS (SELECT source, count(*) AS c FROM documents
                     GROUP BY source),
-         i AS (SELECT source,
+         i AS (SELECT source, c,
                  CAST(floor(sqrt(CAST(c AS DOUBLE))) AS BIGINT) AS isq
                FROM c),
          t AS (SELECT sum(isq) AS tot FROM i),
          q AS (SELECT source, c, least((100 * isq) // tot, c) AS n_s
-               FROM i JOIN c USING (source) CROSS JOIN t),
+               FROM i CROSS JOIN t),
          h AS (SELECT source, doc_id,
                  ('0x' || substr(md5('mix|' || doc_id), 1, 15))::BIGINT
                    AS h
                FROM documents)
          SELECT h.source, count(*) AS n
-         FROM h JOIN q USING (source)
+         FROM h JOIN q ON h.source IS NOT DISTINCT FROM q.source
          WHERE h.h::HUGEINT * q.c::HUGEINT
              < q.n_s::HUGEINT * 1152921504606846976::HUGEINT
          GROUP BY h.source""",

@@ -37,8 +37,15 @@ import org.apache.spark.sql.functions._
   * groups (20M rows over 3 even langs) the two are a wash (~10 s),
   * i.e. the hierarchy buys scale-out, not constant factors.
   *
-  * The order key must be non-negative and numeric (the synthetic
-  * corpus' `doc_id` is a dense int64); `shardSize` bounds the rows a
+  * The order key must be non-negative, numeric, and UNIQUE within its
+  * group (the synthetic corpus' `doc_id` is a dense int64): the prefix
+  * sum is defined by the total order the key induces, so with tied
+  * keys the window frame assigns tied rows arbitrary relative
+  * positions — bins would differ between runs (and against the
+  * oracle's own arbitrary tiebreak). Uniqueness is a documented
+  * precondition, not a runtime check (validating it costs a
+  * count-distinct pass per call); derive a unique key first if the
+  * natural one has ties. `shardSize` bounds the rows a
   * single window task sees and sizes the offset table at
   * `n_rows / shardSize` rows per group — 10B docs at the default
   * 65536 is ~152k offset rows, comfortably broadcastable.

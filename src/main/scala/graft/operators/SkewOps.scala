@@ -22,6 +22,11 @@ object SkewOps {
     */
   def saltedJoin(large: DataFrame, small: DataFrame, key: String,
       n: Int, saltSource: Column): DataFrame = {
+    require(n >= 1, s"saltedJoin: salt fan-out n >= 1 (got $n — " +
+      "pmod(x, 0) is NULL and would return an empty join)")
+    Seq(large, small).foreach(df =>
+      require(!df.columns.contains("__salt"),
+        "saltedJoin: input already has a '__salt' column — rename it"))
     val l = large.withColumn("__salt", pmod(xxhash64(saltSource), lit(n)))
     val r = small.withColumn("__salt",
       explode(array((0 until n).map(i => lit(i.toLong)): _*)))
@@ -34,10 +39,14 @@ object SkewOps {
     * here (the caller supplies both phases).
     */
   def saltedAgg(df: DataFrame, key: String, n: Int, saltSource: Column,
-      partial: Seq[Column], finalAgg: Seq[Column]): DataFrame =
+      partial: Seq[Column], finalAgg: Seq[Column]): DataFrame = {
+    require(n >= 1, s"saltedAgg: salt fan-out n >= 1 (got $n)")
+    require(!df.columns.contains("__salt"),
+      "saltedAgg: input already has a '__salt' column — rename it")
     df.withColumn("__salt", pmod(xxhash64(saltSource), lit(n)))
       .groupBy(col(key), col("__salt"))
       .agg(partial.head, partial.tail: _*)
       .groupBy(col(key))
       .agg(finalAgg.head, finalAgg.tail: _*)
+  }
 }

@@ -44,15 +44,33 @@ object SourceMix {
       .select("source", "c", "n_s")
   }
 
-  /** Exact-quota fill: the n_s smallest-hash docs per source. */
+  /** Working-name guard (PackOps' convention): the mix staging columns
+    * must not collide with caller columns, or a caller column would be
+    * silently overwritten / ambiguous at analysis.
+    */
+  private def guardNames(docs: DataFrame, names: String*): Unit =
+    names.foreach(n => require(!docs.columns.contains(n),
+      s"SourceMix: input already has a '$n' column — rename it first"))
+
+  /** Exact-quota fill: the n_s smallest-hash docs per source.
+    *
+    * The quota attaches through a NULL-SAFE (<=>) join: quotas() counts
+    * and budgets a NULL source like any other group, so an equality
+    * join would silently drop every null-source doc AND under-fill the
+    * total budget by that group's quota (the PackOps null-group
+    * lesson).
+    */
   def exactMix(docs: DataFrame, quota: DataFrame,
       idCol: String = "doc_id"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    guardNames(docs, "r", "__q_source", "n_s")
     val w = Window.partitionBy(col("source"))
       .orderBy(mixHash(col(idCol)), col(idCol))
+    val q = broadcast(quota.select(col("source").as("__q_source"),
+      col("n_s")))
     docs
       .withColumn("r", row_number().over(w).cast("long"))
-      .join(broadcast(quota.select("source", "n_s")), Seq("source"))
+      .join(q, col("source") <=> col("__q_source"))
       .filter(col("r") <= col("n_s"))
       .select(col("source"), col(idCol), col("r"))
   }
@@ -68,12 +86,16 @@ object SourceMix {
     */
   def thresholdMix(docs: DataFrame, quota: DataFrame,
       idCol: String = "doc_id"): DataFrame = {
+    guardNames(docs, "c", "n_s", "__q_source")
     val lhs = mixHash(col(idCol)).cast("decimal(19,0)") *
       col("c").cast("decimal(14,0)")
     val rhs = col("n_s").cast("decimal(14,0)") *
       lit(1152921504606846976L).cast("decimal(19,0)") // 2^60
+    // null-safe quota join — see exactMix
+    val q = broadcast(quota.select(col("source").as("__q_source"),
+      col("c"), col("n_s")))
     docs
-      .join(broadcast(quota.select("source", "c", "n_s")), Seq("source"))
+      .join(q, col("source") <=> col("__q_source"))
       .filter(lhs < rhs)
       .select(col("source"), col(idCol))
   }

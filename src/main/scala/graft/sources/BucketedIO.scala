@@ -16,7 +16,14 @@ object BucketedIO {
 
   def writeBucketed(df: DataFrame, table: String, key: String,
       buckets: Int): Unit =
-    df.write.mode(SaveMode.Overwrite)
+    // repartition by the SAME hash the bucketing uses first: without
+    // it every input task emits a file per bucket (T×B files at
+    // scale), and Spark only propagates the sortBy ordering to the
+    // scan when a bucket holds exactly ONE file — multi-file buckets
+    // silently re-sort both sides of every "co-located" sort-merge
+    // join, wasting the write-time sort entirely
+    df.repartition(buckets, org.apache.spark.sql.functions.col(key))
+      .write.mode(SaveMode.Overwrite)
       .format("parquet")
       .bucketBy(buckets, key)
       .sortBy(key)

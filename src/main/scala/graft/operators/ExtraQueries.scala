@@ -305,6 +305,42 @@ object ExtraQueries {
         (abs(col("apx_supp") - col("nd_supp")).cast("double")
           <= col("nd_supp") * lit(0.05)).as("supp_ok"))),
 
+    // x15: data-quality constraint report — the pre-publication gate a
+    // pipeline runs over a fact table (deequ-style): null checks,
+    // range checks, set membership, PK uniqueness, FK referential
+    // integrity. All scalar constraints + the uniqueness count fold
+    // into ONE aggregation pass over the fact (the distinct-pair count
+    // rides the same job via expand); referential integrity is one
+    // anti-join count against the dim keys. Output: one row per
+    // constraint with its violation count — integer-exact, so the
+    // report is oracle-gated, not merely spec'd.
+    "x15_dq_report" -> ((s, d) => {
+      val li = lineitem(s, d)
+      def viol(c: org.apache.spark.sql.Column) =
+        sum(when(c, 1L).otherwise(0L))
+      val scalar = li.agg(
+        viol(col("l_quantity").isNull).as("c_null_qty"),
+        viol(col("l_quantity") <= 0 || col("l_quantity") > 60)
+          .as("c_range_qty"),
+        viol(col("l_extendedprice") <= 0).as("c_range_price"),
+        viol(col("l_returnflag").isNotNull &&
+          !col("l_returnflag").isin("A", "N", "R")).as("c_set_flag"),
+        (count(lit(1)) - countDistinct(col("l_orderkey"),
+          col("l_linenumber"))).as("c_pk_dup"))
+        .selectExpr("""stack(5,
+          'c_null_qty', c_null_qty,
+          'c_range_qty', c_range_qty,
+          'c_range_price', c_range_price,
+          'c_set_flag', c_set_flag,
+          'c_pk_dup', c_pk_dup) as (check_name, violations)""")
+      val orphan = li
+        .join(orders(s, d).select(col("o_orderkey")),
+          col("l_orderkey") === col("o_orderkey"), "left_anti")
+        .agg(count(lit(1)).as("violations"))
+        .select(lit("c_fk_orphan").as("check_name"), col("violations"))
+      scalar.unionByName(orphan)
+    }),
+
     // a12: incremental cardinality via mergeable HLL sketches (Spark's
     // DataSketches hll_sketch_agg/hll_union_agg built-ins) — the
     // append-only pattern: each ingest batch keeps a sketch ARTIFACT,
@@ -623,6 +659,32 @@ object ExtraQueries {
       """SELECT count(DISTINCT l_partkey) AS nd_part,
          true AS merge_invariant, true AS apx_ok
          FROM lineitem""",
+    "x15_dq_report" ->
+      """SELECT 'c_null_qty' AS check_name,
+           CAST(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS violations FROM lineitem
+         UNION ALL
+         SELECT 'c_range_qty',
+           CAST(sum(CASE WHEN l_quantity <= 0 OR l_quantity > 60
+                    THEN 1 ELSE 0 END) AS BIGINT) FROM lineitem
+         UNION ALL
+         SELECT 'c_range_price',
+           CAST(sum(CASE WHEN l_extendedprice <= 0 THEN 1 ELSE 0 END)
+                AS BIGINT) FROM lineitem
+         UNION ALL
+         SELECT 'c_set_flag',
+           CAST(sum(CASE WHEN l_returnflag IS NOT NULL
+                    AND l_returnflag NOT IN ('A','N','R')
+                    THEN 1 ELSE 0 END) AS BIGINT) FROM lineitem
+         UNION ALL
+         SELECT 'c_pk_dup',
+           count(*) - count(DISTINCT (l_orderkey, l_linenumber))
+           FROM lineitem
+         UNION ALL
+         SELECT 'c_fk_orphan', count(*)
+           FROM lineitem l LEFT JOIN orders o
+             ON l.l_orderkey = o.o_orderkey
+           WHERE o.o_orderkey IS NULL""",
     "a10_approx_distinct" ->
       """SELECT count(DISTINCT l_partkey) AS nd_part,
          count(DISTINCT l_suppkey) AS nd_supp,

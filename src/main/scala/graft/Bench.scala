@@ -26,8 +26,17 @@ object Bench {
     // query isn't charged for its JIT
     for (q <- Seq("q1_agg", "t4_fingerprint", "s1_cosine_topk",
         "s8_ivfpq_topk", "st1_stream_window"))
-      try force(SparkEntry.queries(q)(spark, "/root/testdata/sf0.001"))
-      catch { case _: Throwable => () }
+      // look up OUTSIDE the swallow: a renamed warmup query must warn,
+      // not silently stop warming that codegen path forever (the first
+      // measured run would quietly absorb janino compilation cost)
+      SparkEntry.queries.get(q) match {
+        case Some(fn) =>
+          try force(fn(spark, "/root/testdata/sf0.001"))
+          catch { case _: Throwable => () }
+        case None =>
+          System.err.println(s"[bench] warmup query '$q' no longer " +
+            "exists — update the warmup list")
+      }
     // drop warmup persists (e.g. d8's result frame) before measuring
     spark.catalog.clearCache()
     // Best-of-2 per query: a single-shot timing on a shared machine

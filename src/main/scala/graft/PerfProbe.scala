@@ -15,9 +15,13 @@ object PerfProbe {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val b = Sessions.builder("graft-perfprobe", cpus)
     sys.env.get("SPARK_GRAFT_CONF").foreach {
-      _.split(",").filter(_.nonEmpty).foreach { kv =>
-        val Array(k, v) = kv.split("=", 2)
-        b.config(k, v)
+      _.split(",").map(_.trim).filter(_.nonEmpty).foreach { kv =>
+        kv.split("=", 2) match {
+          case Array(k, v) => b.config(k.trim, v)
+          case _ => sys.error(
+            s"SPARK_GRAFT_CONF entry '$kv' is not k=v (note: values " +
+              "containing ',' are unsupported — the list splits on it)")
+        }
       }
     }
     val spark = b.getOrCreate()

@@ -9,7 +9,17 @@ object Verify {
     // fast path for iterating on a few queries; the driver passes 2)
     val (sfDir, outDir) = (args(0), args(1))
     val only: Option[Set[String]] =
-      if (args.length > 2) Some(args(2).split(",").toSet) else None
+      if (args.length > 2)
+        Some(args(2).split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      else None
+    // fail loudly on a filter that selects nothing (empty string,
+    // typo'd name): the dump would otherwise exit successfully having
+    // verified zero queries
+    only.foreach { names =>
+      val unknown = names -- SparkEntry.queries.keySet
+      require(names.nonEmpty && unknown.isEmpty,
+        s"query filter matched nothing: unknown=${unknown.mkString(",")}")
+    }
     val spark = Sessions.local("graft-verify")
     new java.io.File(outDir).mkdirs()
     val failed = scala.collection.mutable.ArrayBuffer.empty[String]

@@ -25,11 +25,16 @@ object MultimodalQueries {
     // m4: frame sampling — video-shaped payloads sliced into fixed
     // 64-byte frames, every 2nd kept (the decode-free part of a
     // frame-sample stage; a codec would decode each kept frame). The
-    // oracle slices with char substr, valid because the corpus is pure
-    // ASCII (asserted by m2's octet_length == length agreement).
+    // oracle slices with char substr — a PRECONDITION of single-byte
+    // (ASCII) text, which no other gate asserts: multi-byte text would
+    // keep m2 green (it compares bytes to bytes) while m4's char
+    // slices diverge from the engine's byte slices. NULL text rows are
+    // filtered on BOTH sides: a null payload has no frames (and would
+    // NPE the typed flatMap).
     "m4_frame_sample" -> ((s, d) => {
       import s.implicits._
       val media = documents(s, d)
+        .filter(col("text").isNotNull)
         .select(col("doc_id").as("id"), lit("video").as("kind"),
           col("text").cast("binary").as("payload"))
         .as[MultimodalOps.MediaRow]
@@ -46,6 +51,7 @@ object MultimodalQueries {
     "m3_media_features" -> ((s, d) => {
       import s.implicits._
       val media = documents(s, d)
+        .filter(col("text").isNotNull) // null payload: nothing to decode
         .select(col("doc_id").as("id"), lit("text").as("kind"),
           col("text").cast("binary").as("payload"))
         .as[MultimodalOps.MediaRow]
@@ -69,7 +75,7 @@ object MultimodalQueries {
            SELECT doc_id, text,
              unnest(range(0, CAST(ceil(length(text) / 64.0) AS BIGINT)))
                AS i
-           FROM documents)
+           FROM documents WHERE text IS NOT NULL)
          SELECT doc_id * 1000000 + i AS frame_id,
            length(substr(text, CAST(i * 64 + 1 AS INTEGER), 64))
              AS n_bytes,
@@ -80,7 +86,7 @@ object MultimodalQueries {
       """WITH f AS (
            SELECT doc_id, octet_length(encode(text)) AS n_bytes,
              ('0x' || substr(md5(text), 1, 15))::BIGINT AS fp
-           FROM documents)
+           FROM documents WHERE text IS NOT NULL)
          SELECT doc_id, n_bytes, fp,
            CAST((fp >> 0) & 65535 AS DOUBLE) / 65536.0 AS feat0,
            CAST((fp >> 4) & 65535 AS DOUBLE) / 65536.0 AS feat1

@@ -139,13 +139,35 @@ case class BloomMightContain(child: Expression, bits: Seq[Long],
 
   // The bitset is data, not structure: default case-class rendering
   // would inline thousands of longs into every plan string (and trip
-  // plan-string truncation). Equality/canonicalization still use the
-  // full Seq — this is display only.
+  // plan-string truncation).
   override def toString: String =
     s"bloom_might_contain($child, bits[${bits.length * 64}], k=$numHashes)"
   override def sql: String =
     s"bloom_might_contain(${child.sql}, bits[${bits.length * 64}], " +
       s"k=$numHashes)"
+
+  // Equality/hashing go through a 128-bit content digest, not the Seq:
+  // plan canonicalization and expression-set bookkeeping call
+  // equals/hashCode repeatedly during analysis, and traversing a
+  // 10⁸-key sketch's ~15M boxed elements per comparison would stall
+  // the driver for seconds per plan transform. An md5 collision
+  // (~2⁻¹²⁸) is negligible against the fp rate the sketch itself
+  // carries by design.
+  private lazy val bitsDigest: java.math.BigInteger = {
+    val bb = java.nio.ByteBuffer.allocate(bits.length * 8)
+    bits.foreach(bb.putLong)
+    new java.math.BigInteger(1,
+      java.security.MessageDigest.getInstance("MD5").digest(bb.array()))
+  }
+  override def equals(other: Any): Boolean = other match {
+    case o: BloomMightContain =>
+      numHashes == o.numHashes && bits.length == o.bits.length &&
+        bitsDigest == o.bitsDigest && child == o.child
+    case _ => false
+  }
+  override def hashCode(): Int =
+    java.util.Objects.hash(classOf[BloomMightContain], child,
+      Integer.valueOf(numHashes), bitsDigest)
 
   override protected def nullSafeEval(key: Any): Any =
     BloomSketch.mightContain(bitsArr, key.asInstanceOf[Long], numHashes)

@@ -148,6 +148,9 @@ object EditOps {
     // public "run_id" name would clobber — and then drop — a caller's
     // own run_id column
     val runCol = "__drift_run_id"
+    require(!df.columns.contains(runCol),
+      s"driftCorrectRuns: input already has a '$runCol' column — " +
+        "rename it first")
     val withRuns = df.withColumn(runCol,
       runIdExpr(keys, ts, tiebreak, selected))
     val wp = Window.partitionBy((keys :+ runCol).map(col): _*)

@@ -120,7 +120,14 @@ object CsvHeaderSink {
     // text-read first, drop header-section lines (incl. the quoted
     // comma-value form `comment='#'` cannot express), then parse the
     // remainder as CSV — still fully distributed (csv over a
-    // Dataset[String] runs the same codegen'd parser per partition)
+    // Dataset[String] runs the same codegen'd parser per partition).
+    //
+    // Multi-file contract: all globbed files must share ONE column
+    // header (true for a tree published under one ChunkSpec — the
+    // domain fixes the columns). The dataset-based parser drops lines
+    // equal to the FIRST header it sees, so a tree mixing different
+    // specs must be read per spec; a published DATA line can never
+    // equal the header (data rows are timestamps/numbers).
     val txt = spark.read.textFile(path)
       .filter((l: String) => !isCommentLine(l))
     val r = spark.read.option("header", "true")

@@ -92,6 +92,24 @@ class BloomSpec extends SparkSpec {
     assert(BloomPrune.prune(fact, "key", bits, 3).count() === 0L)
   }
 
+  test("expression equality uses the content digest, not identity") {
+    import graft.functions.BloomMightContain
+    import org.apache.spark.sql.catalyst.expressions.{AttributeReference}
+    import org.apache.spark.sql.types.LongType
+    val attr = AttributeReference("k", LongType)()
+    val bitsA = Seq(1L, 2L, 3L)
+    val bitsB = Seq(1L, 2L, 4L)
+    // equal content (distinct Seq instances) → equal expressions: plan
+    // canonicalization and subexpression elimination depend on this
+    val e1 = BloomMightContain(attr, Seq(1L, 2L, 3L), 2)
+    val e2 = BloomMightContain(attr, bitsA.map(identity), 2)
+    assert(e1 === e2 && e1.hashCode === e2.hashCode)
+    // different content or k → different expressions (a digest
+    // collision is ~2^-128)
+    assert(e1 !== BloomMightContain(attr, bitsB, 2))
+    assert(e1 !== BloomMightContain(attr, bitsA, 3))
+  }
+
   test("sketch artifact round-trips through save/load") {
     val dir = java.nio.file.Files
       .createTempDirectory("graft-bloom").toString

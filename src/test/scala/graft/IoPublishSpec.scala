@@ -172,6 +172,28 @@ class IoPublishSpec extends SparkSpec {
       Publish.chunkFileName(Seq("a", "b/c")))
   }
 
+  test("f6 pretty-print is plain decimal at any magnitude") {
+    // the old double→string cast went scientific outside ~[1e-3, 1e7)
+    // (where DuckDB prints plain decimal); the micro-unit integer
+    // rendering must stay plain everywhere and trim trailing zeros
+    val dir = tmpDir()
+    Seq(
+      (1L, 10L, "click", ts("2024-01-01 00:00:00"), 0.5),
+      (2L, 10L, "click", ts("2024-01-01 00:00:01"), -0.5),
+      (3L, 10L, "click", ts("2024-01-01 00:00:02"), 3.0),
+      (4L, 10L, "click", ts("2024-01-01 00:00:03"), 1.05),
+      (5L, 10L, "click", ts("2024-01-01 00:00:04"), 123456789.25),
+      (6L, 10L, "click", ts("2024-01-01 00:00:05"), 0.00001),
+      (7L, 10L, "click", ts("2024-01-01 00:00:06"), -9999.0))
+      .toDF("event_id", "user_id", "event_type", "ts", "value")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = SparkEntry.queries("f6_pretty_sentinel")(spark, dir)
+      .orderBy("event_id").select("value_str")
+      .as[String].collect().toSeq
+    assert(got === Seq("0.5", "-0.5", "3", "1.05", "123456789.25",
+      "0.00001", "-9999"))
+  }
+
   test("null chunk keys fail loudly before any file is written") {
     val bad = Seq((Some(1), "x"), (None: Option[Int], "y"))
       .toDF("sid", "pv")

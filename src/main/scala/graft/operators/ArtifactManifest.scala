@@ -1,0 +1,272 @@
+package graft.operators
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** A MINIMAL manifest for the `(ingest, …)`-partitioned index
+  * artifacts — the read-path half of artifact maintenance. Without it,
+  * every reader lists the artifact directory, which couples readers to
+  * the physical tree at exactly the moments maintenance mutates it:
+  *  - [[LayoutOps.swapInto]] has a rename window where the directory
+  *    is briefly absent or straddles old/new trees;
+  *  - a crashed append leaves an uncommitted `ingest=` directory that
+  *    a listing-based reader silently serves.
+  *
+  * The manifest inverts the dependency: each committed mutation writes
+  * `_manifests/manifest-<version>.json` naming the LIVE generation set
+  * (plus a content signature for change detection), and readers pin
+  * the highest manifest version — uncommitted generations are
+  * invisible, and [[compactGenerations]] here replaces the swap with
+  * write-new-generation → flip-manifest-last → vacuum, so a reader
+  * pinned to a pre-compaction manifest keeps serving its generation
+  * set throughout the flip (spec-held; the old files survive until
+  * [[vacuum]]). This is the manifest/version-file core of every
+  * lakehouse table format, minus the parts a single-writer artifact
+  * does not need (optimistic concurrency, schema evolution); when an
+  * artifact ever needs concurrent WRITERS, a real transaction log is
+  * the answer.
+  *
+  * Manifest versions are CREATE-NEW files (never overwritten):
+  * visibility is one atomic rename, and the highest version wins.
+  * Directory listing remains the documented FALLBACK for artifacts
+  * predating the manifest (and after [[LayoutOps.swapInto]]-based
+  * maintenance, which replaces the subtree wholesale and drops
+  * `_manifests` — the fresh listing is then exactly the live set).
+  * Same SINGLE-WRITER mutation contract as every artifact op.
+  */
+object ArtifactManifest {
+
+  final case class Pin(version: Long, generations: Seq[Long],
+      signature: String)
+
+  private def fsOf(s: SparkSession, p: Path): FileSystem =
+    p.getFileSystem(s.sparkContext.hadoopConfiguration)
+
+  /** `_` prefix: Spark's file-source listing treats the directory as
+    * hidden, so manifests never pollute the artifact's data scan.
+    */
+  private def manifestDir(dir: String) = new Path(dir, "_manifests")
+
+  private def md5(x: String): String = java.security.MessageDigest
+    .getInstance("MD5")
+    .digest(x.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    .map("%02x".format(_)).mkString
+
+  /** Stable listing digest of one generation subtree: every file's
+    * path relative to `dir`, and its length. Driver-side metadata
+    * only — bounded by the generation's file count, never a data read.
+    */
+  private def genListing(s: SparkSession, dir: String,
+      gen: Long): String = {
+    val gp = new Path(dir, s"ingest=$gen")
+    val fs = fsOf(s, gp)
+    if (!fs.exists(gp)) s"ingest=$gen:absent"
+    else {
+      val it = fs.listFiles(gp, true)
+      val base = fs.makeQualified(new Path(dir)).toString + "/"
+      val b = Seq.newBuilder[String]
+      while (it.hasNext) {
+        val f = it.next()
+        b += s"${f.getPath.toString.stripPrefix(base)}:${f.getLen}"
+      }
+      b.result().sorted.mkString("\n")
+    }
+  }
+
+  /** Full content signature over a generation set. */
+  private def fullSignature(s: SparkSession, dir: String,
+      gens: Seq[Long]): String =
+    md5(gens.sorted.map(g => genListing(s, dir, g)).mkString("\n\n"))
+
+  /** Highest committed manifest, if the artifact has any. */
+  def latest(s: SparkSession, dir: String): Option[Pin] = {
+    val md = manifestDir(dir)
+    val fs = fsOf(s, md)
+    if (!fs.exists(md)) return None
+    val vs = fs.listStatus(md).map(_.getPath.getName).collect {
+      case n if n.startsWith("manifest-") && n.endsWith(".json") &&
+          n.stripPrefix("manifest-").stripSuffix(".json")
+            .forall(_.isDigit) =>
+        n.stripPrefix("manifest-").stripSuffix(".json").toLong
+    }
+    if (vs.isEmpty) return None
+    val v = vs.max
+    val in = fs.open(new Path(md, f"manifest-$v%020d.json"))
+    val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    val j = JsonMethods.parse(text)
+    val gens = (j \ "generations") match {
+      case JArray(xs) => xs.map {
+        case JInt(i) => i.toLong
+        case other => sys.error(
+          s"ArtifactManifest: non-integer generation $other in " +
+            s"manifest-$v of $dir")
+      }
+      case other => sys.error(
+        s"ArtifactManifest: malformed generations $other in " +
+          s"manifest-$v of $dir")
+    }
+    val sig = (j \ "signature") match {
+      case JString(x) => x
+      case _ => ""
+    }
+    Some(Pin(v, gens, sig))
+  }
+
+  /** Commit a new manifest version: write to a temp name, rename into
+    * place CREATE-NEW (an existing target means a second writer — fail
+    * loudly rather than silently race), return the version.
+    */
+  private def commit(s: SparkSession, dir: String, gens: Seq[Long],
+      signature: String): Long = {
+    val md = manifestDir(dir)
+    val fs = fsOf(s, md)
+    fs.mkdirs(md)
+    val v = latest(s, dir).map(_.version + 1).getOrElse(0L)
+    val json =
+      s"""{"version":$v,"generations":[${gens.sorted.mkString(",")}],""" +
+        s""""signature":"$signature"}"""
+    val tmp = new Path(md, f".manifest-$v%020d.json.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    val fin = new Path(md, f"manifest-$v%020d.json")
+    require(!fs.exists(fin) && fs.rename(tmp, fin),
+      s"ArtifactManifest: manifest version $v already exists (or " +
+        s"rename failed) at $dir — a concurrent writer violated the " +
+        "single-writer contract")
+    // keep a short history for post-mortems; prune the rest so
+    // manifests never accumulate unboundedly
+    val old = fs.listStatus(md).map(_.getPath).filter { p =>
+      val n = p.getName
+      n.startsWith("manifest-") && n.endsWith(".json") &&
+        n.stripPrefix("manifest-").stripSuffix(".json")
+          .forall(_.isDigit) &&
+        n.stripPrefix("manifest-").stripSuffix(".json").toLong < v - 4
+    }
+    old.foreach(fs.delete(_, false))
+    v
+  }
+
+  /** Record a fresh BUILD: the live set is exactly the on-disk
+    * listing (a build starts the artifact; there is nothing stale to
+    * exclude).
+    */
+  def recordBuild(s: SparkSession, dir: String): Unit = {
+    val gens = LayoutOps.ingestGenerations(s, dir)
+    commit(s, dir, gens, fullSignature(s, dir, gens))
+  }
+
+  /** Record a committed APPEND of `gen`. The signature extends the
+    * previous one incrementally (hash-chained with the new
+    * generation's listing), so a per-batch streaming append pays one
+    * small-directory listing, not a full artifact walk.
+    */
+  def recordAppend(s: SparkSession, dir: String, gen: Long): Unit =
+    latest(s, dir) match {
+      case Some(p) =>
+        commit(s, dir, (p.generations :+ gen).distinct,
+          md5(p.signature + "\n\n" + genListing(s, dir, gen)))
+      case None =>
+        // legacy artifact (predates manifests): adopt the listing
+        recordBuild(s, dir)
+    }
+
+  /** Re-derive the live set after a TAKEDOWN
+    * ([[LayoutOps.deleteKeysPartitioned]] can empty whole
+    * generations): previous set ∩ still-existing directories — never
+    * the raw listing, which would resurrect uncommitted generations a
+    * crashed append left behind.
+    */
+  def refreshAfterDelete(s: SparkSession, dir: String): Unit =
+    latest(s, dir).foreach { p =>
+      val live = LayoutOps.ingestGenerations(s, dir).toSet
+      val gens = p.generations.filter(live)
+      commit(s, dir, gens, fullSignature(s, dir, gens))
+    }
+
+  /** The artifact's data as of the latest manifest: ONLY the listed
+    * generation directories are read (uncommitted appends are
+    * invisible; files a deferred [[vacuum]] has not yet reaped are
+    * excluded). Without a manifest — or with an empty live set — this
+    * is the plain directory read, byte-for-byte the legacy behavior.
+    */
+  def frame(s: SparkSession, dir: String): DataFrame =
+    latest(s, dir) match {
+      case Some(p) if p.generations.nonEmpty =>
+        s.read.option("basePath", dir)
+          .parquet(p.generations.sorted.map(g => s"$dir/ingest=$g"): _*)
+      case _ => s.read.parquet(dir)
+    }
+
+  /** Generation compaction under the manifest: collapse the LIVE
+    * generation set into one NEW generation and flip the manifest —
+    * the reader-safe successor of [[LayoutOps.compactGenerations]]'s
+    * stage-and-swap (which renames the directory readers are inside).
+    * Steps:
+    *
+    *  1. read the PINNED live set (a crashed append's uncommitted
+    *     generation is not compacted in — it stays orphaned for
+    *     [[vacuum]]);
+    *  2. rewrite it as `ingest=<max(listing)+1>` — a brand-new
+    *     directory, so no live reader's files are touched (numbering
+    *     takes the LISTING max so an orphaned higher generation is
+    *     never overwritten);
+    *  3. commit the manifest naming only the new generation — the
+    *     atomic flip: readers loading before it serve the old set
+    *     (files still present), readers after it serve the collapsed
+    *     one, and both see identical rows;
+    *  4. [[vacuum]] (skippable with `vacuum = false` while readers
+    *     may still hold pre-flip pins — run it after their lease).
+    *
+    * `sortWithin` re-sorts rows inside each rewritten file (see
+    * [[LayoutOps.compactGenerations]]); the partition column leads
+    * the sort so the partitioned write's required ordering is already
+    * satisfied and its own (unstable) sort never runs. Returns the
+    * surviving generation.
+    */
+  def compactGenerations(s: SparkSession, dir: String, partCol: String,
+      filesPerPartition: Int = 1, sortWithin: Seq[String] = Nil,
+      vacuum: Boolean = true): Long = {
+    require(filesPerPartition >= 1,
+      s"compactGenerations: filesPerPartition >= 1 " +
+        s"(got $filesPerPartition)")
+    val listed = LayoutOps.ingestGenerations(s, dir)
+    require(listed.nonEmpty,
+      s"compactGenerations: $dir has no ingest= partitions — not a " +
+        "built artifact")
+    val newGen = listed.max + 1
+    val rows = frame(s, dir).drop("ingest")
+    val packed = rows
+      .repartition(col(partCol),
+        pmod(hash(rows.columns.map(col): _*), lit(filesPerPartition)))
+    (if (sortWithin.isEmpty) packed
+      else packed.sortWithinPartitions(
+        (partCol +: sortWithin).map(col): _*))
+      .write.mode("overwrite").partitionBy(partCol)
+      .parquet(s"$dir/ingest=$newGen")
+    commit(s, dir, Seq(newGen),
+      fullSignature(s, dir, Seq(newGen)))
+    if (vacuum) this.vacuum(s, dir)
+    newGen
+  }
+
+  /** Reap every generation directory the latest manifest does not
+    * list — superseded pre-compaction generations and crashed appends'
+    * uncommitted orphans. Requires a manifest (without one, the
+    * listing IS the live set and there is nothing safe to reap).
+    */
+  def vacuum(s: SparkSession, dir: String): Unit =
+    latest(s, dir).foreach { p =>
+      val live = p.generations.toSet
+      val fs = fsOf(s, new Path(dir))
+      for (g <- LayoutOps.ingestGenerations(s, dir) if !live(g)) {
+        val gp = new Path(dir, s"ingest=$g")
+        require(fs.delete(gp, true),
+          s"vacuum: failed to remove superseded generation $gp")
+      }
+    }
+}

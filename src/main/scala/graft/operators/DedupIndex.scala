@@ -66,6 +66,7 @@ object DedupIndex {
       .withColumn("ingest", lit(0L))
       .write.mode("overwrite").partitionBy("ingest", "band")
       .parquet(s"$dir/buckets")
+    ArtifactManifest.recordBuild(s, s"$dir/buckets")
   }
 
   /** Banding geometry to the driver, buckets as a lazy partitioned
@@ -74,7 +75,7 @@ object DedupIndex {
   def load(s: SparkSession, dir: String): Loaded = {
     val p = s.read.parquet(s"$dir/params").head()
     Loaded(p.getInt(0), p.getInt(1),
-      s.read.parquet(s"$dir/buckets")
+      ArtifactManifest.frame(s, s"$dir/buckets")
         .withColumn("band", col("band").cast("long"))
         .withColumn("ingest", col("ingest").cast("long")))
   }
@@ -141,7 +142,7 @@ object DedupIndex {
       nextGeneration(s, s"$dir/buckets"))
     if (LayoutOps.ingestGenerations(s, s"$dir/buckets")
         .size >= compactEvery)
-      LayoutOps.compactGenerations(s, s"$dir/buckets", "band")
+      ArtifactManifest.compactGenerations(s, s"$dir/buckets", "band")
   }
 
   /** Append one ingest GENERATION under already-known banding
@@ -163,12 +164,15 @@ object DedupIndex {
     */
   def appendWith(k: Int, rowsPerBand: Int, dir: String,
       newDocs: DataFrame, textCol: String, idCol: String,
-      generation: Long): Unit =
+      generation: Long): Unit = {
     bucketsOf(newDocs, textCol, idCol, k, rowsPerBand)
       .withColumn("ingest", lit(generation))
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("ingest", "band").parquet(s"$dir/buckets")
+    ArtifactManifest.recordAppend(newDocs.sparkSession,
+      s"$dir/buckets", generation)
+  }
 
   /** Delete documents from the index by id — the takedown path (the
     * text twin of [[VectorIndex.delete]]): every bucket row of a
@@ -182,9 +186,11 @@ object DedupIndex {
     * the oracle-gated contract (d13).
     */
   def delete(s: SparkSession, dir: String, tombs: DataFrame,
-      idCol: String = "doc_id"): Unit =
+      idCol: String = "doc_id"): Unit = {
     LayoutOps.deleteKeysPartitioned(s, s"$dir/buckets", "band",
       idCol, tombs)
+    ArtifactManifest.refreshAfterDelete(s, s"$dir/buckets")
+  }
 
   /** Admission decisions for an arriving batch: every candidate pair
     * is VERIFIED by char-4-gram Jaccard over `grams` (`idCol`,
@@ -333,6 +339,8 @@ object DedupIndex {
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("ingest", "band")
             .parquet(s"$root/index/buckets")
+          ArtifactManifest.recordAppend(ss, s"$root/index/buckets",
+            batchId + 1)
         } finally bb.unpersist()
       }
     // maintenance runs AFTER the replay completes — never inside the
@@ -342,7 +350,8 @@ object DedupIndex {
     // replay, and collapsing the per-batch bucket files is safe.
     if (LayoutOps.ingestGenerations(ss, s"$root/index/buckets")
         .size >= compactEvery)
-      LayoutOps.compactGenerations(ss, s"$root/index/buckets", "band")
+      ArtifactManifest.compactGenerations(ss, s"$root/index/buckets",
+        "band")
     ss.read.parquet(s"$root/decisions").drop("batch")
   }
 }

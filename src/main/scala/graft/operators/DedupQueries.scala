@@ -324,7 +324,7 @@ object DedupQueries {
         "text", "doc_id", K, RowsPerBand, dir)
       DedupIndex.delete(s, dir, docs.select(col("doc_id"))
         .filter(pmod(col("doc_id"), lit(DocDelMod)) === DocDelRes))
-      LayoutOps.compactGenerations(s, s"$dir/buckets", "band")
+      ArtifactManifest.compactGenerations(s, s"$dir/buckets", "band")
       DedupIndex.probe(DedupIndex.load(s, dir),
         docs.filter(col("doc_id") >= IngestSplit), "text", "doc_id")
     })

@@ -41,10 +41,17 @@ object LayoutOps {
       s"clusterWrite: need cluster columns and partitions >= 1 " +
         s"(got $cols, $partitions)")
     requireNotSelfOverwrite(df, dir, "clusterWrite")
-    df.repartitionByRange(partitions, cols.map(col): _*)
-      .sortWithinPartitions(cols.map(col): _*)
+    clusterFrame(df, cols, partitions)
       .write.options(extraWriteOpts).mode("overwrite").parquet(dir)
   }
+
+  /** The range-cluster plan shared by [[clusterWrite]] and
+    * [[compactClustered]]: one range shuffle + in-partition sort.
+    */
+  private def clusterFrame(df: DataFrame, cols: Seq[String],
+      partitions: Int): DataFrame =
+    df.repartitionByRange(partitions, cols.map(col): _*)
+      .sortWithinPartitions(cols.map(col): _*)
 
   /** An overwrite into a directory the frame READS destroys the
     * source mid-job (the overwrite deletes `dir` before the write
@@ -106,6 +113,18 @@ object LayoutOps {
       s"zorderWrite: ${cols.size} cols x $bits bits must fit a long")
     require(partitions >= 1, s"zorderWrite: partitions >= 1")
     requireNotSelfOverwrite(df, dir, "zorderWrite")
+    zorderFrame(df, cols, partitions, bits)
+      .write.options(extraWriteOpts).mode("overwrite").parquet(dir)
+  }
+
+  /** The z-order plan shared by [[zorderWrite]] and
+    * [[compactClustered]]: quantile cuts → per-column buckets → Morton
+    * interleave → one range shuffle on the z value, sorted within each
+    * partition, working columns dropped. Geometry preconditions are
+    * the callers' (both `require` before reaching here).
+    */
+  private def zorderFrame(df: DataFrame, cols: Seq[String],
+      partitions: Int, bits: Int): DataFrame = {
     val nBuckets = 1 << bits
     // one aggregation pass for every column's quantile cuts (the
     // probabilities exclude 0.0: bucket of v = #cuts <= v, so the
@@ -178,7 +197,6 @@ object LayoutOps {
       .repartitionByRange(partitions, col(zc))
       .sortWithinPartitions(zc)
       .drop(zc +: bcols.map(_._2): _*)
-      .write.options(extraWriteOpts).mode("overwrite").parquet(dir)
   }
 
   /** Swap a fully-written staging tree into place at `dir` without a
@@ -249,7 +267,8 @@ object LayoutOps {
     * probe-identical by spec.
     */
   def compactGenerations(s: SparkSession, dir: String,
-      partCol: String, filesPerPartition: Int = 1): Long = {
+      partCol: String, filesPerPartition: Int = 1,
+      sortWithin: Seq[String] = Nil): Long = {
     require(filesPerPartition >= 1,
       s"compactGenerations: filesPerPartition >= 1 " +
         s"(got $filesPerPartition)")
@@ -269,12 +288,42 @@ object LayoutOps {
     // outage — size filesPerPartition to largest-partition-bytes /
     // parquet-target-file-size. The salt is a whole-row hash:
     // deterministic for a given row set, evenly spread.
-    val rows = s.read.parquet(dir).withColumn("ingest", lit(keep))
-    rows
-      .repartition(col(partCol),
-        pmod(hash(rows.columns.map(col): _*), lit(filesPerPartition)))
-      .write.mode("overwrite").partitionBy("ingest", partCol)
-      .parquet(staging)
+    if (sortWithin.isEmpty) {
+      val rows = s.read.parquet(dir).withColumn("ingest", lit(keep))
+      rows
+        .repartition(col(partCol),
+          pmod(hash(rows.columns.map(col): _*), lit(filesPerPartition)))
+        .write.mode("overwrite").partitionBy("ingest", partCol)
+        .parquet(staging)
+    } else {
+      // `sortWithin` re-establishes a row order INSIDE each rewritten
+      // file — for artifacts whose partitions carry a meaningful row
+      // order (a clustered lookup column); the index artifacts'
+      // probes are whole-partition reads and pass Nil. For range/z-
+      // CLUSTERED fact directories (not ingest-partitioned) use
+      // [[compactClustered]], which re-runs the full cluster plan.
+      // The partitioned write inserts its own sort on the partition
+      // columns — UNSTABLE, destroying any secondary order — unless
+      // the child's ordering already satisfies it; `ingest` is a
+      // constant here, so the optimizer folds it out of any sort we
+      // prepend and the writer's check can never pass. Instead the
+      // write targets the `ingest=<keep>` directory EXPLICITLY and
+      // partitions by `partCol` alone: the required ordering is then
+      // just (partCol), which the (partCol, sortWithin…) sort
+      // satisfies (spec-held: files come out internally sorted). The
+      // commit marker lands inside the ingest dir, so the artifact-
+      // root `_SUCCESS` the build left is re-created at the staging
+      // root before the swap.
+      val rows = s.read.parquet(dir).drop("ingest")
+      rows
+        .repartition(col(partCol),
+          pmod(hash(rows.columns.map(col): _*), lit(filesPerPartition)))
+        .sortWithinPartitions((partCol +: sortWithin).map(col): _*)
+        .write.mode("overwrite").partitionBy(partCol)
+        .parquet(s"$staging/ingest=$keep")
+      fs.create(new org.apache.hadoop.fs.Path(sp, "_SUCCESS"), true)
+        .close()
+    }
     swapInto(fs, dp, sp)
     keep
   }
@@ -420,5 +469,78 @@ object LayoutOps {
     requireNotSelfOverwrite(rows, dstDir, "compact")
     rows.repartition(targetFiles)
       .write.mode("overwrite").parquet(dstDir)
+  }
+
+  /** LAYOUT-PRESERVING compaction: rewrite `srcDir` into `dstDir` as
+    * `partitions` files RE-CLUSTERED on `cols` — the maintenance pass
+    * a [[clusterWrite]]/[[zorderWrite]] fact directory needs once it
+    * accretes appends. [[compact]]'s round-robin repartition is
+    * content-preserving but CLUSTERING-DESTROYING: it interleaves rows
+    * arbitrarily, so every rewritten row group's min/max spans the full
+    * key range and the row-group skipping the clustered write bought is
+    * silently gone. This op re-runs the cluster plan instead (the
+    * OPTIMIZE-with-resort every lakehouse pairs with small-file
+    * compaction), so post-compaction scans skip exactly as a fresh
+    * clustered write's do — spec-held via scan metrics, not plan
+    * strings. `zorder = true` re-clusters on the Morton curve over
+    * `cols` (required for >1 predicate column); quantile cuts are
+    * re-derived from the CURRENT contents, so the curve reflects the
+    * data after the appends, not the original write's distribution.
+    * Cost: one quantile pass (z only) + one range shuffle + write —
+    * same as the original clustered write over the same rows.
+    */
+  def compactClustered(s: SparkSession, srcDir: String, dstDir: String,
+      cols: Seq[String], partitions: Int, zorder: Boolean = false,
+      bits: Int = 8,
+      extraWriteOpts: Map[String, String] = Map.empty): Unit = {
+    require(cols.nonEmpty && partitions >= 1,
+      s"compactClustered: need cluster columns and partitions >= 1 " +
+        s"(got $cols, $partitions)")
+    if (zorder) {
+      require(cols.size >= 2,
+        s"compactClustered: z-order needs >= 2 columns (got $cols) — " +
+          "zorder = false range-clusters on a single key")
+      require(bits >= 1 && bits <= 16,
+        s"compactClustered: bits must be in [1, 16] (got $bits)")
+      require(cols.size * bits <= 63,
+        s"compactClustered: ${cols.size} cols x $bits bits must fit " +
+          "a long")
+    }
+    val (srcP, dstP) = (
+      new org.apache.hadoop.fs.Path(srcDir),
+      new org.apache.hadoop.fs.Path(dstDir))
+    val fs = srcP.getFileSystem(s.sparkContext.hadoopConfiguration)
+    require(fs.makeQualified(srcP) != fs.makeQualified(dstP),
+      "compactClustered: dstDir must differ from srcDir (the rewrite " +
+        "reads srcDir while writing) — use compactClusteredInPlace " +
+        "for an in-place rewrite")
+    val rows = s.read.parquet(srcDir)
+    requireNotSelfOverwrite(rows, dstDir, "compactClustered")
+    (if (zorder) zorderFrame(rows, cols, partitions, bits)
+      else clusterFrame(rows, cols, partitions))
+      .write.options(extraWriteOpts).mode("overwrite").parquet(dstDir)
+  }
+
+  /** [[compactClustered]] back into the SAME directory — the shape the
+    * append-then-compact lifecycle actually wants (the clustered fact
+    * dir keeps its path; readers re-list it). Stages the re-clustered
+    * rewrite as a sibling, then swaps via [[swapInto]] (live aside →
+    * staging in → old deleted), so the directory is never the only
+    * missing copy and a crash leaves either the old tree live or
+    * recoverable by one rename. Same SINGLE-WRITER maintenance-window
+    * contract as [[compactGenerations]].
+    */
+  def compactClusteredInPlace(s: SparkSession, dir: String,
+      cols: Seq[String], partitions: Int, zorder: Boolean = false,
+      bits: Int = 8,
+      extraWriteOpts: Map[String, String] = Map.empty): Unit = {
+    val staging = s"${dir}__compact"
+    val dp = new org.apache.hadoop.fs.Path(dir)
+    val sp = new org.apache.hadoop.fs.Path(staging)
+    val fs = dp.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(sp, true) // leftover staging from a crashed pass
+    compactClustered(s, dir, staging, cols, partitions, zorder, bits,
+      extraWriteOpts)
+    swapInto(fs, dp, sp)
   }
 }

@@ -496,7 +496,7 @@ object SimilarityQueries {
       VectorIndex.delete(s, dir, embeddings(s, d)
         .select(col("vec_id"))
         .filter(pmod(col("vec_id"), lit(VecDelMod)) === VecDelRes))
-      LayoutOps.compactGenerations(s, s"$dir/corpus", "cell")
+      ArtifactManifest.compactGenerations(s, s"$dir/corpus", "cell")
       VectorIndex.serveTopK(VectorIndex.load(s, dir), PqSubDim,
         NQueries, TopK)
     }),

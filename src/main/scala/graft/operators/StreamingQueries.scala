@@ -305,7 +305,8 @@ object StreamingQueries {
           s"$root/ckpt") { (batch, _) =>
         VectorIndex.delete(ss, s"$root/index", batch)
       }
-      LayoutOps.compactGenerations(ss, s"$root/index/corpus", "cell")
+      ArtifactManifest.compactGenerations(ss, s"$root/index/corpus",
+        "cell")
       VectorIndex.serveTopK(VectorIndex.load(ss, s"$root/index"),
         SimilarityQueries.PqSubDim, SimilarityQueries.NQueries,
         SimilarityQueries.TopK)

@@ -68,6 +68,7 @@ object VectorIndex {
       .withColumn("ingest", lit(0L))
       .write.mode("overwrite").partitionBy("ingest", "cell")
       .parquet(s"$dir/corpus")
+    ArtifactManifest.recordBuild(s, s"$dir/corpus")
   }
 
   /** Deterministic artifact root for build-or-load serving: keyed by
@@ -182,7 +183,7 @@ object VectorIndex {
       DedupIndex.nextGeneration(s, s"$dir/corpus"))
     if (LayoutOps.ingestGenerations(s, s"$dir/corpus")
         .size >= compactEvery)
-      LayoutOps.compactGenerations(s, s"$dir/corpus", "cell")
+      ArtifactManifest.compactGenerations(s, s"$dir/corpus", "cell")
   }
 
   /** Append one ingest GENERATION under an already-loaded artifact —
@@ -215,6 +216,8 @@ object VectorIndex {
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("ingest", "cell").parquet(s"$dir/corpus")
+    ArtifactManifest.recordAppend(newVecs.sparkSession,
+      s"$dir/corpus", generation)
   }
 
   /** Retrain the artifact's quantizers on its CURRENT contents — the
@@ -266,9 +269,11 @@ object VectorIndex {
     * never contained the ids, under the same quantizers — the
     * oracle-gated contract (s15).
     */
-  def delete(s: SparkSession, dir: String, tombs: DataFrame): Unit =
+  def delete(s: SparkSession, dir: String, tombs: DataFrame): Unit = {
     LayoutOps.deleteKeysPartitioned(s, s"$dir/corpus", "cell",
       "vec_id", tombs)
+    ArtifactManifest.refreshAfterDelete(s, s"$dir/corpus")
+  }
 
   /** CONTINUOUS vector ingestion: the artifact's probe → gate →
     * append loop driven from a Structured Streaming file source — the
@@ -348,6 +353,8 @@ object VectorIndex {
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("ingest", "cell")
             .parquet(s"$root/index/corpus")
+          ArtifactManifest.recordAppend(ss, s"$root/index/corpus",
+            batchId + 1)
         } finally enc.unpersist()
       }
     // maintenance AFTER the replay completes — never inside the loop
@@ -356,7 +363,8 @@ object VectorIndex {
     // checkpoint-committed here, so nothing can replay
     if (LayoutOps.ingestGenerations(ss, s"$root/index/corpus")
         .size >= compactEvery)
-      LayoutOps.compactGenerations(ss, s"$root/index/corpus", "cell")
+      ArtifactManifest.compactGenerations(ss, s"$root/index/corpus",
+        "cell")
     ss.read.parquet(s"$root/decisions").drop("batch")
   }
 
@@ -379,7 +387,7 @@ object VectorIndex {
     val k = br.keys.map(_._2).max + 1
     val books: ProductQuantization.Codebooks =
       Array.tabulate(subspaces)(j => Array.tabulate(k)(c => br((j, c))))
-    val corpus = s.read.parquet(s"$dir/corpus")
+    val corpus = ArtifactManifest.frame(s, s"$dir/corpus")
       .withColumn("cell", col("cell").cast("long"))
       .withColumn("ingest", col("ingest").cast("long"))
     Loaded(cents, books, corpus)

@@ -205,7 +205,7 @@ class DedupIndexSpec extends SparkSpec {
       DedupIndex.append(spark, dir,
         docs.filter(col("doc_id") >= splitId), "text", "doc_id",
         compactEvery = 2)
-      assert(ingestDirs("buckets", dir) === Seq("ingest=1"))
+      assert(ingestDirs("buckets", dir) === Seq("ingest=2"))
       // the collapsed index still equals a fresh full build
       val stored = DedupIndex.load(spark, dir).buckets
         .select("doc_id", "band", "bucket")
@@ -255,7 +255,7 @@ class DedupIndexSpec extends SparkSpec {
       assert(spark.sharedState.cacheManager.isEmpty)
       // post-replay maintenance collapsed the per-batch generations
       // (decisions above already proved the collapse changed nothing)
-      assert(ingestDirs("index/buckets", root) === Seq("ingest=3"))
+      assert(ingestDirs("index/buckets", root) === Seq("ingest=4"))
 
       // RECOVERY CONTRACT: re-invoking with the same inputs and root
       // (how a crashed stream resumes) must SKIP the build — a
@@ -268,7 +268,7 @@ class DedupIndexSpec extends SparkSpec {
           nFiles = 3, root, compactEvery = 2)
         .as[(Long, Option[Long], Boolean)].collect().toSeq.sorted
       assert(again === streamed)
-      assert(ingestDirs("index/buckets", root) === Seq("ingest=3"))
+      assert(ingestDirs("index/buckets", root) === Seq("ingest=4"))
     }
   }
 }

@@ -205,7 +205,7 @@ class IndexArtifactSpec extends SparkSpec {
           .select((col("vec_id") + 10000).as("vec_id"),
             col("embedding")),
         compactEvery = 2)
-      assert(ingestDirs(dir) === Seq("ingest=3"))
+      assert(ingestDirs(dir) === Seq("ingest=4"))
       assert(served().nonEmpty)
     }
   }
@@ -357,7 +357,7 @@ class IndexArtifactSpec extends SparkSpec {
           .map(_.getFileName.toString)
           .filter(_.startsWith("ingest=")).toSeq.sorted
         finally s.close()
-        assert(gens === Seq("ingest=3"))
+        assert(gens === Seq("ingest=4"))
       }
     } finally {
       def rm(p: Path): Unit = {

@@ -20,8 +20,10 @@ import org.apache.spark.sql.functions._
   * invisible, and [[compactGenerations]] here replaces the swap with
   * write-new-generation → flip-manifest-last → vacuum, so a reader
   * pinned to a pre-compaction manifest keeps serving its generation
-  * set throughout the flip (spec-held; the old files survive until
-  * [[vacuum]]). This is the manifest/version-file core of every
+  * set throughout the flip (spec-held — `ArtifactManifestSpec` pins
+  * this, orphan invisibility, vacuum reaping, pruning, legacy
+  * adoption, and append replay-idempotence; the old files survive
+  * until [[vacuum]]). This is the manifest/version-file core of every
   * lakehouse table format, minus the parts a single-writer artifact
   * does not need (optimistic concurrency, schema evolution); when an
   * artifact ever needs concurrent WRITERS, a real transaction log is
@@ -163,10 +165,18 @@ object ArtifactManifest {
   /** Record a committed APPEND of `gen`. The signature extends the
     * previous one incrementally (hash-chained with the new
     * generation's listing), so a per-batch streaming append pays one
-    * small-directory listing, not a full artifact walk.
+    * small-directory listing, not a full artifact walk. Chained
+    * signatures are a DISTINCT namespace from [[fullSignature]]'s
+    * (same live set, different digest) — both serve change detection
+    * (compare like with like), neither is a content address.
+    *
+    * Replay-idempotent: a replayed streaming batch (gen already live)
+    * is a no-op — committing again would re-chain the same listing and
+    * change the signature with unchanged content.
     */
   def recordAppend(s: SparkSession, dir: String, gen: Long): Unit =
     latest(s, dir) match {
+      case Some(p) if p.generations.contains(gen) => ()
       case Some(p) =>
         commit(s, dir, (p.generations :+ gen).distinct,
           md5(p.signature + "\n\n" + genListing(s, dir, gen)))
@@ -191,15 +201,22 @@ object ArtifactManifest {
   /** The artifact's data as of the latest manifest: ONLY the listed
     * generation directories are read (uncommitted appends are
     * invisible; files a deferred [[vacuum]] has not yet reaped are
-    * excluded). Without a manifest — or with an empty live set — this
-    * is the plain directory read, byte-for-byte the legacy behavior.
+    * excluded). A manifest whose live set is EMPTY (a takedown emptied
+    * every generation) serves zero rows — never the raw listing, which
+    * would resurrect a crashed append's uncommitted orphan, exactly
+    * the data the manifest exists to hide. Only an artifact with NO
+    * manifest at all gets the plain directory read (legacy behavior).
     */
   def frame(s: SparkSession, dir: String): DataFrame =
     latest(s, dir) match {
       case Some(p) if p.generations.nonEmpty =>
         s.read.option("basePath", dir)
           .parquet(p.generations.sorted.map(g => s"$dir/ingest=$g"): _*)
-      case _ => s.read.parquet(dir)
+      case Some(_) =>
+        // schema from whatever files remain (orphans share it); rows
+        // from none. No files at all → parquet's loud schema error.
+        s.read.option("basePath", dir).parquet(dir).where(lit(false))
+      case None => s.read.parquet(dir)
     }
 
   /** Generation compaction under the manifest: collapse the LIVE

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{DedupIndex, DedupOps, TextOps}
+import graft.operators.{ArtifactManifest, DedupIndex, DedupOps, TextOps}
 
 /** Deduplication inventory over `documents`: exact content-hash dedup,
   * MinHash signatures, banded LSH buckets + candidate pairs, SimHash,

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.operators.{DedupOps, SimilarityOps}
+import graft.operators.{ArtifactManifest, DedupOps, SimilarityOps}
 
 /** Similarity-search inventory over `embeddings` (64-dim float
   * vectors): brute-force cosine top-k as the correctness baseline, an

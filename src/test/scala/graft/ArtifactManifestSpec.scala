@@ -1,0 +1,204 @@
+package graft
+
+import java.nio.file.{Files, Path}
+import org.apache.hadoop.fs.{Path => HPath}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.operators.ArtifactManifest
+
+/** The manifest contract that makes index-artifact maintenance safe
+  * for concurrent READERS (single writer): version-pinned reads,
+  * write-new-generation → flip-manifest-last compaction, orphan
+  * invisibility, vacuum reaping only unlisted generations, legacy
+  * adoption, replay-idempotent appends. These are the properties
+  * `ArtifactManifest.scala`'s scaladoc claims as spec-held — this is
+  * the spec.
+  */
+class ArtifactManifestSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Rows of one generation: (id, part, payload). */
+  private def gen(ids: Range): DataFrame =
+    ids.map(i => (i.toLong, (i % 3).toLong, s"p$i"))
+      .toDF("id", "part", "payload")
+
+  /** Write `ids` as generation `g` of the artifact at `dir`
+    * (partitioned by `part` inside the generation directory, exactly
+    * the index artifacts' layout).
+    */
+  private def writeGen(dir: String, g: Long, ids: Range): Unit =
+    gen(ids).write.mode("overwrite").partitionBy("part")
+      .parquet(s"$dir/ingest=$g")
+
+  private def idsOf(df: DataFrame): Seq[Long] =
+    df.select("id").as[Long].collect().toSeq.sorted
+
+  private def fs = new HPath("/").getFileSystem(
+    spark.sparkContext.hadoopConfiguration)
+
+  private def withDir[A](f: String => A): A = {
+    val dir = Files.createTempDirectory("graft-manifest-spec")
+    try f(dir.toString) finally {
+      def rm(p: Path): Unit = {
+        if (Files.isDirectory(p)) {
+          val s = Files.list(p)
+          try s.forEach(rm) finally s.close()
+        }
+        Files.deleteIfExists(p)
+      }
+      rm(dir)
+    }
+  }
+
+  /** Build a two-generation committed artifact: gen 0 = ids 0..9,
+    * gen 1 = ids 10..14.
+    */
+  private def buildTwoGen(dir: String): Unit = {
+    writeGen(dir, 0, 0 until 10)
+    ArtifactManifest.recordBuild(spark, dir)
+    writeGen(dir, 1, 10 until 15)
+    ArtifactManifest.recordAppend(spark, dir, 1)
+  }
+
+  test("pre-flip reader serves identical rows through " +
+      "compactGenerations(vacuum = false); old files survive until " +
+      "vacuum") {
+    withDir { dir =>
+      buildTwoGen(dir)
+      val expected = (0L until 15L).toSeq
+      // reader pinned BEFORE the flip: its lazy plan names the old
+      // generation directories explicitly
+      val pre = ArtifactManifest.frame(spark, dir)
+      val preGens = ArtifactManifest.latest(spark, dir).get.generations
+      assert(preGens.sorted === Seq(0L, 1L))
+
+      val newGen = ArtifactManifest.compactGenerations(
+        spark, dir, "part", vacuum = false)
+      assert(newGen === 2L)
+      // the pre-flip reader still serves its pinned set, byte-complete
+      // (its files were never touched; vacuum was deferred)
+      assert(idsOf(pre) === expected)
+      assert(fs.exists(new HPath(s"$dir/ingest=0")))
+      assert(fs.exists(new HPath(s"$dir/ingest=1")))
+      // a post-flip reader serves the collapsed generation — same rows
+      val post = ArtifactManifest.frame(spark, dir)
+      assert(idsOf(post) === expected)
+      assert(post.select("ingest").distinct().as[Long].collect()
+        .toSeq === Seq(2L))
+
+      ArtifactManifest.vacuum(spark, dir)
+      assert(!fs.exists(new HPath(s"$dir/ingest=0")))
+      assert(!fs.exists(new HPath(s"$dir/ingest=1")))
+      assert(idsOf(ArtifactManifest.frame(spark, dir)) === expected)
+    }
+  }
+
+  test("a crashed append's uncommitted generation is invisible, " +
+      "never compacted in, never overwritten, and reaped by vacuum") {
+    withDir { dir =>
+      buildTwoGen(dir)
+      // simulate a crashed append: the generation directory exists
+      // but recordAppend never ran
+      writeGen(dir, 99, 100 until 105)
+      val committed = (0L until 15L).toSeq
+      assert(idsOf(ArtifactManifest.frame(spark, dir)) === committed)
+
+      val newGen = ArtifactManifest.compactGenerations(
+        spark, dir, "part", vacuum = false)
+      // numbering takes the LISTING max, so the orphan is never
+      // overwritten by the compacted generation
+      assert(newGen === 100L)
+      assert(idsOf(ArtifactManifest.frame(spark, dir)) === committed)
+      assert(fs.exists(new HPath(s"$dir/ingest=99")))
+
+      ArtifactManifest.vacuum(spark, dir)
+      assert(!fs.exists(new HPath(s"$dir/ingest=99")))
+      assert(!fs.exists(new HPath(s"$dir/ingest=0")))
+      assert(idsOf(ArtifactManifest.frame(spark, dir)) === committed)
+    }
+  }
+
+  test("refreshAfterDelete drops emptied generations but never " +
+      "resurrects orphans") {
+    withDir { dir =>
+      buildTwoGen(dir)
+      writeGen(dir, 99, 100 until 105) // orphan
+      // a takedown emptied generation 1 wholesale (what
+      // deleteKeysPartitioned does when every row tombstones)
+      fs.delete(new HPath(s"$dir/ingest=1"), true)
+      ArtifactManifest.refreshAfterDelete(spark, dir)
+      val p = ArtifactManifest.latest(spark, dir).get
+      assert(p.generations === Seq(0L)) // dropped 1, did NOT adopt 99
+      assert(idsOf(ArtifactManifest.frame(spark, dir)) ===
+        (0L until 10L).toSeq)
+    }
+  }
+
+  test("a manifest whose live set is EMPTY serves zero rows — never " +
+      "the raw listing") {
+    withDir { dir =>
+      buildTwoGen(dir)
+      writeGen(dir, 99, 100 until 105) // orphan
+      fs.delete(new HPath(s"$dir/ingest=0"), true)
+      fs.delete(new HPath(s"$dir/ingest=1"), true)
+      ArtifactManifest.refreshAfterDelete(spark, dir)
+      assert(ArtifactManifest.latest(spark, dir).get.generations
+        .isEmpty)
+      // the orphan's rows are on disk under the artifact root, but a
+      // committed-empty artifact must not serve them
+      assert(ArtifactManifest.frame(spark, dir).count() === 0L)
+      ArtifactManifest.vacuum(spark, dir)
+      assert(!fs.exists(new HPath(s"$dir/ingest=99")))
+    }
+  }
+
+  test("manifest pruning keeps 5 versions and latest still resolves") {
+    withDir { dir =>
+      writeGen(dir, 0, 0 until 5)
+      ArtifactManifest.recordBuild(spark, dir)
+      for (g <- 1L to 7L) {
+        writeGen(dir, g, (10 * g.toInt) until (10 * g.toInt + 3))
+        ArtifactManifest.recordAppend(spark, dir, g)
+      }
+      val names = fs.listStatus(new HPath(s"$dir/_manifests"))
+        .map(_.getPath.getName)
+        .filter(n => n.startsWith("manifest-") && n.endsWith(".json"))
+      assert(names.length === 5) // versions 3..7 survive, 0..2 pruned
+      val p = ArtifactManifest.latest(spark, dir).get
+      assert(p.version === 7L)
+      assert(p.generations.sorted === (0L to 7L))
+      // committed versions are CREATE-NEW, never rewritten: the
+      // penultimate version's bytes are what its commit wrote
+      assert(names.map(_.stripPrefix("manifest-").stripSuffix(".json")
+        .toLong).sorted === (3L to 7L))
+    }
+  }
+
+  test("legacy no-manifest artifact: raw read until the first append " +
+      "adopts the listing") {
+    withDir { dir =>
+      writeGen(dir, 0, 0 until 10)
+      writeGen(dir, 1, 10 until 15)
+      assert(ArtifactManifest.latest(spark, dir).isEmpty)
+      // frame without a manifest = plain directory read
+      assert(idsOf(ArtifactManifest.frame(spark, dir)) ===
+        (0L until 15L).toSeq)
+      writeGen(dir, 2, 20 until 23)
+      ArtifactManifest.recordAppend(spark, dir, 2)
+      val p = ArtifactManifest.latest(spark, dir).get
+      assert(p.generations.sorted === Seq(0L, 1L, 2L))
+      assert(p.version === 0L)
+    }
+  }
+
+  test("recordAppend is replay-idempotent: a replayed batch changes " +
+      "neither version nor signature") {
+    withDir { dir =>
+      buildTwoGen(dir)
+      val before = ArtifactManifest.latest(spark, dir).get
+      ArtifactManifest.recordAppend(spark, dir, 1) // replay of gen 1
+      val after = ArtifactManifest.latest(spark, dir).get
+      assert(after === before)
+    }
+  }
+}

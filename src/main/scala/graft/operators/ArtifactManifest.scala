@@ -271,6 +271,103 @@ object ArtifactManifest {
     newGen
   }
 
+  /** The clustered plan for one generation of a VERSIONED clustered
+    * fact, geometry-validated: range cluster for one key, Morton
+    * z-order for several (see [[LayoutOps.clusterWrite]] /
+    * [[LayoutOps.zorderWrite]] for the layout rationale).
+    */
+  private def clusteredFrame(df: DataFrame, cols: Seq[String],
+      partitions: Int, zorder: Boolean, bits: Int): DataFrame = {
+    require(cols.nonEmpty && partitions >= 1,
+      s"clustered artifact: need cluster columns and partitions >= 1 " +
+        s"(got $cols, $partitions)")
+    if (zorder) {
+      require(cols.size >= 2,
+        s"clustered artifact: z-order needs >= 2 columns (got $cols)")
+      require(bits >= 1 && bits <= 16,
+        s"clustered artifact: bits must be in [1, 16] (got $bits)")
+      require(cols.size * bits <= 63,
+        s"clustered artifact: ${cols.size} cols x $bits bits must " +
+          "fit a long")
+      LayoutOps.zorderFrame(df, cols, partitions, bits)
+    } else LayoutOps.clusterFrame(df, cols, partitions)
+  }
+
+  /** Build a VERSIONED clustered fact artifact: generation 0 is the
+    * clustered (range or z-order) tree, and the manifest pins it —
+    * the manifest-governed successor of a flat
+    * [[LayoutOps.clusterWrite]] directory. Readers go through
+    * [[frame]], so [[compactClusteredGenerations]] can re-cluster
+    * WITHOUT the [[LayoutOps.swapInto]] rename window a flat
+    * directory's in-place compaction needs: a reader loaded
+    * pre-compaction keeps serving its pinned generation through the
+    * flip. Row-group skipping is unchanged — the clustered files sit
+    * inside the generation directory and pushed predicates prune
+    * their row groups exactly as in the flat layout.
+    */
+  def clusterBuild(df: DataFrame, dir: String, cols: Seq[String],
+      partitions: Int, zorder: Boolean = false, bits: Int = 8,
+      extraWriteOpts: Map[String, String] = Map.empty): Unit = {
+    val s = df.sparkSession
+    clusteredFrame(df, cols, partitions, zorder, bits)
+      .write.options(extraWriteOpts).mode("overwrite")
+      .parquet(s"$dir/ingest=0")
+    recordBuild(s, dir)
+  }
+
+  /** Append one clustered generation to a [[clusterBuild]] artifact
+    * (each batch clusters ITS OWN rows; cross-generation overlap is
+    * what [[compactClusteredGenerations]] periodically repairs).
+    * Returns the committed generation.
+    */
+  def clusterAppend(df: DataFrame, dir: String, cols: Seq[String],
+      partitions: Int, zorder: Boolean = false, bits: Int = 8,
+      extraWriteOpts: Map[String, String] = Map.empty): Long = {
+    val s = df.sparkSession
+    val listed = LayoutOps.ingestGenerations(s, dir)
+    require(listed.nonEmpty,
+      s"clusterAppend: $dir has no ingest= partitions — build the " +
+        "artifact with clusterBuild first")
+    val gen = listed.max + 1
+    clusteredFrame(df, cols, partitions, zorder, bits)
+      .write.options(extraWriteOpts).mode("overwrite")
+      .parquet(s"$dir/ingest=$gen")
+    recordAppend(s, dir, gen)
+    gen
+  }
+
+  /** Re-cluster the LIVE generations of a [[clusterBuild]] artifact
+    * into one new generation and flip the manifest — the reader-safe
+    * successor of [[LayoutOps.compactClusteredInPlace]], which
+    * rewrites through a [[LayoutOps.swapInto]] rename window a
+    * concurrent reader can straddle. Appends degrade a clustered
+    * fact in BOTH dimensions (each generation adds files, and each
+    * clusters only its own rows, so cross-generation key ranges
+    * overlap and row-group skipping decays); this pass re-derives the
+    * cluster/z plan from the CURRENT live contents — one quantile
+    * pass (z only) + one range shuffle, the same cost as the original
+    * clustered write. Steps are [[compactGenerations]]'s: pinned live
+    * set in, brand-new `ingest=` directory out, manifest flip,
+    * deferred-able [[vacuum]]. Returns the surviving generation.
+    */
+  def compactClusteredGenerations(s: SparkSession, dir: String,
+      cols: Seq[String], partitions: Int, zorder: Boolean = false,
+      bits: Int = 8, extraWriteOpts: Map[String, String] = Map.empty,
+      vacuum: Boolean = true): Long = {
+    val listed = LayoutOps.ingestGenerations(s, dir)
+    require(listed.nonEmpty,
+      s"compactClusteredGenerations: $dir has no ingest= partitions " +
+        "— not a built artifact")
+    val newGen = listed.max + 1
+    clusteredFrame(frame(s, dir).drop("ingest"), cols, partitions,
+        zorder, bits)
+      .write.options(extraWriteOpts).mode("overwrite")
+      .parquet(s"$dir/ingest=$newGen")
+    commit(s, dir, Seq(newGen), fullSignature(s, dir, Seq(newGen)))
+    if (vacuum) this.vacuum(s, dir)
+    newGen
+  }
+
   /** Reap every generation directory the latest manifest does not
     * list — superseded pre-compaction generations and crashed appends'
     * uncommitted orphans. Requires a manifest (without one, the

@@ -48,7 +48,7 @@ object LayoutOps {
   /** The range-cluster plan shared by [[clusterWrite]] and
     * [[compactClustered]]: one range shuffle + in-partition sort.
     */
-  private def clusterFrame(df: DataFrame, cols: Seq[String],
+  private[operators] def clusterFrame(df: DataFrame, cols: Seq[String],
       partitions: Int): DataFrame =
     df.repartitionByRange(partitions, cols.map(col): _*)
       .sortWithinPartitions(cols.map(col): _*)
@@ -123,7 +123,7 @@ object LayoutOps {
     * partition, working columns dropped. Geometry preconditions are
     * the callers' (both `require` before reaching here).
     */
-  private def zorderFrame(df: DataFrame, cols: Seq[String],
+  private[operators] def zorderFrame(df: DataFrame, cols: Seq[String],
       partitions: Int, bits: Int): DataFrame = {
     val nBuckets = 1 << bits
     // one aggregation pass for every column's quantile cuts (the

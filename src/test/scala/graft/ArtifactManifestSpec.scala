@@ -201,4 +201,54 @@ class ArtifactManifestSpec extends SparkSpec {
       assert(after === before)
     }
   }
+
+  test("versioned clustered fact: pre-compaction reader serves " +
+      "consistently through the flip; re-clustering restores " +
+      "row-group skipping") {
+    withDir { dir =>
+      // uniform-shuffled key so an unclustered layout has full-range
+      // row-group stats everywhere (same construction as LayoutOpsSpec)
+      def slice(i: Int) = spark.range(i * 100000L, (i + 1) * 100000L)
+        .select(((col("id") * 48271) % 400000).as("k"),
+          col("id").as("payload"))
+      val opts = Map("parquet.block.size" -> (64 * 1024).toString)
+      ArtifactManifest.clusterBuild(slice(0), dir, Seq("k"), 2,
+        extraWriteOpts = opts)
+      for (i <- 1 to 3)
+        ArtifactManifest.clusterAppend(slice(i), dir, Seq("k"), 2,
+          extraWriteOpts = opts)
+      assert(ArtifactManifest.latest(spark, dir).get.generations
+        .sorted === (0L to 3L))
+      val expected = (0L until 400000L).toSeq
+
+      val pre = ArtifactManifest.frame(spark, dir) // pinned pre-flip
+      val newGen = ArtifactManifest.compactClusteredGenerations(
+        spark, dir, Seq("k"), 4, extraWriteOpts = opts,
+        vacuum = false)
+      assert(newGen === 4L)
+      // the pre-flip reader's generations survive the flip untouched
+      assert(pre.select("payload").as[Long].collect().toSeq.sorted ===
+        expected)
+      assert(fs.exists(new HPath(s"$dir/ingest=0")))
+
+      val post = ArtifactManifest.frame(spark, dir)
+      assert(post.select("payload").as[Long].collect().toSeq.sorted ===
+        expected)
+      // re-clustered: a pushed 1%-range predicate skips row groups
+      // (an unclustered 400k-row layout would read ~everything) —
+      // measured via scan metrics, not plan strings
+      val filtered = ArtifactManifest.frame(spark, dir)
+        .filter(col("k") >= 1000 && col("k") < 5000)
+      filtered.collect()
+      val scanned = filtered.queryExecution.executedPlan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+      }.head.metrics("numOutputRows").value
+      assert(scanned <= 40000L, s"scanned=$scanned of 400000")
+
+      ArtifactManifest.vacuum(spark, dir)
+      assert((0L to 3L).forall(g =>
+        !fs.exists(new HPath(s"$dir/ingest=$g"))))
+      assert(ArtifactManifest.frame(spark, dir).count() === 400000L)
+    }
+  }
 }

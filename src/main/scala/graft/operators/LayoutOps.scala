@@ -363,14 +363,35 @@ object LayoutOps {
     * contract is IDEMPOTENT RE-RUN under the single-writer rule:
     * re-running the same delete completes it (surviving rows are
     * unchanged by a second anti-join; already-replaced partitions
-    * simply rewrite again). If a takedown ever needs to be
-    * crash-atomic rather than crash-recoverable, stage the whole
-    * subtree and swap via [[swapInto]] as [[compactGenerations]] does
-    * — at the price of rewriting unaffected partitions too.
+    * simply rewrite again).
+    *
+    * `staged = true` upgrades the crash story from crash-recoverable
+    * to crash-ISOLATED, still rewriting only affected partitions: the
+    * survivors are first written to a `__takedown` staging sibling
+    * (the live tree is READ but never touched — a kill anywhere in
+    * this phase leaves the artifact serving exactly the old content),
+    * a `_STAGED` marker commits the staging tree, and only then are
+    * affected partition directories swapped one by one (delete live,
+    * rename staged in — the staged copy is complete before its live
+    * twin is dropped, so no partition ever has zero complete copies).
+    * A kill mid-swap leaves every partition wholly old or wholly new;
+    * the next staged run's [[recoverStagedTakedown]] adopts staged
+    * partitions whose live twin is missing, discards the rest, and
+    * the re-run converges. An unmarked staging leftover (killed while
+    * writing) is discarded wholesale.
     */
   def deleteKeysPartitioned(s: SparkSession, dir: String,
-      partCol: String, keyCol: String, tombs: DataFrame): Unit = {
+      partCol: String, keyCol: String, tombs: DataFrame,
+      staged: Boolean = false): Unit = {
     val t = tombs.select(col(keyCol)).distinct()
+    if (staged) {
+      recoverStagedTakedown(s, dir, partCol)
+      stageTakedown(s, dir, partCol, keyCol, t).foreach {
+        case (staging, affected) =>
+          applyStagedTakedown(s, dir, partCol, staging, affected)
+      }
+      return
+    }
     val corpus = s.read.parquet(dir)
     val affectedDf = corpus
       .join(broadcast(t), Seq(keyCol), "left_semi")
@@ -441,6 +462,126 @@ object LayoutOps {
           fs.delete(gp, true)
       }
     }
+  }
+
+  /** Phase 1 of a staged takedown: write the survivors of every
+    * affected `(ingest, partCol)` partition to the `__takedown`
+    * staging sibling and commit it with a `_STAGED` marker. The live
+    * tree is only READ. Returns the staging path and the affected
+    * pairs (as path-form strings), or None when no partition holds a
+    * tombstoned key. Package-private as a crash-simulation seam —
+    * production entry is `deleteKeysPartitioned(staged = true)`.
+    */
+  private[graft] def stageTakedown(s: SparkSession, dir: String,
+      partCol: String, keyCol: String, tombs: DataFrame)
+      : Option[(String, Seq[(String, String)])] = {
+    val t = tombs.select(col(keyCol)).distinct()
+    val staging = s"${dir}__takedown"
+    val sp = new org.apache.hadoop.fs.Path(staging)
+    val fs = sp.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(sp, true)
+    val corpus = s.read.parquet(dir)
+    val affectedRows = corpus
+      .join(broadcast(t), Seq(keyCol), "left_semi")
+      .select(col("ingest"), col(partCol)).distinct().collect()
+    if (affectedRows.isEmpty) return None
+    // same static partition-predicate pruning as the in-place path
+    // (see deleteKeysPartitioned's rationale + measurements)
+    val restricted =
+      if (affectedRows.length > 4096) corpus
+      else corpus.filter(affectedRows.map(r =>
+          col("ingest") === lit(r.get(0)) &&
+            col(partCol) === lit(r.get(1)))
+        .reduce(_ || _))
+    CdcOps.applyTombstones(restricted, t, Seq(keyCol),
+        broadcastTombs = true)
+      .write.mode("overwrite").partitionBy("ingest", partCol)
+      .parquet(staging)
+    fs.create(new org.apache.hadoop.fs.Path(sp, "_STAGED"), true)
+      .close()
+    Some((staging,
+      affectedRows.map(r => (r.get(0).toString, r.get(1).toString))
+        .toSeq))
+  }
+
+  /** Phase 2 of a staged takedown: swap each affected partition —
+    * delete live, rename staged in (a partition whose every row
+    * tombstoned has no staged twin and is simply deleted) — then drop
+    * emptied `ingest=` directories and the staging root. Every
+    * partition is wholly old or wholly new at every instant, and the
+    * staged copy is complete before its live twin is dropped.
+    */
+  private[graft] def applyStagedTakedown(s: SparkSession, dir: String,
+      partCol: String, staging: String,
+      affected: Seq[(String, String)]): Unit = {
+    val sp = new org.apache.hadoop.fs.Path(staging)
+    val fs = sp.getFileSystem(s.sparkContext.hadoopConfiguration)
+    require(fs.exists(new org.apache.hadoop.fs.Path(sp, "_STAGED")),
+      s"applyStagedTakedown: $staging has no _STAGED marker — the " +
+        "staging write did not complete; re-run the takedown")
+    for ((g, p) <- affected) {
+      val live = new org.apache.hadoop.fs.Path(
+        s"$dir/ingest=$g/$partCol=$p")
+      val stagedPart = new org.apache.hadoop.fs.Path(
+        s"$staging/ingest=$g/$partCol=$p")
+      if (fs.exists(stagedPart)) {
+        require(!fs.exists(live) || fs.delete(live, true),
+          s"applyStagedTakedown: could not drop live partition $live")
+        require(fs.rename(stagedPart, live),
+          s"applyStagedTakedown: could not move $stagedPart into " +
+            s"place at $live — recoverStagedTakedown adopts it on " +
+            "the next run")
+      } else {
+        // fully-emptied partition: same loud contract as the in-place
+        // path — silently keeping rows a takedown promised to delete
+        // is a compliance breach (numeric partition values; a
+        // non-numeric partCol would need Spark's escapePathName)
+        require(fs.exists(live),
+          s"applyStagedTakedown: emptied partition $live not found " +
+            "— partition-path resolution failed; rows NOT removed")
+        require(fs.delete(live, true),
+          s"applyStagedTakedown: failed to remove emptied partition " +
+            s"$live — rows NOT removed")
+      }
+      val gp = new org.apache.hadoop.fs.Path(s"$dir/ingest=$g")
+      if (fs.exists(gp) && fs.listStatus(gp).isEmpty)
+        fs.delete(gp, true)
+    }
+    fs.delete(sp, true)
+  }
+
+  /** Restore the staged-takedown invariants after a crash: an
+    * UNMARKED staging tree (killed while writing) is discarded — the
+    * live tree was never touched; a MARKED one (killed mid-swap) has
+    * its staged partitions adopted wherever the live twin is missing
+    * (the swap deleted live and died before the rename — the staged
+    * copy is the one complete copy) and discarded elsewhere, then
+    * removed. Idempotent; re-running the same takedown afterwards
+    * converges. Called automatically at the start of every
+    * `deleteKeysPartitioned(staged = true)`.
+    */
+  private[graft] def recoverStagedTakedown(s: SparkSession,
+      dir: String, partCol: String): Unit = {
+    val staging = s"${dir}__takedown"
+    val sp = new org.apache.hadoop.fs.Path(staging)
+    val fs = sp.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(sp)) return
+    if (fs.exists(new org.apache.hadoop.fs.Path(sp, "_STAGED"))) {
+      for (gDir <- fs.listStatus(sp)
+            if gDir.getPath.getName.startsWith("ingest=");
+          pDir <- fs.listStatus(gDir.getPath)
+            if pDir.getPath.getName.startsWith(s"$partCol=")) {
+        val live = new org.apache.hadoop.fs.Path(
+          s"$dir/${gDir.getPath.getName}/${pDir.getPath.getName}")
+        if (!fs.exists(live)) {
+          fs.mkdirs(live.getParent)
+          require(fs.rename(pDir.getPath, live),
+            s"recoverStagedTakedown: could not adopt ${pDir.getPath}" +
+              s" at $live")
+        }
+      }
+    }
+    fs.delete(sp, true)
   }
 
   /** Rewrite `srcDir` as `targetFiles` parquet files in `dstDir`.

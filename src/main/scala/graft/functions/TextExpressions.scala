@@ -255,6 +255,144 @@ case class ShingleHashes(child: Expression, n: Int, mod: Long)
       newChild: Expression): ShingleHashes = copy(child = newChild)
 }
 
+/** JVM kernel for [[RedactPii]] — shared by eval and codegen. */
+object RedactOps {
+
+  private def isDigit(b: Byte): Boolean = b >= '0' && b <= '9'
+  private def isAlpha(b: Byte): Boolean =
+    (b >= 'a' && b <= 'z') || (b >= 'A' && b <= 'Z')
+  // [A-Za-z0-9._%+-] — the email pattern's local-part class
+  private def isLocal(b: Byte): Boolean =
+    isAlpha(b) || isDigit(b) || b == '.' || b == '_' || b == '%' ||
+      b == '+' || b == '-'
+  // [A-Za-z0-9.-] — the domain class
+  private def isDomain(b: Byte): Boolean =
+    isAlpha(b) || isDigit(b) || b == '.' || b == '-'
+
+  private val EMAIL = "<EMAIL>".getBytes
+  private val NUM = "<NUM>".getBytes
+
+  /** One byte-level pass producing (redacted, n_emails, n_nums) —
+    * exactly the two-regex composition
+    * `regexp_replace(regexp_replace(text, EMAIL_RE, '<EMAIL>'),
+    * '[0-9]+', '<NUM>')` with the placeholder insertions counted.
+    * The email automaton replays Java's leftmost-first greedy
+    * backtracking for `LOCAL+@DOMAIN+\.[A-Za-z]{2,}` deterministically:
+    * at a maximal local-class run followed by '@', take the maximal
+    * domain-class run, pick the LAST '.' (with ≥1 domain char before
+    * it) followed by ≥2 letters, and extend the TLD greedily — the
+    * backtracking order a regex engine walks, without walking it.
+    * A failed '@' cannot match from any later start inside the same
+    * local run (the run boundary is fixed), so the scan resumes with
+    * plain digit-run redaction — also what the engine's advancing
+    * start positions conclude. All class bytes are ASCII, so UTF-8
+    * continuation bytes (≥ 0x80) pass through verbatim and multi-byte
+    * characters are never split. Property-spec'd against the composed
+    * regex form on adversarial inputs.
+    */
+  def redactPii(text: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    val b = text.getBytes
+    val n = b.length
+    // worst case: a 1-byte digit run becomes 5 bytes; emails only shrink
+    val out = new Array[Byte](5 * n + 8)
+    var o = 0
+    var nEmails = 0L
+    var nNums = 0L
+
+    def emitToken(tok: Array[Byte]): Unit = {
+      System.arraycopy(tok, 0, out, o, tok.length)
+      o += tok.length
+    }
+    // copy [from, to) replacing maximal digit runs with <NUM>
+    def emitPlain(from: Int, to: Int): Unit = {
+      var p = from
+      while (p < to) {
+        if (isDigit(b(p))) {
+          while (p < to && isDigit(b(p))) p += 1
+          emitToken(NUM); nNums += 1
+        } else {
+          out(o) = b(p); o += 1; p += 1
+        }
+      }
+    }
+
+    var i = 0
+    while (i < n) {
+      val c = b(i)
+      if (isLocal(c)) {
+        var j = i
+        while (j < n && isLocal(b(j))) j += 1
+        var matched = false
+        if (j < n && b(j) == '@') {
+          var k = j + 1
+          while (k < n && isDomain(b(k))) k += 1
+          // last '.' with a non-empty domain prefix and >= 2 letters
+          // following (letters ⊆ domain class, so they sit inside the
+          // run; bounds-check against n is still required)
+          var q = k - 1
+          var found = -1
+          while (found < 0 && q >= j + 2) {
+            if (b(q) == '.' && q + 2 < n && isAlpha(b(q + 1)) &&
+                isAlpha(b(q + 2))) found = q
+            q -= 1
+          }
+          if (found >= 0) {
+            var e = found + 3
+            while (e < n && isAlpha(b(e))) e += 1
+            emitToken(EMAIL); nEmails += 1
+            i = e
+            matched = true
+          }
+        }
+        if (!matched) { emitPlain(i, j); i = j }
+      } else {
+        out(o) = c; o += 1; i += 1
+      }
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](UTF8String.fromBytes(java.util.Arrays.copyOf(out, o)),
+        nEmails, nNums))
+  }
+}
+
+/** `redact_pii(text)` →
+  * struct(redacted string, n_emails bigint, n_nums bigint) — the t8
+  * redaction kernel. Why native: the composed form runs TWO java.regex
+  * passes over every document (email then digit-run), each with
+  * per-match StringBuilder churn; this is one allocation-light byte
+  * pass that also yields the redaction counts the query re-derived
+  * from the redacted text. Values identical to the composed regex form
+  * (property-spec'd, oracle-gated).
+  */
+case class RedactPii(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"redact_pii expects a string, got ${t.simpleString}")
+  }
+  override def dataType: DataType =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("redacted", StringType,
+        nullable = false),
+      org.apache.spark.sql.types.StructField("n_emails", LongType,
+        nullable = false),
+      org.apache.spark.sql.types.StructField("n_nums", LongType,
+        nullable = false)))
+  override def prettyName: String = "redact_pii"
+
+  override protected def nullSafeEval(t: Any): Any =
+    RedactOps.redactPii(t.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, t =>
+      s"graft.functions.RedactOps.redactPii($t)")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): RedactPii = copy(child = newChild)
+}
+
 /** `rolling_hash(text)` — Rabin–Karp content fingerprint (t4). Why
   * native: the composed `aggregate` fold evaluates an interpreted
   * lambda per CHARACTER (substring + ascii + pmod each as interpreted

@@ -753,6 +753,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           args(1).eval().asInstanceOf[Number].intValue())
       }))
     ext.injectFunction((
+      new FunctionIdentifier("redact_pii"),
+      new ExpressionInfo(classOf[RedactPii].getName, "redact_pii"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "redact_pii(text)")
+        RedactPii(args(0))
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("rolling_hash"),
       new ExpressionInfo(classOf[RollingHash].getName, "rolling_hash"),
       (args: Seq[Expression]) => {

@@ -132,22 +132,25 @@ object TextQueries {
     }),
 
     // t8: PII-style redaction — digit runs and email-shaped tokens
-    // replaced by placeholders, with match counts and a fingerprint of
-    // the redacted text. One codegen'd regex pass per pattern; the
-    // patterns use the regex subset Java and RE2 agree on.
-    "t8_redact" -> ((s, d) => {
-      val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-      val num = "[0-9]+"
-      val redacted = regexp_replace(
-        regexp_replace(col("text"), email, "<EMAIL>"), num, "<NUM>")
-      documents(s, d).select(
-        col("doc_id"),
-        size(regexp_extract_all(col("text"), lit(email), lit(0)))
-          .cast("long").as("n_emails"),
-        size(regexp_extract_all(col("text"), lit(num), lit(0)))
-          .cast("long").as("n_nums"),
-        TextOps.hash15(redacted).as("redacted_fp"))
-    }),
+    // replaced by placeholders, with REDACTION counts (placeholders
+    // inserted — a digit run inside an already-redacted email counts
+    // as part of that email, not separately) and a fingerprint of the
+    // redacted text. The native `redact_pii` kernel does the whole
+    // thing in ONE byte pass (the composed form ran two java.regex
+    // passes per document, each with per-match StringBuilder churn);
+    // its email automaton replays the regex's leftmost-first greedy
+    // semantics exactly (property-spec'd against the composed form,
+    // and the DuckDB oracle still runs the regexes). The oracle uses
+    // the regex subset Java and RE2 agree on; the placeholder tokens
+    // cannot arise from redaction itself (no digits, no '@').
+    "t8_redact" -> ((s, d) =>
+      documents(s, d)
+        .select(col("doc_id"), expr("redact_pii(text)").as("__r"))
+        .select(
+          col("doc_id"),
+          col("__r.n_emails").as("n_emails"),
+          col("__r.n_nums").as("n_nums"),
+          TextOps.hash15(col("__r.redacted")).as("redacted_fp"))),
 
     // t9: Count-Min-sketch token frequencies — the fixed-memory scale
     // path for vocabulary counting (typed Aggregator, map-side merge;
@@ -408,14 +411,19 @@ object TextQueries {
     "t8_redact" -> {
       val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
       val num = "[0-9]+"
-      s"""SELECT doc_id,
-          len(regexp_extract_all(text, '$email')) AS n_emails,
-          len(regexp_extract_all(text, '$num')) AS n_nums,
-          ('0x' || substr(md5(
-            regexp_replace(regexp_replace(text, '$email', '<EMAIL>', 'g'),
-                           '$num', '<NUM>', 'g')), 1, 15))::BIGINT
-            AS redacted_fp
-          FROM documents"""
+      // n_nums counts digit runs in the EMAIL-REDACTED text — i.e.
+      // redactions actually performed, matching the native kernel
+      s"""WITH r AS (
+            SELECT doc_id, text,
+              regexp_replace(text, '$email', '<EMAIL>', 'g') AS t1
+            FROM documents)
+          SELECT doc_id,
+            len(regexp_extract_all(text, '$email'))::BIGINT AS n_emails,
+            len(regexp_extract_all(t1, '$num'))::BIGINT AS n_nums,
+            ('0x' || substr(md5(
+              regexp_replace(t1, '$num', '<NUM>', 'g')), 1, 15))::BIGINT
+              AS redacted_fp
+          FROM r"""
     },
     "t10_dup_gram_frac" ->
       s"""WITH t AS (

@@ -94,6 +94,50 @@ class TextPropertySpec extends SparkSpec {
     }
   }
 
+  test("redact_pii equals the composed two-regex form on adversarial " +
+      "strings") {
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    def composed(s: String): String =
+      s.replaceAll(email, "<EMAIL>").replaceAll("[0-9]+", "<NUM>")
+    // counts = redactions PERFORMED (a literal placeholder already in
+    // the input is not a redaction)
+    def matches(s: String, re: String): Long = {
+      val m = java.util.regex.Pattern.compile(re).matcher(s)
+      var n = 0L
+      while (m.find()) n += 1
+      n
+    }
+    def counts(s: String): (Long, Long) =
+      (matches(s, email),
+        matches(s.replaceAll(email, "<EMAIL>"), "[0-9]+"))
+    // alphabet dense in the pattern's structural characters so email
+    // fragments, degenerate domains, adjacent runs, and multi-byte
+    // characters all occur
+    val charGen = Gen.frequency(
+      6 -> Gen.alphaNumChar,
+      3 -> Gen.oneOf('@', '.', '-', '_', '%', '+'),
+      2 -> Gen.oneOf(' ', ',', '\n'),
+      1 -> Gen.oneOf('é', '中', ' '))
+    val strGen = Gen.choose(0, 40)
+      .flatMap(n => Gen.listOfN(n, charGen).map(_.mkString))
+    val handPicked = Seq(
+      "a@b.cc", "a@b.co.uk", "a@b..com", "a@.com", "ab@cd@ef.gh",
+      "123a@b.cc456", "x1@y2.zz3", "a@b.c", "@x.com", "a@b,com",
+      "a@b.cc.", "-a@-b-.cc-", "%+@%.++cc", "1@2.cc", "a@b.cécc",
+      "é@b.cc", "a@é.cc", "<EMAIL>", "<NUM>", "a.b@c.d@e.ff",
+      "9" * 30, ("a" * 20) + "@" + ("b." * 10) + "cc", "")
+    val inputs = (handPicked ++ samples(strGen, 400)).distinct
+    val got = inputs.toDF("text")
+      .select(col("text"), expr("redact_pii(text)").as("r"))
+      .select(col("text"), col("r.redacted"), col("r.n_emails"),
+        col("r.n_nums"))
+      .as[(String, String, Long, Long)].collect()
+    got.foreach { case (text, red, ne, nn) =>
+      assert(red === composed(text), s"text='$text'")
+      assert((ne, nn) === counts(text), s"text='$text'")
+    }
+  }
+
   test("hash split is invariant under repartitioning") {
     val ids = (1L to 500L).toDF("doc_id")
     def split(parts: Int): Map[Long, String] = {

@@ -503,6 +503,101 @@ object ScaleProbe {
       wPrev.unpersist()
     }
 
+    // the bucketed-base leg of the MV decision table: the base's only
+    // read in maintainAggs is the churn-keyed semi-join; stored
+    // bucketed by the join key, that probe reads pre-partitioned
+    // buckets and the base-side exchange is elided — the lever that
+    // turns base:churn ratio into the maintained path's advantage.
+    if (want("mv maintain (bucketed base)")) locally {
+      def mvBase = spark.range(n).select(col("id").as("k"),
+        (col("id") % 1000).as("g"),
+        (col("id") % 97).as("x"))
+      def mvLog = spark.range(2000000L).select(
+        (col("id") * 10).as("k"), (col("id") % 2L + 1L).as("seq"),
+        when(col("id") % 3 === 0, "D").otherwise("U").as("op"),
+        (col("id") % 1000).as("g"), (col("id") % 89).as("x"))
+      spark.sql("DROP TABLE IF EXISTS probe_mv_base")
+      mvBase.write.bucketBy(32, "k").format("parquet")
+        .saveAsTable("probe_mv_base")
+      val bbase = spark.table("probe_mv_base")
+      val prevAgg = bbase.groupBy("g")
+        .agg(sum("x").as("x"), count(lit(1)).as("n")).cache()
+      prevAgg.count()
+      graft.operators.CdcOps.maintainAggs(prevAgg,
+          bbase.limit(1000000), mvLog.limit(1000000),
+          Seq("k"), "seq", "op", dims = Seq("g"), sumCols = Seq("x"))
+        .write.format("noop").mode("overwrite").save()
+      time("mv maintain (bucketed base)", 2000000L) {
+        graft.operators.CdcOps.maintainAggs(prevAgg, bbase, mvLog,
+            Seq("k"), "seq", "op", dims = Seq("g"), sumCols = Seq("x"))
+          .write.format("noop").mode("overwrite").save()
+      }
+      prevAgg.unpersist()
+      spark.sql("DROP TABLE IF EXISTS probe_mv_base")
+    }
+
+    // snapshotDiff at audit scale: two 20M-row versions, ~2.8M true
+    // deltas (2M changed, 400k removed, 400k added). The union+single-
+    // aggregation formulation pays ONE exchange over prev ∪ next;
+    // emitted rows are delta-sized.
+    if (want("snapshot diff (2x20M, ~2.8M deltas)")) locally {
+      def snap(ids: org.apache.spark.sql.Dataset[java.lang.Long]) = ids.select(
+        col("id").as("k"), (col("id") % 97).as("v"),
+        (col("id") % 7).as("w"))
+      val prev = snap(spark.range(n))
+      val next = snap(spark.range(n))
+        .filter(pmod(col("k"), lit(50)) =!= 1)
+        .withColumn("v", when(pmod(col("k"), lit(10)) === 0,
+          col("v") + 1).otherwise(col("v")))
+        .unionByName(snap(spark.range(n, n + 400000L)))
+      time("snapshot diff (2x20M, ~2.8M deltas)", 2 * n) {
+        graft.operators.CdcOps.snapshotDiff(prev, next, Seq("k"))
+          .write.format("noop").mode("overwrite").save()
+      }
+    }
+
+    // the x15 data-quality report shape at fact scale: five scalar
+    // constraints + PK-dup count folded into ONE aggregation pass over
+    // a 20M fact (the distinct-pair count rides the same job), plus
+    // one anti-join against a 1M-key dim for referential integrity.
+    if (want("dq report (20M fact, 1M dim)")) locally {
+      val fact = spark.range(n).select(
+        (col("id") % 5000000L).as("ok"),
+        (col("id") % 7 + 1).as("ln"),
+        when(col("id") % 1000 === 0, lit(null))
+          .otherwise(col("id") % 60 + 1).cast("double").as("qty"),
+        ((col("id") % 9999) - 10).cast("double").as("price"),
+        element_at(typedLit(Seq("A", "N", "R", "X")),
+          (pmod(col("id"), lit(4)) + 1).cast("int")).as("flag"))
+      val dim = spark.range(1000000L)
+        .select((col("id") * 5).as("o_ok"))
+      time("dq report (20M fact, 1M dim)", n) {
+        def viol(c: org.apache.spark.sql.Column) =
+          sum(when(c, 1L).otherwise(0L))
+        val scalar = fact.agg(
+          viol(col("qty").isNull).as("c_null_qty"),
+          viol(col("qty") <= 0 || col("qty") > 60).as("c_range_qty"),
+          viol(col("price") <= 0).as("c_range_price"),
+          viol(col("flag").isNotNull &&
+            !col("flag").isin("A", "N", "R")).as("c_set_flag"),
+          (count(lit(1)) - countDistinct(struct(col("ok"),
+            col("ln")))).as("c_pk_dup"))
+          .selectExpr("""stack(5,
+            'c_null_qty', c_null_qty,
+            'c_range_qty', c_range_qty,
+            'c_range_price', c_range_price,
+            'c_set_flag', c_set_flag,
+            'c_pk_dup', c_pk_dup) as (check_name, violations)""")
+        val orphan = fact
+          .join(dim, col("ok") === col("o_ok"), "left_anti")
+          .agg(count(lit(1)).as("violations"))
+          .select(lit("c_fk_orphan").as("check_name"),
+            col("violations"))
+        scalar.unionByName(orphan)
+          .write.format("noop").mode("overwrite").save()
+      }
+    }
+
     // z-order at write scale: the write pays one quantile pass + one
     // range shuffle; the payoff is that a selective predicate on
     // EITHER z column prunes row groups (timed against the same scan

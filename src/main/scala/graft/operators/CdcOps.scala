@@ -19,6 +19,30 @@ import org.apache.spark.sql.functions._
   * (plan-audited in PLANS.md). The base then joins the collapsed
   * keys once (left-anti; at cluster scale both sides bucket by the
   * key, making the join zero-exchange).
+  *
+  * ==Maintenance strategy decision table==
+  *
+  * Which maintenance path to run for a materialized aggregate, by
+  * churn ratio (changelog keys / base rows), base layout, and
+  * aggregate class (ScaleProbe rows: 20M base / 2M log / 1k groups,
+  * local[32] — `mv maintain` 5.8 s unbucketed vs 3.5 s bucketed,
+  * `mv recompute` ≈ maintain-unbucketed at this ratio but scales with
+  * the BASE, not the churn):
+  *
+  * | churn | base bucketed by key? | aggregate class | run |
+  * |---|---|---|---|
+  * | any | — | sum / count / avg (subtractable) | [[maintainAggs]] — churn-sized: the base is touched only by the churn-keyed semi-join |
+  * | ≲5% | yes | min / max / distinct / percentile | [[maintainByRecompute]] — touched-group-sized; the group-key-partitioned snapshot prunes the re-aggregation read |
+  * | ≲5% | no | min / max / distinct / percentile | [[maintainByRecompute]] still, IF touched groups ≪ all groups; the base probe pays one shuffle — at high base:churn ratios bucket the base first (measured 1.7× on the probe, and the gap grows with base size) |
+  * | ≳20–30% | — | any | full recompute (`aggFn(applyChangelog(…))`) — at that churn the maintained path's semi-join + merge approaches the recompute's single pass, without its simplicity |
+  * | — | — | non-decomposable over the whole table (exact global median) | full recompute — group pruning has no group to prune |
+  *
+  * The crossover is measured-not-guessed territory: locally the
+  * 1k-group narrow view hides the gap under the shared base read
+  * (within noise), the 100k-string-group 4-sum view shows it, and
+  * bucketing the base moves maintainAggs from parity to a clear win.
+  * At cluster scale the base:churn ratio is 10³–10⁵, not 10 — every
+  * row of the table tilts further toward the maintained paths.
   */
 object CdcOps {
 

@@ -40,7 +40,14 @@ import org.apache.spark.sql.types.{BooleanType, DataType, LongType}
 object BloomSketch {
 
   /** (bits, k) for expected n keys at target false-positive rate p;
-    * bits rounds up to a multiple of 64.
+    * bits rounds up to a multiple of 64. The array-backed sketch tops
+    * out just below 2³¹ bits (~256 MB); a key count that wants more is
+    * CAPPED, and the cap is LOUD — the effective false-positive rate
+    * is computed and logged (it can be orders of magnitude above the
+    * requested p in the billion-key regime), so an operator never
+    * ships a quietly-useless filter. Callers that must hold p at that
+    * scale should partition the key space and build per-partition
+    * sketches instead.
     */
   def sizing(n: Long, p: Double): (Int, Int) = {
     require(n > 0 && p > 0 && p < 1, s"bloom sizing: n=$n, p=$p")
@@ -50,10 +57,26 @@ object BloomSketch {
     // overflows .toInt to a NEGATIVE count exactly in the billion-key
     // regime the cap exists for
     val cap = (1L << 31) - 64
-    val bits = math.min(((bits0 + 63) / 64) * 64, cap).toInt
+    val wanted = ((bits0 + 63) / 64) * 64
+    val bits = math.min(wanted, cap).toInt
     val k = math.max(1, math.round((bits.toDouble / n) * ln2).toInt)
+    if (wanted > cap) {
+      val pEff = effectiveFpp(n, bits, k)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        f"bloom sizing: $n%,d keys at p=$p want $wanted%,d bits; " +
+          f"capped at $cap%,d — effective false-positive rate " +
+          f"$pEff%.4g (requested $p). Partition the key space for " +
+          "per-partition sketches if the target rate must hold.")
+    }
     (bits, k)
   }
+
+  /** Expected false-positive rate of a (bits, k) sketch holding n
+    * keys: (1 − e^(−kn/bits))^k — what [[sizing]]'s cap actually
+    * delivers.
+    */
+  def effectiveFpp(n: Long, bits: Int, k: Int): Double =
+    math.pow(1.0 - math.exp(-k.toDouble * n / bits.toDouble), k)
 
   /** splitmix64 finalizer — full-avalanche 64-bit mix. */
   def mix(z0: Long): Long = {

@@ -183,12 +183,16 @@ object DedupIndex {
     * signature spans every band, so a text takedown touches all
     * bands but still only the affected generations' files. Probing
     * after a delete equals probing an index built without the ids —
-    * the oracle-gated contract (d13).
+    * the oracle-gated contract (d13). `staged = true` routes the
+    * rewrite through the crash-isolated staging swap
+    * ([[LayoutOps.deleteKeysPartitioned]]'s staged mode) — for
+    * takedowns large enough that a mid-job kill leaving a partially
+    * applied dynamic overwrite matters operationally.
     */
   def delete(s: SparkSession, dir: String, tombs: DataFrame,
-      idCol: String = "doc_id"): Unit = {
+      idCol: String = "doc_id", staged: Boolean = false): Unit = {
     LayoutOps.deleteKeysPartitioned(s, s"$dir/buckets", "band",
-      idCol, tombs)
+      idCol, tombs, staged = staged)
     ArtifactManifest.refreshAfterDelete(s, s"$dir/buckets")
   }
 

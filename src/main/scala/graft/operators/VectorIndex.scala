@@ -267,11 +267,14 @@ object VectorIndex {
     * [[LayoutOps.compactGenerations]] like any other burst of small
     * rewrites. Serving after a delete equals serving an index that
     * never contained the ids, under the same quantizers — the
-    * oracle-gated contract (s15).
+    * oracle-gated contract (s15). `staged = true` routes the rewrite
+    * through the crash-isolated staging swap
+    * ([[LayoutOps.deleteKeysPartitioned]]'s staged mode).
     */
-  def delete(s: SparkSession, dir: String, tombs: DataFrame): Unit = {
+  def delete(s: SparkSession, dir: String, tombs: DataFrame,
+      staged: Boolean = false): Unit = {
     LayoutOps.deleteKeysPartitioned(s, s"$dir/corpus", "cell",
-      "vec_id", tombs)
+      "vec_id", tombs, staged = staged)
     ArtifactManifest.refreshAfterDelete(s, s"$dir/corpus")
   }
 

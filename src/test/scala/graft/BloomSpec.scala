@@ -35,6 +35,24 @@ class BloomSpec extends SparkSpec {
     assert(bits % 64 === 0)
   }
 
+  test("sizing caps at the array limit with the degraded fp rate " +
+      "computed (and k consistent with the capped size)") {
+    val n = 10000000000L // 10B keys want ~96G bits at 1%
+    val (bits, k) = BloomSketch.sizing(n, 0.01)
+    assert(bits === (1L << 31) - 64)
+    assert(bits % 64 === 0)
+    // k re-derived from the CAPPED bits/key ratio (~0.21), not the
+    // requested rate's 7
+    assert(k === 1, s"k=$k")
+    // the capped sketch is honest about being nearly useless here
+    val pEff = BloomSketch.effectiveFpp(n, bits, k)
+    assert(pEff > 0.9, s"pEff=$pEff")
+    // and at the sized (uncapped) geometry the formula recovers ~p
+    val (b2, k2) = BloomSketch.sizing(1000000L, 0.01)
+    val p2 = BloomSketch.effectiveFpp(1000000L, b2, k2)
+    assert(p2 > 0.005 && p2 < 0.015, s"p2=$p2")
+  }
+
   test("pruned join returns exactly the plain join's rows") {
     val dim = spark.range(0, 50).select((col("id") * 13).as("key"),
       concat(lit("d"), col("id")).as("attr"))

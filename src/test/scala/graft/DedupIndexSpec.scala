@@ -190,6 +190,18 @@ class DedupIndexSpec extends SparkSpec {
       }
       // the takedown really removed colliding candidates
       assert(probed !== batchPairsTouching(splitId))
+      // the crash-isolated staged takedown is probe-identical to the
+      // in-place one
+      withDir { dir3 =>
+        DedupIndex.build(docs.filter(col("doc_id") < splitId),
+          "text", "doc_id", k, rpb, dir3)
+        DedupIndex.delete(spark, dir3, tombs, staged = true)
+        val stagedProbed = DedupIndex
+          .probe(DedupIndex.load(spark, dir3), arrivals, "text",
+            "doc_id")
+          .as[(Long, Long)].collect().toSeq.sorted
+        assert(stagedProbed === probed)
+      }
     }
   }
 

@@ -50,7 +50,7 @@ object ArtifactManifest {
     */
   private def manifestDir(dir: String) = new Path(dir, "_manifests")
 
-  private def md5(x: String): String = java.security.MessageDigest
+  private[operators] def md5(x: String): String = java.security.MessageDigest
     .getInstance("MD5")
     .digest(x.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     .map("%02x".format(_)).mkString
@@ -120,14 +120,17 @@ object ArtifactManifest {
 
   /** Commit a new manifest version: write to a temp name, rename into
     * place CREATE-NEW (an existing target means a second writer — fail
-    * loudly rather than silently race), return the version.
+    * loudly rather than silently race), return the version. `prev` is
+    * the caller's already-loaded pin (every mutation reads it anyway)
+    * — re-listing here would double the driver-side metadata calls of
+    * a per-micro-batch streaming append.
     */
   private def commit(s: SparkSession, dir: String, gens: Seq[Long],
-      signature: String): Long = {
+      signature: String, prev: Option[Pin]): Long = {
     val md = manifestDir(dir)
     val fs = fsOf(s, md)
     fs.mkdirs(md)
-    val v = latest(s, dir).map(_.version + 1).getOrElse(0L)
+    val v = prev.map(_.version + 1).getOrElse(0L)
     val json =
       s"""{"version":$v,"generations":[${gens.sorted.mkString(",")}],""" +
         s""""signature":"$signature"}"""
@@ -159,7 +162,7 @@ object ArtifactManifest {
     */
   def recordBuild(s: SparkSession, dir: String): Unit = {
     val gens = LayoutOps.ingestGenerations(s, dir)
-    commit(s, dir, gens, fullSignature(s, dir, gens))
+    commit(s, dir, gens, fullSignature(s, dir, gens), latest(s, dir))
   }
 
   /** Record a committed APPEND of `gen`. The signature extends the
@@ -172,14 +175,20 @@ object ArtifactManifest {
     *
     * Replay-idempotent: a replayed streaming batch (gen already live)
     * is a no-op — committing again would re-chain the same listing and
-    * change the signature with unchanged content.
+    * change the signature with unchanged content. A ZERO-ROW append is
+    * also a no-op: a dynamic-partition write that produced no rows
+    * creates no `ingest=` directory (e.g. an ingest batch whose every
+    * doc fell below the shingle threshold), and pinning the absent
+    * path would make every subsequent [[frame]] read fail.
     */
   def recordAppend(s: SparkSession, dir: String, gen: Long): Unit =
     latest(s, dir) match {
       case Some(p) if p.generations.contains(gen) => ()
       case Some(p) =>
-        commit(s, dir, (p.generations :+ gen).distinct,
-          md5(p.signature + "\n\n" + genListing(s, dir, gen)))
+        if (fsOf(s, new Path(dir)).exists(new Path(dir, s"ingest=$gen")))
+          commit(s, dir, (p.generations :+ gen).distinct,
+            md5(p.signature + "\n\n" + genListing(s, dir, gen)),
+            Some(p))
       case None =>
         // legacy artifact (predates manifests): adopt the listing
         recordBuild(s, dir)
@@ -195,7 +204,7 @@ object ArtifactManifest {
     latest(s, dir).foreach { p =>
       val live = LayoutOps.ingestGenerations(s, dir).toSet
       val gens = p.generations.filter(live)
-      commit(s, dir, gens, fullSignature(s, dir, gens))
+      commit(s, dir, gens, fullSignature(s, dir, gens), Some(p))
     }
 
   /** The artifact's data as of the latest manifest: ONLY the listed
@@ -256,17 +265,10 @@ object ArtifactManifest {
       s"compactGenerations: $dir has no ingest= partitions — not a " +
         "built artifact")
     val newGen = listed.max + 1
-    val rows = frame(s, dir).drop("ingest")
-    val packed = rows
-      .repartition(col(partCol),
-        pmod(hash(rows.columns.map(col): _*), lit(filesPerPartition)))
-    (if (sortWithin.isEmpty) packed
-      else packed.sortWithinPartitions(
-        (partCol +: sortWithin).map(col): _*))
-      .write.mode("overwrite").partitionBy(partCol)
-      .parquet(s"$dir/ingest=$newGen")
+    LayoutOps.writeGenerationPacked(frame(s, dir).drop("ingest"),
+      partCol, filesPerPartition, sortWithin, s"$dir/ingest=$newGen")
     commit(s, dir, Seq(newGen),
-      fullSignature(s, dir, Seq(newGen)))
+      fullSignature(s, dir, Seq(newGen)), latest(s, dir))
     if (vacuum) this.vacuum(s, dir)
     newGen
   }
@@ -363,7 +365,8 @@ object ArtifactManifest {
         zorder, bits)
       .write.options(extraWriteOpts).mode("overwrite")
       .parquet(s"$dir/ingest=$newGen")
-    commit(s, dir, Seq(newGen), fullSignature(s, dir, Seq(newGen)))
+    commit(s, dir, Seq(newGen), fullSignature(s, dir, Seq(newGen)),
+      latest(s, dir))
     if (vacuum) this.vacuum(s, dir)
     newGen
   }

@@ -125,7 +125,7 @@ object DedupIndex {
     * wired in, not left to an operator nobody schedules: every
     * generation adds ≥1 file per band, so once the artifact carries
     * `compactEvery` generations the append triggers
-    * [[LayoutOps.compactGenerations]] and the bucket tree collapses
+    * [[ArtifactManifest.compactGenerations]] and the bucket tree collapses
     * back to one generation (one file per band) — file count stays
     * bounded by the compaction period at any ingest rate, and the
     * amortized cost is one artifact rewrite per `compactEvery`

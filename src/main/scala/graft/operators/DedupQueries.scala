@@ -316,7 +316,6 @@ object DedupQueries {
     // oracle's pair join excludes them, the arriving side (probed, not
     // stored) is unaffected.
     "d13_index_delete" -> ((s, d) => {
-      import graft.operators.LayoutOps
       val dir = java.nio.file.Files
         .createTempDirectory("graft-dedupdel").toString
       val docs = documents(s, d)

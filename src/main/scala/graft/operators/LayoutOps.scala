@@ -212,6 +212,18 @@ object LayoutOps {
     * dirs). Not atomic on a plain filesystem — same SINGLE-WRITER
     * maintenance-window contract as every artifact mutation.
     */
+  /** Sibling path `<name><suffix>` of `dir`, via Path normalization —
+    * naive string concatenation under a trailing-slash `dir` would
+    * yield a CHILD of the live tree ("dir/__compact"), which
+    * [[swapInto]]'s rename-aside then carries away with the live
+    * data, stranding the staged rewrite.
+    */
+  private[operators] def sibling(dir: String,
+      suffix: String): org.apache.hadoop.fs.Path = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    new org.apache.hadoop.fs.Path(p.getParent, p.getName + suffix)
+  }
+
   private[operators] def swapInto(fs: org.apache.hadoop.fs.FileSystem,
       dir: org.apache.hadoop.fs.Path,
       staging: org.apache.hadoop.fs.Path): Unit = {
@@ -223,6 +235,30 @@ object LayoutOps {
       s"swapInto: could not move $staging into place at $dir — the " +
         s"previous tree is intact at $old (rename it back to recover)")
     fs.delete(old, true)
+  }
+
+  /** ONE packed generation write — the shared recipe of
+    * [[compactGenerations]]'s sortWithin branch and
+    * [[ArtifactManifest.compactGenerations]], kept in one place
+    * because its ordering argument is subtle: the write targets the
+    * generation directory EXPLICITLY and partitions by `partCol`
+    * alone, so the partitioned writer's required ordering is just
+    * (partCol) — which the (partCol, sortWithin…) sort already
+    * satisfies, and the writer's own UNSTABLE sort (which would
+    * destroy any secondary order) never runs. The salt is a whole-row
+    * hash: deterministic for a given row set, evenly spread; size
+    * `filesPerPartition` to largest-partition-bytes /
+    * parquet-target-file-size at scale.
+    */
+  private[operators] def writeGenerationPacked(rows: DataFrame,
+      partCol: String, filesPerPartition: Int,
+      sortWithin: Seq[String], genDir: String): Unit = {
+    val packed = rows.repartition(col(partCol),
+      pmod(hash(rows.columns.map(col): _*), lit(filesPerPartition)))
+    (if (sortWithin.isEmpty) packed
+      else packed.sortWithinPartitions(
+        (partCol +: sortWithin).map(col): _*))
+      .write.mode("overwrite").partitionBy(partCol).parquet(genDir)
   }
 
   /** Ingest generations present in an `(ingest, …)`-partitioned
@@ -277,9 +313,9 @@ object LayoutOps {
       s"compactGenerations: $dir has no ingest= partitions — not a " +
         "built artifact")
     val keep = gens.max
-    val staging = s"${dir}__compact"
     val dp = new org.apache.hadoop.fs.Path(dir)
-    val sp = new org.apache.hadoop.fs.Path(staging)
+    val sp = sibling(dir, "__compact")
+    val staging = sp.toString
     val fs = dp.getFileSystem(s.sparkContext.hadoopConfiguration)
     fs.delete(sp, true) // leftover staging from a crashed pass
     // one writer task per (partition value, salt): at bench scale
@@ -302,25 +338,19 @@ object LayoutOps {
       // probes are whole-partition reads and pass Nil. For range/z-
       // CLUSTERED fact directories (not ingest-partitioned) use
       // [[compactClustered]], which re-runs the full cluster plan.
-      // The partitioned write inserts its own sort on the partition
-      // columns — UNSTABLE, destroying any secondary order — unless
-      // the child's ordering already satisfies it; `ingest` is a
-      // constant here, so the optimizer folds it out of any sort we
-      // prepend and the writer's check can never pass. Instead the
-      // write targets the `ingest=<keep>` directory EXPLICITLY and
-      // partitions by `partCol` alone: the required ordering is then
-      // just (partCol), which the (partCol, sortWithin…) sort
-      // satisfies (spec-held: files come out internally sorted). The
-      // commit marker lands inside the ingest dir, so the artifact-
-      // root `_SUCCESS` the build left is re-created at the staging
-      // root before the swap.
-      val rows = s.read.parquet(dir).drop("ingest")
-      rows
-        .repartition(col(partCol),
-          pmod(hash(rows.columns.map(col): _*), lit(filesPerPartition)))
-        .sortWithinPartitions((partCol +: sortWithin).map(col): _*)
-        .write.mode("overwrite").partitionBy(partCol)
-        .parquet(s"$staging/ingest=$keep")
+      // A sort prepended to the (ingest, partCol)-partitioned write
+      // above would be useless: `ingest` is a constant here, the
+      // optimizer folds it out of the sort, and the writer's
+      // ordering check can never pass — so its own UNSTABLE sort
+      // would destroy the secondary order. writeGenerationPacked
+      // targets the `ingest=<keep>` directory explicitly instead
+      // (spec-held: files come out internally sorted). The commit
+      // marker lands inside the ingest dir, so the artifact-root
+      // `_SUCCESS` the build left is re-created at the staging root
+      // before the swap.
+      writeGenerationPacked(s.read.parquet(dir).drop("ingest"),
+        partCol, filesPerPartition, sortWithin,
+        s"$staging/ingest=$keep")
       fs.create(new org.apache.hadoop.fs.Path(sp, "_SUCCESS"), true)
         .close()
     }
@@ -476,8 +506,8 @@ object LayoutOps {
       partCol: String, keyCol: String, tombs: DataFrame)
       : Option[(String, Seq[(String, String)])] = {
     val t = tombs.select(col(keyCol)).distinct()
-    val staging = s"${dir}__takedown"
-    val sp = new org.apache.hadoop.fs.Path(staging)
+    val sp = sibling(dir, "__takedown")
+    val staging = sp.toString
     val fs = sp.getFileSystem(s.sparkContext.hadoopConfiguration)
     fs.delete(sp, true)
     val corpus = s.read.parquet(dir)
@@ -562,8 +592,7 @@ object LayoutOps {
     */
   private[graft] def recoverStagedTakedown(s: SparkSession,
       dir: String, partCol: String): Unit = {
-    val staging = s"${dir}__takedown"
-    val sp = new org.apache.hadoop.fs.Path(staging)
+    val sp = sibling(dir, "__takedown")
     val fs = sp.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (!fs.exists(sp)) return
     if (fs.exists(new org.apache.hadoop.fs.Path(sp, "_STAGED"))) {
@@ -675,13 +704,12 @@ object LayoutOps {
       cols: Seq[String], partitions: Int, zorder: Boolean = false,
       bits: Int = 8,
       extraWriteOpts: Map[String, String] = Map.empty): Unit = {
-    val staging = s"${dir}__compact"
     val dp = new org.apache.hadoop.fs.Path(dir)
-    val sp = new org.apache.hadoop.fs.Path(staging)
+    val sp = sibling(dir, "__compact")
     val fs = dp.getFileSystem(s.sparkContext.hadoopConfiguration)
     fs.delete(sp, true) // leftover staging from a crashed pass
-    compactClustered(s, dir, staging, cols, partitions, zorder, bits,
-      extraWriteOpts)
+    compactClustered(s, dir, sp.toString, cols, partitions, zorder,
+      bits, extraWriteOpts)
     swapInto(fs, dp, sp)
   }
 }

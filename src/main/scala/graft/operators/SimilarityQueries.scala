@@ -488,7 +488,7 @@ object SimilarityQueries {
     // build → delete → compact → serve must equal an index that never
     // contained the ids.
     "s15_index_delete" -> ((s, d) => {
-      import graft.operators.{LayoutOps, VectorIndex}
+      import graft.operators.VectorIndex
       val dir = java.nio.file.Files
         .createTempDirectory("graft-vecdel").toString
       VectorIndex.build(

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{ArtifactManifest, CdcOps, DedupIndex, LayoutOps, VectorIndex}
+import graft.operators.{ArtifactManifest, CdcOps, DedupIndex, VectorIndex}
 import graft.streaming.StreamingOps
 
 /** Structured Streaming inventory over the `events` stream: tumbling

@@ -107,10 +107,7 @@ object VectorIndex {
           .sortBy(_.getName).toSeq.flatMap(walk)
       else Seq(s"$rel:${f.length}:${f.lastModified}")
     }
-    def md5(s: String): String = java.security.MessageDigest
-      .getInstance("MD5")
-      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      .map("%02x".format(_)).mkString
+    def md5(s: String): String = ArtifactManifest.md5(s)
     // the root name carries TWO keys: the dataset PATH key (which
     // dataset) and the CONTENT key (which generation of it). A
     // regeneration changes only the content key — the previous
@@ -170,7 +167,7 @@ object VectorIndex {
     * MAINTENANCE is wired in (the text twin's contract,
     * [[DedupIndex.append]]): at `compactEvery` accumulated
     * generations the append triggers
-    * [[LayoutOps.compactGenerations]], collapsing the per-batch cell
+    * [[ArtifactManifest.compactGenerations]], collapsing the per-batch cell
     * files back to one file per cell — a serving probe of one cell
     * opens a bounded file count at any ingest rate. Serve results are
     * identical across the collapse (spec-asserted).
@@ -264,7 +261,7 @@ object VectorIndex {
     * shape is [[LayoutOps.deleteKeysPartitioned]]: only the cells
     * that contain a tombstoned vector are rewritten, a fully-emptied
     * cell's directory is dropped, and a bulk takedown is followed by
-    * [[LayoutOps.compactGenerations]] like any other burst of small
+    * [[ArtifactManifest.compactGenerations]] like any other burst of small
     * rewrites. Serving after a delete equals serving an index that
     * never contained the ids, under the same quantizers — the
     * oracle-gated contract (s15). `staged = true` routes the rewrite

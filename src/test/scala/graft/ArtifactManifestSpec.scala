@@ -202,6 +202,34 @@ class ArtifactManifestSpec extends SparkSpec {
     }
   }
 
+  test("a zero-row append (no ingest= directory written) is a no-op " +
+      "— an absent path is never pinned") {
+    withDir { dir =>
+      buildTwoGen(dir)
+      val before = ArtifactManifest.latest(spark, dir).get
+      // a dynamic-partition write with no rows creates no directory,
+      // but the ingest path still calls recordAppend
+      ArtifactManifest.recordAppend(spark, dir, 2)
+      assert(ArtifactManifest.latest(spark, dir).get === before)
+      // the read path would throw on a pinned-but-absent directory
+      assert(idsOf(ArtifactManifest.frame(spark, dir)) ===
+        (0L until 15L).toSeq)
+    }
+  }
+
+  test("a trailing-slash artifact path compacts in place (the staging " +
+      "sibling must never become a child of the live tree)") {
+    withDir { dir =>
+      buildTwoGen(dir)
+      val expected = (0L until 15L).toSeq
+      import graft.operators.LayoutOps
+      LayoutOps.compactGenerations(spark, dir + "/", "part")
+      assert(idsOf(spark.read.parquet(dir)) === expected)
+      assert(!fs.exists(new HPath(dir + "__compact")))
+      assert(!fs.exists(new HPath(s"$dir/__compact")))
+    }
+  }
+
   test("versioned clustered fact: pre-compaction reader serves " +
       "consistently through the flip; re-clustering restores " +
       "row-group skipping") {

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{ArtifactManifest, DedupIndex, DedupOps, TextOps}
+import graft.operators.{ArtifactManifest, DedupIndex, DedupOps, TempArtifacts, TextOps}
 
 /** Deduplication inventory over `documents`: exact content-hash dedup,
   * MinHash signatures, banded LSH buckets + candidate pairs, SimHash,
@@ -316,8 +316,7 @@ object DedupQueries {
     // oracle's pair join excludes them, the arriving side (probed, not
     // stored) is unaffected.
     "d13_index_delete" -> ((s, d) => {
-      val dir = java.nio.file.Files
-        .createTempDirectory("graft-dedupdel").toString
+      val dir = TempArtifacts.dir("graft-dedupdel")
       val docs = documents(s, d)
       DedupIndex.build(docs.filter(col("doc_id") < IngestSplit),
         "text", "doc_id", K, RowsPerBand, dir)

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.operators.{ArtifactManifest, DedupOps, SimilarityOps}
+import graft.operators.{ArtifactManifest, DedupOps, SimilarityOps, TempArtifacts}
 
 /** Similarity-search inventory over `embeddings` (64-dim float
   * vectors): brute-force cosine top-k as the correctness baseline, an
@@ -435,8 +435,7 @@ object SimilarityQueries {
     // while the bench prices the full build+load+serve path honestly.
     "s11_index_artifact" -> ((s, d) => {
       import graft.operators.VectorIndex
-      val dir = java.nio.file.Files
-        .createTempDirectory("graft-vecindex").toString
+      val dir = TempArtifacts.dir("graft-vecindex")
       VectorIndex.build(
         embeddings(s, d), Dim, LloydSteps, PqSub, PqSubDim, PqK, dir)
       VectorIndex.serveTopK(VectorIndex.load(s, dir), PqSubDim,
@@ -489,8 +488,7 @@ object SimilarityQueries {
     // contained the ids.
     "s15_index_delete" -> ((s, d) => {
       import graft.operators.VectorIndex
-      val dir = java.nio.file.Files
-        .createTempDirectory("graft-vecdel").toString
+      val dir = TempArtifacts.dir("graft-vecdel")
       VectorIndex.build(
         embeddings(s, d), Dim, LloydSteps, PqSub, PqSubDim, PqK, dir)
       VectorIndex.delete(s, dir, embeddings(s, d)
@@ -514,8 +512,7 @@ object SimilarityQueries {
     // round-trips vectors bit-exactly.
     "s16_index_rebuild" -> ((s, d) => {
       import graft.operators.VectorIndex
-      val dir = java.nio.file.Files
-        .createTempDirectory("graft-vecrebuild").toString
+      val dir = TempArtifacts.dir("graft-vecrebuild")
       val e = embeddings(s, d)
       VectorIndex.build(e.filter(col("vec_id") < VecGateSplit),
         Dim, LloydSteps, PqSub, PqSubDim, PqK, dir)

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{ArtifactManifest, CdcOps, DedupIndex, VectorIndex}
+import graft.operators.{ArtifactManifest, CdcOps, DedupIndex, TempArtifacts, VectorIndex}
 import graft.streaming.StreamingOps
 
 /** Structured Streaming inventory over the `events` stream: tumbling
@@ -187,8 +187,7 @@ object StreamingQueries {
     // stream: its output hash-matches the batch semantics it claims).
     "st10_stream_ingest_gate" -> ((s, d) => {
       val ss = StreamingOps.streamSession(s)
-      val root = java.nio.file.Files
-        .createTempDirectory("graft-ingest-gate").toString
+      val root = TempArtifacts.dir("graft-ingest-gate")
       DedupIndex.streamIngestGate(ss, Tables.documents(ss, d),
         "text", "doc_id", DedupQueries.K, DedupQueries.RowsPerBand,
         DedupQueries.IngestSplit, DedupQueries.IngestJacThreshold,
@@ -201,8 +200,7 @@ object StreamingQueries {
     // the embedding twin of st10. Held to s13's BATCH oracle.
     "st11_stream_vec_ingest" -> ((s, d) => {
       val ss = StreamingOps.streamSession(s)
-      val root = java.nio.file.Files
-        .createTempDirectory("graft-vec-ingest").toString
+      val root = TempArtifacts.dir("graft-vec-ingest")
       VectorIndex.streamIngestGate(ss, Tables.embeddings(ss, d),
         SimilarityQueries.Dim, SimilarityQueries.LloydSteps,
         SimilarityQueries.PqSub, SimilarityQueries.PqSubDim,
@@ -218,8 +216,7 @@ object StreamingQueries {
     // BATCH oracle.
     "st12_stream_cdc" -> ((s, d) => {
       val ss = StreamingOps.streamSession(s)
-      val root = java.nio.file.Files
-        .createTempDirectory("graft-stream-cdc").toString
+      val root = TempArtifacts.dir("graft-stream-cdc")
       val (base, log) = ExtraQueries.cdcFrames(ss, d)
       CdcOps.streamApply(ss, base, log, keys = Seq("o_orderkey"),
         seqCol = "seq", opCol = "op", nFiles = 2, root)
@@ -232,8 +229,7 @@ object StreamingQueries {
     // the batch recompute oracle.
     "st14_stream_incr_agg" -> ((s, d) => {
       val ss = StreamingOps.streamSession(s)
-      val root = java.nio.file.Files
-        .createTempDirectory("graft-stream-mv").toString
+      val root = TempArtifacts.dir("graft-stream-mv")
       val (base, log) = ExtraQueries.incrAggFrames(ss, d)
       CdcOps.streamMaintain(ss, base, log, keys = Seq("o_orderkey"),
         seqCol = "seq", opCol = "op", nFiles = 2, root,
@@ -250,8 +246,7 @@ object StreamingQueries {
     // exact-count oracle shape.
     "st15_stream_hll" -> ((s, d) => {
       val ss = StreamingOps.streamSession(s)
-      val root = java.nio.file.Files
-        .createTempDirectory("graft-stream-hll").toString
+      val root = TempArtifacts.dir("graft-stream-hll")
       val li = Tables.lineitem(ss, d)
         .select(col("l_orderkey"), col("l_partkey"))
       StreamingOps.stageOrderedArrivals(li, "l_orderkey", nFiles = 3,
@@ -289,8 +284,7 @@ object StreamingQueries {
     // ingest (st11), changelog (st12), takedown (st13).
     "st13_stream_takedown" -> ((s, d) => {
       val ss = StreamingOps.streamSession(s)
-      val root = java.nio.file.Files
-        .createTempDirectory("graft-stream-del").toString
+      val root = TempArtifacts.dir("graft-stream-del")
       val e = Tables.embeddings(ss, d)
       VectorIndex.build(e, SimilarityQueries.Dim,
         SimilarityQueries.LloydSteps, SimilarityQueries.PqSub,

@@ -71,7 +71,10 @@ class BloomSpec extends SparkSpec {
   test("bloom probe prunes the fact side before the join and stays " +
       "in codegen") {
     // fallback disabled: a broken doGenCode throws instead of silently
-    // interpreting (the native-expression discipline)
+    // interpreting (the native-expression discipline). Restore the
+    // PRIOR value, not a hardcoded one — the shared test session's
+    // default must survive this suite in any order.
+    val prevFallback = spark.conf.get("spark.sql.codegen.fallback")
     spark.conf.set("spark.sql.codegen.fallback", "false")
     try {
       val dim = spark.range(0, 100).select((col("id") * 101).as("key"))
@@ -88,7 +91,7 @@ class BloomSpec extends SparkSpec {
       val kept = pruned.count()
       assert(kept >= 100000L / 101, s"kept=$kept (dropped true matches?)")
       assert(kept < 5000L, s"kept=$kept of 100000 — not pruning")
-    } finally spark.conf.set("spark.sql.codegen.fallback", "true")
+    } finally spark.conf.set("spark.sql.codegen.fallback", prevFallback)
   }
 
   test("null keys drop at the probe (they cannot equi-join)") {

@@ -517,6 +517,13 @@ object ScaleProbe {
         when(col("id") % 3 === 0, "D").otherwise("U").as("op"),
         (col("id") % 1000).as("g"), (col("id") % 89).as("x"))
       spark.sql("DROP TABLE IF EXISTS probe_mv_base")
+      // a crashed earlier run leaves the warehouse directory behind
+      // with no catalog entry — DROP TABLE can't see it, and
+      // saveAsTable refuses the nonempty location; clear it first
+      val whp = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"), "probe_mv_base")
+      whp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(whp, true)
       mvBase.write.bucketBy(32, "k").format("parquet")
         .saveAsTable("probe_mv_base")
       val bbase = spark.table("probe_mv_base")

@@ -293,7 +293,15 @@ object RedactOps {
   def redactPii(text: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
     val b = text.getBytes
     val n = b.length
-    // worst case: a 1-byte digit run becomes 5 bytes; emails only shrink
+    // worst-case growth: a 1-byte digit run becomes the 5-byte <NUM>
+    // (5×), and the shortest email (6 bytes, "a@b.cc") becomes the
+    // 7-byte <EMAIL> (7/6×) — so 5n + 8 bounds the output. Guarded:
+    // past ~(2^31)/5 input bytes the bound itself overflows Int, and
+    // the true output could exceed the byte-array/UTF8String limit —
+    // fail with a size error, not a NegativeArraySizeException.
+    require(n <= (Int.MaxValue - 8) / 5,
+      s"redact_pii: input of $n bytes could exceed the 2 GB string " +
+        "limit after redaction")
     val out = new Array[Byte](5 * n + 8)
     var o = 0
     var nEmails = 0L

@@ -264,6 +264,7 @@ object ArtifactManifest {
     require(listed.nonEmpty,
       s"compactGenerations: $dir has no ingest= partitions — not a " +
         "built artifact")
+    requireNotCommittedEmpty(s, dir, "compactGenerations")
     val newGen = listed.max + 1
     LayoutOps.writeGenerationPacked(frame(s, dir).drop("ingest"),
       partCol, filesPerPartition, sortWithin, s"$dir/ingest=$newGen")
@@ -311,6 +312,21 @@ object ArtifactManifest {
       partitions: Int, zorder: Boolean = false, bits: Int = 8,
       extraWriteOpts: Map[String, String] = Map.empty): Unit = {
     val s = df.sparkSession
+    // a build STARTS the artifact: wipe every existing generation
+    // (appended AND orphaned) first — the write targets only
+    // `ingest=0`, and recordBuild adopts the LISTING, so a rebuild
+    // over a previously-appended artifact would otherwise resurrect
+    // the old generations next to the new data. The manifest chain is
+    // kept so versions stay monotone across rebuilds. Destructive by
+    // design — same single-writer maintenance-window contract as
+    // every artifact mutation (a live reader pinned to the old
+    // generations loses its files; rebuild-under-readers needs a new
+    // root + pointer flip one level up).
+    val fs = fsOf(s, new Path(dir))
+    for (g <- LayoutOps.ingestGenerations(s, dir))
+      require(fs.delete(new Path(dir, s"ingest=$g"), true),
+        s"clusterBuild: could not remove previous generation $g of " +
+          dir)
     clusteredFrame(df, cols, partitions, zorder, bits)
       .write.options(extraWriteOpts).mode("overwrite")
       .parquet(s"$dir/ingest=0")
@@ -360,6 +376,7 @@ object ArtifactManifest {
     require(listed.nonEmpty,
       s"compactClusteredGenerations: $dir has no ingest= partitions " +
         "— not a built artifact")
+    requireNotCommittedEmpty(s, dir, "compactClusteredGenerations")
     val newGen = listed.max + 1
     clusteredFrame(frame(s, dir).drop("ingest"), cols, partitions,
         zorder, bits)
@@ -370,6 +387,19 @@ object ArtifactManifest {
     if (vacuum) this.vacuum(s, dir)
     newGen
   }
+
+  /** A compaction of a COMMITTED-EMPTY artifact (a total takedown
+    * emptied every live generation, while a crashed append's orphan
+    * keeps the directory listing nonempty) would write a zero-row
+    * generation with no parquet files and pin it — making every
+    * subsequent [[frame]] read fail on schema inference. There is
+    * nothing to compact; orphan reaping is [[vacuum]]'s job.
+    */
+  private def requireNotCommittedEmpty(s: SparkSession, dir: String,
+      op: String): Unit =
+    latest(s, dir).foreach(p => require(p.generations.nonEmpty,
+      s"$op: $dir is committed-empty (live generation set is empty) " +
+        "— nothing to compact; run vacuum to reap orphans"))
 
   /** Reap every generation directory the latest manifest does not
     * list — superseded pre-compaction generations and crashed appends'

@@ -534,12 +534,18 @@ object LayoutOps {
         .toSeq))
   }
 
-  /** Phase 2 of a staged takedown: swap each affected partition —
-    * delete live, rename staged in (a partition whose every row
-    * tombstoned has no staged twin and is simply deleted) — then drop
-    * emptied `ingest=` directories and the staging root. Every
-    * partition is wholly old or wholly new at every instant, and the
-    * staged copy is complete before its live twin is dropped.
+  /** Phase 2 of a staged takedown: swap EVERY staged partition into
+    * place — delete live, rename staged in — then delete the affected
+    * partitions that have no staged twin (every row tombstoned), drop
+    * emptied `ingest=` directories, and remove the staging root.
+    * Every partition is wholly old or wholly new at every instant,
+    * and the staged copy is complete before its live twin is dropped.
+    * The swap walks the STAGING TREE (not just `affected`): when
+    * [[stageTakedown]]'s partition-predicate restriction was dropped
+    * past the planner-safe bound, the staging tree holds survivors of
+    * every partition — a full rewrite, like the in-place path at that
+    * spread — and discarding the unaffected part of it would waste
+    * the entire second copy's write.
     */
   private[graft] def applyStagedTakedown(s: SparkSession, dir: String,
       partCol: String, staging: String,
@@ -549,30 +555,41 @@ object LayoutOps {
     require(fs.exists(new org.apache.hadoop.fs.Path(sp, "_STAGED")),
       s"applyStagedTakedown: $staging has no _STAGED marker — the " +
         "staging write did not complete; re-run the takedown")
-    for ((g, p) <- affected) {
+    val stagedPairs = for {
+      gDir <- fs.listStatus(sp).toSeq
+        if gDir.getPath.getName.startsWith("ingest=")
+      pDir <- fs.listStatus(gDir.getPath).toSeq
+        if pDir.getPath.getName.startsWith(s"$partCol=")
+    } yield (gDir.getPath.getName.stripPrefix("ingest="),
+      pDir.getPath.getName.stripPrefix(s"$partCol="))
+    for ((g, p) <- stagedPairs) {
       val live = new org.apache.hadoop.fs.Path(
         s"$dir/ingest=$g/$partCol=$p")
       val stagedPart = new org.apache.hadoop.fs.Path(
         s"$staging/ingest=$g/$partCol=$p")
-      if (fs.exists(stagedPart)) {
-        require(!fs.exists(live) || fs.delete(live, true),
-          s"applyStagedTakedown: could not drop live partition $live")
-        require(fs.rename(stagedPart, live),
-          s"applyStagedTakedown: could not move $stagedPart into " +
-            s"place at $live — recoverStagedTakedown adopts it on " +
-            "the next run")
-      } else {
-        // fully-emptied partition: same loud contract as the in-place
-        // path — silently keeping rows a takedown promised to delete
-        // is a compliance breach (numeric partition values; a
-        // non-numeric partCol would need Spark's escapePathName)
-        require(fs.exists(live),
-          s"applyStagedTakedown: emptied partition $live not found " +
-            "— partition-path resolution failed; rows NOT removed")
-        require(fs.delete(live, true),
-          s"applyStagedTakedown: failed to remove emptied partition " +
-            s"$live — rows NOT removed")
-      }
+      require(!fs.exists(live) || fs.delete(live, true),
+        s"applyStagedTakedown: could not drop live partition $live")
+      require(fs.rename(stagedPart, live),
+        s"applyStagedTakedown: could not move $stagedPart into " +
+          s"place at $live — recoverStagedTakedown adopts it on " +
+          "the next run")
+    }
+    val stagedSet = stagedPairs.toSet
+    for ((g, p) <- affected if !stagedSet((g, p))) {
+      // fully-emptied partition: same loud contract as the in-place
+      // path — silently keeping rows a takedown promised to delete
+      // is a compliance breach (numeric partition values; a
+      // non-numeric partCol would need Spark's escapePathName)
+      val live = new org.apache.hadoop.fs.Path(
+        s"$dir/ingest=$g/$partCol=$p")
+      require(fs.exists(live),
+        s"applyStagedTakedown: emptied partition $live not found " +
+          "— partition-path resolution failed; rows NOT removed")
+      require(fs.delete(live, true),
+        s"applyStagedTakedown: failed to remove emptied partition " +
+          s"$live — rows NOT removed")
+    }
+    for (g <- (stagedPairs ++ affected).map(_._1).distinct) {
       val gp = new org.apache.hadoop.fs.Path(s"$dir/ingest=$g")
       if (fs.exists(gp) && fs.listStatus(gp).isEmpty)
         fs.delete(gp, true)

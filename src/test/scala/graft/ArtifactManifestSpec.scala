@@ -1,6 +1,5 @@
 package graft
 
-import java.nio.file.{Files, Path}
 import org.apache.hadoop.fs.{Path => HPath}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
@@ -36,19 +35,8 @@ class ArtifactManifestSpec extends SparkSpec {
   private def fs = new HPath("/").getFileSystem(
     spark.sparkContext.hadoopConfiguration)
 
-  private def withDir[A](f: String => A): A = {
-    val dir = Files.createTempDirectory("graft-manifest-spec")
-    try f(dir.toString) finally {
-      def rm(p: Path): Unit = {
-        if (Files.isDirectory(p)) {
-          val s = Files.list(p)
-          try s.forEach(rm) finally s.close()
-        }
-        Files.deleteIfExists(p)
-      }
-      rm(dir)
-    }
-  }
+  private def withDir[A](f: String => A): A =
+    withTempDir("graft-manifest-spec")(f)
 
   /** Build a two-generation committed artifact: gen 0 = ids 0..9,
     * gen 1 = ids 10..14.
@@ -227,6 +215,45 @@ class ArtifactManifestSpec extends SparkSpec {
       assert(idsOf(spark.read.parquet(dir)) === expected)
       assert(!fs.exists(new HPath(dir + "__compact")))
       assert(!fs.exists(new HPath(s"$dir/__compact")))
+    }
+  }
+
+  test("compacting a committed-empty artifact fails loudly instead " +
+      "of pinning a file-less generation") {
+    withDir { dir =>
+      buildTwoGen(dir)
+      writeGen(dir, 99, 100 until 105) // orphan keeps the listing busy
+      fs.delete(new HPath(s"$dir/ingest=0"), true)
+      fs.delete(new HPath(s"$dir/ingest=1"), true)
+      ArtifactManifest.refreshAfterDelete(spark, dir)
+      val e = intercept[IllegalArgumentException] {
+        ArtifactManifest.compactGenerations(spark, dir, "part")
+      }
+      assert(e.getMessage.contains("committed-empty"))
+      // the artifact stays readable (zero rows), not schema-broken
+      assert(ArtifactManifest.frame(spark, dir).count() === 0L)
+    }
+  }
+
+  test("clusterBuild over a previously-appended artifact serves ONLY " +
+      "the new build — stale generations are not resurrected") {
+    withDir { dir =>
+      def slice(a: Long, b: Long) = spark.range(a, b)
+        .select(col("id").as("k"), col("id").as("payload"))
+      ArtifactManifest.clusterBuild(slice(0, 100), dir, Seq("k"), 2)
+      ArtifactManifest.clusterAppend(slice(100, 200), dir, Seq("k"), 2)
+      writeGen(dir, 99, 300 until 305) // orphan from a crashed append
+      // REBUILD with different data: the appended and orphaned
+      // generations must all be gone, not adopted by recordBuild
+      val rebuilt = spark.range(1000, 1100)
+        .select(col("id").as("k"), col("id").as("payload"))
+      ArtifactManifest.clusterBuild(rebuilt, dir, Seq("k"), 2)
+      val got = ArtifactManifest.frame(spark, dir)
+        .select("payload").as[Long].collect().toSeq.sorted
+      assert(got === (1000L until 1100L).toSeq)
+      val p = ArtifactManifest.latest(spark, dir).get
+      assert(p.generations === Seq(0L))
+      assert(p.version >= 2L) // the manifest chain survived the rebuild
     }
   }
 

@@ -16,20 +16,8 @@ class DedupIndexSpec extends SparkSpec {
   private val (k, rpb) = (4, 2) // d3/d4's banding geometry
   private val splitId = 400L
 
-  private def withDir[A](f: String => A): A = {
-    val dir = Files.createTempDirectory("graft-dedup-idx")
-    try f(dir.toString)
-    finally {
-      def rm(p: Path): Unit = {
-        if (Files.isDirectory(p)) {
-          val s = Files.list(p)
-          try s.forEach(rm) finally s.close()
-        }
-        Files.deleteIfExists(p)
-      }
-      rm(dir)
-    }
-  }
+  private def withDir[A](f: String => A): A =
+    withTempDir("graft-dedup-idx")(f)
 
   private def batchPairsTouching(minId: Long): Seq[(Long, Long)] =
     DedupOps.lshCandidatePairs(

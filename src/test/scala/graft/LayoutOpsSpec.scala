@@ -14,20 +14,8 @@ import graft.operators.LayoutOps
 class LayoutOpsSpec extends SparkSpec {
   import spark.implicits._
 
-  private def withDir[A](f: String => A): A = {
-    val dir = Files.createTempDirectory("graft-layout")
-    try f(dir.toString)
-    finally {
-      def rm(p: Path): Unit = {
-        if (Files.isDirectory(p)) {
-          val s = Files.list(p)
-          try s.forEach(rm) finally s.close()
-        }
-        Files.deleteIfExists(p)
-      }
-      rm(dir)
-    }
-  }
+  private def withDir[A](f: String => A): A =
+    withTempDir("graft-layout")(f)
 
   // deterministic synthetic frame, big enough for many row groups:
   // k is uniform-shuffled so the UNclustered layout has full-range

@@ -19,4 +19,24 @@ trait SparkSpec extends AnyFunSuite {
     df.collect().toSeq.map(_.toSeq)
 
   def ts(s: String): java.sql.Timestamp = java.sql.Timestamp.valueOf(s)
+
+  /** Fresh temp directory for the test body, removed recursively
+    * afterwards (symlinks deleted, never followed). The one shared
+    * implementation — suites delegate instead of re-pasting the
+    * recursive delete.
+    */
+  def withTempDir[A](prefix: String)(f: String => A): A = {
+    import java.nio.file.{Files, Path}
+    val dir = Files.createTempDirectory(prefix)
+    try f(dir.toString) finally {
+      def rm(p: Path): Unit = {
+        if (Files.isDirectory(p) && !Files.isSymbolicLink(p)) {
+          val s = Files.list(p)
+          try s.forEach(rm) finally s.close()
+        }
+        Files.deleteIfExists(p)
+      }
+      rm(dir)
+    }
+  }
 }

@@ -1,6 +1,5 @@
 package graft
 
-import java.nio.file.{Files, Path}
 import org.apache.hadoop.fs.{Path => HPath}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
@@ -17,19 +16,8 @@ class StagedTakedownSpec extends SparkSpec {
   private def fs = new HPath("/").getFileSystem(
     spark.sparkContext.hadoopConfiguration)
 
-  private def withDir[A](f: String => A): A = {
-    val dir = Files.createTempDirectory("graft-staged-takedown")
-    try f(dir.toString) finally {
-      def rm(p: Path): Unit = {
-        if (Files.isDirectory(p)) {
-          val s = Files.list(p)
-          try s.forEach(rm) finally s.close()
-        }
-        Files.deleteIfExists(p)
-      }
-      rm(dir)
-    }
-  }
+  private def withDir[A](f: String => A): A =
+    withTempDir("graft-staged-takedown")(f)
 
   /** Two-generation (ingest, band) artifact; k is a bijection of
     * 0..999 within each generation, band = id % 4.
@@ -122,6 +110,36 @@ class StagedTakedownSpec extends SparkSpec {
       LayoutOps.deleteKeysPartitioned(spark, a, "band", "k", tombs,
         staged = true)
       assert(content(a) === before.filterNot(r => deadKeys(r._1)))
+      assert(!fs.exists(new HPath(s"${a}__takedown")))
+    }
+  }
+
+  test("apply swaps EVERY staged partition, not just the affected " +
+      "list — a full-rewrite staging is applied, never discarded") {
+    withDir { root =>
+      val a = s"$root/a"
+      buildArtifact(a)
+      val tombs = tombsFor(a)
+      val deadKeys = tombs.as[Long].collect().toSet
+      val before = content(a)
+      val Some((staging, affected)) =
+        LayoutOps.stageTakedown(spark, a, "band", "k", tombs)
+      // simulate the dropped partition-predicate restriction (past the
+      // planner-safe bound stageTakedown stages survivors of EVERY
+      // partition): plant a staged copy of an unaffected partition
+      // with a marker row the swap must carry into place
+      val affectedSet = affected.toSet
+      val (ug, up) = (for (g <- 0 to 1; p <- 0 to 3
+          if !affectedSet((g.toString, p.toString))) yield (g, p)).head
+      spark.read.parquet(s"$a/ingest=$ug/band=$up")
+        .unionByName(Seq((999999L)).toDF("k"))
+        .write.parquet(s"$staging/ingest=$ug/band=$up")
+      LayoutOps.applyStagedTakedown(spark, a, "band", staging,
+        affected)
+      val got = content(a)
+      assert(got.contains((999999L, up.toLong, ug.toLong)))
+      assert(got.filterNot(_._1 == 999999L) ===
+        before.filterNot(r => deadKeys(r._1)))
       assert(!fs.exists(new HPath(s"${a}__takedown")))
     }
   }

@@ -364,12 +364,14 @@ object ScaleProbe {
     // column; the rewrite touches 3/64ths of the files. At 100 TB
     // that write ratio is the difference between a maintenance job
     // and an outage.
-    if (want("artifact delete pruned (2M)", "artifact delete full-rw (2M)")) {
+    if (want("artifact delete pruned (2M)", "artifact delete full-rw (2M)",
+        "artifact delete staged (2M)")) {
       val artN = 2000000L
       val artRoot = java.nio.file.Files
         .createTempDirectory("graft-probe-del").toString
       val artDir = s"$artRoot/corpus"
-      spark.range(artN).select(col("id").as("vec_id"),
+      def writeArt(dir: String): Unit = spark.range(artN)
+        .select(col("id").as("vec_id"),
           expr("transform(sequence(1, 64), i -> " +
             "cast(pmod(hash(id * 64 + i), 1000) / 1000.0 as float))")
             .as("embedding"),
@@ -378,7 +380,8 @@ object ScaleProbe {
           lit(0L).as("ingest"),
           pmod(hash(col("id")), lit(64)).cast("long").as("cell"))
         .repartition(col("cell"))
-        .write.partitionBy("ingest", "cell").parquet(artDir)
+        .write.partitionBy("ingest", "cell").parquet(dir)
+      writeArt(artDir)
       // tombstones recomputed from range (an EXTERNAL feed, per the
       // delete contract), not a view over the artifact
       val tombs = spark.range(artN).select(col("id").as("vec_id"))
@@ -393,6 +396,18 @@ object ScaleProbe {
           .join(broadcast(tombs), Seq("vec_id"), "left_anti")
           .write.partitionBy("ingest", "cell")
           .parquet(s"$artRoot/corpus2")
+      }
+      // the crash-isolated variant on a FRESH artifact copy: same
+      // affected-partition restriction, plus the staging write's
+      // second copy of the affected files and the per-partition swap
+      // — the overhead a takedown pays for kill-anywhere safety
+      if (want("artifact delete staged (2M)")) {
+        val artDir3 = s"$artRoot/corpus3"
+        writeArt(artDir3)
+        time("artifact delete staged (2M)", artN) {
+          graft.operators.LayoutOps.deleteKeysPartitioned(
+            spark, artDir3, "cell", "vec_id", tombs, staged = true)
+        }
       }
       def rm(p: java.nio.file.Path): Unit = {
         if (java.nio.file.Files.isDirectory(p)) {

@@ -309,6 +309,39 @@ object ExtraQueries {
         (abs(col("apx_supp") - col("nd_supp")).cast("double")
           <= col("nd_supp") * lit(0.05)).as("supp_ok"))),
 
+    // x16: the versioned clustered-fact lifecycle, oracle-gated end to
+    // end — clusterBuild half the fact range-clustered on the ship
+    // date, clusterAppend the other half, re-cluster the live set via
+    // the manifest flip (compactClusteredGenerations, vacuum
+    // included), then serve a date-range aggregation THROUGH the
+    // manifest read. The oracle is the same aggregation over the
+    // original table: build/append/flip/vacuum must be content-
+    // invisible, and the clustered layout's row-group skipping on the
+    // pushed date predicate comes free (spec-measured in
+    // ArtifactManifestSpec; the oracle here pins the values).
+    // Aggregates are order-independent-exact (integer-valued quantity
+    // sum, count, min/max) so double summation order cannot drift.
+    "x16_clustered_fact" -> ((s, d) => {
+      import graft.operators.{ArtifactManifest, TempArtifacts}
+      val dir = TempArtifacts.dir("graft-clusterfact")
+      val li = lineitem(s, d)
+      ArtifactManifest.clusterBuild(
+        li.filter(pmod(col("l_orderkey"), lit(2)) === 0), dir,
+        Seq("l_shipdate"), 8)
+      ArtifactManifest.clusterAppend(
+        li.filter(pmod(col("l_orderkey"), lit(2)) === 1), dir,
+        Seq("l_shipdate"), 8)
+      ArtifactManifest.compactClusteredGenerations(s, dir,
+        Seq("l_shipdate"), 8)
+      ArtifactManifest.frame(s, dir).drop("ingest")
+        .filter(col("l_shipdate").between("1994-01-01", "1994-12-31"))
+        .groupBy(col("l_returnflag"))
+        .agg(sum(col("l_quantity")).as("sum_qty"),
+          count(lit(1)).as("n"),
+          min(col("l_extendedprice")).as("min_price"),
+          max(col("l_extendedprice")).as("max_price"))
+    }),
+
     // x15: data-quality constraint report — the pre-publication gate a
     // pipeline runs over a fact table (deequ-style): null checks,
     // range checks, set membership, PK uniqueness, FK referential
@@ -669,6 +702,18 @@ object ExtraQueries {
       """SELECT count(DISTINCT l_partkey) AS nd_part,
          true AS merge_invariant, true AS apx_ok
          FROM lineitem""",
+    // the artifact's content must equal the original table, so the
+    // oracle aggregates the table directly — any row lost, duplicated,
+    // or altered by build/append/flip/vacuum breaks the hash match
+    "x16_clustered_fact" ->
+      """SELECT l_returnflag,
+           sum(l_quantity) AS sum_qty,
+           count(*) AS n,
+           min(l_extendedprice) AS min_price,
+           max(l_extendedprice) AS max_price
+         FROM lineitem
+         WHERE l_shipdate BETWEEN '1994-01-01' AND '1994-12-31'
+         GROUP BY l_returnflag""",
     "x15_dq_report" ->
       """SELECT 'c_null_qty' AS check_name,
            CAST(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END)

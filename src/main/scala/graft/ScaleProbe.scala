@@ -657,6 +657,31 @@ object ScaleProbe {
         .delete(zp, true)
     }
 
+    // the versioned clustered fact's maintenance pass at 20M rows:
+    // re-clustering the live set into one new generation (manifest
+    // flip) costs one range shuffle + write — same order as the
+    // original clustered write (the zorder/flat write probes above are
+    // the comparison points), plus the driver-side manifest commit.
+    if (want("clustered-fact compact (20M)")) locally {
+      val cfRoot = java.nio.file.Files
+        .createTempDirectory("graft-probe-cf").toString
+      val cfDir = s"$cfRoot/fact"
+      val cf = spark.range(n).select(
+        (pmod(hash(col("id")), lit(1000000))).as("k"),
+        col("id").as("payload"))
+      graft.operators.ArtifactManifest.clusterBuild(
+        cf.filter(col("payload") % 2 === 0), cfDir, Seq("k"), 16)
+      graft.operators.ArtifactManifest.clusterAppend(
+        cf.filter(col("payload") % 2 === 1), cfDir, Seq("k"), 16)
+      time("clustered-fact compact (20M)", n) {
+        graft.operators.ArtifactManifest.compactClusteredGenerations(
+          spark, cfDir, Seq("k"), 32)
+      }
+      val cfp = new org.apache.hadoop.fs.Path(cfRoot)
+      cfp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(cfp, true)
+    }
+
     // --- bloom semi-join pruning: 50M fact vs a 100k-key dim whose
     // keys cover 2% of fact rows, with broadcast DISABLED to emulate
     // a dim too large to broadcast (the regime the operator exists

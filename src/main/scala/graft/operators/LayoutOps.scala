@@ -273,6 +273,10 @@ object LayoutOps {
       partitionedDir: String): Seq[Long] = {
     val p = new org.apache.hadoop.fs.Path(partitionedDir)
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    // a build's target may not exist yet — no generations, not an
+    // error ([[ArtifactManifest.clusterBuild]] starts artifacts at
+    // paths the caller has not pre-created)
+    if (!fs.exists(p)) return Seq.empty
     fs.listStatus(p).map(_.getPath.getName).collect {
       case n if n.startsWith("ingest=") &&
         n.drop(7).forall(_.isDigit) => n.drop(7).toLong

@@ -235,6 +235,19 @@ class ArtifactManifestSpec extends SparkSpec {
     }
   }
 
+  test("clusterBuild starts an artifact at a path that does not " +
+      "exist yet") {
+    withDir { root =>
+      val dir = s"$root/does/not/exist/yet"
+      val df = spark.range(0, 50)
+        .select(col("id").as("k"), col("id").as("payload"))
+      ArtifactManifest.clusterBuild(df, dir, Seq("k"), 2)
+      assert(ArtifactManifest.frame(spark, dir).count() === 50L)
+      assert(ArtifactManifest.latest(spark, dir).get.generations ===
+        Seq(0L))
+    }
+  }
+
   test("clusterBuild over a previously-appended artifact serves ONLY " +
       "the new build — stale generations are not resurrected") {
     withDir { dir =>

@@ -78,7 +78,7 @@ object DedupOps {
     // ONE select for all k signature columns: a k-step withColumn
     // fold re-analyzes the growing plan each step (quadratic driver
     // work at production signature widths of 100-200 hashes)
-    val out = staged.select(staged.columns.map(col) ++
+    val out = staged.select(staged.columns.toIndexedSeq.map(col) ++
       (0 until k).map(i =>
         array_min(transform(col("__bh"),
           h => (lit(minHashA(i)) * h + lit(minHashB(i))) % MinHashP))

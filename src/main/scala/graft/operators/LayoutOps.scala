@@ -167,7 +167,7 @@ object LayoutOps {
     // (which would silently drop a column out of the curve), so
     // bucket names are indexed by POSITION and fresh() tracks what
     // it has already handed out
-    val taken = scala.collection.mutable.Set(df.columns: _*)
+    val taken = scala.collection.mutable.Set(df.columns.toIndexedSeq: _*)
     def fresh(base: String): String = {
       val n = Iterator.from(0)
         .map(i => if (i == 0) base else s"$base$i")
@@ -254,7 +254,8 @@ object LayoutOps {
       partCol: String, filesPerPartition: Int,
       sortWithin: Seq[String], genDir: String): Unit = {
     val packed = rows.repartition(col(partCol),
-      pmod(hash(rows.columns.map(col): _*), lit(filesPerPartition)))
+      pmod(hash(rows.columns.toIndexedSeq.map(col): _*),
+        lit(filesPerPartition)))
     (if (sortWithin.isEmpty) packed
       else packed.sortWithinPartitions(
         (partCol +: sortWithin).map(col): _*))
@@ -332,7 +333,8 @@ object LayoutOps {
       val rows = s.read.parquet(dir).withColumn("ingest", lit(keep))
       rows
         .repartition(col(partCol),
-          pmod(hash(rows.columns.map(col): _*), lit(filesPerPartition)))
+          pmod(hash(rows.columns.toIndexedSeq.map(col): _*),
+        lit(filesPerPartition)))
         .write.mode("overwrite").partitionBy("ingest", partCol)
         .parquet(staging)
     } else {

@@ -94,7 +94,7 @@ object ProductQuantization {
   /** Encode: adds `outCol` = array<int> of `subspaces` code ids. */
   def encode(df: DataFrame, vecCol: String, books: Codebooks,
       subDim: Int, outCol: String): DataFrame =
-    df.withColumn(outCol, array(books.zipWithIndex.map { case (cents, j) =>
+    df.withColumn(outCol, array(books.toIndexedSeq.zipWithIndex.map { case (cents, j) =>
       assignCode(col(vecCol), j * subDim, cents)
     }: _*))
 
@@ -102,10 +102,11 @@ object ProductQuantization {
     * slices concatenated; used for reconstruction-error measurement.
     */
   def decodeExpr(codeCol: Column, books: Codebooks): Column =
-    concat(books.zipWithIndex.map { case (cents, j) =>
+    concat(books.toIndexedSeq.zipWithIndex.map { case (cents, j) =>
       // element_at over a literal k×subDim table indexed by the code
       element_at(
-        array(cents.map(c => array(c.map(lit): _*)): _*),
+        array(cents.toIndexedSeq.map(c =>
+          array(c.toIndexedSeq.map(lit): _*)): _*),
         element_at(codeCol, j + 1) + 1)
     }: _*)
 
@@ -153,6 +154,7 @@ object ProductQuantization {
       val q = query.slice(j * subDim, (j + 1) * subDim)
       val table = cents.map(c =>
         c.zip(q).map { case (ci, qi) => (qi - ci) * (qi - ci) }.sum)
-      element_at(array(table.map(lit): _*), element_at(codeCol, j + 1) + 1)
+      element_at(array(table.toIndexedSeq.map(lit): _*),
+        element_at(codeCol, j + 1) + 1)
     }.reduce(_ + _)
 }

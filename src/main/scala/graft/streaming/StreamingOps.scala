@@ -42,7 +42,7 @@ object StreamingOps {
     // cannot overflow (a SUM of full-range xxhash64 longs trips the
     // ANSI overflow check)
     val sigRow = arrivals.agg(count(lit(1)), min(idL), max(idL),
-      bit_xor(xxhash64(arrivals.columns.map(col): _*))).head()
+      bit_xor(xxhash64(arrivals.columns.toIndexedSeq.map(col): _*))).head()
     require(sigRow.getLong(0) > 0,
       "stageOrderedArrivals: the arrivals frame is empty")
     // CONTENT-SIGNATURE GUARD: the file-stream checkpoint keys seen

@@ -171,7 +171,15 @@ object Publish {
       v => PivotOps.centsMean(PivotOps.centsOf(v)))
     PivotOps.fillSentinels(wide, spec.sentinels)
       .repartition(spec.chunkKeys.map(col): _*)
-      .sortWithinPartitions(col(spec.indexCol))
+      // the partitioned writer REQUIRES ordering by the partition
+      // columns and inserts its own (non-stable) sort when the child
+      // doesn't provide it — a bare indexCol sort here would be
+      // discarded under that inserted sort. Leading with the chunk
+      // keys satisfies the writer's requirement as a prefix, so no
+      // extra sort runs and every output file stays time-ordered
+      // (the same trick as LayoutOps.writeGenerationPacked).
+      .sortWithinPartitions(
+        (spec.chunkKeys :+ spec.indexCol).map(col): _*)
       .write.mode("overwrite")
       .partitionBy(spec.chunkKeys: _*)
       .option("header", "true")

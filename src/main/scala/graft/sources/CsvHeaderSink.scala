@@ -42,11 +42,35 @@ object CsvHeaderSink {
     * comma-value lines, trailing spaces) that per-line `# ` prefixing
     * would double or lose.
     */
+  /** Render every timestamp column the way the reference's pandas
+    * `to_csv` (str(Timestamp)) does: space-separated naive local
+    * datetime, fraction printed only when nonzero and then as six
+    * digits. This is also the RESUME correctness fix: Spark's default
+    * CSV timestampFormat truncates to milliseconds, so a published
+    * sub-millisecond tail read back by [[tailProbe]] compared low and
+    * the strictly-newer filter re-published the same row on every
+    * resume.
+    */
+  private def pandasTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
+    df.schema.fields.foldLeft(df) { (d, f) =>
+      f.dataType match {
+        case TimestampType | TimestampNTZType =>
+          val c = col(f.name)
+          d.withColumn(f.name,
+            when(unix_micros(c.cast(TimestampType)) % 1000000L === 0L,
+              date_format(c, "yyyy-MM-dd HH:mm:ss"))
+            .otherwise(date_format(c, "yyyy-MM-dd HH:mm:ss.SSSSSS")))
+        case _ => d
+      }
+    }
+  }
+
   def writeComposed(df: DataFrame, headerText: String,
       out: String): Unit = {
     val tmp = Files.createTempDirectory("csvsink")
     try {
-      df.coalesce(1).write.mode("overwrite")
+      pandasTs(df).coalesce(1).write.mode("overwrite")
         .option("header", "true").csv(tmp.toString)
       val part = firstPart(tmp.toString)
       val target = Paths.get(out)
@@ -77,7 +101,7 @@ object CsvHeaderSink {
   def append(df: DataFrame, out: String): Unit = {
     val tmp = Files.createTempDirectory("csvappend")
     try {
-      df.coalesce(1).write.mode("overwrite")
+      pandasTs(df).coalesce(1).write.mode("overwrite")
         .option("header", "false").csv(tmp.toString)
       val part = firstPart(tmp.toString)
       val target = Paths.get(out)

@@ -51,7 +51,14 @@ object FileHeader {
   private def pyStr(v: Any): String = v match {
     case None => "None"
     case Some(x) => pyStr(x)
-    case d: Double => if (d.isWhole) d.toLong.toString else d.toString
+    // the reference renders int(no_data_value) when whole
+    // (DatasetUtilities.py:642) — Python's int() is arbitrary
+    // precision, so a huge whole sentinel (1e20) prints its exact
+    // integer; toLong would silently SATURATE to Long.MaxValue,
+    // hence BigDecimal
+    case d: Double => if (d.isWhole)
+      BigDecimal(d).toBigIntExact.map(_.toString).getOrElse(d.toString)
+      else d.toString
     case x => x.toString
   }
 
@@ -66,6 +73,13 @@ object FileHeader {
 
   private val Rule = "# ----------------------------------\n"
 
+  /** Byte-faithful to the reference's `generateSiteInformation`
+    * (DatasetUtilities.py:498-511), which — unlike `formatHelper`
+    * (the [[line]] twin used by the variable/method/source sections)
+    * — writes NO trailing space and never comma-quotes. The two
+    * formats are intentionally different in the reference; do not
+    * "unify" this section onto [[line]].
+    */
   def siteSection(s: SiteInfo): String =
     "# Site Information\n" + Rule +
       s"# SiteCode: ${pyStr(s.code)}\n" +

@@ -56,11 +56,26 @@ object Retry {
     sys.error("unreachable")
   }
 
-  /** Timeouts and transient connectivity, the reference's retry cases. */
-  def defaultRetryable(e: Throwable): Boolean = e match {
-    case _: java.util.concurrent.TimeoutException => true
-    case _: java.net.SocketTimeoutException => true
-    case _: java.sql.SQLTransientException => true
-    case _ => false
+  /** Timeouts and transient connectivity, the reference's retry
+    * cases. Walks the CAUSE CHAIN: a JDBC driver surfaces a connect/
+    * read timeout as its own SQLException subclass with the
+    * SocketTimeoutException underneath (and Spark's load() may wrap
+    * once more) — classifying only the top-level throwable would
+    * make the one retry the reference requires never fire.
+    */
+  def defaultRetryable(e: Throwable): Boolean = {
+    var t = e
+    var depth = 0
+    while (t != null && depth < 16) {
+      t match {
+        case _: java.util.concurrent.TimeoutException => return true
+        case _: java.net.SocketTimeoutException => return true
+        case _: java.sql.SQLTransientException => return true
+        case _ => ()
+      }
+      t = t.getCause
+      depth += 1
+    }
+    false
   }
 }

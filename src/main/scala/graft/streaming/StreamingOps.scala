@@ -45,6 +45,18 @@ object StreamingOps {
       bit_xor(xxhash64(arrivals.columns.toIndexedSeq.map(col): _*))).head()
     require(sigRow.getLong(0) > 0,
       "stageOrderedArrivals: the arrivals frame is empty")
+    // loud null guard, same rationale as Publish.publishChunks: a
+    // null id would land in __HIVE_DEFAULT_PARTITION__, which the
+    // range-file renumber loop never moves — the rows would silently
+    // vanish from the replay while the signature records them as
+    // staged (and an all-null frame would NPE on the min/max reads)
+    require(!sigRow.isNullAt(1),
+      s"stageOrderedArrivals: `$idCol` is null for every arrival — " +
+        "ids must be non-null to cut ordered ranges")
+    require(arrivals.filter(col(idCol).isNull).isEmpty,
+      s"stageOrderedArrivals: null `$idCol` in arrivals — a null id " +
+        "cannot join an ordered range file and would be dropped " +
+        "from the replay")
     // CONTENT-SIGNATURE GUARD: the file-stream checkpoint keys seen
     // files by PATH, and the staged names/mtimes are fixed — staging
     // DIFFERENT content into an already-used root would replay zero

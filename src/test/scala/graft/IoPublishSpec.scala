@@ -37,6 +37,23 @@ class IoPublishSpec extends SparkSpec {
       === Some(ts("2024-01-01 02:00:00")))
   }
 
+  test("sub-millisecond timestamps publish at full precision, " +
+      "pandas-style, so the resume probe cannot re-select the tail") {
+    val out = s"${tmpDir()}/micro.csv"
+    val microTs = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    microTs.setNanos(500000) // .000500 — below CSV-default ms precision
+    CsvHeaderSink.write(
+      Seq((microTs, 1.0)).toDF("t", "v"), Seq("hdr"), out)
+    // bytes: space-separated, fraction printed because nonzero (the
+    // reference's pandas str(Timestamp) form); whole seconds print
+    // with no fraction (asserted by the first test's line count/probe)
+    assert(Files.readAllLines(Paths.get(out)).get(2)
+      === "2024-01-01 00:00:00.000500,1.0")
+    // the probe returns FULL precision, so the strictly-newer resume
+    // filter excludes the published tail instead of duplicating it
+    assert(CsvHeaderSink.tailProbe(spark, out, "t") === Some(microTs))
+  }
+
   test("published header csv round-trips: data via read, header via readHeader") {
     val out = s"${tmpDir()}/rt.csv"
     val df = Seq(

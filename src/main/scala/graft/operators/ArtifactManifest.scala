@@ -40,7 +40,8 @@ import org.apache.spark.sql.functions._
 object ArtifactManifest {
 
   final case class Pin(version: Long, generations: Seq[Long],
-      signature: String)
+      signature: String,
+      genDigests: Map[Long, String] = Map.empty)
 
   private def fsOf(s: SparkSession, p: Path): FileSystem =
     p.getFileSystem(s.sparkContext.hadoopConfiguration)
@@ -76,10 +77,25 @@ object ArtifactManifest {
     }
   }
 
+  /** Raw listing text per generation — one metadata walk, shared by
+    * [[fullSignature]] (digest of the join) and the per-generation
+    * digest map (digest of each) so no caller lists a subtree twice.
+    */
+  private def rawListings(s: SparkSession, dir: String,
+      gens: Seq[Long]): Map[Long, String] =
+    gens.map(g => g -> genListing(s, dir, g)).toMap
+
+  private def digestsOf(raw: Map[Long, String]): Map[Long, String] =
+    raw.map { case (g, l) => g -> md5(l) }
+
+  private def fullSignatureOf(raw: Map[Long, String],
+      gens: Seq[Long]): String =
+    md5(gens.sorted.map(raw).mkString("\n\n"))
+
   /** Full content signature over a generation set. */
   private def fullSignature(s: SparkSession, dir: String,
       gens: Seq[Long]): String =
-    md5(gens.sorted.map(g => genListing(s, dir, g)).mkString("\n\n"))
+    fullSignatureOf(rawListings(s, dir, gens), gens)
 
   /** Highest committed manifest, if the artifact has any. */
   def latest(s: SparkSession, dir: String): Option[Pin] = {
@@ -115,7 +131,16 @@ object ArtifactManifest {
       case JString(x) => x
       case _ => ""
     }
-    Some(Pin(v, gens, sig))
+    // optional (absent in pre-round-10 manifests): per-generation
+    // listing digests for replay change detection
+    val digests = (j \ "genDigests") match {
+      case JObject(fields) => fields.collect {
+        case JField(k, JString(d)) if k.forall(_.isDigit) =>
+          k.toLong -> d
+      }.toMap
+      case _ => Map.empty[Long, String]
+    }
+    Some(Pin(v, gens, sig, digests))
   }
 
   /** Commit a new manifest version: write to a temp name, rename into
@@ -126,14 +151,18 @@ object ArtifactManifest {
     * a per-micro-batch streaming append.
     */
   private def commit(s: SparkSession, dir: String, gens: Seq[Long],
-      signature: String, prev: Option[Pin]): Long = {
+      signature: String, prev: Option[Pin],
+      genDigests: Map[Long, String] = Map.empty): Long = {
     val md = manifestDir(dir)
     val fs = fsOf(s, md)
     fs.mkdirs(md)
     val v = prev.map(_.version + 1).getOrElse(0L)
+    // digests are hex, keys numeric — safe to emit without escaping
+    val digestJson = genDigests.toSeq.sortBy(_._1)
+      .map { case (g, d) => s""""$g":"$d"""" }.mkString(",")
     val json =
       s"""{"version":$v,"generations":[${gens.sorted.mkString(",")}],""" +
-        s""""signature":"$signature"}"""
+        s""""signature":"$signature","genDigests":{$digestJson}}"""
     val tmp = new Path(md, f".manifest-$v%020d.json.tmp")
     val out = fs.create(tmp, true)
     try out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -162,7 +191,9 @@ object ArtifactManifest {
     */
   def recordBuild(s: SparkSession, dir: String): Unit = {
     val gens = LayoutOps.ingestGenerations(s, dir)
-    commit(s, dir, gens, fullSignature(s, dir, gens), latest(s, dir))
+    val raw = rawListings(s, dir, gens)
+    commit(s, dir, gens, fullSignatureOf(raw, gens), latest(s, dir),
+      digestsOf(raw))
   }
 
   /** Record a committed APPEND of `gen`. The signature extends the
@@ -175,20 +206,41 @@ object ArtifactManifest {
     *
     * Replay-idempotent: a replayed streaming batch (gen already live)
     * is a no-op — committing again would re-chain the same listing and
-    * change the signature with unchanged content. A ZERO-ROW append is
-    * also a no-op: a dynamic-partition write that produced no rows
-    * creates no `ingest=` directory (e.g. an ingest batch whose every
-    * doc fell below the shingle threshold), and pinning the absent
-    * path would make every subsequent [[frame]] read fail.
+    * change the signature with unchanged content. The no-op is
+    * GUARDED: the manifest stores each generation's listing digest,
+    * and a replay whose write produced DIFFERENT bytes (clusterAppend
+    * overwrites the generation directory before this call, so a
+    * diverged re-run would silently swap content under a stale
+    * signature) fails loudly instead of no-opping. Manifests written
+    * before the digest field existed have no stored digest for old
+    * generations — those replays keep the byte-identical assumption
+    * undetected, matching the streaming-batch contract. A ZERO-ROW
+    * append is also a no-op: a dynamic-partition write that produced
+    * no rows creates no `ingest=` directory (e.g. an ingest batch
+    * whose every doc fell below the shingle threshold), and pinning
+    * the absent path would make every subsequent [[frame]] read fail.
     */
   def recordAppend(s: SparkSession, dir: String, gen: Long): Unit =
     latest(s, dir) match {
-      case Some(p) if p.generations.contains(gen) => ()
+      case Some(p) if p.generations.contains(gen) =>
+        p.genDigests.get(gen).foreach { stored =>
+          val now = md5(genListing(s, dir, gen))
+          require(now == stored,
+            s"recordAppend: generation $gen of $dir is already " +
+              s"committed but its on-disk listing digest ($now) no " +
+              s"longer matches the manifest's ($stored) — a replay " +
+              "must rewrite byte-identical content; this one " +
+              "diverged, and no-opping would serve swapped content " +
+              "under a stale signature")
+        }
       case Some(p) =>
-        if (fsOf(s, new Path(dir)).exists(new Path(dir, s"ingest=$gen")))
+        val fs = fsOf(s, new Path(dir))
+        if (fs.exists(new Path(dir, s"ingest=$gen"))) {
+          val listing = genListing(s, dir, gen)
           commit(s, dir, (p.generations :+ gen).distinct,
-            md5(p.signature + "\n\n" + genListing(s, dir, gen)),
-            Some(p))
+            md5(p.signature + "\n\n" + listing), Some(p),
+            p.genDigests + (gen -> md5(listing)))
+        }
       case None =>
         // legacy artifact (predates manifests): adopt the listing
         recordBuild(s, dir)
@@ -204,7 +256,11 @@ object ArtifactManifest {
     latest(s, dir).foreach { p =>
       val live = LayoutOps.ingestGenerations(s, dir).toSet
       val gens = p.generations.filter(live)
-      commit(s, dir, gens, fullSignature(s, dir, gens), Some(p))
+      // the takedown rewrote files in place — every surviving
+      // generation's digest must be recomputed, not carried over
+      val raw = rawListings(s, dir, gens)
+      commit(s, dir, gens, fullSignatureOf(raw, gens), Some(p),
+        digestsOf(raw))
     }
 
   /** The artifact's data as of the latest manifest: ONLY the listed
@@ -268,8 +324,9 @@ object ArtifactManifest {
     val newGen = listed.max + 1
     LayoutOps.writeGenerationPacked(frame(s, dir).drop("ingest"),
       partCol, filesPerPartition, sortWithin, s"$dir/ingest=$newGen")
-    commit(s, dir, Seq(newGen),
-      fullSignature(s, dir, Seq(newGen)), latest(s, dir))
+    val raw = rawListings(s, dir, Seq(newGen))
+    commit(s, dir, Seq(newGen), fullSignatureOf(raw, Seq(newGen)),
+      latest(s, dir), digestsOf(raw))
     if (vacuum) this.vacuum(s, dir)
     newGen
   }
@@ -296,8 +353,9 @@ object ArtifactManifest {
     } else LayoutOps.clusterFrame(df, cols, partitions)
   }
 
-  /** Build a VERSIONED clustered fact artifact: generation 0 is the
-    * clustered (range or z-order) tree, and the manifest pins it —
+  /** Build a VERSIONED clustered fact artifact: one fresh generation
+    * holds the clustered (range or z-order) tree, and the manifest
+    * pins it —
     * the manifest-governed successor of a flat
     * [[LayoutOps.clusterWrite]] directory. Readers go through
     * [[frame]], so [[compactClusteredGenerations]] can re-cluster
@@ -312,24 +370,34 @@ object ArtifactManifest {
       partitions: Int, zorder: Boolean = false, bits: Int = 8,
       extraWriteOpts: Map[String, String] = Map.empty): Unit = {
     val s = df.sparkSession
-    // a build STARTS the artifact: wipe every existing generation
-    // (appended AND orphaned) first — the write targets only
-    // `ingest=0`, and recordBuild adopts the LISTING, so a rebuild
-    // over a previously-appended artifact would otherwise resurrect
-    // the old generations next to the new data. The manifest chain is
-    // kept so versions stay monotone across rebuilds. Destructive by
-    // design — same single-writer maintenance-window contract as
-    // every artifact mutation (a live reader pinned to the old
-    // generations loses its files; rebuild-under-readers needs a new
-    // root + pointer flip one level up).
+    // a build STARTS the artifact: the new tree is written to a
+    // FRESH generation number FIRST, and only then is every previous
+    // generation (appended AND orphaned) wiped — recordBuild adopts
+    // the LISTING, so skipping the wipe would resurrect the old
+    // generations next to the new data. Write-before-delete matters
+    // because `df` is LAZY: an input derived from the artifact
+    // itself (e.g. `frame(s, dir)` for a full re-cluster) is only
+    // executed by the write — deleting first would wipe its source
+    // files and silently build an empty artifact. The manifest chain
+    // is kept so versions stay monotone across rebuilds. Destructive
+    // by design once the wipe starts — same single-writer
+    // maintenance-window contract as every artifact mutation (a live
+    // reader pinned to the old generations loses its files;
+    // rebuild-under-readers needs [[compactClusteredGenerations]]'s
+    // manifest flip, or a new root + pointer flip one level up). A
+    // kill after the write but before the wipe leaves the new
+    // generation an uncommitted orphan (manifest unchanged, readers
+    // unaffected); the re-run wipes it with the rest and rebuilds.
     val fs = fsOf(s, new Path(dir))
-    for (g <- LayoutOps.ingestGenerations(s, dir))
+    val previous = LayoutOps.ingestGenerations(s, dir)
+    val newGen = previous.maxOption.map(_ + 1L).getOrElse(0L)
+    clusteredFrame(df, cols, partitions, zorder, bits)
+      .write.options(extraWriteOpts).mode("overwrite")
+      .parquet(s"$dir/ingest=$newGen")
+    for (g <- previous)
       require(fs.delete(new Path(dir, s"ingest=$g"), true),
         s"clusterBuild: could not remove previous generation $g of " +
           dir)
-    clusteredFrame(df, cols, partitions, zorder, bits)
-      .write.options(extraWriteOpts).mode("overwrite")
-      .parquet(s"$dir/ingest=0")
     recordBuild(s, dir)
   }
 
@@ -382,8 +450,9 @@ object ArtifactManifest {
         zorder, bits)
       .write.options(extraWriteOpts).mode("overwrite")
       .parquet(s"$dir/ingest=$newGen")
-    commit(s, dir, Seq(newGen), fullSignature(s, dir, Seq(newGen)),
-      latest(s, dir))
+    val raw = rawListings(s, dir, Seq(newGen))
+    commit(s, dir, Seq(newGen), fullSignatureOf(raw, Seq(newGen)),
+      latest(s, dir), digestsOf(raw))
     if (vacuum) this.vacuum(s, dir)
     newGen
   }

@@ -407,14 +407,15 @@ object LayoutOps {
     * (the live tree is READ but never touched — a kill anywhere in
     * this phase leaves the artifact serving exactly the old content),
     * a `_STAGED` marker commits the staging tree, and only then are
-    * affected partition directories swapped one by one (delete live,
-    * rename staged in — the staged copy is complete before its live
-    * twin is dropped, so no partition ever has zero complete copies).
-    * A kill mid-swap leaves every partition wholly old or wholly new;
-    * the next staged run's [[recoverStagedTakedown]] adopts staged
-    * partitions whose live twin is missing, discards the rest, and
-    * the re-run converges. An unmarked staging leftover (killed while
-    * writing) is discarded wholesale.
+    * affected partition directories swapped one by one by ATOMIC
+    * RENAMES only (live renamed aside into the staging root, staged
+    * renamed in — never a recursive delete of live, whose partial
+    * completion under a kill would masquerade as a complete copy).
+    * A kill mid-swap leaves every partition wholly old, absent (the
+    * staged copy is the one complete copy), or wholly new; the next
+    * staged run's [[recoverStagedTakedown]] adopts every remaining
+    * staged partition and the re-run converges. An unmarked staging
+    * leftover (killed while writing) is discarded wholesale.
     */
   def deleteKeysPartitioned(s: SparkSession, dir: String,
       partCol: String, keyCol: String, tombs: DataFrame,
@@ -541,11 +542,24 @@ object LayoutOps {
   }
 
   /** Phase 2 of a staged takedown: swap EVERY staged partition into
-    * place — delete live, rename staged in — then delete the affected
-    * partitions that have no staged twin (every row tombstoned), drop
-    * emptied `ingest=` directories, and remove the staging root.
-    * Every partition is wholly old or wholly new at every instant,
-    * and the staged copy is complete before its live twin is dropped.
+    * place, then retire the affected partitions that have no staged
+    * twin (every row tombstoned), drop emptied `ingest=` directories,
+    * and remove the staging root.
+    *
+    * Both the swap and the retirement are RENAME-ONLY on the live
+    * tree: the live partition is renamed aside into the staging
+    * root's `__aside/` area (a directory rename is a single atomic
+    * metadata op on HDFS-like filesystems) and the staged copy is
+    * renamed into place; nothing under `dir` is ever recursively
+    * deleted. A recursive delete is not atomic — a kill mid-delete
+    * would leave a PARTIAL live partition that recovery could not
+    * distinguish from a complete one, silently losing survivor rows.
+    * With renames, every crash point leaves each live partition
+    * either wholly old, absent (staged copy is the one complete
+    * copy — adopted by [[recoverStagedTakedown]]), or wholly new.
+    * The aside copies are reaped with the staging root's single
+    * terminal delete, which only ever destroys superseded bytes.
+    *
     * The swap walks the STAGING TREE (not just `affected`): when
     * [[stageTakedown]]'s partition-predicate restriction was dropped
     * past the planner-safe bound, the staging tree holds survivors of
@@ -568,13 +582,21 @@ object LayoutOps {
         if pDir.getPath.getName.startsWith(s"$partCol=")
     } yield (gDir.getPath.getName.stripPrefix("ingest="),
       pDir.getPath.getName.stripPrefix(s"$partCol="))
+    def renameAside(live: org.apache.hadoop.fs.Path, g: String,
+        p: String): Unit = {
+      val aside = new org.apache.hadoop.fs.Path(
+        s"$staging/__aside/ingest=$g/$partCol=$p")
+      fs.mkdirs(aside.getParent)
+      require(fs.rename(live, aside),
+        s"applyStagedTakedown: could not retire live partition " +
+          s"$live to $aside")
+    }
     for ((g, p) <- stagedPairs) {
       val live = new org.apache.hadoop.fs.Path(
         s"$dir/ingest=$g/$partCol=$p")
       val stagedPart = new org.apache.hadoop.fs.Path(
         s"$staging/ingest=$g/$partCol=$p")
-      require(!fs.exists(live) || fs.delete(live, true),
-        s"applyStagedTakedown: could not drop live partition $live")
+      if (fs.exists(live)) renameAside(live, g, p)
       require(fs.rename(stagedPart, live),
         s"applyStagedTakedown: could not move $stagedPart into " +
           s"place at $live — recoverStagedTakedown adopts it on " +
@@ -591,9 +613,7 @@ object LayoutOps {
       require(fs.exists(live),
         s"applyStagedTakedown: emptied partition $live not found " +
           "— partition-path resolution failed; rows NOT removed")
-      require(fs.delete(live, true),
-        s"applyStagedTakedown: failed to remove emptied partition " +
-          s"$live — rows NOT removed")
+      renameAside(live, g, p)
     }
     for (g <- (stagedPairs ++ affected).map(_._1).distinct) {
       val gp = new org.apache.hadoop.fs.Path(s"$dir/ingest=$g")
@@ -606,11 +626,19 @@ object LayoutOps {
   /** Restore the staged-takedown invariants after a crash: an
     * UNMARKED staging tree (killed while writing) is discarded — the
     * live tree was never touched; a MARKED one (killed mid-swap) has
-    * its staged partitions adopted wherever the live twin is missing
-    * (the swap deleted live and died before the rename — the staged
-    * copy is the one complete copy) and discarded elsewhere, then
-    * removed. Idempotent; re-running the same takedown afterwards
-    * converges. Called automatically at the start of every
+    * EVERY remaining staged partition adopted — live twin (wholly
+    * old, or a remnant left by a pre-rename-era crash) renamed aside
+    * into the staging root, staged copy renamed in — then the root
+    * (asides included) is removed. Adoption is unconditional because
+    * the `_STAGED` marker commits the staging tree as the
+    * post-takedown truth for its partitions: adopting merely
+    * completes the interrupted swap, and keying on live existence
+    * (the pre-round-10 behavior) mistook a PARTIALLY deleted live
+    * remnant for a complete copy and discarded the only complete one.
+    * Idempotent; re-running the same takedown afterwards converges
+    * (fully-emptied partitions have no staged twin — the re-run
+    * re-detects their tombstoned rows and retires them). Called
+    * automatically at the start of every
     * `deleteKeysPartitioned(staged = true)`.
     */
   private[graft] def recoverStagedTakedown(s: SparkSession,
@@ -625,12 +653,17 @@ object LayoutOps {
             if pDir.getPath.getName.startsWith(s"$partCol=")) {
         val live = new org.apache.hadoop.fs.Path(
           s"$dir/${gDir.getPath.getName}/${pDir.getPath.getName}")
-        if (!fs.exists(live)) {
-          fs.mkdirs(live.getParent)
-          require(fs.rename(pDir.getPath, live),
-            s"recoverStagedTakedown: could not adopt ${pDir.getPath}" +
-              s" at $live")
-        }
+        if (fs.exists(live)) {
+          val aside = new org.apache.hadoop.fs.Path(sp,
+            s"__aside/${gDir.getPath.getName}/${pDir.getPath.getName}")
+          fs.mkdirs(aside.getParent)
+          require(fs.rename(live, aside),
+            s"recoverStagedTakedown: could not retire live remnant " +
+              s"$live to $aside")
+        } else fs.mkdirs(live.getParent)
+        require(fs.rename(pDir.getPath, live),
+          s"recoverStagedTakedown: could not adopt ${pDir.getPath}" +
+            s" at $live")
       }
     }
     fs.delete(sp, true)

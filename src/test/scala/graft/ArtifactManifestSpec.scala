@@ -190,6 +190,20 @@ class ArtifactManifestSpec extends SparkSpec {
     }
   }
 
+  test("a replayed append whose rewrite DIVERGED from the committed " +
+      "bytes fails loudly instead of no-opping") {
+    withDir { dir =>
+      buildTwoGen(dir)
+      // a re-run that overwrote gen 1 with DIFFERENT content (the
+      // clusterAppend path writes mode-overwrite before recordAppend)
+      writeGen(dir, 1, 10 until 20)
+      val e = intercept[IllegalArgumentException] {
+        ArtifactManifest.recordAppend(spark, dir, 1)
+      }
+      assert(e.getMessage.contains("diverged"))
+    }
+  }
+
   test("a zero-row append (no ingest= directory written) is a no-op " +
       "— an absent path is never pinned") {
     withDir { dir =>
@@ -265,8 +279,33 @@ class ArtifactManifestSpec extends SparkSpec {
         .select("payload").as[Long].collect().toSeq.sorted
       assert(got === (1000L until 1100L).toSeq)
       val p = ArtifactManifest.latest(spark, dir).get
-      assert(p.generations === Seq(0L))
+      // the rebuild lands on ONE fresh generation past the previous
+      // max (write-first, so a self-derived input is read before the
+      // old trees are wiped), and only it is live
+      assert(p.generations === Seq(100L))
       assert(p.version >= 2L) // the manifest chain survived the rebuild
+    }
+  }
+
+  test("clusterBuild accepts an input derived from the artifact " +
+      "itself — the rebuild reads the old generations before wiping " +
+      "them") {
+    withDir { dir =>
+      def slice(a: Long, b: Long) = spark.range(a, b)
+        .select(col("id").as("k"), col("id").as("payload"))
+      ArtifactManifest.clusterBuild(slice(0, 100), dir, Seq("k"), 2)
+      ArtifactManifest.clusterAppend(slice(100, 200), dir, Seq("k"), 2)
+      // a LAZY view over the artifact as the rebuild's own input —
+      // the delete-first ordering would wipe its source files and
+      // silently build an empty artifact
+      val selfDerived = ArtifactManifest.frame(spark, dir)
+        .drop("ingest").filter(col("payload") < 150)
+      ArtifactManifest.clusterBuild(selfDerived, dir, Seq("k"), 2)
+      val got = ArtifactManifest.frame(spark, dir)
+        .select("payload").as[Long].collect().toSeq.sorted
+      assert(got === (0L until 150L).toSeq)
+      assert(ArtifactManifest.latest(spark, dir).get.generations
+        .length === 1)
     }
   }
 

@@ -144,6 +144,37 @@ class StagedTakedownSpec extends SparkSpec {
     }
   }
 
+  test("kill that leaves a PARTIAL live remnant: recovery adopts " +
+      "the staged copy, never the remnant — survivors intact") {
+    withDir { root =>
+      val a = s"$root/a"
+      buildArtifact(a)
+      val before = content(a)
+      val tombs = tombsFor(a)
+      val deadKeys = tombs.as[Long].collect().toSet
+      val Some((staging, affected)) =
+        LayoutOps.stageTakedown(spark, a, "band", "k", tombs)
+      // simulate a non-atomic recursive delete of the live partition
+      // killed halfway (the pre-round-10 swap's hazard): drop SOME of
+      // the live partition's data files, keep the directory — a
+      // remnant that exists but is incomplete
+      val (g, p) = affected.find { case (g, p) =>
+        fs.exists(new HPath(s"$staging/ingest=$g/band=$p"))
+      }.get
+      val livePart = new HPath(s"$a/ingest=$g/band=$p")
+      val dataFiles = fs.listStatus(livePart)
+        .filter(_.getPath.getName.endsWith(".parquet"))
+      assert(dataFiles.nonEmpty)
+      assert(fs.delete(dataFiles.head.getPath, false))
+      // recovery must treat the marked staging tree as truth and
+      // adopt it over the remnant; the re-run then converges
+      LayoutOps.deleteKeysPartitioned(spark, a, "band", "k", tombs,
+        staged = true)
+      assert(content(a) === before.filterNot(r => deadKeys(r._1)))
+      assert(!fs.exists(new HPath(s"${a}__takedown")))
+    }
+  }
+
   test("an unmarked staging leftover (killed while writing) is " +
       "discarded; the live tree was never touched") {
     withDir { root =>

@@ -85,8 +85,26 @@ object ArtifactManifest {
       gens: Seq[Long]): Map[Long, String] =
     gens.map(g => g -> genListing(s, dir, g)).toMap
 
+  /** Name-INSENSITIVE content digest of one generation's listing: the
+    * partition subpath and length of every file, with the file name
+    * itself dropped. A legitimately replayed batch (dynamic-partition
+    * overwrite of the same rows) rewrites byte-identical files under
+    * FRESH task-attempt names — same sizes, same partition layout —
+    * and must keep its committed digest; a diverged replay changes
+    * sizes or layout and must not. (A divergence that preserves every
+    * file's partition and compressed size would slip through — the
+    * digest is a guard, not a content address.)
+    */
+  private def contentDigestOfListing(listing: String): String =
+    md5(listing.split("\n").toSeq.map { line =>
+      val i = line.lastIndexOf(':')
+      val (p, len) = (line.take(i), line.drop(i))
+      val slash = p.lastIndexOf('/')
+      (if (slash >= 0) p.take(slash) else p) + len
+    }.sorted.mkString("\n"))
+
   private def digestsOf(raw: Map[Long, String]): Map[Long, String] =
-    raw.map { case (g, l) => g -> md5(l) }
+    raw.map { case (g, l) => g -> contentDigestOfListing(l) }
 
   private def fullSignatureOf(raw: Map[Long, String],
       gens: Seq[Long]): String =
@@ -207,14 +225,17 @@ object ArtifactManifest {
     * Replay-idempotent: a replayed streaming batch (gen already live)
     * is a no-op — committing again would re-chain the same listing and
     * change the signature with unchanged content. The no-op is
-    * GUARDED: the manifest stores each generation's listing digest,
-    * and a replay whose write produced DIFFERENT bytes (clusterAppend
-    * overwrites the generation directory before this call, so a
-    * diverged re-run would silently swap content under a stale
-    * signature) fails loudly instead of no-opping. Manifests written
-    * before the digest field existed have no stored digest for old
-    * generations — those replays keep the byte-identical assumption
-    * undetected, matching the streaming-batch contract. A ZERO-ROW
+    * GUARDED: the manifest stores each generation's name-insensitive
+    * content digest ([[contentDigestOfListing]] — partition layout +
+    * file sizes, so a faithful replay's fresh task-attempt file names
+    * don't trip it), and a replay whose write produced DIFFERENT
+    * content (clusterAppend overwrites the generation directory
+    * before this call, so a diverged re-run would silently swap
+    * content under a stale signature) fails loudly instead of
+    * no-opping. Manifests written before the digest field existed
+    * have no stored digest for old generations — those replays keep
+    * the identical-content assumption undetected, matching the
+    * streaming-batch contract. A ZERO-ROW
     * append is also a no-op: a dynamic-partition write that produced
     * no rows creates no `ingest=` directory (e.g. an ingest batch
     * whose every doc fell below the shingle threshold), and pinning
@@ -224,7 +245,7 @@ object ArtifactManifest {
     latest(s, dir) match {
       case Some(p) if p.generations.contains(gen) =>
         p.genDigests.get(gen).foreach { stored =>
-          val now = md5(genListing(s, dir, gen))
+          val now = contentDigestOfListing(genListing(s, dir, gen))
           require(now == stored,
             s"recordAppend: generation $gen of $dir is already " +
               s"committed but its on-disk listing digest ($now) no " +
@@ -239,7 +260,7 @@ object ArtifactManifest {
           val listing = genListing(s, dir, gen)
           commit(s, dir, (p.generations :+ gen).distinct,
             md5(p.signature + "\n\n" + listing), Some(p),
-            p.genDigests + (gen -> md5(listing)))
+            p.genDigests + (gen -> contentDigestOfListing(listing)))
         }
       case None =>
         // legacy artifact (predates manifests): adopt the listing

@@ -58,9 +58,10 @@ object VectorIndex {
         cbs.zipWithIndex.map { case (m, c) => (j, c, m.toSeq) } }.toSeq
       .toDF("j", "c", "m")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/codebooks")
-    ProductQuantization.encode(
-        e.withColumn("cell", SimilarityOps.ivfAssign(cents, dim)),
-        "embedding", books, subDim, "code")
+    val assigned = e.withColumn("cell",
+      SimilarityOps.ivfAssign(cents, dim))
+    ProductQuantization.encode(assigned, "embedding", books, subDim,
+        "code")
       // the serving columns plus any declared filter metadata — other
       // input columns don't belong in the index artifact
       .select((Seq("vec_id", "embedding", "n", "cell", "code") ++
@@ -68,7 +69,53 @@ object VectorIndex {
       .withColumn("ingest", lit(0L))
       .write.mode("overwrite").partitionBy("ingest", "cell")
       .parquet(s"$dir/corpus")
+    // drift baseline: the training corpus's mean assigned-centroid
+    // cosine under the quantizers just trained ON it — the "no drift"
+    // reference [[append]] compares each batch against. One aggregate
+    // pass, marginal next to the Lloyd rounds above.
+    Seq(meanAssignedCos(assigned, cents, dim))
+      .toDF("base_cos")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/drift")
     ArtifactManifest.recordBuild(s, s"$dir/corpus")
+  }
+
+  /** Mean cosine of each row's embedding to its ASSIGNED centroid —
+    * the drift statistic: vectors drawn from the trained distribution
+    * sit close to some centroid (high mean), while a batch whose
+    * distribution has left the training sample lands far from every
+    * cell (low mean), which is exactly when frozen-quantizer encoding
+    * starts costing recall. `df` must carry `embedding`, `n`, `cell`.
+    * Cost: one broadcast join against the k-row centroid table and
+    * one aggregate over `df` — batch-sized when called from
+    * [[append]], never a corpus scan.
+    */
+  private def meanAssignedCos(df: DataFrame,
+      cents: SimilarityOps.IvfCentroids, dim: Int): Double = {
+    val s = df.sparkSession
+    import s.implicits._
+    val centTable = cents.cells.indices.map(c => (cents.cells(c),
+        cents.books.slice(c * dim, (c + 1) * dim).toSeq,
+        cents.mns(c)))
+      .toDF("cell", "cvec", "cn")
+    df.join(broadcast(centTable), Seq("cell"))
+      .select(avg(
+        aggregate(zip_with(col("embedding"), col("cvec"),
+            (x, y) => x.cast("double") * y),
+          lit(0.0), (acc, x) => acc + x) /
+          (col("n") * col("cn"))).as("c"))
+      .as[Double].head()
+  }
+
+  /** The stored drift baseline ([[build]] writes it; artifacts built
+    * before the drift signal existed have none).
+    */
+  def driftBaseline(s: SparkSession, dir: String): Option[Double] = {
+    import s.implicits._
+    val p = new org.apache.hadoop.fs.Path(s"$dir/drift")
+    if (!p.getFileSystem(s.sparkContext.hadoopConfiguration).exists(p))
+      None
+    else Some(s.read.parquet(s"$dir/drift").select("base_cos")
+      .as[Double].head())
   }
 
   /** Deterministic artifact root for build-or-load serving: keyed by
@@ -171,16 +218,42 @@ object VectorIndex {
     * files back to one file per cell — a serving probe of one cell
     * opens a bounded file count at any ingest rate. Serve results are
     * identical across the collapse (spec-asserted).
+    *
+    * Returns the DRIFT SIGNAL — `true` when this batch's mean
+    * assigned-centroid cosine fell more than `driftTolerance` below
+    * the artifact's stored training baseline, i.e. the arriving
+    * distribution has left the training sample and frozen-quantizer
+    * encoding is costing recall: the caller's cue to schedule
+    * [[rebuild]], mirroring how `compactEvery` schedules compaction
+    * (rebuild is NOT triggered automatically — it is a maintenance
+    * window op under the single-writer contract, and one drifted
+    * batch amid normal traffic shouldn't force a full retrain; the
+    * caller decides, e.g. after N consecutive `true`s). The statistic
+    * costs one batch-sized aggregate against the k-row broadcast
+    * centroid table — never a corpus scan, so a 100 TB index pays
+    * per-batch cost only. Artifacts built before the baseline existed
+    * always return `false`.
     */
   def append(s: SparkSession, dir: String, newVecs: DataFrame,
-      compactEvery: Int = 16): Unit = {
+      compactEvery: Int = 16,
+      driftTolerance: Double = 0.05): Boolean = {
     require(compactEvery >= 2,
       s"append: compactEvery >= 2 (got $compactEvery)")
-    appendWith(load(s, dir), dir, newVecs,
+    require(driftTolerance > 0.0,
+      s"append: driftTolerance > 0 (got $driftTolerance)")
+    val l = load(s, dir)
+    val dim = l.cents.books.length / l.cents.cells.length
+    appendWith(l, dir, newVecs,
       DedupIndex.nextGeneration(s, s"$dir/corpus"))
     if (LayoutOps.ingestGenerations(s, s"$dir/corpus")
         .size >= compactEvery)
       ArtifactManifest.compactGenerations(s, s"$dir/corpus", "cell")
+    driftBaseline(s, dir).exists { base =>
+      val batch = SimilarityOps.withNorm(
+          newVecs.select("vec_id", "embedding"), "embedding", "n")
+        .withColumn("cell", SimilarityOps.ivfAssign(l.cents, dim))
+      meanAssignedCos(batch, l.cents, dim) < base - driftTolerance
+    }
   }
 
   /** Append one ingest GENERATION under an already-loaded artifact —

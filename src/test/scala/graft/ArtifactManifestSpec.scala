@@ -191,7 +191,7 @@ class ArtifactManifestSpec extends SparkSpec {
   }
 
   test("a replayed append whose rewrite DIVERGED from the committed " +
-      "bytes fails loudly instead of no-opping") {
+      "content fails loudly instead of no-opping") {
     withDir { dir =>
       buildTwoGen(dir)
       // a re-run that overwrote gen 1 with DIFFERENT content (the
@@ -201,6 +201,18 @@ class ArtifactManifestSpec extends SparkSpec {
         ArtifactManifest.recordAppend(spark, dir, 1)
       }
       assert(e.getMessage.contains("diverged"))
+    }
+  }
+
+  test("a FAITHFUL replay that rewrote identical rows under fresh " +
+      "task-attempt file names stays a no-op — the digest keys on " +
+      "layout and sizes, not names") {
+    withDir { dir =>
+      buildTwoGen(dir)
+      val before = ArtifactManifest.latest(spark, dir).get
+      writeGen(dir, 1, 10 until 15) // same rows, new part-file names
+      ArtifactManifest.recordAppend(spark, dir, 1)
+      assert(ArtifactManifest.latest(spark, dir).get === before)
     }
   }
 

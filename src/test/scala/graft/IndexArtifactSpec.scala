@@ -117,6 +117,44 @@ class IndexArtifactSpec extends SparkSpec {
     }
   }
 
+  test("append reports the drift signal: an in-distribution batch " +
+      "does not trip it, a distribution shift does") {
+    // controlled geometry so the signal is deterministic: the base
+    // corpus is two tight clusters along basis axes 0 and 1 (Lloyd
+    // lands centroids on them; mean assigned cosine ~1), the uniform
+    // continuation draws from the same clusters, and the DRIFTED
+    // batch lives on axis 5 — near-orthogonal to every trained
+    // centroid, exactly the frozen-quantizer recall hazard the
+    // signal exists to surface
+    def clustered(ids: Range, axisOf: Long => Int) = ids.map { i =>
+      val v = Array.fill(dim)(0.0f)
+      v(axisOf(i.toLong)) = 1.0f
+      v((10 + i % 3)) = 0.01f * (1 + i % 7) // jitter off the axis
+      (i.toLong, v.toSeq)
+    }.toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>")
+        .as("embedding"))
+    val base = clustered(0 until 300, id => (id % 2).toInt)
+    withArtifact(base) { dir =>
+      assert(VectorIndex.driftBaseline(spark, dir).exists(_ > 0.9))
+      val uniform = clustered(300 until 400, id => (id % 2).toInt)
+      assert(!VectorIndex.append(spark, dir, uniform))
+      val drifted = clustered(400 until 500, _ => 5)
+      assert(VectorIndex.append(spark, dir, drifted))
+      // the signal is advisory — both batches were ingested
+      assert(VectorIndex.load(spark, dir).corpus.count() === 500L)
+      // rebuild retrains on current contents and REFRESHES the
+      // baseline (it is the staged build's own, swapped in with the
+      // artifact): the drifted mass is now in the training sample,
+      // so the reference the next appends compare against reflects
+      // today's distribution, not the original build's
+      val baseBefore = VectorIndex.driftBaseline(spark, dir).get
+      VectorIndex.rebuild(spark, dir, steps, sub, subDim, k)
+      val baseAfter = VectorIndex.driftBaseline(spark, dir).get
+      assert(baseAfter < baseBefore)
+    }
+  }
+
   test("filtered artifact serving (s12) equals inline-trained filtered serving") {
     // s12 itself now serves from the persisted artifact (build-or-
     // load), so the reference here is an INLINE-trained index that

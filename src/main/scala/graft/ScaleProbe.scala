@@ -558,6 +558,110 @@ object ScaleProbe {
       spark.sql("DROP TABLE IF EXISTS probe_mv_base")
     }
 
+    // the VERSIONED CHAIN cost of the streaming CDC paths: the 20M
+    // probes above time one-shot apply/maintain; streamApply/
+    // streamMaintain additionally persist a FULL snapshot (and
+    // aggregate) parquet version per micro-batch and prune the chain
+    // to `retainVersions`. That per-batch snapshot write is O(base) —
+    // the price of snapshot-isolated replay + time travel — so the
+    // chain's throughput is the snapshot write bandwidth, not the
+    // churn apply: this probe measures it (4 batches over a 20M base,
+    // retain=2) and reports the bytes the pruned chain actually
+    // retains per version. The sizing rule this measures for
+    // CLUSTER.md: chain versioning per micro-batch fits bases whose
+    // full parquet write fits the batch interval; past that, version
+    // at a coarser cadence or partition the snapshot so a batch
+    // rewrites only churned partitions.
+    if (want("cdc stream apply chain (20M, 4 batches)",
+        "cdc stream maintain chain (20M, 4 batches)")) locally {
+      def cBase = spark.range(n).select(col("id").as("k"),
+        (col("id") % 1000).as("g"), (col("id") % 97).as("x"))
+      def cLog = spark.range(2000000L).select(
+        (col("id") * 10).as("k"), (col("id") % 4L + 1L).as("seq"),
+        when(col("id") % 3 === 0, "D").otherwise("U").as("op"),
+        (col("id") % 1000).as("g"), (col("id") % 89).as("x"))
+      def rm(p: java.nio.file.Path): Unit = {
+        if (java.nio.file.Files.isDirectory(p)) {
+          val st = java.nio.file.Files.list(p)
+          try st.forEach(rm) finally st.close()
+        }
+        java.nio.file.Files.deleteIfExists(p)
+      }
+      def chainReport(tag: String, root: String): Unit = {
+        val rp = new org.apache.hadoop.fs.Path(root)
+        val fs = rp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val versions = fs.listStatus(rp).map(_.getPath)
+          .filter(p => p.getName.startsWith("snap") ||
+            p.getName.startsWith("agg"))
+        val bytes = versions.map(p =>
+          fs.getContentSummary(p).getLength).sum
+        println(f"  $tag chain retained: ${versions.length} version " +
+          f"dirs, ${bytes / 1e6}%.0f MB total, " +
+          f"${bytes / math.max(versions.length, 1) / 1e6}%.0f MB/version")
+      }
+      locally {
+        val root = java.nio.file.Files
+          .createTempDirectory("graft-probe-cdc-chain").toString
+        time("cdc stream apply chain (20M, 4 batches)", 4 * n) {
+          graft.operators.CdcOps.streamApply(spark, cBase, cLog,
+              Seq("k"), "seq", "op", nFiles = 4, root = root,
+              retainVersions = 2)
+            .write.format("noop").mode("overwrite").save()
+        }
+        chainReport("apply", root)
+        rm(java.nio.file.Paths.get(root))
+      }
+      locally {
+        val root = java.nio.file.Files
+          .createTempDirectory("graft-probe-cdc-chain").toString
+        time("cdc stream maintain chain (20M, 4 batches)", 4 * n) {
+          graft.operators.CdcOps.streamMaintain(spark, cBase, cLog,
+              Seq("k"), "seq", "op", nFiles = 4, root = root,
+              dims = Seq("g"), sumCols = Seq("x"),
+              retainVersions = 2)
+            .write.format("noop").mode("overwrite").save()
+        }
+        chainReport("maintain", root)
+        rm(java.nio.file.Paths.get(root))
+      }
+      // the COPY-ON-WRITE alternative under CLUSTERED churn — the
+      // realistic CDC shape (hot recent keys): the same 2M-row log
+      // confined to the top 1.5M keys of a range-bucketed 20M base
+      // (5 of 64 buckets hot). The full chain above rewrites 20M rows
+      // per batch regardless; the partitioned chain rewrites only the
+      // hot buckets — per-batch cost O(churn locality), storage one
+      // full copy + hot-bucket deltas. This probe is the measured
+      // basis for PartitionedCdc's 100 TB claim.
+      locally {
+        val bucketWidth = n / 64
+        val bucketOf = floor(col("k") / bucketWidth).cast("long")
+        val hotLog = spark.range(2000000L).select(
+          (lit(18500000L) + col("id") % 1500000L).as("k"),
+          (col("id") % 4L + 1L).as("seq"),
+          when(col("id") % 3 === 0, "D").otherwise("U").as("op"),
+          (col("id") % 1000).as("g"), (col("id") % 89).as("x"))
+        val root = java.nio.file.Files
+          .createTempDirectory("graft-probe-cdc-cow").toString
+        time("cdc partitioned chain (20M, hot 5/64 buckets)", 4 * n) {
+          graft.operators.PartitionedCdc.streamApply(spark, cBase,
+              hotLog, Seq("k"), "seq", "op", bucketOf, nFiles = 4,
+              root = root, retainVersions = 2)
+            .write.format("noop").mode("overwrite").save()
+        }
+        locally {
+          val rp = new org.apache.hadoop.fs.Path(s"$root/data")
+          val fs = rp.getFileSystem(
+            spark.sparkContext.hadoopConfiguration)
+          val bytes = fs.getContentSummary(rp).getLength
+          val verDirs = fs.listStatus(rp).count(
+            _.getPath.getName.startsWith("ver="))
+          println(f"  partitioned chain retained: $verDirs version " +
+            f"dirs, ${bytes / 1e6}%.0f MB total data")
+        }
+        rm(java.nio.file.Paths.get(root))
+      }
+    }
+
     // snapshotDiff at audit scale: two 20M-row versions, ~2.8M true
     // deltas (2M changed, 400k removed, 400k added). The union+single-
     // aggregation formulation pays ONE exchange over prev ∪ next;

@@ -342,6 +342,29 @@ object ExtraQueries {
           max(col("l_extendedprice")).as("max_price"))
     }),
 
+    // x17: COPY-ON-WRITE partitioned CDC versioning, oracle-gated end
+    // to end — the 100 TB successor of the full-snapshot chain
+    // ([[PartitionedCdc]]): the base lays out as bucketed version 0,
+    // each changelog generation applies as one batch that reads and
+    // rewrites ONLY its churned buckets under a new version directory,
+    // and the manifest-assembled final read must equal the one-shot
+    // latest-wins apply — x11's oracle VERBATIM, the same equivalence
+    // st12 holds for the streaming chain. Works because per-bucket
+    // apply composes: a key's rows live in exactly one bucket, so
+    // restricting each batch to churned buckets loses nothing.
+    "x17_cdc_partitioned" -> ((s, d) => {
+      import graft.operators.{PartitionedCdc, TempArtifacts}
+      val (base, log) = cdcFrames(s, d)
+      val root = TempArtifacts.dir("graft-pcdc")
+      val bucketOf = pmod(col("o_orderkey"), lit(16)).cast("long")
+      PartitionedCdc.init(base, bucketOf, root)
+      for (g <- Seq(1, 2))
+        PartitionedCdc.applyBatch(s, root,
+          log.filter(col("seq") === g), Seq("o_orderkey"), "seq",
+          "op", bucketOf, retainVersions = 10)
+      PartitionedCdc.read(s, root)
+    }),
+
     // x15: data-quality constraint report — the pre-publication gate a
     // pipeline runs over a fact table (deequ-style): null checks,
     // range checks, set membership, PK uniqueness, FK referential
@@ -528,6 +551,36 @@ object ExtraQueries {
     (base.select(col("o_orderkey"), grp, tc),
       log.select(col("o_orderkey"), col("seq"), col("op"), grp, tc))
   }
+
+  /** x11 and x17 share one oracle: the partitioned copy-on-write
+    * apply must land on exactly the one-shot latest-wins apply's
+    * final state.
+    */
+  private val cdcApplySql =
+    """WITH base AS (
+         SELECT o_orderkey, o_custkey, o_totalprice AS price,
+           'base' AS src
+         FROM orders WHERE o_orderkey % 10 >= 3),
+       log AS (
+         SELECT o_orderkey, o_custkey, 1 AS seq, 'U' AS op,
+           o_totalprice * 1.05 AS price, 'cdc' AS src
+         FROM orders WHERE o_orderkey % 10 < 5
+         UNION ALL
+         SELECT o_orderkey, o_custkey, 2 AS seq,
+           CASE WHEN o_orderkey % 3 = 0 THEN 'D' ELSE 'U' END AS op,
+           o_totalprice * 1.10 AS price, 'cdc' AS src
+         FROM orders WHERE o_orderkey % 10 < 3),
+       latest AS (
+         SELECT o_orderkey, o_custkey, op, price, src FROM (
+           SELECT *, row_number() OVER (PARTITION BY o_orderkey
+             ORDER BY seq DESC) AS rn
+           FROM log) WHERE rn = 1)
+       SELECT b.o_orderkey, b.o_custkey, b.price, b.src
+       FROM base b LEFT JOIN latest l ON l.o_orderkey = b.o_orderkey
+       WHERE l.o_orderkey IS NULL
+       UNION ALL
+       SELECT o_orderkey, o_custkey, price, src
+       FROM latest WHERE op <> 'D'"""
 
   def oracle: Map[String, String] = Map(
     "p10_key_select" ->
@@ -748,31 +801,10 @@ object ExtraQueries {
     // Latest-wins mirror via row_number over seq DESC (seqs are unique
     // per key by construction, so the pick is deterministic); the
     // untouched-base leg is the anti-join's NULL-probe form.
-    "x11_cdc_apply" ->
-      """WITH base AS (
-           SELECT o_orderkey, o_custkey, o_totalprice AS price,
-             'base' AS src
-           FROM orders WHERE o_orderkey % 10 >= 3),
-         log AS (
-           SELECT o_orderkey, o_custkey, 1 AS seq, 'U' AS op,
-             o_totalprice * 1.05 AS price, 'cdc' AS src
-           FROM orders WHERE o_orderkey % 10 < 5
-           UNION ALL
-           SELECT o_orderkey, o_custkey, 2 AS seq,
-             CASE WHEN o_orderkey % 3 = 0 THEN 'D' ELSE 'U' END AS op,
-             o_totalprice * 1.10 AS price, 'cdc' AS src
-           FROM orders WHERE o_orderkey % 10 < 3),
-         latest AS (
-           SELECT o_orderkey, o_custkey, op, price, src FROM (
-             SELECT *, row_number() OVER (PARTITION BY o_orderkey
-               ORDER BY seq DESC) AS rn
-             FROM log) WHERE rn = 1)
-         SELECT b.o_orderkey, b.o_custkey, b.price, b.src
-         FROM base b LEFT JOIN latest l ON l.o_orderkey = b.o_orderkey
-         WHERE l.o_orderkey IS NULL
-         UNION ALL
-         SELECT o_orderkey, o_custkey, price, src
-         FROM latest WHERE op <> 'D'""",
+    "x11_cdc_apply" -> cdcApplySql,
+    // the partitioned copy-on-write apply is held to the SAME final
+    // state as the one-shot apply — per-bucket application composes
+    "x17_cdc_partitioned" -> cdcApplySql,
     // Full recompute over the applied snapshot — the equivalence the
     // incremental maintenance must hash-match. Measures integer-scale
     // BEFORE summing (hundredths of a cent), exactly as the Spark

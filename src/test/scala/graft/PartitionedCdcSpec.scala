@@ -1,0 +1,156 @@
+package graft
+
+import org.apache.hadoop.fs.{Path => HPath}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.operators.{CdcOps, PartitionedCdc}
+
+/** The copy-on-write partitioned CDC contract: multi-batch partitioned
+  * apply ≡ one-shot changelog apply, every retained version reads as
+  * its prefix apply, unchurned buckets are never rewritten (their one
+  * physical copy serves every version), retention reaps exactly the
+  * unreferenced (ver, bucket) directories, and a replayed batch
+  * converges.
+  */
+class PartitionedCdcSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def fs = new HPath("/").getFileSystem(
+    spark.sparkContext.hadoopConfiguration)
+
+  private def withDir[A](f: String => A): A =
+    withTempDir("graft-pcdc")(f)
+
+  // range bucketing: 4 buckets of 25 keys — churn confined to one
+  // bucket rewrites one bucket, the partitioned design's whole point
+  private val bucketOf = floor(col("k") / 25).cast("long")
+
+  private def base: DataFrame = (0L until 100L)
+    .map(k => (k, k * 10, "base")).toDF("k", "v", "src")
+
+  /** batch 1: re-value keys 0-9 (bucket 0), delete 20-24 (empties
+    * nothing — bucket 0 keeps 0..19), insert 100-104 (NEW bucket 4).
+    */
+  private def log1: DataFrame = (
+    (0L until 10L).map(k => (k, 1L, "U", k * 10 + 1, "cdc")) ++
+    (20L until 25L).map(k => (k, 1L, "D", 0L, "cdc")) ++
+    (100L until 105L).map(k => (k, 1L, "U", k * 10, "cdc"))
+  ).toDF("k", "seq", "op", "v", "src")
+
+  /** batch 2: touch bucket 1 (keys 30-34), and delete ALL of bucket 4
+    * (keys 100-104) — an emptied bucket must leave the manifest.
+    */
+  private def log2: DataFrame = (
+    (30L until 35L).map(k => (k, 2L, "U", k * 10 + 2, "cdc")) ++
+    (100L until 105L).map(k => (k, 2L, "D", 0L, "cdc"))
+  ).toDF("k", "seq", "op", "v", "src")
+
+  private def kvRows(df: DataFrame): Seq[(Long, Long, String)] =
+    df.select("k", "v", "src").as[(Long, Long, String)]
+      .collect().toSeq.sorted
+
+  private def expect(batches: DataFrame*): Seq[(Long, Long, String)] =
+    kvRows(batches.foldLeft(base)((b, l) =>
+      CdcOps.applyChangelog(b, l, Seq("k"), "seq", "op")))
+
+  test("multi-batch partitioned apply ≡ one-shot apply; every " +
+      "retained version reads as its prefix; churn-only writes") {
+    withDir { root =>
+      PartitionedCdc.init(base, bucketOf, root)
+      PartitionedCdc.applyBatch(spark, root, log1, Seq("k"), "seq",
+        "op", bucketOf, retainVersions = 10)
+      PartitionedCdc.applyBatch(spark, root, log2, Seq("k"), "seq",
+        "op", bucketOf, retainVersions = 10)
+      assert(kvRows(PartitionedCdc.read(spark, root)) ===
+        expect(log1, log2))
+      assert(kvRows(PartitionedCdc.readVersion(spark, root, 1)) ===
+        expect(log1))
+      assert(kvRows(PartitionedCdc.readVersion(spark, root, 0)) ===
+        kvRows(base))
+      // ver=1 holds exactly batch 1's churned buckets (0 and the new
+      // 4); buckets 1-3 were never rewritten for it
+      def bucketsIn(v: Int): Set[String] =
+        fs.listStatus(new HPath(s"$root/data/ver=$v")).toSeq
+          .map(_.getPath.getName).filter(_.startsWith("bucket=")).toSet
+      assert(bucketsIn(1) === Set("bucket=0", "bucket=4"))
+      assert(bucketsIn(2) === Set("bucket=1"))
+      // the manifest serves unchurned buckets from their ver=0 copy
+      val m2 = PartitionedCdc.manifest(spark, root, 2)
+      assert(m2.buckets === Map(0L -> 1, 1L -> 2, 2L -> 0, 3L -> 0))
+      // bucket 4 emptied by batch 2: gone from the live map
+    }
+  }
+
+  test("copy-on-write isolation: a reader pinned at any retained " +
+      "version serves identical rows through later batches") {
+    withDir { root =>
+      PartitionedCdc.init(base, bucketOf, root)
+      PartitionedCdc.applyBatch(spark, root, log1, Seq("k"), "seq",
+        "op", bucketOf, retainVersions = 10)
+      val pinned = PartitionedCdc.readVersion(spark, root, 1)
+      val before = kvRows(pinned)
+      PartitionedCdc.applyBatch(spark, root, log2, Seq("k"), "seq",
+        "op", bucketOf, retainVersions = 10)
+      assert(kvRows(pinned) === before)
+      assert(before === expect(log1))
+    }
+  }
+
+  test("retention reaps exactly the unreferenced (ver, bucket) " +
+      "directories; the never-churned buckets' single copy survives") {
+    withDir { root =>
+      PartitionedCdc.init(base, bucketOf, root)
+      // two batches churning bucket 0 only, retain 1: after v2, v0's
+      // manifest is gone and v1's bucket-0 copy is unreferenced —
+      // but ver=0's buckets 1-3 still serve every retained version
+      def touch(seq: Long) = (0L until 5L)
+        .map(k => (k, seq, "U", k + seq, "cdc"))
+        .toDF("k", "seq", "op", "v", "src")
+      PartitionedCdc.applyBatch(spark, root, touch(1), Seq("k"), "seq",
+        "op", bucketOf, retainVersions = 1)
+      PartitionedCdc.applyBatch(spark, root, touch(2), Seq("k"), "seq",
+        "op", bucketOf, retainVersions = 1)
+      assert(PartitionedCdc.listVersions(spark, root) === Seq(1, 2))
+      // v0's manifest fell off: its bucket-0 copy (ver=0/bucket=0) is
+      // referenced by no retained version and is reaped; ver=1's copy
+      // still serves retained v1
+      assert(!fs.exists(new HPath(s"$root/data/ver=0/bucket=0")))
+      assert(fs.exists(new HPath(s"$root/data/ver=1/bucket=0")))
+      // every retained version's every bucket remains readable
+      for (v <- PartitionedCdc.listVersions(spark, root);
+          (b, w) <- PartitionedCdc.manifest(spark, root, v).buckets)
+        assert(fs.exists(new HPath(s"$root/data/ver=$w/bucket=$b")),
+          s"version $v's bucket $b (served by ver=$w) was reaped")
+      assert(kvRows(PartitionedCdc.read(spark, root)) ===
+        expect(touch(1), touch(2)))
+    }
+  }
+
+  test("a replayed batch converges: same inputs, same version, same " +
+      "manifest, same rows") {
+    withDir { root =>
+      PartitionedCdc.init(base, bucketOf, root)
+      PartitionedCdc.applyVersion(spark, root, log1, Seq("k"), "seq",
+        "op", bucketOf, fromVersion = 0, retainVersions = 10)
+      val m1 = PartitionedCdc.manifest(spark, root, 1)
+      val r1 = kvRows(PartitionedCdc.readVersion(spark, root, 1))
+      PartitionedCdc.applyVersion(spark, root, log1, Seq("k"), "seq",
+        "op", bucketOf, fromVersion = 0, retainVersions = 10)
+      assert(PartitionedCdc.manifest(spark, root, 1) === m1)
+      assert(kvRows(PartitionedCdc.readVersion(spark, root, 1)) === r1)
+      assert(PartitionedCdc.listVersions(spark, root) === Seq(0, 1))
+    }
+  }
+
+  test("streaming partitioned apply ≡ the batch composition") {
+    withDir { root =>
+      val log = log1.unionByName(log2)
+      val got = PartitionedCdc.streamApply(spark, base, log,
+        Seq("k"), "seq", "op", bucketOf, nFiles = 2,
+        root = s"$root/s", retainVersions = 10)
+      assert(kvRows(got) === expect(log1, log2))
+      assert(PartitionedCdc.listVersions(spark, s"$root/s") ===
+        Seq(0, 1, 2))
+    }
+  }
+}

@@ -96,6 +96,9 @@ object Bench {
       .mkString("{", ",", "}")
     val nFail = results.values.count(_._1 < 0)
     println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$top,"sf":"$sfDir","mode":"best_of_2","n_queries":${results.size},"n_failed":$nFail,"detail":"BENCH_DETAIL.json"}""")
+    // a SPARK_GRAFT_ONLY profiling run must not clobber the committed
+    // full-sweep detail file with a subset
+    if (only.isDefined) { spark.stop(); return }
     val detail = results.toSeq.sortBy(-_._2._1).map { case (k, (v, dts)) =>
       s"\"" + k + "\":{\"best\":" + v + ",\"runs\":" +
         dts.mkString("[", ",", "]") + "}"

@@ -573,7 +573,8 @@ object ScaleProbe {
     // at a coarser cadence or partition the snapshot so a batch
     // rewrites only churned partitions.
     if (want("cdc stream apply chain (20M, 4 batches)",
-        "cdc stream maintain chain (20M, 4 batches)")) locally {
+        "cdc stream maintain chain (20M, 4 batches)",
+        "cdc partitioned chain (20M, hot 5/64 buckets)")) locally {
       def cBase = spark.range(n).select(col("id").as("k"),
         (col("id") % 1000).as("g"), (col("id") % 97).as("x"))
       def cLog = spark.range(2000000L).select(
@@ -599,7 +600,7 @@ object ScaleProbe {
           f"dirs, ${bytes / 1e6}%.0f MB total, " +
           f"${bytes / math.max(versions.length, 1) / 1e6}%.0f MB/version")
       }
-      locally {
+      if (want("cdc stream apply chain (20M, 4 batches)")) locally {
         val root = java.nio.file.Files
           .createTempDirectory("graft-probe-cdc-chain").toString
         time("cdc stream apply chain (20M, 4 batches)", 4 * n) {
@@ -611,7 +612,7 @@ object ScaleProbe {
         chainReport("apply", root)
         rm(java.nio.file.Paths.get(root))
       }
-      locally {
+      if (want("cdc stream maintain chain (20M, 4 batches)")) locally {
         val root = java.nio.file.Files
           .createTempDirectory("graft-probe-cdc-chain").toString
         time("cdc stream maintain chain (20M, 4 batches)", 4 * n) {
@@ -632,7 +633,7 @@ object ScaleProbe {
       // hot buckets — per-batch cost O(churn locality), storage one
       // full copy + hot-bucket deltas. This probe is the measured
       // basis for PartitionedCdc's 100 TB claim.
-      locally {
+      if (want("cdc partitioned chain (20M, hot 5/64 buckets)")) locally {
         val bucketWidth = n / 64
         val bucketOf = floor(col("k") / bucketWidth).cast("long")
         val hotLog = spark.range(2000000L).select(

@@ -125,9 +125,14 @@ object PartitionedCdc {
     try out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
     val fin = manifestPath(root, m.version)
-    fs.delete(fin, false)
-    require(fs.rename(tmp, fin),
-      s"PartitionedCdc: could not commit manifest $fin")
+    // ATOMIC overwrite rename (FileContext, not FileSystem.rename —
+    // which would need a delete first, leaving a window where a
+    // retained version's manifest does not resolve and a pinned
+    // reader's readVersion errors; a replayed batch re-commits its
+    // own version, so the target may legitimately exist)
+    org.apache.hadoop.fs.FileContext
+      .getFileContext(fin.toUri, s.sparkContext.hadoopConfiguration)
+      .rename(tmp, fin, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 
   private def bucketDirs(s: SparkSession, root: String,
@@ -150,8 +155,19 @@ object PartitionedCdc {
     * (the common CDC shape — then a batch rewrites only hot buckets),
     * a hash only when churn is genuinely uniform.
     */
+  /** `bucket` and `ver` are the layout's own columns — a payload
+    * column with either name would be silently clobbered by the
+    * bucket stamp and dropped by every read. Fail at init instead.
+    */
+  private def requireNoReservedCols(df: DataFrame, who: String): Unit =
+    Seq("bucket", "ver").foreach(c => require(
+      !df.columns.contains(c),
+      s"PartitionedCdc.$who: column '$c' is reserved for the " +
+        "versioned layout — rename it in the table/changelog schema"))
+
   def init(base: DataFrame, bucketOf: Column, root: String): Unit = {
     val s = base.sparkSession
+    requireNoReservedCols(base, "init")
     base.withColumn("bucket", bucketOf)
       .write.mode("overwrite").partitionBy("bucket")
       .parquet(s"$root/data/ver=0")
@@ -199,6 +215,7 @@ object PartitionedCdc {
     require(retainVersions >= 1,
       s"PartitionedCdc: retainVersions >= 1 (got $retainVersions) — " +
         "the in-flight batch's input version must survive for replay")
+    requireNoReservedCols(log, "applyVersion")
     val cur = manifest(s, root, fromVersion)
     val v = fromVersion + 1
     // churned bucket ids: one distinct over the log's bucket column —
@@ -275,7 +292,11 @@ object PartitionedCdc {
         require(fs.delete(bDir.getPath, true),
           s"PartitionedCdc: failed to reap ${bDir.getPath}")
       }
-      if (fs.listStatus(vDir.getPath).isEmpty)
+      // no bucket directory left → the version serves nothing; drop
+      // the dir INCLUDING the writer's _SUCCESS marker (an isEmpty
+      // check would keep one dead ver= dir per batch forever)
+      if (!fs.listStatus(vDir.getPath)
+          .exists(_.getPath.getName.startsWith("bucket=")))
         fs.delete(vDir.getPath, true)
     }
   }

@@ -222,6 +222,23 @@ object StreamingQueries {
         seqCol = "seq", opCol = "op", nFiles = 2, root)
     }),
 
+    // st16 ≡ x11/x17: continuous COPY-ON-WRITE partitioned CDC —
+    // st12's chain persists a full snapshot per micro-batch; here each
+    // batch reads and rewrites ONLY its churned buckets under a new
+    // version directory (PartitionedCdc.streamApply), and the final
+    // manifest-assembled read is held to the same one-shot batch
+    // oracle. Monotone seq-ordered batches make per-bucket application
+    // compose exactly as the full-snapshot chain does.
+    "st16_stream_cdc_cow" -> ((s, d) => {
+      val ss = StreamingOps.streamSession(s)
+      val root = TempArtifacts.dir("graft-stream-pcdc")
+      val (base, log) = ExtraQueries.cdcFrames(ss, d)
+      graft.operators.PartitionedCdc.streamApply(ss, base, log,
+        keys = Seq("o_orderkey"), seqCol = "seq", opCol = "op",
+        bucketOf = pmod(col("o_orderkey"), lit(16)).cast("long"),
+        nFiles = 2, root = root, retainVersions = 10)
+    }),
+
     // st14 ≡ x12: continuous materialized-view maintenance — each
     // micro-batch advances the versioned snapshot AND the versioned
     // aggregate (churn-sized delta against the pre-batch snapshot,
@@ -400,6 +417,7 @@ object StreamingQueries {
     "st11_stream_vec_ingest" ->
       SimilarityQueries.oracle("s13_vec_ingest_gate"),
     "st12_stream_cdc" -> ExtraQueries.oracle("x11_cdc_apply"),
+    "st16_stream_cdc_cow" -> ExtraQueries.oracle("x11_cdc_apply"),
     // a12's oracle shape: exact distinct + pinned invariant flags
     "st15_stream_hll" ->
       """SELECT count(DISTINCT l_partkey) AS nd_part,

@@ -71,11 +71,14 @@ object VectorIndex {
       .parquet(s"$dir/corpus")
     // drift baseline: the training corpus's mean assigned-centroid
     // cosine under the quantizers just trained ON it — the "no drift"
-    // reference [[append]] compares each batch against. One aggregate
-    // pass, marginal next to the Lloyd rounds above.
-    Seq(meanAssignedCos(assigned, cents, dim))
-      .toDF("base_cos")
-      .coalesce(1).write.mode("overwrite").parquet(s"$dir/drift")
+    // reference [[append]] compares each batch against. Computed from
+    // the corpus just WRITTEN (embedding/n/cell are on disk — a disk
+    // read beats re-running the norm + assignment plan over the
+    // input's whole lineage). A corpus of only zero-norm vectors
+    // yields no statistic — no baseline file, signal stays off.
+    meanAssignedCos(s.read.parquet(s"$dir/corpus"), cents, dim)
+      .foreach(c => Seq(c).toDF("base_cos")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/drift"))
     ArtifactManifest.recordBuild(s, s"$dir/corpus")
   }
 
@@ -85,12 +88,15 @@ object VectorIndex {
     * distribution has left the training sample lands far from every
     * cell (low mean), which is exactly when frozen-quantizer encoding
     * starts costing recall. `df` must carry `embedding`, `n`, `cell`.
-    * Cost: one broadcast join against the k-row centroid table and
-    * one aggregate over `df` — batch-sized when called from
-    * [[append]], never a corpus scan.
+    * Zero-norm rows (padding artifacts, failed encodes) are EXCLUDED
+    * — their cosine is 0/0, and one NaN would otherwise poison the
+    * average and silently disable the signal forever; `None` when no
+    * row has a norm. Cost: one broadcast join against the k-row
+    * centroid table and one aggregate over `df` — batch-sized when
+    * called from [[append]], never a corpus scan.
     */
   private def meanAssignedCos(df: DataFrame,
-      cents: SimilarityOps.IvfCentroids, dim: Int): Double = {
+      cents: SimilarityOps.IvfCentroids, dim: Int): Option[Double] = {
     val s = df.sparkSession
     import s.implicits._
     val centTable = cents.cells.indices.map(c => (cents.cells(c),
@@ -98,12 +104,13 @@ object VectorIndex {
         cents.mns(c)))
       .toDF("cell", "cvec", "cn")
     df.join(broadcast(centTable), Seq("cell"))
+      .filter(col("n") > 0 && col("cn") > 0)
       .select(avg(
         aggregate(zip_with(col("embedding"), col("cvec"),
             (x, y) => x.cast("double") * y),
           lit(0.0), (acc, x) => acc + x) /
           (col("n") * col("cn"))).as("c"))
-      .as[Double].head()
+      .as[Option[Double]].head()
   }
 
   /** The stored drift baseline ([[build]] writes it; artifacts built
@@ -243,17 +250,26 @@ object VectorIndex {
       s"append: driftTolerance > 0 (got $driftTolerance)")
     val l = load(s, dir)
     val dim = l.cents.books.length / l.cents.cells.length
-    appendWith(l, dir, newVecs,
-      DedupIndex.nextGeneration(s, s"$dir/corpus"))
+    val gen = DedupIndex.nextGeneration(s, s"$dir/corpus")
+    appendWith(l, dir, newVecs, gen)
+    // drift statistic from the generation just WRITTEN (embedding/n/
+    // cell are on disk — no re-run of the batch's lineage), BEFORE
+    // maintenance may collapse the generation dirs; a zero-row append
+    // wrote no directory and carries no signal
+    val genPath = new org.apache.hadoop.fs.Path(
+      s"$dir/corpus/ingest=$gen")
+    val tripped = driftBaseline(s, dir).exists { base =>
+      genPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .exists(genPath) &&
+        meanAssignedCos(
+            s.read.option("basePath", s"$dir/corpus")
+              .parquet(genPath.toString), l.cents, dim)
+          .exists(_ < base - driftTolerance)
+    }
     if (LayoutOps.ingestGenerations(s, s"$dir/corpus")
         .size >= compactEvery)
       ArtifactManifest.compactGenerations(s, s"$dir/corpus", "cell")
-    driftBaseline(s, dir).exists { base =>
-      val batch = SimilarityOps.withNorm(
-          newVecs.select("vec_id", "embedding"), "embedding", "n")
-        .withColumn("cell", SimilarityOps.ivfAssign(l.cents, dim))
-      meanAssignedCos(batch, l.cents, dim) < base - driftTolerance
-    }
+    tripped
   }
 
   /** Append one ingest GENERATION under an already-loaded artifact —

@@ -134,7 +134,15 @@ class IndexArtifactSpec extends SparkSpec {
     }.toDF("vec_id", "embedding")
       .select(col("vec_id"), col("embedding").cast("array<float>")
         .as("embedding"))
+    // one all-zero vector in the build corpus (a padding/failed-encode
+    // artifact): its 0/0 cosine must be EXCLUDED from the baseline —
+    // a NaN would poison the average and disable the signal forever
+    val zero = Seq((9999L, Seq.fill(dim)(0.0f)))
+      .toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>")
+        .as("embedding"))
     val base = clustered(0 until 300, id => (id % 2).toInt)
+      .unionByName(zero)
     withArtifact(base) { dir =>
       assert(VectorIndex.driftBaseline(spark, dir).exists(_ > 0.9))
       val uniform = clustered(300 until 400, id => (id % 2).toInt)
@@ -142,7 +150,8 @@ class IndexArtifactSpec extends SparkSpec {
       val drifted = clustered(400 until 500, _ => 5)
       assert(VectorIndex.append(spark, dir, drifted))
       // the signal is advisory — both batches were ingested
-      assert(VectorIndex.load(spark, dir).corpus.count() === 500L)
+      // (301 base rows incl. the zero vector + 100 + 100)
+      assert(VectorIndex.load(spark, dir).corpus.count() === 501L)
       // rebuild retrains on current contents and REFRESHES the
       // baseline (it is the staged build's own, swapped in with the
       // artifact): the drifted mass is now in the training sample,

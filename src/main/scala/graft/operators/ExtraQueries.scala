@@ -365,6 +365,30 @@ object ExtraQueries {
       PartitionedCdc.read(s, root)
     }),
 
+    // x18: the MAINTAINED VIEW over the copy-on-write layout — x12's
+    // incremental aggregate maintenance with the base COW-bucketed
+    // ([[PartitionedCdc.maintainVersion]]): each batch's maintenance
+    // job reads ONLY the churned buckets of the pre-batch version
+    // (maintainAggs touches the base solely via the churn-keyed
+    // semi-join, and a churn key's rows live in a churned bucket by
+    // definition), and the group-sized aggregate versions whole. The
+    // final aggregate version must hash-match the full recompute over
+    // the applied snapshot — x12's oracle verbatim.
+    "x18_cow_incr_agg" -> ((s, d) => {
+      import graft.operators.{PartitionedCdc, TempArtifacts}
+      val (b, l) = incrAggFrames(s, d)
+      val root = TempArtifacts.dir("graft-pcdc-mv")
+      val bucketOf = pmod(col("o_orderkey"), lit(16)).cast("long")
+      PartitionedCdc.initMaintained(b, bucketOf, root,
+        dims = Seq("grp"), sumCols = Seq("price_tc"))
+      for (g <- Seq(1, 2))
+        PartitionedCdc.maintainVersion(s, root,
+          l.filter(col("seq") === g), Seq("o_orderkey"), "seq", "op",
+          bucketOf, Seq("grp"), Seq("price_tc"), fromVersion = g - 1,
+          retainVersions = 10)
+      PartitionedCdc.readAggVersion(s, root, 2)
+    }),
+
     // x15: data-quality constraint report — the pre-publication gate a
     // pipeline runs over a fact table (deequ-style): null checks,
     // range checks, set membership, PK uniqueness, FK referential
@@ -581,6 +605,41 @@ object ExtraQueries {
        UNION ALL
        SELECT o_orderkey, o_custkey, price, src
        FROM latest WHERE op <> 'D'"""
+
+  /** x12 and x18 share one oracle: the full recompute over the
+    * applied snapshot — the equivalence incremental maintenance must
+    * hash-match, whether the base is flat (x12) or COW-bucketed (x18).
+    */
+  private val incrAggSql =
+    """WITH base AS (
+         SELECT o_orderkey, o_custkey, o_totalprice AS price
+         FROM orders WHERE o_orderkey % 10 >= 3),
+       log AS (
+         SELECT o_orderkey, o_custkey, 1 AS seq, 'U' AS op,
+           o_totalprice * 1.05 AS price
+         FROM orders WHERE o_orderkey % 10 < 5
+         UNION ALL
+         SELECT o_orderkey, o_custkey, 2 AS seq,
+           CASE WHEN o_orderkey % 3 = 0 THEN 'D' ELSE 'U' END AS op,
+           o_totalprice * 1.10 AS price
+         FROM orders WHERE o_orderkey % 10 < 3),
+       latest AS (
+         SELECT o_orderkey, o_custkey, op, price FROM (
+           SELECT *, row_number() OVER (PARTITION BY o_orderkey
+             ORDER BY seq DESC) AS rn
+           FROM log) WHERE rn = 1),
+       applied AS (
+         SELECT b.o_orderkey, b.o_custkey, b.price
+         FROM base b LEFT JOIN latest l ON l.o_orderkey = b.o_orderkey
+         WHERE l.o_orderkey IS NULL
+         UNION ALL
+         SELECT o_orderkey, o_custkey, price
+         FROM latest WHERE op <> 'D')
+       SELECT o_custkey % 100 AS grp,
+         CAST(sum(CAST(round(price * 10000, 0) AS BIGINT)) AS BIGINT)
+           AS price_tc,
+         count(*) AS n
+       FROM applied GROUP BY 1"""
 
   def oracle: Map[String, String] = Map(
     "p10_key_select" ->
@@ -809,36 +868,10 @@ object ExtraQueries {
     // incremental maintenance must hash-match. Measures integer-scale
     // BEFORE summing (hundredths of a cent), exactly as the Spark
     // side's per-row scaling, so both sums are exact integers.
-    "x12_incr_agg" ->
-      """WITH base AS (
-           SELECT o_orderkey, o_custkey, o_totalprice AS price
-           FROM orders WHERE o_orderkey % 10 >= 3),
-         log AS (
-           SELECT o_orderkey, o_custkey, 1 AS seq, 'U' AS op,
-             o_totalprice * 1.05 AS price
-           FROM orders WHERE o_orderkey % 10 < 5
-           UNION ALL
-           SELECT o_orderkey, o_custkey, 2 AS seq,
-             CASE WHEN o_orderkey % 3 = 0 THEN 'D' ELSE 'U' END AS op,
-             o_totalprice * 1.10 AS price
-           FROM orders WHERE o_orderkey % 10 < 3),
-         latest AS (
-           SELECT o_orderkey, o_custkey, op, price FROM (
-             SELECT *, row_number() OVER (PARTITION BY o_orderkey
-               ORDER BY seq DESC) AS rn
-             FROM log) WHERE rn = 1),
-         applied AS (
-           SELECT b.o_orderkey, b.o_custkey, b.price
-           FROM base b LEFT JOIN latest l ON l.o_orderkey = b.o_orderkey
-           WHERE l.o_orderkey IS NULL
-           UNION ALL
-           SELECT o_orderkey, o_custkey, price
-           FROM latest WHERE op <> 'D')
-         SELECT o_custkey % 100 AS grp,
-           CAST(sum(CAST(round(price * 10000, 0) AS BIGINT)) AS BIGINT)
-             AS price_tc,
-           count(*) AS n
-         FROM applied GROUP BY 1""",
+    "x12_incr_agg" -> incrAggSql,
+    // the COW-maintained view is held to the SAME recompute oracle:
+    // per-bucket maintenance composes exactly like per-bucket apply
+    "x18_cow_incr_agg" -> incrAggSql,
     // Full recompute over the applied snapshot — x14's equivalence
     // target (min/max CANNOT be maintained by subtraction; the op
     // re-aggregates touched groups only, which must equal this).

@@ -218,24 +218,10 @@ object PartitionedCdc {
     requireNoReservedCols(log, "applyVersion")
     val cur = manifest(s, root, fromVersion)
     val v = fromVersion + 1
-    // churned bucket ids: one distinct over the log's bucket column —
-    // bounded by the bucket count, collected driver-side like every
-    // affected-partition list
-    val churned = log.select(bucketOf.cast("long").as("bucket"))
-      .distinct().collect().map(_.getLong(0)).toSet
-    val existing = churned.filter(cur.buckets.contains)
-    val baseSlice =
-      if (existing.isEmpty)
-        // every churned bucket is brand new (pure insert batch):
-        // an empty base in the stored shape (keys + payload)
-        log.drop(seqCol, opCol).where(lit(false))
-      else {
-        val paths = existing.toSeq.sorted
-          .map(b => s"$root/data/ver=${cur.buckets(b)}/bucket=$b")
-        s.read.option("basePath", s"$root/data").parquet(paths: _*)
-          .drop("ver", "bucket")
-      }
-    CdcOps.applyChangelog(baseSlice, log, keys, seqCol, opCol, deleteOp)
+    val churned = churnedSet(log, bucketOf)
+    CdcOps.applyChangelog(
+        churnedSlice(s, root, cur, churned, log, seqCol, opCol),
+        log, keys, seqCol, opCol, deleteOp)
       .withColumn("bucket", bucketOf)
       .write.mode("overwrite").partitionBy("bucket")
       .parquet(s"$root/data/ver=$v")
@@ -247,6 +233,33 @@ object PartitionedCdc {
       Manifest(v, (cur.buckets -- churned) ++ written.map(_ -> v)))
     pruneVersions(s, root, v, retainVersions)
     v
+  }
+
+  /** Churned bucket ids: one distinct over the log's bucket column —
+    * bounded by the bucket count, collected driver-side like every
+    * affected-partition list.
+    */
+  private def churnedSet(log: DataFrame, bucketOf: Column): Set[Long] =
+    log.select(bucketOf.cast("long").as("bucket"))
+      .distinct().collect().map(_.getLong(0)).toSet
+
+  /** The pre-batch content of the churned buckets — the ONLY base
+    * rows a batch ever reads (a key's rows live in exactly one
+    * bucket, so every churn key's base row is here). Explicit
+    * per-bucket paths; empty in the stored shape (keys + payload)
+    * when every churned bucket is brand new (pure insert batch).
+    */
+  private def churnedSlice(s: SparkSession, root: String,
+      cur: Manifest, churned: Set[Long], log: DataFrame,
+      seqCol: String, opCol: String): DataFrame = {
+    val existing = churned.filter(cur.buckets.contains)
+    if (existing.isEmpty) log.drop(seqCol, opCol).where(lit(false))
+    else {
+      val paths = existing.toSeq.sorted
+        .map(b => s"$root/data/ver=${cur.buckets(b)}/bucket=$b")
+      s.read.option("basePath", s"$root/data").parquet(paths: _*)
+        .drop("ver", "bucket")
+    }
   }
 
   /** Apply on top of the current version. */
@@ -279,6 +292,17 @@ object PartitionedCdc {
     val referenced: Set[(Long, Int)] = listVersions(s, root)
       .flatMap(v => manifest(s, root, v).buckets.toSeq
         .map { case (b, w) => (b, w) }).toSet
+    // the parallel aggregate chain (maintained views) prunes with the
+    // manifests: agg/ver=w is exactly version w's aggregate
+    val retained = listVersions(s, root).toSet
+    val aggDir = new Path(s"$root/agg")
+    if (fs.exists(aggDir)) {
+      for (aDir <- fs.listStatus(aggDir)
+            if aDir.getPath.getName.startsWith("ver=");
+          w <- aDir.getPath.getName.stripPrefix("ver=").toIntOption.toSeq
+            if !retained(w))
+        fs.delete(aDir.getPath, true)
+    }
     val dataDir = new Path(s"$root/data")
     if (!fs.exists(dataDir)) return
     for (vDir <- fs.listStatus(dataDir)
@@ -299,6 +323,73 @@ object PartitionedCdc {
           .exists(_.getPath.getName.startsWith("bucket=")))
         fs.delete(vDir.getPath, true)
     }
+  }
+
+  /** The per-`dims` sums+count aggregate of a table slice — the ONE
+    * view definition [[initMaintained]] seeds and [[maintainVersion]]
+    * advances (same shape as [[CdcOps.streamMaintain]]'s).
+    */
+  private def aggOf(df: DataFrame, dims: Seq[String],
+      sumCols: Seq[String], cntCol: String): DataFrame = {
+    val aggs = sumCols.map(c => sum(col(c)).as(c)) :+
+      count(lit(1)).as(cntCol)
+    df.groupBy(dims.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** [[init]] plus a MAINTAINED VIEW: seed `agg/ver=0` with the one
+    * full aggregation in the view's lifetime. The aggregate is
+    * group-cardinality-sized, so unlike the table it is cheap to
+    * version whole — the COW treatment stays where it pays (the
+    * base), exactly [[CdcOps.streamMaintain]]'s storage insight.
+    */
+  def initMaintained(base: DataFrame, bucketOf: Column, root: String,
+      dims: Seq[String], sumCols: Seq[String],
+      cntCol: String = "n"): Unit = {
+    init(base, bucketOf, root)
+    aggOf(base, dims, sumCols, cntCol)
+      .write.mode("overwrite").parquet(s"$root/agg/ver=0")
+  }
+
+  /** Advance BOTH the table and its maintained view by one changelog
+    * batch: the aggregate updates via [[CdcOps.maintainAggs]] whose
+    * only base read is the churn-keyed semi-join — fed here with the
+    * CHURNED-BUCKET SLICE of the pre-batch version (exact: a churn
+    * key's base row lives in a churned bucket by definition), so the
+    * maintenance job never reads a cold bucket either. Then the table
+    * advances copy-on-write as [[applyVersion]]. Both writes key on
+    * the NEW version and both inputs on the old — replay-idempotent
+    * like everything else in the layout. Equivalence contract (the
+    * x18 oracle): the version-v aggregate equals a full recompute
+    * over the version-v table.
+    */
+  def maintainVersion(s: SparkSession, root: String, log: DataFrame,
+      keys: Seq[String], seqCol: String, opCol: String,
+      bucketOf: Column, dims: Seq[String], sumCols: Seq[String],
+      fromVersion: Int, cntCol: String = "n", deleteOp: String = "D",
+      retainVersions: Int = 2): Int = {
+    val cur = manifest(s, root, fromVersion)
+    val prevAgg = s.read.parquet(s"$root/agg/ver=$fromVersion")
+    val churned = churnedSet(log, bucketOf)
+    CdcOps.maintainAggs(prevAgg,
+        churnedSlice(s, root, cur, churned, log, seqCol, opCol),
+        log, keys, seqCol, opCol, dims, sumCols, cntCol, deleteOp)
+      .write.mode("overwrite")
+      .parquet(s"$root/agg/ver=${fromVersion + 1}")
+    applyVersion(s, root, log, keys, seqCol, opCol, bucketOf,
+      fromVersion, deleteOp, retainVersions)
+  }
+
+  /** Version-`v` read of the maintained view. */
+  def readAggVersion(s: SparkSession, root: String, v: Int): DataFrame = {
+    val p = new Path(s"$root/agg/ver=$v")
+    val fs = fsOf(s, p)
+    if (!fs.exists(p)) {
+      val have = listVersions(s, root)
+      throw new IllegalArgumentException(
+        s"PartitionedCdc: aggregate version $v not present under " +
+          s"$root — retained versions: ${have.mkString(", ")}")
+    }
+    s.read.parquet(p.toString)
   }
 
   /** CONTINUOUS partitioned apply — [[CdcOps.streamApply]]'s twin
@@ -325,5 +416,27 @@ object PartitionedCdc {
       s"PartitionedCdc.streamApply: expected final version $staged " +
         s"after $staged micro-batches, found ${vs.lastOption}")
     readVersion(ss, root, staged.toInt)
+  }
+
+  /** CONTINUOUS maintained view over the copy-on-write layout —
+    * [[CdcOps.streamMaintain]]'s twin: each micro-batch advances the
+    * bucketed table (churned buckets only) AND the group-sized
+    * aggregate chain. Returns the final aggregate, held to the batch
+    * recompute oracle (st17 ≡ x18 ≡ x12).
+    */
+  def streamMaintain(ss: SparkSession, base: DataFrame, log: DataFrame,
+      keys: Seq[String], seqCol: String, opCol: String,
+      bucketOf: Column, nFiles: Int, root: String, dims: Seq[String],
+      sumCols: Seq[String], cntCol: String = "n",
+      deleteOp: String = "D", retainVersions: Int = 2): DataFrame = {
+    initMaintained(base, bucketOf, root, dims, sumCols, cntCol)
+    val staged = graft.streaming.StreamingOps.stageOrderedArrivals(
+      log, seqCol, nFiles, s"$root/arrivals")
+    graft.streaming.StreamingOps.replayOrdered(ss, log.schema,
+        s"$root/arrivals", s"$root/ckpt") { (batch, batchId) =>
+      maintainVersion(ss, root, batch, keys, seqCol, opCol, bucketOf,
+        dims, sumCols, batchId.toInt, cntCol, deleteOp, retainVersions)
+    }
+    readAggVersion(ss, root, staged)
   }
 }

@@ -253,6 +253,21 @@ object StreamingQueries {
         dims = Seq("grp"), sumCols = Seq("price_tc"))
     }),
 
+    // st17 ≡ x18/x12: continuous COW-maintained view — each
+    // micro-batch advances the bucketed table (churned buckets only)
+    // AND the group-sized aggregate chain; the final aggregate
+    // version is held to the batch recompute oracle.
+    "st17_stream_cow_mv" -> ((s, d) => {
+      val ss = StreamingOps.streamSession(s)
+      val root = TempArtifacts.dir("graft-stream-pcdc-mv")
+      val (base, log) = ExtraQueries.incrAggFrames(ss, d)
+      graft.operators.PartitionedCdc.streamMaintain(ss, base, log,
+        keys = Seq("o_orderkey"), seqCol = "seq", opCol = "op",
+        bucketOf = pmod(col("o_orderkey"), lit(16)).cast("long"),
+        nFiles = 2, root = root, dims = Seq("grp"),
+        sumCols = Seq("price_tc"), retainVersions = 10)
+    }),
+
     // st15 ≡ a12: CONTINUOUS CARDINALITY — each micro-batch appends
     // ONE HLL sketch row to a parquet sketch store (hll_sketch_agg
     // over just the batch; earlier batches are never rescanned), and
@@ -418,6 +433,7 @@ object StreamingQueries {
       SimilarityQueries.oracle("s13_vec_ingest_gate"),
     "st12_stream_cdc" -> ExtraQueries.oracle("x11_cdc_apply"),
     "st16_stream_cdc_cow" -> ExtraQueries.oracle("x11_cdc_apply"),
+    "st17_stream_cow_mv" -> ExtraQueries.oracle("x12_incr_agg"),
     // a12's oracle shape: exact distinct + pinned invariant flags
     "st15_stream_hll" ->
       """SELECT count(DISTINCT l_partkey) AS nd_part,

@@ -142,6 +142,58 @@ class PartitionedCdcSpec extends SparkSpec {
     }
   }
 
+  test("maintained view: every version's aggregate equals the " +
+      "recompute over that version's table; the agg chain prunes " +
+      "with the manifests") {
+    withDir { root =>
+      def aggRows(df: DataFrame): Seq[(String, Long, Long)] =
+        df.select("src", "v", "n").as[(String, Long, Long)]
+          .collect().toSeq.sorted
+      def recompute(v: Int): Seq[(String, Long, Long)] =
+        aggRows(PartitionedCdc.readVersion(spark, root, v)
+          .groupBy("src").agg(sum("v").as("v"),
+            count(lit(1)).as("n")))
+      PartitionedCdc.initMaintained(base, bucketOf, root,
+        dims = Seq("src"), sumCols = Seq("v"))
+      PartitionedCdc.maintainVersion(spark, root, log1, Seq("k"),
+        "seq", "op", bucketOf, Seq("src"), Seq("v"), fromVersion = 0,
+        retainVersions = 10)
+      PartitionedCdc.maintainVersion(spark, root, log2, Seq("k"),
+        "seq", "op", bucketOf, Seq("src"), Seq("v"), fromVersion = 1,
+        retainVersions = 10)
+      for (v <- 0 to 2)
+        assert(aggRows(PartitionedCdc.readAggVersion(spark, root, v))
+          === recompute(v), s"aggregate version $v diverged")
+      // tighter retention on the next batch prunes BOTH chains
+      PartitionedCdc.maintainVersion(spark, root,
+        (50L until 55L).map(k => (k, 3L, "U", k, "cdc"))
+          .toDF("k", "seq", "op", "v", "src"),
+        Seq("k"), "seq", "op", bucketOf, Seq("src"), Seq("v"),
+        fromVersion = 2, retainVersions = 1)
+      assert(PartitionedCdc.listVersions(spark, root) === Seq(2, 3))
+      assert(!fs.exists(new HPath(s"$root/agg/ver=0")))
+      assert(!fs.exists(new HPath(s"$root/agg/ver=1")))
+      assert(aggRows(PartitionedCdc.readAggVersion(spark, root, 3))
+        === recompute(3))
+    }
+  }
+
+  test("streaming maintained view ≡ the batch recompute") {
+    withDir { root =>
+      val log = log1.unionByName(log2)
+      val got = PartitionedCdc.streamMaintain(spark, base, log,
+        Seq("k"), "seq", "op", bucketOf, nFiles = 2,
+        root = s"$root/m", dims = Seq("src"), sumCols = Seq("v"),
+        retainVersions = 10)
+      val expected = PartitionedCdc.readVersion(spark, s"$root/m", 2)
+        .groupBy("src").agg(sum("v").as("v"), count(lit(1)).as("n"))
+      assert(got.select("src", "v", "n").as[(String, Long, Long)]
+        .collect().toSeq.sorted ===
+        expected.select("src", "v", "n").as[(String, Long, Long)]
+          .collect().toSeq.sorted)
+    }
+  }
+
   test("streaming partitioned apply ≡ the batch composition") {
     withDir { root =>
       val log = log1.unionByName(log2)

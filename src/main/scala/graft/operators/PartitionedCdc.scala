@@ -273,6 +273,38 @@ object PartitionedCdc {
       vs.last, deleteOp, retainVersions)
   }
 
+  /** RE-BUCKET the table — the layout-maintenance op for when the
+    * churn pattern outgrows the original `bucketOf` (hot range moved,
+    * bucket sizes skewed): write EVERY bucket under the new expression
+    * as one fresh version and flip the manifest. Old versions stay
+    * readable until retention reaps them (their manifests reference
+    * the old bucket ids — bucket identity is per-version, nothing
+    * assumes a global bucket universe). Cost: one full-table rewrite,
+    * the same as the original init — schedule it like any
+    * re-cluster. Subsequent [[applyVersion]] calls must pass the NEW
+    * expression (same caller contract as `bucketOf` itself).
+    */
+  def rebucket(s: SparkSession, root: String, newBucketOf: Column,
+      retainVersions: Int = 2): Int = {
+    val vs = listVersions(s, root)
+    require(vs.nonEmpty, s"PartitionedCdc: $root is not initialized")
+    val v = vs.last + 1
+    read(s, root).withColumn("bucket", newBucketOf)
+      .write.mode("overwrite").partitionBy("bucket")
+      .parquet(s"$root/data/ver=$v")
+    // a maintained root carries its aggregate forward unchanged —
+    // the view is bucket-layout-invariant, and the next
+    // maintainVersion(fromVersion = v) needs agg/ver=v to exist
+    val prevAgg = new Path(s"$root/agg/ver=${vs.last}")
+    if (fsOf(s, prevAgg).exists(prevAgg))
+      s.read.parquet(prevAgg.toString)
+        .write.mode("overwrite").parquet(s"$root/agg/ver=$v")
+    commitManifest(s, root,
+      Manifest(v, bucketDirs(s, root, v).map(_ -> v).toMap))
+    pruneVersions(s, root, v, retainVersions)
+    v
+  }
+
   /** Drop manifests below the retention window, then reap exactly the
     * `(ver, bucket)` directories no retained manifest references.
     * Driver-side metadata only: retained manifests × their bucket

@@ -194,6 +194,63 @@ class PartitionedCdcSpec extends SparkSpec {
     }
   }
 
+  test("rebucket: content-invariant layout flip — pinned readers " +
+      "undisturbed, maintenance continues under the new expression") {
+    withDir { root =>
+      PartitionedCdc.initMaintained(base, bucketOf, root,
+        dims = Seq("src"), sumCols = Seq("v"))
+      PartitionedCdc.maintainVersion(spark, root, log1, Seq("k"),
+        "seq", "op", bucketOf, Seq("src"), Seq("v"), fromVersion = 0,
+        retainVersions = 10)
+      val pinned = PartitionedCdc.readVersion(spark, root, 1)
+      val before = kvRows(pinned)
+      // the churn pattern "moved": re-bucket on a finer key range
+      val newBucketOf = floor(col("k") / 10).cast("long")
+      val v = PartitionedCdc.rebucket(spark, root, newBucketOf,
+        retainVersions = 10)
+      assert(v === 2)
+      assert(kvRows(PartitionedCdc.read(spark, root)) === expect(log1))
+      assert(kvRows(pinned) === before) // old layout untouched
+      // every live bucket now serves from the rebucketed version
+      assert(PartitionedCdc.manifest(spark, root, v).buckets.values
+        .forall(_ === v))
+      // maintenance picks up at the new version with the new expr
+      PartitionedCdc.maintainVersion(spark, root, log2, Seq("k"),
+        "seq", "op", newBucketOf, Seq("src"), Seq("v"),
+        fromVersion = v, retainVersions = 10)
+      assert(kvRows(PartitionedCdc.read(spark, root)) ===
+        expect(log1, log2))
+      val agg = PartitionedCdc.readAggVersion(spark, root, v + 1)
+        .select("src", "v", "n").as[(String, Long, Long)]
+        .collect().toSeq.sorted
+      val rec = PartitionedCdc.read(spark, root).groupBy("src")
+        .agg(sum("v").as("v"), count(lit(1)).as("n"))
+        .select("src", "v", "n").as[(String, Long, Long)]
+        .collect().toSeq.sorted
+      assert(agg === rec)
+    }
+  }
+
+  test("snapshotDiff composes over COW versions: what a batch did " +
+      "to the table, from two manifest-assembled reads") {
+    withDir { root =>
+      PartitionedCdc.init(base, bucketOf, root)
+      PartitionedCdc.applyBatch(spark, root, log1, Seq("k"), "seq",
+        "op", bucketOf, retainVersions = 10)
+      val diff = CdcOps.snapshotDiff(
+        PartitionedCdc.readVersion(spark, root, 0),
+        PartitionedCdc.readVersion(spark, root, 1), Seq("k"))
+      val classes = diff.select("k", "change")
+        .as[(Long, String)].collect().toMap
+      // log1: updates 0-9 ('C'), deletes 20-24 ('R'), inserts
+      // 100-104 ('A') — and nothing else changed
+      assert((0L until 10L).forall(classes.get(_).contains("C")))
+      assert((20L until 25L).forall(classes.get(_).contains("R")))
+      assert((100L until 105L).forall(classes.get(_).contains("A")))
+      assert(classes.size === 20)
+    }
+  }
+
   test("streaming partitioned apply ≡ the batch composition") {
     withDir { root =>
       val log = log1.unionByName(log2)

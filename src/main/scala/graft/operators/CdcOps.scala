@@ -428,6 +428,18 @@ object CdcOps {
     * is the replay-safety floor), applied to both artifact chains.
     * Returns the final aggregate version.
     */
+  /** THE maintained-view aggregate definition — per-`dims` sums +
+    * count — shared by every seeding/recompute site (here and
+    * [[PartitionedCdc]]) so the batch and stream oracles can never
+    * silently diverge on the view's shape.
+    */
+  private[operators] def groupAgg(df: DataFrame, dims: Seq[String],
+      sumCols: Seq[String], cntCol: String): DataFrame = {
+    val aggs = sumCols.map(c => sum(col(c)).as(c)) :+
+      count(lit(1)).as(cntCol)
+    df.groupBy(dims.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
   def streamMaintain(ss: org.apache.spark.sql.SparkSession,
       base: DataFrame, log: DataFrame, keys: Seq[String],
       seqCol: String, opCol: String, nFiles: Int, root: String,
@@ -435,11 +447,8 @@ object CdcOps {
       retainVersions: Int = 2): DataFrame = {
     require(retainVersions >= 1,
       s"streamMaintain: retainVersions >= 1 (got $retainVersions)")
-    def aggOf(df: DataFrame): DataFrame = {
-      val aggs = sumCols.map(c => sum(col(c)).as(c)) :+
-        count(lit(1)).as(cntCol)
-      df.groupBy(dims.map(col): _*).agg(aggs.head, aggs.tail: _*)
-    }
+    def aggOf(df: DataFrame): DataFrame =
+      groupAgg(df, dims, sumCols, cntCol)
     base.write.mode("overwrite").parquet(s"$root/snap0")
     aggOf(base).write.mode("overwrite").parquet(s"$root/agg0")
     val staged = graft.streaming.StreamingOps.stageOrderedArrivals(

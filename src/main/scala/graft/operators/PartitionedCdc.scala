@@ -207,18 +207,48 @@ object PartitionedCdc {
     * keyed by the new version (directory overwrite + manifest
     * overwrite), the inputs by `fromVersion` — a replayed batch
     * recomputes identical content and re-commits it. Single writer.
+    *
+    * REFUSES a MAINTAINED root (one with an aggregate chain): the
+    * plain apply would advance the table and strand the view — the
+    * old aggregate is wrong for the new content, and the chain could
+    * never catch up once its last version fell off retention. Route
+    * maintained roots through [[maintainVersion]], which advances
+    * both chains together.
     */
   def applyVersion(s: SparkSession, root: String, log: DataFrame,
       keys: Seq[String], seqCol: String, opCol: String,
       bucketOf: Column, fromVersion: Int, deleteOp: String = "D",
       retainVersions: Int = 2): Int = {
+    validateBatch(log, retainVersions)
+    require(!fsOf(s, new Path(s"$root/agg"))
+        .exists(new Path(s"$root/agg")),
+      s"PartitionedCdc.applyVersion: $root is a MAINTAINED root " +
+        "(it has an aggregate chain) — use maintainVersion, which " +
+        "advances the table and the view together; a plain apply " +
+        "would strand the view at a stale version")
+    val cur = manifest(s, root, fromVersion)
+    doApply(s, root, log, keys, seqCol, opCol, bucketOf, cur,
+      churnedSet(log, bucketOf), deleteOp, retainVersions)
+  }
+
+  private def validateBatch(log: DataFrame,
+      retainVersions: Int): Unit = {
     require(retainVersions >= 1,
       s"PartitionedCdc: retainVersions >= 1 (got $retainVersions) — " +
         "the in-flight batch's input version must survive for replay")
-    requireNoReservedCols(log, "applyVersion")
-    val cur = manifest(s, root, fromVersion)
-    val v = fromVersion + 1
-    val churned = churnedSet(log, bucketOf)
+    requireNoReservedCols(log, "batch")
+  }
+
+  /** The apply body, with the manifest and churned set precomputed —
+    * shared by [[applyVersion]] and [[maintainVersion]] so a
+    * maintained batch reads the manifest and scans the changelog for
+    * its bucket set ONCE, not once per chain.
+    */
+  private def doApply(s: SparkSession, root: String, log: DataFrame,
+      keys: Seq[String], seqCol: String, opCol: String,
+      bucketOf: Column, cur: Manifest, churned: Set[Long],
+      deleteOp: String, retainVersions: Int): Int = {
+    val v = cur.version + 1
     CdcOps.applyChangelog(
         churnedSlice(s, root, cur, churned, log, seqCol, opCol),
         log, keys, seqCol, opCol, deleteOp)
@@ -319,14 +349,18 @@ object PartitionedCdc {
     val floor = newest - retainVersions
     if (floor < 0) return
     val fs = fsOf(s, new Path(root))
-    for (v <- listVersions(s, root) if v < floor)
-      fs.delete(manifestPath(root, v), false)
-    val referenced: Set[(Long, Int)] = listVersions(s, root)
+    // ONE _versions listing serves manifest pruning, the reference
+    // set, and the agg prune — each listing is a real request on an
+    // object store, and this runs on the per-batch path
+    val all = listVersions(s, root)
+    val (dead, kept) = all.partition(_ < floor)
+    dead.foreach(v => fs.delete(manifestPath(root, v), false))
+    val referenced: Set[(Long, Int)] = kept
       .flatMap(v => manifest(s, root, v).buckets.toSeq
         .map { case (b, w) => (b, w) }).toSet
     // the parallel aggregate chain (maintained views) prunes with the
     // manifests: agg/ver=w is exactly version w's aggregate
-    val retained = listVersions(s, root).toSet
+    val retained = kept.toSet
     val aggDir = new Path(s"$root/agg")
     if (fs.exists(aggDir)) {
       for (aDir <- fs.listStatus(aggDir)
@@ -357,17 +391,6 @@ object PartitionedCdc {
     }
   }
 
-  /** The per-`dims` sums+count aggregate of a table slice — the ONE
-    * view definition [[initMaintained]] seeds and [[maintainVersion]]
-    * advances (same shape as [[CdcOps.streamMaintain]]'s).
-    */
-  private def aggOf(df: DataFrame, dims: Seq[String],
-      sumCols: Seq[String], cntCol: String): DataFrame = {
-    val aggs = sumCols.map(c => sum(col(c)).as(c)) :+
-      count(lit(1)).as(cntCol)
-    df.groupBy(dims.map(col): _*).agg(aggs.head, aggs.tail: _*)
-  }
-
   /** [[init]] plus a MAINTAINED VIEW: seed `agg/ver=0` with the one
     * full aggregation in the view's lifetime. The aggregate is
     * group-cardinality-sized, so unlike the table it is cheap to
@@ -378,7 +401,7 @@ object PartitionedCdc {
       dims: Seq[String], sumCols: Seq[String],
       cntCol: String = "n"): Unit = {
     init(base, bucketOf, root)
-    aggOf(base, dims, sumCols, cntCol)
+    CdcOps.groupAgg(base, dims, sumCols, cntCol)
       .write.mode("overwrite").parquet(s"$root/agg/ver=0")
   }
 
@@ -399,6 +422,9 @@ object PartitionedCdc {
       bucketOf: Column, dims: Seq[String], sumCols: Seq[String],
       fromVersion: Int, cntCol: String = "n", deleteOp: String = "D",
       retainVersions: Int = 2): Int = {
+    // every validation BEFORE the first write: a failed batch must
+    // not leave an orphan agg/ver that a later commit legitimizes
+    validateBatch(log, retainVersions)
     val cur = manifest(s, root, fromVersion)
     val prevAgg = s.read.parquet(s"$root/agg/ver=$fromVersion")
     val churned = churnedSet(log, bucketOf)
@@ -407,8 +433,8 @@ object PartitionedCdc {
         log, keys, seqCol, opCol, dims, sumCols, cntCol, deleteOp)
       .write.mode("overwrite")
       .parquet(s"$root/agg/ver=${fromVersion + 1}")
-    applyVersion(s, root, log, keys, seqCol, opCol, bucketOf,
-      fromVersion, deleteOp, retainVersions)
+    doApply(s, root, log, keys, seqCol, opCol, bucketOf, cur,
+      churned, deleteOp, retainVersions)
   }
 
   /** Version-`v` read of the maintained view. */
@@ -416,10 +442,22 @@ object PartitionedCdc {
     val p = new Path(s"$root/agg/ver=$v")
     val fs = fsOf(s, p)
     if (!fs.exists(p)) {
-      val have = listVersions(s, root)
+      // report the AGG versions that exist, not the manifest list —
+      // the two chains can disagree (non-maintained root, or a chain
+      // gap) and naming versions this read would also fail on is
+      // worse than useless
+      val aggDir = new Path(s"$root/agg")
+      val have =
+        if (!fs.exists(aggDir)) Seq.empty[Int]
+        else fs.listStatus(aggDir).toSeq.map(_.getPath.getName)
+          .filter(_.startsWith("ver="))
+          .flatMap(_.stripPrefix("ver=").toIntOption).sorted
       throw new IllegalArgumentException(
         s"PartitionedCdc: aggregate version $v not present under " +
-          s"$root — retained versions: ${have.mkString(", ")}")
+          s"$root — " +
+          (if (have.isEmpty) "no aggregate chain (not a maintained " +
+            "root, or every version reaped)"
+           else s"retained aggregate versions: ${have.mkString(", ")}"))
     }
     s.read.parquet(p.toString)
   }
@@ -435,6 +473,7 @@ object PartitionedCdc {
       keys: Seq[String], seqCol: String, opCol: String,
       bucketOf: Column, nFiles: Int, root: String,
       deleteOp: String = "D", retainVersions: Int = 2): DataFrame = {
+    validateBatch(log, retainVersions) // fail fast, before the init
     init(base, bucketOf, root)
     val staged = graft.streaming.StreamingOps.stageOrderedArrivals(
       log, seqCol, nFiles, s"$root/arrivals")
@@ -461,6 +500,10 @@ object PartitionedCdc {
       bucketOf: Column, nFiles: Int, root: String, dims: Seq[String],
       sumCols: Seq[String], cntCol: String = "n",
       deleteOp: String = "D", retainVersions: Int = 2): DataFrame = {
+    // fail fast, before the base write and log staging — inside
+    // foreachBatch the same require would surface wrapped in a
+    // StreamingQueryException after paying the whole init
+    validateBatch(log, retainVersions)
     initMaintained(base, bucketOf, root, dims, sumCols, cntCol)
     val staged = graft.streaming.StreamingOps.stageOrderedArrivals(
       log, seqCol, nFiles, s"$root/arrivals")
@@ -469,6 +512,13 @@ object PartitionedCdc {
       maintainVersion(ss, root, batch, keys, seqCol, opCol, bucketOf,
         dims, sumCols, batchId.toInt, cntCol, deleteOp, retainVersions)
     }
+    // same derived-final-version contract as streamApply: batch N
+    // reads version N and commits N+1, so the manifest chain must
+    // end at exactly the staged count
+    val vs = listVersions(ss, root)
+    require(vs.lastOption.contains(staged),
+      s"PartitionedCdc.streamMaintain: expected final version " +
+        s"$staged after $staged micro-batches, found ${vs.lastOption}")
     readAggVersion(ss, root, staged)
   }
 }

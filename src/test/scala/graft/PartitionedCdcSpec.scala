@@ -194,6 +194,26 @@ class PartitionedCdcSpec extends SparkSpec {
     }
   }
 
+  test("plain apply on a MAINTAINED root is refused — advancing the " +
+      "table alone would strand the view at a stale version") {
+    withDir { root =>
+      PartitionedCdc.initMaintained(base, bucketOf, root,
+        dims = Seq("src"), sumCols = Seq("v"))
+      val e = intercept[IllegalArgumentException] {
+        PartitionedCdc.applyBatch(spark, root, log1, Seq("k"), "seq",
+          "op", bucketOf, retainVersions = 10)
+      }
+      assert(e.getMessage.contains("maintainVersion"))
+      // and a failed maintain batch leaves no orphan aggregate
+      intercept[IllegalArgumentException] {
+        PartitionedCdc.maintainVersion(spark, root, log1, Seq("k"),
+          "seq", "op", bucketOf, Seq("src"), Seq("v"),
+          fromVersion = 0, retainVersions = 0) // invalid retention
+      }
+      assert(!fs.exists(new HPath(s"$root/agg/ver=1")))
+    }
+  }
+
   test("rebucket: content-invariant layout flip — pinned readers " +
       "undisturbed, maintenance continues under the new expression") {
     withDir { root =>

@@ -574,7 +574,8 @@ object ScaleProbe {
     // rewrites only churned partitions.
     if (want("cdc stream apply chain (20M, 4 batches)",
         "cdc stream maintain chain (20M, 4 batches)",
-        "cdc partitioned chain (20M, hot 5/64 buckets)")) locally {
+        "cdc partitioned chain (20M, hot 5/64 buckets)",
+        "cdc cow maintain chain (20M, hot 5/64 buckets)")) locally {
       def cBase = spark.range(n).select(col("id").as("k"),
         (col("id") % 1000).as("g"), (col("id") % 97).as("x"))
       def cLog = spark.range(2000000L).select(
@@ -658,6 +659,30 @@ object ScaleProbe {
             _.getPath.getName.startsWith("ver="))
           println(f"  partitioned chain retained: $verDirs version " +
             f"dirs, ${bytes / 1e6}%.0f MB total data")
+        }
+        rm(java.nio.file.Paths.get(root))
+      }
+      // the COW MAINTAINED VIEW at the same scale: vs the full
+      // maintain chain (39.3 s — snapshot write bandwidth), the
+      // maintenance job here reads only the hot buckets and the
+      // aggregate versions whole at group size
+      if (want("cdc cow maintain chain (20M, hot 5/64 buckets)"))
+          locally {
+        val bucketWidth = n / 64
+        val bucketOf = floor(col("k") / bucketWidth).cast("long")
+        val hotLog = spark.range(2000000L).select(
+          (lit(18500000L) + col("id") % 1500000L).as("k"),
+          (col("id") % 4L + 1L).as("seq"),
+          when(col("id") % 3 === 0, "D").otherwise("U").as("op"),
+          (col("id") % 1000).as("g"), (col("id") % 89).as("x"))
+        val root = java.nio.file.Files
+          .createTempDirectory("graft-probe-cdc-cowmv").toString
+        time("cdc cow maintain chain (20M, hot 5/64 buckets)", 4 * n) {
+          graft.operators.PartitionedCdc.streamMaintain(spark, cBase,
+              hotLog, Seq("k"), "seq", "op", bucketOf, nFiles = 4,
+              root = root, dims = Seq("g"), sumCols = Seq("x"),
+              retainVersions = 2)
+            .write.format("noop").mode("overwrite").save()
         }
         rm(java.nio.file.Paths.get(root))
       }

@@ -303,6 +303,34 @@ object PartitionedCdc {
       vs.last, deleteOp, retainVersions)
   }
 
+  /** Per-bucket physical size of the CURRENT version — the rebucket
+    * decision input, driver-side metadata only (one content summary
+    * per live bucket directory; no data read). Returns
+    * (bucket, bytes) pairs.
+    */
+  def bucketStats(s: SparkSession, root: String): Seq[(Long, Long)] = {
+    val m = latest(s, root).getOrElse(throw new IllegalArgumentException(
+      s"PartitionedCdc: $root is not initialized"))
+    val fs = fsOf(s, new Path(root))
+    m.buckets.toSeq.sortBy(_._1).map { case (b, w) =>
+      b -> fs.getContentSummary(
+        new Path(s"$root/data/ver=$w/bucket=$b")).getLength
+    }
+  }
+
+  /** Bucket-size skew of the current version: max / mean bytes. 1.0
+    * is perfectly even; a threshold on this (e.g. > 8) is the cue to
+    * [[rebucket]], exactly as the drift baseline cues an index
+    * rebuild — both signals are cheap enough to check on every
+    * maintenance tick, and both leave the decision to the caller
+    * (rebucket is a full rewrite under the single-writer contract).
+    */
+  def bucketSkew(s: SparkSession, root: String): Double = {
+    val sizes = bucketStats(s, root).map(_._2)
+    if (sizes.isEmpty) 1.0
+    else sizes.max.toDouble / (sizes.sum.toDouble / sizes.size)
+  }
+
   /** RE-BUCKET the table — the layout-maintenance op for when the
     * churn pattern outgrows the original `bucketOf` (hot range moved,
     * bucket sizes skewed): write EVERY bucket under the new expression

@@ -251,6 +251,27 @@ class PartitionedCdcSpec extends SparkSpec {
     }
   }
 
+  test("bucketSkew flags a degenerate layout; rebucket restores it") {
+    withDir { root =>
+      // all 100 keys land in bucket 0 under a too-coarse expression
+      PartitionedCdc.init(base, floor(col("k") / 1000).cast("long"),
+        root)
+      assert(PartitionedCdc.bucketStats(spark, root).map(_._1) ===
+        Seq(0L))
+      // one bucket holds everything: skew = max/mean = 1 trivially
+      // with a single bucket, so re-bucket and compare real spreads
+      PartitionedCdc.rebucket(spark, root,
+        floor(col("k") / 25).cast("long"), retainVersions = 10)
+      val skewEven = PartitionedCdc.bucketSkew(spark, root)
+      assert(PartitionedCdc.bucketStats(spark, root).size === 4)
+      assert(skewEven < 2.0) // 4 near-equal range buckets
+      // a lopsided expression: bucket 0 gets 3/4 of the keys
+      PartitionedCdc.rebucket(spark, root,
+        when(col("k") < 75, 0L).otherwise(1L), retainVersions = 10)
+      assert(PartitionedCdc.bucketSkew(spark, root) > skewEven)
+    }
+  }
+
   test("snapshotDiff composes over COW versions: what a batch did " +
       "to the table, from two manifest-assembled reads") {
     withDir { root =>

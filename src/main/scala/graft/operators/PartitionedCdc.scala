@@ -145,16 +145,6 @@ object PartitionedCdc {
       .flatMap(_.stripPrefix("bucket=").toLongOption)
   }
 
-  /** Initialize the root: the base laid out as version 0, every bucket
-    * physical. `bucketOf` is an expression over the table's columns
-    * producing an integral bucket id; it is the caller's layout
-    * contract — every subsequent [[applyBatch]] must pass the same
-    * expression (same column inputs, same function), exactly like a
-    * consistent `partitionBy` across appends. Choose it for churn
-    * locality: a time/range bucket when changes cluster on hot keys
-    * (the common CDC shape — then a batch rewrites only hot buckets),
-    * a hash only when churn is genuinely uniform.
-    */
   /** `bucket` and `ver` are the layout's own columns — a payload
     * column with either name would be silently clobbered by the
     * bucket stamp and dropped by every read. Fail at init instead.
@@ -165,6 +155,16 @@ object PartitionedCdc {
       s"PartitionedCdc.$who: column '$c' is reserved for the " +
         "versioned layout — rename it in the table/changelog schema"))
 
+  /** Initialize the root: the base laid out as version 0, every bucket
+    * physical. `bucketOf` is an expression over the table's columns
+    * producing an integral bucket id; it is the caller's layout
+    * contract — every subsequent [[applyBatch]] must pass the same
+    * expression (same column inputs, same function), exactly like a
+    * consistent `partitionBy` across appends. Choose it for churn
+    * locality: a time/range bucket when changes cluster on hot keys
+    * (the common CDC shape — then a batch rewrites only hot buckets),
+    * a hash only when churn is genuinely uniform.
+    */
   def init(base: DataFrame, bucketOf: Column, root: String): Unit = {
     val s = base.sparkSession
     requireNoReservedCols(base, "init")

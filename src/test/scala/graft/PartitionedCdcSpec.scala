@@ -292,6 +292,66 @@ class PartitionedCdcSpec extends SparkSpec {
     }
   }
 
+  test("seeded random apply/rebucket/retention schedule: every " +
+      "retained version serves exactly its model content") {
+    val rnd = new scala.util.Random(20260814L)
+    withDir { root =>
+      // driver-side model: key -> (value, src); one row per key per
+      // batch, so latest-wins never ties and the model is exact
+      var model = (0L until 60L).map(k => k -> (k * 10, "base")).toMap
+      def modelDf = model.toSeq.map { case (k, (v, s)) => (k, v, s) }
+        .toDF("k", "v", "src")
+      def rows(m: Map[Long, (Long, String)]) =
+        m.toSeq.map { case (k, (v, s)) => (k, v, s) }.sorted
+      var bucketExpr = floor(col("k") / 20).cast("long")
+      val retain = 3
+      PartitionedCdc.init(modelDf, bucketExpr, root)
+      var version = 0
+      var snapshots = Map(0 -> model)
+      var nextInsert = 1000L
+      for (cycle <- 1 to 14) {
+        if (rnd.nextInt(5) == 0) {
+          // the churn pattern "moved": re-bucket on a fresh width
+          bucketExpr = floor(col("k") / (5 + rnd.nextInt(30)))
+            .cast("long")
+          version = PartitionedCdc.rebucket(spark, root, bucketExpr,
+            retainVersions = retain)
+          snapshots += version -> model
+        } else {
+          val keys = model.keys.toSeq.sorted
+          val dels = keys.filter(_ => rnd.nextInt(10) == 0).toSet
+          val ups = keys.filterNot(dels)
+            .filter(_ => rnd.nextInt(4) == 0)
+            .map(k => k -> (model(k)._1 + 1, "cdc")).toMap
+          val ins = (0 until rnd.nextInt(4)).map { _ =>
+            val k = nextInsert; nextInsert += 1
+            k -> (k, "cdc")
+          }.toMap
+          val batch =
+            dels.toSeq.map(k => (k, 1L, "D", 0L, "x")) ++
+              (ups ++ ins).toSeq.map { case (k, (v, s)) =>
+                (k, 1L, "U", v, s) }
+          if (batch.nonEmpty) {
+            version = PartitionedCdc.applyBatch(spark, root,
+              batch.toDF("k", "seq", "op", "v", "src"), Seq("k"),
+              "seq", "op", bucketExpr, retainVersions = retain)
+            model = model -- dels ++ ups ++ ins
+            snapshots += version -> model
+          }
+        }
+        // versions below the retention floor fell off with their files
+        snapshots = snapshots.filter(_._1 >= version - retain)
+        val retained = PartitionedCdc.listVersions(spark, root)
+        assert(retained === snapshots.keys.toSeq.sorted,
+          s"cycle $cycle: retained versions diverged from the model")
+        for ((v, m) <- snapshots if m.nonEmpty)
+          assert(kvRows(PartitionedCdc.readVersion(spark, root, v))
+            === rows(m),
+            s"cycle $cycle: version $v no longer serves its content")
+      }
+    }
+  }
+
   test("streaming partitioned apply ≡ the batch composition") {
     withDir { root =>
       val log = log1.unionByName(log2)

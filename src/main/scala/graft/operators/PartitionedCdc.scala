@@ -73,6 +73,12 @@ object PartitionedCdc {
       .sorted
   }
 
+  private def readText(fs: FileSystem, p: Path): String = {
+    val in = fs.open(p)
+    try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    finally in.close()
+  }
+
   def manifest(s: SparkSession, root: String, v: Int): Manifest = {
     val p = manifestPath(root, v)
     val fs = fsOf(s, p)
@@ -84,9 +90,7 @@ object PartitionedCdc {
            else s"retained versions: ${have.mkString(", ")}") +
           " (older versions fall off the writer's retention window)")
     }
-    val in = fs.open(p)
-    val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-      finally in.close()
+    val text = readText(fs, p)
     import org.json4s._
     import org.json4s.jackson.JsonMethods
     val j = JsonMethods.parse(text)

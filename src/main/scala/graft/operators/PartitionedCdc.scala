@@ -110,11 +110,34 @@ object PartitionedCdc {
   def latest(s: SparkSession, root: String): Option[Manifest] =
     listVersions(s, root).lastOption.map(manifest(s, root, _))
 
-  /** Single-writer manifest commit. OVERWRITE is deliberate (unlike
-    * [[ArtifactManifest]]'s create-new): a replayed streaming batch
-    * rewrites its own version — deterministically identical content —
-    * and must converge, not fail. Temp write + rename keeps the
-    * visible file always whole.
+  /** Single-writer manifest commit, FENCED (the round-12 brief's one
+    * latent correctness hazard): the previous OVERWRITE rename meant
+    * two concurrent writers that both read version v and both commit
+    * v+1 silently last-write-win — the loser's bucket rewrites serve
+    * under the winner's manifest. The fence keeps both original
+    * properties and fails loudly on a genuine second writer:
+    *
+    *  - a replayed streaming batch re-commits its own version with
+    *    deterministically IDENTICAL content (same inputs, same sorted
+    *    JSON encoding) — when the target exists, compare content and
+    *    CONVERGE without touching the visible file (pinned readers are
+    *    never disturbed; there is no delete-then-rename window);
+    *  - a re-commit whose content DIFFERS is by definition a second
+    *    writer (or a diverged replay, equally fatal) — refuse, à la
+    *    [[ArtifactManifest.recordAppend]]'s digest guard;
+    *  - a NEW version commits create-exclusively: temp write + rename
+    *    WITHOUT overwrite, so two writers racing past the existence
+    *    check collide at the rename and exactly one wins — the loser
+    *    lands on the same converge-or-refuse comparison.
+    *
+    * The fence DETECTS the single-writer violation rather than
+    * serializing writers (that needs an external lock): the losing
+    * writer's data write already overwrote `data/ver=<v>` before its
+    * commit failed, so a tripped fence means version v's directory
+    * may hold the loser's bytes under the winner's manifest. Recovery
+    * is the replay path itself: re-run the WINNING batch — the
+    * deterministic rewrite regenerates version v's data and the
+    * manifest comparison converges.
     */
   private def commitManifest(s: SparkSession, root: String,
       m: Manifest): Unit = {
@@ -124,19 +147,46 @@ object PartitionedCdc {
     val body = m.buckets.toSeq.sortBy(_._1)
       .map { case (b, w) => s""""$b":$w""" }.mkString(",")
     val json = s"""{"version":${m.version},"buckets":{$body}}"""
+    val fin = manifestPath(root, m.version)
+    def convergeOrRefuse(): Unit = {
+      val existing = readText(fs, fin)
+      require(existing == json,
+        s"PartitionedCdc: version ${m.version} of $root is already " +
+          "committed with DIFFERENT content — a replayed batch must " +
+          "recompute identical content; this commit diverged, which " +
+          "means a second concurrent writer (the layout is " +
+          "single-writer per root) or a non-deterministic batch. " +
+          s"Committed: $existing / attempted: $json")
+      // identical — a faithful replay; the visible file already says
+      // exactly this, nothing to write
+    }
+    if (fs.exists(fin)) { convergeOrRefuse(); return }
     val tmp = new Path(vd, f".v${m.version}%010d.json.tmp")
     val out = fs.create(tmp, true)
     try out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
-    val fin = manifestPath(root, m.version)
-    // ATOMIC overwrite rename (FileContext, not FileSystem.rename —
-    // which would need a delete first, leaving a window where a
-    // retained version's manifest does not resolve and a pinned
-    // reader's readVersion errors; a replayed batch re-commits its
-    // own version, so the target may legitimately exist)
-    org.apache.hadoop.fs.FileContext
-      .getFileContext(fin.toUri, s.sparkContext.hadoopConfiguration)
-      .rename(tmp, fin, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    // create-exclusive commit: atomic rename with NO overwrite — a
+    // second writer that raced past the exists() check fails here
+    // (FileAlreadyExists / rename=false depending on the FS) and is
+    // routed to the same converge-or-refuse comparison
+    try
+      org.apache.hadoop.fs.FileContext
+        .getFileContext(fin.toUri, s.sparkContext.hadoopConfiguration)
+        .rename(tmp, fin)
+    catch {
+      case e: java.io.IOException =>
+        fs.delete(tmp, false)
+        if (fs.exists(fin)) convergeOrRefuse() else throw e
+    }
+    // some FileContext impls report a blocked no-overwrite rename as
+    // a false return rather than a throw; the tmp file surviving is
+    // the portable signal that the rename did not happen
+    if (fs.exists(tmp)) {
+      fs.delete(tmp, false)
+      if (fs.exists(fin)) convergeOrRefuse()
+      else throw new java.io.IOException(
+        s"PartitionedCdc: manifest rename $tmp -> $fin failed")
+    }
   }
 
   private def bucketDirs(s: SparkSession, root: String,

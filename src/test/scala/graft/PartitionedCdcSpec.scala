@@ -142,6 +142,35 @@ class PartitionedCdcSpec extends SparkSpec {
     }
   }
 
+  test("single-writer fence: two writers committing the same version " +
+      "with different content — exactly one succeeds, loudly") {
+    withDir { root =>
+      PartitionedCdc.init(base, bucketOf, root)
+      // writer A wins: commits version 1 from log1
+      PartitionedCdc.applyVersion(spark, root, log1, Seq("k"), "seq",
+        "op", bucketOf, fromVersion = 0, retainVersions = 10)
+      // writer B also read version 0 and commits a DIFFERENT batch
+      // (different churned buckets → different manifest content): the
+      // fence must refuse instead of last-write-winning
+      val e = intercept[IllegalArgumentException] {
+        PartitionedCdc.applyVersion(spark, root, log2, Seq("k"), "seq",
+          "op", bucketOf, fromVersion = 0, retainVersions = 10)
+      }
+      assert(e.getMessage.contains("second concurrent writer"))
+      // the winner's manifest is untouched — version 1 still maps
+      // exactly log1's churn (buckets 0 and the new 4)
+      assert(PartitionedCdc.manifest(spark, root, 1).buckets ===
+        Map(0L -> 1, 1L -> 0, 2L -> 0, 3L -> 0, 4L -> 1))
+      // recovery = the replay path: re-running the WINNING batch
+      // regenerates version 1's data deterministically and converges
+      PartitionedCdc.applyVersion(spark, root, log1, Seq("k"), "seq",
+        "op", bucketOf, fromVersion = 0, retainVersions = 10)
+      assert(kvRows(PartitionedCdc.readVersion(spark, root, 1)) ===
+        expect(log1))
+      assert(PartitionedCdc.listVersions(spark, root) === Seq(0, 1))
+    }
+  }
+
   test("maintained view: every version's aggregate equals the " +
       "recompute over that version's table; the agg chain prunes " +
       "with the manifests") {

@@ -60,26 +60,52 @@ object VectorIndex {
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/codebooks")
     val assigned = e.withColumn("cell",
       SimilarityOps.ivfAssign(cents, dim))
+    // drift baseline: the training corpus's mean assigned-centroid
+    // cosine under the quantizers just trained ON it — the "no drift"
+    // reference [[append]] compares each batch against. FOLDED INTO
+    // the corpus write via observe(): one broadcast join against the
+    // k-row centroid table rides the encode+write job, instead of the
+    // extra full-corpus read-back this used to pay (at 100 TB that
+    // read-back was a whole second pass per build). A corpus of only
+    // zero-norm vectors yields no statistic (avg over all-null) — no
+    // baseline file, signal stays off.
+    val drift = new org.apache.spark.sql.Observation("drift_base")
     ProductQuantization.encode(assigned, "embedding", books, subDim,
         "code")
+      // left join: the centroid table covers every cell ivfAssign can
+      // emit, but corpus rows must survive even if it didn't
+      .join(broadcast(centroidTable(s, cents, dim)), Seq("cell"),
+        "left")
+      .observe(drift, avg(when(col("n") > 0 && col("cn") > 0,
+        call_function("vec_dot", col("embedding"), col("cvec")) /
+          (col("n") * col("cn")))).as("base_cos"))
       // the serving columns plus any declared filter metadata — other
-      // input columns don't belong in the index artifact
+      // input columns (and the joined centroid columns) don't belong
+      // in the index artifact
       .select((Seq("vec_id", "embedding", "n", "cell", "code") ++
         metaCols).map(col): _*)
       .withColumn("ingest", lit(0L))
       .write.mode("overwrite").partitionBy("ingest", "cell")
       .parquet(s"$dir/corpus")
-    // drift baseline: the training corpus's mean assigned-centroid
-    // cosine under the quantizers just trained ON it — the "no drift"
-    // reference [[append]] compares each batch against. Computed from
-    // the corpus just WRITTEN (embedding/n/cell are on disk — a disk
-    // read beats re-running the norm + assignment plan over the
-    // input's whole lineage). A corpus of only zero-norm vectors
-    // yields no statistic — no baseline file, signal stays off.
-    meanAssignedCos(s.read.parquet(s"$dir/corpus"), cents, dim)
-      .foreach(c => Seq(c).toDF("base_cos")
+    drift.get.get("base_cos").flatMap(Option(_))
+      .foreach(c => Seq(c.asInstanceOf[Double]).toDF("base_cos")
         .coalesce(1).write.mode("overwrite").parquet(s"$dir/drift"))
     ArtifactManifest.recordBuild(s, s"$dir/corpus")
+  }
+
+  /** The k-row (cell, cvec, cn) centroid table for the drift dot
+    * product — FLOAT centroid copies so it runs through the native
+    * codegen'd vec_dot instead of a zip_with/aggregate lambda chain
+    * (measured ~2x on the whole-build bench delta); the signal is
+    * tolerance-thresholded, so the float rounding is irrelevant.
+    */
+  private def centroidTable(s: SparkSession,
+      cents: SimilarityOps.IvfCentroids, dim: Int): DataFrame = {
+    import s.implicits._
+    cents.cells.indices.map(c => (cents.cells(c),
+        cents.books.slice(c * dim, (c + 1) * dim).map(_.toFloat).toSeq,
+        cents.mns(c)))
+      .toDF("cell", "cvec", "cn")
   }
 
   /** Mean cosine of each row's embedding to its ASSIGNED centroid —
@@ -99,15 +125,7 @@ object VectorIndex {
       cents: SimilarityOps.IvfCentroids, dim: Int): Option[Double] = {
     val s = df.sparkSession
     import s.implicits._
-    // float centroid copies so the dot product runs through the
-    // native codegen'd vec_dot instead of a zip_with/aggregate lambda
-    // chain (measured ~2x on the whole-build bench delta); the signal
-    // is tolerance-thresholded, so the float rounding is irrelevant
-    val centTable = cents.cells.indices.map(c => (cents.cells(c),
-        cents.books.slice(c * dim, (c + 1) * dim).map(_.toFloat).toSeq,
-        cents.mns(c)))
-      .toDF("cell", "cvec", "cn")
-    df.join(broadcast(centTable), Seq("cell"))
+    df.join(broadcast(centroidTable(s, cents, dim)), Seq("cell"))
       .filter(col("n") > 0 && col("cn") > 0)
       .select(avg(
         call_function("vec_dot", col("embedding"), col("cvec")) /

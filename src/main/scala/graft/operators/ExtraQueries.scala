@@ -534,6 +534,27 @@ object ExtraQueries {
       val v2 = CdcOps.applyChangelog(v1,
         log.filter(col("seq") === 2), keys, "seq", "op")
       CdcOps.snapshotDiff(v1, v2, keys)
+    }),
+
+    // x19: the version diff over the COPY-ON-WRITE layout
+    // ([[PartitionedCdc.diffVersions]]) — x13's audit view, but
+    // manifest-pruned: only the buckets whose serving directory
+    // differs between the two manifests are listed or read (a bucket
+    // both versions serve from the same immutable directory cannot
+    // contribute a diff row), so the diff costs O(churn between the
+    // versions), not O(base) twice. Held to x13's oracle VERBATIM —
+    // bucket pruning must lose nothing.
+    "x19_cow_diff" -> ((s, d) => {
+      import graft.operators.{PartitionedCdc, TempArtifacts}
+      val (base, log) = cdcFrames(s, d)
+      val root = TempArtifacts.dir("graft-pcdc-diff")
+      val bucketOf = pmod(col("o_orderkey"), lit(16)).cast("long")
+      PartitionedCdc.init(base, bucketOf, root)
+      for (g <- Seq(1, 2))
+        PartitionedCdc.applyBatch(s, root,
+          log.filter(col("seq") === g), Seq("o_orderkey"), "seq",
+          "op", bucketOf, retainVersions = 10)
+      PartitionedCdc.diffVersions(s, root, 1, 2, Seq("o_orderkey"))
     })
   )
 
@@ -908,7 +929,15 @@ object ExtraQueries {
     // v1 = generation 1 applied, v2 = generation 2 applied on v1;
     // the diff emits only keys the second generation touched, with
     // old/new payload side by side (nulls on the absent side).
-    "x13_snapshot_diff" ->
+    "x13_snapshot_diff" -> snapshotDiffSql,
+    // the bucket-pruned COW diff is held to the SAME full diff —
+    // manifest pruning must lose nothing
+    "x19_cow_diff" -> snapshotDiffSql
+  )
+
+  // lazy: referenced by the oracle map declared ABOVE this definition
+  // (a strict val would still be null when the map initializes)
+  private lazy val snapshotDiffSql =
       """WITH base AS (
            SELECT o_orderkey, o_custkey, o_totalprice AS price,
              'base' AS src
@@ -948,5 +977,4 @@ object ExtraQueries {
              a.src AS old_src, b.src AS new_src
            FROM v1 a FULL JOIN v2 b ON a.o_orderkey = b.o_orderkey)
          WHERE change IS NOT NULL"""
-  )
 }

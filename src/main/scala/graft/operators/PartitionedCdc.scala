@@ -239,7 +239,17 @@ object PartitionedCdc {
     require(m.buckets.nonEmpty,
       s"PartitionedCdc: version $v of $root has no live buckets " +
         "(every row deleted) — nothing to read")
-    val paths = m.buckets.toSeq.sortBy(_._1)
+    bucketSlice(s, root, m.buckets)
+  }
+
+  /** Manifest-assembled read of an explicit (bucket -> serving
+    * version) set: the scan lists and reads ONLY the files that serve
+    * these buckets; `basePath` keeps partition discovery rooted so the
+    * helper columns resolve, then they are dropped.
+    */
+  private def bucketSlice(s: SparkSession, root: String,
+      entries: Map[Long, Int]): DataFrame = {
+    val paths = entries.toSeq.sortBy(_._1)
       .map { case (b, w) => s"$root/data/ver=$w/bucket=$b" }
     s.read.option("basePath", s"$root/data").parquet(paths: _*)
       .drop("ver", "bucket")
@@ -338,12 +348,44 @@ object PartitionedCdc {
       seqCol: String, opCol: String): DataFrame = {
     val existing = churned.filter(cur.buckets.contains)
     if (existing.isEmpty) log.drop(seqCol, opCol).where(lit(false))
-    else {
-      val paths = existing.toSeq.sorted
-        .map(b => s"$root/data/ver=${cur.buckets(b)}/bucket=$b")
-      s.read.option("basePath", s"$root/data").parquet(paths: _*)
-        .drop("ver", "bucket")
+    else bucketSlice(s, root,
+      existing.map(b => b -> cur.buckets(b)).toMap)
+  }
+
+  /** Diff two retained versions — [[CdcOps.snapshotDiff]] shape (one
+    * row per changed key: 'A'/'R'/'C' + old/new payloads) — reading
+    * ONLY the buckets whose serving directory DIFFERS between the two
+    * manifests. A bucket mapped to the same version by both manifests
+    * is the same immutable directory: byte-identical on both sides,
+    * so it cannot contribute a diff row (a key's rows live in exactly
+    * one bucket under the shared layout) and is never listed, let
+    * alone read. Cost therefore scales with the CHURN between the
+    * versions, not the base size — the same O(churn) contract as the
+    * apply itself. Across a [[rebucket]] the bucket ids are a fresh
+    * namespace, every manifest entry differs, and this degrades to
+    * the full two-version diff — which is the correct answer there.
+    */
+  def diffVersions(s: SparkSession, root: String, prevV: Int,
+      nextV: Int, keys: Seq[String]): DataFrame = {
+    val mp = manifest(s, root, prevV)
+    val mn = manifest(s, root, nextV)
+    require(mp.buckets.nonEmpty || mn.buckets.nonEmpty,
+      s"PartitionedCdc.diffVersions: versions $prevV and $nextV of " +
+        s"$root are both fully deleted — nothing to diff (and no " +
+        "stored schema to shape an empty diff)")
+    def changed(m: Manifest, other: Manifest): Map[Long, Int] =
+      m.buckets.filter { case (b, w) =>
+        !other.buckets.get(b).contains(w) }
+    // an all-shared (or fully-deleted) side still needs the stored
+    // shape: a false-filtered slice over ANY live bucket set —
+    // Catalyst prunes the filter to an empty relation, no files read
+    val anyLive = if (mp.buckets.nonEmpty) mp.buckets else mn.buckets
+    def slice(m: Manifest, other: Manifest): DataFrame = {
+      val c = changed(m, other)
+      if (c.isEmpty) bucketSlice(s, root, anyLive).where(lit(false))
+      else bucketSlice(s, root, c)
     }
+    CdcOps.snapshotDiff(slice(mp, mn), slice(mn, mp), keys)
   }
 
   /** Apply on top of the current version. */

@@ -321,6 +321,42 @@ class PartitionedCdcSpec extends SparkSpec {
     }
   }
 
+  test("diffVersions: equal to the full snapshot diff, reading ONLY " +
+      "the buckets whose serving directory differs") {
+    withDir { root =>
+      PartitionedCdc.init(base, bucketOf, root)
+      PartitionedCdc.applyBatch(spark, root, log1, Seq("k"), "seq",
+        "op", bucketOf, retainVersions = 10)
+      PartitionedCdc.applyBatch(spark, root, log2, Seq("k"), "seq",
+        "op", bucketOf, retainVersions = 10)
+      def classesOf(df: DataFrame): Map[Long, String] =
+        df.select("k", "change").as[(Long, String)].collect().toMap
+      // v0 → v1 (log1): full-diff equivalence
+      val d01 = PartitionedCdc.diffVersions(spark, root, 0, 1, Seq("k"))
+      assert(classesOf(d01) === classesOf(CdcOps.snapshotDiff(
+        PartitionedCdc.readVersion(spark, root, 0),
+        PartitionedCdc.readVersion(spark, root, 1), Seq("k"))))
+      // pruning: v0/v1 share buckets 1-3 (log1 churned only bucket 0
+      // and created bucket 4) — the diff plan must list files from
+      // buckets 0 and 4 ONLY
+      val touched = d01.inputFiles.toSeq
+        .flatMap(_.split("/").find(_.startsWith("bucket="))).toSet
+      assert(touched === Set("bucket=0", "bucket=4"))
+      // v1 → v2 (log2: churned bucket 1, emptied bucket 4)
+      val d12 = PartitionedCdc.diffVersions(spark, root, 1, 2, Seq("k"))
+      assert(classesOf(d12) === classesOf(CdcOps.snapshotDiff(
+        PartitionedCdc.readVersion(spark, root, 1),
+        PartitionedCdc.readVersion(spark, root, 2), Seq("k"))))
+      assert(d12.inputFiles.toSeq
+        .flatMap(_.split("/").find(_.startsWith("bucket="))).toSet ===
+        Set("bucket=1", "bucket=4"))
+      // identical manifests: empty diff, zero files listed
+      val d11 = PartitionedCdc.diffVersions(spark, root, 1, 1, Seq("k"))
+      assert(d11.count() === 0L)
+      assert(d11.inputFiles.isEmpty)
+    }
+  }
+
   test("seeded random apply/rebucket/retention schedule: every " +
       "retained version serves exactly its model content") {
     val rnd = new scala.util.Random(20260814L)

@@ -60,6 +60,29 @@ object MultimodalQueries {
         .select(col("id").as("doc_id"), col("n_bytes"), col("fp"),
           element_at(col("feat"), 1).cast("double").as("feat0"),
           element_at(col("feat"), 2).cast("double").as("feat1"))
+    }),
+
+    // m5: REAL image decode — per doc_id a deterministic synthetic
+    // grayscale PNG ([[MultimodalOps.syntheticGrayPng]]) is ENCODED
+    // then DECODED through javax.imageio in the bounded-batch stage;
+    // dimensions, band count, mean luminance and the 2×2 luminance
+    // grid must equal the oracle's closed forms (the fixture's pixel
+    // function makes every statistic arithmetic in doc_id, and the
+    // power-of-two geometry keeps each mean exactly representable).
+    // A decode failure would flip `decoded` and zero the stats — any
+    // regression in the decode path is a hash mismatch, not a skip.
+    "m5_image_decode" -> ((s, d) => {
+      import s.implicits._
+      val media = documents(s, d).select(col("doc_id")).as[Long]
+        .map(MultimodalOps.syntheticGrayPng _)
+      MultimodalOps.extractImageFeatures(media, batchSize = 64)
+        .toDF()
+        .select(col("id").as("doc_id"), col("decoded"), col("width"),
+          col("height"), col("bands"), col("mean_lum"),
+          element_at(col("grid"), 1).as("g00"),
+          element_at(col("grid"), 2).as("g01"),
+          element_at(col("grid"), 3).as("g10"),
+          element_at(col("grid"), 4).as("g11"))
     })
   )
 
@@ -90,6 +113,25 @@ object MultimodalQueries {
          SELECT doc_id, n_bytes, fp,
            CAST((fp >> 0) & 65535 AS DOUBLE) / 65536.0 AS feat0,
            CAST((fp >> 4) & 65535 AS DOUBLE) / 65536.0 AS feat1
-         FROM f"""
+         FROM f""",
+    // closed forms of the synthetic fixture's decoded statistics:
+    // pixel(x,y) = base + x + 2y over w×h, so the mean adds the x and
+    // y series means, and quadrant (gy,gx) shifts by gx*w/2 (x series)
+    // and gy*h (the 2y series) — every value a .5-exact double
+    "m5_image_decode" ->
+      """WITH p AS (
+           SELECT doc_id, doc_id % 200 AS base,
+             CASE doc_id % 3 WHEN 0 THEN 8 WHEN 1 THEN 16
+               ELSE 32 END AS w,
+             CASE doc_id % 2 WHEN 0 THEN 4 ELSE 8 END AS h
+           FROM documents)
+         SELECT doc_id, true AS decoded,
+           w AS width, h AS height, 1 AS bands,
+           base + (w - 1) / 2.0 + (h - 1) AS mean_lum,
+           base + (w/2 - 1) / 2.0 + (h/2 - 1) AS g00,
+           base + w/2 + (w/2 - 1) / 2.0 + (h/2 - 1) AS g01,
+           base + (w/2 - 1) / 2.0 + h + (h/2 - 1) AS g10,
+           base + w/2 + (w/2 - 1) / 2.0 + h + (h/2 - 1) AS g11
+         FROM p"""
   )
 }

@@ -39,6 +39,55 @@ class SimilarityMultimodalSpec extends SparkSpec {
     assert(one.feat(0) === ((one.fp & 0xFFFFL).toFloat / 65536.0f))
   }
 
+  test("real image decode: PNG round-trip matches the fixture's " +
+      "closed forms; corrupt and unknown payloads fall back, flagged") {
+    // ids covering every geometry: w ∈ {8,16,32} × h ∈ {4,8}
+    val media = (0L to 5L)
+      .map(MultimodalOps.syntheticGrayPng).toDS().repartition(2)
+    val feats = MultimodalOps.extractImageFeatures(media, batchSize = 2)
+      .collect().sortBy(_.id)
+    assert(feats.length === 6)
+    for (f <- feats) {
+      val (base, w, h) = ((f.id % 200).toDouble,
+        (8 << (f.id % 3).toInt).toDouble, (4 << (f.id % 2).toInt).toDouble)
+      assert(f.decoded && f.bands === 1)
+      assert(f.width.toDouble === w && f.height.toDouble === h)
+      assert(f.mean_lum === base + (w - 1) / 2 + (h - 1))
+      assert(f.grid.toSeq === Seq(
+        base + (w / 2 - 1) / 2 + (h / 2 - 1),
+        base + w / 2 + (w / 2 - 1) / 2 + (h / 2 - 1),
+        base + (w / 2 - 1) / 2 + h + (h / 2 - 1),
+        base + w / 2 + (w / 2 - 1) / 2 + h + (h / 2 - 1)))
+    }
+    // multi-band: a 2×2 RGB PNG — luminance is the band mean
+    val rgb = new java.awt.image.BufferedImage(2, 2,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    rgb.setRGB(0, 0, 0xFF0000); rgb.setRGB(1, 0, 0x00FF00)
+    rgb.setRGB(0, 1, 0x0000FF); rgb.setRGB(1, 1, 0xFFFFFF)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(rgb, "png", bos)
+    val rf = MultimodalOps.decodeImage(
+      MultimodalOps.MediaRow(9L, "image", bos.toByteArray)).get
+    assert(rf.bands === 3 && rf.width === 2 && rf.height === 2)
+    // pixels: (255,0,0) (0,255,0) (0,0,255) (255,255,255) → band
+    // means 85, 85, 85, 255 → overall (3*85 + 255) / 4 = 127.5
+    assert(rf.mean_lum === 127.5)
+    assert(rf.grid.toSeq === Seq(85.0, 85.0, 85.0, 255.0))
+    // corrupt payload (not an image) and a TRUNCATED real PNG: both
+    // fall back to the flagged stub row instead of failing the stage
+    val png = MultimodalOps.syntheticGrayPng(1L).payload
+    val bad = Seq(
+      MultimodalOps.MediaRow(7L, "image", "not a png".getBytes),
+      MultimodalOps.MediaRow(8L, "image", png.take(png.length / 3)))
+      .toDS()
+    val fb = MultimodalOps.extractImageFeatures(bad, batchSize = 2)
+      .collect().sortBy(_.id)
+    assert(fb.forall(f => !f.decoded && f.width === 0 &&
+      f.mean_lum === 0.0))
+    assert(fb.head.fp ===
+      MultimodalOps.hash15Jvm("not a png".getBytes))
+  }
+
   test("frame sampling keeps every stride-th fixed-size slice") {
     val media = Seq(MultimodalOps.MediaRow(1L, "video",
       Array.tabulate[Byte](100)(_.toByte))).toDS()

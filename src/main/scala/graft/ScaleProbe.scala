@@ -688,6 +688,68 @@ object ScaleProbe {
       }
     }
 
+    // COW rewrite AS layout maintenance: the same 20M range-bucketed
+    // base + hot-bucket churn, written plain vs with sortCols — the
+    // opt-in that makes every churned-bucket rewrite range-cluster its
+    // rows on a slice key for free (the rows are being rewritten
+    // anyway; the only extra cost is the in-write sort). Then a 1%
+    // slice read over the churned-then-read table: in the clustered
+    // layout each row group's min/max on t spans a narrow slice, so
+    // the pushed filter skips row groups; plain bucket files carry
+    // full-range t everywhere and the scan decodes the whole base.
+    // Row groups forced to 1 MB so the 10 MB buckets hold ~10 each —
+    // the same group-per-bucket ratio a 128 MB-group multi-GB-bucket
+    // production layout has.
+    if (want("cow clustered rewrite (20M, 1% slice)",
+        "cow plain rewrite (20M, 1% slice)")) locally {
+      val bucketOf = floor(col("k") / (n / 64)).cast("long")
+      def base20 = spark.range(n).select(col("id").as("k"),
+        ((col("id") * 48271) % 1000000L).as("t"),
+        (col("id") % 89).as("x"), lit("base").as("src"))
+      def hotLog = spark.range(2000000L).select(
+        (lit(18500000L) + col("id") % 1500000L).as("k"),
+        lit(1L).as("seq"), lit("U").as("op"),
+        ((col("id") * 40503) % 1000000L).as("t"),
+        (col("id") % 89).as("x"), lit("cdc").as("src"))
+      val hconf = spark.sparkContext.hadoopConfiguration
+      val oldBlock = hconf.get("parquet.block.size")
+      hconf.setInt("parquet.block.size", 1 << 20)
+      try for ((tag, sortCols) <- Seq(
+          ("plain", Seq.empty[String]), ("clustered", Seq("t")))) {
+        val root = java.nio.file.Files
+          .createTempDirectory(s"graft-probe-cowclust-$tag").toString
+        graft.operators.PartitionedCdc.init(base20, bucketOf, root,
+          sortCols = sortCols)
+        graft.operators.PartitionedCdc.applyBatch(spark, root, hotLog,
+          Seq("k"), "seq", "op", bucketOf, retainVersions = 2,
+          sortCols = sortCols)
+        // no aggregate: an exchange would wrap the plan in AQE and
+        // hide the scan node (and its metrics) behind the adaptive
+        // root — the bare filtered collect keeps FileSourceScanExec
+        // inspectable, exactly as LayoutOpsSpec measures
+        val sliced = graft.operators.PartitionedCdc.read(spark, root)
+          .filter(col("t") >= 500000L && col("t") < 510000L)
+        time(s"cow $tag rewrite (20M, 1% slice)", n) { sliced.collect() }
+        val scanRows = sliced.queryExecution.executedPlan.collect {
+          case sc: org.apache.spark.sql.execution.FileSourceScanExec =>
+            sc.metrics("numOutputRows").value
+        }.sum
+        println(f"  $tag layout: slice scan emitted $scanRows%,d of " +
+          f"$n%,d rows from the parquet reader")
+        def rmp(p: java.nio.file.Path): Unit = {
+          if (java.nio.file.Files.isDirectory(p)) {
+            val st = java.nio.file.Files.list(p)
+            try st.forEach(rmp) finally st.close()
+          }
+          java.nio.file.Files.deleteIfExists(p)
+        }
+        rmp(java.nio.file.Paths.get(root))
+      } finally {
+        if (oldBlock == null) hconf.unset("parquet.block.size")
+        else hconf.set("parquet.block.size", oldBlock)
+      }
+    }
+
     // snapshotDiff at audit scale: two 20M-row versions, ~2.8M true
     // deltas (2M changed, 400k removed, 400k added). The union+single-
     // aggregation formulation pays ONE exchange over prev ∪ next;

@@ -219,14 +219,35 @@ object PartitionedCdc {
     * (the common CDC shape — then a batch rewrites only hot buckets),
     * a hash only when churn is genuinely uniform.
     */
-  def init(base: DataFrame, bucketOf: Column, root: String): Unit = {
+  def init(base: DataFrame, bucketOf: Column, root: String,
+      sortCols: Seq[String] = Seq.empty): Unit = {
     val s = base.sparkSession
     requireNoReservedCols(base, "init")
-    base.withColumn("bucket", bucketOf)
-      .write.mode("overwrite").partitionBy("bucket")
-      .parquet(s"$root/data/ver=0")
+    bucketedWrite(base, bucketOf, sortCols, s"$root/data/ver=0")
     commitManifest(s, root,
       Manifest(0, bucketDirs(s, root, 0).map(_ -> 0).toMap))
+  }
+
+  /** The bucket-stamped version-directory write. With `sortCols` the
+    * COW rewrite doubles as LAYOUT MAINTENANCE for free: the rows are
+    * being rewritten anyway, so range-clustering them on
+    * (bucket, sortCols) — [[LayoutOps.clusterFrame]]'s one range
+    * shuffle + in-partition sort, the bucket column leading so the
+    * dynamic-partition write stays grouped — costs only the sort and
+    * gives every written file narrow min/max on `sortCols`: slice
+    * predicates over churned-then-read data skip row groups exactly
+    * as a standalone OPTIMIZE pass would, without ever scheduling
+    * one (ScaleProbe `cow clustered rewrite` measures the skip).
+    * Empty `sortCols` (the default) keeps the plain grouped write.
+    */
+  private def bucketedWrite(df: DataFrame, bucketOf: Column,
+      sortCols: Seq[String], dest: String): Unit = {
+    val stamped = df.withColumn("bucket", bucketOf)
+    val laid =
+      if (sortCols.isEmpty) stamped
+      else LayoutOps.clusterFrame(stamped, "bucket" +: sortCols,
+        stamped.sparkSession.sessionState.conf.numShufflePartitions)
+    laid.write.mode("overwrite").partitionBy("bucket").parquet(dest)
   }
 
   /** Read version `v` (any retained version — time travel). Explicit
@@ -282,7 +303,8 @@ object PartitionedCdc {
   def applyVersion(s: SparkSession, root: String, log: DataFrame,
       keys: Seq[String], seqCol: String, opCol: String,
       bucketOf: Column, fromVersion: Int, deleteOp: String = "D",
-      retainVersions: Int = 2): Int = {
+      retainVersions: Int = 2,
+      sortCols: Seq[String] = Seq.empty): Int = {
     validateBatch(log, retainVersions)
     require(!fsOf(s, new Path(s"$root/agg"))
         .exists(new Path(s"$root/agg")),
@@ -292,7 +314,7 @@ object PartitionedCdc {
         "would strand the view at a stale version")
     val cur = manifest(s, root, fromVersion)
     doApply(s, root, log, keys, seqCol, opCol, bucketOf, cur,
-      churnedSet(log, bucketOf), deleteOp, retainVersions)
+      churnedSet(log, bucketOf), deleteOp, retainVersions, sortCols)
   }
 
   private def validateBatch(log: DataFrame,
@@ -311,14 +333,14 @@ object PartitionedCdc {
   private def doApply(s: SparkSession, root: String, log: DataFrame,
       keys: Seq[String], seqCol: String, opCol: String,
       bucketOf: Column, cur: Manifest, churned: Set[Long],
-      deleteOp: String, retainVersions: Int): Int = {
+      deleteOp: String, retainVersions: Int,
+      sortCols: Seq[String] = Seq.empty): Int = {
     val v = cur.version + 1
-    CdcOps.applyChangelog(
+    bucketedWrite(
+      CdcOps.applyChangelog(
         churnedSlice(s, root, cur, churned, log, seqCol, opCol),
-        log, keys, seqCol, opCol, deleteOp)
-      .withColumn("bucket", bucketOf)
-      .write.mode("overwrite").partitionBy("bucket")
-      .parquet(s"$root/data/ver=$v")
+        log, keys, seqCol, opCol, deleteOp),
+      bucketOf, sortCols, s"$root/data/ver=$v")
     // a churned bucket that emptied (every row deleted) writes no
     // directory and leaves the manifest: the listing of what the job
     // ACTUALLY wrote is the truth, not the churn prediction
@@ -392,11 +414,12 @@ object PartitionedCdc {
   def applyBatch(s: SparkSession, root: String, log: DataFrame,
       keys: Seq[String], seqCol: String, opCol: String,
       bucketOf: Column, deleteOp: String = "D",
-      retainVersions: Int = 2): Int = {
+      retainVersions: Int = 2,
+      sortCols: Seq[String] = Seq.empty): Int = {
     val vs = listVersions(s, root)
     require(vs.nonEmpty, s"PartitionedCdc: $root is not initialized")
     applyVersion(s, root, log, keys, seqCol, opCol, bucketOf,
-      vs.last, deleteOp, retainVersions)
+      vs.last, deleteOp, retainVersions, sortCols)
   }
 
   /** Per-bucket physical size of the CURRENT version — the rebucket
@@ -439,13 +462,12 @@ object PartitionedCdc {
     * expression (same caller contract as `bucketOf` itself).
     */
   def rebucket(s: SparkSession, root: String, newBucketOf: Column,
-      retainVersions: Int = 2): Int = {
+      retainVersions: Int = 2, sortCols: Seq[String] = Seq.empty): Int = {
     val vs = listVersions(s, root)
     require(vs.nonEmpty, s"PartitionedCdc: $root is not initialized")
     val v = vs.last + 1
-    read(s, root).withColumn("bucket", newBucketOf)
-      .write.mode("overwrite").partitionBy("bucket")
-      .parquet(s"$root/data/ver=$v")
+    bucketedWrite(read(s, root), newBucketOf, sortCols,
+      s"$root/data/ver=$v")
     // a maintained root carries its aggregate forward unchanged —
     // the view is bucket-layout-invariant, and the next
     // maintainVersion(fromVersion = v) needs agg/ver=v to exist
@@ -545,7 +567,7 @@ object PartitionedCdc {
       keys: Seq[String], seqCol: String, opCol: String,
       bucketOf: Column, dims: Seq[String], sumCols: Seq[String],
       fromVersion: Int, cntCol: String = "n", deleteOp: String = "D",
-      retainVersions: Int = 2): Int = {
+      retainVersions: Int = 2, sortCols: Seq[String] = Seq.empty): Int = {
     // every validation BEFORE the first write: a failed batch must
     // not leave an orphan agg/ver that a later commit legitimizes
     validateBatch(log, retainVersions)
@@ -558,7 +580,7 @@ object PartitionedCdc {
       .write.mode("overwrite")
       .parquet(s"$root/agg/ver=${fromVersion + 1}")
     doApply(s, root, log, keys, seqCol, opCol, bucketOf, cur,
-      churned, deleteOp, retainVersions)
+      churned, deleteOp, retainVersions, sortCols)
   }
 
   /** Version-`v` read of the maintained view. */

@@ -321,6 +321,45 @@ class PartitionedCdcSpec extends SparkSpec {
     }
   }
 
+  test("sortCols: the churned-bucket rewrite doubles as re-cluster — " +
+      "identical content, every written file sorted and range-disjoint " +
+      "on the sort column") {
+    withDir { root =>
+      // v deliberately interleaved across k so an unsorted write would
+      // NOT be ordered: v = (k * 48271) % 1000
+      val b = (0L until 100L)
+        .map(k => (k, (k * 48271) % 1000, "base")).toDF("k", "v", "src")
+      PartitionedCdc.init(b, bucketOf, root, sortCols = Seq("v"))
+      PartitionedCdc.applyBatch(spark, root, log1, Seq("k"), "seq",
+        "op", bucketOf, retainVersions = 10, sortCols = Seq("v"))
+      // content ≡ the unclustered apply (clustering is layout-only)
+      assert(kvRows(PartitionedCdc.read(spark, root)) ===
+        kvRows(CdcOps.applyChangelog(b, log1, Seq("k"), "seq", "op")))
+      // every parquet file of every version: rows sorted on v, and
+      // within a bucket the per-file [min, max] ranges are disjoint —
+      // the row-group-narrowness slice scans skip on
+      for (v <- PartitionedCdc.listVersions(spark, root)) {
+        val dataDir = new HPath(s"$root/data/ver=$v")
+        for (bDir <- fs.listStatus(dataDir)
+              if bDir.getPath.getName.startsWith("bucket=")) {
+          val ranges = fs.listStatus(bDir.getPath).toSeq
+            .map(_.getPath.toString).filter(_.endsWith(".parquet"))
+            .map { f =>
+              val vs = spark.read.parquet(f)
+                .select("v").as[Long].collect().toSeq
+              assert(vs === vs.sorted,
+                s"$f is not sorted on the sort column")
+              (vs.min, vs.max)
+            }.sortBy(_._1)
+          for (Seq((_, hi), (lo, _)) <- ranges.sliding(2)
+                if ranges.size >= 2)
+            assert(hi <= lo,
+              s"ver=$v ${bDir.getPath.getName}: file ranges overlap")
+        }
+      }
+    }
+  }
+
   test("diffVersions: equal to the full snapshot diff, reading ONLY " +
       "the buckets whose serving directory differs") {
     withDir { root =>

@@ -44,7 +44,8 @@ object Explain {
     "x14_incr_minmax" -> "non-invertible view maintenance: untouched groups anti-join-carry from the previous aggregate; only churn-touched groups re-aggregate from the applied snapshot",
     "j8_bloom_join" -> "bloom semi-join pruning: codegen'd bloom_might_contain probe (bitset as one task-shared reference object) drops non-joinable fact rows before the exchange; false positives die in the exact join",
     "x17_cdc_partitioned" -> "copy-on-write CDC: each batch reads/rewrites only churned buckets (explicit per-bucket path selection — cold buckets never listed); version read assembles immutable bucket files via the manifest",
-    "x18_cow_incr_agg" -> "COW-maintained view: maintainAggs' churn-keyed semi-join fed with the churned-bucket slice — the maintenance job never reads a cold bucket; group-sized aggregate versions whole")
+    "x18_cow_incr_agg" -> "COW-maintained view: maintainAggs' churn-keyed semi-join fed with the churned-bucket slice — the maintenance job never reads a cold bucket; group-sized aggregate versions whole",
+    "x19_cow_diff" -> "bucket-pruned version diff: both scan legs assemble ONLY the manifest-differing buckets (explicit path selection), then the tagged union collapses in one keyed aggregation exactly as x13")
 
   def main(args: Array[String]): Unit = {
     val spark = Sessions.local("graft-explain")

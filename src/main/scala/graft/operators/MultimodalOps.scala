@@ -12,9 +12,13 @@ import org.apache.spark.sql.{Dataset, SparkSession}
   *
   * IMAGE decode is REAL ([[decodeImage]] — `javax.imageio`, which the
   * JDK ships: PNG/JPEG/BMP/GIF dimensions, band count, mean luminance,
-  * 2×2 luminance grid), with a deterministic fallback row for payloads
-  * ImageIO cannot read. AUDIO/VIDEO codecs are not in this container,
-  * so their decode remains the documented stub: [[decodeStub]] derives
+  * 2×2 luminance grid), and so is WAV/PCM AUDIO decode
+  * ([[decodeAudio]] — `javax.sound.sampled`, also JDK-shipped: rate /
+  * channels / duration, RMS, peak, zero crossings), each with a
+  * deterministic flagged fallback row for payloads the JDK stack
+  * cannot read. COMPRESSED audio (mp3/aac) and VIDEO codecs are not in
+  * this container, so their decode remains the documented stub:
+  * [[decodeStub]] derives
   * a deterministic pseudo-feature vector from the payload's md5 — the
   * Spark-side plumbing (schema, batching, partitioning, feature shape)
   * is real and tested, and a production build swaps [[decodeStub]] for
@@ -166,6 +170,135 @@ object MultimodalOps {
     val bos = new java.io.ByteArrayOutputStream()
     javax.imageio.ImageIO.write(img, "png", bos)
     MediaRow(id, "image", bos.toByteArray)
+  }
+
+  /** REAL audio decode output (WAV/PCM via `javax.sound.sampled`,
+    * which the JDK ships like ImageIO): container format, per-channel
+    * sample statistics a filtering pipeline keys on — RMS and peak
+    * amplitude (clipping / silence gates), zero-crossing count (a
+    * crude spectral proxy), duration. `decoded = false` marks the
+    * flagged fallback row of a payload the sound stack cannot read
+    * (compressed codecs — mp3/aac — are NOT in the JDK and stay
+    * stubbed, exactly as image decode treats unknown formats).
+    */
+  final case class AudioFeatures(id: Long, kind: String, n_bytes: Long,
+      fp: Long, decoded: Boolean, sample_rate: Int, channels: Int,
+      n_samples: Long, duration_s: Double, rms: Double, peak: Long,
+      zero_crossings: Long)
+
+  /** Decode an audio payload with `javax.sound.sampled`. Supports the
+    * PCM frame layouts the JDK WAV reader emits (8/16-bit, any
+    * channel count, either endianness); samples fold to a per-frame
+    * MEAN across channels before the statistics, so mono fixtures
+    * stay integer-exact. `None` for anything the stack cannot parse
+    * (it throws `UnsupportedAudioFileException` on non-audio bytes).
+    */
+  def decodeAudio(row: MediaRow): Option[AudioFeatures] = {
+    val in =
+      try Option(javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(row.payload)))
+      catch { case scala.util.control.NonFatal(_) => None }
+    in.flatMap { ais =>
+      try {
+        val f = ais.getFormat
+        val bits = f.getSampleSizeInBits
+        val ch = f.getChannels
+        if (bits != 8 && bits != 16) None
+        else {
+          val bytes = ais.readAllBytes()
+          val bytesPerSample = bits / 8
+          val frameBytes = bytesPerSample * ch
+          val nFrames = bytes.length / frameBytes
+          def sampleAt(off: Int): Int =
+            if (bits == 8) (bytes(off) & 0xFF) - 128
+            else {
+              val (lo, hi) =
+                if (f.isBigEndian) (off + 1, off) else (off, off + 1)
+              (bytes(hi).toInt << 8) | (bytes(lo) & 0xFF)
+            }
+          var sumSq = 0.0
+          var peak = 0L
+          var crossings = 0L
+          var prevSign = 0
+          var i = 0
+          while (i < nFrames) {
+            // per-frame channel mean: integer for mono, the natural
+            // downmix otherwise
+            var s = 0L
+            var c = 0
+            while (c < ch) {
+              s += sampleAt(i * frameBytes + c * bytesPerSample)
+              c += 1
+            }
+            val v = s.toDouble / ch
+            sumSq += v * v
+            val av = math.abs(s / ch)
+            if (av > peak) peak = av
+            val sign = java.lang.Double.compare(v, 0.0).sign
+            if (sign != 0 && prevSign != 0 && sign != prevSign)
+              crossings += 1
+            if (sign != 0) prevSign = sign
+            i += 1
+          }
+          val rate = math.round(f.getSampleRate).toInt
+          Some(AudioFeatures(row.id, row.kind,
+            row.payload.length.toLong, hash15Jvm(row.payload),
+            decoded = true, rate, ch, nFrames,
+            nFrames.toDouble / rate,
+            if (nFrames == 0) 0.0 else math.sqrt(sumSq / nFrames),
+            peak, crossings))
+        }
+      } catch { case scala.util.control.NonFatal(_) => None }
+      finally ais.close()
+    }
+  }
+
+  /** Batched audio feature extraction — same bounded-batch stage
+    * shape as [[extractImageFeatures]], flagged fallback included.
+    */
+  def extractAudioFeatures(ds: Dataset[MediaRow],
+      batchSize: Int = 64): Dataset[AudioFeatures] = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    ds.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.map { r =>
+          decodeAudio(r).getOrElse(AudioFeatures(r.id, r.kind,
+            r.payload.length.toLong, hash15Jvm(r.payload),
+            decoded = false, 0, 0, 0L, 0.0, 0.0, 0L, 0L))
+        }
+      }
+    }
+  }
+
+  /** Deterministic synthetic square-wave WAV — the audio analogue of
+    * [[syntheticGrayPng]]: 16-bit mono PCM alternating +A/-A with
+    * `A = 100 + id%900`, `n = 800 + (id%5)*400` samples at
+    * `8000 << (id%2)` Hz, so every decoded statistic is closed-form:
+    * RMS = peak = A exactly (sqrt of a perfect square), zero
+    * crossings = n-1 (every adjacent pair flips sign), duration =
+    * n / rate (power-of-two rate — exact double).
+    */
+  def syntheticSquareWav(id: Long): MediaRow = {
+    val amp = (100 + id % 900).toInt
+    val n = (800 + (id % 5) * 400).toInt
+    val rate = (8000 << (id % 2).toInt).toFloat
+    val pcm = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      val v = if (i % 2 == 0) amp else -amp
+      pcm(2 * i) = (v & 0xFF).toByte
+      pcm(2 * i + 1) = ((v >> 8) & 0xFF).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(rate, 16, 1,
+      true, false) // signed, little-endian
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    MediaRow(id, "audio", bos.toByteArray)
   }
 
   /** Batched feature extraction — the mapInPandas-shaped stage. */

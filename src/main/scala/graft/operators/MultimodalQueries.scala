@@ -83,6 +83,25 @@ object MultimodalQueries {
           element_at(col("grid"), 2).as("g01"),
           element_at(col("grid"), 3).as("g10"),
           element_at(col("grid"), 4).as("g11"))
+    }),
+
+    // m6: REAL audio decode — per doc_id a deterministic square-wave
+    // WAV ([[MultimodalOps.syntheticSquareWav]]) is ENCODED then
+    // DECODED through javax.sound.sampled; rate, channel count,
+    // sample count, duration, RMS, peak, and zero-crossing count must
+    // equal the oracle's closed forms (the square wave makes RMS a
+    // perfect-square sqrt and the power-of-two rate makes duration an
+    // exact double). Same hash-mismatch-on-regression property as m5.
+    "m6_audio_decode" -> ((s, d) => {
+      import s.implicits._
+      val media = documents(s, d).select(col("doc_id")).as[Long]
+        .map(MultimodalOps.syntheticSquareWav _)
+      MultimodalOps.extractAudioFeatures(media, batchSize = 64)
+        .toDF()
+        .select(col("id").as("doc_id"), col("decoded"),
+          col("sample_rate"), col("channels"), col("n_samples"),
+          col("duration_s"), col("rms"), col("peak"),
+          col("zero_crossings"))
     })
   )
 
@@ -132,6 +151,25 @@ object MultimodalQueries {
            base + w/2 + (w/2 - 1) / 2.0 + (h/2 - 1) AS g01,
            base + (w/2 - 1) / 2.0 + h + (h/2 - 1) AS g10,
            base + w/2 + (w/2 - 1) / 2.0 + h + (h/2 - 1) AS g11
+         FROM p""",
+    // the square-wave fixture's decoded statistics in closed form:
+    // amplitude A = 100 + id%900 alternating sign each sample, so
+    // RMS = peak = A, every adjacent pair crosses zero (n-1), and
+    // duration divides by a power-of-two rate exactly
+    "m6_audio_decode" ->
+      """WITH p AS (
+           SELECT doc_id,
+             100 + doc_id % 900 AS amp,
+             800 + (doc_id % 5) * 400 AS n,
+             CASE doc_id % 2 WHEN 0 THEN 8000 ELSE 16000 END AS rate
+           FROM documents)
+         SELECT doc_id, true AS decoded,
+           rate AS sample_rate, 1 AS channels,
+           CAST(n AS BIGINT) AS n_samples,
+           CAST(n AS DOUBLE) / rate AS duration_s,
+           CAST(amp AS DOUBLE) AS rms,
+           CAST(amp AS BIGINT) AS peak,
+           CAST(n - 1 AS BIGINT) AS zero_crossings
          FROM p"""
   )
 }

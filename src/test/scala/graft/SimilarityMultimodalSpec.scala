@@ -88,6 +88,53 @@ class SimilarityMultimodalSpec extends SparkSpec {
       MultimodalOps.hash15Jvm("not a png".getBytes))
   }
 
+  test("real audio decode: WAV round-trip matches the square-wave " +
+      "closed forms; stereo downmixes; non-audio payloads fall back") {
+    // ids covering the full geometry matrix: amp × n × rate
+    val media = (0L to 9L)
+      .map(MultimodalOps.syntheticSquareWav).toDS().repartition(3)
+    val feats = MultimodalOps.extractAudioFeatures(media, batchSize = 4)
+      .collect().sortBy(_.id)
+    assert(feats.length === 10)
+    for (f <- feats) {
+      val (amp, n) = (100 + f.id % 900, 800 + (f.id % 5) * 400)
+      val rate = 8000 << (f.id % 2).toInt
+      assert(f.decoded && f.channels === 1)
+      assert(f.sample_rate === rate && f.n_samples === n)
+      assert(f.duration_s === n.toDouble / rate)
+      assert(f.rms === amp.toDouble && f.peak === amp)
+      assert(f.zero_crossings === n - 1)
+    }
+    // stereo: constant 300/100 channels → per-frame mean 200, no
+    // sign change → rms = peak = 200, zero crossings
+    val pcm = new Array[Byte](50 * 4)
+    for (i <- 0 until 50; (v, c) <- Seq((300, 0), (100, 1))) {
+      pcm(4 * i + 2 * c) = (v & 0xFF).toByte
+      pcm(4 * i + 2 * c + 1) = ((v >> 8) & 0xFF).toByte
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 2,
+      true, false)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, 50L),
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    val st = MultimodalOps.decodeAudio(
+      MultimodalOps.MediaRow(11L, "audio", bos.toByteArray)).get
+    assert(st.channels === 2 && st.n_samples === 50L)
+    assert(st.rms === 200.0 && st.peak === 200L)
+    assert(st.zero_crossings === 0L)
+    // non-audio payloads (garbage, and a PNG) fall back flagged
+    val bad = Seq(
+      MultimodalOps.MediaRow(12L, "audio", "not audio".getBytes),
+      MultimodalOps.MediaRow(13L, "audio",
+        MultimodalOps.syntheticGrayPng(1L).payload)).toDS()
+    val fb = MultimodalOps.extractAudioFeatures(bad, batchSize = 2)
+      .collect().sortBy(_.id)
+    assert(fb.forall(f => !f.decoded && f.sample_rate === 0 &&
+      f.rms === 0.0))
+  }
+
   test("frame sampling keeps every stride-th fixed-size slice") {
     val media = Seq(MultimodalOps.MediaRow(1L, "video",
       Array.tabulate[Byte](100)(_.toByte))).toDS()

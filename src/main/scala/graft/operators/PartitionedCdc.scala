@@ -139,7 +139,7 @@ object PartitionedCdc {
     * deterministic rewrite regenerates version v's data and the
     * manifest comparison converges.
     */
-  private def commitManifest(s: SparkSession, root: String,
+  private[graft] def commitManifest(s: SparkSession, root: String,
       m: Manifest): Unit = {
     val vd = versionsDir(root)
     val fs = fsOf(s, vd)
@@ -161,7 +161,14 @@ object PartitionedCdc {
       // exactly this, nothing to write
     }
     if (fs.exists(fin)) { convergeOrRefuse(); return }
-    val tmp = new Path(vd, f".v${m.version}%010d.json.tmp")
+    // tmp name unique PER ATTEMPT: a fixed name would let two racing
+    // writers interleave on the shared tmp (B overwrites it between
+    // A's write and A's rename — A then publishes B's bytes and both
+    // believe they won); with private tmps the no-overwrite rename is
+    // the single decision point. A crashed attempt's stray dot-file
+    // is invisible to listVersions (names filter on the "v" prefix).
+    val tmp = new Path(vd,
+      f".v${m.version}%010d.${java.util.UUID.randomUUID}.tmp")
     val out = fs.create(tmp, true)
     try out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()

@@ -268,6 +268,40 @@ object StreamingQueries {
         sumCols = Seq("price_tc"), retainVersions = 10)
     }),
 
+    // st18 ≡ m5: CONTINUOUS MEDIA DECODE — the image ingest path as a
+    // stream: doc ids replay as id-ordered micro-batches, each batch
+    // synthesizes its fixture PNGs and runs the REAL ImageIO decode
+    // stage (MultimodalOps.extractImageFeatures — bounded batches,
+    // flagged fallback), appending features keyed by batch id
+    // (dynamic per-batch overwrite = replay-idempotent). Decode is
+    // per-row pure, so the streamed union must hash-match the
+    // one-shot batch decode — m5's closed-form oracle VERBATIM.
+    "st18_stream_media" -> ((s, d) => {
+      val ss = StreamingOps.streamSession(s)
+      val root = TempArtifacts.dir("graft-stream-media")
+      val ids = Tables.documents(ss, d).select(col("doc_id"))
+      StreamingOps.stageOrderedArrivals(ids, "doc_id", nFiles = 3,
+        s"$root/arrivals")
+      StreamingOps.replayOrdered(ss, ids.schema, s"$root/arrivals",
+          s"$root/ckpt") { (batch, batchId) =>
+        import ss.implicits._
+        val media = batch.select(col("doc_id")).as[Long]
+          .map(graft.operators.MultimodalOps.syntheticGrayPng _)
+        graft.operators.MultimodalOps
+          .extractImageFeatures(media, batchSize = 64).toDF()
+          .select(col("id").as("doc_id"), col("decoded"),
+            col("width"), col("height"), col("bands"),
+            col("mean_lum"),
+            element_at(col("grid"), 1).as("g00"),
+            element_at(col("grid"), 2).as("g01"),
+            element_at(col("grid"), 3).as("g10"),
+            element_at(col("grid"), 4).as("g11"))
+          .write.mode("overwrite").parquet(s"$root/out/batch=$batchId")
+      }
+      ss.read.option("basePath", s"$root/out")
+        .parquet(s"$root/out").drop("batch")
+    }),
+
     // st15 ≡ a12: CONTINUOUS CARDINALITY — each micro-batch appends
     // ONE HLL sketch row to a parquet sketch store (hll_sketch_agg
     // over just the batch; earlier batches are never rescanned), and
@@ -440,6 +474,9 @@ object StreamingQueries {
          true AS merge_invariant, true AS apx_ok
          FROM lineitem""",
     "st13_stream_takedown" -> SimilarityQueries.oracle("s15_index_delete"),
-    "st14_stream_incr_agg" -> ExtraQueries.oracle("x12_incr_agg")
+    "st14_stream_incr_agg" -> ExtraQueries.oracle("x12_incr_agg"),
+    // decode is per-row pure: streamed batches union to exactly the
+    // one-shot decode — m5's closed forms verbatim
+    "st18_stream_media" -> MultimodalQueries.oracle("m5_image_decode")
   )
 }

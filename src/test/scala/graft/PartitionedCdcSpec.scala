@@ -171,6 +171,50 @@ class PartitionedCdcSpec extends SparkSpec {
     }
   }
 
+  test("fence under a REAL race: concurrent same-version commits — " +
+      "exactly one distinct content wins, the loser refuses loudly, " +
+      "identical content converges on both sides") {
+    withDir { root =>
+      import graft.operators.PartitionedCdc.{Manifest => M}
+      for (iter <- 1 to 40) {
+        val mA = M(iter, Map(0L -> iter))
+        val mB = M(iter, Map(0L -> iter, 1L -> iter))
+        val outcomes =
+          new java.util.concurrent.ConcurrentLinkedQueue[
+            Either[Throwable, Unit]]()
+        val threads = Seq(mA, mB).map(m => new Thread(() =>
+          outcomes.add(
+            try { PartitionedCdc.commitManifest(spark, root, m)
+              Right(()) }
+            catch { case e: Throwable => Left(e) })))
+        threads.foreach(_.start()); threads.foreach(_.join())
+        val rs = outcomes.toArray(Array.empty[Either[Throwable, Unit]])
+        assert(rs.count(_.isRight) === 1,
+          s"iter $iter: expected exactly one winner, got $rs")
+        val err = rs.collectFirst { case Left(e) => e }.get
+        assert(err.getMessage.contains("second concurrent writer"),
+          s"iter $iter: loser failed for the wrong reason: $err")
+        // the committed manifest is EXACTLY one candidate, whole —
+        // never an interleaved mix
+        val got = PartitionedCdc.manifest(spark, root, iter)
+        assert(got === mA || got === mB,
+          s"iter $iter: committed manifest is neither candidate")
+      }
+      // identical content racing: BOTH converge, no error
+      val same = M(1000, Map(0L -> 1000))
+      val errs =
+        new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      val ts = (1 to 2).map(_ => new Thread(() =>
+        try PartitionedCdc.commitManifest(spark, root, same)
+        catch { case e: Throwable => errs.add(e) }))
+      ts.foreach(_.start()); ts.foreach(_.join())
+      assert(errs.isEmpty,
+        s"identical-content race should converge on both sides: " +
+          s"${errs.toArray.mkString(", ")}")
+      assert(PartitionedCdc.manifest(spark, root, 1000) === same)
+    }
+  }
+
   test("maintained view: every version's aggregate equals the " +
       "recompute over that version's table; the agg chain prunes " +
       "with the manifests") {

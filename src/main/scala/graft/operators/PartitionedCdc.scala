@@ -131,14 +131,26 @@ object PartitionedCdc {
     *    lands on the same converge-or-refuse comparison.
     *
     * The fence DETECTS the single-writer violation rather than
-    * serializing writers (that needs an external lock): the losing
-    * writer's data write already overwrote `data/ver=<v>` before its
-    * commit failed, so a tripped fence means version v's directory
-    * may hold the loser's bytes under the winner's manifest. Recovery
-    * is the replay path itself: re-run the WINNING batch — the
-    * deterministic rewrite regenerates version v's data and the
-    * manifest comparison converges.
+    * serializing writers across processes (that needs the filesystem's
+    * atomic rename, or an external lock on stores without one — see
+    * CLUSTER.md): the losing writer's data write already overwrote
+    * `data/ver=<v>` before its commit failed, so a tripped fence means
+    * version v's directory may hold the loser's bytes under the
+    * winner's manifest. Recovery is the replay path itself: re-run the
+    * WINNING batch — the deterministic rewrite regenerates version v's
+    * data and the manifest comparison converges.
+    *
+    * SAME-JVM writers additionally serialize on a per-manifest
+    * in-process lock: intra-process coordination is free, and the
+    * local filesystem's (file, .crc) pair rename is not atomic under
+    * concurrency — two same-JVM racers could otherwise publish one
+    * writer's bytes under the other's checksum. Cross-process racers
+    * never share the lock and are decided by the no-overwrite rename,
+    * which HDFS-like stores make atomic.
     */
+  private val commitLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
   private[graft] def commitManifest(s: SparkSession, root: String,
       m: Manifest): Unit = {
     val vd = versionsDir(root)
@@ -160,39 +172,49 @@ object PartitionedCdc {
       // identical — a faithful replay; the visible file already says
       // exactly this, nothing to write
     }
-    if (fs.exists(fin)) { convergeOrRefuse(); return }
-    // tmp name unique PER ATTEMPT: a fixed name would let two racing
-    // writers interleave on the shared tmp (B overwrites it between
-    // A's write and A's rename — A then publishes B's bytes and both
-    // believe they won); with private tmps the no-overwrite rename is
-    // the single decision point. A crashed attempt's stray dot-file
-    // is invisible to listVersions (names filter on the "v" prefix).
-    val tmp = new Path(vd,
-      f".v${m.version}%010d.${java.util.UUID.randomUUID}.tmp")
-    val out = fs.create(tmp, true)
-    try out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
-    // create-exclusive commit: atomic rename with NO overwrite — a
-    // second writer that raced past the exists() check fails here
-    // (FileAlreadyExists / rename=false depending on the FS) and is
-    // routed to the same converge-or-refuse comparison
-    try
-      org.apache.hadoop.fs.FileContext
-        .getFileContext(fin.toUri, s.sparkContext.hadoopConfiguration)
-        .rename(tmp, fin)
-    catch {
-      case e: java.io.IOException =>
+    // one lock per ROOT (not per version file): bounded by the number
+    // of roots a JVM ever writes, and commits to one root are
+    // sequential under the single-writer contract anyway
+    val lock =
+      commitLocks.computeIfAbsent(vd.toString, _ => new Object)
+    lock.synchronized {
+      if (fs.exists(fin)) { convergeOrRefuse(); return }
+      // tmp name unique PER ATTEMPT: a fixed name would let two
+      // cross-process racers interleave on the shared tmp (B
+      // overwrites it between A's write and A's rename — A then
+      // publishes B's bytes and both believe they won); with private
+      // tmps the no-overwrite rename is the single decision point. A
+      // crashed attempt's stray dot-file is invisible to listVersions
+      // (names filter on the "v" prefix).
+      val tmp = new Path(vd,
+        f".v${m.version}%010d.${java.util.UUID.randomUUID}.tmp")
+      val out = fs.create(tmp, true)
+      try out.write(
+        json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+      // create-exclusive commit: atomic rename with NO overwrite — a
+      // second writer that raced past the exists() check (another
+      // process; same-JVM racers serialized above) fails here
+      // (FileAlreadyExists / rename=false depending on the FS) and is
+      // routed to the same converge-or-refuse comparison
+      try
+        org.apache.hadoop.fs.FileContext
+          .getFileContext(fin.toUri, s.sparkContext.hadoopConfiguration)
+          .rename(tmp, fin)
+      catch {
+        case e: java.io.IOException =>
+          fs.delete(tmp, false)
+          if (fs.exists(fin)) convergeOrRefuse() else throw e
+      }
+      // some FileContext impls report a blocked no-overwrite rename as
+      // a false return rather than a throw; the tmp file surviving is
+      // the portable signal that the rename did not happen
+      if (fs.exists(tmp)) {
         fs.delete(tmp, false)
-        if (fs.exists(fin)) convergeOrRefuse() else throw e
-    }
-    // some FileContext impls report a blocked no-overwrite rename as
-    // a false return rather than a throw; the tmp file surviving is
-    // the portable signal that the rename did not happen
-    if (fs.exists(tmp)) {
-      fs.delete(tmp, false)
-      if (fs.exists(fin)) convergeOrRefuse()
-      else throw new java.io.IOException(
-        s"PartitionedCdc: manifest rename $tmp -> $fin failed")
+        if (fs.exists(fin)) convergeOrRefuse()
+        else throw new java.io.IOException(
+          s"PartitionedCdc: manifest rename $tmp -> $fin failed")
+      }
     }
   }
 

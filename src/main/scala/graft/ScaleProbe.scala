@@ -750,6 +750,24 @@ object ScaleProbe {
       }
     }
 
+    // the REAL media decode stage at volume: 200k synthetic PNGs
+    // (fixture geometry mix) encoded AND decoded through ImageIO in
+    // the bounded-batch mapPartitions stage — per-row pure, so
+    // throughput scales with cores×rows and peak task memory stays
+    // batchSize × payload. The number prices the full
+    // encode+decode+stats round trip; a production pipeline pays only
+    // the decode half of it.
+    if (want("image decode (200k synthetic pngs)")) locally {
+      import spark.implicits._
+      val media = spark.range(200000L).as[Long]
+        .map(graft.operators.MultimodalOps.syntheticGrayPng _)
+      time("image decode (200k synthetic pngs)", 200000L) {
+        graft.operators.MultimodalOps
+          .extractImageFeatures(media, batchSize = 64)
+          .write.format("noop").mode("overwrite").save()
+      }
+    }
+
     // snapshotDiff at audit scale: two 20M-row versions, ~2.8M true
     // deltas (2M changed, 400k removed, 400k added). The union+single-
     // aggregation formulation pays ONE exchange over prev ∪ next;

@@ -301,6 +301,29 @@ object MultimodalOps {
     MediaRow(id, "audio", bos.toByteArray)
   }
 
+  /** Deterministic synthetic "video": `frames` fixture PNGs
+    * ([[syntheticGrayPng]] of `id*10 + frameIdx`), each zero-padded
+    * to the fixed `frameBytes` window — the motion-JPEG-like shape
+    * [[sampleFrames]] slices (PNG decoders stop at the IEND chunk, so
+    * the padding is invisible to [[decodeImage]]). Composes the full
+    * video path: container slice → frame sample → REAL per-frame
+    * decode, every statistic still closed-form in (id, frameIdx).
+    */
+  def syntheticVideo(id: Long, frames: Int,
+      frameBytes: Int): MediaRow = {
+    val payload = new Array[Byte](frames * frameBytes)
+    var i = 0
+    while (i < frames) {
+      val png = syntheticGrayPng(id * 10 + i).payload
+      require(png.length <= frameBytes,
+        s"syntheticVideo: frame PNG ${png.length} B exceeds the " +
+          s"$frameBytes B frame window")
+      System.arraycopy(png, 0, payload, i * frameBytes, png.length)
+      i += 1
+    }
+    MediaRow(id, "video", payload)
+  }
+
   /** Batched feature extraction — the mapInPandas-shaped stage. */
   def extractFeatures(ds: Dataset[MediaRow],
       batchSize: Int = 64): Dataset[MediaFeatures] = {

@@ -102,6 +102,25 @@ object MultimodalQueries {
           col("sample_rate"), col("channels"), col("n_samples"),
           col("duration_s"), col("rms"), col("peak"),
           col("zero_crossings"))
+    }),
+
+    // m7: the VIDEO path composed end to end — per doc_id a synthetic
+    // 4-frame "video" (fixture PNGs in fixed 1 KiB frame windows,
+    // motion-JPEG shape), frame-sampled every 2nd frame (m4's slicing
+    // stage) and each kept frame REALLY decoded through ImageIO (m5's
+    // stage). Frame f of doc v carries fixture id v*10+f, so every
+    // decoded statistic is still a closed form of (doc_id, frame).
+    "m7_video_frames" -> ((s, d) => {
+      import s.implicits._
+      val vids = documents(s, d).select(col("doc_id")).as[Long]
+        .map(MultimodalOps.syntheticVideo(_, frames = 4,
+          frameBytes = 1024))
+      val sampled = MultimodalOps.sampleFrames(vids,
+        frameBytes = 1024, stride = 2)
+      MultimodalOps.extractImageFeatures(sampled, batchSize = 64)
+        .toDF()
+        .select(col("id").as("frame_id"), col("decoded"),
+          col("width"), col("height"), col("bands"), col("mean_lum"))
     })
   )
 
@@ -170,6 +189,25 @@ object MultimodalQueries {
            CAST(amp AS DOUBLE) AS rms,
            CAST(amp AS BIGINT) AS peak,
            CAST(n - 1 AS BIGINT) AS zero_crossings
-         FROM p"""
+         FROM p""",
+    // frame f of doc v is fixture id v*10+f; sampleFrames keeps
+    // frames 0 and 2 (stride 2 of 4) and re-keys to v*1000000+f —
+    // the per-frame decode statistics are m5's closed forms over the
+    // frame's fixture id
+    "m7_video_frames" ->
+      """WITH fr AS (
+           SELECT doc_id, i
+           FROM documents CROSS JOIN (VALUES (0), (2)) AS s(i)),
+         q AS (
+           SELECT doc_id, i,
+             (doc_id * 10 + i) % 200 AS base,
+             CASE (doc_id * 10 + i) % 3 WHEN 0 THEN 8 WHEN 1 THEN 16
+               ELSE 32 END AS w,
+             CASE (doc_id * 10 + i) % 2 WHEN 0 THEN 4 ELSE 8 END AS h
+           FROM fr)
+         SELECT doc_id * 1000000 + i AS frame_id, true AS decoded,
+           w AS width, h AS height, 1 AS bands,
+           base + (w - 1) / 2.0 + (h - 1) AS mean_lum
+         FROM q"""
   )
 }

@@ -135,6 +135,29 @@ class SimilarityMultimodalSpec extends SparkSpec {
       f.rms === 0.0))
   }
 
+  test("video composition: frame-sample then real per-frame decode — " +
+      "padding invisible, sampled frames decode to their fixture's " +
+      "closed forms") {
+    val vids = Seq(3L, 7L)
+      .map(MultimodalOps.syntheticVideo(_, frames = 4,
+        frameBytes = 1024)).toDS()
+    val sampled = MultimodalOps.sampleFrames(vids, frameBytes = 1024,
+      stride = 2)
+    val feats = MultimodalOps.extractImageFeatures(sampled,
+      batchSize = 4).collect().sortBy(_.id)
+    // 2 docs × frames {0, 2}
+    assert(feats.map(_.id).toSeq ===
+      Seq(3000000L, 3000002L, 7000000L, 7000002L))
+    for (f <- feats) {
+      val fid = (f.id / 1000000L) * 10 + (f.id % 1000000L)
+      val (base, w, h) = ((fid % 200).toDouble,
+        (8 << (fid % 3).toInt).toDouble, (4 << (fid % 2).toInt).toDouble)
+      assert(f.decoded, s"frame ${f.id} (fixture $fid) did not decode")
+      assert(f.width.toDouble === w && f.height.toDouble === h)
+      assert(f.mean_lum === base + (w - 1) / 2 + (h - 1))
+    }
+  }
+
   test("frame sampling keeps every stride-th fixed-size slice") {
     val media = Seq(MultimodalOps.MediaRow(1L, "video",
       Array.tabulate[Byte](100)(_.toByte))).toDS()

@@ -37,6 +37,16 @@ object ScaleProbe {
       println(f"$name%-28s rows=$rows%,d  ${s}%.2f s  ${rows / s / 1e6}%.1f M rows/s")
     }
 
+    // one recursive temp-tree delete for every probe that writes an
+    // artifact (was four identical local copies)
+    def rmTree(p: java.nio.file.Path): Unit = {
+      if (java.nio.file.Files.isDirectory(p)) {
+        val st = java.nio.file.Files.list(p)
+        try st.forEach(rmTree) finally st.close()
+      }
+      java.nio.file.Files.deleteIfExists(p)
+    }
+
     val n = 20000000L
     lazy val events = {
       val e = spark.range(n).select(
@@ -341,14 +351,7 @@ object ScaleProbe {
         .write.format("noop").mode("overwrite").save()
     }
     locally {
-      def rm(p: java.nio.file.Path): Unit = {
-        if (java.nio.file.Files.isDirectory(p)) {
-          val st = java.nio.file.Files.list(p)
-          try st.forEach(rm) finally st.close()
-        }
-        java.nio.file.Files.deleteIfExists(p)
-      }
-      rm(java.nio.file.Paths.get(idxDir))
+      rmTree(java.nio.file.Paths.get(idxDir))
     }
 
     // takedown at artifact scale: a 2M-row, 64-cell artifact with
@@ -409,14 +412,7 @@ object ScaleProbe {
             spark, artDir3, "cell", "vec_id", tombs, staged = true)
         }
       }
-      def rm(p: java.nio.file.Path): Unit = {
-        if (java.nio.file.Files.isDirectory(p)) {
-          val st = java.nio.file.Files.list(p)
-          try st.forEach(rm) finally st.close()
-        }
-        java.nio.file.Files.deleteIfExists(p)
-      }
-      rm(java.nio.file.Paths.get(artRoot))
+      rmTree(java.nio.file.Paths.get(artRoot))
     }
 
     // CDC apply at churn scale: a 20M-key snapshot absorbs a 2M-row
@@ -582,13 +578,6 @@ object ScaleProbe {
         (col("id") * 10).as("k"), (col("id") % 4L + 1L).as("seq"),
         when(col("id") % 3 === 0, "D").otherwise("U").as("op"),
         (col("id") % 1000).as("g"), (col("id") % 89).as("x"))
-      def rm(p: java.nio.file.Path): Unit = {
-        if (java.nio.file.Files.isDirectory(p)) {
-          val st = java.nio.file.Files.list(p)
-          try st.forEach(rm) finally st.close()
-        }
-        java.nio.file.Files.deleteIfExists(p)
-      }
       def chainReport(tag: String, root: String): Unit = {
         val rp = new org.apache.hadoop.fs.Path(root)
         val fs = rp.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -611,7 +600,7 @@ object ScaleProbe {
             .write.format("noop").mode("overwrite").save()
         }
         chainReport("apply", root)
-        rm(java.nio.file.Paths.get(root))
+        rmTree(java.nio.file.Paths.get(root))
       }
       if (want("cdc stream maintain chain (20M, 4 batches)")) locally {
         val root = java.nio.file.Files
@@ -624,7 +613,7 @@ object ScaleProbe {
             .write.format("noop").mode("overwrite").save()
         }
         chainReport("maintain", root)
-        rm(java.nio.file.Paths.get(root))
+        rmTree(java.nio.file.Paths.get(root))
       }
       // the COPY-ON-WRITE alternative under CLUSTERED churn — the
       // realistic CDC shape (hot recent keys): the same 2M-row log
@@ -660,7 +649,7 @@ object ScaleProbe {
           println(f"  partitioned chain retained: $verDirs version " +
             f"dirs, ${bytes / 1e6}%.0f MB total data")
         }
-        rm(java.nio.file.Paths.get(root))
+        rmTree(java.nio.file.Paths.get(root))
       }
       // the COW MAINTAINED VIEW at the same scale: vs the full
       // maintain chain (39.3 s — snapshot write bandwidth), the
@@ -684,7 +673,7 @@ object ScaleProbe {
               retainVersions = 2)
             .write.format("noop").mode("overwrite").save()
         }
-        rm(java.nio.file.Paths.get(root))
+        rmTree(java.nio.file.Paths.get(root))
       }
     }
 
@@ -736,14 +725,7 @@ object ScaleProbe {
         }.sum
         println(f"  $tag layout: slice scan emitted $scanRows%,d of " +
           f"$n%,d rows from the parquet reader")
-        def rmp(p: java.nio.file.Path): Unit = {
-          if (java.nio.file.Files.isDirectory(p)) {
-            val st = java.nio.file.Files.list(p)
-            try st.forEach(rmp) finally st.close()
-          }
-          java.nio.file.Files.deleteIfExists(p)
-        }
-        rmp(java.nio.file.Paths.get(root))
+        rmTree(java.nio.file.Paths.get(root))
       } finally {
         if (oldBlock == null) hconf.unset("parquet.block.size")
         else hconf.set("parquet.block.size", oldBlock)

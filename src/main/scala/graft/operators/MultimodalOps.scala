@@ -74,24 +74,57 @@ object MultimodalOps {
       fp: Long, decoded: Boolean, width: Int, height: Int, bands: Int,
       mean_lum: Double, grid: Array[Double])
 
+  /** An image whose DECLARED pixel count exceeds this takes the
+    * flagged fallback instead of being decoded: ImageIO allocates
+    * width × height × bands bytes up front, so a few-KB crafted
+    * header declaring 50000×50000 would OOM the executor (an Error,
+    * not caught by NonFatal) — the classic decompression bomb. 16.7M
+    * pixels ≈ 64 MB RGBA, comfortably inside a task's working memory
+    * at the default batch size.
+    */
+  val MaxImagePixels: Long = 1L << 24
+
   /** Decode an image payload with `javax.imageio` (PNG/JPEG/BMP/GIF —
-    * the readers the JDK ships; no new dependency). Luminance of a
-    * pixel is its band MEAN (= the sample itself for grayscale), and
-    * every statistic accumulates integer sample sums scaled by the
-    * band count, so single-band means are exact integer ratios —
-    * bit-stable across partitionings. `None` for anything ImageIO
-    * cannot read: it returns null on unknown formats and throws on
-    * corrupt streams, both mapped here to the caller's fallback.
+    * the readers the JDK ships; no new dependency). The declared
+    * dimensions are read from the HEADER first and checked against
+    * [[MaxImagePixels]] before any pixel allocation. Luminance of a
+    * pixel is the mean of its COLOR bands — the alpha channel (last
+    * raster band when the color model carries one) is excluded, so an
+    * opaque black RGBA pixel reads 0, not 63.75 — and `bands` reports
+    * color components. Statistics accumulate integer sample sums
+    * scaled by the color-band count, so single-band means are exact
+    * integer ratios — bit-stable across partitionings. `None` for
+    * anything ImageIO cannot read (no reader for the bytes, corrupt
+    * stream, over-budget dimensions) — the caller's flagged fallback.
     */
   def decodeImage(row: MediaRow): Option[ImageFeatures] = {
     val img =
-      try Option(javax.imageio.ImageIO.read(
-        new java.io.ByteArrayInputStream(row.payload)))
-      catch { case scala.util.control.NonFatal(_) => None }
+      try {
+        val iis = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(row.payload))
+        try {
+          val readers = javax.imageio.ImageIO.getImageReaders(iis)
+          if (!readers.hasNext) None
+          else {
+            val reader = readers.next()
+            try {
+              reader.setInput(iis)
+              val (w, h) =
+                (reader.getWidth(0).toLong, reader.getHeight(0).toLong)
+              if (w <= 0 || h <= 0 || w * h > MaxImagePixels) None
+              else Option(reader.read(0))
+            } finally reader.dispose()
+          }
+        } finally if (iis != null) iis.close()
+      } catch { case scala.util.control.NonFatal(_) => None }
     img.map { bi =>
       val (w, h) = (bi.getWidth, bi.getHeight)
       val raster = bi.getRaster
-      val bands = raster.getNumBands
+      // color bands only: standard BufferedImage rasters order color
+      // components first with alpha LAST, and getNumColorComponents
+      // counts just the color ones (3 for RGBA, 1 for gray+alpha)
+      val bands = math.min(bi.getColorModel.getNumColorComponents,
+        raster.getNumBands)
       // band-summed integer accumulators: total plus one per 2×2 cell
       // (quadrant split at the integer midpoint — odd dims put the
       // extra row/column in the low cell)
@@ -115,31 +148,42 @@ object MultimodalOps {
         y += 1
       }
       val db = bands.toDouble
+      val mean = total.toDouble / (w.toLong * h * bands)
       ImageFeatures(row.id, row.kind, row.payload.length.toLong,
-        hash15Jvm(row.payload), decoded = true, w, h, bands,
-        total.toDouble / (w.toLong * h * bands),
-        Array.tabulate(4)(c => cellSum(c).toDouble / (cellN(c) * db)))
+        hash15Jvm(row.payload), decoded = true, w, h, bands, mean,
+        // a 1-wide/1-tall image leaves its high quadrants empty
+        // (cellN 0) — report the overall mean there, never 0/0 = NaN
+        // poisoning downstream grid comparisons
+        Array.tabulate(4)(c =>
+          if (cellN(c) == 0) mean
+          else cellSum(c).toDouble / (cellN(c) * db)))
     }
   }
 
-  /** Batched image feature extraction — the same bounded-batch
-    * mapPartitions stage as [[extractFeatures]], with the REAL decode
-    * in the batch body and the deterministic fallback row for
-    * payloads ImageIO cannot read.
+  /** The one bounded-batch `mapPartitions` stage every media
+    * extractor runs through — the mapInPandas shape: the iterator is
+    * consumed in `batchSize` groups so peak task memory is
+    * batch × max payload, independent of partition size; a real
+    * native codec would process each group in one call.
+    */
+  private def extractBatched[T](ds: Dataset[MediaRow], batchSize: Int)(
+      perRow: MediaRow => T)(
+      implicit enc: org.apache.spark.sql.Encoder[T]): Dataset[T] =
+    ds.mapPartitions(it =>
+      it.grouped(batchSize).flatMap(_.map(perRow)))
+
+  /** Batched image feature extraction — the bounded-batch stage with
+    * the REAL decode in the batch body and the deterministic fallback
+    * row for payloads ImageIO cannot read.
     */
   def extractImageFeatures(ds: Dataset[MediaRow],
       batchSize: Int = 64): Dataset[ImageFeatures] = {
     val spark = ds.sparkSession
     import spark.implicits._
-    ds.mapPartitions { it =>
-      it.grouped(batchSize).flatMap { batch =>
-        batch.map { r =>
-          decodeImage(r).getOrElse(ImageFeatures(r.id, r.kind,
-            r.payload.length.toLong, hash15Jvm(r.payload),
-            decoded = false, 0, 0, 0, 0.0, Array.fill(4)(0.0)))
-        }
-      }
-    }
+    extractBatched(ds, batchSize)(r =>
+      decodeImage(r).getOrElse(ImageFeatures(r.id, r.kind,
+        r.payload.length.toLong, hash15Jvm(r.payload),
+        decoded = false, 0, 0, 0, 0.0, Array.fill(4)(0.0))))
   }
 
   /** Deterministic synthetic grayscale PNG — the oracle fixture for
@@ -183,17 +227,22 @@ object MultimodalOps {
     */
   final case class AudioFeatures(id: Long, kind: String, n_bytes: Long,
       fp: Long, decoded: Boolean, sample_rate: Int, channels: Int,
-      n_samples: Long, duration_s: Double, rms: Double, peak: Long,
+      n_samples: Long, duration_s: Double, rms: Double, peak: Double,
       zero_crossings: Long)
 
   /** Decode an audio payload with `javax.sound.sampled`. Supports the
-    * PCM frame layouts the JDK WAV reader emits (8/16-bit, any
-    * channel count, either endianness); samples fold to a per-frame
-    * MEAN across channels before the statistics, so mono fixtures
-    * stay integer-exact. `None` for anything the stack cannot parse
-    * (it throws `UnsupportedAudioFileException` on non-audio bytes).
+    * LINEAR PCM frame layouts the JDK WAV reader emits (8/16-bit,
+    * signed or unsigned, any channel count, either endianness);
+    * anything else the stack can parse but NOT as linear PCM —
+    * ULAW/ALAW WAVs, compressed AU — takes the flagged fallback
+    * instead of being mis-read as linear samples. Samples fold to a
+    * per-frame MEAN across channels before the statistics, so mono
+    * fixtures stay integer-exact. `None` for anything the stack
+    * cannot parse (it throws `UnsupportedAudioFileException` on
+    * non-audio bytes).
     */
   def decodeAudio(row: MediaRow): Option[AudioFeatures] = {
+    import javax.sound.sampled.AudioFormat.Encoding
     val in =
       try Option(javax.sound.sampled.AudioSystem.getAudioInputStream(
         new java.io.ByteArrayInputStream(row.payload)))
@@ -203,27 +252,40 @@ object MultimodalOps {
         val f = ais.getFormat
         val bits = f.getSampleSizeInBits
         val ch = f.getChannels
-        if (bits != 8 && bits != 16) None
+        val signed = f.getEncoding == Encoding.PCM_SIGNED
+        // linear PCM only: companded (ULAW/ALAW) or float frames
+        // interpreted as integers would yield garbage under
+        // decoded=true — the one thing worse than not decoding
+        if (!(signed || f.getEncoding == Encoding.PCM_UNSIGNED) ||
+            (bits != 8 && bits != 16)) None
         else {
           val bytes = ais.readAllBytes()
           val bytesPerSample = bits / 8
           val frameBytes = bytesPerSample * ch
           val nFrames = bytes.length / frameBytes
           def sampleAt(off: Int): Int =
-            if (bits == 8) (bytes(off) & 0xFF) - 128
-            else {
+            if (bits == 8) {
+              // 8-bit PCM: unsigned center-128 (the WAV convention)
+              // or plain signed bytes (AIFF) — per the ENCODING, not
+              // an assumption
+              if (signed) bytes(off).toInt
+              else (bytes(off) & 0xFF) - 128
+            } else {
               val (lo, hi) =
                 if (f.isBigEndian) (off + 1, off) else (off, off + 1)
-              (bytes(hi).toInt << 8) | (bytes(lo) & 0xFF)
+              val raw = (bytes(hi).toInt << 8) | (bytes(lo) & 0xFF)
+              if (signed) raw else (raw & 0xFFFF) - 32768
             }
           var sumSq = 0.0
-          var peak = 0L
+          var peak = 0.0
           var crossings = 0L
           var prevSign = 0
           var i = 0
           while (i < nFrames) {
             // per-frame channel mean: integer for mono, the natural
-            // downmix otherwise
+            // downmix otherwise — and peak uses the SAME mean, so
+            // peak >= rms always holds (an integer-truncated peak
+            // could read below the rms of a constant signal)
             var s = 0L
             var c = 0
             while (c < ch) {
@@ -232,7 +294,7 @@ object MultimodalOps {
             }
             val v = s.toDouble / ch
             sumSq += v * v
-            val av = math.abs(s / ch)
+            val av = math.abs(v)
             if (av > peak) peak = av
             val sign = java.lang.Double.compare(v, 0.0).sign
             if (sign != 0 && prevSign != 0 && sign != prevSign)
@@ -260,15 +322,10 @@ object MultimodalOps {
       batchSize: Int = 64): Dataset[AudioFeatures] = {
     val spark = ds.sparkSession
     import spark.implicits._
-    ds.mapPartitions { it =>
-      it.grouped(batchSize).flatMap { batch =>
-        batch.map { r =>
-          decodeAudio(r).getOrElse(AudioFeatures(r.id, r.kind,
-            r.payload.length.toLong, hash15Jvm(r.payload),
-            decoded = false, 0, 0, 0L, 0.0, 0.0, 0L, 0L))
-        }
-      }
-    }
+    extractBatched(ds, batchSize)(r =>
+      decodeAudio(r).getOrElse(AudioFeatures(r.id, r.kind,
+        r.payload.length.toLong, hash15Jvm(r.payload),
+        decoded = false, 0, 0, 0L, 0.0, 0.0, 0.0, 0L)))
   }
 
   /** Deterministic synthetic square-wave WAV — the audio analogue of
@@ -324,18 +381,14 @@ object MultimodalOps {
     MediaRow(id, "video", payload)
   }
 
-  /** Batched feature extraction — the mapInPandas-shaped stage. */
+  /** Batched stub feature extraction — the bounded-batch stage with
+    * the deterministic pseudo-decode.
+    */
   def extractFeatures(ds: Dataset[MediaRow],
       batchSize: Int = 64): Dataset[MediaFeatures] = {
     val spark = ds.sparkSession
     import spark.implicits._
-    ds.mapPartitions { it =>
-      it.grouped(batchSize).flatMap { batch =>
-        // batch boundary = the decoder's working set; a real codec
-        // would decode the whole batch in one native call here.
-        batch.map(decodeStub)
-      }
-    }
+    extractBatched(ds, batchSize)(decodeStub)
   }
 
   /** Frame sampling for video-like payloads: keep every `stride`-th

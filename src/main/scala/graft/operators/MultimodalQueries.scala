@@ -187,7 +187,7 @@ object MultimodalQueries {
            CAST(n AS BIGINT) AS n_samples,
            CAST(n AS DOUBLE) / rate AS duration_s,
            CAST(amp AS DOUBLE) AS rms,
-           CAST(amp AS BIGINT) AS peak,
+           CAST(amp AS DOUBLE) AS peak,
            CAST(n - 1 AS BIGINT) AS zero_crossings
          FROM p""",
     // frame f of doc v is fixture id v*10+f; sampleFrames keeps

@@ -86,6 +86,38 @@ class SimilarityMultimodalSpec extends SparkSpec {
       f.mean_lum === 0.0))
     assert(fb.head.fp ===
       MultimodalOps.hash15Jvm("not a png".getBytes))
+    // ALPHA excluded: opaque black RGBA reads luminance 0 (not the
+    // alpha-skewed 63.75) and bands = color components = 3
+    val argb = new java.awt.image.BufferedImage(4, 4,
+      java.awt.image.BufferedImage.TYPE_INT_ARGB)
+    for (x <- 0 until 4; y <- 0 until 4) argb.setRGB(x, y, 0xFF000000)
+    val abos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(argb, "png", abos)
+    val af = MultimodalOps.decodeImage(
+      MultimodalOps.MediaRow(20L, "image", abos.toByteArray)).get
+    assert(af.bands === 3 && af.mean_lum === 0.0)
+    assert(af.grid.forall(_ === 0.0))
+    // DEGENERATE 1-wide image: the empty high-x quadrants report the
+    // overall mean, never 0/0 = NaN
+    val thin = new java.awt.image.BufferedImage(1, 8,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until 8) thin.getRaster.setSample(0, y, 0, 10 * y)
+    val tbos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(thin, "png", tbos)
+    val tf = MultimodalOps.decodeImage(
+      MultimodalOps.MediaRow(21L, "image", tbos.toByteArray)).get
+    assert(!tf.grid.exists(_.isNaN))
+    assert(tf.grid(1) === tf.mean_lum && tf.grid(3) === tf.mean_lum)
+    assert(tf.grid(0) === 15.0 && tf.grid(2) === 55.0)
+    // DECOMPRESSION-BOMB guard: a real image whose declared pixel
+    // count exceeds MaxImagePixels takes the fallback, not an OOM
+    val big = new java.awt.image.BufferedImage(5000, 5000,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val bbos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(big, "png", bbos)
+    assert(5000L * 5000L > MultimodalOps.MaxImagePixels)
+    assert(MultimodalOps.decodeImage(
+      MultimodalOps.MediaRow(22L, "image", bbos.toByteArray)).isEmpty)
   }
 
   test("real audio decode: WAV round-trip matches the square-wave " +
@@ -102,7 +134,7 @@ class SimilarityMultimodalSpec extends SparkSpec {
       assert(f.decoded && f.channels === 1)
       assert(f.sample_rate === rate && f.n_samples === n)
       assert(f.duration_s === n.toDouble / rate)
-      assert(f.rms === amp.toDouble && f.peak === amp)
+      assert(f.rms === amp.toDouble && f.peak === amp.toDouble)
       assert(f.zero_crossings === n - 1)
     }
     // stereo: constant 300/100 channels → per-frame mean 200, no
@@ -122,7 +154,7 @@ class SimilarityMultimodalSpec extends SparkSpec {
     val st = MultimodalOps.decodeAudio(
       MultimodalOps.MediaRow(11L, "audio", bos.toByteArray)).get
     assert(st.channels === 2 && st.n_samples === 50L)
-    assert(st.rms === 200.0 && st.peak === 200L)
+    assert(st.rms === 200.0 && st.peak === 200.0)
     assert(st.zero_crossings === 0L)
     // non-audio payloads (garbage, and a PNG) fall back flagged
     val bad = Seq(
@@ -133,6 +165,19 @@ class SimilarityMultimodalSpec extends SparkSpec {
       .collect().sortBy(_.id)
     assert(fb.forall(f => !f.decoded && f.sample_rate === 0 &&
       f.rms === 0.0))
+    // NON-LINEAR PCM the stack CAN parse (ULAW WAV): falls back
+    // rather than mis-reading companded bytes as linear samples
+    val upcm = Array.tabulate[Byte](100)(i => (i * 3).toByte)
+    val ufmt = new javax.sound.sampled.AudioFormat(
+      javax.sound.sampled.AudioFormat.Encoding.ULAW,
+      8000f, 8, 1, 1, 8000f, false)
+    val ubos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(upcm), ufmt, 100L),
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, ubos)
+    assert(MultimodalOps.decodeAudio(
+      MultimodalOps.MediaRow(14L, "audio", ubos.toByteArray)).isEmpty)
   }
 
   test("video composition: frame-sample then real per-frame decode — " +

@@ -574,8 +574,8 @@ object PartitionedCdc {
     */
   def initMaintained(base: DataFrame, bucketOf: Column, root: String,
       dims: Seq[String], sumCols: Seq[String],
-      cntCol: String = "n"): Unit = {
-    init(base, bucketOf, root)
+      cntCol: String = "n", sortCols: Seq[String] = Seq.empty): Unit = {
+    init(base, bucketOf, root, sortCols)
     CdcOps.groupAgg(base, dims, sumCols, cntCol)
       .write.mode("overwrite").parquet(s"$root/agg/ver=0")
   }
@@ -647,15 +647,16 @@ object PartitionedCdc {
   def streamApply(ss: SparkSession, base: DataFrame, log: DataFrame,
       keys: Seq[String], seqCol: String, opCol: String,
       bucketOf: Column, nFiles: Int, root: String,
-      deleteOp: String = "D", retainVersions: Int = 2): DataFrame = {
+      deleteOp: String = "D", retainVersions: Int = 2,
+      sortCols: Seq[String] = Seq.empty): DataFrame = {
     validateBatch(log, retainVersions) // fail fast, before the init
-    init(base, bucketOf, root)
+    init(base, bucketOf, root, sortCols)
     val staged = graft.streaming.StreamingOps.stageOrderedArrivals(
       log, seqCol, nFiles, s"$root/arrivals")
     graft.streaming.StreamingOps.replayOrdered(ss, log.schema,
         s"$root/arrivals", s"$root/ckpt") { (batch, batchId) =>
       applyVersion(ss, root, batch, keys, seqCol, opCol, bucketOf,
-        batchId.toInt, deleteOp, retainVersions)
+        batchId.toInt, deleteOp, retainVersions, sortCols)
     }
     val vs = listVersions(ss, root)
     require(vs.lastOption.contains(staged.toInt),
@@ -674,18 +675,21 @@ object PartitionedCdc {
       keys: Seq[String], seqCol: String, opCol: String,
       bucketOf: Column, nFiles: Int, root: String, dims: Seq[String],
       sumCols: Seq[String], cntCol: String = "n",
-      deleteOp: String = "D", retainVersions: Int = 2): DataFrame = {
+      deleteOp: String = "D", retainVersions: Int = 2,
+      sortCols: Seq[String] = Seq.empty): DataFrame = {
     // fail fast, before the base write and log staging — inside
     // foreachBatch the same require would surface wrapped in a
     // StreamingQueryException after paying the whole init
     validateBatch(log, retainVersions)
-    initMaintained(base, bucketOf, root, dims, sumCols, cntCol)
+    initMaintained(base, bucketOf, root, dims, sumCols, cntCol,
+      sortCols)
     val staged = graft.streaming.StreamingOps.stageOrderedArrivals(
       log, seqCol, nFiles, s"$root/arrivals")
     graft.streaming.StreamingOps.replayOrdered(ss, log.schema,
         s"$root/arrivals", s"$root/ckpt") { (batch, batchId) =>
       maintainVersion(ss, root, batch, keys, seqCol, opCol, bucketOf,
-        dims, sumCols, batchId.toInt, cntCol, deleteOp, retainVersions)
+        dims, sumCols, batchId.toInt, cntCol, deleteOp, retainVersions,
+        sortCols)
     }
     // same derived-final-version contract as streamApply: batch N
     // reads version N and commits N+1, so the manifest chain must

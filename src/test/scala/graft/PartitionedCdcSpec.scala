@@ -500,15 +500,26 @@ class PartitionedCdcSpec extends SparkSpec {
     }
   }
 
-  test("streaming partitioned apply ≡ the batch composition") {
+  test("streaming partitioned apply ≡ the batch composition " +
+      "(with the clustered-rewrite opt-in threaded through)") {
     withDir { root =>
       val log = log1.unionByName(log2)
       val got = PartitionedCdc.streamApply(spark, base, log,
         Seq("k"), "seq", "op", bucketOf, nFiles = 2,
-        root = s"$root/s", retainVersions = 10)
+        root = s"$root/s", retainVersions = 10, sortCols = Seq("v"))
       assert(kvRows(got) === expect(log1, log2))
       assert(PartitionedCdc.listVersions(spark, s"$root/s") ===
         Seq(0, 1, 2))
+      // the pass-through really clustered: every file of the final
+      // version's churned buckets is sorted on v
+      val m = PartitionedCdc.manifest(spark, s"$root/s", 2)
+      for ((b, w) <- m.buckets;
+          f <- fs.listStatus(new HPath(s"$root/s/data/ver=$w/bucket=$b"))
+            .toSeq.map(_.getPath.toString).filter(_.endsWith(".parquet"))) {
+        val vs = spark.read.parquet(f).select("v").as[Long]
+          .collect().toSeq
+        assert(vs === vs.sorted, s"$f is not sorted on the sort column")
+      }
     }
   }
 }

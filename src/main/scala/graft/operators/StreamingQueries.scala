@@ -302,6 +302,34 @@ object StreamingQueries {
         .parquet(s"$root/out").drop("batch")
     }),
 
+    // st19 ≡ m6: st18's audio sibling — doc ids replay as id-ordered
+    // micro-batches, each synthesizing its square-wave WAV fixtures
+    // and running the REAL javax.sound.sampled decode stage; per-row
+    // purity again makes the streamed union ≡ the one-shot batch
+    // decode, so the gate is m6's closed-form oracle VERBATIM.
+    "st19_stream_audio" -> ((s, d) => {
+      val ss = StreamingOps.streamSession(s)
+      val root = TempArtifacts.dir("graft-stream-audio")
+      val ids = Tables.documents(ss, d).select(col("doc_id"))
+      StreamingOps.stageOrderedArrivals(ids, "doc_id", nFiles = 3,
+        s"$root/arrivals")
+      StreamingOps.replayOrdered(ss, ids.schema, s"$root/arrivals",
+          s"$root/ckpt") { (batch, batchId) =>
+        import ss.implicits._
+        val media = batch.select(col("doc_id")).as[Long]
+          .map(graft.operators.MultimodalOps.syntheticSquareWav _)
+        graft.operators.MultimodalOps
+          .extractAudioFeatures(media, batchSize = 64).toDF()
+          .select(col("id").as("doc_id"), col("decoded"),
+            col("sample_rate"), col("channels"), col("n_samples"),
+            col("duration_s"), col("rms"), col("peak"),
+            col("zero_crossings"))
+          .write.mode("overwrite").parquet(s"$root/out/batch=$batchId")
+      }
+      ss.read.option("basePath", s"$root/out")
+        .parquet(s"$root/out").drop("batch")
+    }),
+
     // st15 ≡ a12: CONTINUOUS CARDINALITY — each micro-batch appends
     // ONE HLL sketch row to a parquet sketch store (hll_sketch_agg
     // over just the batch; earlier batches are never rescanned), and
@@ -476,7 +504,8 @@ object StreamingQueries {
     "st13_stream_takedown" -> SimilarityQueries.oracle("s15_index_delete"),
     "st14_stream_incr_agg" -> ExtraQueries.oracle("x12_incr_agg"),
     // decode is per-row pure: streamed batches union to exactly the
-    // one-shot decode — m5's closed forms verbatim
-    "st18_stream_media" -> MultimodalQueries.oracle("m5_image_decode")
+    // one-shot decode — m5's / m6's closed forms verbatim
+    "st18_stream_media" -> MultimodalQueries.oracle("m5_image_decode"),
+    "st19_stream_audio" -> MultimodalQueries.oracle("m6_audio_decode")
   )
 }

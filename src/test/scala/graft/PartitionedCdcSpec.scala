@@ -496,6 +496,32 @@ class PartitionedCdcSpec extends SparkSpec {
           assert(kvRows(PartitionedCdc.readVersion(spark, root, v))
             === rows(m),
             s"cycle $cycle: version $v no longer serves its content")
+        // bucket-pruned diff of two random retained versions ≡ the
+        // model diff — held through rebuckets (fresh bucket namespace
+        // → full-diff degradation) and retention churn alike
+        if (retained.size >= 2) {
+          val i = rnd.nextInt(retained.size - 1)
+          val j = i + 1 + rnd.nextInt(retained.size - i - 1)
+          val (a, b) = (retained(i), retained(j))
+          val (ma, mb) = (snapshots(a), snapshots(b))
+          if (ma.nonEmpty || mb.nonEmpty) {
+            val expectDiff = (ma.keySet ++ mb.keySet).flatMap { k =>
+              (ma.get(k), mb.get(k)) match {
+                case (None, Some(_)) => Some(k -> "A")
+                case (Some(_), None) => Some(k -> "R")
+                case (Some(x), Some(y)) if x != y => Some(k -> "C")
+                case _ => None
+              }
+            }.toMap
+            val got = PartitionedCdc
+              .diffVersions(spark, root, a, b, Seq("k"))
+              .select("k", "change").as[(Long, String)]
+              .collect().toMap
+            assert(got === expectDiff,
+              s"cycle $cycle: diffVersions($a, $b) diverged from " +
+                "the model diff")
+          }
+        }
       }
     }
   }

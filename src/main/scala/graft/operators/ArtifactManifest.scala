@@ -41,7 +41,8 @@ object ArtifactManifest {
 
   final case class Pin(version: Long, generations: Seq[Long],
       signature: String,
-      genDigests: Map[Long, String] = Map.empty)
+      genDigests: Map[Long, String] = Map.empty,
+      schemaJson: Option[String] = None)
 
   private def fsOf(s: SparkSession, p: Path): FileSystem =
     p.getFileSystem(s.sparkContext.hadoopConfiguration)
@@ -158,7 +159,15 @@ object ArtifactManifest {
       }.toMap
       case _ => Map.empty[Long, String]
     }
-    Some(Pin(v, gens, sig, digests))
+    // optional (absent in pre-round-13 manifests): the artifact's data
+    // schema, so a committed-EMPTY live set (total takedown) can still
+    // serve a zero-row frame instead of failing schema inference over
+    // a fileless directory
+    val schemaJson = (j \ "schema") match {
+      case JString(x) => Some(x)
+      case _ => None
+    }
+    Some(Pin(v, gens, sig, digests, schemaJson))
   }
 
   /** Commit a new manifest version: write to a temp name, rename into
@@ -175,12 +184,29 @@ object ArtifactManifest {
     val fs = fsOf(s, md)
     fs.mkdirs(md)
     val v = prev.map(_.version + 1).getOrElse(0L)
+    // the data schema rides every manifest: captured by inference
+    // while files exist (cheap — one footer), carried forward from
+    // the previous pin otherwise, so the one moment it is NEEDED —
+    // serving a committed-empty artifact whose files are all gone —
+    // it is already stored. Schema is append/compact/delete-invariant
+    // by the artifact contract, so carry-forward is exact.
+    val schemaJson = prev.flatMap(_.schemaJson).orElse(
+      scala.util.Try(
+        s.read.option("basePath", dir).parquet(dir).schema.json)
+        .toOption)
     // digests are hex, keys numeric — safe to emit without escaping
     val digestJson = genDigests.toSeq.sortBy(_._1)
       .map { case (g, d) => s""""$g":"$d"""" }.mkString(",")
+    // the schema json carries quotes — render through json4s so the
+    // embedded string is escaped correctly
+    val schemaField = schemaJson.map { sj =>
+      s""","schema":${org.json4s.jackson.JsonMethods.compact(
+        org.json4s.jackson.JsonMethods.render(org.json4s.JString(sj)))}"""
+    }.getOrElse("")
     val json =
       s"""{"version":$v,"generations":[${gens.sorted.mkString(",")}],""" +
-        s""""signature":"$signature","genDigests":{$digestJson}}"""
+        s""""signature":"$signature","genDigests":{$digestJson}""" +
+        schemaField + "}"
     val tmp = new Path(md, f".manifest-$v%020d.json.tmp")
     val out = fs.create(tmp, true)
     try out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -191,13 +217,19 @@ object ArtifactManifest {
         s"rename failed) at $dir — a concurrent writer violated the " +
         "single-writer contract")
     // keep a short history for post-mortems; prune the rest so
-    // manifests never accumulate unboundedly
+    // manifests never accumulate unboundedly. Stale dot-tmp files
+    // (a crashed earlier commit died between create and rename) are
+    // reaped too — the name filter used to skip them, so a flaky-FS
+    // retry loop grew the directory without bound and slowed every
+    // latest() listing. Safe under the single-writer contract: OUR
+    // tmp was just renamed away, so any remaining tmp is dead.
     val old = fs.listStatus(md).map(_.getPath).filter { p =>
       val n = p.getName
-      n.startsWith("manifest-") && n.endsWith(".json") &&
+      (n.startsWith("manifest-") && n.endsWith(".json") &&
         n.stripPrefix("manifest-").stripSuffix(".json")
           .forall(_.isDigit) &&
-        n.stripPrefix("manifest-").stripSuffix(".json").toLong < v - 4
+        n.stripPrefix("manifest-").stripSuffix(".json").toLong < v - 4) ||
+      (n.startsWith(".manifest-") && n.endsWith(".json.tmp"))
     }
     old.foreach(fs.delete(_, false))
     v
@@ -298,10 +330,24 @@ object ArtifactManifest {
       case Some(p) if p.generations.nonEmpty =>
         s.read.option("basePath", dir)
           .parquet(p.generations.sorted.map(g => s"$dir/ingest=$g"): _*)
-      case Some(_) =>
-        // schema from whatever files remain (orphans share it); rows
-        // from none. No files at all → parquet's loud schema error.
-        s.read.option("basePath", dir).parquet(dir).where(lit(false))
+      case Some(p) =>
+        // committed-empty (a takedown emptied every generation): zero
+        // rows in the STORED schema — a clean total takedown leaves
+        // no parquet file to infer from, and bricking the artifact
+        // until a rebuild would contradict the takedown contract
+        // (serving-after-delete ≡ an index never containing the ids:
+        // an empty index serves zero candidates, it does not crash).
+        // Orphan files, when present, still donate the schema for
+        // legacy manifests that predate the stored one.
+        p.schemaJson match {
+          case Some(sj) => s.createDataFrame(
+            s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            org.apache.spark.sql.types.DataType.fromJson(sj)
+              .asInstanceOf[org.apache.spark.sql.types.StructType])
+          case None =>
+            s.read.option("basePath", dir).parquet(dir)
+              .where(lit(false))
+        }
       case None => s.read.parquet(dir)
     }
 
@@ -337,6 +383,11 @@ object ArtifactManifest {
     require(filesPerPartition >= 1,
       s"compactGenerations: filesPerPartition >= 1 " +
         s"(got $filesPerPartition)")
+    // complete a crashed staged takedown first — its marked staging
+    // tree holds pre-compaction partition copies that a later
+    // recovery would wrongly adopt over the compacted tree (see
+    // LayoutOps.deleteKeysPartitioned's recover-first rationale)
+    LayoutOps.recoverStagedTakedown(s, dir, partCol)
     val listed = LayoutOps.ingestGenerations(s, dir)
     require(listed.nonEmpty,
       s"compactGenerations: $dir has no ingest= partitions — not a " +

@@ -60,22 +60,55 @@ object DedupIndex {
       rowsPerBand: Int, dir: String): Unit = {
     val s = docs.sparkSession
     import s.implicits._
-    Seq((k, rowsPerBand)).toDF("k", "rows_per_band")
-      .coalesce(1).write.mode("overwrite").parquet(s"$dir/params")
-    bucketsOf(docs, textCol, idCol, k, rowsPerBand)
+    // BUCKETS FIRST, params LAST, and the geometry STAMPED onto the
+    // bucket rows themselves (constant columns — parquet RLE makes
+    // them free): a crash between the two overwrites of a re-build
+    // leaves params and buckets from DIFFERENT geometries, and a
+    // probe under mismatched geometry joins (band, bucket) values
+    // from different minhash schemes — near-zero candidates,
+    // duplicates admitted SILENTLY. The stamp lets [[load]] detect
+    // the mismatch and fail loudly instead.
+    stamped(bucketsOf(docs, textCol, idCol, k, rowsPerBand), k,
+        rowsPerBand)
       .withColumn("ingest", lit(0L))
       .write.mode("overwrite").partitionBy("ingest", "band")
       .parquet(s"$dir/buckets")
     ArtifactManifest.recordBuild(s, s"$dir/buckets")
+    Seq((k, rowsPerBand)).toDF("k", "rows_per_band")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/params")
   }
+
+  /** The banding geometry as constant bucket columns — the
+    * consistency stamp [[load]] checks params against.
+    */
+  private def stamped(buckets: DataFrame, k: Int,
+      rowsPerBand: Int): DataFrame =
+    buckets.withColumn("k", lit(k))
+      .withColumn("rows_per_band", lit(rowsPerBand))
 
   /** Banding geometry to the driver, buckets as a lazy partitioned
     * scan (`band` re-cast to its written long type).
     */
   def load(s: SparkSession, dir: String): Loaded = {
     val p = s.read.parquet(s"$dir/params").head()
-    Loaded(p.getInt(0), p.getInt(1),
-      ArtifactManifest.frame(s, s"$dir/buckets")
+    val (k, rowsPerBand) = (p.getInt(0), p.getInt(1))
+    val raw = ArtifactManifest.frame(s, s"$dir/buckets")
+    // geometry consistency: a crashed re-build can pair params with a
+    // bucket tree written under DIFFERENT banding — probing across
+    // that mismatch silently admits duplicates. One-row check against
+    // the stamp (absent on pre-stamp artifacts — those keep the old
+    // trust-the-params behavior).
+    if (raw.columns.contains("k"))
+      raw.select(col("k"), col("rows_per_band")).limit(1).collect()
+        .foreach { r =>
+          require(r.getInt(0) == k && r.getInt(1) == rowsPerBand,
+            s"DedupIndex.load: params of $dir declare geometry " +
+              s"($k, $rowsPerBand) but the bucket tree was written " +
+              s"under (${r.getInt(0)}, ${r.getInt(1)}) — a re-build " +
+              "crashed between the two writes; re-run the build")
+        }
+    Loaded(k, rowsPerBand,
+      raw.drop("k", "rows_per_band")
         .withColumn("band", col("band").cast("long"))
         .withColumn("ingest", col("ingest").cast("long")))
   }
@@ -165,7 +198,8 @@ object DedupIndex {
   def appendWith(k: Int, rowsPerBand: Int, dir: String,
       newDocs: DataFrame, textCol: String, idCol: String,
       generation: Long): Unit = {
-    bucketsOf(newDocs, textCol, idCol, k, rowsPerBand)
+    stamped(bucketsOf(newDocs, textCol, idCol, k, rowsPerBand), k,
+        rowsPerBand)
       .withColumn("ingest", lit(generation))
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
@@ -309,9 +343,16 @@ object DedupIndex {
     // store per batch turned the 3-batch sf0.1 stream from 10.2 s to
     // its probe-bound floor (each batch re-shingled all docs before).
     // At 100 TB this store is maintained exactly like the bucket
-    // artifact — appended per admitted batch.
-    docs.select(col(idCol), TextOps.charNgrams(textCol, 4).as("grams"))
-      .write.mode("overwrite").parquet(s"$root/grams")
+    // artifact — appended per admitted batch. SKIPPED on restart
+    // recovery exactly like the build (same commit-marker check):
+    // the staging signature guard already pins `docs` to this root,
+    // so an existing store is this run's — recomputing it would
+    // repeat the full-corpus shingle before any batch replays.
+    val gramsDone = new org.apache.hadoop.fs.Path(
+      s"$root/grams/_SUCCESS")
+    if (!fs.exists(gramsDone))
+      docs.select(col(idCol), TextOps.charNgrams(textCol, 4).as("grams"))
+        .write.mode("overwrite").parquet(s"$root/grams")
     val grams = ss.read.parquet(s"$root/grams")
     graft.streaming.StreamingOps.replayOrdered(ss, docs.schema,
         s"$root/arrivals", s"$root/ckpt") { (batch, batchId) =>

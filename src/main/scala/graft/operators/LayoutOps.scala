@@ -313,6 +313,12 @@ object LayoutOps {
     require(filesPerPartition >= 1,
       s"compactGenerations: filesPerPartition >= 1 " +
         s"(got $filesPerPartition)")
+    // complete a crashed staged takedown BEFORE the rewrite: its
+    // marked staging tree references pre-compaction partitions, and
+    // the swap below would otherwise strand it next to the new tree
+    // for a later recovery to wrongly adopt (see
+    // deleteKeysPartitioned's recover-first rationale)
+    recoverStagedTakedown(s, dir, partCol)
     val gens = ingestGenerations(s, dir)
     require(gens.nonEmpty,
       s"compactGenerations: $dir has no ingest= partitions — not a " +
@@ -329,37 +335,26 @@ object LayoutOps {
     // outage — size filesPerPartition to largest-partition-bytes /
     // parquet-target-file-size. The salt is a whole-row hash:
     // deterministic for a given row set, evenly spread.
-    if (sortWithin.isEmpty) {
-      val rows = s.read.parquet(dir).withColumn("ingest", lit(keep))
-      rows
-        .repartition(col(partCol),
-          pmod(hash(rows.columns.toIndexedSeq.map(col): _*),
-        lit(filesPerPartition)))
-        .write.mode("overwrite").partitionBy("ingest", partCol)
-        .parquet(staging)
-    } else {
-      // `sortWithin` re-establishes a row order INSIDE each rewritten
-      // file — for artifacts whose partitions carry a meaningful row
-      // order (a clustered lookup column); the index artifacts'
-      // probes are whole-partition reads and pass Nil. For range/z-
-      // CLUSTERED fact directories (not ingest-partitioned) use
-      // [[compactClustered]], which re-runs the full cluster plan.
-      // A sort prepended to the (ingest, partCol)-partitioned write
-      // above would be useless: `ingest` is a constant here, the
-      // optimizer folds it out of the sort, and the writer's
-      // ordering check can never pass — so its own UNSTABLE sort
-      // would destroy the secondary order. writeGenerationPacked
-      // targets the `ingest=<keep>` directory explicitly instead
-      // (spec-held: files come out internally sorted). The commit
-      // marker lands inside the ingest dir, so the artifact-root
-      // `_SUCCESS` the build left is re-created at the staging root
-      // before the swap.
-      writeGenerationPacked(s.read.parquet(dir).drop("ingest"),
-        partCol, filesPerPartition, sortWithin,
-        s"$staging/ingest=$keep")
-      fs.create(new org.apache.hadoop.fs.Path(sp, "_SUCCESS"), true)
-        .close()
-    }
+    // ONE recipe for both the plain and sortWithin rewrites:
+    // writeGenerationPacked targets the `ingest=<keep>` directory
+    // explicitly and partitions by `partCol` alone, so the writer's
+    // required ordering is satisfiable and a secondary `sortWithin`
+    // order survives (a sort prepended to an (ingest, partCol)-
+    // partitioned write would be useless: `ingest` is constant here,
+    // the optimizer folds it out, and the writer's own UNSTABLE sort
+    // would destroy the secondary order). `sortWithin` is for
+    // artifacts whose partitions carry a meaningful row order (a
+    // clustered lookup column); the index artifacts' probes are
+    // whole-partition reads and pass Nil. For range/z-CLUSTERED fact
+    // directories (not ingest-partitioned) use [[compactClustered]].
+    // The commit marker lands inside the ingest dir, so the
+    // artifact-root `_SUCCESS` the build left is re-created at the
+    // staging root before the swap.
+    writeGenerationPacked(s.read.parquet(dir).drop("ingest"),
+      partCol, filesPerPartition, sortWithin,
+      s"$staging/ingest=$keep")
+    fs.create(new org.apache.hadoop.fs.Path(sp, "_SUCCESS"), true)
+      .close()
     swapInto(fs, dp, sp)
     keep
   }
@@ -421,8 +416,17 @@ object LayoutOps {
       partCol: String, keyCol: String, tombs: DataFrame,
       staged: Boolean = false): Unit = {
     val t = tombs.select(col(keyCol)).distinct()
+    // BOTH modes recover first: a marked staging tree left by a
+    // crashed staged run is a committed-but-unapplied takedown, and
+    // any later partition REWRITE that ignores it leaves it lying in
+    // wait — the next staged run's recovery would adopt those
+    // pre-crash copies OVER the newer rewrites, resurrecting rows a
+    // completed takedown promised to delete. Completing the pending
+    // swap before mutating closes the window (same single-writer
+    // contract; the recovery is one metadata probe when no staging
+    // tree exists).
+    recoverStagedTakedown(s, dir, partCol)
     if (staged) {
-      recoverStagedTakedown(s, dir, partCol)
       stageTakedown(s, dir, partCol, keyCol, t).foreach {
         case (staging, affected) =>
           applyStagedTakedown(s, dir, partCol, staging, affected)

@@ -345,19 +345,44 @@ object VectorIndex {
     */
   def rebuild(s: SparkSession, dir: String, lloydSteps: Int,
       subspaces: Int, subDim: Int, k: Int): Unit = {
+    // complete a crashed staged takedown before training: the rebuild
+    // must train on post-takedown content, and the swap below would
+    // otherwise strand the marked staging tree for a later recovery
+    // to wrongly adopt (see LayoutOps.deleteKeysPartitioned)
+    LayoutOps.recoverStagedTakedown(s, s"$dir/corpus", "cell")
     val l = load(s, dir)
     val dim = l.cents.books.length / l.cents.cells.length
     val metaCols = l.corpus.columns.toSeq
       .filterNot(Set("vec_id", "embedding", "n", "cell", "code",
         "ingest"))
-    val staging = s"${dir}__rebuild"
+    // SIBLING, not string concatenation: under a trailing-slash dir
+    // the naive concat yields a CHILD of the live tree, which the
+    // swap's rename-aside then carries away — stranding the staged
+    // rewrite (the hazard LayoutOps.sibling documents)
+    val sp = LayoutOps.sibling(dir, "__rebuild")
+    val staging = sp.toString
     val dp = new org.apache.hadoop.fs.Path(dir)
-    val sp = new org.apache.hadoop.fs.Path(staging)
     val fs = dp.getFileSystem(s.sparkContext.hadoopConfiguration)
     fs.delete(sp, true) // leftover staging from a crashed pass
     build(l.corpus.select((Seq("vec_id", "embedding") ++ metaCols)
       .map(col): _*), dim, lloydSteps, subspaces, subDim, k, staging,
       metaCols)
+    // carry the manifest chain across the swap: build() started a
+    // fresh chain (version 0) inside staging, and swapping that in
+    // would REGRESS the version a pinned reader uses for change
+    // detection. Replace staging's chain with the live one, then
+    // commit the staging listing as the next version — monotone
+    // across rebuilds, exactly like ArtifactManifest.clusterBuild.
+    val liveMan = new org.apache.hadoop.fs.Path(
+      s"$dir/corpus/_manifests")
+    if (fs.exists(liveMan)) {
+      val stMan = new org.apache.hadoop.fs.Path(
+        s"$staging/corpus/_manifests")
+      fs.delete(stMan, true)
+      org.apache.hadoop.fs.FileUtil.copy(fs, liveMan, fs, stMan,
+        false, s.sparkContext.hadoopConfiguration)
+      ArtifactManifest.recordBuild(s, s"$staging/corpus")
+    }
     LayoutOps.swapInto(fs, dp, sp)
   }
 

@@ -46,6 +46,53 @@ class DedupIndexSpec extends SparkSpec {
     }
   }
 
+  test("load refuses a geometry-mismatched artifact (crashed " +
+      "re-build left params inconsistent with the bucket tree)") {
+    val docs = Tables.documents(spark, d)
+    withDir { dir =>
+      DedupIndex.build(docs.filter(col("doc_id") < splitId),
+        "text", "doc_id", k, rpb, dir)
+      // simulate the crash window: params re-written under DIFFERENT
+      // banding while the bucket tree still carries the old stamp —
+      // probing across that mismatch silently admits duplicates, so
+      // load must fail loudly instead
+      Seq((k * 2, rpb)).toDF("k", "rows_per_band")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/params")
+      val e = intercept[IllegalArgumentException] {
+        DedupIndex.load(spark, dir)
+      }
+      assert(e.getMessage.contains("re-run the build"))
+      // restoring consistent params restores the load
+      Seq((k, rpb)).toDF("k", "rows_per_band")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/params")
+      assert(DedupIndex.load(spark, dir).k === k)
+    }
+  }
+
+  test("a TOTAL takedown leaves the index loadable and serving zero " +
+      "candidates — not bricked until a rebuild") {
+    val docs = Tables.documents(spark, d)
+    withDir { dir =>
+      DedupIndex.build(docs.filter(col("doc_id") < splitId),
+        "text", "doc_id", k, rpb, dir)
+      // tombstone EVERY indexed doc: all bucket rows leave, emptied
+      // partitions (and bare generation dirs) are removed, and the
+      // manifest commits an empty live set
+      DedupIndex.delete(spark, dir,
+        docs.filter(col("doc_id") < splitId).select("doc_id"))
+      val l = DedupIndex.load(spark, dir)
+      assert(l.buckets.count() === 0L)
+      // probing a batch against the emptied index: batch-internal
+      // pairs only (nothing stored to collide with), no crash
+      val probed = DedupIndex.probe(l,
+          docs.filter(col("doc_id") >= splitId), "text", "doc_id")
+        .as[(Long, Long)].collect().toSeq.sorted
+      val batchOnly = batchPairsTouching(0L)
+        .filter { case (a, b) => a >= splitId && b >= splitId }
+      assert(probed === batchOnly)
+    }
+  }
+
   test("append keeps the index equivalent to a full build") {
     val docs = Tables.documents(spark, d)
     withDir { dir =>

@@ -341,6 +341,33 @@ class IndexArtifactSpec extends SparkSpec {
     }
   }
 
+  test("rebuild under a TRAILING-SLASH dir stages as a sibling (a " +
+      "concatenated child path would be carried away by the swap) " +
+      "and keeps the manifest version monotone") {
+    val all = Tables.embeddings(spark, d)
+    withArtifact(all.filter(col("vec_id") < 300)) { dir =>
+      VectorIndex.append(spark, dir,
+        all.filter(col("vec_id") >= 300)
+          .select("vec_id", "embedding"))
+      val before = graft.operators.ArtifactManifest
+        .latest(spark, s"$dir/corpus")
+      assert(before.nonEmpty)
+      // the trailing slash is the regression: "dir/" + "__rebuild"
+      // lands INSIDE the live tree and the swap strands it
+      VectorIndex.rebuild(spark, s"$dir/", steps, sub, subDim, k)
+      val l = VectorIndex.load(spark, dir)
+      assert(l.corpus.count() === all.count())
+      // monotone version across the rebuild: a pinned reader using
+      // the manifest version for change detection must SEE the
+      // rebuild, not a regression to a fresh chain
+      val after = graft.operators.ArtifactManifest
+        .latest(spark, s"$dir/corpus")
+      assert(after.map(_.version).get > before.map(_.version).get,
+        s"manifest version regressed across rebuild: " +
+          s"${before.map(_.version)} -> ${after.map(_.version)}")
+    }
+  }
+
   test("replaying a vector ingest generation is idempotent") {
     val e = Tables.embeddings(spark, d)
     withArtifact(e.filter(col("vec_id") < 400)) { dir =>

@@ -114,6 +114,38 @@ class StagedTakedownSpec extends SparkSpec {
     }
   }
 
+  test("a crashed staged run's pending takedown is COMPLETED by the " +
+      "next mutation — never left to resurrect over later rewrites") {
+    withDir { root =>
+      val a = s"$root/a"
+      buildArtifact(a)
+      val before = content(a)
+      // T1 stages tombstones {1, 5, 9} and "crashes" after commit
+      val t1Keys = Set(1L, 5L, 9L)
+      assert(LayoutOps.stageTakedown(spark, a, "band", "k",
+        t1Keys.toSeq.toDF("k")).nonEmpty)
+      assert(fs.exists(new HPath(s"${a}__takedown/_STAGED")))
+      // T2 runs a DIFFERENT, UNSTAGED takedown of {2}. The old
+      // behavior ignored the marked staging tree, so a LATER staged
+      // run's recovery would adopt T1's pre-crash partition copies —
+      // which still contain key 2 — over T2's rewrite, silently
+      // resurrecting a row a completed takedown promised to delete.
+      // Now T2 completes T1 first: afterwards neither 1/5/9 nor 2
+      // exist, and no staging tree remains.
+      LayoutOps.deleteKeysPartitioned(spark, a, "band", "k",
+        Seq(2L).toDF("k"))
+      assert(!fs.exists(new HPath(s"${a}__takedown")),
+        "the pending staged takedown was left behind")
+      assert(content(a) ===
+        before.filterNot(r => t1Keys(r._1) || r._1 == 2L))
+      // a later STAGED takedown finds nothing stale to adopt
+      LayoutOps.deleteKeysPartitioned(spark, a, "band", "k",
+        Seq(6L).toDF("k"), staged = true)
+      assert(content(a) === before.filterNot(r =>
+        t1Keys(r._1) || r._1 == 2L || r._1 == 6L))
+    }
+  }
+
   test("apply swaps EVERY staged partition, not just the affected " +
       "list — a full-rewrite staging is applied, never discarded") {
     withDir { root =>

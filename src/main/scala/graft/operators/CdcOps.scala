@@ -369,14 +369,16 @@ object CdcOps {
     require(retainVersions >= 1,
       s"streamApply: retainVersions >= 1 (got $retainVersions) — the " +
         "in-flight batch's input version must survive for replay")
-    base.write.mode("overwrite").parquet(s"$root/snap0")
-    val staged = graft.streaming.StreamingOps.stageOrderedArrivals(
-      log, seqCol, nFiles, s"$root/arrivals")
-    // version = batchId + 1: the DURABLE counter — a replayed batch
-    // reads version batchId and overwrites version batchId+1, so the
-    // retry is idempotent and a restarted stream resumes correctly
-    graft.streaming.StreamingOps.replayOrdered(ss, log.schema,
-        s"$root/arrivals", s"$root/ckpt") { (batch, batchId) =>
+    // seed/stage/replay through the ONE shared skeleton
+    // (StreamingOps.versionedReplay — resume-safe seed, empty-log
+    // short-circuit). version = batchId + 1: the DURABLE counter — a
+    // replayed batch reads version batchId and overwrites version
+    // batchId+1, so the retry is idempotent and a restarted stream
+    // resumes correctly.
+    val staged = graft.streaming.StreamingOps.versionedReplay(
+        ss, log, seqCol, nFiles, root) {
+      base.write.mode("overwrite").parquet(s"$root/snap0")
+    } { (batch, batchId) =>
       val snap = ss.read.parquet(s"$root/snap$batchId")
       applyChangelog(snap, batch, keys, seqCol, opCol)
         .write.mode("overwrite").parquet(s"$root/snap${batchId + 1}")
@@ -449,12 +451,14 @@ object CdcOps {
       s"streamMaintain: retainVersions >= 1 (got $retainVersions)")
     def aggOf(df: DataFrame): DataFrame =
       groupAgg(df, dims, sumCols, cntCol)
-    base.write.mode("overwrite").parquet(s"$root/snap0")
-    aggOf(base).write.mode("overwrite").parquet(s"$root/agg0")
-    val staged = graft.streaming.StreamingOps.stageOrderedArrivals(
-      log, seqCol, nFiles, s"$root/arrivals")
-    graft.streaming.StreamingOps.replayOrdered(ss, log.schema,
-        s"$root/arrivals", s"$root/ckpt") { (batch, batchId) =>
+    // shared skeleton: BOTH seeds are skipped on a resumed root (the
+    // aggregate seed is "the only full aggregation in the lifetime of
+    // the view" precisely because of the resume guard)
+    val staged = graft.streaming.StreamingOps.versionedReplay(
+        ss, log, seqCol, nFiles, root) {
+      base.write.mode("overwrite").parquet(s"$root/snap0")
+      aggOf(base).write.mode("overwrite").parquet(s"$root/agg0")
+    } { (batch, batchId) =>
       val snap = ss.read.parquet(s"$root/snap$batchId")
       val agg = ss.read.parquet(s"$root/agg$batchId")
       maintainAggs(agg, snap, batch, keys, seqCol, opCol,

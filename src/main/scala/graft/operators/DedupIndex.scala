@@ -335,9 +335,14 @@ object DedupIndex {
     if (!fs.exists(built))
       build(docs.filter(col(idCol) < splitId), textCol, idCol,
         k, rowsPerBand, s"$root/index")
-    graft.streaming.StreamingOps.stageOrderedArrivals(
-      docs.filter(col(idCol) >= splitId), idCol, nFiles,
-      s"$root/arrivals")
+    // the gate's decisions store is written by the replayed batches —
+    // zero arrivals would leave it absent and the final read would
+    // fail with a bare path error; say what actually went wrong
+    require(graft.streaming.StreamingOps.stageOrderedArrivals(
+        docs.filter(col(idCol) >= splitId), idCol, nFiles,
+        s"$root/arrivals") > 0,
+      s"streamIngestGate: no arrivals at or past splitId=$splitId — " +
+        "nothing to gate")
     // the doc→grams verification table is a STORED artifact, not a
     // per-batch recompute: shingling the corpus once and reading the
     // store per batch turned the 3-batch sf0.1 stream from 10.2 s to

@@ -55,6 +55,19 @@ object DedupOps {
     * the doc produced at least one shingle (all mh components non-null).
     */
   def withMinHash(df: DataFrame, textCol: String, k: Int): DataFrame = {
+    // reserved-name guard (the PackOps/SourceMix convention): the
+    // working columns would silently OVERWRITE caller columns — and
+    // worse, re-signing an already-signed frame with a smaller k
+    // would overwrite mh0..mh{k-1} while leaving the old run's higher
+    // mh columns stranded, so a later lshBuckets over the original k
+    // would mix two signature schemes into corrupt buckets
+    val reserved = df.columns.filter(c =>
+      c == "__toks" || c == "__bh" || c == "mh_ok" ||
+        c.matches("mh\\d+"))
+    require(reserved.isEmpty,
+      s"withMinHash: input already carries signature/working " +
+        s"columns ${reserved.mkString(", ")} — drop them first " +
+        "(re-signing a signed frame mixes signature schemes)")
     // Stage each intermediate as a real column: tokens → shingles →
     // base hashes. Expressions nested inside HOF lambdas get no CSE,
     // so an unstaged pipeline re-splits the text per shingle index.
@@ -203,10 +216,19 @@ object DedupOps {
     private val reliableDir = spark.conf.getOption("graft.checkpoint.dir")
     reliableDir.foreach { d =>
       // getCheckpointDir returns "<dir>/<random-UUID>", so equality
-      // (Option.contains) against the raw configured string is never
-      // true — substring containment is the real idempotence check
-      // (without it every construction mkdirs a fresh UUID dir)
-      if (!spark.sparkContext.getCheckpointDir.exists(_.contains(d)))
+      // against the raw configured string is never true. The
+      // idempotence check compares the configured path against the
+      // PARENT of the current checkpoint dir, path-qualified — a
+      // substring test would wrongly treat a RECONFIGURED dir that
+      // happens to be a prefix of the old one (".../ckpt" after
+      // ".../ckpt-old") as already set and silently keep
+      // checkpointing into the old location.
+      val dp = new org.apache.hadoop.fs.Path(d)
+      val fs = dp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val want = fs.makeQualified(dp)
+      val have = spark.sparkContext.getCheckpointDir.flatMap(c =>
+        Option(new org.apache.hadoop.fs.Path(c).getParent))
+      if (!have.exists(h => fs.makeQualified(h) == want))
         spark.sparkContext.setCheckpointDir(d)
     }
 
@@ -320,53 +342,61 @@ object DedupOps {
         .withColumn("cluster_id", col(idCol))
     }
     var cached = ckpt.truncate(start)
-    var iter = 0
-    var converged = false
-    while (!converged && iter < maxIter) {
-      val labels = cached.select(col(idCol), col("cluster_id"))
-      val neighborMin = edges
-        .join(labels, edges("b") === labels(idCol))
-        .groupBy(col("a")).agg(min(col("cluster_id")).as("nmin"))
-      val next = ckpt.truncate(labels.join(neighborMin,
-          labels(idCol) === neighborMin("a"), "left")
-        .select(labels(idCol), col("cluster_id").as("prev_id"),
-          least(col("cluster_id"), coalesce(col("nmin"), col("cluster_id")))
-            .as("cluster_id")))
-      val changed =
-        next.filter(col("cluster_id") =!= col("prev_id")).count()
+    // try/finally: a mid-loop job failure (executor loss during a
+    // truncate or the convergence count) must not leak the persisted
+    // edges RDD or the live iterate's checkpoint — in reliable mode
+    // those are PERMANENT rdd-N directories (the ContextCleaner does
+    // not delete reliable checkpoints), the exact leak class the
+    // non-convergence path already guarded while the exception path
+    // did not
+    try {
+      var iter = 0
+      var converged = false
+      while (!converged && iter < maxIter) {
+        val labels = cached.select(col(idCol), col("cluster_id"))
+        val neighborMin = edges
+          .join(labels, edges("b") === labels(idCol))
+          .groupBy(col("a")).agg(min(col("cluster_id")).as("nmin"))
+        val next = ckpt.truncate(labels.join(neighborMin,
+            labels(idCol) === neighborMin("a"), "left")
+          .select(labels(idCol), col("cluster_id").as("prev_id"),
+            least(col("cluster_id"), coalesce(col("nmin"), col("cluster_id")))
+              .as("cluster_id")))
+        val changed =
+          next.filter(col("cluster_id") =!= col("prev_id")).count()
+        ckpt.release(cached)
+        cached = next
+        converged = changed == 0
+        iter += 1
+      }
+      lastIterations = iter
+      // Returning labels from a non-fixpoint would silently split real
+      // clusters (and hash-mismatch the oracle's exact closure) — fail
+      // loudly instead; diameter-50+ chains need large-star/small-star.
+      if (!converged)
+        throw new IllegalStateException(
+          s"duplicateClusters did not reach the fixpoint in $maxIter " +
+            "iterations (candidate-graph diameter too large); raise " +
+            "maxIter or switch to large-star/small-star")
+      val resolved = cached.select(col(idCol), col("cluster_id"))
+      // The result is TRUNCATED through the checkpointer (a
+      // materialized LogicalRDD leaf), not merely persisted: a
+      // persisted frame keeps its lineage, so once the final
+      // iterate's checkpoint is released below, losing a block of the
+      // result on a cluster would recompute through deleted
+      // checkpoint data. Truncating first makes the result
+      // self-contained; only then is the iterate released (by the
+      // finally). Callers free the result deterministically with
+      // [[free]] (`.unpersist()` on it is a harmless no-op — the
+      // ContextCleaner reclaims the blocks after the reference drops).
+      ckpt.truncate(docs.select(col(idCol))
+        .join(resolved, Seq(idCol), "left")
+        .select(col(idCol),
+          coalesce(col("cluster_id"), col(idCol)).as("cluster_id")))
+    } finally {
+      edges.unpersist()
       ckpt.release(cached)
-      cached = next
-      converged = changed == 0
-      iter += 1
     }
-    lastIterations = iter
-    edges.unpersist()
-    // Returning labels from a non-fixpoint would silently split real
-    // clusters (and hash-mismatch the oracle's exact closure) — fail
-    // loudly instead; diameter-50+ chains need large-star/small-star.
-    if (!converged) {
-      ckpt.release(cached) // the failure path must not leak the iterate
-      throw new IllegalStateException(
-        s"duplicateClusters did not reach the fixpoint in $maxIter " +
-          "iterations (candidate-graph diameter too large); raise " +
-          "maxIter or switch to large-star/small-star")
-    }
-    val resolved = cached.select(col(idCol), col("cluster_id"))
-    // The result is TRUNCATED through the checkpointer (a materialized
-    // LogicalRDD leaf), not merely persisted: a persisted frame keeps
-    // its lineage, so once the final iterate's checkpoint is released
-    // below, losing a block of the result on a cluster would recompute
-    // through deleted checkpoint data. Truncating first makes the
-    // result self-contained; only then is the iterate released.
-    // Callers free the result deterministically with [[free]]
-    // (`.unpersist()` on it is a harmless no-op — the ContextCleaner
-    // reclaims the blocks after the reference drops).
-    val out = ckpt.truncate(docs.select(col(idCol))
-      .join(resolved, Seq(idCol), "left")
-      .select(col(idCol),
-        coalesce(col("cluster_id"), col(idCol)).as("cluster_id")))
-    ckpt.release(cached)
-    out
   }
 
   /** Deterministically release a frame returned by [[duplicateClusters]]
@@ -452,39 +482,42 @@ object DedupOps {
       .select(least(col("a"), col("b")).as("a"),
         greatest(col("a"), col("b")).as("b"))
       .filter(col("a") =!= col("b")).distinct())
-    var prevSig = sig(canon)
-    var round = 0
-    var converged = canon.isEmpty
-    while (!converged && round < maxRounds) {
-      val next = ckpt.truncate(step(step(canon, large = true),
-        large = false))
-      val nextSig = sig(next)
-      ckpt.release(canon)
-      canon = next
-      converged = nextSig == prevSig
-      prevSig = nextSig
-      round += 1
-    }
-    if (!converged) {
-      ckpt.release(canon) // the failure path must not leak the iterate
-      throw new IllegalStateException(
-        s"duplicateClustersStar did not converge in $maxRounds rounds")
-    }
-    // At the fixpoint the graph is a union of stars rooted at component
-    // minima: every node's label is min(self, neighbors).
-    val labels = canon.select(col("a"), col("b"))
-      .union(canon.select(col("b").as("a"), col("a").as("b")))
-      .groupBy(col("a")).agg(min(col("b")).as("nmin"))
-      .select(col("a").as(idCol),
-        least(col("nmin"), col("a")).as("cluster_id"))
-    // Same lifetime discipline as [[duplicateClusters]]: truncate the
-    // result to a self-contained leaf BEFORE releasing the final edge
-    // set its plan references; free with [[free]].
-    val out = ckpt.truncate(docs.select(col(idCol))
-      .join(labels, Seq(idCol), "left")
-      .select(col(idCol),
-        coalesce(col("cluster_id"), col(idCol)).as("cluster_id")))
-    ckpt.release(canon)
+    // try/finally: same exception-path leak guard as
+    // [[duplicateClusters]] — a mid-round job failure must release the
+    // live iterate's (possibly reliable, hence permanent) checkpoint
+    val out = try {
+      var prevSig = sig(canon)
+      var round = 0
+      var converged = canon.isEmpty
+      while (!converged && round < maxRounds) {
+        val next = ckpt.truncate(step(step(canon, large = true),
+          large = false))
+        val nextSig = sig(next)
+        ckpt.release(canon)
+        canon = next
+        converged = nextSig == prevSig
+        prevSig = nextSig
+        round += 1
+      }
+      if (!converged)
+        throw new IllegalStateException(
+          s"duplicateClustersStar did not converge in $maxRounds rounds")
+      // At the fixpoint the graph is a union of stars rooted at
+      // component minima: every node's label is min(self, neighbors).
+      val labels = canon.select(col("a"), col("b"))
+        .union(canon.select(col("b").as("a"), col("a").as("b")))
+        .groupBy(col("a")).agg(min(col("b")).as("nmin"))
+        .select(col("a").as(idCol),
+          least(col("nmin"), col("a")).as("cluster_id"))
+      // Same lifetime discipline as [[duplicateClusters]]: truncate the
+      // result to a self-contained leaf BEFORE releasing the final edge
+      // set its plan references (the finally releases it); free with
+      // [[free]].
+      ckpt.truncate(docs.select(col(idCol))
+        .join(labels, Seq(idCol), "left")
+        .select(col(idCol),
+          coalesce(col("cluster_id"), col(idCol)).as("cluster_id")))
+    } finally ckpt.release(canon)
     out
   }
 }

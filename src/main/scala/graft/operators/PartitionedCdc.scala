@@ -650,19 +650,21 @@ object PartitionedCdc {
       deleteOp: String = "D", retainVersions: Int = 2,
       sortCols: Seq[String] = Seq.empty): DataFrame = {
     validateBatch(log, retainVersions) // fail fast, before the init
-    init(base, bucketOf, root, sortCols)
-    val staged = graft.streaming.StreamingOps.stageOrderedArrivals(
-      log, seqCol, nFiles, s"$root/arrivals")
-    graft.streaming.StreamingOps.replayOrdered(ss, log.schema,
-        s"$root/arrivals", s"$root/ckpt") { (batch, batchId) =>
+    // seed/stage/replay through the shared skeleton (resume-safe
+    // init, empty-log short-circuit — see
+    // StreamingOps.versionedReplay)
+    val staged = graft.streaming.StreamingOps.versionedReplay(
+        ss, log, seqCol, nFiles, root) {
+      init(base, bucketOf, root, sortCols)
+    } { (batch, batchId) =>
       applyVersion(ss, root, batch, keys, seqCol, opCol, bucketOf,
         batchId.toInt, deleteOp, retainVersions, sortCols)
     }
     val vs = listVersions(ss, root)
-    require(vs.lastOption.contains(staged.toInt),
+    require(vs.lastOption.contains(staged),
       s"PartitionedCdc.streamApply: expected final version $staged " +
         s"after $staged micro-batches, found ${vs.lastOption}")
-    readVersion(ss, root, staged.toInt)
+    readVersion(ss, root, staged)
   }
 
   /** CONTINUOUS maintained view over the copy-on-write layout —
@@ -681,12 +683,13 @@ object PartitionedCdc {
     // foreachBatch the same require would surface wrapped in a
     // StreamingQueryException after paying the whole init
     validateBatch(log, retainVersions)
-    initMaintained(base, bucketOf, root, dims, sumCols, cntCol,
-      sortCols)
-    val staged = graft.streaming.StreamingOps.stageOrderedArrivals(
-      log, seqCol, nFiles, s"$root/arrivals")
-    graft.streaming.StreamingOps.replayOrdered(ss, log.schema,
-        s"$root/arrivals", s"$root/ckpt") { (batch, batchId) =>
+    // shared skeleton: a resumed root skips the init (base layout AND
+    // the view's one seeding aggregation)
+    val staged = graft.streaming.StreamingOps.versionedReplay(
+        ss, log, seqCol, nFiles, root) {
+      initMaintained(base, bucketOf, root, dims, sumCols, cntCol,
+        sortCols)
+    } { (batch, batchId) =>
       maintainVersion(ss, root, batch, keys, seqCol, opCol, bucketOf,
         dims, sumCols, batchId.toInt, cntCol, deleteOp, retainVersions,
         sortCols)

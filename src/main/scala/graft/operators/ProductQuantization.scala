@@ -49,18 +49,29 @@ object ProductQuantization {
     call_function("pq_assign", vec, typedLit(cents.flatten.toSeq),
       lit(off), lit(cents.head.length))
 
-  /** Train per-subspace codebooks: seeded init from the first k rows
-    * (ordered by `idCol`), then `steps` Lloyd iterations with
-    * integer-exact means (floor(x*1e6+0.5) sums). Only the k×dim
-    * centroid tables are collected to the driver; assignments and sums
-    * are distributed aggregations.
+  /** Train per-subspace codebooks: seeded init from the first k
+    * DISTINCT vectors (ordered by `idCol` — duplicate vectors among
+    * the seeds would create identical centroids, and the lowest-code
+    * assignment tiebreak then starves the higher twin FOREVER: it
+    * never receives rows, never moves, and the effective codebook is
+    * silently k-1; duplicates are routine in pre-dedup corpora).
+    * Distinctness is resolved over a bounded 16k-row id prefix
+    * (driver-side, k×16 vectors — seeds stay O(k), never a corpus
+    * aggregation), then `steps` Lloyd iterations with integer-exact
+    * means (floor(x*1e6+0.5) sums). Only the k×dim centroid tables
+    * are collected to the driver; assignments and sums are
+    * distributed aggregations.
     */
   def train(df: DataFrame, vecCol: String, idCol: String, subspaces: Int,
       subDim: Int, k: Int, steps: Int = 1): Codebooks = {
-    val seedRows = df.orderBy(col(idCol)).limit(k)
+    val seedRows = df.orderBy(col(idCol)).limit(k * 16)
       .select(col(vecCol)).collect()
       .map(_.getSeq[Float](0).toArray.map(_.toDouble))
-    require(seedRows.length == k, s"need >= $k vectors to seed")
+      .distinctBy(_.toSeq).take(k)
+    require(seedRows.length == k,
+      s"need >= $k DISTINCT vectors among the first ${k * 16} rows " +
+        "to seed (duplicate seed vectors would dead-lock identical " +
+        "centroids)")
     val books: Codebooks = Array.tabulate(subspaces)(j =>
       seedRows.map(_.slice(j * subDim, (j + 1) * subDim)))
     // ONE Spark job per Lloyd step for ALL subspaces (a per-subspace

@@ -775,11 +775,12 @@ object SimilarityQueries {
     }.mkString("(", " + ", ")")
 
   /** The PQ training + encode CTE chain — the mechanical mirror of
-    * [[ProductQuantization.train]] (seeded init = first PqK rows'
-    * subvector slices; one Lloyd step of integer-exact sums; empty
-    * cells keep their seed centroid via the LEFT JOIN + coalesce) and
-    * [[ProductQuantization.encode]]. Ends in `pqbook(j, c, m1..)` and
-    * `pqenc(vec_id, c0..c{PqSub-1})`.
+    * [[ProductQuantization.train]] (seeded init = first PqK DISTINCT
+    * vectors by first-occurrence id within the 16k-row prefix, the
+    * dead-duplicate-centroid guard; one Lloyd step of integer-exact
+    * sums; empty cells keep their seed centroid via the LEFT JOIN +
+    * coalesce) and [[ProductQuantization.encode]]. Ends in
+    * `pqbook(j, c, m1..)` and `pqenc(vec_id, c0..c{PqSub-1})`.
     */
   private lazy val pqCtes: String = {
     val ms0 = (1 to PqSubDim).map(i =>
@@ -794,9 +795,12 @@ object SimilarityQueries {
     val codeCols = (0 until PqSub).map(j =>
       s"max(CASE WHEN j = $j THEN code END) AS c$j").mkString(", ")
     s"""pqseed AS (
-          SELECT embedding, row_number() OVER (ORDER BY vec_id) - 1 AS c
-          FROM (SELECT vec_id, embedding FROM embeddings
-                ORDER BY vec_id LIMIT $PqK)),
+          SELECT embedding, row_number() OVER (ORDER BY sid) - 1 AS c
+          FROM (SELECT embedding, min(vec_id) AS sid
+                FROM (SELECT vec_id, embedding FROM embeddings
+                      ORDER BY vec_id LIMIT ${PqK * 16})
+                GROUP BY embedding
+                ORDER BY sid LIMIT $PqK)),
         pqb0 AS (
           SELECT j.j, s.c, $ms0
           FROM pqseed s CROSS JOIN range($PqSub) j(j)),

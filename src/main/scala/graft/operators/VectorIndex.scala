@@ -444,9 +444,13 @@ object VectorIndex {
       build(e0.filter(col("vec_id") < splitId)
           .select("vec_id", "embedding"),
         dim, lloydSteps, subspaces, subDim, k, s"$root/index")
-    graft.streaming.StreamingOps.stageOrderedArrivals(
-      e0.filter(col("vec_id") >= splitId), "vec_id", nFiles,
-      s"$root/arrivals")
+    // zero arrivals would leave the decisions store absent and the
+    // final read failing with a bare path error — fail with the cause
+    require(graft.streaming.StreamingOps.stageOrderedArrivals(
+        e0.filter(col("vec_id") >= splitId), "vec_id", nFiles,
+        s"$root/arrivals") > 0,
+      s"streamIngestGate: no arrivals at or past splitId=$splitId — " +
+        "nothing to gate")
     // quantizers are FROZEN: collect them once; per batch only the
     // corpus frame is re-created so its scan re-lists the files the
     // previous batch appended

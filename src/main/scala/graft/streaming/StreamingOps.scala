@@ -32,28 +32,35 @@ object StreamingOps {
     */
   def stageOrderedArrivals(arrivals: DataFrame, idCol: String,
       nFiles: Int, dir: String): Int = {
-    import java.nio.file.{Files, Paths, StandardCopyOption}
-    import java.nio.file.attribute.FileTime
+    import org.apache.hadoop.fs.{Path => HPath}
     require(nFiles >= 1, s"stageOrderedArrivals: nFiles >= 1 (got $nFiles)")
+    // ALL filesystem access through the Hadoop API resolved from the
+    // path (was java.nio): a non-local root (hdfs://, s3a://, even an
+    // explicit file:/ URI) made the local-path renumber loop find
+    // nothing, return staged = 0 WITHOUT ERROR, and every streaming
+    // twin silently replayed zero batches — the caller then served
+    // its unmodified seed as the "final" result.
+    val dp = new HPath(dir)
+    val fs = dp.getFileSystem(
+      arrivals.sparkSession.sparkContext.hadoopConfiguration)
     // the id is read as LONG whatever integral type the caller's
     // column carries (an INT seq would ClassCastException on getLong)
     val idL = col(idCol).cast("long")
-    // bit_xor combines the per-row hashes order-independently and
-    // cannot overflow (a SUM of full-range xxhash64 longs trips the
-    // ANSI overflow check)
+    // ONE aggregate answers the row count, id bounds, null-id count,
+    // and the content signature — the null guard used to be its own
+    // full scan. bit_xor combines the per-row hashes order-
+    // independently and cannot overflow (a SUM of full-range xxhash64
+    // longs trips the ANSI overflow check).
     val sigRow = arrivals.agg(count(lit(1)), min(idL), max(idL),
-      bit_xor(xxhash64(arrivals.columns.toIndexedSeq.map(col): _*))).head()
-    require(sigRow.getLong(0) > 0,
-      "stageOrderedArrivals: the arrivals frame is empty")
+      bit_xor(xxhash64(arrivals.columns.toIndexedSeq.map(col): _*)),
+      count(idL)).head()
+    val nRows = sigRow.getLong(0)
     // loud null guard, same rationale as Publish.publishChunks: a
     // null id would land in __HIVE_DEFAULT_PARTITION__, which the
     // range-file renumber loop never moves — the rows would silently
     // vanish from the replay while the signature records them as
-    // staged (and an all-null frame would NPE on the min/max reads)
-    require(!sigRow.isNullAt(1),
-      s"stageOrderedArrivals: `$idCol` is null for every arrival — " +
-        "ids must be non-null to cut ordered ranges")
-    require(arrivals.filter(col(idCol).isNull).isEmpty,
+    // staged
+    require(nRows == 0 || sigRow.getLong(4) == nRows,
       s"stageOrderedArrivals: null `$idCol` in arrivals — a null id " +
         "cannot join an ordered range file and would be dropped " +
         "from the replay")
@@ -71,10 +78,12 @@ object StreamingOps {
     val sig = ((0 until 4).map(i =>
       if (sigRow.isNullAt(i)) "null" else sigRow.getLong(i).toString)
       :+ s"n$nFiles").mkString(":")
-    val sigPath = Paths.get(dir, "_log_sig")
-    if (Files.exists(sigPath)) {
-      val prev = new String(Files.readAllBytes(sigPath),
-        java.nio.charset.StandardCharsets.UTF_8)
+    val sigPath = new HPath(dp, "_log_sig")
+    if (fs.exists(sigPath)) {
+      val in = fs.open(sigPath)
+      val prev =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
       require(prev == sig,
         s"stageOrderedArrivals: $dir was already staged with a " +
           s"DIFFERENT arrivals frame (sig $prev vs $sig) — the " +
@@ -84,53 +93,94 @@ object StreamingOps {
     // clear range files from any PRIOR staging first: a re-stage with
     // fewer files (or an empty range) must not leave a stale bNNN
     // behind for the file source to replay as phantom data
-    if (Files.isDirectory(Paths.get(dir))) {
-      val old = Files.list(Paths.get(dir))
-      try old.filter(p =>
-          p.getFileName.toString.matches("b\\d+\\.parquet"))
-        .forEach(p => Files.delete(p))
-      finally old.close()
-    }
-    val (lo, hi) = (sigRow.getLong(1), sigRow.getLong(2))
-    val step = (hi - lo) / nFiles + 1
-    Files.createDirectories(Paths.get(dir))
-    // ONE pass cuts all the range files (dynamic-partition write on
-    // the computed file index; the index column stays out of the file
-    // contents) — one filtered scan per file priced ~nFiles scans
-    // before. repartition(1) keeps exactly one part file per range.
-    arrivals
-      .withColumn("__f",
-        expr(s"CAST((CAST($idCol AS BIGINT) - $lo) DIV $step AS INT)"))
-      .repartition(1)
-      .write.mode("overwrite").partitionBy("__f")
-      .parquet(s"$dir/.stage")
-    // staged files are renumbered CONTIGUOUSLY: a sparse id
-    // distribution leaves range slots empty (fewer than nFiles
-    // files), and the replay runs exactly one micro-batch per staged
-    // file — the returned count is the batch count callers must use
-    // (a hardcoded nFiles would over-assert)
+    if (fs.exists(dp))
+      fs.listStatus(dp).map(_.getPath)
+        .filter(_.getName.matches("b\\d+\\.parquet"))
+        .foreach(fs.delete(_, false))
+    fs.mkdirs(dp)
     var staged = 0
-    for (i <- 0 until nFiles) {
-      val stage = Paths.get(s"$dir/.stage/__f=$i")
-      if (Files.isDirectory(stage)) {
-        val part = {
-          val s = Files.list(stage)
-          try s.filter(p => p.getFileName.toString.startsWith("part-"))
-            .findFirst.get
-          finally s.close()
+    // an EMPTY changelog is a legal quiet period, not an error: stage
+    // nothing, return zero batches — the CDC twins then serve their
+    // seed, which IS the batch oracle's answer for an empty log
+    if (nRows > 0) {
+      val (lo, hi) = (sigRow.getLong(1), sigRow.getLong(2))
+      val step = (hi - lo) / nFiles + 1
+      // ONE pass cuts all the range files (dynamic-partition write on
+      // the computed file index; the index column stays out of the
+      // file contents). Hash-repartition on __f: every range's rows
+      // land in exactly one task — still exactly one part file per
+      // range dir — but the nFiles ranges WRITE IN PARALLEL (the old
+      // repartition(1) funneled the whole changelog through one task).
+      arrivals
+        .withColumn("__f",
+          expr(s"CAST((CAST($idCol AS BIGINT) - $lo) DIV $step AS INT)"))
+        .repartition(col("__f"))
+        .write.mode("overwrite").partitionBy("__f")
+        .parquet(s"$dir/.stage")
+      // staged files are renumbered CONTIGUOUSLY: a sparse id
+      // distribution leaves range slots empty (fewer than nFiles
+      // files), and the replay runs exactly one micro-batch per staged
+      // file — the returned count is the batch count callers must use
+      // (a hardcoded nFiles would over-assert)
+      for (i <- 0 until nFiles) {
+        val stage = new HPath(s"$dir/.stage/__f=$i")
+        if (fs.exists(stage)) {
+          val part = fs.listStatus(stage).map(_.getPath)
+            .find(_.getName.startsWith("part-"))
+            .getOrElse(sys.error(
+              s"stageOrderedArrivals: no part file under $stage"))
+          val dest = new HPath(dp, f"b$staged%03d.parquet")
+          fs.delete(dest, false)
+          require(fs.rename(part, dest),
+            s"stageOrderedArrivals: could not move $part to $dest")
+          // distinct mtimes pin the file source's oldest-first order
+          // (fixed epoch: deterministic, and a minute apart so
+          // ms-precision timestamps can never collide). Stores whose
+          // setTimes is a no-op (object stores) still order correctly:
+          // the sequential renames produce increasing upload times.
+          fs.setTimes(dest, 1700000000000L + staged * 60000L, -1)
+          staged += 1
         }
-        val dest = Paths.get(f"$dir/b$staged%03d.parquet")
-        Files.move(part, dest, StandardCopyOption.REPLACE_EXISTING)
-        // distinct mtimes pin the file source's oldest-first order
-        // (fixed epoch: deterministic, and a minute apart so
-        // ms-precision timestamps can never collide)
-        Files.setLastModifiedTime(dest,
-          FileTime.fromMillis(1700000000000L + staged * 60000L))
-        staged += 1
       }
     }
-    Files.write(sigPath,
-      sig.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val out = fs.create(sigPath, true)
+    try out.write(sig.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    staged
+  }
+
+  /** The whole versioned-chain driver: seed once, stage the log,
+    * replay — ONE definition of the seed/stage/replay skeleton the
+    * four CDC streaming twins ([[graft.operators.CdcOps.streamApply]]/
+    * `streamMaintain` and their [[graft.operators.PartitionedCdc]]
+    * twins) previously each hand-rolled, so a fix to the resume
+    * semantics cannot miss a copy. Returns the staged batch count
+    * (the caller's derived final version).
+    *
+    *  - RESUME SAFETY: `seed` runs only when the checkpoint directory
+    *    does not exist — re-invoking with the same root after a
+    *    mid-stream crash must not rewrite the seed (committed batches
+    *    never replay, so a re-written version 0 — whose original may
+    *    already have fallen off retention — would linger resurrected,
+    *    and the full-base write is pure waste). The checkpoint dir
+    *    exists iff a previous replay started, strictly after the
+    *    original seed completed.
+    *  - EMPTY LOG: zero staged batches skips the stream machinery
+    *    entirely — the caller serves its seed, which IS the batch
+    *    oracle's answer for an empty changelog.
+    */
+  def versionedReplay(ss: SparkSession, log: DataFrame, seqCol: String,
+      nFiles: Int, root: String)(seed: => Unit)(
+      body: (DataFrame, Long) => Unit): Int = {
+    val ckpt = new org.apache.hadoop.fs.Path(s"$root/ckpt")
+    if (!ckpt.getFileSystem(ss.sparkContext.hadoopConfiguration)
+        .exists(ckpt))
+      seed
+    val staged = stageOrderedArrivals(log, seqCol, nFiles,
+      s"$root/arrivals")
+    if (staged > 0)
+      replayOrdered(ss, log.schema, s"$root/arrivals", s"$root/ckpt")(
+        body)
     staged
   }
 

@@ -117,6 +117,68 @@ class CdcOpsSpec extends SparkSpec {
     } finally rmTree(root)
   }
 
+  test("re-invoking a completed chain does NOT rewrite the seed — " +
+      "no resurrected pruned version, no full-base write on resume") {
+    val d = "/root/testdata/sf0.001"
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-cdc-resume")
+    try {
+      val (b, log) = ExtraQueries.cdcFrames(spark, d)
+      val first = CdcOps.streamApply(spark, b, log, Seq("o_orderkey"),
+          "seq", "op", nFiles = 2, root.toString, retainVersions = 1)
+        .as[(Long, Long, Double, String)].collect().toSeq.sorted
+      assert(!java.nio.file.Files.exists(root.resolve("snap0")))
+      // resume (the crash-recovery path is literally re-invocation):
+      // the seed must be skipped — a re-written snap0 would linger
+      // forever because the committed batches that pruned it never
+      // replay
+      val resumed = CdcOps.streamApply(spark, b, log,
+          Seq("o_orderkey"), "seq", "op", nFiles = 2, root.toString,
+          retainVersions = 1)
+        .as[(Long, Long, Double, String)].collect().toSeq.sorted
+      assert(resumed === first)
+      assert(!java.nio.file.Files.exists(root.resolve("snap0")),
+        "resume resurrected the retention-pruned seed snapshot")
+      assert(CdcOps.listVersions(spark, root.toString) === Seq(1, 2))
+    } finally rmTree(root)
+  }
+
+  test("an EMPTY changelog is a quiet period: the chain serves the " +
+      "base, exactly the batch oracle's answer") {
+    val d = "/root/testdata/sf0.001"
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-cdc-empty")
+    try {
+      val (b, log) = ExtraQueries.cdcFrames(spark, d)
+      val got = CdcOps.streamApply(spark, b, log.where(lit(false)),
+          Seq("o_orderkey"), "seq", "op", nFiles = 2, root.toString)
+        .as[(Long, Long, Double, String)].collect().toSeq.sorted
+      assert(got ===
+        b.as[(Long, Long, Double, String)].collect().toSeq.sorted)
+    } finally rmTree(root)
+  }
+
+  test("staging works through an explicit file: URI (Hadoop-path " +
+      "I/O, not local-path assumptions)") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-cdc-uri")
+    try {
+      val log = Seq((1L, 1L, "U", 10L), (2L, 2L, "U", 20L),
+        (3L, 3L, "U", 30L)).toDF("k", "seq", "op", "v")
+      // the regression: a non-plain-local root silently staged ZERO
+      // batches (the renumber loop scanned a POSIX path named
+      // "file:/..."), and every streaming twin then served its seed
+      // as the final result
+      val staged = graft.streaming.StreamingOps.stageOrderedArrivals(
+        log, "seq", nFiles = 3, s"file:$root/arrivals")
+      assert(staged === 3)
+      for (i <- 0 until 3)
+        assert(java.nio.file.Files.exists(
+          root.resolve(f"arrivals/b$i%03d.parquet")),
+          s"range file $i missing")
+    } finally rmTree(root)
+  }
+
   // ---- incremental aggregate maintenance ----
 
   // k1: in-place update (same group, new measure); k2: delete (g1

@@ -41,6 +41,34 @@ class ProductQuantizationSpec extends SparkSpec {
     assert(flat(books) === flat(again))
   }
 
+  test("duplicate vectors among the leading rows do not dead-lock " +
+      "identical seed centroids — seeding takes the first K DISTINCT") {
+    // rows 0..9 all carry the SAME vector; distinct vectors follow.
+    // First-K-ROWS seeding would make all K=8 seeds identical: the
+    // lowest-code tiebreak then starves 7 centroids forever and the
+    // effective codebook is 1.
+    val dup = (0 until 100).map { id =>
+      val v =
+        if (id < 10) Array.fill(16)(1.0f)
+        else Array.tabulate(16)(i =>
+          ((id * 31 + i * 7) % 40).toFloat / 4.0f)
+      (id.toLong, v)
+    }.toDF("vec_id", "vec")
+    val b = ProductQuantization.train(dup, "vec", "vec_id", Sub,
+      SubDim, K, steps = 1)
+    for (j <- 0 until Sub)
+      assert(b(j).map(_.toSeq).distinct.length === K,
+        s"subspace $j has duplicate (dead) centroids")
+    // and too few distinct vectors fails loudly, not silently
+    val allSame = (0 until 50)
+      .map(id => (id.toLong, Array.fill(16)(2.0f)))
+      .toDF("vec_id", "vec")
+    assert(intercept[IllegalArgumentException] {
+      ProductQuantization.train(allSame, "vec", "vec_id", Sub,
+        SubDim, K, steps = 1)
+    }.getMessage.contains("DISTINCT"))
+  }
+
   test("codes are in range and encoding is 32x smaller than float dims") {
     val enc = ProductQuantization.encode(corpus, "vec", books, SubDim, "pq")
     val codes = enc.select(col("pq")).as[Seq[Int]].collect()

@@ -201,6 +201,21 @@ class TextDedupSpec extends SparkSpec {
     assert(got === expected)
   }
 
+  test("re-signing an already-signed frame is refused — two " +
+      "signature schemes would silently mix into corrupt buckets") {
+    val df = Seq((1L, "p q r s t")).toDF("doc_id", "text")
+    val signed = DedupOps.withMinHash(df, "text", 8)
+    // re-tuning with a smaller k would overwrite mh0..mh3 and strand
+    // mh4..mh7 from the old scheme
+    assert(intercept[IllegalArgumentException] {
+      DedupOps.withMinHash(signed, "text", 4)
+    }.getMessage.contains("signature"))
+    // a caller column colliding with a working name is refused too
+    assert(intercept[IllegalArgumentException] {
+      DedupOps.withMinHash(df.withColumn("__bh", lit(1)), "text", 4)
+    }.getMessage.contains("__bh"))
+  }
+
   test("identical docs collide in every LSH band and pair up once") {
     val df = Seq((1L, "p q r s t"), (2L, "p q r s t"), (3L, "u v w x y"))
       .toDF("doc_id", "text")

@@ -129,13 +129,22 @@ object BloomSketch {
   }
 
   def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+    // two sketches are mergeable only at identical geometry — the
+    // probe positions are taken modulo numBits, so OR-ing
+    // differently-sized bitsets silently DROPS the longer side's
+    // extra words (lost keys = false negatives, the one guarantee a
+    // bloom filter must never break) or crashes on the shorter one
+    require(a.length == b.length,
+      s"bloom merge: bitset sizes differ (${a.length * 64} vs " +
+        s"${b.length * 64} bits) — sketches must be built with the " +
+        "same numBits to merge")
     var i = 0
     while (i < a.length) { a(i) |= b(i); i += 1 }
     a
   }
 }
 
-/** `bloom_might_contain(bits, key)` as a native expression: the bitset
+/** `bloom_might_contain(key, bits, k)` as a native expression: the bitset
   * rides along as a task-shared reference object (like the PQ
   * codebooks), NOT as a per-row array literal, and the probe stays
   * inside whole-stage codegen. NULL key → NULL (which a WHERE treats as

@@ -94,9 +94,22 @@ object Sentinels {
     * §7.5 risk 2); sinks re-apply sentinels via PivotOps.fillSentinels.
     */
   def toNull(df: DataFrame, colName: String, sentinel: Double): DataFrame = {
+    // STRIP any existing tag first, as its OWN projection: the rewrite
+    // rule runs during this frame's analysis, and on an already-tagged
+    // input (a re-read of a tagged pipeline's parquet output — Spark
+    // persists StructField metadata — or toNull applied twice) it
+    // would rewrite the normalization predicate below into IS NULL: a
+    // silent no-op that still asserts "normalized" via the tag, so
+    // raw sentinel rows would pass every downstream filter. An inline
+    // alias inside the predicate would not do: CleanupAliases strips
+    // it and the tagged attribute resurfaces; a separate projection
+    // makes the predicate resolve against a genuinely untagged
+    // attribute.
+    val untagged = df.withColumn(colName, col(colName)
+      .as(colName, org.apache.spark.sql.types.Metadata.empty))
     val cleaned = org.apache.spark.sql.functions
       .when(col(colName) === sentinel, null).otherwise(col(colName))
-    df.withColumn(colName, tagged(cleaned, colName, sentinel))
+    untagged.withColumn(colName, tagged(cleaned, colName, sentinel))
   }
 
   /** Tag only (for columns already normalized upstream). */

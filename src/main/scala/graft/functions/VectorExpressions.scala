@@ -20,7 +20,9 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, I
   * the dot product runs once per candidate PAIR (the innermost loop of
   * the whole workload at 100 TB), so it compiles to a tight primitive
   * loop here instead. Semantics match the fold exactly: double
-  * accumulation in index order over min(len) elements.
+  * accumulation in index order; NULL on a null element OR a length
+  * mismatch (zip_with null-pads the shorter array, so the fold is
+  * NULL there too).
   */
 case class FloatVecDot(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -40,14 +42,20 @@ case class FloatVecDot(left: Expression, right: Expression)
   // assignable (non-nullable children would fold it to a literal).
   override def nullable: Boolean = true
 
-  // A NULL element anywhere in the folded prefix makes the whole result
-  // NULL — exactly what the zip_with/aggregate fold does (x*NULL = NULL,
-  // acc+NULL = NULL). The isNullAt bit-check is branch-predictable noise
-  // for the all-non-null fast path (UnsafeArrayData primitive layout).
+  // A NULL element anywhere in the fold makes the whole result NULL —
+  // exactly what the zip_with/aggregate fold does (x*NULL = NULL,
+  // acc+NULL = NULL) — and so does a LENGTH MISMATCH: zip_with
+  // null-pads the shorter array, so the fold is NULL for every
+  // unequal-length pair. The old min(len) prefix dot silently scored
+  // a truncated/corrupt embedding with a plausible partial similarity
+  // instead of NULL. The isNullAt bit-check is branch-predictable
+  // noise for the all-non-null fast path (UnsafeArrayData primitive
+  // layout).
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (y.numElements() != n) return null
     var s = 0.0
     var i = 0
     while (i < n) {
@@ -65,14 +73,18 @@ case class FloatVecDot(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val s = ctx.freshName("s")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $n = $a.numElements();
          |double $s = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  if ($a.isNullAt($i) || $b.isNullAt($i)) {
-         |    ${ev.isNull} = true;
-         |    break;
+         |if ($b.numElements() != $n) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) {
+         |      ${ev.isNull} = true;
+         |      break;
+         |    }
+         |    $s += (double) $a.getFloat($i) * (double) $b.getFloat($i);
          |  }
-         |  $s += (double) $a.getFloat($i) * (double) $b.getFloat($i);
          |}
          |${ev.value} = $s;
        """.stripMargin
@@ -110,6 +122,10 @@ case class PqAssign(child: Expression, book: Seq[Double], off: Int,
   require(sub >= 1 && book.nonEmpty && book.length % sub == 0,
     "pq_assign: subdim >= 1 and |codebook| a non-zero multiple of subdim" +
       s" (got |book|=${book.length}, sub=$sub)")
+  // a negative offset would pass the numElements bound (5 < -1+2 is
+  // false) and drive getFloat(-1) into unchecked Platform reads —
+  // garbage floats or a JVM crash instead of a plan-build failure
+  require(off >= 0, s"pq_assign: offset >= 0 (got $off)")
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
@@ -159,10 +175,15 @@ case class PqAssign(child: Expression, book: Seq[Double], off: Int,
       ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, a => {
       val bk = ctx.addReferenceObj("pqBook", bookArr, "double[]")
-      val (s, d, c, i, best, bestD, buf) = (ctx.freshName("s"),
+      val (s, d, c, i, best, bestD) = (ctx.freshName("s"),
         ctx.freshName("d"), ctx.freshName("c"), ctx.freshName("i"),
-        ctx.freshName("best"), ctx.freshName("bestD"),
-        ctx.freshName("buf"))
+        ctx.freshName("best"), ctx.freshName("bestD"))
+      // scratch buffer as MUTABLE STATE (one per generated class),
+      // refilled per row: a per-row `new double[sub]` in the tightest
+      // loop of the encode path was pure young-gen churn for a
+      // compile-time-constant size
+      val buf = ctx.addMutableState("double[]", "pqAssignBuf",
+        v => s"$v = new double[$sub];")
       s"""
          |if ($a.numElements() < ${off + sub}) {
          |  ${ev.isNull} = true;
@@ -172,7 +193,6 @@ case class PqAssign(child: Expression, book: Seq[Double], off: Int,
          |  }
          |}
          |if (!${ev.isNull}) {
-         |  double[] $buf = new double[$sub];
          |  for (int $i = 0; $i < $sub; $i++) {
          |    $buf[$i] = (double) $a.getFloat($off + $i);
          |  }
@@ -498,6 +518,10 @@ case class PqAdcLookup(left: Expression, right: Expression)
 case class IvfAssign(left: Expression, right: Expression,
     books: Seq[Double], mns: Seq[Double], cells: Seq[Long], dim: Int)
     extends BinaryExpression {
+  // an empty centroid set would skip the scan entirely and return the
+  // uninitialized cell id 0 for every row — fail at plan build like
+  // pq_assign's book.nonEmpty
+  require(mns.nonEmpty, "ivf_assign: centroid set must be non-empty")
   require(cells.length == mns.length &&
     books.length == mns.length * dim &&
     cells.sliding(2).forall(p => p.length < 2 || p(0) < p(1)),
@@ -507,6 +531,11 @@ case class IvfAssign(left: Expression, right: Expression,
   // differently from the composed max_by it replicates (max_by treats
   // NaN as largest). Requiring positive norms makes the divergent case
   // impossible by construction rather than silently wrong.
+  // The per-ROW norm is not plan-checkable: a zero/NaN row norm makes
+  // every `raw` NaN, no candidate ever beats the first, and the row
+  // deterministically lands in cells(0) — the documented contract for
+  // degenerate vectors (the builders exclude zero-norm rows from the
+  // statistics but still assign them somewhere stable).
   require(mns.forall(m => m > 0.0 && !java.lang.Double.isNaN(m)),
     "ivf_assign: centroid norms must be strictly positive")
 
@@ -590,12 +619,17 @@ case class IvfAssign(left: Expression, right: Expression,
       val bk = ctx.addReferenceObj("ivfBooks", bookArr, "double[]")
       val mn = ctx.addReferenceObj("ivfMns", mnArr, "double[]")
       val cl = ctx.addReferenceObj("ivfCells", cellArr, "long[]")
-      val (i, c, dot, raw, r, bestC, rawBest, rBest, first, nullEl, buf) =
+      val (i, c, dot, raw, r, bestC, rawBest, rBest, first, nullEl) =
         (ctx.freshName("i"), ctx.freshName("c"), ctx.freshName("dot"),
           ctx.freshName("raw"), ctx.freshName("r"),
           ctx.freshName("bestC"), ctx.freshName("rawBest"),
           ctx.freshName("rBest"), ctx.freshName("first"),
-          ctx.freshName("nullEl"), ctx.freshName("buf"))
+          ctx.freshName("nullEl"))
+      // scratch buffer as mutable state, refilled per row — the
+      // per-row allocation was young-gen churn in the hottest loop
+      // (see PqAssign)
+      val buf = ctx.addMutableState("double[]", "ivfAssignBuf",
+        v => s"$v = new double[$dim];")
       // record-high-only rounding — see nullSafeEval for the
       // monotonicity argument; round6 inlined as Spark's DoubleType
       // Round (BigDecimal.valueOf HALF_UP, NaN/Inf passthrough)
@@ -616,7 +650,6 @@ case class IvfAssign(left: Expression, right: Expression,
          |  if ($nullEl) {
          |    ${ev.isNull} = true;
          |  } else {
-         |    double[] $buf = new double[$dim];
          |    for (int $i = 0; $i < $dim; $i++) {
          |      $buf[$i] = (double) $a.getFloat($i);
          |    }

@@ -104,6 +104,15 @@ class BloomSpec extends SparkSpec {
     assert(kept === Seq(10L, 12L))
   }
 
+  test("merging differently-sized sketches is refused — OR-ing " +
+      "mismatched bitsets would silently drop keys (false negatives)") {
+    val e = intercept[IllegalArgumentException] {
+      graft.functions.BloomSketch.merge(new Array[Long](4),
+        new Array[Long](8))
+    }
+    assert(e.getMessage.contains("sizes differ"))
+  }
+
   test("empty dim yields an all-reject sketch, not a crash") {
     val dim = spark.range(0, 10).filter(col("id") < 0)
       .select(col("id").as("key"))

@@ -59,6 +59,26 @@ class SentinelRewriteSpec extends SparkSpec {
     assert(got === Seq(2L))
   }
 
+  test("toNull on an ALREADY-TAGGED column still replaces sentinels — " +
+      "the rewrite rule must not eat the normalization predicate") {
+    import graft.functions.Sentinels
+    // a tagged column that still carries raw sentinel values: exactly
+    // what a re-read of a tagged pipeline's parquet output looks like
+    // (Spark persists StructField metadata), or toNull applied twice.
+    // The regression: the rule rewrote toNull's own `col === sentinel`
+    // into IS NULL during analysis, so normalization no-opped while
+    // the tag kept asserting "normalized".
+    val tagged = Sentinels.tag(
+      Seq(1.0, -9999.0, 3.0).toDF("v"), "v", -9999.0)
+    val normalized = Sentinels.toNull(tagged, "v", -9999.0)
+    assert(normalized.filter(col("v").isNull).count() === 1L)
+    assert(normalized.filter(col("v") === -9999.0).count() === 1L,
+      "the tagged-equality rewrite itself must keep working")
+    // and twice-normalized is a harmless no-op on the data
+    val twice = Sentinels.toNull(normalized, "v", -9999.0)
+    assert(twice.filter(col("v").isNull).count() === 1L)
+  }
+
   test("untagged columns keep plain double equality") {
     val df = Seq((1L, 2.5), (2L, NoData)).toDF("id", "v")
     assert(df.filter(col("v") === NoData).count() === 1)

@@ -31,9 +31,36 @@ class VectorExprSpec extends SparkSpec {
       .select(expr("vec_dot(CAST(NULL AS ARRAY<FLOAT>), array(1.0F))"))
       .collect()
     assert(withNull.head.isNullAt(0))
+    // LENGTH MISMATCH is NULL, matching the zip_with/aggregate fold
+    // (which null-pads the shorter array): a truncated embedding must
+    // never score a plausible partial similarity
     val short = Seq((Seq(2.0f, 9.9f), Seq(3.0f))).toDF("a", "b")
-      .select(expr("vec_dot(a, b)")).as[Double].head()
-    assert(short === 6.0) // min-length semantics
+      .select(expr("vec_dot(a, b)")).collect()
+    assert(short.head.isNullAt(0))
+    val foldForm = Seq((Seq(2.0f, 9.9f), Seq(3.0f))).toDF("a", "b")
+      .select(expr(
+        "aggregate(zip_with(a, b, (x, y) -> x * y), " +
+          "CAST(0 AS DOUBLE), (acc, v) -> acc + v)")).collect()
+    assert(foldForm.head.isNullAt(0)) // the fold agrees
+  }
+
+  test("pq_assign / ivf_assign refuse degenerate plan-build inputs " +
+      "(negative offset, empty centroid set)") {
+    assert(intercept[IllegalArgumentException] {
+      graft.functions.PqAssign(
+        org.apache.spark.sql.catalyst.expressions.Literal(null,
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.FloatType)),
+        Seq(1.0, 2.0), off = -1, sub = 2)
+    }.getMessage.contains("offset"))
+    assert(intercept[IllegalArgumentException] {
+      graft.functions.IvfAssign(
+        org.apache.spark.sql.catalyst.expressions.Literal(null,
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.FloatType)),
+        org.apache.spark.sql.catalyst.expressions.Literal(1.0),
+        Seq.empty, Seq.empty, Seq.empty, dim = 4)
+    }.getMessage.contains("non-empty"))
   }
 
   test("quantile_bucket equals the HOF count of cuts <= v; edges hold") {

@@ -185,12 +185,24 @@ object ArtifactManifest {
     fs.mkdirs(md)
     val v = prev.map(_.version + 1).getOrElse(0L)
     // the data schema rides every manifest: captured by inference
-    // while files exist (cheap — one footer), carried forward from
-    // the previous pin otherwise, so the one moment it is NEEDED —
-    // serving a committed-empty artifact whose files are all gone —
-    // it is already stored. Schema is append/compact/delete-invariant
-    // by the artifact contract, so carry-forward is exact.
-    val schemaJson = prev.flatMap(_.schemaJson).orElse(
+    // while live data exists (cheap — the NEWEST generation's
+    // directory only, one small listing + one footer, never a full
+    // artifact walk), carried forward from the previous pin only for
+    // a FILELESS commit (total takedown), so the one moment it is
+    // NEEDED — serving a committed-empty artifact — it is already
+    // stored. Inference must WIN over carry-forward: additive schema
+    // evolution (e.g. DedupIndex's geometry stamps landing via
+    // appendWith on a pre-stamp artifact) would otherwise be frozen
+    // out forever, and a later committed-empty artifact would serve
+    // the stale pre-evolution schema. The newest generation is read
+    // (not the whole dir) both for cost and because on a mixed
+    // pre/post-evolution artifact it is the one whose footer carries
+    // the evolved shape.
+    val schemaJson = gens.sorted.lastOption.flatMap { g =>
+      scala.util.Try(
+        s.read.option("basePath", dir).parquet(s"$dir/ingest=$g")
+          .schema.json).toOption
+    }.orElse(prev.flatMap(_.schemaJson)).orElse(
       scala.util.Try(
         s.read.option("basePath", dir).parquet(dir).schema.json)
         .toOption)

@@ -97,9 +97,16 @@ object DedupIndex {
     // bucket tree written under DIFFERENT banding — probing across
     // that mismatch silently admits duplicates. One-row check against
     // the stamp (absent on pre-stamp artifacts — those keep the old
-    // trust-the-params behavior).
+    // trust-the-params behavior). A mixed artifact — legacy unstamped
+    // build plus stamped appends — surfaces the stamp columns in the
+    // schema but as NULL on the legacy rows, so the probe row must
+    // come from a stamped generation: filter nulls BEFORE limit(1),
+    // else getInt throws on a legitimate artifact (or the check is
+    // skipped when an unstamped footer wins schema inference).
     if (raw.columns.contains("k"))
-      raw.select(col("k"), col("rows_per_band")).limit(1).collect()
+      raw.select(col("k"), col("rows_per_band"))
+        .filter(col("k").isNotNull && col("rows_per_band").isNotNull)
+        .limit(1).collect()
         .foreach { r =>
           require(r.getInt(0) == k && r.getInt(1) == rowsPerBand,
             s"DedupIndex.load: params of $dir declare geometry " +

@@ -133,12 +133,17 @@ object PartitionedCdc {
     * The fence DETECTS the single-writer violation rather than
     * serializing writers across processes (that needs the filesystem's
     * atomic rename, or an external lock on stores without one — see
-    * CLUSTER.md): the losing writer's data write already overwrote
-    * `data/ver=<v>` before its commit failed, so a tripped fence means
-    * version v's directory may hold the loser's bytes under the
-    * winner's manifest. Recovery is the replay path itself: re-run the
-    * WINNING batch — the deterministic rewrite regenerates version v's
-    * data and the manifest comparison converges.
+    * CLUSTER.md). Version DATA is staged per attempt and renamed into
+    * `data/ver=<v>` only AFTER the manifest commit succeeds, so a
+    * fenced-out loser never touches the winner's published bytes — it
+    * deletes its own staging tree and dies on the refuse. The
+    * remaining crash window is commit-succeeded-but-publish-pending
+    * (one directory rename): readers of v see a missing directory
+    * until the batch replays, whereupon the commit converges
+    * (identical content) and the publish rename completes. That is a
+    * transient read failure of the newest version, not silent
+    * corruption — strictly better than the pre-staging window where a
+    * loser's bytes could serve under the winner's manifest.
     *
     * SAME-JVM writers additionally serialize on a per-manifest
     * in-process lock: intra-process coordination is free, and the
@@ -174,9 +179,14 @@ object PartitionedCdc {
     }
     // one lock per ROOT (not per version file): bounded by the number
     // of roots a JVM ever writes, and commits to one root are
-    // sequential under the single-writer contract anyway
+    // sequential under the single-writer contract anyway. The key is
+    // the FS-QUALIFIED path: the same root addressed via different
+    // spellings (file:/abs vs /abs) must map to ONE lock, or two
+    // same-JVM racers slip past the serialization this comment relies
+    // on for the non-atomic local (file, .crc) rename pair
     val lock =
-      commitLocks.computeIfAbsent(vd.toString, _ => new Object)
+      commitLocks.computeIfAbsent(fs.makeQualified(vd).toString,
+        _ => new Object)
     lock.synchronized {
       if (fs.exists(fin)) { convergeOrRefuse(); return }
       // tmp name unique PER ATTEMPT: a fixed name would let two
@@ -218,14 +228,61 @@ object PartitionedCdc {
     }
   }
 
-  private def bucketDirs(s: SparkSession, root: String,
-      v: Int): Seq[Long] = {
-    val vp = new Path(s"$root/data/ver=$v")
+  private def bucketDirsUnder(s: SparkSession, vp: Path): Seq[Long] = {
     val fs = fsOf(s, vp)
     if (!fs.exists(vp)) Seq.empty
     else fs.listStatus(vp).toSeq.map(_.getPath.getName)
       .filter(_.startsWith("bucket="))
       .flatMap(_.stripPrefix("bucket=").toLongOption)
+  }
+
+  /** Per-attempt staging directory for version `v`'s data — dot-prefixed
+    * (invisible to Spark's file listing and to the `ver=` filters of
+    * [[pruneVersions]]' reference walk) and UUID-suffixed so two racing
+    * attempts never share a tree.
+    */
+  private def stagingDir(root: String, v: Int): Path =
+    new Path(s"$root/data",
+      f".staged-ver=$v%010d.${java.util.UUID.randomUUID}")
+
+  /** Publish a staged version tree: rename into `data/ver=<v>` AFTER
+    * the manifest commit fenced this attempt in. An existing target
+    * means a faithful replay (the commit already converged on
+    * byte-identical manifest content, and published version
+    * directories are immutable) — the staged duplicate is dropped and
+    * the original keeps serving, so pinned readers are never
+    * disturbed.
+    */
+  private def publishStaged(s: SparkSession, root: String,
+      staging: Path, v: Int): Unit = {
+    val dest = new Path(s"$root/data/ver=$v")
+    val fs = fsOf(s, dest)
+    if (fs.exists(dest)) { fs.delete(staging, true); return }
+    if (!fs.rename(staging, dest)) {
+      if (fs.exists(dest)) fs.delete(staging, true)
+      else throw new java.io.IOException(
+        s"PartitionedCdc: publish rename $staging -> $dest failed")
+    }
+  }
+
+  /** Stage version `v`'s data, commit the manifest, publish. The
+    * write-targets-keyed-by-new-version replay contract holds: a
+    * replayed batch stages identical content, its commit converges,
+    * and the publish no-ops against the already-published directory.
+    * A fenced-out second writer deletes its own staging and never
+    * touches published data.
+    */
+  private def stageCommitPublish(s: SparkSession, root: String,
+      df: DataFrame, bucketOf: Column, sortCols: Seq[String], v: Int)(
+      manifestOf: Seq[Long] => Manifest): Unit = {
+    val staging = stagingDir(root, v)
+    bucketedWrite(df, bucketOf, sortCols, staging.toString)
+    val written = bucketDirsUnder(s, staging)
+    try commitManifest(s, root, manifestOf(written))
+    catch { case t: Throwable =>
+      fsOf(s, staging).delete(staging, true); throw t
+    }
+    publishStaged(s, root, staging, v)
   }
 
   /** `bucket` and `ver` are the layout's own columns — a payload
@@ -252,9 +309,8 @@ object PartitionedCdc {
       sortCols: Seq[String] = Seq.empty): Unit = {
     val s = base.sparkSession
     requireNoReservedCols(base, "init")
-    bucketedWrite(base, bucketOf, sortCols, s"$root/data/ver=0")
-    commitManifest(s, root,
-      Manifest(0, bucketDirs(s, root, 0).map(_ -> 0).toMap))
+    stageCommitPublish(s, root, base, bucketOf, sortCols, 0)(
+      written => Manifest(0, written.map(_ -> 0).toMap))
   }
 
   /** The bucket-stamped version-directory write. With `sortCols` the
@@ -365,16 +421,14 @@ object PartitionedCdc {
       deleteOp: String, retainVersions: Int,
       sortCols: Seq[String] = Seq.empty): Int = {
     val v = cur.version + 1
-    bucketedWrite(
-      CdcOps.applyChangelog(
-        churnedSlice(s, root, cur, churned, log, seqCol, opCol),
-        log, keys, seqCol, opCol, deleteOp),
-      bucketOf, sortCols, s"$root/data/ver=$v")
     // a churned bucket that emptied (every row deleted) writes no
     // directory and leaves the manifest: the listing of what the job
     // ACTUALLY wrote is the truth, not the churn prediction
-    val written = bucketDirs(s, root, v)
-    commitManifest(s, root,
+    stageCommitPublish(s, root,
+      CdcOps.applyChangelog(
+        churnedSlice(s, root, cur, churned, log, seqCol, opCol),
+        log, keys, seqCol, opCol, deleteOp),
+      bucketOf, sortCols, v)(written =>
       Manifest(v, (cur.buckets -- churned) ++ written.map(_ -> v)))
     pruneVersions(s, root, v, retainVersions)
     v
@@ -495,17 +549,20 @@ object PartitionedCdc {
     val vs = listVersions(s, root)
     require(vs.nonEmpty, s"PartitionedCdc: $root is not initialized")
     val v = vs.last + 1
-    bucketedWrite(read(s, root), newBucketOf, sortCols,
-      s"$root/data/ver=$v")
     // a maintained root carries its aggregate forward unchanged —
     // the view is bucket-layout-invariant, and the next
-    // maintainVersion(fromVersion = v) needs agg/ver=v to exist
+    // maintainVersion(fromVersion = v) needs agg/ver=v to exist. The
+    // carry is MATERIALIZED before the commit (it only reads the
+    // previous agg, never version-v state) so a crash between commit
+    // and carry cannot strand the chain; a fenced-out loser's carry
+    // is byte-identical to the winner's (same source) so the
+    // overwrite is harmless even when racing.
     val prevAgg = new Path(s"$root/agg/ver=${vs.last}")
     if (fsOf(s, prevAgg).exists(prevAgg))
       s.read.parquet(prevAgg.toString)
         .write.mode("overwrite").parquet(s"$root/agg/ver=$v")
-    commitManifest(s, root,
-      Manifest(v, bucketDirs(s, root, v).map(_ -> v).toMap))
+    stageCommitPublish(s, root, read(s, root), newBucketOf, sortCols,
+      v)(written => Manifest(v, written.map(_ -> v).toMap))
     pruneVersions(s, root, v, retainVersions)
     v
   }
@@ -538,14 +595,23 @@ object PartitionedCdc {
     val retained = kept.toSet
     val aggDir = new Path(s"$root/agg")
     if (fs.exists(aggDir)) {
-      for (aDir <- fs.listStatus(aggDir)
-            if aDir.getPath.getName.startsWith("ver=");
-          w <- aDir.getPath.getName.stripPrefix("ver=").toIntOption.toSeq
-            if !retained(w))
-        fs.delete(aDir.getPath, true)
+      for (aDir <- fs.listStatus(aggDir)) {
+        val n = aDir.getPath.getName
+        // crashed attempts' staged agg trees are dead by now: under
+        // the single-writer contract the current batch's staging was
+        // renamed or deleted before this prune ran
+        if (n.startsWith(".staged-ver=")) fs.delete(aDir.getPath, true)
+        else if (n.startsWith("ver=") &&
+            n.stripPrefix("ver=").toIntOption.exists(!retained(_)))
+          fs.delete(aDir.getPath, true)
+      }
     }
     val dataDir = new Path(s"$root/data")
     if (!fs.exists(dataDir)) return
+    // same dead-staging reap for the data tree
+    for (d <- fs.listStatus(dataDir)
+          if d.getPath.getName.startsWith(".staged-ver="))
+      fs.delete(d.getPath, true)
     for (vDir <- fs.listStatus(dataDir)
           if vDir.getPath.getName.startsWith("ver=");
         w <- vDir.getPath.getName.stripPrefix("ver=").toIntOption.toSeq) {
@@ -603,13 +669,35 @@ object PartitionedCdc {
     val cur = manifest(s, root, fromVersion)
     val prevAgg = s.read.parquet(s"$root/agg/ver=$fromVersion")
     val churned = churnedSet(log, bucketOf)
+    // the aggregate is STAGED like the table data and published only
+    // after doApply's manifest commit fences this batch in — a
+    // fenced-out second writer (whose log, and therefore whose
+    // aggregate, differs) must not clobber the winner's agg/ver=v
+    val aggStaging = new Path(s"$root/agg",
+      f".staged-ver=${fromVersion + 1}%010d." +
+        s"${java.util.UUID.randomUUID}")
+    val aggFs = fsOf(s, aggStaging)
     CdcOps.maintainAggs(prevAgg,
         churnedSlice(s, root, cur, churned, log, seqCol, opCol),
         log, keys, seqCol, opCol, dims, sumCols, cntCol, deleteOp)
-      .write.mode("overwrite")
-      .parquet(s"$root/agg/ver=${fromVersion + 1}")
-    doApply(s, root, log, keys, seqCol, opCol, bucketOf, cur,
-      churned, deleteOp, retainVersions, sortCols)
+      .write.mode("overwrite").parquet(aggStaging.toString)
+    val v =
+      try doApply(s, root, log, keys, seqCol, opCol, bucketOf, cur,
+        churned, deleteOp, retainVersions, sortCols)
+      catch { case t: Throwable =>
+        aggFs.delete(aggStaging, true); throw t
+      }
+    // publish the agg: an existing target is a faithful replay (the
+    // table commit already converged) — keep it, drop the duplicate
+    val aggDest = new Path(s"$root/agg/ver=$v")
+    if (aggFs.exists(aggDest)) aggFs.delete(aggStaging, true)
+    else if (!aggFs.rename(aggStaging, aggDest)) {
+      if (aggFs.exists(aggDest)) aggFs.delete(aggStaging, true)
+      else throw new java.io.IOException(
+        s"PartitionedCdc: agg publish rename $aggStaging -> " +
+          s"$aggDest failed")
+    }
+    v
   }
 
   /** Version-`v` read of the maintained view. */

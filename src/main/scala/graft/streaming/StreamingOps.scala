@@ -64,6 +64,16 @@ object StreamingOps {
       s"stageOrderedArrivals: null `$idCol` in arrivals — a null id " +
         "cannot join an ordered range file and would be dropped " +
         "from the replay")
+    // an EMPTY changelog is a legal quiet period, not an error: stage
+    // nothing, touch NOTHING, return zero batches — the CDC twins then
+    // serve their current state, which IS the batch oracle's answer
+    // for an empty log. Writing a zero-count signature here (the old
+    // behavior) permanently pinned the root: a later invocation with
+    // real arrivals — the quiet-period-then-data sequence — failed the
+    // different-frame guard instead of processing the data. Leaving
+    // prior staging intact is equally deliberate: a quiet tick after a
+    // data replay must not delete the committed run's range files.
+    if (nRows == 0) return 0
     // CONTENT-SIGNATURE GUARD: the file-stream checkpoint keys seen
     // files by PATH, and the staged names/mtimes are fixed — staging
     // DIFFERENT content into an already-used root would replay zero
@@ -99,10 +109,7 @@ object StreamingOps {
         .foreach(fs.delete(_, false))
     fs.mkdirs(dp)
     var staged = 0
-    // an EMPTY changelog is a legal quiet period, not an error: stage
-    // nothing, return zero batches — the CDC twins then serve their
-    // seed, which IS the batch oracle's answer for an empty log
-    if (nRows > 0) {
+    locally {
       val (lo, hi) = (sigRow.getLong(1), sigRow.getLong(2))
       val step = (hi - lo) / nFiles + 1
       // ONE pass cuts all the range files (dynamic-partition write on

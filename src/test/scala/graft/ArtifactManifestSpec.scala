@@ -140,6 +140,31 @@ class ArtifactManifestSpec extends SparkSpec {
     }
   }
 
+  test("the stored schema tracks additive evolution — a later " +
+      "committed-empty artifact serves the evolved shape") {
+    withDir { dir =>
+      writeGen(dir, 0, 0 until 10)
+      ArtifactManifest.recordBuild(spark, dir)
+      // generation 1 arrives with an ADDITIVE column (the DedupIndex
+      // geometry-stamp scenario: stamped appends landing on a
+      // pre-stamp artifact)
+      gen(10 until 20).withColumn("stamp", lit(7))
+        .write.mode("overwrite").partitionBy("part")
+        .parquet(s"$dir/ingest=1")
+      ArtifactManifest.recordAppend(spark, dir, 1L)
+      // total takedown: the committed-empty frame must serve the
+      // EVOLVED schema (inferred from the newest generation at the
+      // append commit), not a pre-evolution schema frozen by
+      // carry-forward
+      fs.delete(new HPath(s"$dir/ingest=0"), true)
+      fs.delete(new HPath(s"$dir/ingest=1"), true)
+      ArtifactManifest.refreshAfterDelete(spark, dir)
+      val f = ArtifactManifest.frame(spark, dir)
+      assert(f.count() === 0L)
+      assert(f.columns.contains("stamp"))
+    }
+  }
+
   test("manifest pruning keeps 5 versions and latest still resolves") {
     withDir { dir =>
       writeGen(dir, 0, 0 until 5)

@@ -69,6 +69,42 @@ class DedupIndexSpec extends SparkSpec {
     }
   }
 
+  test("a legacy unstamped artifact plus a stamped append still " +
+      "loads — mixed generations must not NPE the geometry check") {
+    val docs = Tables.documents(spark, d)
+    withDir { dir =>
+      // legacy build: pre-stamp layout — bucket rows WITHOUT the
+      // k / rows_per_band columns (what round-12-and-earlier builds
+      // wrote); manifest + params exactly as the old build laid out
+      DedupOps.lshBuckets(
+          DedupOps.withMinHash(docs.filter(col("doc_id") < splitId),
+            "text", k), "doc_id", k, rpb)
+        .withColumn("ingest", lit(0L))
+        .write.mode("overwrite").partitionBy("ingest", "band")
+        .parquet(s"$dir/buckets")
+      graft.operators.ArtifactManifest.recordBuild(spark,
+        s"$dir/buckets")
+      Seq((k, rpb)).toDF("k", "rows_per_band")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/params")
+      // a stamped append lands a new generation beside the legacy one:
+      // the artifact now mixes rows with and without the stamp, so
+      // the geometry probe must read its one row from a STAMPED
+      // generation (a null stamp winning limit(1) would NPE getInt
+      // and brick a legitimate artifact)
+      DedupIndex.append(spark, dir,
+        docs.filter(col("doc_id") >= splitId), "text", "doc_id")
+      val l = DedupIndex.load(spark, dir)
+      assert((l.k, l.rowsPerBand) === ((k, rpb)))
+      // and the mixed artifact serves the same buckets as a full build
+      val stored = l.buckets.select("doc_id", "band", "bucket")
+        .as[(Long, Long, Long)].collect().toSeq.sorted
+      val fresh = DedupOps.lshBuckets(
+          DedupOps.withMinHash(docs, "text", k), "doc_id", k, rpb)
+        .as[(Long, Long, Long)].collect().toSeq.sorted
+      assert(stored === fresh)
+    }
+  }
+
   test("a TOTAL takedown leaves the index loadable and serving zero " +
       "candidates — not bricked until a rebuild") {
     val docs = Tables.documents(spark, d)

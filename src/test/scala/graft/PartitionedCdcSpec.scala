@@ -161,8 +161,15 @@ class PartitionedCdcSpec extends SparkSpec {
       // exactly log1's churn (buckets 0 and the new 4)
       assert(PartitionedCdc.manifest(spark, root, 1).buckets ===
         Map(0L -> 1, 1L -> 0, 2L -> 0, 3L -> 0, 4L -> 1))
-      // recovery = the replay path: re-running the WINNING batch
-      // regenerates version 1's data deterministically and converges
+      // and the winner's DATA is untouched too — the loser staged its
+      // bytes and deleted them on the refuse; no replay needed to
+      // read version 1 correctly (the staged-publish contract)
+      assert(kvRows(PartitionedCdc.readVersion(spark, root, 1)) ===
+        expect(log1))
+      // the loser's staging tree did not leak
+      assert(!fs.listStatus(new HPath(s"$root/data")).exists(
+        _.getPath.getName.startsWith(".staged-ver=")))
+      // a faithful replay of the WINNING batch still converges
       PartitionedCdc.applyVersion(spark, root, log1, Seq("k"), "seq",
         "op", bucketOf, fromVersion = 0, retainVersions = 10)
       assert(kvRows(PartitionedCdc.readVersion(spark, root, 1)) ===
@@ -248,6 +255,41 @@ class PartitionedCdcSpec extends SparkSpec {
       assert(!fs.exists(new HPath(s"$root/agg/ver=1")))
       assert(aggRows(PartitionedCdc.readAggVersion(spark, root, 3))
         === recompute(3))
+    }
+  }
+
+  test("fenced-out maintain batch leaves the winner's table AND " +
+      "aggregate untouched") {
+    withDir { root =>
+      def aggRows(df: DataFrame): Seq[(String, Long, Long)] =
+        df.select("src", "v", "n").as[(String, Long, Long)]
+          .collect().toSeq.sorted
+      PartitionedCdc.initMaintained(base, bucketOf, root,
+        dims = Seq("src"), sumCols = Seq("v"))
+      PartitionedCdc.maintainVersion(spark, root, log1, Seq("k"),
+        "seq", "op", bucketOf, Seq("src"), Seq("v"), fromVersion = 0,
+        retainVersions = 10)
+      val winnerAgg = aggRows(
+        PartitionedCdc.readAggVersion(spark, root, 1))
+      val winnerRows = kvRows(PartitionedCdc.readVersion(spark, root, 1))
+      // a second writer that also read version 0 commits a DIFFERENT
+      // batch: refused at the table commit, and its aggregate — which
+      // would also differ — must not replace the winner's agg/ver=1
+      val e = intercept[IllegalArgumentException] {
+        PartitionedCdc.maintainVersion(spark, root, log2, Seq("k"),
+          "seq", "op", bucketOf, Seq("src"), Seq("v"), fromVersion = 0,
+          retainVersions = 10)
+      }
+      assert(e.getMessage.contains("second concurrent writer"))
+      assert(aggRows(PartitionedCdc.readAggVersion(spark, root, 1))
+        === winnerAgg)
+      assert(kvRows(PartitionedCdc.readVersion(spark, root, 1))
+        === winnerRows)
+      // neither staging tree leaked
+      assert(!fs.listStatus(new HPath(s"$root/data")).exists(
+        _.getPath.getName.startsWith(".staged-ver=")))
+      assert(!fs.listStatus(new HPath(s"$root/agg")).exists(
+        _.getPath.getName.startsWith(".staged-ver=")))
     }
   }
 

@@ -567,6 +567,41 @@ object PartitionedCdc {
     v
   }
 
+  /** Version encoded in a per-attempt staging directory name
+    * (`.staged-ver=<v>%010d.<uuid>`), if the name is one.
+    */
+  private def stagedVersionOf(name: String): Option[Int] =
+    if (!name.startsWith(".staged-ver=")) None
+    else name.stripPrefix(".staged-ver=")
+      .takeWhile(_.isDigit).toIntOption
+
+  /** Staged-attempt reap predicate — BOTH guards must agree that the
+    * staging is a dead crashed attempt before the prune touches it:
+    *
+    *  - version guard: only stagings for versions BELOW `newest` are
+    *    reapable. The in-flight batch's own staging encodes exactly
+    *    `newest` (the agg tree stages BEFORE the table commit and
+    *    publishes after — the round-14 reap that ignored this deleted
+    *    the live agg staging and permanently wedged every maintained
+    *    root once retention activated), and a racing second writer's
+    *    staging encodes ≥ `newest` too;
+    *  - age guard (belt-and-braces): even a below-`newest` staging is
+    *    reaped only once its mtime is older than
+    *    `graft.cdc.stagedReapHorizonMs` (default 1 h) — so any future
+    *    path that stages across a prune boundary is safe by
+    *    freshness alone, and genuinely crashed attempts (JVM death
+    *    between stage and publish; the in-process failure paths
+    *    already self-delete) still get collected on a later batch.
+    */
+  private def deadStaging(s: SparkSession,
+      st: org.apache.hadoop.fs.FileStatus, newest: Int): Boolean =
+    stagedVersionOf(st.getPath.getName).exists { sv =>
+      val horizonMs = s.conf.getOption("graft.cdc.stagedReapHorizonMs")
+        .map(_.toLong).getOrElse(3600000L)
+      sv < newest &&
+        System.currentTimeMillis() - st.getModificationTime > horizonMs
+    }
+
   /** Drop manifests below the retention window, then reap exactly the
     * `(ver, bucket)` directories no retained manifest references.
     * Driver-side metadata only: retained manifests × their bucket
@@ -597,10 +632,10 @@ object PartitionedCdc {
     if (fs.exists(aggDir)) {
       for (aDir <- fs.listStatus(aggDir)) {
         val n = aDir.getPath.getName
-        // crashed attempts' staged agg trees are dead by now: under
-        // the single-writer contract the current batch's staging was
-        // renamed or deleted before this prune ran
-        if (n.startsWith(".staged-ver=")) fs.delete(aDir.getPath, true)
+        // crashed attempts' staged agg trees: reapable ONLY under the
+        // double guard — maintainVersion's own staging for `newest`
+        // is STILL LIVE here (it publishes after doApply returns)
+        if (deadStaging(s, aDir, newest)) fs.delete(aDir.getPath, true)
         else if (n.startsWith("ver=") &&
             n.stripPrefix("ver=").toIntOption.exists(!retained(_)))
           fs.delete(aDir.getPath, true)
@@ -608,9 +643,10 @@ object PartitionedCdc {
     }
     val dataDir = new Path(s"$root/data")
     if (!fs.exists(dataDir)) return
-    // same dead-staging reap for the data tree
-    for (d <- fs.listStatus(dataDir)
-          if d.getPath.getName.startsWith(".staged-ver="))
+    // same double-guarded dead-staging reap for the data tree (its
+    // in-flight staging was already renamed by publishStaged, but the
+    // guards cost nothing and keep the two trees' rules identical)
+    for (d <- fs.listStatus(dataDir) if deadStaging(s, d, newest))
       fs.delete(d.getPath, true)
     for (vDir <- fs.listStatus(dataDir)
           if vDir.getPath.getName.startsWith("ver=");

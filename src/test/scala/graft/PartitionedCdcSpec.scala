@@ -258,6 +258,81 @@ class PartitionedCdcSpec extends SparkSpec {
     }
   }
 
+  test("maintained view survives the retention floor at the DEFAULT " +
+      "retainVersions = 2, and a replayed batch converges past it") {
+    // the round-14 wedge: pruneVersions (which fires from version 2
+    // at the default retention) reaped maintainVersion's still-pending
+    // agg staging — every maintained root died on its second
+    // maintenance batch and stayed wedged on replay. The oracle
+    // queries masked it with retainVersions = 10; this spec holds the
+    // DEFAULT.
+    withDir { root =>
+      def aggRows(df: DataFrame): Seq[(String, Long, Long)] =
+        df.select("src", "v", "n").as[(String, Long, Long)]
+          .collect().toSeq.sorted
+      def recompute(v: Int): Seq[(String, Long, Long)] =
+        aggRows(PartitionedCdc.readVersion(spark, root, v)
+          .groupBy("src").agg(sum("v").as("v"), count(lit(1)).as("n")))
+      def logN(seq: Long): DataFrame =
+        (seq * 7 until seq * 7 + 5)
+          .map(k => (k % 100, seq, "U", k * 10 + seq, s"b$seq"))
+          .toDF("k", "seq", "op", "v", "src")
+      PartitionedCdc.initMaintained(base, bucketOf, root,
+        dims = Seq("src"), sumCols = Seq("v"))
+      // four batches at the DEFAULT retention — the floor activates
+      // at newest = 2 and fires on every later batch
+      for (v <- 0 until 4)
+        PartitionedCdc.maintainVersion(spark, root, logN(v + 1),
+          Seq("k"), "seq", "op", bucketOf, Seq("src"), Seq("v"),
+          fromVersion = v)
+      assert(PartitionedCdc.listVersions(spark, root) === Seq(2, 3, 4))
+      for (v <- 2 to 4)
+        assert(aggRows(PartitionedCdc.readAggVersion(spark, root, v))
+          === recompute(v), s"aggregate version $v diverged")
+      // REPLAY the last batch (same fromVersion, same log): the
+      // manifest commit converges, the agg publish no-ops against the
+      // published agg/ver=4, and nothing is wedged
+      PartitionedCdc.maintainVersion(spark, root, logN(4),
+        Seq("k"), "seq", "op", bucketOf, Seq("src"), Seq("v"),
+        fromVersion = 3)
+      assert(PartitionedCdc.listVersions(spark, root) === Seq(2, 3, 4))
+      assert(aggRows(PartitionedCdc.readAggVersion(spark, root, 4))
+        === recompute(4), "replayed batch diverged the agg chain")
+    }
+  }
+
+  test("staged-attempt reap is double-guarded: fresh stagings and " +
+      "current-version stagings survive the prune; only stale " +
+      "below-newest crashed attempts are collected") {
+    withDir { root =>
+      PartitionedCdc.initMaintained(base, bucketOf, root,
+        dims = Seq("src"), sumCols = Seq("v"))
+      PartitionedCdc.maintainVersion(spark, root, log1, Seq("k"),
+        "seq", "op", bucketOf, Seq("src"), Seq("v"), fromVersion = 0,
+        retainVersions = 10)
+      // plant fake staged attempts; the next batch commits version 2
+      // with retainVersions = 1, so its prune runs with newest = 2
+      val old = System.currentTimeMillis() - 7200000L // 2 h ago
+      val plants = Seq(
+        (s"$root/agg/.staged-ver=0000000000.crashed-old", old, false),
+        (s"$root/agg/.staged-ver=0000000000.crashed-fresh", -1L, true),
+        (s"$root/agg/.staged-ver=0000000002.inflight-old", old, true),
+        (s"$root/data/.staged-ver=0000000001.crashed-old", old, false))
+      for ((p, mtime, _) <- plants) {
+        fs.mkdirs(new HPath(p))
+        if (mtime > 0) fs.setTimes(new HPath(p), mtime, -1)
+      }
+      PartitionedCdc.maintainVersion(spark, root, log2, Seq("k"),
+        "seq", "op", bucketOf, Seq("src"), Seq("v"), fromVersion = 1,
+        retainVersions = 1)
+      for ((p, _, survives) <- plants)
+        assert(fs.exists(new HPath(p)) === survives,
+          s"$p: expected survives=$survives")
+      // and the batch itself published: the real agg/ver=2 is live
+      assert(fs.exists(new HPath(s"$root/agg/ver=2")))
+    }
+  }
+
   test("fenced-out maintain batch leaves the winner's table AND " +
       "aggregate untouched") {
     withDir { root =>

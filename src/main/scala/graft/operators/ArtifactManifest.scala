@@ -177,32 +177,60 @@ object ArtifactManifest {
     * — re-listing here would double the driver-side metadata calls of
     * a per-micro-batch streaming append.
     */
+  /** Newest-generation schema merged with the carried-forward pin's:
+    * newest wins per field name, carried-only fields are appended (as
+    * nullable — the newest generation has no values for them). The
+    * merge keeps BOTH guarantees: additive evolution lands (a stamped
+    * append on a pre-stamp artifact must not be frozen out by
+    * carry-forward), and an old NARROW writer appending after
+    * evolution cannot silently regress the stored shape — its commit
+    * re-acquires the evolved fields from the carry.
+    */
+  private def mergeSchemaJson(newest: String, carried: String): String =
+    if (newest == carried) newest
+    else {
+      import org.apache.spark.sql.types.{DataType, StructType}
+      val n = DataType.fromJson(newest).asInstanceOf[StructType]
+      val c = DataType.fromJson(carried).asInstanceOf[StructType]
+      val have = n.fieldNames.toSet
+      StructType(n.fields ++ c.fields.filterNot(f => have(f.name))
+        .map(_.copy(nullable = true))).json
+    }
+
   private def commit(s: SparkSession, dir: String, gens: Seq[Long],
       signature: String, prev: Option[Pin],
-      genDigests: Map[Long, String] = Map.empty): Long = {
+      genDigests: Map[Long, String] = Map.empty,
+      knownSchemaJson: Option[String] = None): Long = {
     val md = manifestDir(dir)
     val fs = fsOf(s, md)
     fs.mkdirs(md)
     val v = prev.map(_.version + 1).getOrElse(0L)
-    // the data schema rides every manifest: captured by inference
-    // while live data exists (cheap — the NEWEST generation's
-    // directory only, one small listing + one footer, never a full
-    // artifact walk), carried forward from the previous pin only for
-    // a FILELESS commit (total takedown), so the one moment it is
-    // NEEDED — serving a committed-empty artifact — it is already
-    // stored. Inference must WIN over carry-forward: additive schema
-    // evolution (e.g. DedupIndex's geometry stamps landing via
-    // appendWith on a pre-stamp artifact) would otherwise be frozen
-    // out forever, and a later committed-empty artifact would serve
-    // the stale pre-evolution schema. The newest generation is read
-    // (not the whole dir) both for cost and because on a mixed
-    // pre/post-evolution artifact it is the one whose footer carries
-    // the evolved shape.
-    val schemaJson = gens.sorted.lastOption.flatMap { g =>
-      scala.util.Try(
-        s.read.option("basePath", dir).parquet(s"$dir/ingest=$g")
-          .schema.json).toOption
-    }.orElse(prev.flatMap(_.schemaJson)).orElse(
+    // the data schema rides every manifest, so the one moment it is
+    // NEEDED — serving a committed-empty artifact (total takedown) as
+    // a zero-row frame — it is already stored. Sources, cheapest
+    // first:
+    //  - the WRITE PATH's own schema (`knownSchemaJson` — every
+    //    artifact mutation has the written DataFrame in hand, so this
+    //    is free; the per-commit DataFrameReader inference it
+    //    replaces cost the index lifecycle family 2-3x at sf0.1);
+    //  - DataFrameReader inference over the NEWEST generation only,
+    //    for callers that cannot pass a schema (legacy adoption of an
+    //    externally-written tree) — one small listing + one footer;
+    //  - the previous pin's stored schema (fileless commit).
+    // The newest schema is MERGED with the carry-forward
+    // ([[mergeSchemaJson]]) rather than replacing it outright.
+    val newestJson = knownSchemaJson.orElse {
+      gens.sorted.lastOption.flatMap { g =>
+        scala.util.Try(
+          s.read.option("basePath", dir).parquet(s"$dir/ingest=$g")
+            .schema.json).toOption
+      }
+    }
+    val carried = prev.flatMap(_.schemaJson)
+    val schemaJson = ((newestJson, carried) match {
+      case (Some(n), Some(c)) => Some(mergeSchemaJson(n, c))
+      case (n, c) => n.orElse(c)
+    }).orElse(
       scala.util.Try(
         s.read.option("basePath", dir).parquet(dir).schema.json)
         .toOption)
@@ -249,13 +277,15 @@ object ArtifactManifest {
 
   /** Record a fresh BUILD: the live set is exactly the on-disk
     * listing (a build starts the artifact; there is nothing stale to
-    * exclude).
+    * exclude). `knownSchemaJson` is the written frame's schema when
+    * the caller has it — the commit then skips schema inference.
     */
-  def recordBuild(s: SparkSession, dir: String): Unit = {
+  def recordBuild(s: SparkSession, dir: String,
+      knownSchemaJson: Option[String] = None): Unit = {
     val gens = LayoutOps.ingestGenerations(s, dir)
     val raw = rawListings(s, dir, gens)
     commit(s, dir, gens, fullSignatureOf(raw, gens), latest(s, dir),
-      digestsOf(raw))
+      digestsOf(raw), knownSchemaJson)
   }
 
   /** Record a committed APPEND of `gen`. The signature extends the
@@ -285,7 +315,8 @@ object ArtifactManifest {
     * whose every doc fell below the shingle threshold), and pinning
     * the absent path would make every subsequent [[frame]] read fail.
     */
-  def recordAppend(s: SparkSession, dir: String, gen: Long): Unit =
+  def recordAppend(s: SparkSession, dir: String, gen: Long,
+      knownSchemaJson: Option[String] = None): Unit =
     latest(s, dir) match {
       case Some(p) if p.generations.contains(gen) =>
         p.genDigests.get(gen).foreach { stored =>
@@ -304,11 +335,12 @@ object ArtifactManifest {
           val listing = genListing(s, dir, gen)
           commit(s, dir, (p.generations :+ gen).distinct,
             md5(p.signature + "\n\n" + listing), Some(p),
-            p.genDigests + (gen -> contentDigestOfListing(listing)))
+            p.genDigests + (gen -> contentDigestOfListing(listing)),
+            knownSchemaJson)
         }
       case None =>
         // legacy artifact (predates manifests): adopt the listing
-        recordBuild(s, dir)
+        recordBuild(s, dir, knownSchemaJson)
     }
 
   /** Re-derive the live set after a TAKEDOWN
@@ -322,10 +354,13 @@ object ArtifactManifest {
       val live = LayoutOps.ingestGenerations(s, dir).toSet
       val gens = p.generations.filter(live)
       // the takedown rewrote files in place — every surviving
-      // generation's digest must be recomputed, not carried over
+      // generation's digest must be recomputed, not carried over. The
+      // SCHEMA, by contrast, is exactly the previous pin's: a
+      // takedown deletes rows, never evolves the shape — so the
+      // stored schema rides through with no inference
       val raw = rawListings(s, dir, gens)
       commit(s, dir, gens, fullSignatureOf(raw, gens), Some(p),
-        digestsOf(raw))
+        digestsOf(raw), p.schemaJson)
     }
 
   /** The artifact's data as of the latest manifest: ONLY the listed
@@ -406,11 +441,14 @@ object ArtifactManifest {
         "built artifact")
     requireNotCommittedEmpty(s, dir, "compactGenerations")
     val newGen = listed.max + 1
-    LayoutOps.writeGenerationPacked(frame(s, dir).drop("ingest"),
+    // the live frame is in hand for the rewrite anyway — its resolved
+    // schema rides into the commit for free (no re-inference)
+    val live = frame(s, dir)
+    LayoutOps.writeGenerationPacked(live.drop("ingest"),
       partCol, filesPerPartition, sortWithin, s"$dir/ingest=$newGen")
     val raw = rawListings(s, dir, Seq(newGen))
     commit(s, dir, Seq(newGen), fullSignatureOf(raw, Seq(newGen)),
-      latest(s, dir), digestsOf(raw))
+      latest(s, dir), digestsOf(raw), Some(live.schema.json))
     if (vacuum) this.vacuum(s, dir)
     newGen
   }
@@ -436,6 +474,19 @@ object ArtifactManifest {
       LayoutOps.zorderFrame(df, cols, partitions, bits)
     } else LayoutOps.clusterFrame(df, cols, partitions)
   }
+
+  /** Frame-shape of a generation written straight into its
+    * `ingest=<g>` directory: the written columns plus the `ingest`
+    * partition column the basePath read appends on the way back.
+    * (Stored as long — readers that use it cast explicitly, and the
+    * stored schema's only consumer is the committed-empty zero-row
+    * frame.)
+    */
+  private def withIngestJson(
+      schema: org.apache.spark.sql.types.StructType): String =
+    (if (schema.fieldNames.contains("ingest")) schema
+     else schema.add("ingest", org.apache.spark.sql.types.LongType))
+      .json
 
   /** Build a VERSIONED clustered fact artifact: one fresh generation
     * holds the clustered (range or z-order) tree, and the manifest
@@ -475,14 +526,14 @@ object ArtifactManifest {
     val fs = fsOf(s, new Path(dir))
     val previous = LayoutOps.ingestGenerations(s, dir)
     val newGen = previous.maxOption.map(_ + 1L).getOrElse(0L)
-    clusteredFrame(df, cols, partitions, zorder, bits)
-      .write.options(extraWriteOpts).mode("overwrite")
+    val laid = clusteredFrame(df, cols, partitions, zorder, bits)
+    laid.write.options(extraWriteOpts).mode("overwrite")
       .parquet(s"$dir/ingest=$newGen")
     for (g <- previous)
       require(fs.delete(new Path(dir, s"ingest=$g"), true),
         s"clusterBuild: could not remove previous generation $g of " +
           dir)
-    recordBuild(s, dir)
+    recordBuild(s, dir, Some(withIngestJson(laid.schema)))
   }
 
   /** Append one clustered generation to a [[clusterBuild]] artifact
@@ -499,10 +550,10 @@ object ArtifactManifest {
       s"clusterAppend: $dir has no ingest= partitions — build the " +
         "artifact with clusterBuild first")
     val gen = listed.max + 1
-    clusteredFrame(df, cols, partitions, zorder, bits)
-      .write.options(extraWriteOpts).mode("overwrite")
+    val laid = clusteredFrame(df, cols, partitions, zorder, bits)
+    laid.write.options(extraWriteOpts).mode("overwrite")
       .parquet(s"$dir/ingest=$gen")
-    recordAppend(s, dir, gen)
+    recordAppend(s, dir, gen, Some(withIngestJson(laid.schema)))
     gen
   }
 
@@ -530,13 +581,14 @@ object ArtifactManifest {
         "— not a built artifact")
     requireNotCommittedEmpty(s, dir, "compactClusteredGenerations")
     val newGen = listed.max + 1
-    clusteredFrame(frame(s, dir).drop("ingest"), cols, partitions,
+    val live = frame(s, dir)
+    clusteredFrame(live.drop("ingest"), cols, partitions,
         zorder, bits)
       .write.options(extraWriteOpts).mode("overwrite")
       .parquet(s"$dir/ingest=$newGen")
     val raw = rawListings(s, dir, Seq(newGen))
     commit(s, dir, Seq(newGen), fullSignatureOf(raw, Seq(newGen)),
-      latest(s, dir), digestsOf(raw))
+      latest(s, dir), digestsOf(raw), Some(live.schema.json))
     if (vacuum) this.vacuum(s, dir)
     newGen
   }

@@ -68,12 +68,13 @@ object DedupIndex {
     // from different minhash schemes — near-zero candidates,
     // duplicates admitted SILENTLY. The stamp lets [[load]] detect
     // the mismatch and fail loudly instead.
-    stamped(bucketsOf(docs, textCol, idCol, k, rowsPerBand), k,
-        rowsPerBand)
+    val rows = stamped(bucketsOf(docs, textCol, idCol, k, rowsPerBand),
+        k, rowsPerBand)
       .withColumn("ingest", lit(0L))
-      .write.mode("overwrite").partitionBy("ingest", "band")
+    rows.write.mode("overwrite").partitionBy("ingest", "band")
       .parquet(s"$dir/buckets")
-    ArtifactManifest.recordBuild(s, s"$dir/buckets")
+    ArtifactManifest.recordBuild(s, s"$dir/buckets",
+      Some(rows.schema.json))
     Seq((k, rowsPerBand)).toDF("k", "rows_per_band")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/params")
   }
@@ -205,14 +206,15 @@ object DedupIndex {
   def appendWith(k: Int, rowsPerBand: Int, dir: String,
       newDocs: DataFrame, textCol: String, idCol: String,
       generation: Long): Unit = {
-    stamped(bucketsOf(newDocs, textCol, idCol, k, rowsPerBand), k,
+    val rows = stamped(
+        bucketsOf(newDocs, textCol, idCol, k, rowsPerBand), k,
         rowsPerBand)
       .withColumn("ingest", lit(generation))
-      .write.mode("overwrite")
+    rows.write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("ingest", "band").parquet(s"$dir/buckets")
     ArtifactManifest.recordAppend(newDocs.sparkSession,
-      s"$dir/buckets", generation)
+      s"$dir/buckets", generation, Some(rows.schema.json))
   }
 
   /** Delete documents from the index by id — the takedown path (the
@@ -391,13 +393,13 @@ object DedupIndex {
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("batch").parquet(s"$root/decisions")
-          bb.withColumn("ingest", lit(batchId + 1))
-            .write.mode("overwrite")
+          val rows = bb.withColumn("ingest", lit(batchId + 1))
+          rows.write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("ingest", "band")
             .parquet(s"$root/index/buckets")
           ArtifactManifest.recordAppend(ss, s"$root/index/buckets",
-            batchId + 1)
+            batchId + 1, Some(rows.schema.json))
         } finally bb.unpersist()
       }
     // maintenance runs AFTER the replay completes — never inside the

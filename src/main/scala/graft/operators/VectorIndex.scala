@@ -70,8 +70,8 @@ object VectorIndex {
     // zero-norm vectors yields no statistic (avg over all-null) — no
     // baseline file, signal stays off.
     val drift = new org.apache.spark.sql.Observation("drift_base")
-    ProductQuantization.encode(assigned, "embedding", books, subDim,
-        "code")
+    val rows = ProductQuantization.encode(assigned, "embedding", books,
+        subDim, "code")
       // left join: the centroid table covers every cell ivfAssign can
       // emit, but corpus rows must survive even if it didn't
       .join(broadcast(centroidTable(s, cents, dim)), Seq("cell"),
@@ -85,12 +85,13 @@ object VectorIndex {
       .select((Seq("vec_id", "embedding", "n", "cell", "code") ++
         metaCols).map(col): _*)
       .withColumn("ingest", lit(0L))
-      .write.mode("overwrite").partitionBy("ingest", "cell")
+    rows.write.mode("overwrite").partitionBy("ingest", "cell")
       .parquet(s"$dir/corpus")
     drift.get.get("base_cos").flatMap(Option(_))
       .foreach(c => Seq(c.asInstanceOf[Double]).toDF("base_cos")
         .coalesce(1).write.mode("overwrite").parquet(s"$dir/drift"))
-    ArtifactManifest.recordBuild(s, s"$dir/corpus")
+    ArtifactManifest.recordBuild(s, s"$dir/corpus",
+      Some(rows.schema.json))
   }
 
   /** The k-row (cell, cvec, cn) centroid table for the drift dot
@@ -312,18 +313,18 @@ object VectorIndex {
     val metaCols = l.corpus.columns.toSeq
       .filterNot(Set("vec_id", "embedding", "n", "cell", "code",
         "ingest"))
-    ProductQuantization.encode(
+    val rows = ProductQuantization.encode(
         SimilarityOps.withNorm(newVecs, "embedding", "n")
           .withColumn("cell", SimilarityOps.ivfAssign(l.cents, dim)),
         "embedding", l.books, subDim, "code")
       .select((Seq("vec_id", "embedding", "n", "cell", "code") ++
         metaCols).map(col): _*)
       .withColumn("ingest", lit(generation))
-      .write.mode("overwrite")
+    rows.write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("ingest", "cell").parquet(s"$dir/corpus")
     ArtifactManifest.recordAppend(newVecs.sparkSession,
-      s"$dir/corpus", generation)
+      s"$dir/corpus", generation, Some(rows.schema.json))
   }
 
   /** Retrain the artifact's quantizers on its CURRENT contents — the
@@ -378,10 +379,15 @@ object VectorIndex {
     if (fs.exists(liveMan)) {
       val stMan = new org.apache.hadoop.fs.Path(
         s"$staging/corpus/_manifests")
+      // build() stored the rebuilt corpus's schema in the staging
+      // chain's pin — lift it before that chain is replaced, so the
+      // re-commit under the live chain needs no schema inference
+      val stagedSchema = ArtifactManifest
+        .latest(s, s"$staging/corpus").flatMap(_.schemaJson)
       fs.delete(stMan, true)
       org.apache.hadoop.fs.FileUtil.copy(fs, liveMan, fs, stMan,
         false, s.sparkContext.hadoopConfiguration)
-      ArtifactManifest.recordBuild(s, s"$staging/corpus")
+      ArtifactManifest.recordBuild(s, s"$staging/corpus", stagedSchema)
     }
     LayoutOps.swapInto(fs, dp, sp)
   }
@@ -485,14 +491,15 @@ object VectorIndex {
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("batch").parquet(s"$root/decisions")
-          enc.select("vec_id", "embedding", "n", "cell", "code")
+          val rows = enc
+            .select("vec_id", "embedding", "n", "cell", "code")
             .withColumn("ingest", lit(batchId + 1))
-            .write.mode("overwrite")
+          rows.write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("ingest", "cell")
             .parquet(s"$root/index/corpus")
           ArtifactManifest.recordAppend(ss, s"$root/index/corpus",
-            batchId + 1)
+            batchId + 1, Some(rows.schema.json))
         } finally enc.unpersist()
       }
     // maintenance AFTER the replay completes — never inside the loop

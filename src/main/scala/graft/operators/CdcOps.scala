@@ -401,13 +401,44 @@ object CdcOps {
     // on the same version. A max() over the directory would instead
     // adopt a HIGHER-numbered leftover snapshot from a previous
     // longer run sharing the root; assert the derived version exists
-    // rather than trusting the listing.
-    val p = new org.apache.hadoop.fs.Path(s"$root/snap$staged")
+    // rather than trusting the listing. The ONE exception is a QUIET
+    // TICK (empty changelog, staged == 0) on an already-advanced
+    // root: there is no derived counter, snap0 may be pruned, and the
+    // newest-on-disk version is safe precisely because the signature
+    // guard pins a root to one staged log — every snapshot present
+    // belongs to this root's one committed chain. Serving the current
+    // state IS the batch oracle's answer for an empty log.
+    val serve =
+      if (staged == 0) newestVersioned(ss, root, "snap", "streamApply")
+      else staged
+    val p = new org.apache.hadoop.fs.Path(s"$root/snap$serve")
     val fs = p.getFileSystem(ss.sparkContext.hadoopConfiguration)
     require(fs.exists(p),
       s"streamApply: expected final snapshot $p after $staged " +
         "micro-batches — the replay did not commit every staged file")
-    ss.read.parquet(s"$root/snap$staged")
+    ss.read.parquet(s"$root/snap$serve")
+  }
+
+  /** Newest on-disk version of a `<prefix><N>` artifact chain — the
+    * quiet-tick serve path of the streaming twins (see the comment at
+    * the [[streamApply]] tail for why the listing is trustworthy
+    * exactly there and nowhere else).
+    */
+  private def newestVersioned(ss: org.apache.spark.sql.SparkSession,
+      root: String, prefix: String, who: String): Int = {
+    val rp = new org.apache.hadoop.fs.Path(root)
+    val fs = rp.getFileSystem(ss.sparkContext.hadoopConfiguration)
+    val ns =
+      if (!fs.exists(rp)) Seq.empty[Int]
+      else fs.listStatus(rp).toSeq.map(_.getPath.getName)
+        .filter(n => n.startsWith(prefix) && {
+          val d = n.stripPrefix(prefix); d.nonEmpty && d.forall(_.isDigit)
+        })
+        .map(_.stripPrefix(prefix).toInt)
+    require(ns.nonEmpty,
+      s"$who: no $prefix versions under $root after a quiet " +
+        "(empty-log) tick — the root was never seeded")
+    ns.max
   }
 
   /** CONTINUOUS incremental-aggregate maintenance — the streaming MV
@@ -475,11 +506,16 @@ object CdcOps {
         }
       }
     }
-    val p = new org.apache.hadoop.fs.Path(s"$root/agg$staged")
+    // quiet tick: serve the newest committed aggregate (see the
+    // streamApply tail for the listing-trust rationale)
+    val serve =
+      if (staged == 0) newestVersioned(ss, root, "agg", "streamMaintain")
+      else staged
+    val p = new org.apache.hadoop.fs.Path(s"$root/agg$serve")
     val fs = p.getFileSystem(ss.sparkContext.hadoopConfiguration)
     require(fs.exists(p),
       s"streamMaintain: expected final aggregate $p after $staged " +
         "micro-batches — the replay did not commit every staged file")
-    ss.read.parquet(s"$root/agg$staged")
+    ss.read.parquet(s"$root/agg$serve")
   }
 }

@@ -785,10 +785,22 @@ object PartitionedCdc {
         batchId.toInt, deleteOp, retainVersions, sortCols)
     }
     val vs = listVersions(ss, root)
-    require(vs.lastOption.contains(staged),
-      s"PartitionedCdc.streamApply: expected final version $staged " +
-        s"after $staged micro-batches, found ${vs.lastOption}")
-    readVersion(ss, root, staged)
+    if (staged == 0) {
+      // quiet tick (empty changelog): nothing staged, nothing
+      // replayed — serve the CURRENT version, which is the batch
+      // oracle's answer for an empty log on this root (a fresh root
+      // serves its seed, an already-advanced root its last committed
+      // version — whose number the staged count cannot derive)
+      require(vs.nonEmpty,
+        s"PartitionedCdc.streamApply: $root has no versions after a " +
+          "quiet (empty-log) tick — the root was never seeded")
+      readVersion(ss, root, vs.last)
+    } else {
+      require(vs.lastOption.contains(staged),
+        s"PartitionedCdc.streamApply: expected final version $staged " +
+          s"after $staged micro-batches, found ${vs.lastOption}")
+      readVersion(ss, root, staged)
+    }
   }
 
   /** CONTINUOUS maintained view over the copy-on-write layout —
@@ -820,11 +832,19 @@ object PartitionedCdc {
     }
     // same derived-final-version contract as streamApply: batch N
     // reads version N and commits N+1, so the manifest chain must
-    // end at exactly the staged count
+    // end at exactly the staged count — except a QUIET TICK
+    // (staged == 0), which serves the current aggregate version
     val vs = listVersions(ss, root)
-    require(vs.lastOption.contains(staged),
-      s"PartitionedCdc.streamMaintain: expected final version " +
-        s"$staged after $staged micro-batches, found ${vs.lastOption}")
-    readAggVersion(ss, root, staged)
+    if (staged == 0) {
+      require(vs.nonEmpty,
+        s"PartitionedCdc.streamMaintain: $root has no versions after " +
+          "a quiet (empty-log) tick — the root was never seeded")
+      readAggVersion(ss, root, vs.last)
+    } else {
+      require(vs.lastOption.contains(staged),
+        s"PartitionedCdc.streamMaintain: expected final version " +
+          s"$staged after $staged micro-batches, found ${vs.lastOption}")
+      readAggVersion(ss, root, staged)
+    }
   }
 }

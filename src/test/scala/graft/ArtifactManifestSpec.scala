@@ -165,6 +165,31 @@ class ArtifactManifestSpec extends SparkSpec {
     }
   }
 
+  test("a NARROW append after additive evolution does not regress " +
+      "the stored schema — the merge keeps the evolved fields") {
+    withDir { dir =>
+      writeGen(dir, 0, 0 until 10)
+      ArtifactManifest.recordBuild(spark, dir)
+      gen(10 until 20).withColumn("stamp", lit(7))
+        .write.mode("overwrite").partitionBy("part")
+        .parquet(s"$dir/ingest=1")
+      ArtifactManifest.recordAppend(spark, dir, 1L)
+      // an OLD pre-evolution writer appends a stamp-less generation:
+      // its commit's newest-generation schema is NARROWER than the
+      // stored pin — replacement (the pre-merge behavior) would
+      // silently drop `stamp` from the stored shape
+      writeGen(dir, 2, 20 until 25)
+      ArtifactManifest.recordAppend(spark, dir, 2L)
+      for (g <- 0 to 2)
+        fs.delete(new HPath(s"$dir/ingest=$g"), true)
+      ArtifactManifest.refreshAfterDelete(spark, dir)
+      val f = ArtifactManifest.frame(spark, dir)
+      assert(f.count() === 0L)
+      assert(f.columns.contains("stamp"),
+        "the narrow append regressed the stored schema")
+    }
+  }
+
   test("manifest pruning keeps 5 versions and latest still resolves") {
     withDir { dir =>
       writeGen(dir, 0, 0 until 5)

@@ -158,6 +158,53 @@ class CdcOpsSpec extends SparkSpec {
     } finally rmTree(root)
   }
 
+  test("quiet-period-THEN-data on one root: the empty tick stages " +
+      "nothing and pins nothing, and the later real log processes " +
+      "and matches the batch oracle") {
+    val d = "/root/testdata/sf0.001"
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-cdc-quiet-then-data")
+    try {
+      val (b, log) = ExtraQueries.cdcFrames(spark, d)
+      // quiet tick first: serves the base; the OLD behavior wrote a
+      // zero-count signature here, which made the real arrivals below
+      // fail the different-frame guard instead of processing
+      val quiet = CdcOps.streamApply(spark, b, log.where(lit(false)),
+          Seq("o_orderkey"), "seq", "op", nFiles = 2, root.toString)
+        .as[(Long, Long, Double, String)].collect().toSeq.sorted
+      assert(quiet ===
+        b.as[(Long, Long, Double, String)].collect().toSeq.sorted)
+      val got = CdcOps.streamApply(spark, b, log,
+          Seq("o_orderkey"), "seq", "op", nFiles = 2, root.toString)
+        .as[(Long, Long, Double, String)].collect().toSeq.sorted
+      val oracle = CdcOps.applyChangelog(b, log,
+          Seq("o_orderkey"), "seq", "op")
+        .as[(Long, Long, Double, String)].collect().toSeq.sorted
+      assert(got === oracle)
+    } finally rmTree(root)
+  }
+
+  test("a quiet tick AFTER a data replay serves the current state — " +
+      "even with the seed snapshot retention-pruned") {
+    val d = "/root/testdata/sf0.001"
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-cdc-data-then-quiet")
+    try {
+      val (b, log) = ExtraQueries.cdcFrames(spark, d)
+      val first = CdcOps.streamApply(spark, b, log, Seq("o_orderkey"),
+          "seq", "op", nFiles = 2, root.toString, retainVersions = 1)
+        .as[(Long, Long, Double, String)].collect().toSeq.sorted
+      // retention reaped snap0 — the old staged==0 path read exactly
+      // that and threw; the quiet tick must serve snap2 instead
+      assert(!java.nio.file.Files.exists(root.resolve("snap0")))
+      val quiet = CdcOps.streamApply(spark, b, log.where(lit(false)),
+          Seq("o_orderkey"), "seq", "op", nFiles = 2, root.toString,
+          retainVersions = 1)
+        .as[(Long, Long, Double, String)].collect().toSeq.sorted
+      assert(quiet === first)
+    } finally rmTree(root)
+  }
+
   test("staging works through an explicit file: URI (Hadoop-path " +
       "I/O, not local-path assumptions)") {
     val root = java.nio.file.Files
@@ -353,6 +400,14 @@ class CdcOpsSpec extends SparkSpec {
       assert((1 to 2).forall(i =>
         java.nio.file.Files.isDirectory(root.resolve(s"snap$i")) &&
           java.nio.file.Files.isDirectory(root.resolve(s"agg$i"))))
+      // a quiet tick on the advanced root serves the same final
+      // aggregate (agg0 is pruned — the old staged==0 path read it)
+      val quiet = CdcOps.streamMaintain(spark, b,
+          log.where(lit(false)), Seq("o_orderkey"), "seq", "op",
+          nFiles = 2, root.toString, dims = Seq("grp"),
+          sumCols = Seq("price_tc"), retainVersions = 1)
+        .as[(Long, Long, Long)].collect().toSeq.sorted
+      assert(quiet === streamed)
     } finally rmTree(root)
   }
 

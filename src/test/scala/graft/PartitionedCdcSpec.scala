@@ -377,10 +377,40 @@ class PartitionedCdcSpec extends SparkSpec {
         retainVersions = 10)
       val expected = PartitionedCdc.readVersion(spark, s"$root/m", 2)
         .groupBy("src").agg(sum("v").as("v"), count(lit(1)).as("n"))
+      val want = expected.select("src", "v", "n")
+        .as[(String, Long, Long)].collect().toSeq.sorted
       assert(got.select("src", "v", "n").as[(String, Long, Long)]
-        .collect().toSeq.sorted ===
-        expected.select("src", "v", "n").as[(String, Long, Long)]
-          .collect().toSeq.sorted)
+        .collect().toSeq.sorted === want)
+      // a quiet tick (empty changelog) on the advanced root serves
+      // the SAME final aggregate — the old staged==0 check demanded
+      // final version 0 and threw on any root past its seed
+      val quiet = PartitionedCdc.streamMaintain(spark, base,
+        log.where(lit(false)), Seq("k"), "seq", "op", bucketOf,
+        nFiles = 2, root = s"$root/m", dims = Seq("src"),
+        sumCols = Seq("v"), retainVersions = 10)
+      assert(quiet.select("src", "v", "n").as[(String, Long, Long)]
+        .collect().toSeq.sorted === want)
+    }
+  }
+
+  test("streaming partitioned apply: a quiet tick then the real log " +
+      "on one root — the quiet tick serves the seed, the real " +
+      "arrivals still process, and a trailing quiet tick serves the " +
+      "final state") {
+    withDir { root =>
+      val log = log1.unionByName(log2)
+      val quiet = PartitionedCdc.streamApply(spark, base,
+        log.where(lit(false)), Seq("k"), "seq", "op", bucketOf,
+        nFiles = 2, root = s"$root/a", retainVersions = 10)
+      assert(kvRows(quiet) === kvRows(base))
+      val got = PartitionedCdc.streamApply(spark, base, log,
+        Seq("k"), "seq", "op", bucketOf, nFiles = 2,
+        root = s"$root/a", retainVersions = 10)
+      assert(kvRows(got) === expect(log1, log2))
+      val after = PartitionedCdc.streamApply(spark, base,
+        log.where(lit(false)), Seq("k"), "seq", "op", bucketOf,
+        nFiles = 2, root = s"$root/a", retainVersions = 10)
+      assert(kvRows(after) === expect(log1, log2))
     }
   }
 

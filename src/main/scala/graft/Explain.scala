@@ -43,6 +43,7 @@ object Explain {
     "x13_snapshot_diff" -> "version diff: tagged union collapsed in ONE keyed aggregation (no join — one exchange, nothing to zip over union-shaped version plans)",
     "x14_incr_minmax" -> "non-invertible view maintenance: untouched groups anti-join-carry from the previous aggregate; only churn-touched groups re-aggregate from the applied snapshot",
     "j8_bloom_join" -> "bloom semi-join pruning: codegen'd bloom_might_contain probe (bitset as one task-shared reference object) drops non-joinable fact rows before the exchange; false positives die in the exact join",
+    "d14_member_prune" -> "membership-pruned index serving: the persisted live-id bloom beside the DedupIndex artifact pre-drops fact rows in the scan stage, ahead of the exact semi-join's exchange; false positives (incl. tombstoned ids the sketch cannot unlearn) die in the exact join",
     "x17_cdc_partitioned" -> "copy-on-write CDC: each batch reads/rewrites only churned buckets (explicit per-bucket path selection — cold buckets never listed); version read assembles immutable bucket files via the manifest",
     "x18_cow_incr_agg" -> "COW-maintained view: maintainAggs' churn-keyed semi-join fed with the churned-bucket slice — the maintenance job never reads a cold bucket; group-sized aggregate versions whole",
     "x19_cow_diff" -> "bucket-pruned version diff: both scan legs assemble ONLY the manifest-differing buckets (explicit path selection), then the tagged union collapses in one keyed aggregation exactly as x13")

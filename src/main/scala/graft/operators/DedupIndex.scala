@@ -47,6 +47,74 @@ object DedupIndex {
     gens.max + 1
   }
 
+  // ---- membership sketch ------------------------------------------------
+  // [[BloomPrune]]'s artifact form composed with the index lifecycle:
+  // a persisted bloom over the ingested doc ids, so a fact scan can
+  // pre-drop rows that cannot possibly be in the index BEFORE the
+  // exchange of the exact join against it ([[memberPrune]]). The
+  // sketch is a SUPERSET filter by construction and stays one through
+  // every mutation:
+  //  - build sizes it fresh over the build corpus's ids (shingle-less
+  //    docs never reach the bucket tree but DO enter the sketch —
+  //    harmless: false positives die in the exact join);
+  //  - append ORs the batch's ids in under the SAME geometry (bloom
+  //    bitsets are a commutative monoid under OR — a replayed batch
+  //    re-ORs identical bits, idempotent), and the OR lands BEFORE
+  //    the bucket write so a crash between the two leaves a superset,
+  //    never an under-set that would wrongly drop true members;
+  //  - delete leaves it untouched (a bloom cannot unlearn): still a
+  //    superset, just pruning less until the next build re-sizes it.
+  // Appends past the build-time sizing degrade fpp, never
+  // correctness.
+
+  private def membersPath(dir: String) = s"$dir/members"
+
+  private def hasMembers(s: SparkSession, dir: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(membersPath(dir))
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  /** Fresh sized sketch over `ids` (build path). */
+  private[operators] def buildMembers(ids: DataFrame, idCol: String,
+      dir: String): Unit = {
+    val s = ids.sparkSession
+    val keys = ids.select(col(idCol).cast("long").as("id"))
+    val (bits, k) = BloomPrune.buildSized(keys, "id",
+      expectedKeys = math.max(1L, keys.count()), fpp = 0.02)
+    BloomPrune.save(s, bits, k, membersPath(dir))
+  }
+
+  /** OR a batch's ids into the existing sketch (append path) — a
+    * legacy artifact without one stays without (memberPrune then
+    * serves unpruned; the next build creates it).
+    */
+  private[operators] def orMembers(ids: DataFrame, idCol: String,
+      dir: String): Unit = {
+    val s = ids.sparkSession
+    if (!hasMembers(s, dir)) return
+    val (bits, k) = BloomPrune.load(s, membersPath(dir))
+    val add = BloomPrune.build(
+      ids.select(col(idCol).cast("long").as("id")), "id",
+      bits.length * 64, k)
+    var i = 0
+    while (i < bits.length) { bits(i) |= add(i); i += 1 }
+    BloomPrune.save(s, bits, k, membersPath(dir))
+  }
+
+  /** Pre-drop `fact` rows whose `keyCol` cannot be an ingested doc id
+    * — the codegen'd bloom probe runs in the scan stage, ahead of the
+    * exchange of whatever exact join follows. Results compose
+    * byte-identically with the exact join (d14's oracle gate). An
+    * artifact predating the sketch serves `fact` unpruned.
+    */
+  def memberPrune(s: SparkSession, dir: String, fact: DataFrame,
+      keyCol: String): DataFrame =
+    if (!hasMembers(s, dir)) fact
+    else {
+      val (bits, k) = BloomPrune.load(s, membersPath(dir))
+      BloomPrune.prune(fact, keyCol, bits, k)
+    }
+
   /** Signature + banded buckets of `docs` — ONE definition shared by
     * build, probe, and append; the index can never drift from the
     * query-side bucketing.
@@ -77,6 +145,7 @@ object DedupIndex {
       Some(rows.schema.json))
     Seq((k, rowsPerBand)).toDF("k", "rows_per_band")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/params")
+    buildMembers(docs, idCol, dir)
   }
 
   /** The banding geometry as constant bucket columns — the
@@ -206,6 +275,9 @@ object DedupIndex {
   def appendWith(k: Int, rowsPerBand: Int, dir: String,
       newDocs: DataFrame, textCol: String, idCol: String,
       generation: Long): Unit = {
+    // membership FIRST: a crash between the two writes must leave the
+    // sketch a superset (see the membership-sketch block above)
+    orMembers(newDocs, idCol, dir)
     val rows = stamped(
         bucketsOf(newDocs, textCol, idCol, k, rowsPerBand), k,
         rowsPerBand)
@@ -393,6 +465,9 @@ object DedupIndex {
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("batch").parquet(s"$root/decisions")
+          // membership before the bucket append (superset-on-crash;
+          // a replayed batch re-ORs identical bits)
+          orMembers(batch, idCol, s"$root/index")
           val rows = bb.withColumn("ingest", lit(batchId + 1))
           rows.write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")

@@ -325,6 +325,35 @@ object DedupQueries {
       ArtifactManifest.compactGenerations(s, s"$dir/buckets", "band")
       DedupIndex.probe(DedupIndex.load(s, dir),
         docs.filter(col("doc_id") >= IngestSplit), "text", "doc_id")
+    }),
+
+    // d14: MEMBERSHIP-PRUNED index serving — the BloomPrune artifact
+    // composed with the index lifecycle. The index is built on the
+    // sub-split corpus and takes a takedown (d13's tombstone set);
+    // serving then attaches corpus metadata to the LIVE-INDEXED docs:
+    // the documents scan pre-drops rows that cannot be in the index
+    // via the persisted membership sketch (codegen'd bloom probe in
+    // the scan stage, ahead of the join exchange), and the exact
+    // semi-join against the artifact's stored ids removes the false
+    // positives — including every tombstoned id, which the sketch (a
+    // bloom cannot unlearn) still remembers as a superset. The result
+    // is byte-identical to the unpruned join, which is what the
+    // oracle computes; at 100 TB the sketch is what keeps the
+    // documents side of this join from shipping the whole table.
+    "d14_member_prune" -> ((s, d) => {
+      val dir = TempArtifacts.dir("graft-dedupmem")
+      val docs = documents(s, d)
+      DedupIndex.build(docs.filter(col("doc_id") < IngestSplit),
+        "text", "doc_id", K, RowsPerBand, dir)
+      DedupIndex.delete(s, dir, docs.select(col("doc_id"))
+        .filter(pmod(col("doc_id"), lit(DocDelMod)) === DocDelRes))
+      val live = DedupIndex.load(s, dir).buckets
+        .select(col("doc_id")).distinct()
+      DedupIndex.memberPrune(s, dir, docs, "doc_id")
+        .join(live, Seq("doc_id"), "left_semi")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n"),
+          sum(length(col("text"))).as("chars"))
     })
   )
 
@@ -445,6 +474,21 @@ object DedupQueries {
           WHERE y.doc_id >= $IngestSplit
             AND (x.doc_id >= $IngestSplit
                  OR x.doc_id % $DocDelMod <> $DocDelRes)""",
+    // d14: the pruned serving is byte-identical to the plain exact
+    // join — the oracle computes the join with no sketch anywhere.
+    // "Live-indexed" = below the split, not tombstoned, and carrying
+    // at least one 3-shingle (shingle-less docs never reach the
+    // bucket tree — d3's all-null-signature exclusion).
+    "d14_member_prune" ->
+      s"""WITH live AS (
+            SELECT doc_id FROM documents
+            WHERE doc_id < $IngestSplit
+              AND doc_id % $DocDelMod <> $DocDelRes
+              AND len($shingles) > 0)
+          SELECT d.source, count(*) AS n,
+                 CAST(sum(length(d.text)) AS BIGINT) AS chars
+          FROM documents d JOIN live USING (doc_id)
+          GROUP BY d.source""",
     "d5_ngram_jaccard" ->
       """WITH g AS (
            SELECT doc_id,

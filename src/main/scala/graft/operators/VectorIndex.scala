@@ -92,6 +92,10 @@ object VectorIndex {
         .coalesce(1).write.mode("overwrite").parquet(s"$dir/drift"))
     ArtifactManifest.recordBuild(s, s"$dir/corpus",
       Some(rows.schema.json))
+    // live-id membership sketch beside the corpus — same composition
+    // (and the same superset/OR/unlearn contract) as
+    // [[DedupIndex]]'s; [[memberPrune]] serves it
+    DedupIndex.buildMembers(e0, "vec_id", dir)
   }
 
   /** The k-row (cell, cvec, cn) centroid table for the drift dot
@@ -313,6 +317,8 @@ object VectorIndex {
     val metaCols = l.corpus.columns.toSeq
       .filterNot(Set("vec_id", "embedding", "n", "cell", "code",
         "ingest"))
+    // membership before the corpus append (superset-on-crash)
+    DedupIndex.orMembers(newVecs, "vec_id", dir)
     val rows = ProductQuantization.encode(
         SimilarityOps.withNorm(newVecs, "embedding", "n")
           .withColumn("cell", SimilarityOps.ivfAssign(l.cents, dim)),
@@ -491,6 +497,9 @@ object VectorIndex {
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("batch").parquet(s"$root/decisions")
+          // membership before the corpus append (superset-on-crash;
+          // a replayed batch re-ORs identical bits)
+          DedupIndex.orMembers(enc, "vec_id", s"$root/index")
           val rows = enc
             .select("vec_id", "embedding", "n", "cell", "code")
             .withColumn("ingest", lit(batchId + 1))
@@ -518,6 +527,16 @@ object VectorIndex {
     * scan. The partition column comes back through partition-type
     * inference, so `cell` is re-cast to its written long type.
     */
+  /** Pre-drop `fact` rows whose key cannot be a LIVE vec id — the
+    * persisted membership sketch [[build]]/[[appendWith]] maintain
+    * beside the corpus ([[DedupIndex]]'s composition; same
+    * superset-through-delete contract, so results compose
+    * byte-identically with the exact join that follows).
+    */
+  def memberPrune(s: SparkSession, dir: String, fact: DataFrame,
+      keyCol: String): DataFrame =
+    DedupIndex.memberPrune(s, dir, fact, keyCol)
+
   def load(s: SparkSession, dir: String): Loaded = {
     val cr = s.read.parquet(s"$dir/centroids").collect()
       .sortBy(_.getLong(0))

@@ -354,4 +354,50 @@ class DedupIndexSpec extends SparkSpec {
       assert(ingestDirs("index/buckets", root) === Seq("ingest=4"))
     }
   }
+
+  test("membership sketch: no false negative through build + append " +
+      "+ delete (superset), pruned-then-exact ≡ exact, and the probe " +
+      "filter runs in the scan stage — no exchange beneath it") {
+    val docs = Tables.documents(spark, d)
+    withDir { dir =>
+      DedupIndex.build(docs.filter(col("doc_id") < 300L),
+        "text", "doc_id", k, rpb, dir)
+      DedupIndex.append(spark, dir,
+        docs.filter(col("doc_id") >= 300L && col("doc_id") < splitId),
+        "text", "doc_id")
+      DedupIndex.delete(spark, dir, docs.select(col("doc_id"))
+        .filter(pmod(col("doc_id"), lit(13L)) === 2L))
+      val live = DedupIndex.load(spark, dir).buckets
+        .select(col("doc_id")).distinct()
+      val exact = docs.join(live, Seq("doc_id"), "left_semi")
+        .select("doc_id").as[Long].collect().toSeq.sorted
+      assert(exact.nonEmpty)
+      val prunedFact = DedupIndex.memberPrune(spark, dir, docs, "doc_id")
+      val joined = prunedFact.join(live, Seq("doc_id"), "left_semi")
+      val pruned = joined.select("doc_id").as[Long]
+        .collect().toSeq.sorted
+      // the pruned serving is byte-identical to the exact join —
+      // tombstoned ids the sketch still remembers (a bloom cannot
+      // unlearn) die in it
+      assert(pruned === exact)
+      assert(!pruned.exists(_ % 13L == 2L))
+      // no false negatives: every live-indexed id survives the probe
+      // BEFORE the exact join
+      val kept = prunedFact.select("doc_id").as[Long].collect().toSet
+      val liveIds = live.as[Long].collect().toSeq
+      assert(liveIds.forall(kept), "the sketch dropped a true member")
+      // plan shape: the codegen'd probe filter sits in the scan
+      // stage — between it and its scan there is NO exchange (the
+      // whole point: rows drop before anything ships)
+      val plan = joined.queryExecution.executedPlan.toString
+      val lines = plan.linesIterator.toSeq
+      val fi = lines.indexWhere(_.contains("bloom_might_contain"))
+      assert(fi >= 0, plan)
+      val below = lines.drop(fi + 1)
+      val scanI = below.indexWhere(l =>
+        l.contains("Scan parquet") || l.contains("FileScan"))
+      assert(scanI >= 0, plan)
+      assert(!below.take(scanI).exists(_.contains("Exchange")), plan)
+    }
+  }
 }

@@ -472,4 +472,31 @@ class IndexArtifactSpec extends SparkSpec {
     assert(viaGate === viaBlocking)
     assert(viaGate.nonEmpty) // the pin is vacuous on an empty block set
   }
+
+  test("live-id membership sketch beside the corpus: the pruned fact " +
+      "composes byte-identically with the exact join, and real " +
+      "non-members drop before it") {
+    withArtifact() { dir =>
+      val ids = Tables.embeddings(spark, d).select(col("vec_id"))
+      // half the fact are members, half are shifted non-members the
+      // sketch should drop ahead of the join (fp rate excepted)
+      val fact = ids.unionByName(
+        ids.select((col("vec_id") + 10000000L).as("vec_id")))
+      val live = VectorIndex.load(spark, dir).corpus
+        .select(col("vec_id")).distinct()
+      val exact = fact.join(live, Seq("vec_id"), "left_semi")
+        .as[Long].collect().toSeq.sorted
+      assert(exact.nonEmpty)
+      val prunedFact = VectorIndex.memberPrune(spark, dir, fact, "vec_id")
+      val pruned = prunedFact.join(live, Seq("vec_id"), "left_semi")
+        .as[Long].collect().toSeq.sorted
+      assert(pruned === exact)
+      // every live id survived the probe; the shifted half mostly died
+      // before the join ever saw it
+      val kept = prunedFact.count()
+      assert(kept >= exact.size, s"kept=$kept dropped true members")
+      assert(kept < fact.count(), s"kept=$kept of ${fact.count()} — " +
+        "the sketch pruned nothing")
+    }
+  }
 }

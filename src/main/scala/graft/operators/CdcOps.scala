@@ -377,6 +377,10 @@ object CdcOps {
     // resumes correctly.
     val staged = graft.streaming.StreamingOps.versionedReplay(
         ss, log, seqCol, nFiles, root) {
+      // a complete snap0 = seeded (quiet ticks never create the
+      // checkpoint, and must not re-pay the full base write)
+      completeDir(ss, s"$root/snap0")
+    } {
       base.write.mode("overwrite").parquet(s"$root/snap0")
     } { (batch, batchId) =>
       val snap = ss.read.parquet(s"$root/snap$batchId")
@@ -419,10 +423,28 @@ object CdcOps {
     ss.read.parquet(s"$root/snap$serve")
   }
 
-  /** Newest on-disk version of a `<prefix><N>` artifact chain — the
-    * quiet-tick serve path of the streaming twins (see the comment at
-    * the [[streamApply]] tail for why the listing is trustworthy
-    * exactly there and nowhere else).
+  /** A COMPLETE snapshot directory: exists and carries the writer's
+    * `_SUCCESS` marker — a mid-write crash leaves the directory
+    * without it (only `_temporary` inside), and both the quiet-tick
+    * serve and the seed-skip must treat that as absent, never as
+    * state.
+    */
+  private def completeDir(ss: org.apache.spark.sql.SparkSession,
+      dir: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(ss.sparkContext.hadoopConfiguration)
+    fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS"))
+  }
+
+  /** Newest COMPLETE on-disk version of a `<prefix><N>` artifact
+    * chain — the quiet-tick serve path of the streaming twins (see
+    * the comment at the [[streamApply]] tail for why the listing is
+    * trustworthy exactly there and nowhere else). Incomplete
+    * directories (mid-write crash: no `_SUCCESS`) are skipped; a
+    * COMPLETE snapshot whose batch's checkpoint commit is still
+    * pending may serve — that content is exactly what the
+    * deterministic replay will re-write and commit, so the quiet tick
+    * is converged-early, never divergent.
     */
   private def newestVersioned(ss: org.apache.spark.sql.SparkSession,
       root: String, prefix: String, who: String): Int = {
@@ -435,9 +457,10 @@ object CdcOps {
           val d = n.stripPrefix(prefix); d.nonEmpty && d.forall(_.isDigit)
         })
         .map(_.stripPrefix(prefix).toInt)
+        .filter(v => completeDir(ss, s"$root/$prefix$v"))
     require(ns.nonEmpty,
-      s"$who: no $prefix versions under $root after a quiet " +
-        "(empty-log) tick — the root was never seeded")
+      s"$who: no complete $prefix versions under $root after a " +
+        "quiet (empty-log) tick — the root was never seeded")
     ns.max
   }
 
@@ -487,6 +510,10 @@ object CdcOps {
     // the view" precisely because of the resume guard)
     val staged = graft.streaming.StreamingOps.versionedReplay(
         ss, log, seqCol, nFiles, root) {
+      // BOTH seed artifacts complete = seeded (agg0 is written last,
+      // so a crash between the two re-seeds — overwrites converge)
+      completeDir(ss, s"$root/snap0") && completeDir(ss, s"$root/agg0")
+    } {
       base.write.mode("overwrite").parquet(s"$root/snap0")
       aggOf(base).write.mode("overwrite").parquet(s"$root/agg0")
     } { (batch, batchId) =>

@@ -69,20 +69,86 @@ object DedupIndex {
 
   private def membersPath(dir: String) = s"$dir/members"
 
-  private def hasMembers(s: SparkSession, dir: String): Boolean = {
-    val p = new org.apache.hadoop.fs.Path(membersPath(dir))
-    p.getFileSystem(s.sparkContext.hadoopConfiguration).exists(p)
+  private def fsOf(s: SparkSession, p: String) =
+    new org.apache.hadoop.fs.Path(p)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+
+  private def hasMembers(s: SparkSession, dir: String): Boolean =
+    fsOf(s, dir).exists(
+      new org.apache.hadoop.fs.Path(membersPath(dir)))
+
+  /** The sketch keys on LONG ids; a non-integral id column cannot be
+    * cast faithfully (cast → NULL → every row silently dropped at the
+    * probe, the one failure mode a superset filter must never have).
+    * Non-integral artifacts simply run unsketched: build writes
+    * nothing, memberPrune serves unpruned — correct, just unpruned.
+    */
+  private def integralKey(df: DataFrame, idCol: String): Boolean =
+    df.schema(idCol).dataType match {
+      case org.apache.spark.sql.types.ByteType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.LongType => true
+      case _ => false
+    }
+
+  /** Crash-safe sketch write: stage to a sibling, remove the old,
+    * rename in — the mid-write crash of a plain overwrite leaves a
+    * members directory with no committed data file, and every
+    * subsequent load (serving AND the streaming replay's next
+    * orMembers) throws on it: a permanent wedge. With the staged
+    * swap, every crash window leaves either the old complete sketch
+    * or none at all — and "none" degrades to unpruned serving, which
+    * is always correct.
+    */
+  private def saveMembers(s: SparkSession, bits: Array[Long], k: Int,
+      dir: String): Unit = {
+    val fs = fsOf(s, dir)
+    val fin = new org.apache.hadoop.fs.Path(membersPath(dir))
+    val tmp = new org.apache.hadoop.fs.Path(
+      s"${membersPath(dir)}.staged.${java.util.UUID.randomUUID}")
+    BloomPrune.save(s, bits, k, tmp.toString)
+    fs.delete(fin, true)
+    if (!fs.rename(tmp, fin)) {
+      fs.delete(tmp, true)
+      throw new java.io.IOException(
+        s"DedupIndex: members sketch rename $tmp -> $fin failed")
+    }
+    // stale staged siblings from crashed earlier saves (ours just
+    // renamed away; single writer per artifact)
+    for (st <- fs.globStatus(new org.apache.hadoop.fs.Path(
+          s"${membersPath(dir)}.staged.*")))
+      fs.delete(st.getPath, true)
   }
 
-  /** Fresh sized sketch over `ids` (build path). */
+  /** Fresh sized sketch over `ids` (build path). Called AFTER
+    * [[dropMembers]] + the bucket overwrite: a crash anywhere in a
+    * re-build leaves either no sketch (unpruned serving — safe) or
+    * the fresh one, never the previous corpus's sketch beside the new
+    * buckets (an under-set that would silently drop true members).
+    * `expectedKeys` rides an Observation on the corpus write when the
+    * caller has one (VectorIndex); otherwise one column-pruned count
+    * — small next to the build's own signature/encode pass.
+    */
   private[operators] def buildMembers(ids: DataFrame, idCol: String,
-      dir: String): Unit = {
+      dir: String, expectedKeys: Option[Long] = None): Unit = {
+    if (!integralKey(ids, idCol)) return
     val s = ids.sparkSession
     val keys = ids.select(col(idCol).cast("long").as("id"))
     val (bits, k) = BloomPrune.buildSized(keys, "id",
-      expectedKeys = math.max(1L, keys.count()), fpp = 0.02)
-    BloomPrune.save(s, bits, k, membersPath(dir))
+      expectedKeys =
+        math.max(1L, expectedKeys.getOrElse(keys.count())),
+      fpp = 0.02)
+    saveMembers(s, bits, k, dir)
   }
+
+  /** Remove the sketch — the FIRST step of a re-build, before the
+    * bucket overwrite (see [[buildMembers]]'s crash argument).
+    */
+  private[operators] def dropMembers(s: SparkSession,
+      dir: String): Unit =
+    fsOf(s, dir).delete(
+      new org.apache.hadoop.fs.Path(membersPath(dir)), true)
 
   /** OR a batch's ids into the existing sketch (append path) — a
     * legacy artifact without one stays without (memberPrune then
@@ -91,25 +157,26 @@ object DedupIndex {
   private[operators] def orMembers(ids: DataFrame, idCol: String,
       dir: String): Unit = {
     val s = ids.sparkSession
-    if (!hasMembers(s, dir)) return
+    if (!integralKey(ids, idCol) || !hasMembers(s, dir)) return
     val (bits, k) = BloomPrune.load(s, membersPath(dir))
     val add = BloomPrune.build(
       ids.select(col(idCol).cast("long").as("id")), "id",
       bits.length * 64, k)
     var i = 0
     while (i < bits.length) { bits(i) |= add(i); i += 1 }
-    BloomPrune.save(s, bits, k, membersPath(dir))
+    saveMembers(s, bits, k, dir)
   }
 
   /** Pre-drop `fact` rows whose `keyCol` cannot be an ingested doc id
     * — the codegen'd bloom probe runs in the scan stage, ahead of the
     * exchange of whatever exact join follows. Results compose
     * byte-identically with the exact join (d14's oracle gate). An
-    * artifact predating the sketch serves `fact` unpruned.
+    * artifact predating the sketch (or one whose ids are not
+    * integral — see [[integralKey]]) serves `fact` unpruned.
     */
   def memberPrune(s: SparkSession, dir: String, fact: DataFrame,
       keyCol: String): DataFrame =
-    if (!hasMembers(s, dir)) fact
+    if (!integralKey(fact, keyCol) || !hasMembers(s, dir)) fact
     else {
       val (bits, k) = BloomPrune.load(s, membersPath(dir))
       BloomPrune.prune(fact, keyCol, bits, k)
@@ -136,6 +203,11 @@ object DedupIndex {
     // from different minhash schemes — near-zero candidates,
     // duplicates admitted SILENTLY. The stamp lets [[load]] detect
     // the mismatch and fail loudly instead.
+    // a RE-build must not leave the previous corpus's membership
+    // sketch beside the new buckets (an under-set silently drops true
+    // members at the probe) — drop it first; between here and
+    // buildMembers below, serving degrades to unpruned, never wrong
+    dropMembers(s, dir)
     val rows = stamped(bucketsOf(docs, textCol, idCol, k, rowsPerBand),
         k, rowsPerBand)
       .withColumn("ingest", lit(0L))

@@ -779,6 +779,10 @@ object PartitionedCdc {
     // StreamingOps.versionedReplay)
     val staged = graft.streaming.StreamingOps.versionedReplay(
         ss, log, seqCol, nFiles, root) {
+      // a committed manifest chain = seeded (quiet ticks never create
+      // the checkpoint, and must not re-stage the full base)
+      listVersions(ss, root).nonEmpty
+    } {
       init(base, bucketOf, root, sortCols)
     } { (batch, batchId) =>
       applyVersion(ss, root, batch, keys, seqCol, opCol, bucketOf,
@@ -823,6 +827,14 @@ object PartitionedCdc {
     // the view's one seeding aggregation)
     val staged = graft.streaming.StreamingOps.versionedReplay(
         ss, log, seqCol, nFiles, root) {
+      // seeded = manifest chain committed AND its newest version's
+      // aggregate published (initMaintained writes the agg last, so a
+      // crash between the two re-seeds; init's commit converges)
+      listVersions(ss, root).lastOption.exists { v =>
+        val p = new Path(s"$root/agg/ver=$v")
+        fsOf(ss, p).exists(p)
+      }
+    } {
       initMaintained(base, bucketOf, root, dims, sumCols, cntCol,
         sortCols)
     } { (batch, batchId) =>

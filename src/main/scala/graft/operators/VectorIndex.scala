@@ -78,24 +78,31 @@ object VectorIndex {
         "left")
       .observe(drift, avg(when(col("n") > 0 && col("cn") > 0,
         call_function("vec_dot", col("embedding"), col("cvec")) /
-          (col("n") * col("cn")))).as("base_cos"))
+          (col("n") * col("cn")))).as("base_cos"),
+        count(lit(1)).as("n_rows"))
       // the serving columns plus any declared filter metadata — other
       // input columns (and the joined centroid columns) don't belong
       // in the index artifact
       .select((Seq("vec_id", "embedding", "n", "cell", "code") ++
         metaCols).map(col): _*)
       .withColumn("ingest", lit(0L))
+    // a re-build drops the previous sketch BEFORE the corpus
+    // overwrite (DedupIndex.buildMembers' crash argument)
+    DedupIndex.dropMembers(s, dir)
     rows.write.mode("overwrite").partitionBy("ingest", "cell")
       .parquet(s"$dir/corpus")
-    drift.get.get("base_cos").flatMap(Option(_))
+    val metrics = drift.get
+    metrics.get("base_cos").flatMap(Option(_))
       .foreach(c => Seq(c.asInstanceOf[Double]).toDF("base_cos")
         .coalesce(1).write.mode("overwrite").parquet(s"$dir/drift"))
     ArtifactManifest.recordBuild(s, s"$dir/corpus",
       Some(rows.schema.json))
     // live-id membership sketch beside the corpus — same composition
     // (and the same superset/OR/unlearn contract) as
-    // [[DedupIndex]]'s; [[memberPrune]] serves it
-    DedupIndex.buildMembers(e0, "vec_id", dir)
+    // [[DedupIndex]]'s; [[memberPrune]] serves it. The sizing count
+    // rode the corpus write's Observation — no extra pass.
+    DedupIndex.buildMembers(e0, "vec_id", dir,
+      metrics.get("n_rows").map(_.asInstanceOf[Long]))
   }
 
   /** The k-row (cell, cvec, cn) centroid table for the drift dot

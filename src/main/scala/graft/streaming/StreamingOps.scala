@@ -164,24 +164,27 @@ object StreamingOps {
     * semantics cannot miss a copy. Returns the staged batch count
     * (the caller's derived final version).
     *
-    *  - RESUME SAFETY: `seed` runs only when the checkpoint directory
-    *    does not exist — re-invoking with the same root after a
-    *    mid-stream crash must not rewrite the seed (committed batches
-    *    never replay, so a re-written version 0 — whose original may
-    *    already have fallen off retention — would linger resurrected,
-    *    and the full-base write is pure waste). The checkpoint dir
-    *    exists iff a previous replay started, strictly after the
-    *    original seed completed.
+    *  - RESUME SAFETY: `seed` runs only when NEITHER the checkpoint
+    *    directory NOR the caller's own seeded state exists.
+    *    Re-invoking with the same root after a mid-stream crash must
+    *    not rewrite the seed (committed batches never replay, so a
+    *    re-written version 0 — whose original may already have fallen
+    *    off retention — would linger resurrected, and the full-base
+    *    write is pure waste). The checkpoint dir exists iff a
+    *    previous replay started; `alreadySeeded` covers the
+    *    QUIET-START window the checkpoint cannot: empty ticks stage
+    *    nothing and never create a checkpoint, so without it every
+    *    idle tick on a quiet root re-ran the full O(base) seed.
     *  - EMPTY LOG: zero staged batches skips the stream machinery
     *    entirely — the caller serves its seed, which IS the batch
     *    oracle's answer for an empty changelog.
     */
   def versionedReplay(ss: SparkSession, log: DataFrame, seqCol: String,
-      nFiles: Int, root: String)(seed: => Unit)(
-      body: (DataFrame, Long) => Unit): Int = {
+      nFiles: Int, root: String)(alreadySeeded: => Boolean)(
+      seed: => Unit)(body: (DataFrame, Long) => Unit): Int = {
     val ckpt = new org.apache.hadoop.fs.Path(s"$root/ckpt")
     if (!ckpt.getFileSystem(ss.sparkContext.hadoopConfiguration)
-        .exists(ckpt))
+        .exists(ckpt) && !alreadySeeded)
       seed
     val staged = stageOrderedArrivals(log, seqCol, nFiles,
       s"$root/arrivals")

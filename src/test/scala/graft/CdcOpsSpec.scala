@@ -174,6 +174,21 @@ class CdcOpsSpec extends SparkSpec {
         .as[(Long, Long, Double, String)].collect().toSeq.sorted
       assert(quiet ===
         b.as[(Long, Long, Double, String)].collect().toSeq.sorted)
+      // a SECOND quiet tick must not re-pay the O(base) seed write —
+      // quiet ticks never create the checkpoint, so the seed skip has
+      // to key on the seeded state itself (observable: the completed
+      // snapshot's marker mtime is untouched)
+      val marker = new org.apache.hadoop.fs.Path(
+        s"$root/snap0/_SUCCESS")
+      val fs = marker.getFileSystem(
+        spark.sparkContext.hadoopConfiguration)
+      val mtime0 = fs.getFileStatus(marker).getModificationTime
+      val quiet2 = CdcOps.streamApply(spark, b, log.where(lit(false)),
+          Seq("o_orderkey"), "seq", "op", nFiles = 2, root.toString)
+        .as[(Long, Long, Double, String)].collect().toSeq.sorted
+      assert(quiet2 === quiet)
+      assert(fs.getFileStatus(marker).getModificationTime === mtime0,
+        "the second quiet tick re-ran the full seed write")
       val got = CdcOps.streamApply(spark, b, log,
           Seq("o_orderkey"), "seq", "op", nFiles = 2, root.toString)
         .as[(Long, Long, Double, String)].collect().toSeq.sorted

@@ -400,4 +400,45 @@ class DedupIndexSpec extends SparkSpec {
       assert(!below.take(scanI).exists(_.contains("Exchange")), plan)
     }
   }
+
+  test("membership sketch hardening: a re-build replaces the sketch " +
+      "(never a stale under-set), saves leave no staged sibling, " +
+      "and non-integral ids serve unpruned instead of all-dropped") {
+    val docs = Tables.documents(spark, d)
+    val fs = new org.apache.hadoop.fs.Path("/")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    withDir { dir =>
+      DedupIndex.build(docs.filter(col("doc_id") < 200L),
+        "text", "doc_id", k, rpb, dir)
+      // DISJOINT re-build on the same dir (the documented recovery
+      // path): the sketch must be the NEW corpus's — a stale one
+      // would silently drop every re-built id at the probe
+      val b = docs.filter(col("doc_id") >= 200L &&
+        col("doc_id") < splitId)
+      DedupIndex.build(b, "text", "doc_id", k, rpb, dir)
+      val kept = DedupIndex.memberPrune(spark, dir, docs, "doc_id")
+        .select("doc_id").as[Long].collect().toSet
+      val bIds = b.select("doc_id").as[Long].collect().toSeq
+      assert(bIds.forall(kept),
+        "stale sketch dropped re-built corpus ids")
+      // the staged-swap save never leaves a sibling behind
+      DedupIndex.append(spark, dir,
+        docs.filter(col("doc_id") >= splitId), "text", "doc_id")
+      assert(fs.globStatus(new org.apache.hadoop.fs.Path(
+        s"$dir/members.staged.*")).isEmpty)
+      assert(fs.exists(new org.apache.hadoop.fs.Path(s"$dir/members")))
+    }
+    withDir { dir =>
+      // string ids cannot cast faithfully to the sketch's long keys —
+      // the artifact runs UNSKETCHED (no members file) and memberPrune
+      // is the identity, never a silent all-drop
+      val sdocs = Tables.documents(spark, d)
+        .filter(col("doc_id") < 100L)
+        .withColumn("doc_id", concat(lit("doc-"), col("doc_id")))
+      DedupIndex.build(sdocs, "text", "doc_id", k, rpb, dir)
+      assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/members")))
+      assert(DedupIndex.memberPrune(spark, dir, sdocs, "doc_id")
+        .count() === sdocs.count())
+    }
+  }
 }

@@ -512,6 +512,12 @@ object DedupIndex {
       docs.select(col(idCol), TextOps.charNgrams(textCol, 4).as("grams"))
         .write.mode("overwrite").parquet(s"$root/grams")
     val grams = ss.read.parquet(s"$root/grams")
+    // membership sketch is REBUILT ONCE after the replay, not
+    // OR-maintained per micro-batch (one load+agg+save per batch was
+    // pure per-batch floor cost at AvailableNow cadence): drop it
+    // before any batch lands, so every mid-stream crash window leaves
+    // NO sketch — unpruned serving, never an under-set
+    dropMembers(ss, s"$root/index")
     graft.streaming.StreamingOps.replayOrdered(ss, docs.schema,
         s"$root/arrivals", s"$root/ckpt") { (batch, batchId) =>
         // geometry is frozen (build wrote it above); only the bucket
@@ -537,9 +543,6 @@ object DedupIndex {
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("batch").parquet(s"$root/decisions")
-          // membership before the bucket append (superset-on-crash;
-          // a replayed batch re-ORs identical bits)
-          orMembers(batch, idCol, s"$root/index")
           val rows = bb.withColumn("ingest", lit(batchId + 1))
           rows.write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
@@ -558,6 +561,10 @@ object DedupIndex {
         .size >= compactEvery)
       ArtifactManifest.compactGenerations(ss, s"$root/index/buckets",
         "band")
+    // sketch over EVERY ingested id (corpus + all arrivals — the
+    // gate appends every batch's buckets, admitted or not): one
+    // column-pruned pass per stream, sized fresh
+    buildMembers(docs, idCol, s"$root/index")
     ss.read.parquet(s"$root/decisions").drop("batch")
   }
 }

@@ -474,6 +474,10 @@ object VectorIndex {
     // corpus frame is re-created so its scan re-lists the files the
     // previous batch appended
     val frozen = load(ss, s"$root/index")
+    // sketch rebuilt ONCE after the replay (see the text twin): drop
+    // first so every mid-stream crash leaves no sketch — unpruned
+    // serving, never an under-set
+    DedupIndex.dropMembers(ss, s"$root/index")
     graft.streaming.StreamingOps.replayOrdered(ss, e0.schema,
         s"$root/arrivals", s"$root/ckpt") { (batch, batchId) =>
         val corpus = ss.read.parquet(s"$root/index/corpus")
@@ -504,9 +508,6 @@ object VectorIndex {
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("batch").parquet(s"$root/decisions")
-          // membership before the corpus append (superset-on-crash;
-          // a replayed batch re-ORs identical bits)
-          DedupIndex.orMembers(enc, "vec_id", s"$root/index")
           val rows = enc
             .select("vec_id", "embedding", "n", "cell", "code")
             .withColumn("ingest", lit(batchId + 1))
@@ -526,6 +527,9 @@ object VectorIndex {
         .size >= compactEvery)
       ArtifactManifest.compactGenerations(ss, s"$root/index/corpus",
         "cell")
+    // sketch over every ingested vec id (corpus + all arrivals): one
+    // column-pruned pass per stream, sized fresh
+    DedupIndex.buildMembers(e0, "vec_id", s"$root/index")
     ss.read.parquet(s"$root/decisions").drop("batch")
   }
 

@@ -167,6 +167,22 @@ object DedupIndex {
     saveMembers(s, bits, k, dir)
   }
 
+  /** Re-size the sketch from the artifact's CURRENT live ids — the
+    * explicit tightening pass for after heavy takedowns (delete keeps
+    * the sketch a superset; this restores its selectivity without a
+    * full index rebuild) or an append burst past the build-time
+    * sizing (which degrades fpp). Cost: one distinct over the
+    * artifact's id column — schedule it like compaction, never on the
+    * serving path. `liveIds` is the artifact's own id frame (e.g.
+    * `load(s, dir).buckets.select(idCol)`); the drop-first order
+    * keeps every crash window at "no sketch" (unpruned, correct).
+    */
+  def refreshMembers(s: SparkSession, dir: String, liveIds: DataFrame,
+      idCol: String): Unit = {
+    dropMembers(s, dir)
+    buildMembers(liveIds.select(col(idCol)).distinct(), idCol, dir)
+  }
+
   /** Pre-drop `fact` rows whose `keyCol` cannot be an ingested doc id
     * — the codegen'd bloom probe runs in the scan stage, ahead of the
     * exchange of whatever exact join follows. Results compose

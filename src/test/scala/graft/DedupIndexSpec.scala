@@ -429,6 +429,28 @@ class DedupIndexSpec extends SparkSpec {
       assert(fs.exists(new org.apache.hadoop.fs.Path(s"$dir/members")))
     }
     withDir { dir =>
+      // refreshMembers re-sizes from the live ids: after a heavy
+      // takedown the tightened sketch actually DROPS the tombstoned
+      // ids (the stale superset kept them), while every live id still
+      // survives and the exact-join composition is unchanged
+      val docs2 = docs.filter(col("doc_id") < splitId)
+      DedupIndex.build(docs2, "text", "doc_id", k, rpb, dir)
+      DedupIndex.delete(spark, dir, docs2.select(col("doc_id"))
+        .filter(col("doc_id") >= 100L))
+      val live = DedupIndex.load(spark, dir).buckets
+        .select(col("doc_id")).distinct()
+      DedupIndex.refreshMembers(spark, dir, live, "doc_id")
+      val kept2 = DedupIndex.memberPrune(spark, dir, docs, "doc_id")
+        .select("doc_id").as[Long].collect().toSet
+      val liveIds2 = live.as[Long].collect().toSeq
+      assert(liveIds2.forall(kept2),
+        "refresh dropped a live member")
+      // tightened: far fewer survivors than the full doc set (the
+      // pre-refresh superset remembered every sub-split id)
+      assert(kept2.size < 200,
+        s"refresh did not tighten the sketch (kept ${kept2.size})")
+    }
+    withDir { dir =>
       // string ids cannot cast faithfully to the sketch's long keys —
       // the artifact runs UNSKETCHED (no members file) and memberPrune
       // is the identity, never a silent all-drop

@@ -200,7 +200,8 @@ object ArtifactManifest {
   private def commit(s: SparkSession, dir: String, gens: Seq[Long],
       signature: String, prev: Option[Pin],
       genDigests: Map[Long, String] = Map.empty,
-      knownSchemaJson: Option[String] = None): Long = {
+      knownSchemaJson: Option[String] = None,
+      mergeCarried: Boolean = true): Long = {
     val md = manifestDir(dir)
     val fs = fsOf(s, md)
     fs.mkdirs(md)
@@ -218,7 +219,10 @@ object ArtifactManifest {
     //    externally-written tree) — one small listing + one footer;
     //  - the previous pin's stored schema (fileless commit).
     // The newest schema is MERGED with the carry-forward
-    // ([[mergeSchemaJson]]) rather than replacing it outright.
+    // ([[mergeSchemaJson]]) on EVOLVING commits (appends,
+    // content-preserving compactions) — but a BUILD replaces it
+    // outright (`mergeCarried = false`): a rebuild that legitimately
+    // dropped a column must not carry the phantom field forever.
     val newestJson = knownSchemaJson.orElse {
       gens.sorted.lastOption.flatMap { g =>
         scala.util.Try(
@@ -228,7 +232,8 @@ object ArtifactManifest {
     }
     val carried = prev.flatMap(_.schemaJson)
     val schemaJson = ((newestJson, carried) match {
-      case (Some(n), Some(c)) => Some(mergeSchemaJson(n, c))
+      case (Some(n), Some(c)) if mergeCarried =>
+        Some(mergeSchemaJson(n, c))
       case (n, c) => n.orElse(c)
     }).orElse(
       scala.util.Try(
@@ -284,8 +289,10 @@ object ArtifactManifest {
       knownSchemaJson: Option[String] = None): Unit = {
     val gens = LayoutOps.ingestGenerations(s, dir)
     val raw = rawListings(s, dir, gens)
+    // a build REPLACES the artifact — its schema replaces the pin's
+    // (no merge): a rebuild that dropped a column must not carry it
     commit(s, dir, gens, fullSignatureOf(raw, gens), latest(s, dir),
-      digestsOf(raw), knownSchemaJson)
+      digestsOf(raw), knownSchemaJson, mergeCarried = false)
   }
 
   /** Record a committed APPEND of `gen`. The signature extends the
@@ -475,18 +482,26 @@ object ArtifactManifest {
     } else LayoutOps.clusterFrame(df, cols, partitions)
   }
 
-  /** Frame-shape of a generation written straight into its
-    * `ingest=<g>` directory: the written columns plus the `ingest`
-    * partition column the basePath read appends on the way back.
-    * (Stored as long — readers that use it cast explicitly, and the
-    * stored schema's only consumer is the committed-empty zero-row
-    * frame.)
+  /** READ-BACK frame shape of a written generation: the named
+    * partition columns (directory-encoded on disk, whether or not
+    * they were columns of the written frame) move to the END in
+    * directory order and take the IntegerType partition inference
+    * assigns integral values — so a build/append pin (from the
+    * written schema) and a compaction pin (from the live read-back
+    * schema) describe the same artifact IDENTICALLY, and the stored
+    * schema never flip-flops across mutation flavors. Readers of the
+    * committed-empty frame cast partition columns explicitly exactly
+    * as they do after a live read.
     */
-  private def withIngestJson(
-      schema: org.apache.spark.sql.types.StructType): String =
-    (if (schema.fieldNames.contains("ingest")) schema
-     else schema.add("ingest", org.apache.spark.sql.types.LongType))
-      .json
+  private[operators] def frameShapeJson(
+      schema: org.apache.spark.sql.types.StructType,
+      partCols: Seq[String]): String = {
+    import org.apache.spark.sql.types.{IntegerType, StructField,
+      StructType}
+    val data = schema.fields.filterNot(f => partCols.contains(f.name))
+    StructType(data ++ partCols.map(c =>
+      StructField(c, IntegerType, nullable = true))).json
+  }
 
   /** Build a VERSIONED clustered fact artifact: one fresh generation
     * holds the clustered (range or z-order) tree, and the manifest
@@ -533,7 +548,8 @@ object ArtifactManifest {
       require(fs.delete(new Path(dir, s"ingest=$g"), true),
         s"clusterBuild: could not remove previous generation $g of " +
           dir)
-    recordBuild(s, dir, Some(withIngestJson(laid.schema)))
+    recordBuild(s, dir,
+      Some(frameShapeJson(laid.schema, Seq("ingest"))))
   }
 
   /** Append one clustered generation to a [[clusterBuild]] artifact
@@ -553,7 +569,8 @@ object ArtifactManifest {
     val laid = clusteredFrame(df, cols, partitions, zorder, bits)
     laid.write.options(extraWriteOpts).mode("overwrite")
       .parquet(s"$dir/ingest=$gen")
-    recordAppend(s, dir, gen, Some(withIngestJson(laid.schema)))
+    recordAppend(s, dir, gen,
+      Some(frameShapeJson(laid.schema, Seq("ingest"))))
     gen
   }
 

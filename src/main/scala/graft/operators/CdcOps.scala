@@ -423,41 +423,46 @@ object CdcOps {
     ss.read.parquet(s"$root/snap$serve")
   }
 
-  /** A COMPLETE snapshot directory: exists and carries the writer's
-    * `_SUCCESS` marker — a mid-write crash leaves the directory
-    * without it (only `_temporary` inside), and both the quiet-tick
-    * serve and the seed-skip must treat that as absent, never as
-    * state.
+  /** A COMPLETE snapshot directory: the writer's `_SUCCESS` marker
+    * when the job config emits one (the default), else at least one
+    * committed data file — a mid-write crash leaves only
+    * `_temporary`/dot files behind, and both the quiet-tick serve and
+    * the seed-skip must treat that as absent, never as state. The
+    * config check matters on object stores, where
+    * `mapreduce.fileoutputcommitter.marksuccessfuljobs=false` is
+    * standard tuning — keying on the marker alone there would make
+    * every quiet tick throw "never seeded" on a fully seeded root
+    * (and re-pay the seed write on a quiet-started one).
     */
   private def completeDir(ss: org.apache.spark.sql.SparkSession,
       dir: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(dir)
-    val fs = p.getFileSystem(ss.sparkContext.hadoopConfiguration)
-    fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS"))
+    val conf = ss.sparkContext.hadoopConfiguration
+    val fs = p.getFileSystem(conf)
+    if (!fs.exists(p)) false
+    else if (conf.getBoolean(
+        "mapreduce.fileoutputcommitter.marksuccessfuljobs", true))
+      fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS"))
+    else fs.listStatus(p).exists { st =>
+      val n = st.getPath.getName
+      !n.startsWith("_") && !n.startsWith(".")
+    }
   }
 
   /** Newest COMPLETE on-disk version of a `<prefix><N>` artifact
     * chain — the quiet-tick serve path of the streaming twins (see
     * the comment at the [[streamApply]] tail for why the listing is
     * trustworthy exactly there and nowhere else). Incomplete
-    * directories (mid-write crash: no `_SUCCESS`) are skipped; a
-    * COMPLETE snapshot whose batch's checkpoint commit is still
-    * pending may serve — that content is exactly what the
-    * deterministic replay will re-write and commit, so the quiet tick
-    * is converged-early, never divergent.
+    * directories (mid-write crash) are skipped; a COMPLETE snapshot
+    * whose batch's checkpoint commit is still pending may serve —
+    * that content is exactly what the deterministic replay will
+    * re-write and commit, so the quiet tick is converged-early, never
+    * divergent.
     */
   private def newestVersioned(ss: org.apache.spark.sql.SparkSession,
       root: String, prefix: String, who: String): Int = {
-    val rp = new org.apache.hadoop.fs.Path(root)
-    val fs = rp.getFileSystem(ss.sparkContext.hadoopConfiguration)
-    val ns =
-      if (!fs.exists(rp)) Seq.empty[Int]
-      else fs.listStatus(rp).toSeq.map(_.getPath.getName)
-        .filter(n => n.startsWith(prefix) && {
-          val d = n.stripPrefix(prefix); d.nonEmpty && d.forall(_.isDigit)
-        })
-        .map(_.stripPrefix(prefix).toInt)
-        .filter(v => completeDir(ss, s"$root/$prefix$v"))
+    val ns = listVersions(ss, root, prefix)
+      .filter(v => completeDir(ss, s"$root/$prefix$v"))
     require(ns.nonEmpty,
       s"$who: no complete $prefix versions under $root after a " +
         "quiet (empty-log) tick — the root was never seeded")

@@ -230,7 +230,8 @@ object DedupIndex {
     rows.write.mode("overwrite").partitionBy("ingest", "band")
       .parquet(s"$dir/buckets")
     ArtifactManifest.recordBuild(s, s"$dir/buckets",
-      Some(rows.schema.json))
+      Some(ArtifactManifest.frameShapeJson(rows.schema,
+        Seq("ingest", "band"))))
     Seq((k, rowsPerBand)).toDF("k", "rows_per_band")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/params")
     buildMembers(docs, idCol, dir)
@@ -374,7 +375,8 @@ object DedupIndex {
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("ingest", "band").parquet(s"$dir/buckets")
     ArtifactManifest.recordAppend(newDocs.sparkSession,
-      s"$dir/buckets", generation, Some(rows.schema.json))
+      s"$dir/buckets", generation, Some(ArtifactManifest.frameShapeJson(rows.schema,
+        Seq("ingest", "band"))))
   }
 
   /** Delete documents from the index by id — the takedown path (the
@@ -565,7 +567,8 @@ object DedupIndex {
             .partitionBy("ingest", "band")
             .parquet(s"$root/index/buckets")
           ArtifactManifest.recordAppend(ss, s"$root/index/buckets",
-            batchId + 1, Some(rows.schema.json))
+            batchId + 1, Some(ArtifactManifest.frameShapeJson(rows.schema,
+        Seq("ingest", "band"))))
         } finally bb.unpersist()
       }
     // maintenance runs AFTER the replay completes — never inside the

@@ -733,6 +733,18 @@ object PartitionedCdc {
         s"PartitionedCdc: agg publish rename $aggStaging -> " +
           s"$aggDest failed")
     }
+    // OUR publish is done, so under the single-writer contract every
+    // remaining staged agg tree at or below this version is a dead
+    // crashed attempt — reap them NOW, because pruneVersions' version
+    // guard (sv < newest) can never touch a leak at the chain's FINAL
+    // version (no later batch raises `newest` past it). A racing
+    // second writer's staging encodes a version above ours and is
+    // spared.
+    val aggDir = new Path(s"$root/agg")
+    if (aggFs.exists(aggDir))
+      for (st <- aggFs.listStatus(aggDir)
+            if stagedVersionOf(st.getPath.getName).exists(_ <= v))
+        aggFs.delete(st.getPath, true)
     v
   }
 
@@ -761,6 +773,22 @@ object PartitionedCdc {
     s.read.parquet(p.toString)
   }
 
+  /** The newest manifest's serving directories are all on disk — the
+    * seed-skip predicate of the streaming twins. Driver-side
+    * metadata: one existence check per DISTINCT serving version in
+    * the newest bucket map (a fresh seed has exactly one). False
+    * during init's commit-published-pending crash window, so the
+    * re-run completes the publish instead of wedging on a
+    * manifest-only root.
+    */
+  private def published(ss: SparkSession, root: String): Boolean =
+    listVersions(ss, root).lastOption.exists { v =>
+      val m = manifest(ss, root, v)
+      val fs = fsOf(ss, new Path(root))
+      m.buckets.values.toSet.forall(w =>
+        fs.exists(new Path(s"$root/data/ver=$w")))
+    }
+
   /** CONTINUOUS partitioned apply — [[CdcOps.streamApply]]'s twin
     * over the copy-on-write layout: the log replays as seq-ordered
     * micro-batches, batch B applies on version B and writes version
@@ -779,9 +807,14 @@ object PartitionedCdc {
     // StreamingOps.versionedReplay)
     val staged = graft.streaming.StreamingOps.versionedReplay(
         ss, log, seqCol, nFiles, root) {
-      // a committed manifest chain = seeded (quiet ticks never create
-      // the checkpoint, and must not re-stage the full base)
-      listVersions(ss, root).nonEmpty
+      // seeded = committed manifest chain AND its serving directories
+      // PUBLISHED (quiet ticks never create the checkpoint, and must
+      // not re-stage the full base — but a manifest alone is not
+      // enough: init can crash between the commit and the staging
+      // publish, and treating that as seeded would wedge the root
+      // forever, where a re-run of init converges the commit and
+      // completes the publish)
+      published(ss, root)
     } {
       init(base, bucketOf, root, sortCols)
     } { (batch, batchId) =>
@@ -848,10 +881,21 @@ object PartitionedCdc {
     // (staged == 0), which serves the current aggregate version
     val vs = listVersions(ss, root)
     if (staged == 0) {
-      require(vs.nonEmpty,
-        s"PartitionedCdc.streamMaintain: $root has no versions after " +
-          "a quiet (empty-log) tick — the root was never seeded")
-      readAggVersion(ss, root, vs.last)
+      // newest version whose aggregate is PUBLISHED: a maintain batch
+      // can crash after its table commit but before the agg publish
+      // (the documented window) — the quiet tick then serves the
+      // previous version's aggregate (still retained: the floor keeps
+      // newest - retainVersions <= newest - 1) instead of throwing on
+      // the not-yet-published one
+      val served = vs.reverse.find { v =>
+        val p = new Path(s"$root/agg/ver=$v")
+        fsOf(ss, p).exists(p)
+      }
+      require(served.nonEmpty,
+        s"PartitionedCdc.streamMaintain: $root has no published " +
+          "aggregate versions after a quiet (empty-log) tick — the " +
+          "root was never seeded")
+      readAggVersion(ss, root, served.get)
     } else {
       require(vs.lastOption.contains(staged),
         s"PartitionedCdc.streamMaintain: expected final version " +

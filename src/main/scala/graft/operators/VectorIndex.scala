@@ -96,7 +96,8 @@ object VectorIndex {
       .foreach(c => Seq(c.asInstanceOf[Double]).toDF("base_cos")
         .coalesce(1).write.mode("overwrite").parquet(s"$dir/drift"))
     ArtifactManifest.recordBuild(s, s"$dir/corpus",
-      Some(rows.schema.json))
+      Some(ArtifactManifest.frameShapeJson(rows.schema,
+        Seq("ingest", "cell"))))
     // live-id membership sketch beside the corpus — same composition
     // (and the same superset/OR/unlearn contract) as
     // [[DedupIndex]]'s; [[memberPrune]] serves it. The sizing count
@@ -337,7 +338,8 @@ object VectorIndex {
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("ingest", "cell").parquet(s"$dir/corpus")
     ArtifactManifest.recordAppend(newVecs.sparkSession,
-      s"$dir/corpus", generation, Some(rows.schema.json))
+      s"$dir/corpus", generation, Some(ArtifactManifest.frameShapeJson(rows.schema,
+        Seq("ingest", "cell"))))
   }
 
   /** Retrain the artifact's quantizers on its CURRENT contents — the
@@ -516,7 +518,8 @@ object VectorIndex {
             .partitionBy("ingest", "cell")
             .parquet(s"$root/index/corpus")
           ArtifactManifest.recordAppend(ss, s"$root/index/corpus",
-            batchId + 1, Some(rows.schema.json))
+            batchId + 1, Some(ArtifactManifest.frameShapeJson(rows.schema,
+        Seq("ingest", "cell"))))
         } finally enc.unpersist()
       }
     // maintenance AFTER the replay completes — never inside the loop

@@ -190,6 +190,30 @@ class ArtifactManifestSpec extends SparkSpec {
     }
   }
 
+  test("a REBUILD's schema replaces the pin — a column the rebuild " +
+      "dropped does not haunt later committed-empty serving") {
+    withDir { dir =>
+      import graft.operators.ArtifactManifest
+      val wide = spark.range(0, 20).select(col("id").as("k"),
+        col("id").as("payload"), lit(7).as("stale"))
+      ArtifactManifest.clusterBuild(wide, dir, Seq("k"), 2)
+      // the pipeline drops `stale` and rebuilds in place — the pin
+      // must shrink with it (append-side narrow writers still merge:
+      // the NARROW-append test above)
+      val narrow = spark.range(0, 20).select(col("id").as("k"),
+        col("id").as("payload"))
+      ArtifactManifest.clusterBuild(narrow, dir, Seq("k"), 2)
+      val gen = ArtifactManifest.latest(spark, dir).get.generations.max
+      fs.delete(new HPath(s"$dir/ingest=$gen"), true)
+      ArtifactManifest.refreshAfterDelete(spark, dir)
+      val f = ArtifactManifest.frame(spark, dir)
+      assert(f.count() === 0L)
+      assert(!f.columns.contains("stale"),
+        "the rebuild-dropped column survived in the stored schema")
+      assert(f.columns.contains("payload"))
+    }
+  }
+
   test("manifest pruning keeps 5 versions and latest still resolves") {
     withDir { dir =>
       writeGen(dir, 0, 0 until 5)

@@ -311,13 +311,22 @@ class PartitionedCdcSpec extends SparkSpec {
         "seq", "op", bucketOf, Seq("src"), Seq("v"), fromVersion = 0,
         retainVersions = 10)
       // plant fake staged attempts; the next batch commits version 2
-      // with retainVersions = 1, so its prune runs with newest = 2
+      // with retainVersions = 1, so its prune runs with newest = 2.
+      // DATA tree: the double guard rules — only stale below-newest
+      // attempts are collected, a fresh one survives. AGG tree: the
+      // prune spares the in-flight/fresh entries the same way, but
+      // once the batch's OWN agg publish lands, every staged agg at
+      // or below the committed version is provably dead under the
+      // single-writer contract and the end-of-batch reap collects it
+      // (the final-version leak fix) — so no agg plant survives.
       val old = System.currentTimeMillis() - 7200000L // 2 h ago
       val plants = Seq(
         (s"$root/agg/.staged-ver=0000000000.crashed-old", old, false),
-        (s"$root/agg/.staged-ver=0000000000.crashed-fresh", -1L, true),
-        (s"$root/agg/.staged-ver=0000000002.inflight-old", old, true),
-        (s"$root/data/.staged-ver=0000000001.crashed-old", old, false))
+        (s"$root/agg/.staged-ver=0000000000.crashed-fresh", -1L, false),
+        (s"$root/agg/.staged-ver=0000000002.crashed-same-ver", old,
+          false),
+        (s"$root/data/.staged-ver=0000000001.crashed-old", old, false),
+        (s"$root/data/.staged-ver=0000000000.crashed-fresh", -1L, true))
       for ((p, mtime, _) <- plants) {
         fs.mkdirs(new HPath(p))
         if (mtime > 0) fs.setTimes(new HPath(p), mtime, -1)
@@ -411,6 +420,51 @@ class PartitionedCdcSpec extends SparkSpec {
         log.where(lit(false)), Seq("k"), "seq", "op", bucketOf,
         nFiles = 2, root = s"$root/a", retainVersions = 10)
       assert(kvRows(after) === expect(log1, log2))
+    }
+  }
+
+  test("a seed crash between the manifest commit and the data " +
+      "publish is SELF-HEALING: the next stream run re-runs the " +
+      "seed, converges the commit, and completes the publish") {
+    withDir { root =>
+      val r = s"$root/a"
+      PartitionedCdc.init(base, bucketOf, r)
+      // simulate the crash window: manifest v0 committed, serving
+      // directory never published — a manifest-only seeded check
+      // would skip the seed forever and every read of v0 would fail
+      fs.delete(new HPath(s"$r/data/ver=0"), true)
+      val got = PartitionedCdc.streamApply(spark, base,
+        log1.unionByName(log2), Seq("k"), "seq", "op", bucketOf,
+        nFiles = 2, root = r, retainVersions = 10)
+      assert(kvRows(got) === expect(log1, log2))
+      assert(fs.exists(new HPath(s"$r/data/ver=0")),
+        "the re-run did not complete the seed publish")
+    }
+  }
+
+  test("a maintain crash between the table commit and the agg " +
+      "publish: the quiet tick serves the newest PUBLISHED " +
+      "aggregate instead of throwing on the pending one") {
+    withDir { root =>
+      val r = s"$root/m"
+      PartitionedCdc.initMaintained(base, bucketOf, r,
+        dims = Seq("src"), sumCols = Seq("v"))
+      PartitionedCdc.maintainVersion(spark, r, log1, Seq("k"),
+        "seq", "op", bucketOf, Seq("src"), Seq("v"), fromVersion = 0,
+        retainVersions = 10)
+      // simulate the documented window: table manifest v1 committed
+      // and published, agg/ver=1 never landed
+      fs.delete(new HPath(s"$r/agg/ver=1"), true)
+      val quiet = PartitionedCdc.streamMaintain(spark, base,
+        log1.where(lit(false)), Seq("k"), "seq", "op", bucketOf,
+        nFiles = 2, root = r, dims = Seq("src"), sumCols = Seq("v"),
+        retainVersions = 10)
+      val want = PartitionedCdc.readVersion(spark, r, 0)
+        .groupBy("src").agg(sum("v").as("v"), count(lit(1)).as("n"))
+        .select("src", "v", "n").as[(String, Long, Long)]
+        .collect().toSeq.sorted
+      assert(quiet.select("src", "v", "n").as[(String, Long, Long)]
+        .collect().toSeq.sorted === want)
     }
   }
 

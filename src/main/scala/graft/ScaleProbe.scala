@@ -266,7 +266,7 @@ object ScaleProbe {
         .filter(col("q_id") =!= col("vec_id"))
         .select(col("q_id"), col("vec_id"),
           graft.operators.ProductQuantization.adcLookupCol(
-            col("code"), col("qt")).as("d"))
+            col("code"), col("qt"), pqBooks.head.length).as("d"))
         // sort-free top-k: a k-slot aggregator instead of a window —
         // row_number would sort all ~31M scored pairs
         .groupBy(col("q_id"))
@@ -303,7 +303,7 @@ object ScaleProbe {
           .filter(col("q_id") =!= col("vec_id"))
           .select(col("q_id"), col("vec_id"),
             graft.operators.ProductQuantization.adcLookupCol(
-              col("code"), col("qt")).as("d"))
+              col("code"), col("qt"), pqBooks.head.length).as("d"))
           .groupBy(col("q_id"))
           .agg(topk(col("d"), col("vec_id")).as("top"))
           .write.format("noop").mode("overwrite").save()

@@ -23,8 +23,15 @@ final class MinHashMerge(k: Int)
   override def zero: Array[Long] = Array.fill(k)(Long.MaxValue)
 
   override def reduce(buf: Array[Long], sig: Seq[Long]): Array[Long] = {
+    // LOUD on a short signature: silently skipping the missing slots
+    // leaves Long.MaxValue sentinels in the merged output, and two
+    // unrelated short-signature groups then "agree" on those
+    // components — inflated Jaccard with no error anywhere
+    require(sig.length >= k,
+      s"MinHashMerge: signature has ${sig.length} components, " +
+        s"need >= $k — was it built with a smaller k?")
     var i = 0
-    while (i < k && i < sig.length) {
+    while (i < k) {
       if (sig(i) < buf(i)) buf(i) = sig(i)
       i += 1
     }

@@ -238,14 +238,19 @@ case class PqAssign(child: Expression, book: Seq[Double], off: Int,
   * `(q_i - c_i)^2` in double, and the subspace partials accumulate in
   * ascending-j order — identical fp op order to
   * `tables.map(element_at).reduce(_ + _)`. NULL code/vector, NULL
-  * element, a vector too short for `subspaces*subdim`, or a code id
-  * outside `[0, k)` → NULL.
+  * element, a vector too short for `subspaces*subdim`, a code whose
+  * length is not exactly `|codebook| / (k*subdim)` subspaces, or a
+  * code id outside `[0, k)` → NULL. `k` is EXPLICIT (the caller
+  * always knows it): inferring it from the code length let a
+  * truncated code whose `m*sub` still divided `|codebook|` read
+  * wrong-but-in-bounds slices and return a plausible finite distance.
   */
 case class PqAdc(left: Expression, right: Expression, book: Seq[Double],
-    sub: Int) extends BinaryExpression {
-  require(sub >= 1 && book.nonEmpty && book.length % sub == 0,
-    "pq_adc: subdim >= 1 and |codebook| a non-zero multiple of subdim" +
-      s" (got |book|=${book.length}, sub=$sub)")
+    sub: Int, k: Int) extends BinaryExpression {
+  require(sub >= 1 && k >= 1 && book.nonEmpty &&
+    book.length % (sub * k) == 0,
+    "pq_adc: subdim/k >= 1 and |codebook| a non-zero multiple of " +
+      s"k*subdim (got |book|=${book.length}, sub=$sub, k=$k)")
 
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
@@ -265,9 +270,8 @@ case class PqAdc(left: Expression, right: Expression, book: Seq[Double],
     val code = c.asInstanceOf[ArrayData]
     val qv = q.asInstanceOf[ArrayData]
     val m = code.numElements()
-    if (m == 0 || bookArr.length % (m * sub) != 0 ||
+    if (m == 0 || m * sub * k != bookArr.length ||
       qv.numElements() < m * sub) return null
-    val k = bookArr.length / (m * sub)
     var total = 0.0
     var j = 0
     while (j < m) {
@@ -293,17 +297,16 @@ case class PqAdc(left: Expression, right: Expression, book: Seq[Double],
       ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (c, q) => {
       val bk = ctx.addReferenceObj("adcBook", bookArr, "double[]")
-      val (m, k, j, i, cj, t, total, d) = (ctx.freshName("m"),
-        ctx.freshName("k"), ctx.freshName("j"), ctx.freshName("i"),
+      val (m, j, i, cj, t, total, d) = (ctx.freshName("m"),
+        ctx.freshName("j"), ctx.freshName("i"),
         ctx.freshName("cj"), ctx.freshName("t"), ctx.freshName("total"),
         ctx.freshName("d"))
       s"""
          |int $m = $c.numElements();
-         |if ($m == 0 || $bk.length % ($m * $sub) != 0 ||
+         |if ($m == 0 || $m * $sub * $k != $bk.length ||
          |    $q.numElements() < $m * $sub) {
          |  ${ev.isNull} = true;
          |} else {
-         |  int $k = $bk.length / ($m * $sub);
          |  double $total = 0.0;
          |  for (int $j = 0; $j < $m && !${ev.isNull}; $j++) {
          |    if ($c.isNullAt($j)) { ${ev.isNull} = true; break; }
@@ -425,15 +428,19 @@ case class PqAdcTables(child: Expression, book: Seq[Double], sub: Int,
       newChild: Expression): PqAdcTables = copy(child = newChild)
 }
 
-/** `pq_adc_lookup(code, tables)` — the per-PAIR half of asymmetric
+/** `pq_adc_lookup(code, tables, k)` — the per-PAIR half of asymmetric
   * distance: `subspaces` loads from the query's precomputed
   * [[PqAdcTables]] column, summed in ascending-subspace order (the
   * same fold as [[PqAdc]]'s subspace partials — bit-equal results).
-  * NULL code/tables, a code id outside `[0, k)`, or mismatched shapes
-  * → NULL.
+  * NULL code/tables, a NULL table element, a code id outside
+  * `[0, k)`, or a table whose length is not exactly `m*k` → NULL.
+  * `k` is EXPLICIT for the same reason as [[PqAdc]]'s: inferring it
+  * from the shapes let a truncated code that still divided the table
+  * length read wrong-but-in-bounds entries.
   */
-case class PqAdcLookup(left: Expression, right: Expression)
+case class PqAdcLookup(left: Expression, right: Expression, k: Int)
     extends BinaryExpression {
+  require(k >= 1, s"pq_adc_lookup: k >= 1 (got $k)")
 
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
@@ -451,14 +458,14 @@ case class PqAdcLookup(left: Expression, right: Expression)
     val code = c.asInstanceOf[ArrayData]
     val tab = t.asInstanceOf[ArrayData]
     val m = code.numElements()
-    if (m == 0 || tab.numElements() % m != 0) return null
-    val k = tab.numElements() / m
+    if (m == 0 || tab.numElements() != m * k) return null
     var total = 0.0
     var j = 0
     while (j < m) {
       if (code.isNullAt(j)) return null
       val cj = code.getInt(j)
       if (cj < 0 || cj >= k) return null
+      if (tab.isNullAt(j * k + cj)) return null
       total += tab.getDouble(j * k + cj)
       j += 1
     }
@@ -468,19 +475,19 @@ case class PqAdcLookup(left: Expression, right: Expression)
   override protected def doGenCode(ctx: CodegenContext,
       ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (c, t) => {
-      val (m, k, j, cj, total) = (ctx.freshName("m"), ctx.freshName("k"),
+      val (m, j, cj, total) = (ctx.freshName("m"),
         ctx.freshName("j"), ctx.freshName("cj"), ctx.freshName("total"))
       s"""
          |int $m = $c.numElements();
-         |if ($m == 0 || $t.numElements() % $m != 0) {
+         |if ($m == 0 || $t.numElements() != $m * $k) {
          |  ${ev.isNull} = true;
          |} else {
-         |  int $k = $t.numElements() / $m;
          |  double $total = 0.0;
          |  for (int $j = 0; $j < $m; $j++) {
          |    if ($c.isNullAt($j)) { ${ev.isNull} = true; break; }
          |    int $cj = $c.getInt($j);
          |    if ($cj < 0 || $cj >= $k) { ${ev.isNull} = true; break; }
+         |    if ($t.isNullAt($j * $k + $cj)) { ${ev.isNull} = true; break; }
          |    $total += $t.getDouble($j * $k + $cj);
          |  }
          |  ${ev.value} = $total;
@@ -717,22 +724,25 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           args(2).eval().asInstanceOf[Number].intValue(),
           args(3).eval().asInstanceOf[Number].intValue())
       }))
-    // pq_adc(code, qvec, codebook, subdim): codebook/subdim foldable,
-    // same reference-object convention as pq_assign — the generated
-    // code stays constant-size at any codebook size.
+    // pq_adc(code, qvec, codebook, subdim, k): codebook/subdim/k
+    // foldable, same reference-object convention as pq_assign — the
+    // generated code stays constant-size at any codebook size.
     ext.injectFunction((
       new FunctionIdentifier("pq_adc"),
       new ExpressionInfo(classOf[PqAdc].getName, "pq_adc"),
       (args: Seq[Expression]) => {
-        require(args.length == 4, "pq_adc(code, qvec, codebook, subdim)")
+        require(args.length == 5,
+          "pq_adc(code, qvec, codebook, subdim, k)")
         require(args(2).foldable &&
           args(2).dataType.isInstanceOf[ArrayType] &&
           args(2).dataType.asInstanceOf[ArrayType].elementType == DoubleType,
           "pq_adc codebook must be a foldable array<double>")
-        require(args(3).foldable, "pq_adc subdim must be foldable")
+        require(args(3).foldable && args(4).foldable,
+          "pq_adc subdim/k must be foldable")
         PqAdc(args(0), args(1),
           args(2).eval().asInstanceOf[ArrayData].toDoubleArray().toSeq,
-          args(3).eval().asInstanceOf[Number].intValue())
+          args(3).eval().asInstanceOf[Number].intValue(),
+          args(4).eval().asInstanceOf[Number].intValue())
       }))
     // pq_tables(qvec, codebook, subdim, k) + pq_adc_lookup(code,
     // tables): the split ADC pair — tables once per query row,
@@ -757,8 +767,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("pq_adc_lookup"),
       new ExpressionInfo(classOf[PqAdcLookup].getName, "pq_adc_lookup"),
       (args: Seq[Expression]) => {
-        require(args.length == 2, "pq_adc_lookup(code, tables)")
-        PqAdcLookup(args(0), args(1))
+        require(args.length == 3, "pq_adc_lookup(code, tables, k)")
+        require(args(2).foldable, "pq_adc_lookup k must be foldable")
+        PqAdcLookup(args(0), args(1),
+          args(2).eval().asInstanceOf[Number].intValue())
       }))
     // quantile_bucket(value, cuts): cuts foldable — embedded as a
     // reference array and binary-searched (see LayoutExpressions).

@@ -74,23 +74,34 @@ object ProductQuantization {
         "centroids)")
     val books: Codebooks = Array.tabulate(subspaces)(j =>
       seedRows.map(_.slice(j * subDim, (j + 1) * subDim)))
-    // ONE Spark job per Lloyd step for ALL subspaces (a per-subspace
-    // loop of assign→agg→collect jobs is `subspaces`× the scheduling +
-    // plan-build constant for identical results): each union branch
-    // assigns one subspace's codes, the shared groupBy aggregates on
-    // (subspace, code). The integer-scaled sums make the resulting
-    // means independent of job structure and partition order.
+    // ONE Spark job AND one input scan per Lloyd step for ALL
+    // subspaces: every row explodes (inline) into its `subspaces`
+    // (j, sv, code) rows in a single pass, and the shared groupBy
+    // aggregates on (subspace, code). The previous union-of-branches
+    // form was one JOB but `subspaces` independent SCANS of the
+    // input per step — 8x the read at the default geometry, with the
+    // input's lineage (norms, filters) recomputed per branch. The
+    // aggregation input multiset is identical either way, and the
+    // integer-scaled sums make the resulting means independent of
+    // job structure and partition order — bit-equal codebooks.
     for (_ <- 1 to steps) {
-      val perSub = (0 until subspaces).map { j =>
-        df.select(lit(j).as("j"),
+      val perSub = df.select(inline(array((0 until subspaces).map(j =>
+        struct(lit(j).as("j"),
           subVec(col(vecCol), j, subDim).as("sv"),
           assignCode(col(vecCol), j * subDim, books(j)).as("code"))
-      }.reduce(_ unionAll _)
+      ): _*)))
       val sums = count(lit(1)).as("cnt") +: (1 to subDim).map(i =>
         sum(floor(element_at(col("sv"), i).cast("double") * lit(1e6)
           + lit(0.5)).cast("long")).as(s"s$i"))
       val rows = perSub.groupBy(col("j"), col("code"))
         .agg(sums.head, sums.tail: _*).collect()
+      // a NULL code group means some vector was shorter than
+      // subspaces*subDim (pq_assign's mismatched-shape NULL) — fail
+      // with the cause instead of the bare NPE getInt would throw
+      require(rows.forall(r => !r.isNullAt(1)),
+        s"ProductQuantization.train: some `$vecCol` vectors are " +
+          s"shorter than ${subspaces * subDim} components (NULL " +
+          "assignment) — filter or fix degenerate vectors upstream")
       val byCell = rows.map(r => (r.getInt(0), r.getInt(1)) -> r).toMap
       for (j <- 0 until subspaces; c <- 0 until k)
         byCell.get((j, c)).foreach { r =>
@@ -137,7 +148,8 @@ object ProductQuantization {
   def adcDistCol(codeCol: Column, qvecCol: Column, books: Codebooks,
       subDim: Int): Column =
     call_function("pq_adc", codeCol, qvecCol,
-      typedLit(books.flatMap(_.flatMap(_.toSeq)).toSeq), lit(subDim))
+      typedLit(books.flatMap(_.flatMap(_.toSeq)).toSeq), lit(subDim),
+      lit(books.head.length))
 
   /** The per-QUERY ADC lookup tables (`subspaces × k` squared
     * distances, native `pq_tables`) — stage this ONCE on the broadcast
@@ -150,9 +162,12 @@ object ProductQuantization {
       typedLit(books.flatMap(_.flatMap(_.toSeq)).toSeq), lit(subDim),
       lit(books.head.length))
 
-  /** The per-PAIR half: `subspaces` loads from the staged tables. */
-  def adcLookupCol(codeCol: Column, tablesCol: Column): Column =
-    call_function("pq_adc_lookup", codeCol, tablesCol)
+  /** The per-PAIR half: `subspaces` loads from the staged tables.
+    * `k` (entries per codebook) is explicit — see
+    * [[graft.functions.PqAdcLookup]]'s mis-inference rationale.
+    */
+  def adcLookupCol(codeCol: Column, tablesCol: Column, k: Int): Column =
+    call_function("pq_adc_lookup", codeCol, tablesCol, lit(k))
 
   /** ADC: asymmetric distance from a DRIVER-side query vector to every
     * encoded row = sum over subspaces of a k-entry lookup table (the

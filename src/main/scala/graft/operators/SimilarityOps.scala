@@ -125,23 +125,42 @@ object SimilarityOps {
       // row layout: cell(0), cnt(1), s1..s_dim(2..); ascending cell
       // order is what makes ivf_assign's strict `>` the lowest-id
       // tiebreak
-      val rows = e.withColumn("cell", ivfAssign(cents, dim))
+      val allRows = e.withColumn("cell", ivfAssign(cents, dim))
         .groupBy(col("cell")).agg(sums.head, sums.tail: _*)
-        .collect().sortBy(_.getLong(0))
-      val ms = rows.map { r =>
+        .collect()
+      // NULL cell = some vector shorter than `dim` (ivf_assign's
+      // mismatched-shape NULL) — fail with the cause, not getLong's NPE
+      require(allRows.forall(r => !r.isNullAt(0)),
+        s"trainIvf: some embeddings are shorter than $dim components " +
+          "(NULL assignment) — filter or fix degenerate vectors " +
+          "upstream")
+      val rows = allRows.sortBy(_.getLong(0))
+      val msAll = rows.map { r =>
         val cnt = r.getLong(1)
         // same op order as the column form: s.toDouble / cnt / 1e6
         Array.tabulate(dim)(i => r.getLong(2 + i).toDouble / cnt / 1e6)
       }
+      def normOf(m: Array[Double]): Double = {
+        var t = 0.0
+        var i = 0
+        while (i < dim) { t += m(i) * m(i); i += 1 }
+        math.sqrt(t) // left fold + sqrt == the generated m1*m1+... chain
+      }
+      // a cell whose mean is the EXACT zero vector (symmetric members
+      // v and -v) is degenerate under cosine — it can attract nothing
+      // and its zero norm would fail ivf_assign's strictly-positive
+      // require on the next round/query. DROP it: its members
+      // reassign to their next-best cell, which is the k-means answer
+      // for an empty-attraction centroid
+      val live = rows.indices.filter(i => normOf(msAll(i)) > 0.0)
+      require(live.nonEmpty,
+        "trainIvf: every cell mean degenerated to the zero vector — " +
+          "cosine training is undefined on this input")
+      val ms = live.map(msAll).toArray
       cents = IvfCentroids(
-        rows.map(_.getLong(0)),
+        live.map(i => rows(i).getLong(0)).toArray,
         ms.flatten,
-        ms.map { m =>
-          var t = 0.0
-          var i = 0
-          while (i < dim) { t += m(i) * m(i); i += 1 }
-          math.sqrt(t) // left fold + sqrt == the generated m1*m1+... chain
-        })
+        ms.map(normOf))
     }
     cents
   }
@@ -245,11 +264,22 @@ object SimilarityOps {
     val a = side(batch, "a", "va", "na")
     val b = side(prunedStored, "b", "vb", "nb")
       .unionByName(side(batch, "b", "vb", "nb"))
+    // a NULL cosine (vec_dot's length-mismatch NULL: the norms are
+    // fine but the dims differ — corrupt embedding) must not silently
+    // DROP the pair from the confirm set: `csim >= threshold` filters
+    // NULL out, and the corrupt arrival would be ADMITTED as novel.
+    // Same failure class, same answer as nOk: fail loudly at the
+    // first unverifiable pair
+    val csim = round(pairCosine("va", "vb", "na", "nb"), 6)
     val confirmed = a.join(b, Seq("cell", "bucket"))
       .filter(col("a") =!= col("b"))
       .select(least(col("a"), col("b")).as("a"),
         greatest(col("a"), col("b")).as("b"),
-        round(pairCosine("va", "vb", "na", "nb"), 6).as("csim"))
+        when(csim.isNull,
+          raise_error(lit("ingestGate: NULL pair cosine — embedding " +
+            "length mismatch; filter or fix degenerate vectors " +
+            "upstream")).cast("double"))
+          .otherwise(csim).as("csim"))
       .dropDuplicates("a", "b")
       .filter(col("csim") >= threshold)
     confirmed

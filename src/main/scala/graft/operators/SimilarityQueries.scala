@@ -281,7 +281,7 @@ object SimilarityQueries {
           col("q_id") =!= col("vec_id"))
         .select(col("q_id"), col("vec_id"),
           round(ProductQuantization.adcLookupCol(
-            col("code"), col("qt")), 6).as("adc_dist"))
+            col("code"), col("qt"), books.head.length), 6).as("adc_dist"))
       // sort-free top-k: the scored stream feeds a k-slot aggregator,
       // never a window sort
       topkByDist(sim, Seq("q_id"), "adc_dist")
@@ -328,7 +328,7 @@ object SimilarityQueries {
         .filter(col("q_id") =!= col("vec_id"))
         .select(col("q_id"), col("vec_id"), col("cell"),
           round(ProductQuantization.adcLookupCol(
-            col("code"), col("qt")), 6).as("adc_dist"))
+            col("code"), col("qt"), books.head.length), 6).as("adc_dist"))
       // sort-free top-k; every candidate shares the query's cell, so
       // grouping by (q_id, cell) preserves the output column
       topkByDist(sim, Seq("q_id", "cell"), "adc_dist")
@@ -400,7 +400,7 @@ object SimilarityQueries {
         .filter(col("q_id") =!= col("vec_id"))
         .select(col("q_id"), col("vec_id"),
           round(ProductQuantization.adcLookupCol(
-            col("code"), col("qt")), 6).as("adc_dist"))
+            col("code"), col("qt"), books.head.length), 6).as("adc_dist"))
       val short = topkByDist(cand, Seq("q_id"), "adc_dist", CandPool)
         .select(col("q_id"), col("vec_id"), col("adc_dist"))
       // exact re-rank touches full-precision vectors ONLY for the

@@ -597,7 +597,7 @@ object VectorIndex {
       .select(Seq(col("q_id"), col("vec_id"), col("cell")) ++
         filterKeys.map(col) :+
         round(ProductQuantization.adcLookupCol(
-          col("code"), col("qt")), 6).as("adc_dist"): _*)
+          col("code"), col("qt"), l.books.head.length), 6).as("adc_dist"): _*)
     // sort-free top-k (TopKMin aggregator): the scored stream never
     // sorts; the shuffle carries queries×k rows. Every candidate
     // shares the query's (cell, filterKeys), so grouping by them

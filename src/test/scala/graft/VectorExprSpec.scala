@@ -162,7 +162,8 @@ class VectorExprSpec extends SparkSpec {
       // the split serving form: per-query tables + per-pair lookups
       graft.operators.ProductQuantization.adcLookupCol(col("code"),
         graft.operators.ProductQuantization
-          .adcTablesCol(col("qv"), books, 4)).as("split"))
+          .adcTablesCol(col("qv"), books, 4),
+        books.head.length).as("split"))
     assert(cmp.filter(col("native") =!= col("literal")).count() === 0)
     // all three forms share the exact per-subspace folds and summing
     // order — bit-equal, which is what lets the serving queries use
@@ -175,15 +176,23 @@ class VectorExprSpec extends SparkSpec {
     val rows = Seq((Seq(0), Seq(0.5f, 0.5f))).toDF("code", "qv")
     // out-of-range code id and too-short query vector are NULL
     val edge = rows.select(
-      call_function("pq_adc", typedLit(Seq(7)), col("qv"), book, lit(2)),
-      call_function("pq_adc", col("code"), typedLit(Seq(0.5f)), book,
+      call_function("pq_adc", typedLit(Seq(7)), col("qv"), book, lit(2),
         lit(2)),
+      call_function("pq_adc", col("code"), typedLit(Seq(0.5f)), book,
+        lit(2), lit(2)),
       call_function("pq_adc", lit(null).cast("array<int>"), col("qv"),
-        book, lit(2))).collect().head
-    assert(edge.isNullAt(0) && edge.isNullAt(1) && edge.isNullAt(2))
+        book, lit(2), lit(2)),
+      // a TRUNCATED code whose m*sub still divides |codebook| must be
+      // NULL, not a plausible distance over mis-sliced centroids —
+      // here |book|=4, sub=1, k=2 expects m=2 but the code has m=1
+      // (1*1 divides 4, the old k-inference accepted it)
+      call_function("pq_adc", typedLit(Seq(0)), col("qv"), book, lit(1),
+        lit(2))).collect().head
+    assert(edge.isNullAt(0) && edge.isNullAt(1) && edge.isNullAt(2) &&
+      edge.isNullAt(3))
     // happy path: code 1 selects centroid (1,1): (0.5-1)^2 * 2 = 0.5
     val ok = rows.select(call_function("pq_adc", typedLit(Seq(1)),
-      col("qv"), book, lit(2))).as[Double].head()
+      col("qv"), book, lit(2), lit(2))).as[Double].head()
     assert(ok === 0.5)
   }
 

@@ -35,6 +35,12 @@ object DedupOps {
     df.select(col(idCol),
         md5(TextOps.normalize(col(textCol)).cast("binary"))
           .as("content_fp"))
+      // NULL text → NULL fingerprint, and groupBy would collect every
+      // null-text doc into ONE "duplicate" group whose survivors
+      // filter silently drops all but min(id) — routine scraped-data
+      // nulls are not duplicates of each other; they carry no content
+      // to match on and stay out of the dup groups entirely
+      .where(col("content_fp").isNotNull)
       .groupBy(col("content_fp"))
       .agg(min(col(idCol)).as("keep_id"),
         count(lit(1)).as("n_dups"))
@@ -150,13 +156,12 @@ object DedupOps {
     * of an interpreted md5 lambda per token.
     */
   def tokenHashes(textCol: String): Column =
-    // TextOps.WsClass, not \s: Java \s includes \x0B, RE2 \s does not.
-    // Built with the Column API, NOT an expr() string: Spark SQL
-    // literals recognize \t/\n/\r but NOT \f — the unknown escape
-    // drops its backslash and turns the class into one containing the
-    // LETTER 'f', silently splitting tokens at every 'f'
+    // TextOps.tokens IS the engine's one named tokenizer (WsClass,
+    // Column API — see its \f-escape rationale): simhash must hash
+    // the same token stream minhash/shingling read, so route through
+    // it rather than re-spelling the split here
     call_function("shingle_hashes",
-      split(trim(col(textCol)), TextOps.WsClass + "+"), lit(1), lit(0L))
+      TextOps.tokens(col(textCol)), lit(1), lit(0L))
 
   /** SimHash over a STAGED token-hash array column (see [[tokenHashes]]),
     * `bits` wide (production would use 64; oracle-checked tests use 16 to

@@ -60,7 +60,7 @@ object DedupQueries {
 
   /** Deterministic 0-99 split bucket (x4's hash split). */
   private def splitBucket: Column =
-    pmod(TextOps.hash15(concat(lit("split|"), col("doc_id"))), lit(100))
+    pmod(TextOps.hash15(col("doc_id"), "split"), lit(100))
 
   /** Minimum-length quality floor. */
   private def lengthOk: Column =
@@ -412,7 +412,8 @@ object DedupQueries {
               AS content_fp
           FROM documents)
           SELECT content_fp, min(doc_id) AS keep_id, count(*) AS n_dups
-          FROM n GROUP BY content_fp""",
+          FROM n WHERE content_fp IS NOT NULL
+          GROUP BY content_fp""",
     "d2_minhash_sig" ->
       s"""WITH $sigCte SELECT doc_id, mh0, mh1, mh2, mh3 FROM sig""",
     "d3_lsh_buckets" ->

@@ -49,9 +49,14 @@ object MultimodalOps {
     graft.functions.ShingleOps.hash15(bytes)
 
   /** STUB decode: deterministic pseudo-features from the content hash.
-    * Each component is a 16-bit slice of the fingerprint divided by
-    * 2^16 — exactly representable in float32, so downstream double
-    * arithmetic is bit-stable.
+    * Component i is the 16-bit window of the fingerprint starting at
+    * bit 4·i, divided by 2^16 — a 4-bit STRIDE, so adjacent
+    * components overlap deliberately: hash15 yields 60 bits, and a
+    * disjoint 16-bit stride would push every component past the
+    * fourth outside the fingerprint (always zero). Each value is
+    * exactly representable in float32, so downstream double
+    * arithmetic is bit-stable; the m2-m4 oracles replicate this exact
+    * windowing.
     */
   def decodeStub(row: MediaRow): MediaFeatures = {
     val fp = hash15Jvm(row.payload)
@@ -117,7 +122,23 @@ object MultimodalOps {
           }
         } finally if (iis != null) iis.close()
       } catch { case scala.util.control.NonFatal(_) => None }
-    img.map { bi =>
+    img.map { bi0 =>
+      // INDEXED-COLOR images (GIF, palette PNG/BMP) store palette
+      // INDICES in the raster — a luminance computed from raw samples
+      // would be the mean palette index, not brightness (an all-white
+      // 2-color GIF could read as 0.0). Resolve through the palette
+      // by converting to RGB first; transparency flattens to black
+      // (the conversion's default), which the fingerprint still
+      // distinguishes.
+      val bi =
+        if (bi0.getColorModel.isInstanceOf[
+            java.awt.image.IndexColorModel]) {
+          val conv = new java.awt.image.BufferedImage(bi0.getWidth,
+            bi0.getHeight, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val g = conv.createGraphics()
+          try g.drawImage(bi0, 0, 0, null) finally g.dispose()
+          conv
+        } else bi0
       val (w, h) = (bi.getWidth, bi.getHeight)
       val raster = bi.getRaster
       // color bands only: standard BufferedImage rasters order color
@@ -125,6 +146,13 @@ object MultimodalOps {
       // counts just the color ones (3 for RGBA, 1 for gray+alpha)
       val bands = math.min(bi.getColorModel.getNumColorComponents,
         raster.getNumBands)
+      // normalize sample depth to the 8-bit scale: the JDK PNG reader
+      // yields 16-bit rasters for 16-bit PNGs, and an unscaled mean
+      // would sit 256x above an identically-toned 8-bit image's.
+      // Right-shift keeps the statistics integer-exact; 8-bit inputs
+      // (every oracle fixture) shift by zero — bit-identical
+      val shifts = Array.tabulate(bands)(b => math.max(0,
+        raster.getSampleModel.getSampleSize(b) - 8))
       // band-summed integer accumulators: total plus one per 2×2 cell
       // (quadrant split at the integer midpoint — odd dims put the
       // extra row/column in the low cell)
@@ -138,7 +166,9 @@ object MultimodalOps {
         while (x < w) {
           var s = 0L
           var b = 0
-          while (b < bands) { s += raster.getSample(x, y, b); b += 1 }
+          while (b < bands) {
+            s += raster.getSample(x, y, b) >> shifts(b); b += 1
+          }
           val c = gy * 2 + (if (2 * x >= w) 1 else 0)
           cellSum(c) += s
           cellN(c) += 1
@@ -303,7 +333,13 @@ object MultimodalOps {
             i += 1
           }
           val rate = math.round(f.getSampleRate).toInt
-          Some(AudioFeatures(row.id, row.kind,
+          // a corrupt/crafted header can declare sample rate 0 (or a
+          // fraction rounding to 0) and still parse — duration would
+          // be Infinity/NaN under decoded=true, poisoning downstream
+          // filters; route it to the flagged fallback instead (same
+          // trust-no-declared-geometry stance as MaxImagePixels)
+          if (rate <= 0) None
+          else Some(AudioFeatures(row.id, row.kind,
             row.payload.length.toLong, hash15Jvm(row.payload),
             decoded = true, rate, ch, nFrames,
             nFrames.toDouble / rate,

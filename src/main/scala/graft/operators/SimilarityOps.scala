@@ -215,7 +215,7 @@ object SimilarityOps {
   def recallSample(idCol: Column, f: Long, salt: String = "s14"): Column = {
     require(f >= 1, s"recallSample modulus must be >= 1, got $f")
     if (f == 1) lit(true)
-    else pmod(TextOps.hash15(concat(lit(s"$salt|"), idCol)), lit(f)) === 0
+    else pmod(TextOps.hash15(idCol, salt), lit(f)) === 0
   }
 
   def ingestGate(stored: DataFrame, batch: DataFrame,

@@ -33,9 +33,11 @@ object TextOps {
   def hash15(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
-  /** Salted variant for k independent hash functions (MinHash). */
-  def hash15(c: Column, salt: Int): Column =
-    hash15(concat(lit(salt.toString), lit("|"), c))
+  /** Salted variant — one spelling of the `salt|value` convention, so
+    * split buckets and samplers cannot drift on the prefix format.
+    */
+  def hash15(c: Column, salt: String): Column =
+    hash15(concat(lit(salt), lit("|"), c))
 
   /** Whitespace tokens of trimmed text. */
   def tokens(text: Column): Column =

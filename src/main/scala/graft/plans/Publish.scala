@@ -165,6 +165,18 @@ object Publish {
   /** Scale path: all chunks in one distributed job via partitionBy. */
   def publishPartitioned(fact: DataFrame, spec: ChunkSpec,
       outDir: String): Unit = {
+    // SAME null-chunk-key contract as publishChunks: without it the
+    // two documented parity paths diverge on identical input — the
+    // faithful path refuses while this one would silently write the
+    // rows into __HIVE_DEFAULT_PARTITION__ directories no
+    // chunkFileName ever names. One column-pruned existence check.
+    val nulls = spec.chunkKeys
+      .map(k => col(k).isNull)
+      .reduce(_ || _)
+    require(fact.filter(nulls).isEmpty,
+      "publishPartitioned: NULL in chunk key(s) " +
+        s"${spec.chunkKeys.mkString(",")}; filter or fill them first " +
+        "(same contract as publishChunks)")
     val wide = PivotOps.pivotWide(fact,
       (spec.chunkKeys :+ spec.indexCol).map(col),
       col(spec.pivotKey), spec.domain, col(spec.valueCol),

@@ -155,6 +155,18 @@ class IoPublishSpec extends SparkSpec {
     assert(dirs.map(_.split("/").last).toSeq === Seq("sid=1", "sid=2"))
   }
 
+  test("partitioned publish refuses NULL chunk keys — the same loud " +
+      "contract as publishChunks, never a silent default partition") {
+    val dir = s"${tmpDir()}/widenull"
+    val withNull = fact.union(Seq(
+      (Option.empty[Long], ts("2024-01-01 03:00:00"), "temp", 9.9))
+      .toDF("sid", "t", "metric", "v"))
+    val e = intercept[IllegalArgumentException] {
+      Publish.publishPartitioned(withNull, spec, dir)
+    }
+    assert(e.getMessage.contains("NULL in chunk key"))
+  }
+
   test("reference-faithful quoted header lines survive the read paths") {
     // a comma-valued metadata line is quoted WHOLE-LINE by the
     // reference format (FileHeader.line) — the readers must treat it

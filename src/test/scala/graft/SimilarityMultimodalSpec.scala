@@ -118,6 +118,33 @@ class SimilarityMultimodalSpec extends SparkSpec {
     assert(5000L * 5000L > MultimodalOps.MaxImagePixels)
     assert(MultimodalOps.decodeImage(
       MultimodalOps.MediaRow(22L, "image", bbos.toByteArray)).isEmpty)
+    // INDEXED-COLOR images resolve through the palette: a 2-color GIF
+    // whose palette maps index 0 -> white must read BRIGHT — raw
+    // raster samples are palette indices and would read 0.0
+    val pal = new java.awt.image.IndexColorModel(1, 2,
+      Array[Byte](-1, 0), Array[Byte](-1, 0), Array[Byte](-1, 0))
+    val gif = new java.awt.image.BufferedImage(8, 8,
+      java.awt.image.BufferedImage.TYPE_BYTE_BINARY, pal)
+    // all pixels stay index 0 = white
+    val gbos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(gif, "gif", gbos)
+    val gf = MultimodalOps.decodeImage(
+      MultimodalOps.MediaRow(23L, "image", gbos.toByteArray)).get
+    assert(gf.mean_lum === 255.0,
+      s"palette image read mean_lum=${gf.mean_lum} — indices, not color")
+    // 16-BIT depth normalizes to the 8-bit scale: a mid-gray
+    // TYPE_USHORT_GRAY PNG must not read 256x brighter than an
+    // identically-toned 8-bit one
+    val deep = new java.awt.image.BufferedImage(4, 4,
+      java.awt.image.BufferedImage.TYPE_USHORT_GRAY)
+    for (y <- 0 until 4; x <- 0 until 4)
+      deep.getRaster.setSample(x, y, 0, 100 << 8) // 8-bit value 100
+    val dbos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(deep, "png", dbos)
+    val df16 = MultimodalOps.decodeImage(
+      MultimodalOps.MediaRow(24L, "image", dbos.toByteArray)).get
+    assert(df16.mean_lum === 100.0,
+      s"16-bit image read mean_lum=${df16.mean_lum} — unscaled depth")
   }
 
   test("real audio decode: WAV round-trip matches the square-wave " +

@@ -13,6 +13,18 @@ class TextDedupSpec extends SparkSpec {
     assert(got === MultimodalOps.hash15Jvm("abc".getBytes("UTF-8")))
   }
 
+  test("exact dedup: NULL-text docs are never duplicates of each " +
+      "other — no group forms on the NULL fingerprint") {
+    val df = Seq[(Long, String)]((1L, "same"), (2L, "same"),
+      (3L, null), (4L, null)).toDF("doc_id", "text")
+    val g = DedupOps.exactDupGroups(df, "text", "doc_id").collect()
+    // one real duplicate group; the two null-text docs (routine in
+    // scraped data) must not collapse into a shared group whose
+    // survivors filter would silently drop one of them
+    assert(g.length === 1)
+    assert(g.head.getLong(1) === 1L && g.head.getLong(2) === 2L)
+  }
+
   test("rolling hash folds chars base-31 mod 1e9+7") {
     val got = Seq("ab").toDF("t")
       .select(TextOps.rollingHash("t")).as[Long].head()

@@ -34,8 +34,12 @@ final class EditSession private (val df: DataFrame,
     */
   def select(selCol: String, pred: Column, intersect: Boolean): EditSession = {
     val p = coalesce(pred, lit(false))
+    // the EXISTING column coalesces too: open() takes any frame, so a
+    // caller-supplied selection column can already hold NULLs — and
+    // NULL && TRUE = NULL would store exactly the three-valued value
+    // this method's contract exists to keep out
     edit(d => d.withColumn(selCol,
-      if (intersect) col(selCol) && p else p))
+      if (intersect) coalesce(col(selCol), lit(false)) && p else p))
   }
 
   /** M6 — rollback to the previous state (no-op at the root). */

@@ -66,9 +66,15 @@ object LayoutOps {
     val fs = target.getFileSystem(
       df.sparkSession.sparkContext.hadoopConfiguration)
     val q = fs.makeQualified(target).toString
-    val hit = df.inputFiles.find(f =>
-      fs.makeQualified(new org.apache.hadoop.fs.Path(f)).toString
-        .startsWith(q + "/"))
+    // prefix OR exact match: a SINGLE-FILE parquet source given as
+    // the target is equal to q, not under q + "/" — without the
+    // equality leg the guard waves through the one case that
+    // destroys the only copy
+    val hit = df.inputFiles.find { f =>
+      val qf = fs.makeQualified(new org.apache.hadoop.fs.Path(f))
+        .toString
+      qf == q || qf.startsWith(q + "/")
+    }
     require(hit.isEmpty,
       s"$op: the input frame reads from the overwrite target $dir " +
         s"(e.g. ${hit.getOrElse("")}) — the overwrite would destroy " +

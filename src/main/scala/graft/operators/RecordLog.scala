@@ -39,6 +39,26 @@ object RecordLog {
     // unparseable log (violating fail-fast-at-construction)
     require(!v.exists(c => ",=;()\n\r".contains(c)),
       s"$field must not contain any of , = ; ( ) or line breaks — got '$v'")
+    // leading/trailing whitespace would survive serialize but not
+    // parse (args trims values) — the parse(serialize(x)) == x
+    // identity requires rejecting it here
+    require(v == v.trim,
+      s"$field must not carry leading/trailing whitespace — got '$v'")
+    v
+  }
+
+  /** Date bounds additionally fail at CONSTRUCTION when unparseable:
+    * replayed `to_timestamp` would yield NULL, [[refine]] would
+    * coalesce the three-valued predicate to an all-false selection,
+    * and the action would be a silent no-op the log believes
+    * succeeded.
+    */
+  private def dateBound(field: String, v: String): String = {
+    delimFree(field, v)
+    require(v.isEmpty ||
+      scala.util.Try(java.sql.Timestamp.valueOf(v)).isSuccess ||
+      scala.util.Try(java.time.LocalDate.parse(v)).isSuccess,
+      s"$field must be 'yyyy-MM-dd[ HH:mm:ss[.f]]', got '$v'")
     v
   }
 
@@ -89,7 +109,7 @@ object RecordLog {
     */
   final case class FilterDate(after: String, before: String,
       intersect: Boolean) extends EditAction {
-    delimFree("after", after); delimFree("before", before)
+    dateBound("after", after); dateBound("before", before)
     def apply(shape: Shape, df: DataFrame): DataFrame = {
       val t = col(shape.ts)
       val preds = Seq(
@@ -142,19 +162,30 @@ object RecordLog {
     * (edit_service.py:279-309).
     */
   final case class Interpolate() extends EditAction {
-    def apply(shape: Shape, df: DataFrame): DataFrame =
+    def apply(shape: Shape, df: DataFrame): DataFrame = {
+      // same working-column discipline as EditOps.driftCorrectRuns:
+      // a silent withColumn+drop would clobber then LOSE a user
+      // column of this name
+      require(!df.columns.contains("__interp"),
+        "interpolate: the frame already has a __interp column — " +
+          "rename it; the action needs the name as working space")
       EditOps.interpolate(df, shape.keys, shape.ts, shape.tiebreak,
           shape.value, sel(shape), "__interp")
         .withColumn(shape.value, col("__interp")).drop("__interp")
+    }
     def line = "interpolate()"
   }
 
   /** W5 — drift-correct each selected run (edit_service.py:311-339). */
   final case class DriftCorrect(gradient: Double) extends EditAction {
-    def apply(shape: Shape, df: DataFrame): DataFrame =
+    def apply(shape: Shape, df: DataFrame): DataFrame = {
+      require(!df.columns.contains("__drift"),
+        "drift_correct: the frame already has a __drift column — " +
+          "rename it; the action needs the name as working space")
       EditOps.driftCorrectRuns(df, shape.keys, shape.ts, shape.tiebreak,
           shape.value, sel(shape), gradient, "__drift")
         .withColumn(shape.value, col("__drift")).drop("__drift")
+    }
     def line = s"drift_correct(gradient=$gradient)"
   }
 

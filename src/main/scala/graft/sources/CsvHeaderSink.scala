@@ -66,8 +66,28 @@ object CsvHeaderSink {
     }
   }
 
+  /** The format cannot represent a data row whose FIRST field starts
+    * with '#': every read path classifies such lines as metadata (the
+    * reference format reserves leading `#`, and its comma-value form
+    * is whole-line quoted, so `"#` is reserved too) and would
+    * silently drop the row from read() and tailProbe(). Real
+    * deliverables lead with a timestamp column, where this guard is a
+    * type check and costs nothing; a string-led frame pays one
+    * column-pruned emptiness check for the loud error.
+    */
+  private def requireNoHashLeadingData(df: DataFrame): Unit =
+    df.schema.headOption
+      .filter(_.dataType == org.apache.spark.sql.types.StringType)
+      .foreach { f =>
+        require(df.filter(col(f.name).startsWith("#")).isEmpty,
+          s"CsvHeaderSink: data rows whose first column `${f.name}` " +
+            "starts with '#' cannot round-trip the header format " +
+            "(reads drop them as metadata lines); clean them first")
+      }
+
   def writeComposed(df: DataFrame, headerText: String,
       out: String): Unit = {
+    requireNoHashLeadingData(df)
     val tmp = Files.createTempDirectory("csvsink")
     try {
       pandasTs(df).coalesce(1).write.mode("overwrite")
@@ -99,12 +119,18 @@ object CsvHeaderSink {
     * AppendSeriesToFile).
     */
   def append(df: DataFrame, out: String): Unit = {
+    requireNoHashLeadingData(df)
     val tmp = Files.createTempDirectory("csvappend")
     try {
-      pandasTs(df).coalesce(1).write.mode("overwrite")
-        .option("header", "false").csv(tmp.toString)
-      val part = firstPart(tmp.toString)
       val target = Paths.get(out)
+      // appending to a MISSING target CREATES the file — it must get
+      // the column-header line, or read()/tailProbe() would promote
+      // the first data row to column names (tailProbe then returns
+      // None and resume logic rewrites the file instead of appending)
+      pandasTs(df).coalesce(1).write.mode("overwrite")
+        .option("header", (!Files.exists(target)).toString)
+        .csv(tmp.toString)
+      val part = firstPart(tmp.toString)
       if (target.getParent != null) Files.createDirectories(target.getParent)
       val staged = stagedSibling(target)
       try {

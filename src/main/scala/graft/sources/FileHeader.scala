@@ -48,17 +48,26 @@ object FileHeader {
       description: String, link: Option[String], contactName: String,
       phone: String, email: String, citation: String)
 
+  /** Marks the ONE field the reference int-renders when whole —
+    * `int(no_data_value) if no_data_value.is_integer()`
+    * (DatasetUtilities.py:642). Every other Double prints like
+    * Python's `str(float)`: a whole elevation stays "1414.0", a whole
+    * TimeSupport stays "0.0" — applying the int() quirk to them (the
+    * old behavior) byte-diverged those header lines from the
+    * reference's.
+    */
+  private final case class IntWhole(d: Double)
+
   private def pyStr(v: Any): String = v match {
     case None => "None"
     case Some(x) => pyStr(x)
-    // the reference renders int(no_data_value) when whole
-    // (DatasetUtilities.py:642) — Python's int() is arbitrary
-    // precision, so a huge whole sentinel (1e20) prints its exact
-    // integer; toLong would silently SATURATE to Long.MaxValue,
-    // hence BigDecimal
-    case d: Double => if (d.isWhole)
+    // Python's int() is arbitrary precision, so a huge whole sentinel
+    // (1e20) prints its exact integer; toLong would silently SATURATE
+    // to Long.MaxValue, hence BigDecimal
+    case IntWhole(d) => if (d.isWhole)
       BigDecimal(d).toBigIntExact.map(_.toString).getOrElse(d.toString)
       else d.toString
+    case d: Double => d.toString
     case x => x.toString
   }
 
@@ -114,10 +123,19 @@ object FileHeader {
     "TimeSupportUnitsName" -> v.timeUnits.name,
     "TimeSupportUnitsType" -> v.timeUnits.unitType)
 
-  /** Single-series expanded section (ExpandedVariableData). */
+  /** Single-series expanded section (ExpandedVariableData). The
+    * int()-when-whole NoDataValue quirk applies ONLY here
+    * (DatasetUtilities.py:642) — the reference's COMPACT formatter
+    * prints the raw float (line 719), so the wrap happens at this
+    * call site, not in [[varFields]].
+    */
   def expandedVariableSection(v: VarInfo, m: MethodInfo): String =
     "# Variable and Method Information\n" + Rule +
-      (varFields(v) ++ Seq[(String, Any)](
+      (varFields(v).map {
+        case ("NoDataValue", _) =>
+          "NoDataValue" -> (IntWhole(v.noDataValue): Any)
+        case kv => kv
+      } ++ Seq[(String, Any)](
         "MethodDescription" -> m.description,
         "MethodLink" -> cleanLink(m)))
         .map { case (t, x) => line(t, x) }.mkString

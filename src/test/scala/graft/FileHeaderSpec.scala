@@ -41,7 +41,7 @@ class FileHeaderSpec extends AnyFunSuite {
         |# Latitude: 41.7436
         |# Longitude: -111.7956
         |# LatLonDatum: WGS84
-        |# Elevation_m: 1414
+        |# Elevation_m: 1414.0
         |# ElevationDatum: NAVD88
         |# State: Utah
         |# County: Cache
@@ -77,5 +77,9 @@ class FileHeaderSpec extends AnyFunSuite {
     assert(h.contains("\"# Column: pH_EXO-5 | VariableCode: pH_EXO | "))
     // exactly two compact rows
     assert(h.linesIterator.count(_.startsWith("\"# Column:")) === 2)
+    // the compact formatter prints the RAW float NoDataValue — the
+    // int()-when-whole quirk belongs to the EXPANDED section only
+    // (DatasetUtilities.py:642 vs 719)
+    assert(h.contains("NoDataValue: -9999.0 | "))
   }
 }

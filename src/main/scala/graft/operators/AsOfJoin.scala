@@ -34,6 +34,14 @@ object AsOfJoin {
   def asOf(left: DataFrame, right: DataFrame, keys: Seq[String],
       ts: String, payloadCol: String, outCol: String): DataFrame = {
     val lCols = left.columns
+    // working-name guard (the PackOps/SourceMix convention): a caller
+    // column named like the staging columns would be silently
+    // overwritten and returned as a constant
+    Seq("__side", "__p").foreach(n => require(!lCols.contains(n),
+      s"asOf: left already has a '$n' column — rename it first"))
+    require(!lCols.contains(outCol),
+      s"asOf: left already has a '$outCol' column — pick another " +
+        "outCol (the attach would produce a duplicate name)")
     // The payload travels WRAPPED in a struct: `last(payload,
     // ignoreNulls)` on the bare column cannot tell a left-row
     // placeholder NULL from a matched right row whose payload is
@@ -48,6 +56,12 @@ object AsOfJoin {
         lit(null).cast(org.apache.spark.sql.types.StructType(
           Seq(org.apache.spark.sql.types.StructField("v", pType)))))
     val r = right
+      // a NULL right timestamp can never satisfy r.ts <= l.ts (the
+      // comparison is three-valued NULL — native ASOF and the DuckDB
+      // oracle never match it), but ascending-nulls-FIRST ordering
+      // would make it the partition's earliest anchor and attach its
+      // payload everywhere: drop such rows up front
+      .where(col(ts).isNotNull)
       .select((keys :+ ts).map(col)
         :+ struct(col(payloadCol).as("v")).as("__p"): _*)
       .withColumn("__side", lit(0))

@@ -32,7 +32,12 @@ object EditOps {
     val us = unix_micros(col(ts))
     val gapBefore = us - lag(us, 1).over(ww)
     val gapAfter  = lead(us, 1).over(ww) - us
-    val t = lit(thresholdSec * 1e6)
+    // LONG microseconds, not a double: thresholds whose scaling
+    // rounds up an ulp (0.000123 * 1e6 = 123.00000000000001) would
+    // otherwise un-flag a gap exactly AT the threshold, violating the
+    // documented >= semantics (whole-second thresholds are exact
+    // either way)
+    val t = lit(math.round(thresholdSec * 1e6))
     df.withColumn("gap_flag",
       coalesce(gapBefore >= t, lit(false)) ||
       coalesce(gapAfter >= t, lit(false)))

@@ -39,6 +39,16 @@ object IntervalJoin {
     */
   def trailingCount(left: DataFrame, right: DataFrame, keys: Seq[String],
       ts: String, windowSec: Long, countCol: String): DataFrame = {
+    // working-name guard (the PackOps/SourceMix convention): a caller
+    // column named like the staging columns would be silently
+    // overwritten — and since the final groupBy keys on ALL left
+    // columns, returned corrupted
+    Seq("__lus", "__band").foreach(n =>
+      require(!left.columns.contains(n),
+        s"trailingCount: left already has a '$n' column — rename it"))
+    require(!left.columns.contains(countCol),
+      s"trailingCount: left already has a '$countCol' column — pick " +
+        "another countCol (duplicate output name)")
     val us = windowSec * 1000000L
     val l = left
       .withColumn("__lus", unix_micros(col(ts)))

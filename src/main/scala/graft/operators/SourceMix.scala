@@ -25,9 +25,13 @@ import org.apache.spark.sql.functions._
   */
 object SourceMix {
 
-  /** The stable mix order: 60-bit md5-derived hash of the doc id. */
+  /** The stable mix order: 60-bit md5-derived hash of the doc id —
+    * through the ONE salted-hash spelling ([[TextOps.hash15]]), so
+    * the mix can never drift from the other bucketing sites on the
+    * salt-prefix format.
+    */
   def mixHash(idCol: Column): Column =
-    TextOps.hash15(concat(lit("mix|"), idCol.cast("string")))
+    TextOps.hash15(idCol.cast("string"), "mix")
 
   /** One row per source: (source, c, n_s). Integer-exact: the sqrt is
     * floored to BIGINT before the denominator sum (a double Σ√c would
@@ -35,12 +39,21 @@ object SourceMix {
     * capped at the source's own size.
     */
   def quotas(docs: DataFrame, totalBudget: Long): DataFrame = {
+    require(totalBudget >= 0,
+      s"SourceMix.quotas: totalBudget >= 0 (got $totalBudget)")
     val counts = docs.groupBy(col("source"))
       .agg(count(lit(1)).as("c"))
       .withColumn("isq", floor(sqrt(col("c").cast("double"))).cast("long"))
     val tot = counts.agg(sum(col("isq")).as("tot"))
+    // the budget×weight product runs in DECIMAL: two huge-but-legal
+    // longs would silently WRAP a bigint product (non-ANSI) into a
+    // negative quota; decimal(19,0)×decimal(19,0) stays exact to 38
+    // digits, and integral `div` returns the same bigint quota on
+    // every non-overflowing input
     counts.crossJoin(broadcast(tot))
-      .withColumn("n_s", expr(s"least(($totalBudget * isq) div tot, c)"))
+      .withColumn("n_s", expr(
+        s"least((CAST($totalBudget AS DECIMAL(19,0)) * " +
+          "CAST(isq AS DECIMAL(19,0))) div tot, c)"))
       .select("source", "c", "n_s")
   }
 
@@ -69,6 +82,11 @@ object SourceMix {
     val q = broadcast(quota.select(col("source").as("__q_source"),
       col("n_s")))
     docs
+      // NULL ids hash to NULL, which would sort FIRST here (filling
+      // quotas preferentially) while thresholdMix's comparison drops
+      // them — exclude them in BOTH paths so the two fills keep their
+      // documented same-selection semantics
+      .where(col(idCol).isNotNull)
       .withColumn("r", row_number().over(w).cast("long"))
       .join(q, col("source") <=> col("__q_source"))
       .filter(col("r") <= col("n_s"))
@@ -87,8 +105,17 @@ object SourceMix {
   def thresholdMix(docs: DataFrame, quota: DataFrame,
       idCol: String = "doc_id"): DataFrame = {
     guardNames(docs, "c", "n_s", "__q_source")
+    // a count past decimal(14,0) would cast to NULL (non-ANSI) and
+    // the three-valued filter would silently drop the WHOLE source —
+    // fail loudly instead (14 digits is what keeps the 19+14-digit
+    // product exact inside decimal128; a bigger source must shard)
+    val cChecked = when(col("c") >= lit(100000000000000L),
+      raise_error(lit("thresholdMix: a source exceeds 1e14 docs — " +
+        "the exact decimal comparison would overflow; shard the " +
+        "source first")).cast("long"))
+      .otherwise(col("c"))
     val lhs = mixHash(col(idCol)).cast("decimal(19,0)") *
-      col("c").cast("decimal(14,0)")
+      cChecked.cast("decimal(14,0)")
     val rhs = col("n_s").cast("decimal(14,0)") *
       lit(1152921504606846976L).cast("decimal(19,0)") // 2^60
     // null-safe quota join — see exactMix

@@ -415,6 +415,113 @@ object ScaleProbe {
       rmTree(java.nio.file.Paths.get(artRoot))
     }
 
+    // The streaming ingest gate's per-batch corpus cost, stored
+    // bucket column vs per-batch derivation (the round-16 change):
+    // localized arrival batches (near-dup clusters, the realistic
+    // shape) against a bucket-sorted gate-stamped corpus. The stored
+    // path pushes the batch's touched-bucket In filter into the scan
+    // — row groups of un-touched buckets never leave disk — so its
+    // per-batch cost tracks the batch's collision surface; the
+    // derived path recomputes signBucket over, and therefore reads,
+    // the FULL corpus every batch. Measured at 2 corpus sizes to show
+    // the growth law, not just a ratio.
+    if (want("vec gate scan stored (4M)", "vec gate scan derived (4M)",
+        "vec gate scan stored (16M)", "vec gate scan derived (16M)",
+        "vec gate e2e stored (16M, 3 batches)",
+        "vec gate e2e derived (16M, 3 batches)")) locally {
+      val gBits = 12
+      val gRoot = java.nio.file.Files
+        .createTempDirectory("graft-probe-gate").toString
+      // ~4096 sign-pattern groups: base magnitude >= 0.1 per
+      // component with +/-0.05 noise, so a group's sign pattern (its
+      // bucket) is stable across members — vectors cluster the way
+      // near-duplicate arrivals do
+      def emb(g: String, idc: String) =
+        expr(s"transform(sequence(1, 64), i -> cast(" +
+          s"(case when pmod(hash(($g) * 64 + i), 1000) >= 500 " +
+          s"then 1 else -1 end) * " +
+          s"(0.1 + pmod(hash(($g) * 64 + i), 400) / 1000.0) + " +
+          s"(pmod(hash(($idc) * 64 + i), 100) - 50) / 1000.0 " +
+          s"as float))")
+      def shaped(df: org.apache.spark.sql.DataFrame, g: String) = df
+        .withColumn("n", expr("sqrt(vec_dot(embedding, embedding))"))
+        .withColumn("cell",
+          pmod(hash(expr(g)), lit(64)).cast("long"))
+        .withColumn("bucket",
+          graft.operators.SimilarityOps.signBucket("embedding", gBits))
+      def writeGateCorpus(nn: Long, dir: String): Unit =
+        shaped(spark.range(nn).select(col("id").as("vec_id"),
+            emb("pmod(id, 4096)", "id").as("embedding")),
+          "pmod(vec_id, 4096)")
+          .withColumn("ingest", lit(0L))
+          .repartition(col("cell"))
+          .sortWithinPartitions(col("ingest"), col("cell"),
+            col("bucket"))
+          .write.partitionBy("ingest", "cell").parquet(dir)
+      // batch b arrives from 16 groups — its touched-bucket set is
+      // ~16 of 4096
+      def gateBatch(b: Int) = shaped(
+        spark.range(5000000L + b * 2000L, 5000000L + (b + 1) * 2000L)
+          .select(col("id").as("vec_id"),
+            emb(s"pmod(id, 16) + ${b * 16}", "id").as("embedding")),
+        s"pmod(vec_id, 16) + ${b * 16}")
+      def gateRun(stored: org.apache.spark.sql.DataFrame,
+          enc: org.apache.spark.sql.DataFrame): Unit =
+        graft.operators.SimilarityOps.ingestGate(stored, enc, 0.8)
+          .write.format("noop").mode("overwrite").save()
+      def noop(df: org.apache.spark.sql.DataFrame): Unit =
+        df.write.format("noop").mode("overwrite").save()
+      Seq(4000000L -> "4M", 16000000L -> "16M").foreach {
+        case (nn, lbl) =>
+          if (want(s"vec gate scan stored ($lbl)",
+              s"vec gate scan derived ($lbl)",
+              s"vec gate e2e stored ($lbl, 3 batches)",
+              s"vec gate e2e derived ($lbl, 3 batches)")) {
+            val dir = s"$gRoot/c$nn"
+            writeGateCorpus(nn, dir)
+            val encs = (0 until 3).map(b => gateBatch(b).persist())
+            encs.foreach(_.count())
+            val bbs = encs.map(_.select("bucket").distinct()
+              .filter(col("bucket").isNotNull).as[Long].collect())
+            def stored(bb: Array[Long]) = spark.read.parquet(dir)
+              .withColumn("cell", col("cell").cast("long"))
+              .filter(col("bucket")
+                .isin(bb.map(Long.box).toIndexedSeq: _*))
+            def derived() = spark.read.parquet(dir)
+              .withColumn("cell", col("cell").cast("long"))
+              .drop("bucket")
+              .withColumn("bucket", graft.operators.SimilarityOps
+                .signBucket("embedding", gBits))
+            // the CORPUS-SIDE read alone — this is the cost the
+            // stored column + pushed In + bucket-sorted layout
+            // change: stored stays ~flat across corpus sizes (it
+            // tracks the touched pages), derived re-reads and
+            // re-derives the whole corpus every batch
+            time(s"vec gate scan stored ($lbl)", nn * 3) {
+              bbs.foreach(bb => noop(stored(bb)))
+            }
+            time(s"vec gate scan derived ($lbl)", nn * 3) {
+              bbs.foreach(_ => noop(derived()))
+            }
+            // whole gate end-to-end (scan + confirm join + admit):
+            // the pair join scales with the batch's collision
+            // surface, so past the scan the two paths converge —
+            // measured at the larger size only
+            if (lbl == "16M") {
+              time(s"vec gate e2e stored ($lbl, 3 batches)", nn * 3) {
+                encs.zip(bbs).foreach { case (enc, bb) =>
+                  gateRun(stored(bb), enc) }
+              }
+              time(s"vec gate e2e derived ($lbl, 3 batches)", nn * 3) {
+                encs.foreach(enc => gateRun(derived(), enc))
+              }
+            }
+            encs.foreach(_.unpersist())
+          }
+      }
+      rmTree(java.nio.file.Paths.get(gRoot))
+    }
+
     // CDC apply at churn scale: a 20M-key snapshot absorbs a 2M-row
     // changelog (updates + deletes, two generations on overlapping
     // keys) — one max_by collapse of the changelog + one anti-join of

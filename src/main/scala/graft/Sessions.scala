@@ -36,6 +36,15 @@ object Sessions {
       // don't truncate PushedFilters/ReadSchema in explain output —
       // plan-shape tests assert on them
       .config("spark.sql.maxMetadataStringLength", "500")
+      // push genuine In predicates to parquet instead of the default
+      // >10-values min/max-range rewrite: the ingest gates push a
+      // batch's touched-bucket set (≤ 2^bits scattered values) into
+      // the corpus scan, and a min/max range over scattered keys
+      // covers ~everything — zero skipping. Parquet evaluates In
+      // against row-group stats/dictionaries, so a few thousand
+      // values cost microseconds per row group; the engine caps the
+      // pushed sets at 4096 (bits ≤ 12).
+      .config("spark.sql.parquet.pushdown.inFilterThreshold", "4096")
 
   def local(appName: String): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")

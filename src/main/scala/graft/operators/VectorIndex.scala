@@ -30,7 +30,31 @@ import org.apache.spark.sql.functions._
 object VectorIndex {
 
   final case class Loaded(cents: SimilarityOps.IvfCentroids,
-      books: ProductQuantization.Codebooks, corpus: DataFrame)
+      books: ProductQuantization.Codebooks, corpus: DataFrame,
+      gateBits: Option[Int] = None)
+
+  /** The artifact's serving-gate geometry stamp (`dir/gate`, one
+    * `bits` row): present iff the corpus carries a persisted `bucket`
+    * column computed as `signBucket(embedding, bits)`. The ingest
+    * gate requires the stamp to MATCH its requested bits (a mismatch
+    * fails loudly — a stale bucket column under different geometry
+    * would silently miss collisions); artifacts without the stamp
+    * (built before the column existed, or with `gateBits = None`)
+    * derive the bucket on the fly.
+    */
+  def gateBitsOf(s: SparkSession, dir: String): Option[Int] = {
+    import s.implicits._
+    val p = new org.apache.hadoop.fs.Path(s"$dir/gate")
+    if (!p.getFileSystem(s.sparkContext.hadoopConfiguration).exists(p))
+      None
+    else Some(s.read.parquet(s"$dir/gate").select("bits")
+      .as[Int].head())
+  }
+
+  private def dropGate(s: SparkSession, dir: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/gate")
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+  }
 
   /** Train both quantizers on `e0` (vec_id + embedding) and write the
     * artifact. One pass over the corpus for the final encode+write;
@@ -40,10 +64,23 @@ object VectorIndex {
     * inverted lists (e.g. `label`) — the filtered-serving design
     * (s12): predicate columns live next to the codes so a filtered
     * probe never joins back to the corpus.
+    *
+    * `gateBits` declares the ingest gate's sign-LSH geometry: when
+    * set, each corpus row's `bucket = signBucket(embedding, bits)` is
+    * computed INSIDE the encode+write pass and persisted as one more
+    * artifact column, stamped via the `dir/gate` file — so the
+    * streaming gate reads buckets off disk instead of re-deriving
+    * them over the full corpus every micro-batch (the O(corpus)
+    * per-batch cost this column exists to delete). Crash ordering:
+    * the old stamp is dropped BEFORE the corpus overwrite and the new
+    * one written AFTER it, so a stamp never describes a corpus that
+    * lacks the column — the gate degrades to derive-on-the-fly, never
+    * to wrong buckets.
     */
   def build(e0: DataFrame, dim: Int, lloydSteps: Int, subspaces: Int,
       subDim: Int, k: Int, dir: String,
-      metaCols: Seq[String] = Seq.empty): Unit = {
+      metaCols: Seq[String] = Seq.empty,
+      gateBits: Option[Int] = None): Unit = {
     val s = e0.sparkSession
     import s.implicits._
     val e = SimilarityOps.withNorm(e0, "embedding", "n")
@@ -80,17 +117,31 @@ object VectorIndex {
         call_function("vec_dot", col("embedding"), col("cvec")) /
           (col("n") * col("cn")))).as("base_cos"),
         count(lit(1)).as("n_rows"))
-      // the serving columns plus any declared filter metadata — other
-      // input columns (and the joined centroid columns) don't belong
-      // in the index artifact
+      // the serving columns, the gate bucket when stamped, plus any
+      // declared filter metadata — other input columns (and the
+      // joined centroid columns) don't belong in the index artifact
+      .withColumn("bucket", gateBits.fold(lit(null).cast("long"))(b =>
+        SimilarityOps.signBucket("embedding", b)))
       .select((Seq("vec_id", "embedding", "n", "cell", "code") ++
-        metaCols).map(col): _*)
+        gateBits.map(_ => "bucket").toSeq ++ metaCols).map(col): _*)
       .withColumn("ingest", lit(0L))
-    // a re-build drops the previous sketch BEFORE the corpus
-    // overwrite (DedupIndex.buildMembers' crash argument)
+    // a re-build drops the previous sketch AND gate stamp BEFORE the
+    // corpus overwrite (DedupIndex.buildMembers' crash argument; the
+    // stamp must never outlive the bucket column it describes)
     DedupIndex.dropMembers(s, dir)
-    rows.write.mode("overwrite").partitionBy("ingest", "cell")
+    dropGate(s, dir)
+    // a gate-stamped corpus is laid out bucket-sorted WITHIN each
+    // cell's files: row-group min/max stats on `bucket` become tight,
+    // so the gate's pushed touched-bucket filter skips row groups
+    // instead of scanning every block. The (ingest, cell) prefix
+    // satisfies the dynamic-partition writer's required ordering, so
+    // this adds no second sort.
+    gateBits.fold(rows)(_ => rows.sortWithinPartitions(
+        col("ingest"), col("cell"), col("bucket")))
+      .write.mode("overwrite").partitionBy("ingest", "cell")
       .parquet(s"$dir/corpus")
+    gateBits.foreach(b => Seq(b).toDF("bits")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/gate"))
     val metrics = drift.get
     metrics.get("base_cos").flatMap(Option(_))
       .foreach(c => Seq(c.asInstanceOf[Double]).toDF("base_cos")
@@ -230,12 +281,14 @@ object VectorIndex {
     */
   def buildOrLoad(e0: DataFrame, dim: Int, lloydSteps: Int,
       subspaces: Int, subDim: Int, k: Int, dir: String,
-      metaCols: Seq[String] = Seq.empty): Loaded = {
+      metaCols: Seq[String] = Seq.empty,
+      gateBits: Option[Int] = None): Loaded = {
     val s = e0.sparkSession
     val marker = new org.apache.hadoop.fs.Path(s"$dir/corpus/_SUCCESS")
     val fs = marker.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (!fs.exists(marker))
-      build(e0, dim, lloydSteps, subspaces, subDim, k, dir, metaCols)
+      build(e0, dim, lloydSteps, subspaces, subDim, k, dir, metaCols,
+        gateBits)
     load(s, dir)
   }
 
@@ -301,7 +354,8 @@ object VectorIndex {
     }
     if (LayoutOps.ingestGenerations(s, s"$dir/corpus")
         .size >= compactEvery)
-      ArtifactManifest.compactGenerations(s, s"$dir/corpus", "cell")
+      ArtifactManifest.compactGenerations(s, s"$dir/corpus", "cell",
+        sortWithin = l.gateBits.map(_ => "bucket").toSeq)
     tripped
   }
 
@@ -321,20 +375,31 @@ object VectorIndex {
     val dim = l.cents.books.length / l.cents.cells.length
     val subDim = l.books.head.head.length
     // the artifact's metadata columns (anything beyond the serving
-    // five and the generation) must arrive with the new vectors too
+    // five, the stamped gate bucket, and the generation) must arrive
+    // with the new vectors too
     val metaCols = l.corpus.columns.toSeq
       .filterNot(Set("vec_id", "embedding", "n", "cell", "code",
-        "ingest"))
+        "bucket", "ingest"))
     // membership before the corpus append (superset-on-crash)
     DedupIndex.orMembers(newVecs, "vec_id", dir)
     val rows = ProductQuantization.encode(
         SimilarityOps.withNorm(newVecs, "embedding", "n")
           .withColumn("cell", SimilarityOps.ivfAssign(l.cents, dim)),
         "embedding", l.books, subDim, "code")
+      // a gate-stamped artifact keeps its bucket column CONSISTENT
+      // across appends: the batch's buckets are computed under the
+      // stamped geometry inside the same encode pass
+      .withColumn("bucket", l.gateBits.fold(lit(null).cast("long"))(
+        b => SimilarityOps.signBucket("embedding", b)))
       .select((Seq("vec_id", "embedding", "n", "cell", "code") ++
-        metaCols).map(col): _*)
+        l.gateBits.map(_ => "bucket").toSeq ++ metaCols).map(col): _*)
       .withColumn("ingest", lit(generation))
-    rows.write.mode("overwrite")
+    // bucket-sorted layout within the generation's cell files, same
+    // as [[build]] — keeps the gate's row-group skipping effective
+    // across appends
+    l.gateBits.fold(rows)(_ => rows.sortWithinPartitions(
+        col("ingest"), col("cell"), col("bucket")))
+      .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("ingest", "cell").parquet(s"$dir/corpus")
     ArtifactManifest.recordAppend(newVecs.sparkSession,
@@ -368,9 +433,13 @@ object VectorIndex {
     LayoutOps.recoverStagedTakedown(s, s"$dir/corpus", "cell")
     val l = load(s, dir)
     val dim = l.cents.books.length / l.cents.cells.length
+    // `bucket` is NOT a metadata column: the staging build recomputes
+    // it under the carried gate stamp (embedding-derived, so the
+    // values are identical — but routing it through the stamp keeps
+    // exactly one source of truth for the geometry)
     val metaCols = l.corpus.columns.toSeq
       .filterNot(Set("vec_id", "embedding", "n", "cell", "code",
-        "ingest"))
+        "bucket", "ingest"))
     // SIBLING, not string concatenation: under a trailing-slash dir
     // the naive concat yields a CHILD of the live tree, which the
     // swap's rename-aside then carries away — stranding the staged
@@ -382,7 +451,7 @@ object VectorIndex {
     fs.delete(sp, true) // leftover staging from a crashed pass
     build(l.corpus.select((Seq("vec_id", "embedding") ++ metaCols)
       .map(col): _*), dim, lloydSteps, subspaces, subDim, k, staging,
-      metaCols)
+      metaCols, gateBits = l.gateBits)
     // carry the manifest chain across the swap: build() started a
     // fresh chain (version 0) inside staging, and swapping that in
     // would REGRESS the version a pinned reader uses for change
@@ -464,7 +533,22 @@ object VectorIndex {
     if (!bfs.exists(built))
       build(e0.filter(col("vec_id") < splitId)
           .select("vec_id", "embedding"),
-        dim, lloydSteps, subspaces, subDim, k, s"$root/index")
+        dim, lloydSteps, subspaces, subDim, k, s"$root/index",
+        gateBits = Some(bits))
+    // gate geometry: a stamped artifact serves its PERSISTED bucket
+    // column (written by build and every batch append below — the
+    // corpus-side signBucket derivation used to run over the FULL
+    // corpus every micro-batch, the one O(corpus)-per-batch cost in
+    // this loop); a stamp under different bits means the checkpoint
+    // is being resumed against an index built for another geometry —
+    // joining its buckets would silently miss collisions, so refuse.
+    // No stamp (an artifact predating the stored column) keeps the
+    // derive-on-the-fly behavior.
+    val storedBits = gateBitsOf(ss, s"$root/index")
+    storedBits.foreach(b => require(b == bits,
+      s"streamIngestGate: index at $root/index is gate-stamped " +
+        s"bits=$b but this stream requested bits=$bits — rebuild " +
+        "the index or match the geometry"))
     // zero arrivals would leave the decisions store absent and the
     // final read failing with a bare path error — fail with the cause
     require(graft.streaming.StreamingOps.stageOrderedArrivals(
@@ -484,11 +568,6 @@ object VectorIndex {
         s"$root/arrivals", s"$root/ckpt") { (batch, batchId) =>
         val corpus = ss.read.parquet(s"$root/index/corpus")
           .withColumn("cell", col("cell").cast("long"))
-        // the corpus side needs no re-encode — cells and norms are
-        // stored; only the gate's sign-bucket is derived on the fly
-        // (at scale it would be one more stored artifact column)
-        val stored = corpus.withColumn("bucket",
-          SimilarityOps.signBucket("embedding", bits))
         // the batch is encoded ONCE (norm, cell, PQ code, bucket),
         // persisted for the batch's lifetime, and both served to the
         // gate and appended — instead of encoding separately for each
@@ -501,6 +580,31 @@ object VectorIndex {
           .withColumn("bucket",
             SimilarityOps.signBucket("embedding", bits))
           .persist()
+        // the corpus side needs no re-encode — cells, norms, AND the
+        // gate's sign-bucket are stored artifact columns. The batch's
+        // touched-bucket set (≤ 2^bits values, read off the persisted
+        // batch — driver-bounded by GEOMETRY, not data) pushes into
+        // the parquet scan as an In filter: against the bucket-sorted
+        // file layout, row groups holding only un-touched buckets
+        // never leave disk, so the per-batch stored read tracks the
+        // batch's collision surface, not the corpus. Semantics are
+        // untouched — the gate's (cell, bucket) equi-join can only
+        // match batch buckets anyway. Past the In-list cap (wide
+        // geometries) and for unstamped legacy artifacts, the
+        // semi-join inside the gate remains the only pruning.
+        val stored = if (storedBits.contains(bits) && bits <= 12) {
+          import ss.implicits._
+          // NULL batch buckets (degenerate embeddings) can never
+          // equi-join — they neither enter the In list nor keep
+          // stored rows alive
+          val bb = enc.select("bucket").distinct()
+            .filter(col("bucket").isNotNull).as[Long].collect()
+          if (bb.isEmpty) corpus.filter(lit(false))
+          else corpus.filter(col("bucket")
+            .isin(bb.map(Long.box).toIndexedSeq: _*))
+        } else if (storedBits.contains(bits)) corpus
+        else corpus.withColumn("bucket",
+          SimilarityOps.signBucket("embedding", bits))
         try {
           // batch-keyed dynamic overwrites: a replayed micro-batch
           // replaces its own decisions/generation instead of
@@ -510,10 +614,16 @@ object VectorIndex {
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("batch").parquet(s"$root/decisions")
+          // the batch's bucket (already computed for the gate) is
+          // appended too, keeping the stored column complete so the
+          // NEXT batch's stored side never derives
           val rows = enc
-            .select("vec_id", "embedding", "n", "cell", "code")
+            .select((Seq("vec_id", "embedding", "n", "cell", "code")
+              ++ storedBits.map(_ => "bucket").toSeq).map(col): _*)
             .withColumn("ingest", lit(batchId + 1))
-          rows.write.mode("overwrite")
+          storedBits.fold(rows)(_ => rows.sortWithinPartitions(
+              col("ingest"), col("cell"), col("bucket")))
+            .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("ingest", "cell")
             .parquet(s"$root/index/corpus")
@@ -529,7 +639,7 @@ object VectorIndex {
     if (LayoutOps.ingestGenerations(ss, s"$root/index/corpus")
         .size >= compactEvery)
       ArtifactManifest.compactGenerations(ss, s"$root/index/corpus",
-        "cell")
+        "cell", sortWithin = storedBits.map(_ => "bucket").toSeq)
     // sketch over every ingested vec id (corpus + all arrivals): one
     // column-pruned pass per stream, sized fresh
     DedupIndex.buildMembers(e0, "vec_id", s"$root/index")
@@ -568,7 +678,14 @@ object VectorIndex {
     val corpus = ArtifactManifest.frame(s, s"$dir/corpus")
       .withColumn("cell", col("cell").cast("long"))
       .withColumn("ingest", col("ingest").cast("long"))
-    Loaded(cents, books, corpus)
+    val gb = gateBitsOf(s, dir)
+    // the stamp is written AFTER the corpus (build's crash ordering),
+    // so stamp-present-column-absent means external tampering, not a
+    // crash window — refuse rather than serve wrong buckets
+    gb.foreach(_ => require(corpus.columns.contains("bucket"),
+      s"VectorIndex.load: $dir carries a gate stamp but its corpus " +
+        "has no bucket column — rebuild the artifact"))
+    Loaded(cents, books, corpus, gb)
   }
 
   /** Cell-routed ADC top-k over a loaded artifact — s8's serving shape

@@ -433,6 +433,13 @@ class IndexArtifactSpec extends SparkSpec {
         finally s.close()
         assert(gens === Seq("ingest=4"))
       }
+      // the stream's artifact is gate-stamped and the persisted
+      // bucket column stayed complete through appends + compaction —
+      // no batch's stored side ever re-derived it
+      assert(VectorIndex.gateBitsOf(spark,
+        root.resolve("index").toString) === Some(VecGateBits))
+      assert(spark.read.parquet(s"$root/index/corpus")
+        .filter(col("bucket").isNull).count() === 0L)
     } finally {
       def rm(p: Path): Unit = {
         if (Files.isDirectory(p)) {
@@ -498,5 +505,84 @@ class IndexArtifactSpec extends SparkSpec {
       assert(kept < fact.count(), s"kept=$kept of ${fact.count()} — " +
         "the sketch pruned nothing")
     }
+  }
+
+  private def rmTree(p: Path): Unit = {
+    if (Files.isDirectory(p)) {
+      val s = Files.list(p)
+      try s.forEach(rmTree) finally s.close()
+    }
+    Files.deleteIfExists(p)
+  }
+
+  test("gate-stamped build persists the bucket column; the gate's " +
+      "stored side is a plain scan, never a corpus-wide re-derivation") {
+    val bits = SimilarityQueries.VecGateBits
+    val root = Files.createTempDirectory("graft-gate-col")
+    val dir = root.toString
+    try {
+      val all = Tables.embeddings(spark, d)
+      VectorIndex.build(all.filter(col("vec_id") < 400)
+          .select("vec_id", "embedding"),
+        dim, steps, sub, subDim, k, dir, gateBits = Some(bits))
+      assert(VectorIndex.gateBitsOf(spark, dir) === Some(bits))
+      val l = VectorIndex.load(spark, dir)
+      assert(l.gateBits === Some(bits))
+      // value parity: the persisted bucket IS the derivation —
+      // byte-identical gate decisions are implied (the streaming test
+      // holds them to the batch oracle)
+      assert(l.corpus.filter(col("bucket") =!=
+        SimilarityOps.signBucket("embedding", bits)).count() === 0L)
+      // the per-batch stored side (what streamIngestGate now feeds
+      // the gate for a stamped artifact) must carry NO signBucket
+      // projection — the element_at CASE chain was the O(corpus)
+      // per-micro-batch cost this column deletes
+      val plan = spark.read.parquet(s"$dir/corpus")
+        .queryExecution.optimizedPlan.toString
+      assert(!plan.contains("element_at"), plan)
+      // and the gate's touched-bucket In filter reaches the scan as
+      // a PUSHED filter — with the bucket-sorted file layout, row
+      // groups of un-touched buckets are skipped on stats, so the
+      // per-batch read tracks the batch's collision surface
+      val pushed = spark.read.parquet(s"$dir/corpus")
+        .filter(col("bucket").isin(1L, 2L))
+        .queryExecution.executedPlan.toString
+      assert(pushed.contains("PushedFilters") &&
+        pushed.split("PushedFilters", 2)(1).takeWhile(_ != ']')
+          .contains("bucket"), pushed)
+      // appends keep the column complete under the SAME geometry
+      VectorIndex.append(spark, dir, all.filter(col("vec_id") >= 400)
+        .select("vec_id", "embedding"))
+      val l2 = VectorIndex.load(spark, dir)
+      assert(l2.corpus.filter(col("bucket").isNull ||
+        col("bucket") =!= SimilarityOps.signBucket("embedding", bits))
+        .count() === 0L)
+      // rebuild re-stamps from the carried geometry (one source of
+      // truth) and recomputes the column over the retrained corpus
+      VectorIndex.rebuild(spark, dir, steps, sub, subDim, k)
+      assert(VectorIndex.gateBitsOf(spark, dir) === Some(bits))
+      assert(VectorIndex.load(spark, dir).corpus
+        .filter(col("bucket").isNull).count() === 0L)
+    } finally rmTree(root)
+  }
+
+  test("a gate-geometry mismatch on stream resume fails loudly") {
+    val root = Files.createTempDirectory("graft-gate-mismatch")
+    try {
+      val e = Tables.embeddings(spark, d)
+      // pre-built index stamped with one geometry; resuming the
+      // stream under another must refuse BEFORE staging arrivals —
+      // joining mismatched buckets would silently admit duplicates
+      VectorIndex.build(e.filter(col("vec_id") < 400)
+          .select("vec_id", "embedding"),
+        dim, steps, sub, subDim, k, s"$root/index",
+        gateBits = Some(3))
+      val ex = intercept[IllegalArgumentException] {
+        VectorIndex.streamIngestGate(spark, e, dim, steps, sub,
+          subDim, k, bits = 4, splitId = 400L, threshold = 0.35,
+          nFiles = 2, root.toString)
+      }
+      assert(ex.getMessage.contains("gate-stamped"), ex.getMessage)
+    } finally rmTree(root)
   }
 }

@@ -79,6 +79,179 @@ object PartitionedCdc {
     finally in.close()
   }
 
+  // ---------------------------------------------------------------
+  // Cross-process writer LEASE — SERIALIZES mutators per root instead
+  // of merely detecting the violation at commit time. The manifest
+  // fence (commitManifest) remains the correctness backstop: it
+  // guarantees exactly one version-v content ever publishes. The
+  // lease moves the loser's failure EARLIER — before it stages a
+  // single byte — and turns "two writers interleaved, one died at
+  // commit after a full rewrite" into "the second writer refused at
+  // entry".
+  //
+  // Protocol (create-exclusive file + mtime heartbeat + staleness
+  // steal — the stagedReapHorizonMs shape applied to liveness):
+  //  - acquire: write a UUID token to a private tmp and rename it to
+  //    `root/_lock/lease` with NO overwrite — the same atomic
+  //    decision point as the manifest commit. A fresh existing lease
+  //    fails the acquire loudly.
+  //  - heartbeat: protocol steps touch the lease's mtime; a lease is
+  //    stealable only once its mtime is older than
+  //    `graft.cdc.leaseStealHorizonMs` (default 15 min) — i.e. the
+  //    holder made no progress for the whole horizon (crashed JVM,
+  //    lost executor). Stealing renames the observed stale file
+  //    aside (of two racing stealers exactly one rename of the same
+  //    path succeeds) and re-runs the create-exclusive acquire.
+  //  - verify: holders RE-READ the lease and require their own token
+  //    immediately before the manifest commit. A holder that stalled
+  //    past the horizon and lost its lease therefore dies BEFORE
+  //    committing — the steal/verify pair closes the classic
+  //    two-stealers window without needing compare-and-swap from the
+  //    filesystem (worst case both believe they acquired; only the
+  //    one whose token is actually in the file passes verify, and
+  //    the other's staging self-deletes exactly like a fenced-out
+  //    loser's).
+  //  - release: delete only if the content is still our token (a
+  //    normal release runs with a fresh mtime, so no legal steal can
+  //    race it).
+  // ---------------------------------------------------------------
+
+  final case class Lease(path: Path, token: String)
+
+  /** SAME-JVM lease ops serialize on a per-path in-process lock, for
+    * the same reason [[commitManifest]]'s do: the local filesystem's
+    * no-overwrite rename is check-then-rename (POSIX rename(2)
+    * overwrites), and its (file, .crc) pair moves non-atomically —
+    * two same-JVM racers could both "win" the create and interleave
+    * the checksum. Cross-process racers never share the lock and are
+    * decided by the no-overwrite rename, which HDFS-like stores make
+    * atomic.
+    */
+  private val leaseLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  private def leaseLock(fs: FileSystem, lp: Path): Object =
+    leaseLocks.computeIfAbsent(fs.makeQualified(lp).toString,
+      _ => new Object)
+
+  private def leasePath(root: String) = new Path(root, "_lock/lease")
+
+  private def leaseStealHorizonMs(s: SparkSession): Long =
+    s.conf.getOption("graft.cdc.leaseStealHorizonMs")
+      .map(_.toLong).getOrElse(900000L)
+
+  private def leaseToken(fs: FileSystem, lp: Path): Option[String] =
+    try Some(readText(fs, lp))
+    catch { case _: java.io.FileNotFoundException => None }
+
+  def acquireLease(s: SparkSession, root: String): Lease = {
+    val lp = leasePath(root)
+    val fs = fsOf(s, lp)
+    fs.mkdirs(lp.getParent)
+    val token = java.util.UUID.randomUUID.toString
+    leaseLock(fs, lp).synchronized {
+    def tryCreate(): Boolean = {
+      val tmp = new Path(lp.getParent, s".tmp.$token")
+      val out = fs.create(tmp, true)
+      try out.write(
+        token.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+      try org.apache.hadoop.fs.FileContext
+        .getFileContext(lp.toUri, s.sparkContext.hadoopConfiguration)
+        .rename(tmp, lp)
+      catch { case _: java.io.IOException => () }
+      // tmp surviving = the no-overwrite rename did not happen
+      if (fs.exists(tmp)) { fs.delete(tmp, false); false } else true
+    }
+    def acquired(): Lease = {
+      // read-back verification narrows the two-stealers window at
+      // the earliest possible point (the pre-commit verify is the
+      // backstop)
+      require(leaseToken(fs, lp).contains(token),
+        s"PartitionedCdc: lease on $root was taken over immediately " +
+          "after acquisition (two writers stealing the same stale " +
+          "lease) — re-run this batch")
+      Lease(lp, token)
+    }
+    if (tryCreate()) return acquired()
+    val horizon = leaseStealHorizonMs(s)
+    val st = try Some(fs.getFileStatus(lp))
+      catch { case _: java.io.FileNotFoundException => None }
+    val ageMs = st.map(x =>
+      System.currentTimeMillis() - x.getModificationTime)
+    if (ageMs.forall(_ > horizon)) {
+      // stale (or vanished between the failed create and the stat):
+      // move the dead holder's file aside, then race the exclusive
+      // create again
+      st.foreach { x =>
+        val aside = new Path(lp.getParent, s".stale.$token")
+        if (fs.rename(lp, aside)) fs.delete(aside, false)
+      }
+      if (tryCreate()) return acquired()
+    }
+    throw new IllegalStateException(
+      s"PartitionedCdc: another writer holds the lease on $root" +
+        ageMs.map(a => s" (last heartbeat ${a} ms ago, steal " +
+          s"horizon ${horizon} ms — graft.cdc.leaseStealHorizonMs)")
+          .getOrElse("") +
+        "; the layout is single-writer per root — wait for the " +
+        "holder to finish, or raise/lower the steal horizon if it " +
+        "crashed")
+    }
+  }
+
+  /** Re-read the lease and require our own token, then refresh the
+    * heartbeat. Called immediately before the manifest commit: a
+    * holder that stalled past the steal horizon and lost the lease
+    * dies HERE, before publishing anything.
+    */
+  private def verifyLease(s: SparkSession, lease: Lease): Unit = {
+    val fs = fsOf(s, lease.path)
+    leaseLock(fs, lease.path).synchronized {
+      require(leaseToken(fs, lease.path).contains(lease.token),
+        s"PartitionedCdc: writer lease ${lease.path} was lost — this " +
+          "writer made no progress for longer than " +
+          "graft.cdc.leaseStealHorizonMs and another writer stole " +
+          "the lease; abandoning before the commit (re-run the batch)")
+      fs.setTimes(lease.path, System.currentTimeMillis(), -1)
+    }
+  }
+
+  def releaseLease(s: SparkSession, lease: Lease): Unit = {
+    val fs = fsOf(s, lease.path)
+    leaseLock(fs, lease.path).synchronized {
+      if (leaseToken(fs, lease.path).contains(lease.token))
+        fs.delete(lease.path, false)
+    }
+  }
+
+  /** The mutators' entry wrapper: acquire → run → release, re-entrant
+    * per thread (applyBatch delegates to applyVersion; initMaintained
+    * to init — the outermost call owns the lease). The active lease
+    * is consulted by [[stageCommitPublish]] for the pre-commit
+    * verify.
+    */
+  private val heldLeases = new ThreadLocal[Map[String, Lease]] {
+    override def initialValue(): Map[String, Lease] = Map.empty
+  }
+
+  private def leaseKey(s: SparkSession, root: String): String =
+    fsOf(s, new Path(root)).makeQualified(new Path(root)).toString
+
+  private def withWriterLease[A](s: SparkSession, root: String)(
+      f: => A): A = {
+    val key = leaseKey(s, root)
+    if (heldLeases.get.contains(key)) f
+    else {
+      val lease = acquireLease(s, root)
+      heldLeases.set(heldLeases.get + (key -> lease))
+      try f finally {
+        heldLeases.set(heldLeases.get - key)
+        releaseLease(s, lease)
+      }
+    }
+  }
+
   def manifest(s: SparkSession, root: String, v: Int): Manifest = {
     val p = manifestPath(root, v)
     val fs = fsOf(s, p)
@@ -130,10 +303,15 @@ object PartitionedCdc {
     *    check collide at the rename and exactly one wins — the loser
     *    lands on the same converge-or-refuse comparison.
     *
-    * The fence DETECTS the single-writer violation rather than
-    * serializing writers across processes (that needs the filesystem's
-    * atomic rename, or an external lock on stores without one — see
-    * CLUSTER.md). Version DATA is staged per attempt and renamed into
+    * The fence DETECTS the single-writer violation; SERIALIZATION is
+    * the writer lease's job (see the lease section above): every
+    * public mutator acquires `root/_lock/lease` before staging, so
+    * under normal operation a second writer refuses at entry and
+    * never reaches this code — the fence remains the backstop for
+    * lease-steal races and legacy callers. Both layers rest on the
+    * same primitive (atomic no-overwrite rename; stores without one
+    * need an external lock — see CLUSTER.md). Version DATA is staged
+    * per attempt and renamed into
     * `data/ver=<v>` only AFTER the manifest commit succeeds, so a
     * fenced-out loser never touches the winner's published bytes — it
     * deletes its own staging tree and dies on the refuse. The
@@ -278,8 +456,14 @@ object PartitionedCdc {
     val staging = stagingDir(root, v)
     bucketedWrite(df, bucketOf, sortCols, staging.toString)
     val written = bucketDirsUnder(s, staging)
-    try commitManifest(s, root, manifestOf(written))
-    catch { case t: Throwable =>
+    try {
+      // pre-commit lease verify: a holder that stalled past the
+      // steal horizon (its lease was legally stolen) dies here, with
+      // its staging self-deleting below — never publishing
+      heldLeases.get.get(leaseKey(s, root))
+        .foreach(verifyLease(s, _))
+      commitManifest(s, root, manifestOf(written))
+    } catch { case t: Throwable =>
       fsOf(s, staging).delete(staging, true); throw t
     }
     publishStaged(s, root, staging, v)
@@ -309,8 +493,10 @@ object PartitionedCdc {
       sortCols: Seq[String] = Seq.empty): Unit = {
     val s = base.sparkSession
     requireNoReservedCols(base, "init")
-    stageCommitPublish(s, root, base, bucketOf, sortCols, 0)(
-      written => Manifest(0, written.map(_ -> 0).toMap))
+    withWriterLease(s, root) {
+      stageCommitPublish(s, root, base, bucketOf, sortCols, 0)(
+        written => Manifest(0, written.map(_ -> 0).toMap))
+    }
   }
 
   /** The bucket-stamped version-directory write. With `sortCols` the
@@ -397,9 +583,11 @@ object PartitionedCdc {
         "(it has an aggregate chain) — use maintainVersion, which " +
         "advances the table and the view together; a plain apply " +
         "would strand the view at a stale version")
-    val cur = manifest(s, root, fromVersion)
-    doApply(s, root, log, keys, seqCol, opCol, bucketOf, cur,
-      churnedSet(log, bucketOf), deleteOp, retainVersions, sortCols)
+    withWriterLease(s, root) {
+      val cur = manifest(s, root, fromVersion)
+      doApply(s, root, log, keys, seqCol, opCol, bucketOf, cur,
+        churnedSet(log, bucketOf), deleteOp, retainVersions, sortCols)
+    }
   }
 
   private def validateBatch(log: DataFrame,
@@ -499,10 +687,14 @@ object PartitionedCdc {
       bucketOf: Column, deleteOp: String = "D",
       retainVersions: Int = 2,
       sortCols: Seq[String] = Seq.empty): Int = {
-    val vs = listVersions(s, root)
-    require(vs.nonEmpty, s"PartitionedCdc: $root is not initialized")
-    applyVersion(s, root, log, keys, seqCol, opCol, bucketOf,
-      vs.last, deleteOp, retainVersions, sortCols)
+    // lease wraps the list-then-apply pair: the read-modify-write of
+    // "the newest version" must see no interleaved advance
+    withWriterLease(s, root) {
+      val vs = listVersions(s, root)
+      require(vs.nonEmpty, s"PartitionedCdc: $root is not initialized")
+      applyVersion(s, root, log, keys, seqCol, opCol, bucketOf,
+        vs.last, deleteOp, retainVersions, sortCols)
+    }
   }
 
   /** Per-bucket physical size of the CURRENT version — the rebucket
@@ -545,7 +737,8 @@ object PartitionedCdc {
     * expression (same caller contract as `bucketOf` itself).
     */
   def rebucket(s: SparkSession, root: String, newBucketOf: Column,
-      retainVersions: Int = 2, sortCols: Seq[String] = Seq.empty): Int = {
+      retainVersions: Int = 2, sortCols: Seq[String] = Seq.empty): Int =
+    withWriterLease(s, root) {
     val vs = listVersions(s, root)
     require(vs.nonEmpty, s"PartitionedCdc: $root is not initialized")
     val v = vs.last + 1
@@ -565,7 +758,7 @@ object PartitionedCdc {
       v)(written => Manifest(v, written.map(_ -> v).toMap))
     pruneVersions(s, root, v, retainVersions)
     v
-  }
+    }
 
   /** Version encoded in a per-attempt staging directory name
     * (`.staged-ver=<v>%010d.<uuid>`), if the name is one.
@@ -677,9 +870,11 @@ object PartitionedCdc {
   def initMaintained(base: DataFrame, bucketOf: Column, root: String,
       dims: Seq[String], sumCols: Seq[String],
       cntCol: String = "n", sortCols: Seq[String] = Seq.empty): Unit = {
-    init(base, bucketOf, root, sortCols)
-    CdcOps.groupAgg(base, dims, sumCols, cntCol)
-      .write.mode("overwrite").parquet(s"$root/agg/ver=0")
+    withWriterLease(base.sparkSession, root) {
+      init(base, bucketOf, root, sortCols)
+      CdcOps.groupAgg(base, dims, sumCols, cntCol)
+        .write.mode("overwrite").parquet(s"$root/agg/ver=0")
+    }
   }
 
   /** Advance BOTH the table and its maintained view by one changelog
@@ -702,6 +897,7 @@ object PartitionedCdc {
     // every validation BEFORE the first write: a failed batch must
     // not leave an orphan agg/ver that a later commit legitimizes
     validateBatch(log, retainVersions)
+    withWriterLease(s, root) {
     val cur = manifest(s, root, fromVersion)
     val prevAgg = s.read.parquet(s"$root/agg/ver=$fromVersion")
     val churned = churnedSet(log, bucketOf)
@@ -746,6 +942,7 @@ object PartitionedCdc {
             if stagedVersionOf(st.getPath.getName).exists(_ <= v))
         aggFs.delete(st.getPath, true)
     v
+    }
   }
 
   /** Version-`v` read of the maintained view. */

@@ -749,4 +749,123 @@ class PartitionedCdcSpec extends SparkSpec {
       }
     }
   }
+
+  private def leaseFile(root: String) = new HPath(s"$root/_lock/lease")
+
+  test("writer lease: a held lease refuses a second writer at ENTRY — " +
+      "before it touches data/ — and is released on completion") {
+    withDir { root =>
+      PartitionedCdc.init(base, bucketOf, root)
+      // every completed mutator releases its lease
+      assert(!fs.exists(leaseFile(root)))
+      // writer A mid-flight (holds the lease, fresh heartbeat)
+      val lease = PartitionedCdc.acquireLease(spark, root)
+      val dataBefore = fs.listStatus(new HPath(s"$root/data"))
+        .map(_.getPath.getName).toSet
+      val e = intercept[IllegalStateException] {
+        PartitionedCdc.applyVersion(spark, root, log1, Seq("k"), "seq",
+          "op", bucketOf, fromVersion = 0, retainVersions = 10)
+      }
+      assert(e.getMessage.contains("holds the lease"), e.getMessage)
+      // the loser failed BEFORE staging a single byte — the data tree
+      // is untouched (the commit-time fence alone only refused AFTER
+      // a full staged rewrite) and no version advanced
+      assert(fs.listStatus(new HPath(s"$root/data"))
+        .map(_.getPath.getName).toSet === dataBefore)
+      assert(PartitionedCdc.listVersions(spark, root) === Seq(0))
+      PartitionedCdc.releaseLease(spark, lease)
+      // once released, the same batch applies cleanly
+      PartitionedCdc.applyVersion(spark, root, log1, Seq("k"), "seq",
+        "op", bucketOf, fromVersion = 0, retainVersions = 10)
+      assert(kvRows(PartitionedCdc.readVersion(spark, root, 1)) ===
+        expect(log1))
+      assert(!fs.exists(leaseFile(root)))
+    }
+  }
+
+  test("writer lease: stolen past the staleness horizon — a crashed " +
+      "writer cannot wedge the root, and replay converges through " +
+      "a fresh lease") {
+    withDir { root =>
+      PartitionedCdc.init(base, bucketOf, root)
+      // a crashed writer: acquired, never released, heartbeat dead
+      PartitionedCdc.acquireLease(spark, root)
+      assert(fs.exists(leaseFile(root)))
+      // age the heartbeat past the default 15-minute horizon
+      fs.setTimes(leaseFile(root),
+        System.currentTimeMillis() - 7200000L, -1)
+      // the next writer steals the stale lease and proceeds
+      PartitionedCdc.applyVersion(spark, root, log1, Seq("k"), "seq",
+        "op", bucketOf, fromVersion = 0, retainVersions = 10)
+      assert(kvRows(PartitionedCdc.readVersion(spark, root, 1)) ===
+        expect(log1))
+      // a faithful replay of the same batch still converges (fresh
+      // acquire → identical content → commit converges → release)
+      PartitionedCdc.applyVersion(spark, root, log1, Seq("k"), "seq",
+        "op", bucketOf, fromVersion = 0, retainVersions = 10)
+      assert(PartitionedCdc.listVersions(spark, root) === Seq(0, 1))
+      assert(!fs.exists(leaseFile(root)))
+    }
+  }
+
+  test("writer lease: released even when the batch FAILS — a fenced " +
+      "second-writer refusal must not wedge later writers") {
+    withDir { root =>
+      PartitionedCdc.init(base, bucketOf, root)
+      PartitionedCdc.applyVersion(spark, root, log1, Seq("k"), "seq",
+        "op", bucketOf, fromVersion = 0, retainVersions = 10)
+      // a sequential second writer that also read version 0: passes
+      // the lease (nobody holds it) and dies at the commit fence —
+      // the lease must still release in its finally
+      intercept[IllegalArgumentException] {
+        PartitionedCdc.applyVersion(spark, root, log2, Seq("k"), "seq",
+          "op", bucketOf, fromVersion = 0, retainVersions = 10)
+      }
+      assert(!fs.exists(leaseFile(root)))
+      // and the root still advances normally afterwards
+      PartitionedCdc.applyVersion(spark, root, log2, Seq("k"), "seq",
+        "op", bucketOf, fromVersion = 1, retainVersions = 10)
+      assert(kvRows(PartitionedCdc.readVersion(spark, root, 2)) ===
+        expect(log1, log2))
+    }
+  }
+
+  test("writer lease under a REAL race: two concurrent writers from " +
+      "the same version — exactly one advances, nothing leaks") {
+    withDir { base_root =>
+      for (iter <- 1 to 8) {
+        val root = s"$base_root/r$iter"
+        PartitionedCdc.init(base, bucketOf, root)
+        val outcomes = new java.util.concurrent.ConcurrentLinkedQueue[
+          Either[Throwable, Int]]()
+        val ts = Seq(log1, log2).map(l => new Thread(() =>
+          outcomes.add(
+            try Right(PartitionedCdc.applyVersion(spark, root, l,
+              Seq("k"), "seq", "op", bucketOf, fromVersion = 0,
+              retainVersions = 10))
+            catch { case e: Throwable => Left(e) })))
+        ts.foreach(_.start()); ts.foreach(_.join())
+        val rs = outcomes.toArray(
+          Array.empty[Either[Throwable, Int]]).toSeq
+        assert(rs.count(_.isRight) === 1,
+          s"iter $iter: expected exactly one winner, got $rs")
+        // the loser refused either at the lease (concurrent overlap,
+        // nothing staged) or at the commit fence (sequential
+        // scheduling, staging self-deleted) — no third failure mode
+        val err = rs.collectFirst { case Left(e) => e }.get
+        assert(err.getMessage.contains("holds the lease") ||
+          err.getMessage.contains("second concurrent writer") ||
+          err.getMessage.contains("was taken over"),
+          s"iter $iter: loser failed for the wrong reason: $err")
+        // version 1 is EXACTLY one writer's batch, whole
+        val got = kvRows(PartitionedCdc.readVersion(spark, root, 1))
+        assert(got === expect(log1) || got === expect(log2),
+          s"iter $iter: version 1 is neither writer's batch")
+        // no staging leak, no lease leak
+        assert(!fs.listStatus(new HPath(s"$root/data")).exists(
+          _.getPath.getName.startsWith(".staged-ver=")))
+        assert(!fs.exists(leaseFile(root)))
+      }
+    }
+  }
 }

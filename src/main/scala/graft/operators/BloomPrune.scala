@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.{BloomAgg, BloomSketch}
 
@@ -65,15 +65,19 @@ object BloomPrune {
     * ([[graft.functions.BloomMightContain]]).
     */
   def prune(fact: DataFrame, keyCol: String, bits: Array[Long],
-      numHashes: Int): DataFrame =
+      numHashes: Int, orKeep: Column = lit(false)): DataFrame =
     // call_function + typedLit (the pq_tables convention), NOT a SQL
     // string: rendering the bitset as array literals would hand the
     // parser one literal per word — ~15M of them (~300 MB of SQL) for
     // a 10⁸-key sketch. typedLit builds the foldable array<bigint>
     // directly; the registered builder still embeds it as one
-    // reference object.
+    // reference object. `orKeep` widens the filter for rows that must
+    // survive regardless of membership (e.g. an ingest gate's
+    // arriving batch, which the index cannot know yet) — the default
+    // lit(false) is the identity of || and keeps the plain probe.
     fact.where(call_function("bloom_might_contain",
-      col(keyCol).cast("long"), typedLit(bits.toSeq), lit(numHashes)))
+      col(keyCol).cast("long"), typedLit(bits.toSeq), lit(numHashes))
+      || orKeep)
 
   /** Persist the sketch as a one-row parquet artifact (bits + k):
     * the reusable-membership form — build once over the dim/corpus,

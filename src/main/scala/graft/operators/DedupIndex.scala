@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** The text-dedup index as a PERSISTED ARTIFACT — incremental ingest
@@ -191,11 +191,11 @@ object DedupIndex {
     * integral — see [[integralKey]]) serves `fact` unpruned.
     */
   def memberPrune(s: SparkSession, dir: String, fact: DataFrame,
-      keyCol: String): DataFrame =
+      keyCol: String, orKeep: Column = lit(false)): DataFrame =
     if (!integralKey(fact, keyCol) || !hasMembers(s, dir)) fact
     else {
       val (bits, k) = BloomPrune.load(s, membersPath(dir))
-      BloomPrune.prune(fact, keyCol, bits, k)
+      BloomPrune.prune(fact, keyCol, bits, k, orKeep)
     }
 
   /** Signature + banded buckets of `docs` — ONE definition shared by

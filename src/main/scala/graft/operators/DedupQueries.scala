@@ -281,29 +281,35 @@ object DedupQueries {
 
     // d12: the INGEST GATE — incremental dedup as an admission
     // decision, the query continuous ingestion actually runs: docs at
-    // or past IngestSplit are "arriving"; candidates touching the
-    // batch come from DedupIndex.probePairs (the SAME join the
-    // persisted-index probe serves — the gate and the artifact path
-    // cannot drift), each candidate is VERIFIED by char-4-gram
-    // Jaccard (d5's builders), and an arrival is admitted iff no
-    // confirmed duplicate with an EARLIER doc exists (earliest-wins,
-    // non-recursive — deterministic and mirrorable; the corpus-side
-    // doc of a confirmed pair always wins, and within the batch the
-    // earlier arrival wins). At 100 TB the base side reads from the
-    // DedupIndex artifact instead of re-bucketing — spec-equal by
-    // probePairs sharing.
+    // or past IngestSplit are "arriving"; the base side is the
+    // PERSISTED DedupIndex artifact (built here, served from disk —
+    // the same probe join st10 runs per micro-batch, so the gate and
+    // the artifact path cannot drift), each candidate is VERIFIED by
+    // char-4-gram Jaccard (d5's builders), and an arrival is admitted
+    // iff no confirmed duplicate with an EARLIER doc exists
+    // (earliest-wins, non-recursive — deterministic and mirrorable;
+    // the corpus-side doc of a confirmed pair always wins, and within
+    // the batch the earlier arrival wins). The VERIFICATION store is
+    // membership-pruned at the scan: a doc that is neither plausibly
+    // indexed (the artifact's sketch — a superset of the indexed ids,
+    // so every candidate keeps its grams row and pruning is
+    // invisible) nor arriving never shingles. At 100 TB that filter
+    // is what keeps the gate's verification side from shingling the
+    // whole table when the index holds a fraction of it.
     "d12_ingest_gate" -> ((s, d) => {
+      val dir = TempArtifacts.dir("graft-dedupgate")
       val docs = documents(s, d)
-      val bkts = (f: DataFrame) => DedupOps.lshBuckets(
-        DedupOps.withMinHash(f, "text", K), "doc_id", K, RowsPerBand)
-      val cand = DedupIndex.probePairs(
-        bkts(docs.filter(col("doc_id") < IngestSplit)),
-        bkts(docs.filter(col("doc_id") >= IngestSplit)), "doc_id")
+      DedupIndex.build(docs.filter(col("doc_id") < IngestSplit),
+        "text", "doc_id", K, RowsPerBand, dir)
+      val arrivals = docs.filter(col("doc_id") >= IngestSplit)
+      val cand = DedupIndex.probe(DedupIndex.load(s, dir), arrivals,
+        "text", "doc_id")
       DedupIndex.gateDecisions(cand,
-        docs.select(col("doc_id"),
-          TextOps.charNgrams("text", 4).as("grams")),
-        docs.filter(col("doc_id") >= IngestSplit), "doc_id",
-        IngestJacThreshold)
+        DedupIndex.memberPrune(s, dir, docs, "doc_id",
+            orKeep = col("doc_id") >= IngestSplit)
+          .select(col("doc_id"),
+            TextOps.charNgrams("text", 4).as("grams")),
+        arrivals, "doc_id", IngestJacThreshold)
     }),
 
     // d13: INDEX TAKEDOWN for the text-dedup artifact — the delete

@@ -3,7 +3,8 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.operators.{ArtifactManifest, DedupOps, SimilarityOps, TempArtifacts}
+import graft.operators.{ArtifactManifest, DedupOps, SimilarityOps,
+  TempArtifacts, VectorIndex}
 
 /** Similarity-search inventory over `embeddings` (64-dim float
   * vectors): brute-force cosine top-k as the correctness baseline, an
@@ -575,24 +576,34 @@ object SimilarityQueries {
     // s13: the EMBEDDING INGEST GATE — d12's admission decision for
     // the vector modality, blocked by the index topology: quantizers
     // train on the BASE corpus only (vec_id < split — the frozen-
-    // quantizer contract an index gives arrivals), every vector is
-    // assigned under the final centroids (s10's serve shape), and
-    // candidates must agree on (cell, sign-bucket) — cell alone is an
-    // O(n²/k) block at 100 TB, the sign bits bound it (s3's design).
+    // quantizer contract an index gives arrivals), the base side is
+    // the PERSISTED gate-stamped VectorIndex artifact (built here,
+    // served from disk: stored cells, norms, and sign-buckets — no
+    // corpus re-encode), and candidates must agree on
+    // (cell, sign-bucket) — cell alone is an O(n²/k) block at 100 TB,
+    // the sign bits bound it (s3's design). The stored scan is
+    // narrowed by the batch's touched-bucket In filter
+    // (VectorIndex.gateStored — the SAME frame st11's per-batch
+    // lambda probes, so the two serving shapes cannot drift).
     // Confirmed = exact cosine ≥ the near-dup bar; admission is the
     // shared earliest-wins rule. SimilarityOps.ingestGate is the ONE
     // definition the streaming artifact gate (st11) also runs.
     "s13_vec_ingest_gate" -> ((s, d) => {
-      val e = SimilarityOps.withNorm(embeddings(s, d), "embedding", "n")
-      val cents = SimilarityOps.trainIvf(
-        e.filter(col("vec_id") < VecGateSplit), Dim, LloydSteps)
-      val assigned = e
-        .withColumn("cell", SimilarityOps.ivfAssign(cents, Dim))
+      val dir = TempArtifacts.dir("graft-vecgate")
+      val e = embeddings(s, d)
+      VectorIndex.build(e.filter(col("vec_id") < VecGateSplit)
+          .select("vec_id", "embedding"),
+        Dim, LloydSteps, PqSub, PqSubDim, PqK, dir,
+        gateBits = Some(VecGateBits))
+      val l = VectorIndex.load(s, dir)
+      val batch = SimilarityOps.withNorm(
+          e.filter(col("vec_id") >= VecGateSplit), "embedding", "n")
+        .withColumn("cell", SimilarityOps.ivfAssign(l.cents, Dim))
         .withColumn("bucket",
           SimilarityOps.signBucket("embedding", VecGateBits))
       SimilarityOps.ingestGate(
-        assigned.filter(col("vec_id") < VecGateSplit),
-        assigned.filter(col("vec_id") >= VecGateSplit), VecGateThr)
+        VectorIndex.gateStored(s, dir, VecGateBits, l.gateBits, batch),
+        batch, VecGateThr)
     }),
 
     // s14: RECALL of the ingest gate's blocking, PER SIMILARITY BAND —

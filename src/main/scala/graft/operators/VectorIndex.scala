@@ -499,6 +499,49 @@ object VectorIndex {
     ArtifactManifest.refreshAfterDelete(s, s"$dir/corpus")
   }
 
+  /** The stored-corpus frame the ingest gate probes for one batch —
+    * ONE definition shared by the batch gate (s13) and the streaming
+    * gate's per-batch lambda (st11), so the two serving shapes cannot
+    * drift. `storedBits` is [[gateBitsOf]], read once per gate (per
+    * stream / per batch query), never per call. For a stamped
+    * artifact under matching geometry the frame is a PLAIN scan of
+    * the persisted bucket column — no re-encode, no signBucket
+    * derivation — narrowed by the batch's touched-bucket set
+    * (≤ 2^bits values, read off the encoded batch: driver-bounded by
+    * GEOMETRY, not data), pushed into the parquet scan as an In
+    * filter. Against the bucket-sorted file layout, row groups
+    * holding only un-touched buckets never leave disk, so the
+    * per-batch stored read tracks the batch's collision surface, not
+    * the corpus (ScaleProbe `vec gate scan`). Semantics are untouched
+    * — the gate's (cell, bucket) equi-join can only match batch
+    * buckets anyway. Past the In-list cap (wide geometries) and for
+    * unstamped legacy artifacts, the semi-join inside the gate
+    * remains the only pruning; a stamp under DIFFERENT bits refuses
+    * (stale buckets would silently miss collisions).
+    */
+  private[graft] def gateStored(ss: SparkSession, dir: String,
+      bits: Int, storedBits: Option[Int], enc: DataFrame): DataFrame = {
+    storedBits.foreach(b => require(b == bits,
+      s"VectorIndex.gateStored: index at $dir is gate-stamped " +
+        s"bits=$b but the gate requested bits=$bits — rebuild the " +
+        "index or match the geometry"))
+    val corpus = ss.read.parquet(s"$dir/corpus")
+      .withColumn("cell", col("cell").cast("long"))
+    if (storedBits.contains(bits) && bits <= 12) {
+      import ss.implicits._
+      // NULL batch buckets (degenerate embeddings) can never
+      // equi-join — they neither enter the In list nor keep stored
+      // rows alive
+      val bb = enc.select("bucket").distinct()
+        .filter(col("bucket").isNotNull).as[Long].collect()
+      if (bb.isEmpty) corpus.filter(lit(false))
+      else corpus.filter(col("bucket")
+        .isin(bb.map(Long.box).toIndexedSeq: _*))
+    } else if (storedBits.contains(bits)) corpus
+    else corpus.withColumn("bucket",
+      SimilarityOps.signBucket("embedding", bits))
+  }
+
   /** CONTINUOUS vector ingestion: the artifact's probe → gate →
     * append loop driven from a Structured Streaming file source — the
     * embedding twin of [[DedupIndex.streamIngestGate]]. Vectors below
@@ -566,8 +609,6 @@ object VectorIndex {
     DedupIndex.dropMembers(ss, s"$root/index")
     graft.streaming.StreamingOps.replayOrdered(ss, e0.schema,
         s"$root/arrivals", s"$root/ckpt") { (batch, batchId) =>
-        val corpus = ss.read.parquet(s"$root/index/corpus")
-          .withColumn("cell", col("cell").cast("long"))
         // the batch is encoded ONCE (norm, cell, PQ code, bucket),
         // persisted for the batch's lifetime, and both served to the
         // gate and appended — instead of encoding separately for each
@@ -580,31 +621,8 @@ object VectorIndex {
           .withColumn("bucket",
             SimilarityOps.signBucket("embedding", bits))
           .persist()
-        // the corpus side needs no re-encode — cells, norms, AND the
-        // gate's sign-bucket are stored artifact columns. The batch's
-        // touched-bucket set (≤ 2^bits values, read off the persisted
-        // batch — driver-bounded by GEOMETRY, not data) pushes into
-        // the parquet scan as an In filter: against the bucket-sorted
-        // file layout, row groups holding only un-touched buckets
-        // never leave disk, so the per-batch stored read tracks the
-        // batch's collision surface, not the corpus. Semantics are
-        // untouched — the gate's (cell, bucket) equi-join can only
-        // match batch buckets anyway. Past the In-list cap (wide
-        // geometries) and for unstamped legacy artifacts, the
-        // semi-join inside the gate remains the only pruning.
-        val stored = if (storedBits.contains(bits) && bits <= 12) {
-          import ss.implicits._
-          // NULL batch buckets (degenerate embeddings) can never
-          // equi-join — they neither enter the In list nor keep
-          // stored rows alive
-          val bb = enc.select("bucket").distinct()
-            .filter(col("bucket").isNotNull).as[Long].collect()
-          if (bb.isEmpty) corpus.filter(lit(false))
-          else corpus.filter(col("bucket")
-            .isin(bb.map(Long.box).toIndexedSeq: _*))
-        } else if (storedBits.contains(bits)) corpus
-        else corpus.withColumn("bucket",
-          SimilarityOps.signBucket("embedding", bits))
+        val stored = gateStored(ss, s"$root/index", bits, storedBits,
+          enc)
         try {
           // batch-keyed dynamic overwrites: a replayed micro-batch
           // replaces its own decisions/generation instead of
@@ -658,8 +676,9 @@ object VectorIndex {
     * byte-identically with the exact join that follows).
     */
   def memberPrune(s: SparkSession, dir: String, fact: DataFrame,
-      keyCol: String): DataFrame =
-    DedupIndex.memberPrune(s, dir, fact, keyCol)
+      keyCol: String,
+      orKeep: org.apache.spark.sql.Column = lit(false)): DataFrame =
+    DedupIndex.memberPrune(s, dir, fact, keyCol, orKeep)
 
   def load(s: SparkSession, dir: String): Loaded = {
     val cr = s.read.parquet(s"$dir/centroids").collect()

@@ -139,4 +139,42 @@ class PlanSpec extends SparkSpec {
       assert(joinLine.isDefined, s"$q: no broadcast hash join on cell:\n$p")
     }
   }
+
+  test("ingest gate verification store is membership-pruned at the " +
+      "scan (d12): the bloom probe sits ahead of any exchange") {
+    // the grams side must pre-drop docs that are neither plausibly
+    // indexed (the artifact's sketch) nor arriving BEFORE anything
+    // ships — at 100 TB this is what keeps the gate's verification
+    // side from shingling the whole table
+    val p = planOf("d12_ingest_gate")
+    val lines = p.linesIterator.toSeq
+    val fi = lines.indexWhere(_.contains("bloom_might_contain"))
+    assert(fi >= 0, p)
+    val below = lines.drop(fi + 1)
+    val scanI = below.indexWhere(l =>
+      l.contains("Scan parquet") || l.contains("FileScan"))
+    assert(scanI >= 0, p)
+    assert(!below.take(scanI).exists(_.contains("Exchange")), p)
+  }
+
+  test("vector ingest gate serves the artifact's stored buckets " +
+      "(s13): touched-bucket In filter pushed to the corpus scan, " +
+      "no signBucket derivation on the stored side") {
+    val p = planOf("s13_vec_ingest_gate")
+    // the batch's touched-bucket set reaches the corpus scan as a
+    // PUSHED In filter — row groups of un-touched buckets never
+    // leave disk against the bucket-sorted layout
+    val pushedIn = p.linesIterator.find(l =>
+      l.contains("PushedFilters") && l.contains("In(bucket"))
+    assert(pushedIn.isDefined, p)
+    // exactly ONE subtree derives sign-buckets (the arriving batch,
+    // batch-sized); the stored side reads the persisted column. The
+    // derivation is the element_at CASE chain — count its plan
+    // occurrences: one projection over the embeddings scan, which
+    // feeds both gate sides of the batch, plus none over the corpus
+    val scanLines = p.linesIterator.filter(l =>
+      l.contains("Scan parquet") || l.contains("FileScan")).toSeq
+    assert(!scanLines.exists(l =>
+      l.contains("corpus") && l.contains("element_at")), p)
+  }
 }

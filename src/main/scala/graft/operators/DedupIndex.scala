@@ -245,6 +245,23 @@ object DedupIndex {
     buckets.withColumn("k", lit(k))
       .withColumn("rows_per_band", lit(rowsPerBand))
 
+  /** Build the artifact only if absent (detected by the bucket
+    * write's commit marker), then load — the serve-many entry point
+    * ([[VectorIndex.buildOrLoad]]'s text twin): the first call pays
+    * signatures + the bucket write, every later call only the
+    * params read. Same single-writer-per-root contract as [[append]].
+    */
+  def buildOrLoad(docs: DataFrame, textCol: String, idCol: String,
+      k: Int, rowsPerBand: Int, dir: String): Loaded = {
+    val s = docs.sparkSession
+    val marker = new org.apache.hadoop.fs.Path(
+      s"$dir/buckets/_SUCCESS")
+    if (!marker.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .exists(marker))
+      build(docs, textCol, idCol, k, rowsPerBand, dir)
+    load(s, dir)
+  }
+
   /** Banding geometry to the driver, buckets as a lazy partitioned
     * scan (`band` re-cast to its written long type).
     */

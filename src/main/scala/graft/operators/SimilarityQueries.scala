@@ -589,13 +589,18 @@ object SimilarityQueries {
     // shared earliest-wins rule. SimilarityOps.ingestGate is the ONE
     // definition the streaming artifact gate (st11) also runs.
     "s13_vec_ingest_gate" -> ((s, d) => {
-      val dir = TempArtifacts.dir("graft-vecgate")
+      // build-once/serve-many, like d12: the tag pins the full gate
+      // geometry (a bits change keys a different root, so the stamp
+      // check can never trip on a stale fingerprint hit)
+      val dir = VectorIndex.artifactRoot(
+        s"s13gate-$Dim-$LloydSteps-$PqSub-$PqK-" +
+          s"$VecGateBits-$VecGateSplit", d)
       val e = embeddings(s, d)
-      VectorIndex.build(e.filter(col("vec_id") < VecGateSplit)
+      val l = VectorIndex.buildOrLoad(
+        e.filter(col("vec_id") < VecGateSplit)
           .select("vec_id", "embedding"),
         Dim, LloydSteps, PqSub, PqSubDim, PqK, dir,
         gateBits = Some(VecGateBits))
-      val l = VectorIndex.load(s, dir)
       val batch = SimilarityOps.withNorm(
           e.filter(col("vec_id") >= VecGateSplit), "embedding", "n")
         .withColumn("cell", SimilarityOps.ivfAssign(l.cents, Dim))

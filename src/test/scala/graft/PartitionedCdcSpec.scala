@@ -752,6 +752,64 @@ class PartitionedCdcSpec extends SparkSpec {
 
   private def leaseFile(root: String) = new HPath(s"$root/_lock/lease")
 
+  test("quiet tick on a retention-floor chain MID-REPLAY: the " +
+      "committed prefix serves, the resumed replay completes, and a " +
+      "chain over-pruned to a single version still serves") {
+    withDir { dirRoot =>
+      val r = s"$dirRoot/a"
+      val log3 = (40L until 45L)
+        .map(k => (k, 3L, "U", k * 10 + 3, "cdc"))
+        .toDF("k", "seq", "op", "v", "src")
+      val log = log1.unionByName(log2).unionByName(log3)
+      // poison: a foreign version-3 manifest pre-committed, so the
+      // THIRD micro-batch dies at the fence — a genuine mid-replay
+      // crash with batches 1-2 committed and retention (the hardest
+      // legal floor, retainVersions = 1) already pruning behind them
+      PartitionedCdc.commitManifest(spark, r,
+        PartitionedCdc.Manifest(3, Map(99L -> 3)))
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Seq.empty
+        else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      val e = intercept[Exception] {
+        PartitionedCdc.streamApply(spark, base, log, Seq("k"), "seq",
+          "op", bucketOf, nFiles = 3, root = r, retainVersions = 1)
+      }
+      assert(msgs(e).exists(_.contains("second concurrent writer")),
+        e.toString)
+      // the crash released the writer lease (no wedge) and committed
+      // exactly the prefix
+      assert(!fs.exists(leaseFile(r)))
+      assert(PartitionedCdc.listVersions(spark, r) === Seq(1, 2, 3))
+      // the operator resolves the conflict by removing the foreign
+      // manifest; the chain is now {1, 2} — mid-replay, at the floor
+      fs.delete(new HPath(s"$r/_versions/v0000000003.json"), false)
+      // QUIET TICK mid-replay: staged == 0 serves the newest
+      // COMMITTED version — the prefix state, never a throw on the
+      // pruned-below-floor history
+      val quiet = PartitionedCdc.streamApply(spark, base,
+        log.where(lit(false)), Seq("k"), "seq", "op", bucketOf,
+        nFiles = 3, root = r, retainVersions = 1)
+      assert(kvRows(quiet) === expect(log1, log2))
+      // DATA TICK: the same log resumes from the checkpoint — only
+      // the crashed batch replays, the chain completes and serves
+      val fin = PartitionedCdc.streamApply(spark, base, log,
+        Seq("k"), "seq", "op", bucketOf, nFiles = 3, root = r,
+        retainVersions = 1)
+      assert(kvRows(fin) === expect(log1, log2, log3))
+      assert(PartitionedCdc.listVersions(spark, r) === Seq(2, 3))
+      // ENTIRE chain pruned to a single version (an external
+      // lifecycle rule outran our retention): the quiet tick still
+      // serves vs.last — the single survivor references every bucket
+      // directory it needs by construction
+      fs.delete(new HPath(s"$r/_versions/v0000000002.json"), false)
+      assert(PartitionedCdc.listVersions(spark, r) === Seq(3))
+      val after = PartitionedCdc.streamApply(spark, base,
+        log.where(lit(false)), Seq("k"), "seq", "op", bucketOf,
+        nFiles = 3, root = r, retainVersions = 1)
+      assert(kvRows(after) === expect(log1, log2, log3))
+    }
+  }
+
   test("writer lease: a held lease refuses a second writer at ENTRY — " +
       "before it touches data/ — and is released on completion") {
     withDir { root =>

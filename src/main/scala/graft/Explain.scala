@@ -35,8 +35,8 @@ object Explain {
     "s9_ivfpq_multiprobe" -> "IVFPQ serving: probe cells ranked per query, candidates hash-joined on cell, ADC shortlist + exact re-rank",
     "s12_filtered_ann" -> "filtered ANN: the metadata predicate rides the candidate join key (cell, label) — no post-filter pass",
     "cv1_violations" -> "CV validation: vocabulary broadcast into a LeftAnti hash join, violation counts aggregated map-side",
-    "d12_ingest_gate" -> "ingest admission gate: bucket probe equi-join, gram-verify joins, earliest-wins admission (one aggregation)",
-    "s13_vec_ingest_gate" -> "embedding ingest gate: base-trained quantizers, (cell, sign-bucket) candidate block, exact-cosine confirm",
+    "d12_ingest_gate" -> "ingest admission gate served from the persisted index: artifact bucket probe, verification store membership-pruned at the scan (codegen'd bloom probe ahead of the gram-join exchange), earliest-wins admission (one aggregation)",
+    "s13_vec_ingest_gate" -> "embedding ingest gate served from the gate-stamped artifact: stored cells/norms/sign-buckets (no corpus re-encode), touched-bucket In filter pushed to the corpus scan, exact-cosine confirm",
     "x11_cdc_apply" -> "CDC apply: changelog collapsed by max_by (partial aggregate collapses keys before the exchange; no whole-log window), base anti-joins the keys",
     "s15_index_delete" -> "serve after takedown: the artifact scan reads the compacted post-delete corpus (tombstoned rows physically gone — no runtime filter pays for them), DPP pins the cell routing exactly as s8/s11",
     "x12_incr_agg" -> "incremental MV maintenance: base touched only by a churn-keyed hash semi-join (never re-aggregated); -old/+new contributions merge with the previous aggregate in ONE summing aggregation (null-group safe, no join)",

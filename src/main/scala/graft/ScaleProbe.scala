@@ -522,6 +522,81 @@ object ScaleProbe {
       rmTree(java.nio.file.Paths.get(gRoot))
     }
 
+    // Membership sketch at index scale: 20M-key sizing, a 10x append
+    // burst past it, and the refreshMembers recovery — the three
+    // lifecycle phases measured, plus the j8-style fact-scan
+    // reduction the sketch buys. Selectivity is printed per phase
+    // (survivor fraction of a pure non-member probe): sized ≈ the 2%
+    // design fpp, post-burst ≈ saturated (degraded, NEVER wrong —
+    // the superset contract), post-refresh ≈ 2% again at the new
+    // cardinality.
+    if (want("members build (20M keys)", "members burst OR (10x)",
+        "members refresh (220M live)",
+        "members prune scan (100M fact)")) locally {
+      val mRoot = java.nio.file.Files
+        .createTempDirectory("graft-probe-members").toString
+      // the group's phases are INTERDEPENDENT (the prune scan and the
+      // burst need the built sketch): inside the want-gated group,
+      // every phase runs unconditionally — time() would silently skip
+      // (not run) a phase whose name missed the filter args, leaving
+      // later phases measuring an absent sketch
+      def phase[A](name: String, rows: Long)(f: => A): Unit = {
+        val t0 = System.nanoTime()
+        f
+        val sec = (System.nanoTime() - t0) / 1e9
+        println(f"$name%-28s rows=$rows%,d  ${sec}%.2f s  " +
+          f"${rows / sec / 1e6}%.1f M rows/s")
+      }
+      val members = spark.range(20000000L).select(col("id").as("k"))
+      val burst = spark.range(100000000L, 300000000L)
+        .select(col("id").as("k"))
+      def nonMembers(n: Long) = spark.range(1000000000L,
+        1000000000L + n).select(col("id").as("k"))
+      def selectivity(tag: String): Unit = {
+        val n = 2000000L
+        val kept = graft.operators.DedupIndex
+          .memberPrune(spark, mRoot, nonMembers(n), "k").count()
+        println(f"  [members selectivity $tag: " +
+          f"${kept.toDouble / n}%.4f non-member pass rate]")
+      }
+      phase("members build (20M keys)", 20000000L) {
+        graft.operators.DedupIndex.refreshMembers(spark, mRoot,
+          members, "k")
+      }
+      selectivity("sized@20M")
+      // the fact-scan reduction the sketch exists for: a 100M-row
+      // fact whose keys are 20% members — the probe drops the rest
+      // in the scan stage before any join ships
+      phase("members prune scan (100M fact)", 100000000L) {
+        // DIV, not "/": fp division would type k as double and the
+        // sketch's integral-key guard would (correctly) serve the
+        // fact unpruned — measuring nothing
+        val fact = spark.range(100000000L).select(
+          expr("CASE WHEN id % 5 = 0 THEN id DIV 5 " +
+            "ELSE id + 500000000 END").as("k"))
+        val kept = graft.operators.DedupIndex
+          .memberPrune(spark, mRoot, fact, "k").count()
+        println(f"  [members prune kept $kept%,d of 100,000,000]")
+      }
+      // the burst/refresh phases are TERMINAL (nothing later needs
+      // them), so they stay filterable — a prune-scan-only iteration
+      // run skips the 4-minute refresh
+      if (want("members burst OR (10x)", "members refresh (220M live)")) {
+        phase("members burst OR (10x)", 200000000L) {
+          graft.operators.DedupIndex.orMembers(burst, "k", mRoot)
+        }
+        selectivity("post-burst")
+      }
+      if (want("members refresh (220M live)")) {
+        phase("members refresh (220M live)", 220000000L) {
+          graft.operators.DedupIndex.refreshMembers(spark, mRoot,
+            members.unionByName(burst), "k")
+        }
+        selectivity("post-refresh@220M")
+      }
+      rmTree(java.nio.file.Paths.get(mRoot))
+    }
+
     // CDC apply at churn scale: a 20M-key snapshot absorbs a 2M-row
     // changelog (updates + deletes, two generations on overlapping
     // keys) — one max_by collapse of the changelog + one anti-join of

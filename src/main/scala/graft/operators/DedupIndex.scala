@@ -152,9 +152,12 @@ object DedupIndex {
 
   /** OR a batch's ids into the existing sketch (append path) — a
     * legacy artifact without one stays without (memberPrune then
-    * serves unpruned; the next build creates it).
+    * serves unpruned; the next build creates it). private[graft] (not
+    * [operators]) so ScaleProbe can drive the append-burst
+    * degradation measurement directly at 10⁸ keys without shingling
+    * a synthetic corpus first.
     */
-  private[operators] def orMembers(ids: DataFrame, idCol: String,
+  private[graft] def orMembers(ids: DataFrame, idCol: String,
       dir: String): Unit = {
     val s = ids.sparkSession
     if (!integralKey(ids, idCol) || !hasMembers(s, dir)) return

@@ -81,6 +81,13 @@ object VectorIndex {
       subDim: Int, k: Int, dir: String,
       metaCols: Seq[String] = Seq.empty,
       gateBits: Option[Int] = None): Unit = {
+    // `bucket` is the gate's column: a metadata column with that name
+    // would be silently clobbered by the withColumn below (or
+    // duplicated in the select when gateBits is set) — refuse at
+    // build instead
+    require(!metaCols.contains("bucket"),
+      "VectorIndex.build: 'bucket' is reserved for the ingest gate's " +
+        "sign-bucket column — rename the metadata column")
     val s = e0.sparkSession
     import s.implicits._
     val e = SimilarityOps.withNorm(e0, "embedding", "n")

@@ -463,4 +463,51 @@ class DedupIndexSpec extends SparkSpec {
         .count() === sdocs.count())
     }
   }
+
+  test("refreshMembers restores the sized fpp after an append burst " +
+      "past the build-time sizing (degraded, never wrong, then " +
+      "re-sized)") {
+    withDir { dir =>
+      // synthetic corpus so the burst ratio is controlled: the sketch
+      // is sized for the 1k-doc build; the append then ORs in 10x
+      // more ids under the same geometry
+      def docs(lo: Long, hi: Long) = spark.range(lo, hi).select(
+        col("id").as("doc_id"),
+        concat(lit("synthetic document number "), col("id"),
+          lit(" with enough shared filler words to shingle cleanly"))
+          .as("text"))
+      DedupIndex.build(docs(0, 1000), "text", "doc_id", k, rpb, dir)
+      // non-member probe ids, far from every real id
+      val nProbes = 50000L
+      def fpRate(): Double = DedupIndex.memberPrune(spark, dir,
+        spark.range(10000000L, 10000000L + nProbes)
+          .select(col("id").as("doc_id")), "doc_id")
+        .count().toDouble / nProbes
+      val sized = fpRate()
+      assert(sized < 0.05, f"fresh sketch fp rate $sized%.4f")
+      // 10x past the sizing: fpp degrades toward useless — but the
+      // sketch stays a SUPERSET (degraded, never wrong)
+      DedupIndex.append(spark, dir, docs(1000, 11000), "text",
+        "doc_id")
+      val degraded = fpRate()
+      assert(degraded > 0.5,
+        f"expected a saturated sketch after the burst, got " +
+          f"$degraded%.4f")
+      assert(DedupIndex.memberPrune(spark, dir,
+          docs(0, 11000).select("doc_id"), "doc_id")
+        .count() === 11000L, "a true member was dropped")
+      // the explicit tightening pass re-sizes from the artifact's
+      // CURRENT live ids: selectivity returns to the sized fpp
+      DedupIndex.refreshMembers(spark, dir,
+        DedupIndex.load(spark, dir).buckets.select("doc_id"),
+        "doc_id")
+      val restored = fpRate()
+      assert(restored < 0.05,
+        f"refreshMembers did not restore the sized fpp: " +
+          f"$restored%.4f")
+      assert(DedupIndex.memberPrune(spark, dir,
+          docs(0, 11000).select("doc_id"), "doc_id")
+        .count() === 11000L, "refresh dropped a true member")
+    }
+  }
 }

@@ -69,6 +69,16 @@ object DedupIndex {
 
   private def membersPath(dir: String) = s"$dir/members"
 
+  /** The artifact's writer-lease root — a SIBLING of the artifact
+    * tree, not inside it: [[VectorIndex.rebuild]]'s staging swap
+    * renames the whole root, and an in-tree lease would ride away
+    * with the old tree mid-mutation (and the artifact listing stays
+    * exactly the layout the readers document). Shared by both index
+    * artifacts.
+    */
+  private[operators] def leaseRoot(dir: String): String =
+    LayoutOps.sibling(dir, "__lock").toString
+
   private def fsOf(s: SparkSession, p: String) =
     new org.apache.hadoop.fs.Path(p)
       .getFileSystem(s.sparkContext.hadoopConfiguration)
@@ -181,7 +191,7 @@ object DedupIndex {
     * keeps every crash window at "no sketch" (unpruned, correct).
     */
   def refreshMembers(s: SparkSession, dir: String, liveIds: DataFrame,
-      idCol: String): Unit = {
+      idCol: String): Unit = WriterLease.withLease(s, leaseRoot(dir)) {
     dropMembers(s, dir)
     buildMembers(liveIds.select(col(idCol)).distinct(), idCol, dir)
   }
@@ -214,6 +224,11 @@ object DedupIndex {
       rowsPerBand: Int, dir: String): Unit = {
     val s = docs.sparkSession
     import s.implicits._
+    // single-writer per artifact, ENFORCED: batch mutators hold the
+    // cross-process lease for the mutation's duration (the streaming
+    // gates' run-private roots keep their checkpoint serialization
+    // instead — see WriterLease's thread note)
+    WriterLease.withLease(s, leaseRoot(dir)) {
     // BUCKETS FIRST, params LAST, and the geometry STAMPED onto the
     // bucket rows themselves (constant columns — parquet RLE makes
     // them free): a crash between the two overwrites of a re-build
@@ -238,6 +253,7 @@ object DedupIndex {
     Seq((k, rowsPerBand)).toDF("k", "rows_per_band")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/params")
     buildMembers(docs, idCol, dir)
+    }
   }
 
   /** The banding geometry as constant bucket columns — the
@@ -356,12 +372,14 @@ object DedupIndex {
       textCol: String, idCol: String, compactEvery: Int = 16): Unit = {
     require(compactEvery >= 2,
       s"append: compactEvery >= 2 (got $compactEvery)")
-    val l = load(s, dir)
-    appendWith(l.k, l.rowsPerBand, dir, newDocs, textCol, idCol,
-      nextGeneration(s, s"$dir/buckets"))
-    if (LayoutOps.ingestGenerations(s, s"$dir/buckets")
-        .size >= compactEvery)
-      ArtifactManifest.compactGenerations(s, s"$dir/buckets", "band")
+    WriterLease.withLease(s, leaseRoot(dir)) {
+      val l = load(s, dir)
+      appendWith(l.k, l.rowsPerBand, dir, newDocs, textCol, idCol,
+        nextGeneration(s, s"$dir/buckets"))
+      if (LayoutOps.ingestGenerations(s, s"$dir/buckets")
+          .size >= compactEvery)
+        ArtifactManifest.compactGenerations(s, s"$dir/buckets", "band")
+    }
   }
 
   /** Append one ingest GENERATION under already-known banding
@@ -415,11 +433,12 @@ object DedupIndex {
     * applied dynamic overwrite matters operationally.
     */
   def delete(s: SparkSession, dir: String, tombs: DataFrame,
-      idCol: String = "doc_id", staged: Boolean = false): Unit = {
-    LayoutOps.deleteKeysPartitioned(s, s"$dir/buckets", "band",
-      idCol, tombs, staged = staged)
-    ArtifactManifest.refreshAfterDelete(s, s"$dir/buckets")
-  }
+      idCol: String = "doc_id", staged: Boolean = false): Unit =
+    WriterLease.withLease(s, leaseRoot(dir)) {
+      LayoutOps.deleteKeysPartitioned(s, s"$dir/buckets", "band",
+        idCol, tombs, staged = staged)
+      ArtifactManifest.refreshAfterDelete(s, s"$dir/buckets")
+    }
 
   /** Admission decisions for an arriving batch: every candidate pair
     * is VERIFIED by char-4-gram Jaccard over `grams` (`idCol`,

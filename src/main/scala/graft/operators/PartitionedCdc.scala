@@ -79,178 +79,26 @@ object PartitionedCdc {
     finally in.close()
   }
 
-  // ---------------------------------------------------------------
-  // Cross-process writer LEASE — SERIALIZES mutators per root instead
-  // of merely detecting the violation at commit time. The manifest
-  // fence (commitManifest) remains the correctness backstop: it
-  // guarantees exactly one version-v content ever publishes. The
-  // lease moves the loser's failure EARLIER — before it stages a
-  // single byte — and turns "two writers interleaved, one died at
-  // commit after a full rewrite" into "the second writer refused at
-  // entry".
-  //
-  // Protocol (create-exclusive file + mtime heartbeat + staleness
-  // steal — the stagedReapHorizonMs shape applied to liveness):
-  //  - acquire: write a UUID token to a private tmp and rename it to
-  //    `root/_lock/lease` with NO overwrite — the same atomic
-  //    decision point as the manifest commit. A fresh existing lease
-  //    fails the acquire loudly.
-  //  - heartbeat: protocol steps touch the lease's mtime; a lease is
-  //    stealable only once its mtime is older than
-  //    `graft.cdc.leaseStealHorizonMs` (default 15 min) — i.e. the
-  //    holder made no progress for the whole horizon (crashed JVM,
-  //    lost executor). Stealing renames the observed stale file
-  //    aside (of two racing stealers exactly one rename of the same
-  //    path succeeds) and re-runs the create-exclusive acquire.
-  //  - verify: holders RE-READ the lease and require their own token
-  //    immediately before the manifest commit. A holder that stalled
-  //    past the horizon and lost its lease therefore dies BEFORE
-  //    committing — the steal/verify pair closes the classic
-  //    two-stealers window without needing compare-and-swap from the
-  //    filesystem (worst case both believe they acquired; only the
-  //    one whose token is actually in the file passes verify, and
-  //    the other's staging self-deletes exactly like a fenced-out
-  //    loser's).
-  //  - release: delete only if the content is still our token (a
-  //    normal release runs with a fresh mtime, so no legal steal can
-  //    race it).
-  // ---------------------------------------------------------------
+  // Cross-process writer LEASE — the protocol lives in
+  // [[WriterLease]] (shared with the index artifacts): every public
+  // mutator below acquires `root/_lock/lease` before staging, so a
+  // second writer refuses at ENTRY instead of after a full staged
+  // rewrite; [[stageCommitPublish]] re-verifies the held token
+  // immediately before the manifest commit (a holder that stalled
+  // past the steal horizon dies before publishing). The manifest
+  // fence (commitManifest) remains the correctness backstop for
+  // lease-steal races and legacy callers.
 
-  final case class Lease(path: Path, token: String)
+  def acquireLease(s: SparkSession, root: String): WriterLease.Lease =
+    WriterLease.acquire(s, root)
 
-  /** SAME-JVM lease ops serialize on a per-path in-process lock, for
-    * the same reason [[commitManifest]]'s do: the local filesystem's
-    * no-overwrite rename is check-then-rename (POSIX rename(2)
-    * overwrites), and its (file, .crc) pair moves non-atomically —
-    * two same-JVM racers could both "win" the create and interleave
-    * the checksum. Cross-process racers never share the lock and are
-    * decided by the no-overwrite rename, which HDFS-like stores make
-    * atomic.
-    */
-  private val leaseLocks =
-    new java.util.concurrent.ConcurrentHashMap[String, Object]()
-
-  private def leaseLock(fs: FileSystem, lp: Path): Object =
-    leaseLocks.computeIfAbsent(fs.makeQualified(lp).toString,
-      _ => new Object)
-
-  private def leasePath(root: String) = new Path(root, "_lock/lease")
-
-  private def leaseStealHorizonMs(s: SparkSession): Long =
-    s.conf.getOption("graft.cdc.leaseStealHorizonMs")
-      .map(_.toLong).getOrElse(900000L)
-
-  private def leaseToken(fs: FileSystem, lp: Path): Option[String] =
-    try Some(readText(fs, lp))
-    catch { case _: java.io.FileNotFoundException => None }
-
-  def acquireLease(s: SparkSession, root: String): Lease = {
-    val lp = leasePath(root)
-    val fs = fsOf(s, lp)
-    fs.mkdirs(lp.getParent)
-    val token = java.util.UUID.randomUUID.toString
-    leaseLock(fs, lp).synchronized {
-    def tryCreate(): Boolean = {
-      val tmp = new Path(lp.getParent, s".tmp.$token")
-      val out = fs.create(tmp, true)
-      try out.write(
-        token.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      finally out.close()
-      try org.apache.hadoop.fs.FileContext
-        .getFileContext(lp.toUri, s.sparkContext.hadoopConfiguration)
-        .rename(tmp, lp)
-      catch { case _: java.io.IOException => () }
-      // tmp surviving = the no-overwrite rename did not happen
-      if (fs.exists(tmp)) { fs.delete(tmp, false); false } else true
-    }
-    def acquired(): Lease = {
-      // read-back verification narrows the two-stealers window at
-      // the earliest possible point (the pre-commit verify is the
-      // backstop)
-      require(leaseToken(fs, lp).contains(token),
-        s"PartitionedCdc: lease on $root was taken over immediately " +
-          "after acquisition (two writers stealing the same stale " +
-          "lease) — re-run this batch")
-      Lease(lp, token)
-    }
-    if (tryCreate()) return acquired()
-    val horizon = leaseStealHorizonMs(s)
-    val st = try Some(fs.getFileStatus(lp))
-      catch { case _: java.io.FileNotFoundException => None }
-    val ageMs = st.map(x =>
-      System.currentTimeMillis() - x.getModificationTime)
-    if (ageMs.forall(_ > horizon)) {
-      // stale (or vanished between the failed create and the stat):
-      // move the dead holder's file aside, then race the exclusive
-      // create again
-      st.foreach { x =>
-        val aside = new Path(lp.getParent, s".stale.$token")
-        if (fs.rename(lp, aside)) fs.delete(aside, false)
-      }
-      if (tryCreate()) return acquired()
-    }
-    throw new IllegalStateException(
-      s"PartitionedCdc: another writer holds the lease on $root" +
-        ageMs.map(a => s" (last heartbeat ${a} ms ago, steal " +
-          s"horizon ${horizon} ms — graft.cdc.leaseStealHorizonMs)")
-          .getOrElse("") +
-        "; the layout is single-writer per root — wait for the " +
-        "holder to finish, or raise/lower the steal horizon if it " +
-        "crashed")
-    }
-  }
-
-  /** Re-read the lease and require our own token, then refresh the
-    * heartbeat. Called immediately before the manifest commit: a
-    * holder that stalled past the steal horizon and lost the lease
-    * dies HERE, before publishing anything.
-    */
-  private def verifyLease(s: SparkSession, lease: Lease): Unit = {
-    val fs = fsOf(s, lease.path)
-    leaseLock(fs, lease.path).synchronized {
-      require(leaseToken(fs, lease.path).contains(lease.token),
-        s"PartitionedCdc: writer lease ${lease.path} was lost — this " +
-          "writer made no progress for longer than " +
-          "graft.cdc.leaseStealHorizonMs and another writer stole " +
-          "the lease; abandoning before the commit (re-run the batch)")
-      fs.setTimes(lease.path, System.currentTimeMillis(), -1)
-    }
-  }
-
-  def releaseLease(s: SparkSession, lease: Lease): Unit = {
-    val fs = fsOf(s, lease.path)
-    leaseLock(fs, lease.path).synchronized {
-      if (leaseToken(fs, lease.path).contains(lease.token))
-        fs.delete(lease.path, false)
-    }
-  }
-
-  /** The mutators' entry wrapper: acquire → run → release, re-entrant
-    * per thread (applyBatch delegates to applyVersion; initMaintained
-    * to init — the outermost call owns the lease). The active lease
-    * is consulted by [[stageCommitPublish]] for the pre-commit
-    * verify.
-    */
-  private val heldLeases = new ThreadLocal[Map[String, Lease]] {
-    override def initialValue(): Map[String, Lease] = Map.empty
-  }
-
-  private def leaseKey(s: SparkSession, root: String): String =
-    fsOf(s, new Path(root)).makeQualified(new Path(root)).toString
+  def releaseLease(s: SparkSession,
+      lease: WriterLease.Lease): Unit =
+    WriterLease.release(s, lease)
 
   private def withWriterLease[A](s: SparkSession, root: String)(
-      f: => A): A = {
-    val key = leaseKey(s, root)
-    if (heldLeases.get.contains(key)) f
-    else {
-      val lease = acquireLease(s, root)
-      heldLeases.set(heldLeases.get + (key -> lease))
-      try f finally {
-        heldLeases.set(heldLeases.get - key)
-        releaseLease(s, lease)
-      }
-    }
-  }
+      f: => A): A =
+    WriterLease.withLease(s, root)(f)
 
   def manifest(s: SparkSession, root: String, v: Int): Manifest = {
     val p = manifestPath(root, v)
@@ -460,8 +308,7 @@ object PartitionedCdc {
       // pre-commit lease verify: a holder that stalled past the
       // steal horizon (its lease was legally stolen) dies here, with
       // its staging self-deleting below — never publishing
-      heldLeases.get.get(leaseKey(s, root))
-        .foreach(verifyLease(s, _))
+      WriterLease.heldFor(s, root).foreach(WriterLease.verify(s, _))
       commitManifest(s, root, manifestOf(written))
     } catch { case t: Throwable =>
       fsOf(s, staging).delete(staging, true); throw t

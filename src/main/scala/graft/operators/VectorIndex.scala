@@ -90,6 +90,10 @@ object VectorIndex {
         "sign-bucket column — rename the metadata column")
     val s = e0.sparkSession
     import s.implicits._
+    // single-writer per artifact, ENFORCED (the DedupIndex batch
+    // mutators' contract): the lease lives at the artifact's SIBLING
+    // lock root so rebuild's staging swap never carries it away
+    WriterLease.withLease(s, DedupIndex.leaseRoot(dir)) {
     val e = SimilarityOps.withNorm(e0, "embedding", "n")
     val cents = SimilarityOps.trainIvf(e, dim, lloydSteps)
     val books = ProductQuantization.train(
@@ -162,6 +166,7 @@ object VectorIndex {
     // rode the corpus write's Observation — no extra pass.
     DedupIndex.buildMembers(e0, "vec_id", dir,
       metrics.get("n_rows").map(_.asInstanceOf[Long]))
+    }
   }
 
   /** The k-row (cell, cvec, cn) centroid table for the drift dot
@@ -341,6 +346,7 @@ object VectorIndex {
       s"append: compactEvery >= 2 (got $compactEvery)")
     require(driftTolerance > 0.0,
       s"append: driftTolerance > 0 (got $driftTolerance)")
+    WriterLease.withLease(s, DedupIndex.leaseRoot(dir)) {
     val l = load(s, dir)
     val dim = l.cents.books.length / l.cents.cells.length
     val gen = DedupIndex.nextGeneration(s, s"$dir/corpus")
@@ -364,6 +370,7 @@ object VectorIndex {
       ArtifactManifest.compactGenerations(s, s"$dir/corpus", "cell",
         sortWithin = l.gateBits.map(_ => "bucket").toSeq)
     tripped
+    }
   }
 
   /** Append one ingest GENERATION under an already-loaded artifact —
@@ -432,7 +439,8 @@ object VectorIndex {
     * single-writer maintenance-window contract as compaction.
     */
   def rebuild(s: SparkSession, dir: String, lloydSteps: Int,
-      subspaces: Int, subDim: Int, k: Int): Unit = {
+      subspaces: Int, subDim: Int, k: Int): Unit =
+    WriterLease.withLease(s, DedupIndex.leaseRoot(dir)) {
     // complete a crashed staged takedown before training: the rebuild
     // must train on post-takedown content, and the swap below would
     // otherwise strand the marked staging tree for a later recovery
@@ -481,7 +489,7 @@ object VectorIndex {
       ArtifactManifest.recordBuild(s, s"$staging/corpus", stagedSchema)
     }
     LayoutOps.swapInto(fs, dp, sp)
-  }
+    }
 
   /** Delete vectors from the artifact by id — the TAKEDOWN path (the
     * deletion obligation an LLM-corpus index legally carries): the
@@ -500,11 +508,12 @@ object VectorIndex {
     * ([[LayoutOps.deleteKeysPartitioned]]'s staged mode).
     */
   def delete(s: SparkSession, dir: String, tombs: DataFrame,
-      staged: Boolean = false): Unit = {
-    LayoutOps.deleteKeysPartitioned(s, s"$dir/corpus", "cell",
-      "vec_id", tombs, staged = staged)
-    ArtifactManifest.refreshAfterDelete(s, s"$dir/corpus")
-  }
+      staged: Boolean = false): Unit =
+    WriterLease.withLease(s, DedupIndex.leaseRoot(dir)) {
+      LayoutOps.deleteKeysPartitioned(s, s"$dir/corpus", "cell",
+        "vec_id", tombs, staged = staged)
+      ArtifactManifest.refreshAfterDelete(s, s"$dir/corpus")
+    }
 
   /** The stored-corpus frame the ingest gate probes for one batch —
     * ONE definition shared by the batch gate (s13) and the streaming

@@ -1,0 +1,195 @@
+package graft.operators
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.SparkSession
+
+/** Cross-process writer LEASE — serializes single-writer mutators per
+  * root, shared by the versioned CDC layout ([[PartitionedCdc]]) and
+  * the index artifacts ([[DedupIndex]]/[[VectorIndex]] batch
+  * mutators). Detection layers (the manifest fence, the append digest
+  * guard) remain each layout's correctness backstop; the lease moves
+  * a second writer's failure EARLIER — before it stages or overwrites
+  * a byte.
+  *
+  * Protocol (create-exclusive file + mtime heartbeat + staleness
+  * steal):
+  *  - acquire: write a UUID token to a private tmp and rename it to
+  *    `root/_lock/lease` with NO overwrite — the same atomic decision
+  *    point as a manifest commit. A fresh existing lease fails the
+  *    acquire loudly.
+  *  - heartbeat: protocol steps touch the lease's mtime; a lease is
+  *    stealable only once its mtime is older than
+  *    `graft.lease.stealHorizonMs` (default 15 min;
+  *    `graft.cdc.leaseStealHorizonMs` is honored as the legacy
+  *    spelling) — i.e. the holder made no progress for the whole
+  *    horizon (crashed JVM, lost executor). Stealing renames the
+  *    observed stale file aside (of two racing stealers exactly one
+  *    rename of the same path succeeds) and re-runs the exclusive
+  *    create.
+  *  - verify: holders RE-READ the lease and require their own token
+  *    immediately before their commit point. A holder that stalled
+  *    past the horizon and lost its lease dies BEFORE publishing —
+  *    the steal/verify pair closes the classic two-stealers window
+  *    without filesystem compare-and-swap (worst case both believe
+  *    they acquired; only the one whose token is in the file passes
+  *    verify, the other's staging self-deletes like any fenced-out
+  *    loser's).
+  *  - release: delete only if the content is still our token (a
+  *    normal release runs with a fresh mtime, so no legal steal can
+  *    race it).
+  *
+  * SAME-JVM lease ops serialize on a per-path in-process lock: the
+  * local filesystem's no-overwrite rename is check-then-rename (POSIX
+  * rename(2) overwrites) and its (file, .crc) pair moves
+  * non-atomically — two same-JVM racers could otherwise both "win"
+  * the create and interleave the checksum. Cross-process racers never
+  * share the lock and are decided by the no-overwrite rename, which
+  * HDFS-like stores make atomic (stores without one need an external
+  * lock — see CLUSTER.md).
+  *
+  * Held leases are tracked PER THREAD: [[withLease]] is re-entrant on
+  * the acquiring thread (an outer mutator that delegates to another
+  * wrapped mutator keeps one lease), while a second same-JVM thread
+  * conflicts exactly like a second process. Long-running owners whose
+  * work hops threads (Structured Streaming's foreachBatch) therefore
+  * do NOT use this wrapper — their roots are run-private and their
+  * checkpoint already serializes the writer.
+  */
+object WriterLease {
+
+  final case class Lease(path: Path, token: String)
+
+  private val locks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  private def lockOf(fs: FileSystem, lp: Path): Object =
+    locks.computeIfAbsent(fs.makeQualified(lp).toString,
+      _ => new Object)
+
+  private def leasePath(root: String) = new Path(root, "_lock/lease")
+
+  private def fsOf(s: SparkSession, p: Path): FileSystem =
+    p.getFileSystem(s.sparkContext.hadoopConfiguration)
+
+  private def stealHorizonMs(s: SparkSession): Long =
+    s.conf.getOption("graft.lease.stealHorizonMs")
+      .orElse(s.conf.getOption("graft.cdc.leaseStealHorizonMs"))
+      .map(_.toLong).getOrElse(900000L)
+
+  private def tokenOf(fs: FileSystem, lp: Path): Option[String] =
+    try {
+      val in = fs.open(lp)
+      try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString)
+      finally in.close()
+    } catch { case _: java.io.FileNotFoundException => None }
+
+  def acquire(s: SparkSession, root: String): Lease = {
+    val lp = leasePath(root)
+    val fs = fsOf(s, lp)
+    fs.mkdirs(lp.getParent)
+    val token = java.util.UUID.randomUUID.toString
+    lockOf(fs, lp).synchronized {
+      def tryCreate(): Boolean = {
+        val tmp = new Path(lp.getParent, s".tmp.$token")
+        val out = fs.create(tmp, true)
+        try out.write(
+          token.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        finally out.close()
+        try org.apache.hadoop.fs.FileContext
+          .getFileContext(lp.toUri,
+            s.sparkContext.hadoopConfiguration)
+          .rename(tmp, lp)
+        catch { case _: java.io.IOException => () }
+        // tmp surviving = the no-overwrite rename did not happen
+        if (fs.exists(tmp)) { fs.delete(tmp, false); false } else true
+      }
+      def acquired(): Lease = {
+        // read-back verification narrows the two-stealers window at
+        // the earliest point (the pre-commit verify is the backstop)
+        require(tokenOf(fs, lp).contains(token),
+          s"WriterLease: lease on $root was taken over immediately " +
+            "after acquisition (two writers stealing the same stale " +
+            "lease) — re-run this batch")
+        Lease(lp, token)
+      }
+      if (tryCreate()) return acquired()
+      val horizon = stealHorizonMs(s)
+      val st = try Some(fs.getFileStatus(lp))
+        catch { case _: java.io.FileNotFoundException => None }
+      val ageMs = st.map(x =>
+        System.currentTimeMillis() - x.getModificationTime)
+      if (ageMs.forall(_ > horizon)) {
+        // stale (or vanished between the failed create and the
+        // stat): move the dead holder's file aside, then race the
+        // exclusive create again
+        if (st.isDefined) {
+          val aside = new Path(lp.getParent, s".stale.$token")
+          if (fs.rename(lp, aside)) fs.delete(aside, false)
+        }
+        if (tryCreate()) return acquired()
+      }
+      throw new IllegalStateException(
+        s"WriterLease: another writer holds the lease on $root" +
+          ageMs.map(a => s" (last heartbeat ${a} ms ago, steal " +
+            s"horizon ${horizon} ms — graft.lease.stealHorizonMs)")
+            .getOrElse("") +
+          "; the layout is single-writer per root — wait for the " +
+          "holder to finish, or raise/lower the steal horizon if it " +
+          "crashed")
+    }
+  }
+
+  /** Re-read the lease and require our own token, then refresh the
+    * heartbeat — the pre-commit check: a holder that stalled past the
+    * steal horizon and lost the lease dies HERE, before publishing.
+    */
+  def verify(s: SparkSession, lease: Lease): Unit = {
+    val fs = fsOf(s, lease.path)
+    lockOf(fs, lease.path).synchronized {
+      require(tokenOf(fs, lease.path).contains(lease.token),
+        s"WriterLease: writer lease ${lease.path} was lost — this " +
+          "writer made no progress for longer than " +
+          "graft.lease.stealHorizonMs and another writer stole the " +
+          "lease; abandoning before the commit (re-run the batch)")
+      fs.setTimes(lease.path, System.currentTimeMillis(), -1)
+    }
+  }
+
+  def release(s: SparkSession, lease: Lease): Unit = {
+    val fs = fsOf(s, lease.path)
+    lockOf(fs, lease.path).synchronized {
+      if (tokenOf(fs, lease.path).contains(lease.token))
+        fs.delete(lease.path, false)
+    }
+  }
+
+  private val held = new ThreadLocal[Map[String, Lease]] {
+    override def initialValue(): Map[String, Lease] = Map.empty
+  }
+
+  private def keyOf(s: SparkSession, root: String): String =
+    fsOf(s, new Path(root)).makeQualified(new Path(root)).toString
+
+  /** The lease a mutator on this thread currently holds for `root`,
+    * if any — consulted at commit points for the pre-commit verify.
+    */
+  def heldFor(s: SparkSession, root: String): Option[Lease] =
+    held.get.get(keyOf(s, root))
+
+  /** Acquire → run → release, re-entrant per thread: the outermost
+    * wrapped call owns the lease; nested wrapped calls on the same
+    * root run under it.
+    */
+  def withLease[A](s: SparkSession, root: String)(f: => A): A = {
+    val key = keyOf(s, root)
+    if (held.get.contains(key)) f
+    else {
+      val lease = acquire(s, root)
+      held.set(held.get + (key -> lease))
+      try f finally {
+        held.set(held.get - key)
+        release(s, lease)
+      }
+    }
+  }
+}

@@ -566,6 +566,47 @@ class IndexArtifactSpec extends SparkSpec {
     } finally rmTree(root)
   }
 
+  test("artifact batch mutators hold the writer lease: a held lease " +
+      "refuses a second writer at entry; a crashed holder is stolen " +
+      "past the horizon") {
+    import graft.operators.WriterLease
+    val root = Files.createTempDirectory("graft-art-lease")
+    try {
+      val dir = s"$root/idx"
+      val e = Tables.embeddings(spark, d)
+      val baseN = e.filter(col("vec_id") < 400).count()
+      VectorIndex.build(e.filter(col("vec_id") < 400)
+          .select("vec_id", "embedding"),
+        dim, steps, sub, subDim, k, dir)
+      // the lease lives at the SIBLING lock root (rebuild's staging
+      // swap renames the whole artifact tree) and is released when
+      // the mutator completes
+      val lockRoot = s"${dir}__lock"
+      val lp = new org.apache.hadoop.fs.Path(s"$lockRoot/_lock/lease")
+      val fs = lp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      assert(!fs.exists(lp))
+      // a mid-flight writer holds it: a second batch mutator refuses
+      // at ENTRY, before touching the artifact
+      val lease = WriterLease.acquire(spark, lockRoot)
+      val ex = intercept[IllegalStateException] {
+        VectorIndex.append(spark, dir,
+          e.filter(col("vec_id") >= 400).select("vec_id", "embedding"))
+      }
+      assert(ex.getMessage.contains("holds the lease"), ex.getMessage)
+      assert(VectorIndex.load(spark, dir).corpus.count() === baseN)
+      WriterLease.release(spark, lease)
+      // a crashed holder (acquired, never released, heartbeat dead)
+      // is stolen past the staleness horizon — the artifact cannot
+      // wedge
+      WriterLease.acquire(spark, lockRoot)
+      fs.setTimes(lp, System.currentTimeMillis() - 7200000L, -1)
+      VectorIndex.append(spark, dir,
+        e.filter(col("vec_id") >= 400).select("vec_id", "embedding"))
+      assert(VectorIndex.load(spark, dir).corpus.count() === e.count())
+      assert(!fs.exists(lp))
+    } finally rmTree(root)
+  }
+
   test("a gate-geometry mismatch on stream resume fails loudly") {
     val root = Files.createTempDirectory("graft-gate-mismatch")
     try {

@@ -44,7 +44,12 @@ object VectorIndex {
     */
   def gateBitsOf(s: SparkSession, dir: String): Option[Int] = {
     import s.implicits._
-    val p = new org.apache.hadoop.fs.Path(s"$dir/gate")
+    // the COMMIT MARKER, not bare directory existence: a crash during
+    // the stamp write leaves a half-written directory (no _SUCCESS),
+    // and reading it would throw — wedging every later load() of an
+    // otherwise healthy artifact. Absent marker = no stamp = the gate
+    // derives on the fly, which is always correct.
+    val p = new org.apache.hadoop.fs.Path(s"$dir/gate/_SUCCESS")
     if (!p.getFileSystem(s.sparkContext.hadoopConfiguration).exists(p))
       None
     else Some(s.read.parquet(s"$dir/gate").select("bits")
@@ -214,7 +219,10 @@ object VectorIndex {
     */
   def driftBaseline(s: SparkSession, dir: String): Option[Double] = {
     import s.implicits._
-    val p = new org.apache.hadoop.fs.Path(s"$dir/drift")
+    // commit marker, same rationale as [[gateBitsOf]]: a crash during
+    // the baseline write must read as "no baseline" (signal off),
+    // never wedge append()'s drift check with an unreadable directory
+    val p = new org.apache.hadoop.fs.Path(s"$dir/drift/_SUCCESS")
     if (!p.getFileSystem(s.sparkContext.hadoopConfiguration).exists(p))
       None
     else Some(s.read.parquet(s"$dir/drift").select("base_cos")

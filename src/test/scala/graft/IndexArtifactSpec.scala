@@ -607,6 +607,40 @@ class IndexArtifactSpec extends SparkSpec {
     } finally rmTree(root)
   }
 
+  test("a crashed gate/drift stamp write never wedges the artifact: " +
+      "no commit marker = no stamp, serving and append degrade " +
+      "safely") {
+    withArtifact() { dir =>
+      val fs = new org.apache.hadoop.fs.Path("/")
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      def halfWritten(p: String): Unit = {
+        val d = new org.apache.hadoop.fs.Path(p)
+        fs.delete(d, true)
+        fs.mkdirs(d)
+        // an uncommitted fragment, no _SUCCESS — what a mid-write
+        // crash leaves
+        val out = fs.create(
+          new org.apache.hadoop.fs.Path(d, "part-00000.snappy.parquet"),
+          true)
+        try out.write("not parquet".getBytes("UTF-8"))
+        finally out.close()
+      }
+      halfWritten(s"$dir/gate")
+      halfWritten(s"$dir/drift")
+      // load treats both as absent instead of throwing on the
+      // unreadable fragments
+      val l = VectorIndex.load(spark, dir)
+      assert(l.gateBits === None)
+      assert(VectorIndex.driftBaseline(spark, dir) === None)
+      // append proceeds with the drift signal OFF (returns false),
+      // never a wedge
+      val tripped = VectorIndex.append(spark, dir,
+        Tables.embeddings(spark, d).limit(50)
+          .select("vec_id", "embedding"))
+      assert(!tripped)
+    }
+  }
+
   test("a gate-geometry mismatch on stream resume fails loudly") {
     val root = Files.createTempDirectory("graft-gate-mismatch")
     try {

@@ -273,12 +273,24 @@ object DedupIndex {
   def buildOrLoad(docs: DataFrame, textCol: String, idCol: String,
       k: Int, rowsPerBand: Int, dir: String): Loaded = {
     val s = docs.sparkSession
-    val marker = new org.apache.hadoop.fs.Path(
-      s"$dir/buckets/_SUCCESS")
-    if (!marker.getFileSystem(s.sparkContext.hadoopConfiguration)
-        .exists(marker))
+    if (!builtComplete(s, dir))
       build(docs, textCol, idCol, k, rowsPerBand, dir)
     load(s, dir)
+  }
+
+  /** A built artifact's completion predicate: BOTH the bucket tree's
+    * and params' commit markers (build writes params AFTER the
+    * buckets — a crash between the two leaves buckets-complete,
+    * params-missing, and a buckets-only check would skip the rebuild
+    * and fail every later load on the missing geometry: a permanent
+    * wedge a re-run should instead converge).
+    */
+  private def builtComplete(s: SparkSession, dir: String): Boolean = {
+    val fs = fsOf(s, dir)
+    fs.exists(new org.apache.hadoop.fs.Path(
+        s"$dir/buckets/_SUCCESS")) &&
+      fs.exists(new org.apache.hadoop.fs.Path(
+        s"$dir/params/_SUCCESS"))
   }
 
   /** Banding geometry to the driver, buckets as a lazy partitioned
@@ -535,14 +547,14 @@ object DedupIndex {
     // staging signature guard rejects a DIFFERENT docs frame against
     // a used root, so an existing index here always belongs to this
     // exact run.
-    // the COMMIT MARKER, not bare directory existence: the buckets
-    // dir exists from the first committer temp file, so a crash
-    // mid-build would otherwise skip the rebuild and probe a partial
-    // (or unreadable) index
-    val built = new org.apache.hadoop.fs.Path(
-      s"$root/index/buckets/_SUCCESS")
-    val fs = built.getFileSystem(ss.sparkContext.hadoopConfiguration)
-    if (!fs.exists(built))
+    // COMMIT MARKERS (buckets AND params), not bare directory
+    // existence: the buckets dir exists from the first committer temp
+    // file, and params is written after the buckets — a crash
+    // anywhere mid-build must re-run the build, not probe a partial
+    // (or geometry-less) index
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(ss.sparkContext.hadoopConfiguration)
+    if (!builtComplete(ss, s"$root/index"))
       build(docs.filter(col(idCol) < splitId), textCol, idCol,
         k, rowsPerBand, s"$root/index")
     // the gate's decisions store is written by the replayed batches —

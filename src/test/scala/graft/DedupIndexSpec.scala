@@ -464,6 +464,31 @@ class DedupIndexSpec extends SparkSpec {
     }
   }
 
+  test("buildOrLoad converges a build that crashed between the bucket " +
+      "write and the params write (buckets-complete, geometry-missing)") {
+    val docs = Tables.documents(spark, d)
+    withDir { dir =>
+      DedupIndex.build(docs.filter(col("doc_id") < splitId),
+        "text", "doc_id", k, rpb, dir)
+      // the crash window: params gone, buckets committed — a
+      // buckets-only completion check would skip the rebuild and
+      // every later load would throw on the missing geometry forever
+      val fs = new org.apache.hadoop.fs.Path("/")
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$dir/params"), true)
+      val l = DedupIndex.buildOrLoad(
+        docs.filter(col("doc_id") < splitId),
+        "text", "doc_id", k, rpb, dir)
+      assert((l.k, l.rowsPerBand) === ((k, rpb)))
+      // the converged artifact serves the exact probe contract
+      val probed = DedupIndex
+        .probe(l, docs.filter(col("doc_id") >= splitId), "text",
+          "doc_id")
+        .as[(Long, Long)].collect().toSeq.sorted
+      assert(probed === batchPairsTouching(splitId))
+    }
+  }
+
   test("refreshMembers restores the sized fpp after an append burst " +
       "past the build-time sizing (degraded, never wrong, then " +
       "re-sized)") {

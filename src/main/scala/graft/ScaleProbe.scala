@@ -597,6 +597,24 @@ object ScaleProbe {
       rmTree(java.nio.file.Paths.get(mRoot))
     }
 
+    // The writer lease's protocol cost — what every PartitionedCdc
+    // micro-batch and artifact batch mutator now pays: one
+    // acquire/release cycle is a handful of filesystem metadata ops
+    // (mkdirs + create + no-overwrite rename + read-back + delete).
+    // Measured as cycles/s so the per-batch overhead it adds to the
+    // CDC chains is a known constant, not a guess.
+    if (want("lease cycle (500x)")) locally {
+      val lRoot = java.nio.file.Files
+        .createTempDirectory("graft-probe-lease").toString
+      time("lease cycle (500x)", 500) {
+        for (_ <- 1 to 500) {
+          val l = graft.operators.WriterLease.acquire(spark, lRoot)
+          graft.operators.WriterLease.release(spark, l)
+        }
+      }
+      rmTree(java.nio.file.Paths.get(lRoot))
+    }
+
     // CDC apply at churn scale: a 20M-key snapshot absorbs a 2M-row
     // changelog (updates + deletes, two generations on overlapping
     // keys) — one max_by collapse of the changelog + one anti-join of

@@ -228,24 +228,30 @@ object PartitionedCdc {
       try out.write(
         json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       finally out.close()
-      // create-exclusive commit: atomic rename with NO overwrite — a
-      // second writer that raced past the exists() check (another
-      // process; same-JVM racers serialized above) fails here
-      // (FileAlreadyExists / rename=false depending on the FS) and is
-      // routed to the same converge-or-refuse comparison
-      try
-        org.apache.hadoop.fs.FileContext
-          .getFileContext(fin.toUri, s.sparkContext.hadoopConfiguration)
-          .rename(tmp, fin)
-      catch {
-        case e: java.io.IOException =>
-          fs.delete(tmp, false)
-          if (fs.exists(fin)) convergeOrRefuse() else throw e
-      }
-      // some FileContext impls report a blocked no-overwrite rename as
-      // a false return rather than a throw; the tmp file surviving is
-      // the portable signal that the rename did not happen
-      if (fs.exists(tmp)) {
+      // create-exclusive commit via FileSystem.rename, NOT
+      // FileContext: with the native-hadoop lib absent, every
+      // FileContext rename stats src and dst through a forked `ls`
+      // (measured 14-27 ms/op — paid once per CDC micro-batch);
+      // fs.rename is rename(2) directly (0.08 ms). The fence is
+      // unchanged where atomicity exists: HDFS-like stores refuse an
+      // existing dst (rename = false / FileAlreadyExists below) and
+      // the loser routes to converge-or-refuse. The local
+      // filesystem's POSIX rename could overwrite only in the window
+      // the exists() check above leaves open CROSS-process — exactly
+      // the window FileContext's local check-then-rename form had —
+      // and same-JVM racers are serialized by the lock.
+      val renamed =
+        try fs.rename(tmp, fin)
+        catch {
+          case e: java.io.IOException =>
+            fs.delete(tmp, false)
+            if (fs.exists(fin)) { convergeOrRefuse(); return }
+            else throw e
+        }
+      // a blocked no-overwrite rename can report as a false return
+      // rather than a throw; the tmp file surviving is the portable
+      // signal that the rename did not happen
+      if (!renamed || fs.exists(tmp)) {
         fs.delete(tmp, false)
         if (fs.exists(fin)) convergeOrRefuse()
         else throw new java.io.IOException(

@@ -90,18 +90,28 @@ object WriterLease {
     val token = java.util.UUID.randomUUID.toString
     lockOf(fs, lp).synchronized {
       def tryCreate(): Boolean = {
+        // FileSystem.rename, NOT FileContext: with the native-hadoop
+        // lib absent, every FileContext rename stats src and dst
+        // through a forked `ls` (measured 14-27 ms/op vs 0.08 ms for
+        // fs.rename — 43 ms per acquire/release cycle, paid per
+        // micro-batch). Semantics are unchanged where they exist:
+        // HDFS-like stores refuse an existing dst (rename = false →
+        // the loser path below); the local filesystem's POSIX rename
+        // would overwrite, so the exists pre-check restores the same
+        // check-then-rename window FileContext's local form had — the
+        // same-JVM lock prevents it in-process, and the read-back in
+        // acquired() catches the cross-process residue.
+        if (fs.exists(lp)) return false
         val tmp = new Path(lp.getParent, s".tmp.$token")
         val out = fs.create(tmp, true)
         try out.write(
           token.getBytes(java.nio.charset.StandardCharsets.UTF_8))
         finally out.close()
-        try org.apache.hadoop.fs.FileContext
-          .getFileContext(lp.toUri,
-            s.sparkContext.hadoopConfiguration)
-          .rename(tmp, lp)
-        catch { case _: java.io.IOException => () }
-        // tmp surviving = the no-overwrite rename did not happen
-        if (fs.exists(tmp)) { fs.delete(tmp, false); false } else true
+        val renamed = try fs.rename(tmp, lp)
+          catch { case _: java.io.IOException => false }
+        if (!renamed || fs.exists(tmp)) {
+          fs.delete(tmp, false); false
+        } else true
       }
       def acquired(): Lease = {
         // read-back verification narrows the two-stealers window at

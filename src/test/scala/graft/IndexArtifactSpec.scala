@@ -607,6 +607,54 @@ class IndexArtifactSpec extends SparkSpec {
     } finally rmTree(root)
   }
 
+  test("gate bucket column stays derivation-exact and the stamp " +
+      "present through a seeded randomized lifecycle") {
+    import graft.operators.ArtifactManifest
+    val bits = 5
+    val root = Files.createTempDirectory("graft-gate-life")
+    val dir = s"$root/idx"
+    try {
+      val all = Tables.embeddings(spark, d)
+      var nextId = 300L
+      VectorIndex.build(all.filter(col("vec_id") < nextId)
+          .select("vec_id", "embedding"),
+        dim, steps, sub, subDim, k, dir, gateBits = Some(bits))
+      def invariant(tag: String): Unit = {
+        assert(VectorIndex.gateBitsOf(spark, dir) === Some(bits),
+          s"$tag: stamp lost")
+        val l = VectorIndex.load(spark, dir)
+        assert(l.corpus.filter(col("bucket").isNull ||
+            col("bucket") =!=
+              SimilarityOps.signBucket("embedding", bits)).count()
+          === 0L, s"$tag: bucket diverged from the derivation")
+      }
+      invariant("build")
+      val rnd = new scala.util.Random(7)
+      for (step <- 1 to 6) {
+        rnd.nextInt(4) match {
+          case 0 if nextId < 600 => // append a fresh slice
+            val hi = nextId + 100
+            VectorIndex.append(spark, dir,
+              all.filter(col("vec_id") >= nextId &&
+                col("vec_id") < hi).select("vec_id", "embedding"))
+            nextId = hi
+            invariant(s"step $step append")
+          case 1 => // takedown of a residue class
+            VectorIndex.delete(spark, dir, all.select(col("vec_id"))
+              .filter(pmod(col("vec_id"), lit(11)) === step % 11))
+            invariant(s"step $step delete")
+          case 2 => // collapse the generations
+            ArtifactManifest.compactGenerations(spark, s"$dir/corpus",
+              "cell", sortWithin = Seq("bucket"))
+            invariant(s"step $step compact")
+          case _ => // full retrain under the carried stamp
+            VectorIndex.rebuild(spark, dir, steps, sub, subDim, k)
+            invariant(s"step $step rebuild")
+        }
+      }
+    } finally rmTree(root)
+  }
+
   test("a crashed gate/drift stamp write never wedges the artifact: " +
       "no commit marker = no stamp, serving and append degrade " +
       "safely") {

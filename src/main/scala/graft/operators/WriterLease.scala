@@ -168,8 +168,21 @@ object WriterLease {
   def release(s: SparkSession, lease: Lease): Unit = {
     val fs = fsOf(s, lease.path)
     lockOf(fs, lease.path).synchronized {
-      if (tokenOf(fs, lease.path).contains(lease.token))
+      if (tokenOf(fs, lease.path).contains(lease.token)) {
         fs.delete(lease.path, false)
+        // sweep the now-empty containers (the `_lock` dir, and for
+        // sibling lock roots the `<dir>__lock` dir itself) so
+        // short-lived roots — temp artifacts, spec dirs — don't leak
+        // one empty tree per lease. NON-recursive: a real data root
+        // is never empty, so the delete no-ops there; a concurrent
+        // acquirer whose parent vanished under it re-creates the
+        // path (FileSystem.create makes parents) and at worst loops
+        // once through the vanished-lease steal branch.
+        try {
+          fs.delete(lease.path.getParent, false)
+          fs.delete(lease.path.getParent.getParent, false)
+        } catch { case _: java.io.IOException => () }
+      }
     }
   }
 

@@ -597,6 +597,39 @@ object ScaleProbe {
       rmTree(java.nio.file.Paths.get(mRoot))
     }
 
+    // The d12 composition's at-scale claim, measured: the ingest
+    // gate's VERIFICATION store (per-doc char-grams) computed over a
+    // membership-pruned scan vs the whole table, when the index holds
+    // a tenth of the corpus — the sketch is what keeps the gate's
+    // verify side from shingling 100 TB to admit a 2k-doc batch.
+    if (want("gate verify pruned (2M docs)",
+        "gate verify unpruned (2M docs)")) locally {
+      val vRoot = java.nio.file.Files
+        .createTempDirectory("graft-probe-verify").toString
+      val vN = 2000000L
+      def vDocs = spark.range(vN).select(col("id").as("doc_id"),
+        concat(lit("synthetic body of document number "), col("id"),
+          lit(" padded with a stable tail of filler words for the "),
+          lit("gram pipeline to chew on, id again "), col("id"))
+          .as("text"))
+      // index membership: every 10th doc
+      graft.operators.DedupIndex.refreshMembers(spark, vRoot,
+        spark.range(0, vN, 10).select(col("id").as("doc_id")),
+        "doc_id")
+      def grams(df: org.apache.spark.sql.DataFrame) = df
+        .select(col("doc_id"),
+          graft.operators.TextOps.charNgrams("text", 4).as("grams"))
+        .write.format("noop").mode("overwrite").save()
+      time("gate verify pruned (2M docs)", vN) {
+        grams(graft.operators.DedupIndex.memberPrune(spark, vRoot,
+          vDocs, "doc_id", orKeep = col("doc_id") >= vN - 2000))
+      }
+      time("gate verify unpruned (2M docs)", vN) {
+        grams(vDocs)
+      }
+      rmTree(java.nio.file.Paths.get(vRoot))
+    }
+
     // The writer lease's protocol cost — what every PartitionedCdc
     // micro-batch and artifact batch mutator now pays: one
     // acquire/release cycle is a handful of filesystem metadata ops

@@ -544,14 +544,15 @@ object VectorIndex {
     * (stale buckets would silently miss collisions).
     */
   private[graft] def gateStored(ss: SparkSession, dir: String,
-      bits: Int, storedBits: Option[Int], enc: DataFrame): DataFrame = {
+      bits: Int, storedBits: Option[Int], enc: DataFrame,
+      push: Boolean = true): DataFrame = {
     storedBits.foreach(b => require(b == bits,
       s"VectorIndex.gateStored: index at $dir is gate-stamped " +
         s"bits=$b but the gate requested bits=$bits — rebuild the " +
         "index or match the geometry"))
     val corpus = ss.read.parquet(s"$dir/corpus")
       .withColumn("cell", col("cell").cast("long"))
-    if (storedBits.contains(bits) && bits <= 12) {
+    if (push && storedBits.contains(bits) && bits <= 12) {
       import ss.implicits._
       // NULL batch buckets (degenerate embeddings) can never
       // equi-join — they neither enter the In list nor keep stored
@@ -627,6 +628,24 @@ object VectorIndex {
     // corpus frame is re-created so its scan re-lists the files the
     // previous batch appended
     val frozen = load(ss, s"$root/index")
+    // COST-BASED pushdown for the stream: the touched-bucket In
+    // filter costs one distinct+collect JOB per micro-batch, which a
+    // small corpus's scan can never repay (measured ~+2 s over the
+    // 3-batch sf0.1 stream for zero skipped bytes at bits=4). Decide
+    // ONCE per stream from the corpus's physical size — past the
+    // threshold the skipped row groups dominate the collect
+    // (ScaleProbe `vec gate scan`), below it the plain stored scan
+    // is strictly cheaper. The one-shot batch gate (s13) always
+    // pushes: its single collect is plan-construction cost, and the
+    // plan spec pins the pushed shape there.
+    val pushMinBytes = ss.conf
+      .getOption("graft.gate.pushdownMinBytes")
+      .map(_.toLong).getOrElse(256L << 20)
+    val pushInStream = {
+      val p = new org.apache.hadoop.fs.Path(s"$root/index/corpus")
+      p.getFileSystem(ss.sparkContext.hadoopConfiguration)
+        .getContentSummary(p).getLength > pushMinBytes
+    }
     // sketch rebuilt ONCE after the replay (see the text twin): drop
     // first so every mid-stream crash leaves no sketch — unpruned
     // serving, never an under-set
@@ -646,7 +665,7 @@ object VectorIndex {
             SimilarityOps.signBucket("embedding", bits))
           .persist()
         val stored = gateStored(ss, s"$root/index", bits, storedBits,
-          enc)
+          enc, push = pushInStream)
         try {
           // batch-keyed dynamic overwrites: a replayed micro-batch
           // replaces its own decisions/generation instead of

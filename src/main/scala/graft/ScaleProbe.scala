@@ -630,6 +630,70 @@ object ScaleProbe {
       rmTree(java.nio.file.Paths.get(vRoot))
     }
 
+    // The r16 watch item, measured end-to-end: the text gate's VERIFY
+    // stage against a 2M-doc STORED grams table (the streaming gate's
+    // shape — the store is corpus-sized, the candidate pairs are
+    // batch-bounded). Three shapes:
+    //  - two-scan ref: the pre-r17 per-side left joins — the store is
+    //    scanned AND shuffled twice per batch;
+    //  - single-scan: melt pairs to (side, id), join the store once,
+    //    regroup — one scan, one shuffle of the store;
+    //  - semi+single: broadcast-semi-filter the store down to the
+    //    candidate ids FIRST (one scan, NO store shuffle — only the
+    //    batch-bounded matching payloads move), then the melt join.
+    if (want("gate decisions two-scan ref (2M store)",
+        "gate decisions single-scan (2M store)",
+        "gate decisions semi+single (2M store)")) locally {
+      import graft.operators.{DedupIndex, DedupOps}
+      val gRoot = java.nio.file.Files
+        .createTempDirectory("graft-probe-gated").toString
+      val gN = 2000000L
+      val batchLo = gN - 2000
+      spark.range(gN).select(col("id").as("doc_id"),
+          concat(lit("synthetic body of document number "), col("id"),
+            lit(" padded with a stable tail of filler words for the "),
+            lit("gram pipeline to chew on, id again "), col("id"))
+            .as("text"))
+        .select(col("doc_id"),
+          graft.operators.TextOps.charNgrams("text", 4).as("grams"))
+        .write.parquet(s"$gRoot/grams")
+      def store = spark.read.parquet(s"$gRoot/grams")
+      val arrivals = spark.range(batchLo, gN)
+        .select(col("id").as("doc_id"))
+      // ~16 corpus partners per arriving doc (deterministic spread),
+      // the shape probe() emits: (a, b) with a < b, distinct
+      val cand = spark.range(batchLo, gN)
+        .select(col("id").as("b"),
+          explode(sequence(lit(1), lit(16))).as("j"))
+        .select(pmod(hash(col("b") * 31 + col("j")), lit(batchLo))
+          .cast("long").as("a"), col("b"))
+        .distinct()
+      val thr = 0.99
+      time("gate decisions two-scan ref (2M store)", gN) {
+        DedupIndex.admit(
+          cand.join(store.select(col("doc_id").as("a"),
+              col("grams").as("ga")), Seq("a"))
+            .join(store.select(col("doc_id").as("b"),
+              col("grams").as("gb")), Seq("b"))
+            .select(col("a"), col("b"),
+              round(DedupOps.jaccard(col("ga"), col("gb")), 4)
+                .as("jac"))
+            .filter(col("jac") >= thr),
+          arrivals, "doc_id")
+          .write.format("noop").mode("overwrite").save()
+      }
+      time("gate decisions single-scan (2M store)", gN) {
+        DedupIndex.gateDecisions(cand, store, arrivals, "doc_id", thr)
+          .write.format("noop").mode("overwrite").save()
+      }
+      time("gate decisions semi+single (2M store)", gN) {
+        DedupIndex.gateDecisions(cand, store, arrivals, "doc_id", thr,
+            semiFilter = true)
+          .write.format("noop").mode("overwrite").save()
+      }
+      rmTree(java.nio.file.Paths.get(gRoot))
+    }
+
     // The writer lease's protocol cost — what every PartitionedCdc
     // micro-batch and artifact batch mutator now pays: one
     // acquire/release cycle is a handful of filesystem metadata ops

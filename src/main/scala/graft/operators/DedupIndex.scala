@@ -113,6 +113,11 @@ object DedupIndex {
     */
   private def saveMembers(s: SparkSession, bits: Array[Long], k: Int,
       dir: String): Unit = {
+    // pre-swap fence: the sketch replace is destructive, and every
+    // batch mutator routes its sketch maintenance here — a holder
+    // that stalled past the steal horizon dies before the delete
+    // (no-op on the lease-less streaming paths)
+    WriterLease.verifyHeld(s, leaseRoot(dir))
     val fs = fsOf(s, dir)
     val fin = new org.apache.hadoop.fs.Path(membersPath(dir))
     val tmp = new org.apache.hadoop.fs.Path(
@@ -247,6 +252,12 @@ object DedupIndex {
       .withColumn("ingest", lit(0L))
     rows.write.mode("overwrite").partitionBy("ingest", "band")
       .parquet(s"$dir/buckets")
+    // fence after the long signature+write stage, before the
+    // geometry commit (params) and manifest publish: a holder whose
+    // bucket write outlasted the steal horizon stops here, leaving
+    // buckets-complete/params-missing — the incomplete state a
+    // re-run converges (builtComplete)
+    WriterLease.verifyHeld(s, leaseRoot(dir))
     ArtifactManifest.recordBuild(s, s"$dir/buckets",
       Some(ArtifactManifest.frameShapeJson(rows.schema,
         Seq("ingest", "band"))))
@@ -421,6 +432,8 @@ object DedupIndex {
         bucketsOf(newDocs, textCol, idCol, k, rowsPerBand), k,
         rowsPerBand)
       .withColumn("ingest", lit(generation))
+    // pre-write fence (no-op on the lease-less streaming fast path)
+    WriterLease.verifyHeld(newDocs.sparkSession, leaseRoot(dir))
     rows.write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("ingest", "band").parquet(s"$dir/buckets")
@@ -447,6 +460,8 @@ object DedupIndex {
   def delete(s: SparkSession, dir: String, tombs: DataFrame,
       idCol: String = "doc_id", staged: Boolean = false): Unit =
     WriterLease.withLease(s, leaseRoot(dir)) {
+      // pre-write fence, same contract as append/build
+      WriterLease.verifyHeld(s, leaseRoot(dir))
       LayoutOps.deleteKeysPartitioned(s, s"$dir/buckets", "band",
         idCol, tombs, staged = staged)
       ArtifactManifest.refreshAfterDelete(s, s"$dir/buckets")
@@ -463,7 +478,8 @@ object DedupIndex {
     * the DuckDB oracle's threshold comparison sees identical values.
     */
   def gateDecisions(cand: DataFrame, grams: DataFrame,
-      arrivals: DataFrame, idCol: String, threshold: Double): DataFrame = {
+      arrivals: DataFrame, idCol: String, threshold: Double,
+      semiFilter: Boolean = false): DataFrame = {
     // LEFT joins + loud failure on a missing grams row: an inner join
     // would silently DROP a candidate pair whose id is absent from
     // the verification table — and a dropped pair means the arrival
@@ -479,11 +495,57 @@ object DedupIndex {
             "doc; a dropped pair would admit a duplicate unverified")))
           .cast("array<string>"))
         .otherwise(col(g))
-    val confirmed = cand
-      .join(grams.select(col(idCol).as("a"), col("grams").as("ga")),
-        Seq("a"), "left")
-      .join(grams.select(col(idCol).as("b"), col("grams").as("gb")),
-        Seq("b"), "left")
+    // ONE scan of the verification store per batch. The store is the
+    // big side at 100 TB (every indexed doc's grams) while the
+    // candidate pairs are batch-bounded, so the old shape — a
+    // separate left join of the store for the a-side and the b-side —
+    // paid two full scans and two shuffles of the store per batch,
+    // 2x read amplification the membership pruning cannot remove.
+    // Instead: MELT each pair to its two (side, id) rows, join the
+    // store ONCE on id, and regroup the two side rows back to
+    // (a, b, ga, gb). The regroup shuffle carries one gram payload
+    // per melted row (2x the batch's candidate surface) — batch-sized
+    // — while the store is scanned and shuffled once. Each (a, b)
+    // group holds exactly two rows (cand is distinct, one per side),
+    // so max(when(side…)) deterministically lifts the single
+    // non-null payload per side; a missing store row survives the
+    // left join as a NULL payload and fails loudly in verified(),
+    // exactly as before.
+    // `semiFilter` adds a broadcast LEFT-SEMI pre-filter of the store
+    // down to the candidate ids before the payload join: the store
+    // then never shuffles AT ALL (only the batch-bounded matching
+    // payloads move — AQE broadcasts the filtered side), and for a
+    // store derived by shingling (d12's shape) Catalyst pushes the
+    // semi join below the gram projection, so only candidate docs
+    // are shingled. Measured at a 2M-doc stored-grams scale:
+    // two-scan 35.7 s → single-scan 13.6 s → semi+single 4.1 s
+    // (ScaleProbe `gate decisions`). The price is a SECOND evaluation
+    // of the candidate subtree (the id set for the broadcast) — the
+    // bucket-probe join runs twice — so callers enable it when the
+    // store side dominates (cost-based in the streaming gate, always
+    // for the one-shot batch gate whose store side is a shingle pass
+    // over the corpus). Filtering by candidate ids is result-
+    // invisible: non-candidate store rows never join, and a MISSING
+    // candidate row is missing on both paths (the loud-failure left
+    // join below).
+    val store =
+      if (semiFilter) grams.join(
+        broadcast(cand.select(explode(array(col("a"), col("b")))
+          .as(idCol)).distinct()),
+        Seq(idCol), "left_semi")
+      else grams
+    val melted = cand.select(col("a"), col("b"),
+        explode(array(
+          struct(lit("a").as("side"), col("a").as("id")),
+          struct(lit("b").as("side"), col("b").as("id")))).as("s"))
+      .select(col("a"), col("b"),
+        col("s.side").as("side"), col("s.id").as("id"))
+    val confirmed = melted
+      .join(store.select(col(idCol).as("id"), col("grams")),
+        Seq("id"), "left")
+      .groupBy(col("a"), col("b"))
+      .agg(max(when(col("side") === "a", col("grams"))).as("ga"),
+        max(when(col("side") === "b", col("grams"))).as("gb"))
       .select(col("a"), col("b"),
         round(DedupOps.jaccard(verified("a", "ga"),
           verified("b", "gb")), 4).as("jac"))
@@ -554,9 +616,23 @@ object DedupIndex {
     // (or geometry-less) index
     val fs = new org.apache.hadoop.fs.Path(root)
       .getFileSystem(ss.sparkContext.hadoopConfiguration)
+    // the STREAM holds the artifact's writer lease for its whole run
+    // (acquired here on the driver thread, transferred to each
+    // micro-batch body via asOwner): a concurrent batch mutator on
+    // the same index root refuses at ENTRY, with zero bytes staged —
+    // shared-root enforcement on top of the run-private checkpoint
+    // serialization. A crashed stream's lease is stolen past the
+    // horizon like any holder's; a recovery re-invocation within the
+    // horizon refuses (lower graft.lease.stealHorizonMs to recover
+    // sooner — the single-writer discipline now covers the stream).
+    val lr = leaseRoot(s"$root/index")
+    val lease = WriterLease.acquire(ss, lr)
+    try {
+    WriterLease.asOwner(ss, lr, lease) {
     if (!builtComplete(ss, s"$root/index"))
       build(docs.filter(col(idCol) < splitId), textCol, idCol,
         k, rowsPerBand, s"$root/index")
+    }
     // the gate's decisions store is written by the replayed batches —
     // zero arrivals would leave it absent and the final read would
     // fail with a bare path error; say what actually went wrong
@@ -581,6 +657,19 @@ object DedupIndex {
       docs.select(col(idCol), TextOps.charNgrams(textCol, 4).as("grams"))
         .write.mode("overwrite").parquet(s"$root/grams")
     val grams = ss.read.parquet(s"$root/grams")
+    // COST-BASED semi pre-filter of the verification store, decided
+    // ONCE per stream from its physical size (the vector gate's
+    // pushdownMinBytes contract): past the threshold the store-side
+    // savings dominate the price of evaluating the candidate subtree
+    // twice (measured 13.6 → 4.1 s at a 2M-doc store — ScaleProbe
+    // `gate decisions`); below it the plain single-scan join is
+    // strictly cheaper than an extra probe-join evaluation per batch.
+    val semiInStream = {
+      val p = new org.apache.hadoop.fs.Path(s"$root/grams")
+      fs.getContentSummary(p).getLength > ss.conf
+        .getOption("graft.gate.pushdownMinBytes")
+        .map(_.toLong).getOrElse(256L << 20)
+    }
     // membership sketch is REBUILT ONCE after the replay, not
     // OR-maintained per micro-batch (one load+agg+save per batch was
     // pure per-batch floor cost at AvailableNow cadence): drop it
@@ -589,6 +678,11 @@ object DedupIndex {
     dropMembers(ss, s"$root/index")
     graft.streaming.StreamingOps.replayOrdered(ss, docs.schema,
         s"$root/arrivals", s"$root/ckpt") { (batch, batchId) =>
+      // each micro-batch body runs as the lease's OWNER on the
+      // stream's thread (asOwner transfers + verifies + heartbeats):
+      // the gate's writes are fenced per batch, and a stream stalled
+      // past the steal horizon dies at its next batch boundary
+      WriterLease.asOwner(ss, lr, lease) {
         // geometry is frozen (build wrote it above); only the bucket
         // frame is re-created per batch, so the scan re-lists the
         // files the previous batch appended. The batch's OWN buckets
@@ -607,7 +701,8 @@ object DedupIndex {
           // batch-keyed dynamic overwrites: a replayed micro-batch
           // replaces its own decisions/generation instead of
           // double-writing — effectively-once ingest
-          gateDecisions(cand, grams, batch, idCol, threshold)
+          gateDecisions(cand, grams, batch, idCol, threshold,
+              semiFilter = semiInStream)
             .withColumn("batch", lit(batchId))
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
@@ -622,6 +717,8 @@ object DedupIndex {
         Seq("ingest", "band"))))
         } finally bb.unpersist()
       }
+      }
+    WriterLease.asOwner(ss, lr, lease) {
     // maintenance runs AFTER the replay completes — never inside the
     // loop, where a replayed micro-batch's generation-keyed dynamic
     // overwrite would target a partition the collapse removed. At
@@ -635,6 +732,8 @@ object DedupIndex {
     // gate appends every batch's buckets, admitted or not): one
     // column-pruned pass per stream, sized fresh
     buildMembers(docs, idCol, s"$root/index")
+    }
     ss.read.parquet(s"$root/decisions").drop("batch")
+    } finally WriterLease.release(ss, lease)
   }
 }

@@ -46,17 +46,49 @@ object DedupQueries {
     * preserved exactly); the bench gram set broadcasts as longs;
     * explode_outer dodges the InferFiltersFromGenerate trap (see d10).
     */
-  private def contaminatedIds(docs: DataFrame): DataFrame = {
+  private def contaminatedIds(docs: DataFrame): DataFrame =
+    decontamJoined(docs, useBloom = false).select("doc_id").distinct()
+
+  /** The decontamination join — training gram stream × eval gram set
+    * — with the eval set attached one of two ways:
+    *  - `useBloom = false`: explicit `broadcast(benchGrams)` — the
+    *    map-side semi-filter; the exploded training grams never
+    *    shuffle. Right whenever the eval-gram key set fits the
+    *    broadcast budget (every tested SF).
+    *  - `useBloom = true`: the eval set has outgrown the budget — a
+    *    hashed relation of 10⁸+ gram longs on every executor is the
+    *    failure, not the plan. Front the exploded training grams with
+    *    the codegen'd [[BloomPrune]] probe (superset filter, in the
+    *    scan stage ahead of any exchange), then exact-join WITHOUT a
+    *    broadcast: only plausible hits (~fpp of the stream) reach the
+    *    shuffle, and false positives die in the exact join — results
+    *    byte-identical on both paths (spec-pinned). The sketch build
+    *    is one aggregate over the eval grams; `evalKeysHint` sizes it
+    *    without a separate count action (callers with a physical-size
+    *    proxy pass it; None falls back to counting — one extra
+    *    eval-side evaluation).
+    */
+  private[graft] def decontamJoined(docs: DataFrame,
+      useBloom: Boolean,
+      evalKeysHint: Option[Long] = None): DataFrame = {
     val staged = docs
       .withColumn("__toks", TextOps.tokens(col("text")))
       .withColumn("__gs",
         expr(s"shingle_hashes(__toks, $DecontamN, 0)"))
     val benchGrams = staged.filter(isHoldout)
       .select(explode_outer(col("__gs")).as("g")).distinct()
-    staged.filter(!isHoldout)
+    val train = staged.filter(!isHoldout)
       .select(col("doc_id"), explode_outer(col("__gs")).as("g"))
-      .join(broadcast(benchGrams), Seq("g"))
-      .select("doc_id").distinct()
+    if (!useBloom) train.join(broadcast(benchGrams), Seq("g"))
+    else {
+      val (bits, kh) = graft.operators.BloomPrune.buildSized(
+        benchGrams, "g",
+        expectedKeys = math.max(1L,
+          evalKeysHint.getOrElse(benchGrams.count())),
+        fpp = 0.02)
+      graft.operators.BloomPrune.prune(train, "g", bits, kh)
+        .join(benchGrams, Seq("g"))
+    }
   }
 
   /** Deterministic 0-99 split bucket (x4's hash split). */
@@ -176,26 +208,32 @@ object DedupQueries {
     // shuffle — only the (rare) hits reach the per-doc aggregation.
     "d10_decontaminate" -> ((s, d) => {
       // Grams leave the row as native 60-bit shingle hashes (t10's
-      // form): the broadcast eval-gram set and the per-doc distinct
-      // count are over 8-byte longs, never ~50-byte gram strings, and
-      // the hash is engine-identical so hit counts match the oracle's
-      // hashed grams exactly (any collision collides on BOTH engines).
-      val docs = documents(s, d)
-        .withColumn("__toks", TextOps.tokens(col("text")))
-        .withColumn("__gs",
-          expr(s"shingle_hashes(__toks, $DecontamN, 0)"))
-      // explode_OUTER, deliberately: plain explode lets
-      // InferFiltersFromGenerate derive `size(__gs) > 0` and push it to
-      // the scan with the whole shingle tree inlined, re-tokenizing the
-      // doc per gram slot (measured 2.5 s → 18 s at sf0.1 in the
-      // string-shingle era). The outer generate admits no such
-      // inference; the inner join on `g` drops the null rows the
-      // outer form emits for gram-less docs, so results are identical.
-      val benchGrams = docs.filter(col("doc_id") % 20 === 7)
-        .select(explode_outer(col("__gs")).as("g")).distinct()
-      docs.filter(col("doc_id") % 20 =!= 7)
-        .select(col("doc_id"), explode_outer(col("__gs")).as("g"))
-        .join(broadcast(benchGrams), Seq("g"))
+      // form): the eval-gram set and the per-doc distinct count are
+      // over 8-byte longs, never ~50-byte gram strings, and the hash
+      // is engine-identical so hit counts match the oracle's hashed
+      // grams exactly (any collision collides on BOTH engines).
+      // explode_OUTER inside decontamJoined, deliberately: plain
+      // explode lets InferFiltersFromGenerate derive `size(__gs) > 0`
+      // and push it to the scan with the whole shingle tree inlined,
+      // re-tokenizing the doc per gram slot (measured 2.5 s → 18 s at
+      // sf0.1 in the string-shingle era). The outer generate admits
+      // no such inference; the inner join on `g` drops the null rows.
+      // SIZE-BASED eval-set attachment: past the threshold the
+      // eval-gram key set has outgrown the broadcast budget and the
+      // join switches to the BloomPrune front (decontamJoined's
+      // useBloom path — identical output, spec-pinned). The eval-key
+      // hint derives from the same physical size (docs bytes / 20
+      // holdout share / ~8 B per stored gram hash ≈ an upper bound —
+      // oversizing a bloom only wastes bits, never correctness).
+      val docsP = new org.apache.hadoop.fs.Path(s"$d/documents.parquet")
+      val bytes = docsP
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+        .getContentSummary(docsP).getLength
+      val maxB = s.conf.getOption("graft.decontam.broadcastMaxBytes")
+        .map(_.toLong).getOrElse(128L << 20)
+      DedupQueries.decontamJoined(documents(s, d),
+          useBloom = bytes > maxB,
+          evalKeysHint = Some(math.max(1L, bytes / 160)))
         .groupBy(col("doc_id"))
         .agg(countDistinct(col("g")).as("n_hits"))
     }),
@@ -311,12 +349,26 @@ object DedupQueries {
         "text", "doc_id", K, RowsPerBand, dir)
       val arrivals = docs.filter(col("doc_id") >= IngestSplit)
       val cand = DedupIndex.probe(l, arrivals, "text", "doc_id")
+      // COST-BASED semi pre-filter of the verify side (the streaming
+      // gate's pushdownMinBytes contract, decided from the documents
+      // table's physical size): the verify side is a SHINGLE PASS
+      // over the (membership-pruned) corpus, and past the threshold
+      // the broadcast semi join pushes below the gram projection so
+      // only candidate docs are shingled at all (ScaleProbe `gate
+      // decisions`: 13.6 → 4.1 s at a 2M-doc store). Below it the
+      // price — the probe join evaluated twice for the id broadcast
+      // — exceeds the whole shingle pass (measured +1.5 s at sf0.1).
+      val docsP = new org.apache.hadoop.fs.Path(s"$d/documents.parquet")
+      val semi = docsP.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .getContentSummary(docsP).getLength >
+        s.conf.getOption("graft.gate.pushdownMinBytes")
+          .map(_.toLong).getOrElse(256L << 20)
       DedupIndex.gateDecisions(cand,
         DedupIndex.memberPrune(s, dir, docs, "doc_id",
             orKeep = col("doc_id") >= IngestSplit)
           .select(col("doc_id"),
             TextOps.charNgrams("text", 4).as("grams")),
-        arrivals, "doc_id", IngestJacThreshold)
+        arrivals, "doc_id", IngestJacThreshold, semiFilter = semi)
     }),
 
     // d13: INDEX TAKEDOWN for the text-dedup artifact — the delete

@@ -103,6 +103,12 @@ object VectorIndex {
     val cents = SimilarityOps.trainIvf(e, dim, lloydSteps)
     val books = ProductQuantization.train(
       e, "embedding", "vec_id", subspaces, subDim, k, steps = 1)
+    // heartbeat + fence after the long training stage, BEFORE the
+    // first destructive write: a holder whose training outlasted the
+    // steal horizon (and was legally stolen) dies here instead of
+    // interleaving overwrites with the stealer — the lease's mtime
+    // otherwise never moves during a long build
+    WriterLease.verifyHeld(s, DedupIndex.leaseRoot(dir))
     cents.cells.indices.map(c => (cents.cells(c),
         cents.books.slice(c * dim, (c + 1) * dim).toSeq, cents.mns(c)))
       .toDF("cell", "cvec", "cn")
@@ -156,6 +162,9 @@ object VectorIndex {
         col("ingest"), col("cell"), col("bucket")))
       .write.mode("overwrite").partitionBy("ingest", "cell")
       .parquet(s"$dir/corpus")
+    // fence after the long encode+write stage, before the stamp/
+    // manifest/sketch publishes (the build's commit-equivalents)
+    WriterLease.verifyHeld(s, DedupIndex.leaseRoot(dir))
     gateBits.foreach(b => Seq(b).toDF("bits")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/gate"))
     val metrics = drift.get
@@ -416,6 +425,11 @@ object VectorIndex {
       .select((Seq("vec_id", "embedding", "n", "cell", "code") ++
         l.gateBits.map(_ => "bucket").toSeq ++ metaCols).map(col): _*)
       .withColumn("ingest", lit(generation))
+    // pre-write fence: a batch-mutator holder that stalled past the
+    // steal horizon refuses before touching the corpus (no-op on the
+    // lease-less streaming fast path — run-private roots)
+    WriterLease.verifyHeld(newVecs.sparkSession,
+      DedupIndex.leaseRoot(dir))
     // bucket-sorted layout within the generation's cell files, same
     // as [[build]] — keeps the gate's row-group skipping effective
     // across appends
@@ -471,6 +485,11 @@ object VectorIndex {
     val staging = sp.toString
     val dp = new org.apache.hadoop.fs.Path(dir)
     val fs = dp.getFileSystem(s.sparkContext.hadoopConfiguration)
+    // fence BEFORE deleting what looks like leftover staging: if our
+    // lease was stolen, that staging is the stealer's IN-PROGRESS
+    // rebuild, not a crashed pass's residue — deleting it would be
+    // exactly the two-writer interleaving the lease exists to prevent
+    WriterLease.verifyHeld(s, DedupIndex.leaseRoot(dir))
     fs.delete(sp, true) // leftover staging from a crashed pass
     build(l.corpus.select((Seq("vec_id", "embedding") ++ metaCols)
       .map(col): _*), dim, lloydSteps, subspaces, subDim, k, staging,
@@ -496,6 +515,11 @@ object VectorIndex {
         false, s.sparkContext.hadoopConfiguration)
       ArtifactManifest.recordBuild(s, s"$staging/corpus", stagedSchema)
     }
+    // pre-commit fence: the staging build (training + full-corpus
+    // encode) is rebuild's longest stage — a holder that lost the
+    // lease during it must die HERE, before the swap publishes a
+    // tree trained against a corpus a stealer may have since mutated
+    WriterLease.verifyHeld(s, DedupIndex.leaseRoot(dir))
     LayoutOps.swapInto(fs, dp, sp)
     }
 
@@ -518,6 +542,8 @@ object VectorIndex {
   def delete(s: SparkSession, dir: String, tombs: DataFrame,
       staged: Boolean = false): Unit =
     WriterLease.withLease(s, DedupIndex.leaseRoot(dir)) {
+      // pre-write fence, same contract as append/rebuild
+      WriterLease.verifyHeld(s, DedupIndex.leaseRoot(dir))
       LayoutOps.deleteKeysPartitioned(s, s"$dir/corpus", "cell",
         "vec_id", tombs, staged = staged)
       ArtifactManifest.refreshAfterDelete(s, s"$dir/corpus")
@@ -545,12 +571,22 @@ object VectorIndex {
     */
   private[graft] def gateStored(ss: SparkSession, dir: String,
       bits: Int, storedBits: Option[Int], enc: DataFrame,
-      push: Boolean = true): DataFrame = {
+      push: Boolean = true, rawList: Boolean = false): DataFrame = {
     storedBits.foreach(b => require(b == bits,
       s"VectorIndex.gateStored: index at $dir is gate-stamped " +
         s"bits=$b but the gate requested bits=$bits — rebuild the " +
         "index or match the geometry"))
-    val corpus = ss.read.parquet(s"$dir/corpus")
+    // manifest-pinned read for manifest-managed artifacts (the s13
+    // batch path): a raw directory listing resurrects a crashed
+    // append's uncommitted orphan generation and takedown-deleted
+    // files a deferred vacuum hasn't reaped, so the gate's stored
+    // side could block admissions against phantom rows l.corpus no
+    // longer serves. The STREAMING root legitimately passes
+    // `rawList = true`: its per-batch appends must be visible to the
+    // next batch immediately, and the run-private root has no
+    // concurrent mutator to orphan files under it.
+    val corpus = (if (rawList) ss.read.parquet(s"$dir/corpus")
+      else ArtifactManifest.frame(ss, s"$dir/corpus"))
       .withColumn("cell", col("cell").cast("long"))
     if (push && storedBits.contains(bits) && bits <= 12) {
       import ss.implicits._
@@ -598,11 +634,21 @@ object VectorIndex {
     val built = new org.apache.hadoop.fs.Path(
       s"$root/index/corpus/_SUCCESS")
     val bfs = built.getFileSystem(ss.sparkContext.hadoopConfiguration)
+    // the STREAM holds the artifact's writer lease for its whole run
+    // (driver-thread acquire, per-batch asOwner transfer — the text
+    // twin's contract): a concurrent batch mutator on the same index
+    // root refuses at ENTRY; a crashed stream's lease is stolen past
+    // the horizon like any holder's
+    val lr = DedupIndex.leaseRoot(s"$root/index")
+    val lease = WriterLease.acquire(ss, lr)
+    try {
+    WriterLease.asOwner(ss, lr, lease) {
     if (!bfs.exists(built))
       build(e0.filter(col("vec_id") < splitId)
           .select("vec_id", "embedding"),
         dim, lloydSteps, subspaces, subDim, k, s"$root/index",
         gateBits = Some(bits))
+    }
     // gate geometry: a stamped artifact serves its PERSISTED bucket
     // column (written by build and every batch append below — the
     // corpus-side signBucket derivation used to run over the FULL
@@ -652,6 +698,9 @@ object VectorIndex {
     DedupIndex.dropMembers(ss, s"$root/index")
     graft.streaming.StreamingOps.replayOrdered(ss, e0.schema,
         s"$root/arrivals", s"$root/ckpt") { (batch, batchId) =>
+      // per-batch ownership transfer + heartbeat + stolen-lease fence
+      // (the text twin's contract)
+      WriterLease.asOwner(ss, lr, lease) {
         // the batch is encoded ONCE (norm, cell, PQ code, bucket),
         // persisted for the batch's lifetime, and both served to the
         // gate and appended — instead of encoding separately for each
@@ -665,7 +714,7 @@ object VectorIndex {
             SimilarityOps.signBucket("embedding", bits))
           .persist()
         val stored = gateStored(ss, s"$root/index", bits, storedBits,
-          enc, push = pushInStream)
+          enc, push = pushInStream, rawList = true)
         try {
           // batch-keyed dynamic overwrites: a replayed micro-batch
           // replaces its own decisions/generation instead of
@@ -693,6 +742,8 @@ object VectorIndex {
         Seq("ingest", "cell"))))
         } finally enc.unpersist()
       }
+      }
+    WriterLease.asOwner(ss, lr, lease) {
     // maintenance AFTER the replay completes — never inside the loop
     // (a replayed batch's generation-keyed overwrite would target a
     // partition the collapse removed); every batch is
@@ -704,7 +755,9 @@ object VectorIndex {
     // sketch over every ingested vec id (corpus + all arrivals): one
     // column-pruned pass per stream, sized fresh
     DedupIndex.buildMembers(e0, "vec_id", s"$root/index")
+    }
     ss.read.parquet(s"$root/decisions").drop("batch")
+    } finally WriterLease.release(ss, lease)
   }
 
   /** Load an artifact: quantizer state to the driver (dim-sized, the

@@ -17,7 +17,9 @@ import org.apache.spark.sql.SparkSession
   *    `root/_lock/lease` with NO overwrite — the same atomic decision
   *    point as a manifest commit. A fresh existing lease fails the
   *    acquire loudly.
-  *  - heartbeat: protocol steps touch the lease's mtime; a lease is
+  *  - heartbeat: [[verify]] (and its [[verifyHeld]] wrapper, which
+  *    every artifact/CDC mutator calls at stage boundaries and
+  *    pre-commit points) touches the lease's mtime; a lease is
   *    stealable only once its mtime is older than
   *    `graft.lease.stealHorizonMs` (default 15 min;
   *    `graft.cdc.leaseStealHorizonMs` is honored as the legacy
@@ -51,9 +53,13 @@ import org.apache.spark.sql.SparkSession
   * the acquiring thread (an outer mutator that delegates to another
   * wrapped mutator keeps one lease), while a second same-JVM thread
   * conflicts exactly like a second process. Long-running owners whose
-  * work hops threads (Structured Streaming's foreachBatch) therefore
-  * do NOT use this wrapper — their roots are run-private and their
-  * checkpoint already serializes the writer.
+  * work hops threads (Structured Streaming's foreachBatch) acquire
+  * once on the driver thread and transfer ownership per batch via
+  * [[asOwner]] — the streaming index gates hold their artifact's
+  * lease for the whole replay this way, so a concurrent batch
+  * mutator on the same root refuses at entry even while a stream
+  * owns it (and a crashed stream's lease is stolen past the horizon
+  * like any other holder's).
   */
 object WriterLease {
 
@@ -171,16 +177,23 @@ object WriterLease {
       if (tokenOf(fs, lease.path).contains(lease.token)) {
         fs.delete(lease.path, false)
         // sweep the now-empty containers (the `_lock` dir, and for
-        // sibling lock roots the `<dir>__lock` dir itself) so
+        // SIBLING lock roots the `<dir>__lock` dir itself) so
         // short-lived roots — temp artifacts, spec dirs — don't leak
-        // one empty tree per lease. NON-recursive: a real data root
-        // is never empty, so the delete no-ops there; a concurrent
+        // one empty tree per lease. NON-recursive: a concurrent
         // acquirer whose parent vanished under it re-creates the
         // path (FileSystem.create makes parents) and at worst loops
-        // once through the vanished-lease steal branch.
+        // once through the vanished-lease steal branch. The
+        // grandparent is swept ONLY when it is a sibling lock root
+        // (the `__lock` artifact convention): for in-root leases
+        // (`root/_lock/lease`, the CDC convention) the grandparent
+        // IS the caller's data root, and on a not-yet-initialized
+        // root — a legal acquire/release pairing — it is empty, so
+        // the old unconditional delete removed the root itself.
         try {
           fs.delete(lease.path.getParent, false)
-          fs.delete(lease.path.getParent.getParent, false)
+          val gp = lease.path.getParent.getParent
+          if (gp != null && gp.getName.endsWith("__lock"))
+            fs.delete(gp, false)
         } catch { case _: java.io.IOException => () }
       }
     }
@@ -198,6 +211,54 @@ object WriterLease {
     */
   def heldFor(s: SparkSession, root: String): Option[Lease] =
     held.get.get(keyOf(s, root))
+
+  /** Pre-commit fence + heartbeat for wrapped mutators: verify (and
+    * mtime-refresh) the lease this thread holds for `root`; a no-op
+    * when none is held (the streaming gates' run-private roots rely
+    * on checkpoint serialization instead). Mutators call this
+    * immediately BEFORE each destructive write/overwrite/swap and
+    * AFTER each long stage (quantizer training, a full-corpus
+    * encode), so a holder that stalled past the steal horizon dies
+    * before publishing a byte — and a live holder whose work runs
+    * longer than the horizon keeps its heartbeat moving at every
+    * stage boundary, making a legal steal of a progressing writer
+    * proportionally unlikely. This is the same fence
+    * [[PartitionedCdc]] runs before its manifest commit; it also
+    * closes the local-filesystem acquire race (POSIX rename
+    * overwrites, so two cross-process acquirers can transiently both
+    * believe they won): only the token in the file passes the fence.
+    */
+  def verifyHeld(s: SparkSession, root: String): Unit =
+    heldFor(s, root).foreach(verify(s, _))
+
+  /** Run `f` on the CURRENT thread as the owner of an
+    * already-acquired lease — the ownership-transfer hook for
+    * long-running holders whose work hops threads (a streaming
+    * query's foreachBatch body runs on the stream's thread, not the
+    * acquiring driver thread). The holder acquires once on the driver
+    * thread and wraps each micro-batch body (and any driver-side
+    * setup/maintenance) in asOwner: wrapped mutators' [[withLease]]
+    * then re-enters instead of refusing, and their [[verifyHeld]]
+    * fences heartbeat the stream's lease from whichever thread runs
+    * the batch. The entry [[verify]] doubles as the per-batch
+    * heartbeat AND the stolen-lease fence: a stream stalled past the
+    * steal horizon dies at its next batch boundary, before mutating.
+    * The caller guarantees the single-threaded handoff (foreachBatch
+    * bodies run serially); threads NOT given the lease still conflict
+    * exactly like a second process — which is the enforcement a
+    * shared-root stream adds over run-private checkpoint
+    * serialization.
+    */
+  def asOwner[A](s: SparkSession, root: String, lease: Lease)(
+      f: => A): A = {
+    val key = keyOf(s, root)
+    verify(s, lease)
+    val prev = held.get.get(key)
+    held.set(held.get + (key -> lease))
+    try f
+    finally held.set(prev.fold(held.get - key)(p =>
+      held.get + (key -> p)))
+  }
 
   /** Acquire → run → release, re-entrant per thread: the outermost
     * wrapped call owns the lease; nested wrapped calls on the same

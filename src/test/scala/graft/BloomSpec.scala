@@ -140,6 +140,37 @@ class BloomSpec extends SparkSpec {
     assert(e1 !== BloomMightContain(attr, bitsA, 3))
   }
 
+  test("d10 decontamination past the broadcast budget: the " +
+      "BloomPrune-fronted join is hit-identical to the broadcast " +
+      "path, and the size switch takes it") {
+    val d = "/root/testdata/sf0.001"
+    val docs = Tables.documents(spark, d)
+    def hits(useBloom: Boolean) =
+      DedupQueries.decontamJoined(docs, useBloom)
+        .groupBy(col("doc_id"))
+        .agg(countDistinct(col("g")).as("n_hits"))
+        .as[(Long, Long)].collect().toSeq.sorted
+    val bc = hits(useBloom = false)
+    val bl = hits(useBloom = true)
+    assert(bc.nonEmpty, "decontamination found no hits — the " +
+      "equality tested nothing")
+    assert(bl === bc)
+    // the bloom path really fronts the stream with the codegen'd
+    // probe (no explicit eval-set broadcast hint)
+    val plan = DedupQueries.decontamJoined(docs, useBloom = true)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("bloom_might_contain"), plan)
+    // and the d10 query's size switch takes the bloom path when the
+    // documents table outgrows the configured budget — identical
+    // output through the switch
+    spark.conf.set("graft.decontam.broadcastMaxBytes", "1")
+    try {
+      val viaSwitch = SparkEntry.queries("d10_decontaminate")(spark, d)
+        .as[(Long, Long)].collect().toSeq.sorted
+      assert(viaSwitch === bc)
+    } finally spark.conf.unset("graft.decontam.broadcastMaxBytes")
+  }
+
   test("sketch artifact round-trips through save/load") {
     val dir = java.nio.file.Files
       .createTempDirectory("graft-bloom").toString

@@ -46,6 +46,63 @@ class DedupIndexSpec extends SparkSpec {
     }
   }
 
+  test("gateDecisions scans the verification store ONCE per batch, " +
+      "matches the per-side two-join reference, and still fails " +
+      "loudly on a missing store row") {
+    val docs = Tables.documents(spark, d)
+    withDir { dir =>
+      DedupIndex.build(docs.filter(col("doc_id") < splitId),
+        "text", "doc_id", k, rpb, dir)
+      val l = DedupIndex.load(spark, dir)
+      val arrivals = docs.filter(col("doc_id") >= splitId)
+      val cand = DedupIndex.probe(l, arrivals, "text", "doc_id")
+      // parquet-backed store, exactly the streaming gate's shape
+      docs.select(col("doc_id"),
+          graft.operators.TextOps.charNgrams("text", 4).as("grams"))
+        .write.parquet(s"$dir/grams")
+      val grams = spark.read.parquet(s"$dir/grams")
+      val out = DedupIndex.gateDecisions(cand, grams, arrivals,
+        "doc_id", 0.35)
+      // the store appears ONCE in the physical plan — the old shape
+      // left-joined it separately per pair side, two full scans (2x
+      // read amplification on the big side at 100 TB)
+      val plan = out.queryExecution.executedPlan.toString
+      val scans = plan.linesIterator.count(lin =>
+        (lin.contains("Scan parquet") || lin.contains("FileScan")) &&
+          lin.contains("grams"))
+      assert(scans === 1, s"store scanned $scans times:\n$plan")
+      // decision-identical to the reference two-join shape (inner
+      // joins suffice here: the store covers every doc)
+      val ref = DedupIndex.admit(
+        cand.join(grams.select(col("doc_id").as("a"),
+            col("grams").as("ga")), Seq("a"))
+          .join(grams.select(col("doc_id").as("b"),
+            col("grams").as("gb")), Seq("b"))
+          .select(col("a"), col("b"),
+            round(DedupOps.jaccard(col("ga"), col("gb")), 4)
+              .as("jac"))
+          .filter(col("jac") >= 0.35),
+        arrivals, "doc_id")
+      assert(out.as[(Long, Option[Long], Boolean)].collect().sorted
+        === ref.as[(Long, Option[Long], Boolean)].collect().sorted)
+      // gated decisions did real work: some rejection exists
+      assert(out.filter(!col("admitted")).count() > 0)
+      // a store that misses an indexed doc must FAIL the batch, not
+      // silently admit the unverified arrival: hole an actual
+      // candidate's row out of the store
+      val someA = cand.select(col("a")).as[Long].head()
+      val ex = intercept[Exception] {
+        DedupIndex.gateDecisions(cand,
+          grams.filter(col("doc_id") =!= someA), arrivals,
+          "doc_id", 0.35).collect()
+      }
+      def rootMsg(t: Throwable): String =
+        (Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+          .map(x => Option(x.getMessage).getOrElse(""))).mkString("|")
+      assert(rootMsg(ex).contains("no grams row"), rootMsg(ex))
+    }
+  }
+
   test("load refuses a geometry-mismatched artifact (crashed " +
       "re-build left params inconsistent with the bucket tree)") {
     val docs = Tables.documents(spark, d)
@@ -352,6 +409,37 @@ class DedupIndexSpec extends SparkSpec {
         .as[(Long, Option[Long], Boolean)].collect().toSeq.sorted
       assert(again === streamed)
       assert(ingestDirs("index/buckets", root) === Seq("ingest=4"))
+    }
+  }
+
+  test("the streaming gate holds the index's writer lease for its " +
+      "whole run: with another holder on the root the stream refuses " +
+      "at ENTRY with zero bytes staged, and a finished run releases") {
+    import graft.operators.WriterLease
+    val docs = Tables.documents(spark, d)
+    withDir { root =>
+      // the artifact's lease root is the SIBLING lock dir of
+      // $root/index (leaseRoot's convention)
+      val lockRoot = s"$root/index__lock"
+      val lp = new org.apache.hadoop.fs.Path(s"$lockRoot/_lock/lease")
+      val fs = lp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val other = WriterLease.acquire(spark, lockRoot)
+      val ex = intercept[IllegalStateException] {
+        DedupIndex.streamIngestGate(spark, docs, "text", "doc_id",
+          k, rpb, splitId, threshold = 0.5, nFiles = 3, root)
+      }
+      assert(ex.getMessage.contains("holds the lease"), ex.getMessage)
+      // the loser staged NOTHING: no index, no arrivals, no decisions
+      for (sub <- Seq("index/buckets", "arrivals", "decisions"))
+        assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$root/$sub")),
+          s"a refused stream staged $sub")
+      WriterLease.release(spark, other)
+      // with the root free the same invocation runs to completion —
+      // and releases the lease behind it
+      val out = DedupIndex.streamIngestGate(spark, docs, "text",
+        "doc_id", k, rpb, splitId, threshold = 0.5, nFiles = 3, root)
+      assert(out.count() > 0)
+      assert(!fs.exists(lp), "a finished stream left its lease held")
     }
   }
 

@@ -607,6 +607,42 @@ class IndexArtifactSpec extends SparkSpec {
     } finally rmTree(root)
   }
 
+  test("a mutator whose lease was stolen MID-mutation dies at the " +
+      "pre-write fence — corpus and sketch untouched") {
+    import graft.operators.WriterLease
+    val root = Files.createTempDirectory("graft-art-fence")
+    try {
+      val dir = s"$root/idx"
+      val e = Tables.embeddings(spark, d)
+      val baseN = e.filter(col("vec_id") < 400).count()
+      VectorIndex.build(e.filter(col("vec_id") < 400)
+          .select("vec_id", "embedding"),
+        dim, steps, sub, subDim, k, dir)
+      val lockRoot = s"${dir}__lock"
+      val lp = new org.apache.hadoop.fs.Path(s"$lockRoot/_lock/lease")
+      val fs = lp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      // simulate the stalled holder: this thread holds the lease (so
+      // append's re-entrant withLease runs UNDER it), the lease goes
+      // stale mid-mutation, and a second writer legally steals it —
+      // the holder's pre-write fence must refuse before a byte of the
+      // corpus or the membership sketch changes
+      WriterLease.withLease(spark, lockRoot) {
+        fs.setTimes(lp, System.currentTimeMillis() - 7200000L, -1)
+        val stealer = WriterLease.acquire(spark, lockRoot)
+        try {
+          val ex = intercept[IllegalArgumentException] {
+            VectorIndex.append(spark, dir,
+              e.filter(col("vec_id") >= 400)
+                .select("vec_id", "embedding"))
+          }
+          assert(ex.getMessage.contains("was lost"), ex.getMessage)
+        } finally WriterLease.release(spark, stealer)
+        assert(VectorIndex.load(spark, dir).corpus.count() === baseN,
+          "a fenced-out holder still published corpus rows")
+      }
+    } finally rmTree(root)
+  }
+
   test("gate bucket column stays derivation-exact and the stamp " +
       "present through a seeded randomized lifecycle") {
     import graft.operators.ArtifactManifest

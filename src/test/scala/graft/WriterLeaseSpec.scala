@@ -82,4 +82,100 @@ class WriterLeaseSpec extends SparkSpec {
       assert(!fs.exists(new HPath(s"$root/_lock/lease")))
     }
   }
+
+  test("release sweeps only lock containers — an in-root lease on an " +
+      "empty (not-yet-initialized) data root leaves the root intact; " +
+      "a sibling __lock root is swept whole") {
+    withTempDir("graft-lease-sweep") { tmp =>
+      // CDC convention: lease INSIDE the data root (root/_lock/lease).
+      // Acquire/release on a root that holds nothing but the lock tree
+      // is a legal public-API pairing (PartitionedCdc.acquireLease on
+      // a not-yet-initialized root) — the sweep must not delete the
+      // caller's root itself.
+      val dataRoot = s"$tmp/data"
+      fs.mkdirs(new HPath(dataRoot))
+      val a = WriterLease.acquire(spark, dataRoot)
+      WriterLease.release(spark, a)
+      assert(fs.exists(new HPath(dataRoot)),
+        "release swept the caller's data root")
+      assert(!fs.exists(new HPath(s"$dataRoot/_lock")),
+        "release leaked the lock container")
+      // artifact convention: SIBLING lock root (<dir>__lock) — the
+      // whole short-lived tree is swept so temp artifacts don't leak
+      // one empty dir per lease
+      val sib = s"$tmp/idx__lock"
+      val b = WriterLease.acquire(spark, sib)
+      WriterLease.release(spark, b)
+      assert(!fs.exists(new HPath(sib)),
+        "release leaked the sibling lock root")
+    }
+  }
+
+  test("asOwner transfers ownership across threads: the batch thread " +
+      "re-enters wrapped mutators and heartbeats; an unrelated " +
+      "thread still refuses at entry") {
+    withTempDir("graft-lease-owner") { root =>
+      val lp = new HPath(s"$root/_lock/lease")
+      val lease = WriterLease.acquire(spark, root)
+      try {
+        // age the heartbeat, then run a "micro-batch" on another
+        // thread under asOwner — the foreachBatch thread-hop shape
+        fs.setTimes(lp, System.currentTimeMillis() - 600000L, -1)
+        val before = fs.getFileStatus(lp).getModificationTime
+        val reentered =
+          new java.util.concurrent.atomic.AtomicBoolean(false)
+        val errs =
+          new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+        val t = new Thread(() =>
+          try WriterLease.asOwner(spark, root, lease) {
+            // a wrapped mutator on the batch thread RE-ENTERS
+            // instead of refusing, and the pre-write fence sees the
+            // transferred lease
+            WriterLease.withLease(spark, root) {
+              reentered.set(true)
+            }
+            WriterLease.verifyHeld(spark, root)
+          } catch { case x: Throwable => errs.add(x) })
+        t.start(); t.join()
+        assert(errs.isEmpty, errs.toArray.mkString(", "))
+        assert(reentered.get())
+        assert(fs.getFileStatus(lp).getModificationTime > before,
+          "asOwner did not heartbeat the lease")
+        // a thread NOT given the lease conflicts like a second
+        // process — refuses at entry
+        val refused =
+          new java.util.concurrent.atomic.AtomicBoolean(false)
+        val u = new Thread(() =>
+          try WriterLease.withLease(spark, root) { () }
+          catch { case _: IllegalStateException => refused.set(true)
+                  case x: Throwable => errs.add(x) })
+        u.start(); u.join()
+        assert(errs.isEmpty, errs.toArray.mkString(", "))
+        assert(refused.get(), "an unrelated thread entered under " +
+          "the stream's lease")
+      } finally WriterLease.release(spark, lease)
+      assert(!fs.exists(lp))
+    }
+  }
+
+  test("verifyHeld fences a wrapped mutator whose lease was stolen " +
+      "mid-mutation, and is a no-op off-lease") {
+    withTempDir("graft-lease-fence") { root =>
+      // no lease held on this thread: the fence must be a no-op (the
+      // streaming gates' lease-less fast path)
+      WriterLease.verifyHeld(spark, root)
+      val lp = new HPath(s"$root/_lock/lease")
+      intercept[IllegalArgumentException] {
+        WriterLease.withLease(spark, root) {
+          // the holder stalls past the horizon and a second writer
+          // legally steals; the holder's next stage-boundary fence
+          // must refuse BEFORE any destructive write
+          fs.setTimes(lp, System.currentTimeMillis() - 7200000L, -1)
+          val stealer = WriterLease.acquire(spark, root)
+          try WriterLease.verifyHeld(spark, root)
+          finally WriterLease.release(spark, stealer)
+        }
+      }
+    }
+  }
 }

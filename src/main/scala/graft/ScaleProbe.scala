@@ -455,8 +455,10 @@ object ScaleProbe {
           "pmod(vec_id, 4096)")
           .withColumn("ingest", lit(0L))
           .repartition(col("cell"))
-          .sortWithinPartitions(col("ingest"), col("cell"),
-            col("bucket"))
+          // constant `ingest` OUT of the sort list — with it, the
+          // writer re-sorts by partition columns alone and the files
+          // ship unsorted (see VectorIndex.build's layout comment)
+          .sortWithinPartitions(col("cell"), col("bucket"))
           .write.partitionBy("ingest", "cell").parquet(dir)
       // batch b arrives from 16 groups — its touched-bucket set is
       // ~16 of 4096
@@ -520,6 +522,81 @@ object ScaleProbe {
           }
       }
       rmTree(java.nio.file.Paths.get(gRoot))
+    }
+
+    // TEXT-gate stored-probe read: the DedupIndex bucket artifact
+    // (band-partitioned, bucket-sorted within each band's files —
+    // the compacted layout) probed by a batch whose touched-bucket
+    // set is pushed into the scan as an In filter
+    // (DedupIndex.touchedPrune). Pushed stays ~flat across corpus
+    // growth — parquet's page/row-group skipping over the sorted
+    // bucket column reads only the batch's collision surface — while
+    // the full (unpushed) stored read grows linearly with the
+    // corpus. Bucket values are 60-bit scattered hashes like the
+    // real builders' (TextOps.hash15's domain); xxhash64 stands in
+    // for md5 so the probe times IO, not hashing. Measured at 2
+    // corpus sizes to show the growth law, not just a ratio.
+    if (want("text gate scan pushed (32M)", "text gate scan full (32M)",
+        "text gate scan pushed (128M)",
+        "text gate scan full (128M)")) locally {
+      val bands = 8
+      val groups = 65536L // corpus docs cluster into dup groups
+      val tRoot = java.nio.file.Files
+        .createTempDirectory("graft-probe-tgate").toString
+      // bucket = 60-bit hash of (band, group): a group's docs share
+      // one bucket per band, exactly the collision structure the
+      // real lshBuckets produces for near-duplicate clusters
+      def buckets(docs: org.apache.spark.sql.Dataset[_], g: String) =
+        docs.select(col("id").as("doc_id"),
+            explode(expr(s"sequence(0L, ${bands - 1}L)")).as("band"),
+            expr(g).as("g"))
+          .withColumn("bucket", pmod(
+            xxhash64(col("band"), col("g")), lit(1L << 60)))
+          .drop("g")
+      def writeCorpus(nDocs: Long, dir: String): Unit =
+        buckets(spark.range(nDocs), s"pmod(id, $groups)")
+          .withColumn("ingest", lit(0L))
+          // the compacted artifact layout: one sorted file per band
+          // (ArtifactManifest.compactGenerations with
+          // sortWithin = bucket)
+          .repartition(col("band"))
+          // constant `ingest` OUT of the sort list (see
+          // VectorIndex.build's layout comment)
+          .sortWithinPartitions(col("band"), col("bucket"))
+          .write.partitionBy("ingest", "band").parquet(dir)
+      // batch b arrives from 8 groups — its touched set is
+      // 8 groups x 8 bands = 64 bucket values of 64k x 8
+      def batchBuckets(b: Int) = buckets(
+        spark.range(900000000L + b * 2000L,
+          900000000L + (b + 1) * 2000L),
+        s"pmod(id, 8) + ${b * 8}")
+      def noop(df: org.apache.spark.sql.DataFrame): Unit =
+        df.write.format("noop").mode("overwrite").save()
+      Seq(4000000L -> "32M", 16000000L -> "128M").foreach {
+        case (nd, lbl) =>
+          if (want(s"text gate scan pushed ($lbl)",
+              s"text gate scan full ($lbl)")) {
+            val dir = s"$tRoot/c$nd"
+            writeCorpus(nd, dir)
+            val bbs = (0 until 3).map { b =>
+              val bb = batchBuckets(b).persist(); bb.count(); bb
+            }
+            def stored() = spark.read.parquet(dir)
+              .withColumn("band", col("band").cast("long"))
+              .select(col("doc_id"), col("band"), col("bucket"))
+            // the STORED-SIDE read alone — the cost the sorted
+            // layout + pushed In changes; rows = bucket rows scanned
+            time(s"text gate scan pushed ($lbl)", nd * bands * 3) {
+              bbs.foreach(bb => noop(graft.operators.DedupIndex
+                .touchedPrune(stored(), bb, push = true)))
+            }
+            time(s"text gate scan full ($lbl)", nd * bands * 3) {
+              bbs.foreach(_ => noop(stored()))
+            }
+            bbs.foreach(_.unpersist())
+          }
+      }
+      rmTree(java.nio.file.Paths.get(tRoot))
     }
 
     // Membership sketch at index scale: 20M-key sizing, a 10x append

@@ -250,7 +250,21 @@ object DedupIndex {
     val rows = stamped(bucketsOf(docs, textCol, idCol, k, rowsPerBand),
         k, rowsPerBand)
       .withColumn("ingest", lit(0L))
-    rows.write.mode("overwrite").partitionBy("ingest", "band")
+    // bucket-sorted layout WITHIN each band partition's files:
+    // row-group/page min/max stats on `bucket` become tight, so the
+    // probe's pushed touched-bucket In filter ([[touchedPrune]])
+    // skips instead of scanning every block — the text twin of
+    // [[VectorIndex.build]]'s gate layout. The CONSTANT `ingest` key
+    // must NOT appear in the sort list: FoldablePropagation prunes
+    // it from the Sort, the V1 writer then sees an ordering that no
+    // longer carries its required partition prefix and injects its
+    // own non-stable sort by the partition columns alone — silently
+    // destroying the bucket order (verified empirically on both the
+    // static and dynamic overwrite paths). Sorting by the REAL
+    // columns only leaves the required ordering satisfied (the
+    // constant is pruned from it too) and the files sorted.
+    rows.sortWithinPartitions(col("band"), col("bucket"))
+      .write.mode("overwrite").partitionBy("ingest", "band")
       .parquet(s"$dir/buckets")
     // fence after the long signature+write stage, before the
     // geometry commit (params) and manifest publish: a holder whose
@@ -338,14 +352,64 @@ object DedupIndex {
         .withColumn("ingest", col("ingest").cast("long")))
   }
 
+  /** Ceiling on a pushed touched-bucket In list — the
+    * [[graft.Sessions]] `inFilterThreshold` convention shared with
+    * the vector gate (past the session threshold Spark pushes a
+    * min/max RANGE instead, and a range over scattered 60-bit hashes
+    * skips nothing).
+    */
+  private[graft] val PushMaxValues = 4096
+
+  /** `stored` narrowed to the batch's TOUCHED bucket values, pushed
+    * into the parquet scan as an In filter — the text twin of
+    * [[VectorIndex.gateStored]]'s touched-bucket pushdown. The text
+    * gate's touched set is (band, bucket) PAIRS — ≈ batch × bands
+    * values, and a partition-column/data-column disjunction is
+    * neither pushable nor partition-prunable — but the bucket values
+    * themselves are 60-bit band-hashes ([[TextOps.hash15]] over the
+    * band's signature rows), so the GLOBAL bucket-value set is the
+    * same size as the pair set and collides across bands only at
+    * hash-collision odds: pushing In(bucket) ALONE is a tight
+    * SUPERSET of the (band, bucket) touched set, and the gate's
+    * (band, bucket) equi-join drops the stragglers — result-
+    * invisible by construction. Against the bucket-sorted band files
+    * ([[build]]/[[appendWith]]'s layout), the parquet reader skips
+    * row groups/pages holding only un-touched buckets, so the
+    * stored-side read tracks the batch's COLLISION SURFACE, not the
+    * corpus (ScaleProbe `text gate scan`). The driver collect is
+    * LIMIT-bounded at [[PushMaxValues]]+1, never batch-sized: a
+    * batch touching more distinct buckets reads the store unpruned
+    * (at that width the In is past the pushable threshold anyway).
+    * An empty touched set (every batch doc below the shingle width)
+    * short-circuits the store scan entirely — no bucket can join.
+    */
+  private[graft] def touchedPrune(stored: DataFrame,
+      newBuckets: DataFrame, push: Boolean): DataFrame = {
+    if (!push) return stored
+    val ss = stored.sparkSession
+    import ss.implicits._
+    val bb = newBuckets.select(col("bucket"))
+      .filter(col("bucket").isNotNull).distinct()
+      .limit(PushMaxValues + 1).as[Long].collect()
+    if (bb.isEmpty) stored.filter(lit(false))
+    else if (bb.length > PushMaxValues) stored
+    else stored.filter(col("bucket")
+      .isin(bb.map(Long.box).toIndexedSeq: _*))
+  }
+
   /** Candidate pairs TOUCHING the batch: `(a, b)` with a < b, distinct
     * across bands — batch×corpus via the stored buckets plus
     * batch×batch, i.e. the full batch-run pair set minus pairs among
     * already-indexed docs. The batch side is signatures for the batch
-    * only; the corpus is never re-shingled.
+    * only; the corpus is never re-shingled. `pushTouched` narrows the
+    * stored side to the batch's touched buckets via [[touchedPrune]]
+    * (decision-invisible); it prices ONE extra evaluation of the
+    * batch's signature subtree (the touched-set collect), so callers
+    * enable it cost-based on the bucket store's physical size — the
+    * gates' `graft.gate.pushdownMinBytes` contract.
     */
   def probe(l: Loaded, newDocs: DataFrame, textCol: String,
-      idCol: String): DataFrame = {
+      idCol: String, pushTouched: Boolean = false): DataFrame = {
     // The batch bucket subtree appears on both join sides, so its
     // signature pipeline evaluates twice. That is DELIBERATE: a
     // persist here would leak cached state from a library call (the
@@ -354,8 +418,12 @@ object DedupIndex {
     // by definition), while the corpus side is scanned once, lazily,
     // from the artifact. Callers probing a huge batch can persist the
     // batch frame themselves.
-    probePairs(l.buckets.select(col(idCol), col("band"), col("bucket")),
-      bucketsOf(newDocs, textCol, idCol, l.k, l.rowsPerBand), idCol)
+    val nb = bucketsOf(newDocs, textCol, idCol, l.k, l.rowsPerBand)
+    probePairs(
+      touchedPrune(
+        l.buckets.select(col(idCol), col("band"), col("bucket")),
+        nb, pushTouched),
+      nb, idCol)
   }
 
   /** The probe join at the bucket level — shared by the artifact
@@ -401,7 +469,8 @@ object DedupIndex {
         nextGeneration(s, s"$dir/buckets"))
       if (LayoutOps.ingestGenerations(s, s"$dir/buckets")
           .size >= compactEvery)
-        ArtifactManifest.compactGenerations(s, s"$dir/buckets", "band")
+        ArtifactManifest.compactGenerations(s, s"$dir/buckets", "band",
+          sortWithin = Seq("bucket"))
     }
   }
 
@@ -434,7 +503,12 @@ object DedupIndex {
       .withColumn("ingest", lit(generation))
     // pre-write fence (no-op on the lease-less streaming fast path)
     WriterLease.verifyHeld(newDocs.sparkSession, leaseRoot(dir))
-    rows.write.mode("overwrite")
+    // bucket-sorted within the generation's band files, same as
+    // [[build]] — keeps the probe's row-group skipping effective
+    // across appends (and like build, the constant `ingest` stays
+    // OUT of the sort list — see build's layout comment)
+    rows.sortWithinPartitions(col("band"), col("bucket"))
+      .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("ingest", "band").parquet(s"$dir/buckets")
     ArtifactManifest.recordAppend(newDocs.sparkSession,
@@ -664,11 +738,23 @@ object DedupIndex {
     // twice (measured 13.6 → 4.1 s at a 2M-doc store — ScaleProbe
     // `gate decisions`); below it the plain single-scan join is
     // strictly cheaper than an extra probe-join evaluation per batch.
+    val pushMinBytes = ss.conf
+      .getOption("graft.gate.pushdownMinBytes")
+      .map(_.toLong).getOrElse(256L << 20)
     val semiInStream = {
       val p = new org.apache.hadoop.fs.Path(s"$root/grams")
-      fs.getContentSummary(p).getLength > ss.conf
-        .getOption("graft.gate.pushdownMinBytes")
-        .map(_.toLong).getOrElse(256L << 20)
+      fs.getContentSummary(p).getLength > pushMinBytes
+    }
+    // COST-BASED touched-bucket pushdown for the stored PROBE side,
+    // decided ONCE per stream from the bucket store's physical size
+    // (the vector gate's contract, see [[VectorIndex.streamIngestGate]]):
+    // the In-list collect costs one distinct job per micro-batch over
+    // the batch's (persisted) buckets, which a small store's scan can
+    // never repay; past the threshold the skipped row groups dominate
+    // (ScaleProbe `text gate scan`).
+    val pushInStream = {
+      val p = new org.apache.hadoop.fs.Path(s"$root/index/buckets")
+      fs.getContentSummary(p).getLength > pushMinBytes
     }
     // membership sketch is REBUILT ONCE after the replay, not
     // OR-maintained per micro-batch (one load+agg+save per batch was
@@ -697,7 +783,12 @@ object DedupIndex {
         val bb = bucketsOf(batch, textCol, idCol, k, rowsPerBand)
           .persist()
         try {
-          val cand = probePairs(stored, bb, idCol)
+          // touched-bucket pushdown on the stored side: against the
+          // bucket-sorted band files only the batch's collision
+          // surface leaves disk (bb is persisted, so the touched-set
+          // collect re-reads the batch's buckets, not the shingles)
+          val cand = probePairs(
+            touchedPrune(stored, bb, pushInStream), bb, idCol)
           // batch-keyed dynamic overwrites: a replayed micro-batch
           // replaces its own decisions/generation instead of
           // double-writing — effectively-once ingest
@@ -708,7 +799,12 @@ object DedupIndex {
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("batch").parquet(s"$root/decisions")
           val rows = bb.withColumn("ingest", lit(batchId + 1))
-          rows.write.mode("overwrite")
+          // bucket-sorted like every other generation writer — the
+          // NEXT batch's pushed probe skips this generation's
+          // un-touched row groups too (constant `ingest` out of the
+          // sort list — see build's layout comment)
+          rows.sortWithinPartitions(col("band"), col("bucket"))
+            .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("ingest", "band")
             .parquet(s"$root/index/buckets")
@@ -727,7 +823,7 @@ object DedupIndex {
     if (LayoutOps.ingestGenerations(ss, s"$root/index/buckets")
         .size >= compactEvery)
       ArtifactManifest.compactGenerations(ss, s"$root/index/buckets",
-        "band")
+        "band", sortWithin = Seq("bucket"))
     // sketch over EVERY ingested id (corpus + all arrivals — the
     // gate appends every batch's buckets, admitted or not): one
     // column-pruned pass per stream, sized fresh

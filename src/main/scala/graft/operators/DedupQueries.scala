@@ -348,7 +348,21 @@ object DedupQueries {
         docs.filter(col("doc_id") < IngestSplit),
         "text", "doc_id", K, RowsPerBand, dir)
       val arrivals = docs.filter(col("doc_id") >= IngestSplit)
-      val cand = DedupIndex.probe(l, arrivals, "text", "doc_id")
+      // COST-BASED touched-bucket pushdown on the stored probe side
+      // (the same pushdownMinBytes contract as the semi filter below,
+      // decided from the BUCKET STORE's physical size): past the
+      // threshold the batch's pushed In(bucket) set skips the store's
+      // un-touched row groups (bucket-sorted band files — ScaleProbe
+      // `text gate scan`); below it the extra evaluation of the
+      // batch's signature subtree for the touched-set collect costs
+      // more than the whole store scan.
+      val bktP = new org.apache.hadoop.fs.Path(s"$dir/buckets")
+      val pushMin = s.conf.getOption("graft.gate.pushdownMinBytes")
+        .map(_.toLong).getOrElse(256L << 20)
+      val pushB = bktP.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .getContentSummary(bktP).getLength > pushMin
+      val cand = DedupIndex.probe(l, arrivals, "text", "doc_id",
+        pushTouched = pushB)
       // COST-BASED semi pre-filter of the verify side (the streaming
       // gate's pushdownMinBytes contract, decided from the documents
       // table's physical size): the verify side is a SHINGLE PASS
@@ -360,9 +374,7 @@ object DedupQueries {
       // — exceeds the whole shingle pass (measured +1.5 s at sf0.1).
       val docsP = new org.apache.hadoop.fs.Path(s"$d/documents.parquet")
       val semi = docsP.getFileSystem(s.sparkContext.hadoopConfiguration)
-        .getContentSummary(docsP).getLength >
-        s.conf.getOption("graft.gate.pushdownMinBytes")
-          .map(_.toLong).getOrElse(256L << 20)
+        .getContentSummary(docsP).getLength > pushMin
       DedupIndex.gateDecisions(cand,
         DedupIndex.memberPrune(s, dir, docs, "doc_id",
             orKeep = col("doc_id") >= IngestSplit)
@@ -387,7 +399,8 @@ object DedupQueries {
         "text", "doc_id", K, RowsPerBand, dir)
       DedupIndex.delete(s, dir, docs.select(col("doc_id"))
         .filter(pmod(col("doc_id"), lit(DocDelMod)) === DocDelRes))
-      ArtifactManifest.compactGenerations(s, s"$dir/buckets", "band")
+      ArtifactManifest.compactGenerations(s, s"$dir/buckets", "band",
+        sortWithin = Seq("bucket"))
       DedupIndex.probe(DedupIndex.load(s, dir),
         docs.filter(col("doc_id") >= IngestSplit), "text", "doc_id")
     }),

@@ -155,11 +155,16 @@ object VectorIndex {
     // a gate-stamped corpus is laid out bucket-sorted WITHIN each
     // cell's files: row-group min/max stats on `bucket` become tight,
     // so the gate's pushed touched-bucket filter skips row groups
-    // instead of scanning every block. The (ingest, cell) prefix
-    // satisfies the dynamic-partition writer's required ordering, so
-    // this adds no second sort.
+    // instead of scanning every block. The CONSTANT `ingest` key must
+    // NOT appear in the sort list: FoldablePropagation prunes it from
+    // the Sort, the V1 writer then sees an ordering that no longer
+    // carries its required partition prefix and injects its own
+    // NON-STABLE sort by the partition columns alone — silently
+    // destroying the bucket order (verified empirically on both the
+    // static and dynamic overwrite paths; the earlier
+    // `(ingest, cell, bucket)` spelling shipped unsorted files).
     gateBits.fold(rows)(_ => rows.sortWithinPartitions(
-        col("ingest"), col("cell"), col("bucket")))
+        col("cell"), col("bucket")))
       .write.mode("overwrite").partitionBy("ingest", "cell")
       .parquet(s"$dir/corpus")
     // fence after the long encode+write stage, before the stamp/
@@ -432,9 +437,10 @@ object VectorIndex {
       DedupIndex.leaseRoot(dir))
     // bucket-sorted layout within the generation's cell files, same
     // as [[build]] — keeps the gate's row-group skipping effective
-    // across appends
+    // across appends (constant `ingest` out of the sort list — see
+    // build's layout comment)
     l.gateBits.fold(rows)(_ => rows.sortWithinPartitions(
-        col("ingest"), col("cell"), col("bucket")))
+        col("cell"), col("bucket")))
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("ingest", "cell").parquet(s"$dir/corpus")
@@ -731,8 +737,10 @@ object VectorIndex {
             .select((Seq("vec_id", "embedding", "n", "cell", "code")
               ++ storedBits.map(_ => "bucket").toSeq).map(col): _*)
             .withColumn("ingest", lit(batchId + 1))
+          // constant `ingest` out of the sort list — see build's
+          // layout comment
           storedBits.fold(rows)(_ => rows.sortWithinPartitions(
-              col("ingest"), col("cell"), col("bucket")))
+              col("cell"), col("bucket")))
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("ingest", "cell")

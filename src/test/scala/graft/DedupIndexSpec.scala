@@ -46,6 +46,62 @@ class DedupIndexSpec extends SparkSpec {
     }
   }
 
+  test("pushed touched-bucket probe: decision-identical to the full " +
+      "scan, In(bucket) reaches the store scan, bucket-sorted band " +
+      "files, and the fallbacks stay correct") {
+    val docs = Tables.documents(spark, d)
+    withDir { dir =>
+      DedupIndex.build(docs.filter(col("doc_id") < splitId),
+        "text", "doc_id", k, rpb, dir)
+      val l = DedupIndex.load(spark, dir)
+      val arrivals = docs.filter(col("doc_id") >= splitId)
+      val pushed = DedupIndex.probe(l, arrivals, "text", "doc_id",
+        pushTouched = true)
+      // decision-identical to the unpushed probe: the global In over
+      // touched bucket VALUES is a superset of the (band, bucket)
+      // touched set (60-bit hashes collide across bands only at
+      // hash-collision odds), and the equi-join drops the stragglers
+      assert(pushed.as[(Long, Long)].collect().toSeq.sorted ===
+        batchPairsTouching(splitId))
+      // the touched set reaches the bucket store's scan as a PUSHED
+      // In filter — against the bucket-sorted band files, row groups
+      // and pages of un-touched buckets never leave disk
+      val plan = pushed.queryExecution.executedPlan.toString
+      assert(plan.linesIterator.exists(lin =>
+        (lin.contains("Scan parquet") || lin.contains("FileScan")) &&
+          lin.contains("buckets") && lin.contains("PushedFilters") &&
+          lin.contains("In(bucket")), plan)
+      // the written layout IS bucket-sorted within each band file
+      // (what makes the pushed filter skip instead of just re-filter)
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val files = fs.globStatus(new org.apache.hadoop.fs.Path(
+        s"$dir/buckets/ingest=0/band=*/part-*")).map(_.getPath)
+      assert(files.nonEmpty)
+      files.take(4).foreach { f =>
+        val b = spark.read.parquet(f.toString)
+          .select("bucket").as[Long].collect()
+        assert(b.sameElements(b.sorted),
+          s"unsorted bucket layout in $f")
+      }
+      // a batch with NO valid signatures (below the shingle width)
+      // short-circuits the store scan and probes empty, not an error
+      val degenerate = Seq((999999L, "ab")).toDF("doc_id", "text")
+      assert(DedupIndex.probe(l, degenerate, "text", "doc_id",
+        pushTouched = true).count() === 0L)
+      // past the In cap the prune falls back to the full store scan
+      // (the LIMIT-bounded collect never ships a batch-sized list)
+      val wide = spark.range(DedupIndex.PushMaxValues + 10L)
+        .select(col("id").as("bucket"))
+      val uncapped = DedupIndex.touchedPrune(
+        l.buckets.select(col("doc_id"), col("band"), col("bucket")),
+        wide, push = true)
+      assert(!uncapped.queryExecution.executedPlan.toString
+        .contains("In(bucket"))
+      assert(uncapped.count() === l.buckets.count())
+    }
+  }
+
   test("gateDecisions scans the verification store ONCE per batch, " +
       "matches the per-side two-join reference, and still fails " +
       "loudly on a missing store row") {

@@ -550,6 +550,22 @@ class IndexArtifactSpec extends SparkSpec {
       assert(pushed.contains("PushedFilters") &&
         pushed.split("PushedFilters", 2)(1).takeWhile(_ != ']')
           .contains("bucket"), pushed)
+      // the written cell files ARE bucket-sorted — the layout the
+      // pushed filter's row-group/page skipping depends on. This was
+      // silently false before: a constant `ingest` in the sort list
+      // makes the writer re-sort by partition columns alone (see
+      // VectorIndex.build's layout comment)
+      val cellFs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val cellFiles = cellFs.globStatus(new org.apache.hadoop.fs.Path(
+        s"$dir/corpus/ingest=0/cell=*/part-*")).map(_.getPath)
+      assert(cellFiles.nonEmpty)
+      cellFiles.take(4).foreach { f =>
+        val b = spark.read.parquet(f.toString)
+          .select("bucket").collect().map(_.getLong(0))
+        assert(b.sameElements(b.sorted),
+          s"unsorted bucket layout in $f")
+      }
       // appends keep the column complete under the SAME geometry
       VectorIndex.append(spark, dir, all.filter(col("vec_id") >= 400)
         .select("vec_id", "embedding"))

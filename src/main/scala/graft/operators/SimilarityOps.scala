@@ -218,9 +218,30 @@ object SimilarityOps {
     else pmod(TextOps.hash15(idCol, salt), lit(f)) === 0
   }
 
+  /** OPT-IN approximate shortlist ahead of the gate's exact-cosine
+    * confirm ([[confirmedPairs]]): stored-side candidates whose
+    * ADC-approximated cosine falls below `bar` are dropped BEFORE the
+    * exact confirm arithmetic and the confirm-side shuffle. The
+    * corpus codes are already stored and the batch stages its lookup
+    * tables once per row, so the shortlist costs `subspaces` loads
+    * per pair against the full-dim dot product it saves — but ADC
+    * does NOT bound cosine (the approximation error is the PQ
+    * reconstruction error), so a pair the shortlist drops is dropped
+    * for good and the admission decision CAN differ from the exact
+    * gate's. That is why this is an explicit opt-in flag with its own
+    * recall report (s18), never a default: `bar` is an ABSOLUTE
+    * rounded-approx-cosine floor (pass threshold − slack computed
+    * ONCE as a literal — deriving it inline invites fp drift against
+    * the oracle's decimal arithmetic). Batch×batch pairs carry no
+    * code and are exempt (their confirm is exact either way).
+    */
+  final case class AdcPrefilter(
+      books: ProductQuantization.Codebooks, subDim: Int, bar: Double)
+
   def ingestGate(stored: DataFrame, batch: DataFrame,
-      threshold: Double): DataFrame =
-    DedupIndex.admit(confirmedPairs(stored, batch, threshold),
+      threshold: Double,
+      adc: Option[AdcPrefilter] = None): DataFrame =
+    DedupIndex.admit(confirmedPairs(stored, batch, threshold, adc),
       batch, "vec_id")
 
   /** The gate's confirmed duplicate pairs alone — (a, b, csim) with
@@ -233,7 +254,8 @@ object SimilarityOps {
     * it is the blocking the admission gate runs.
     */
   def confirmedPairs(stored: DataFrame, batch: DataFrame,
-      threshold: Double): DataFrame = {
+      threshold: Double,
+      adc: Option[AdcPrefilter] = None): DataFrame = {
     // a zero (or NaN) norm makes every cosine it touches NaN, and a
     // NaN >= threshold comparison is EVAL-MODE-DEPENDENT (Spark's
     // interpreted ordering ranks NaN above every double; codegen's
@@ -258,12 +280,26 @@ object SimilarityOps {
     val touched = batch.select("cell", "bucket").distinct()
     val prunedStored = stored.join(broadcast(touched),
       Seq("cell", "bucket"), "left_semi")
-    def side(f: DataFrame, id: String, v: String, n: String) =
-      f.select(col("vec_id").as(id), col("cell"), col("bucket"),
-        col("embedding").as(v), nOk(col("n")).as(n))
-    val a = side(batch, "a", "va", "na")
-    val b = side(prunedStored, "b", "vb", "nb")
-      .unionByName(side(batch, "b", "vb", "nb"))
+    def side(f: DataFrame, id: String, v: String, n: String,
+        extra: Seq[Column] = Nil) =
+      f.select(Seq(col("vec_id").as(id), col("cell"), col("bucket"),
+        col("embedding").as(v), nOk(col("n")).as(n)) ++ extra: _*)
+    // with the ADC shortlist on: the batch stages its lookup tables
+    // ONCE per row (broadcast-side, `subspaces`×k doubles), the
+    // stored side carries its persisted code; batch rows on the
+    // b-union side carry a NULL code = exempt from the shortlist
+    adc.foreach(_ => require(stored.columns.contains("code"),
+      "ingestGate ADC shortlist: the stored side carries no `code` " +
+        "column — serve from a PQ-encoded index artifact or drop the " +
+        "adc option"))
+    val a = side(batch, "a", "va", "na",
+      adc.toSeq.map(p => ProductQuantization.adcTablesCol(
+        col("embedding"), p.books, p.subDim).as("qt")))
+    val b = side(prunedStored, "b", "vb", "nb",
+        adc.toSeq.map(_ => col("code")))
+      .unionByName(side(batch, "b", "vb", "nb",
+        adc.toSeq.map(_ => lit(null)
+          .cast(stored.schema("code").dataType).as("code"))))
     // a NULL cosine (vec_dot's length-mismatch NULL: the norms are
     // fine but the dims differ — corrupt embedding) must not silently
     // DROP the pair from the confirm set: `csim >= threshold` filters
@@ -271,8 +307,22 @@ object SimilarityOps {
     // Same failure class, same answer as nOk: fail loudly at the
     // first unverifiable pair
     val csim = round(pairCosine("va", "vb", "na", "nb"), 6)
-    val confirmed = a.join(b, Seq("cell", "bucket"))
+    val paired0 = a.join(b, Seq("cell", "bucket"))
       .filter(col("a") =!= col("b"))
+    val paired = adc.fold(paired0) { p =>
+      // approximate cosine from the ADC distance and the EXACT stored
+      // norms: adc ≈ ‖q − x̂‖², so q·x̂ = (‖q‖² + ‖x‖² − adc)/2 up to
+      // the reconstruction error. Rounded to 6 like every oracle-
+      // compared similarity; the fp op order here is mirrored
+      // verbatim in the s17/s18 oracle SQL.
+      val approx = round((col("na") * col("na")
+        + col("nb") * col("nb")
+        - ProductQuantization.adcLookupCol(col("code"), col("qt"),
+            p.books.head.length))
+        / (col("na") * col("nb") * lit(2.0)), 6)
+      paired0.filter(col("code").isNull || approx >= p.bar)
+    }
+    val confirmed = paired
       .select(least(col("a"), col("b")).as("a"),
         greatest(col("a"), col("b")).as("b"),
         when(csim.isNull,

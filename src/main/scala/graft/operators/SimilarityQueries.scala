@@ -3,8 +3,8 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.operators.{ArtifactManifest, DedupOps, SimilarityOps,
-  TempArtifacts, VectorIndex}
+import graft.operators.{ArtifactManifest, DedupOps,
+  ProductQuantization, SimilarityOps, TempArtifacts, VectorIndex}
 
 /** Similarity-search inventory over `embeddings` (64-dim float
   * vectors): brute-force cosine top-k as the correctness baseline, an
@@ -43,6 +43,15 @@ object SimilarityQueries {
   // delete visibly removes a query, not just candidates
   private[graft] val VecDelMod = 17L
   private[graft] val VecDelRes = 3L
+  // s17/s18 opt-in ADC shortlist: the absolute rounded-approx-cosine
+  // floor a candidate pair must clear before the exact confirm (bar =
+  // threshold − slack, stated as ONE literal — deriving 0.35 − 0.10
+  // inline lands on 0.24999…993 in doubles while DuckDB's decimal
+  // arithmetic gives 0.25 exactly, a guaranteed boundary mismatch).
+  // Slack 0.10 against the PqSub=8/PqK=16 reconstruction error keeps
+  // most true near-dups while the report (s18) shows precisely which
+  // cosine bands pay for the shortcut.
+  private[graft] val AdcGateBar = 0.25
 
   /** Exact per-pair cosine scores: tiny query set broadcast against the
     * full corpus (scanned once). The ground truth s1 reports and s6
@@ -588,27 +597,55 @@ object SimilarityQueries {
     // Confirmed = exact cosine ≥ the near-dup bar; admission is the
     // shared earliest-wins rule. SimilarityOps.ingestGate is the ONE
     // definition the streaming artifact gate (st11) also runs.
-    "s13_vec_ingest_gate" -> ((s, d) => {
-      // build-once/serve-many, like d12: the tag pins the full gate
-      // geometry (a bits change keys a different root, so the stamp
-      // check can never trip on a stale fingerprint hit)
-      val dir = VectorIndex.artifactRoot(
-        s"s13gate-$Dim-$LloydSteps-$PqSub-$PqK-" +
-          s"$VecGateBits-$VecGateSplit", d)
-      val e = embeddings(s, d)
-      val l = VectorIndex.buildOrLoad(
-        e.filter(col("vec_id") < VecGateSplit)
-          .select("vec_id", "embedding"),
-        Dim, LloydSteps, PqSub, PqSubDim, PqK, dir,
-        gateBits = Some(VecGateBits))
-      val batch = SimilarityOps.withNorm(
-          e.filter(col("vec_id") >= VecGateSplit), "embedding", "n")
-        .withColumn("cell", SimilarityOps.ivfAssign(l.cents, Dim))
-        .withColumn("bucket",
-          SimilarityOps.signBucket("embedding", VecGateBits))
-      SimilarityOps.ingestGate(
-        VectorIndex.gateStored(s, dir, VecGateBits, l.gateBits, batch),
-        batch, VecGateThr)
+    "s13_vec_ingest_gate" -> ((s, d) => vecGate(s, d, adc = false)),
+
+    // s17: the gate with the OPT-IN ADC shortlist ahead of the exact
+    // confirm (SimilarityOps.AdcPrefilter) — the stored candidates'
+    // persisted PQ codes score an approximate cosine against the
+    // batch's staged lookup tables, and pairs below AdcGateBar never
+    // reach the full-dim confirm arithmetic or its shuffle. ADC does
+    // NOT bound cosine, so this path's admissions can legitimately
+    // differ from s13's — which is exactly why it is a separate
+    // flagged query held to its OWN oracle (the mirror applies the
+    // identical shortlist in SQL), with s18 reporting what the
+    // shortcut costs per cosine band.
+    "s17_adc_gate" -> ((s, d) => vecGate(s, d, adc = true)),
+
+    // s18: the ADC shortlist's report card (s14's role for s17): of
+    // the gate's EXACT-confirmed stored-side pairs (blocked by
+    // (cell, bucket), exact cosine ≥ the admission bar), what
+    // fraction clears the ADC pre-filter, per 0.05-wide cosine band?
+    // Run this BEFORE flipping s17's flag on a corpus: the curve
+    // shows precisely which similarity bands the approximation
+    // loses (batch×batch pairs carry no code and are exempt, so the
+    // report covers exactly the scored population). recall is
+    // integer-exact like s14's.
+    "s18_adc_gate_recall" -> ((s, d) => {
+      val (l, batch, stored) = vecGateParts(s, d)
+      val q = batch.select(col("vec_id").as("qid"), col("cell"),
+        col("bucket"), col("embedding").as("vq"), col("n").as("nq"),
+        ProductQuantization.adcTablesCol(
+          col("embedding"), l.books, PqSubDim).as("qt"))
+      val c = stored.select(col("vec_id").as("cid"), col("cell"),
+        col("bucket"), col("embedding").as("vc"), col("n").as("nc"),
+        col("code"))
+      // identical fp op order to the gate's shortlist (and to the
+      // oracle's adcChain mirror): nq is the batch/query norm first
+      val acos = round((col("nq") * col("nq") + col("nc") * col("nc")
+        - ProductQuantization.adcLookupCol(col("code"), col("qt"),
+            PqK)) / (col("nq") * col("nc") * lit(2.0)), 6)
+      q.join(c, Seq("cell", "bucket"))
+        .select(
+          round(SimilarityOps.pairCosine("vq", "vc", "nq", "nc"), 6)
+            .as("csim"), acos.as("acos"))
+        .filter(col("csim") >= VecGateThr)
+        .groupBy(floor(col("csim") * 20).cast("long").as("band"))
+        .agg(count(lit(1)).as("n_conf"),
+          sum(when(col("acos") >= AdcGateBar, 1L).otherwise(0L))
+            .as("n_kept"))
+        .withColumn("recall",
+          expr("(n_kept * 1000000) div n_conf").cast("double")
+            / lit(1e6))
     }),
 
     // s14: RECALL of the ingest gate's blocking, PER SIMILARITY BAND —
@@ -663,6 +700,42 @@ object SimilarityQueries {
           expr("(n_caught * 1000000) div n_true").cast("double") / lit(1e6))
     })
   )
+
+  /** The embedding ingest gate's serving pieces — ONE definition for
+    * s13 (exact), s17 (ADC-shortlisted) and s18 (the shortlist's
+    * report), so the three can never drift on geometry or blocking.
+    * Build-once/serve-many, like d12: the tag pins the full gate
+    * geometry (a bits change keys a different root, so the stamp
+    * check can never trip on a stale fingerprint hit); all three
+    * queries share the artifact root.
+    */
+  private def vecGateParts(s: SparkSession,
+      d: String): (VectorIndex.Loaded, DataFrame, DataFrame) = {
+    val dir = VectorIndex.artifactRoot(
+      s"s13gate-$Dim-$LloydSteps-$PqSub-$PqK-" +
+        s"$VecGateBits-$VecGateSplit", d)
+    val e = embeddings(s, d)
+    val l = VectorIndex.buildOrLoad(
+      e.filter(col("vec_id") < VecGateSplit)
+        .select("vec_id", "embedding"),
+      Dim, LloydSteps, PqSub, PqSubDim, PqK, dir,
+      gateBits = Some(VecGateBits))
+    val batch = SimilarityOps.withNorm(
+        e.filter(col("vec_id") >= VecGateSplit), "embedding", "n")
+      .withColumn("cell", SimilarityOps.ivfAssign(l.cents, Dim))
+      .withColumn("bucket",
+        SimilarityOps.signBucket("embedding", VecGateBits))
+    (l, batch,
+      VectorIndex.gateStored(s, dir, VecGateBits, l.gateBits, batch))
+  }
+
+  private def vecGate(s: SparkSession, d: String,
+      adc: Boolean): DataFrame = {
+    val (l, batch, stored) = vecGateParts(s, d)
+    SimilarityOps.ingestGate(stored, batch, VecGateThr,
+      adc = if (adc) Some(SimilarityOps.AdcPrefilter(
+        l.books, PqSubDim, AdcGateBar)) else None)
+  }
 
   /** s3's near-dup pair criterion — ONE definition shared by the pair
     * report (s3) and the cluster resolution (d11), so the dedup can
@@ -798,7 +871,15 @@ object SimilarityQueries {
     * coalesce) and [[ProductQuantization.encode]]. Ends in
     * `pqbook(j, c, m1..)` and `pqenc(vec_id, c0..c{PqSub-1})`.
     */
-  private lazy val pqCtes: String = {
+  /** PQ training CTEs over `train` (a table or CTE name) with the
+    * final encode pass over the FULL embeddings table — a superset of
+    * any corpus the caller joins `pqenc` against, exactly like
+    * [[ivfCtesFrom]]'s sampled-training split. `pqCtes` keeps the
+    * historical full-corpus training (s7/s8/s9/s11/s15); the gate
+    * oracles (s17/s18) train on the base CTE, mirroring the
+    * artifact's frozen base-trained codebooks.
+    */
+  private def pqCtesFrom(train: String): String = {
     val ms0 = (1 to PqSubDim).map(i =>
       s"CAST(s.embedding[j.j*$PqSubDim + $i] AS DOUBLE) AS m$i")
       .mkString(", ")
@@ -813,7 +894,7 @@ object SimilarityQueries {
     s"""pqseed AS (
           SELECT embedding, row_number() OVER (ORDER BY sid) - 1 AS c
           FROM (SELECT embedding, min(vec_id) AS sid
-                FROM (SELECT vec_id, embedding FROM embeddings
+                FROM (SELECT vec_id, embedding FROM $train
                       ORDER BY vec_id LIMIT ${PqK * 16})
                 GROUP BY embedding
                 ORDER BY sid LIMIT $PqK)),
@@ -822,7 +903,7 @@ object SimilarityQueries {
           FROM pqseed s CROSS JOIN range($PqSub) j(j)),
         pqsc0 AS (
           SELECT e.vec_id, b.j, b.c, ${pqDistChain("e", "b")} AS dist
-          FROM embeddings e CROSS JOIN pqb0 b),
+          FROM $train e CROSS JOIN pqb0 b),
         pqa0 AS (
           SELECT vec_id, j, c AS code FROM (
             SELECT vec_id, j, c, row_number() OVER (PARTITION BY vec_id, j
@@ -830,7 +911,7 @@ object SimilarityQueries {
             FROM pqsc0) WHERE rn = 1),
         pqcent AS (
           SELECT a.j, a.code, count(*) AS cnt, $sums
-          FROM pqa0 a JOIN embeddings e ON a.vec_id = e.vec_id
+          FROM pqa0 a JOIN $train e ON a.vec_id = e.vec_id
           GROUP BY a.j, a.code),
         pqbook AS (
           SELECT b.j, b.c, $means
@@ -846,6 +927,7 @@ object SimilarityQueries {
         pqenc AS (
           SELECT vec_id, $codeCols FROM pqcode GROUP BY vec_id)"""
   }
+  private lazy val pqCtes: String = pqCtesFrom("embeddings")
 
   /** ADC distance chain for candidate `c` (joined to pqbook rows
     * b0..b{PqSub-1}) against query `$q`'s embedding: per-subspace
@@ -1193,6 +1275,94 @@ object SimilarityQueries {
           SELECT e.vec_id, r.dup_of, r.dup_of IS NULL AS admitted
           FROM embeddings e LEFT JOIN rej r ON r.vec_id = e.vec_id
           WHERE e.vec_id >= $VecGateSplit""",
+    // ADC-shortlisted gate mirror: s13's CTEs + base-trained codebook
+    // CTEs; stored-side candidate pairs must clear the rounded
+    // approx-cosine bar (identical fp op order to the Spark
+    // shortlist) before the exact confirm, batch×batch pairs are
+    // exempt (no stored code) — the UNION ALL branches are disjoint
+    // on the smaller id's side of the split.
+    "s17_adc_gate" ->
+      s"""WITH base AS (
+            SELECT vec_id, embedding FROM embeddings
+            WHERE vec_id < $VecGateSplit),
+          ${ivfCtesFrom("base")},
+          $ivfServeCtes,
+          ${pqCtesFrom("base")},
+          sb AS (
+            SELECT vec_id, embedding, cell,
+              ${dBucketW("embedding", VecGateBits)} AS bucket,
+              sqrt(list_sum(list_transform(embedding,
+                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS n
+            FROM served),
+          kept AS (
+            SELECT x.vec_id AS a, x.embedding AS ea,
+                   y.vec_id AS b, y.embedding AS eb
+            FROM sb x JOIN sb y
+              ON x.cell = y.cell AND x.bucket = y.bucket
+             AND x.vec_id < y.vec_id
+            WHERE y.vec_id >= $VecGateSplit
+              AND x.vec_id >= $VecGateSplit
+            UNION ALL
+            SELECT x.vec_id AS a, x.embedding AS ea,
+                   y.vec_id AS b, y.embedding AS eb
+            FROM sb x JOIN sb y
+              ON x.cell = y.cell AND x.bucket = y.bucket
+             AND x.vec_id < y.vec_id
+            JOIN pqenc c ON c.vec_id = x.vec_id
+            $pqBookJoins
+            WHERE y.vec_id >= $VecGateSplit
+              AND x.vec_id < $VecGateSplit
+              AND round((y.n*y.n + x.n*x.n - ${adcChain("y")})
+                    / (y.n*x.n*2), 6) >= $AdcGateBar),
+          conf AS (
+            SELECT a, b, round(${dCos("ea", "eb")}, 6) AS csim
+            FROM kept),
+          rej AS (
+            SELECT b AS vec_id, min(a) AS dup_of
+            FROM conf WHERE csim >= $VecGateThr GROUP BY b)
+          SELECT e.vec_id, r.dup_of, r.dup_of IS NULL AS admitted
+          FROM embeddings e LEFT JOIN rej r ON r.vec_id = e.vec_id
+          WHERE e.vec_id >= $VecGateSplit""",
+    // ADC-shortlist report mirror: the scored (batch × stored)
+    // confirmed pairs banded by exact cosine, with the kept count
+    // under the same rounded approx-cosine bar. sum() is cast to
+    // BIGINT (DuckDB's integer sum is HUGEINT → float64 in pandas —
+    // a dtype-family mismatch against Spark's long).
+    "s18_adc_gate_recall" ->
+      s"""WITH base AS (
+            SELECT vec_id, embedding FROM embeddings
+            WHERE vec_id < $VecGateSplit),
+          ${ivfCtesFrom("base")},
+          $ivfServeCtes,
+          ${pqCtesFrom("base")},
+          sb AS (
+            SELECT vec_id, embedding, cell,
+              ${dBucketW("embedding", VecGateBits)} AS bucket,
+              sqrt(list_sum(list_transform(embedding,
+                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS n
+            FROM served),
+          pr AS (
+            SELECT round(${dCos("y.embedding", "x.embedding")}, 6)
+                AS csim,
+              round((y.n*y.n + x.n*x.n - ${adcChain("y")})
+                / (y.n*x.n*2), 6) AS acos
+            FROM sb y JOIN sb x
+              ON x.cell = y.cell AND x.bucket = y.bucket
+            JOIN pqenc c ON c.vec_id = x.vec_id
+            $pqBookJoins
+            WHERE y.vec_id >= $VecGateSplit
+              AND x.vec_id < $VecGateSplit),
+          m AS (
+            SELECT CAST(floor(csim * 20) AS BIGINT) AS band,
+              count(*) AS n_conf,
+              CAST(sum(CASE WHEN acos >= $AdcGateBar THEN 1 ELSE 0
+                END) AS BIGINT) AS n_kept
+            FROM pr WHERE csim >= $VecGateThr
+            GROUP BY 1)
+          SELECT band, n_conf, n_kept,
+            CAST((n_kept * 1000000) // n_conf AS DOUBLE) / 1000000.0
+              AS recall
+          FROM m""",
     // Gate-recall mirror: s13's blocked candidate CTEs vs the brute-
     // force confirmed pair set; integer-exact recall like s6's.
     "s14_gate_recall" ->

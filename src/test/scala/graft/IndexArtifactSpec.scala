@@ -480,6 +480,62 @@ class IndexArtifactSpec extends SparkSpec {
     assert(viaGate.nonEmpty) // the pin is vacuous on an empty block set
   }
 
+  test("opt-in ADC shortlist (s17): a permissive bar is decision-" +
+      "identical to the exact gate, an impossible bar degrades to " +
+      "batch-only confirm, and the shortcut only ever ADMITS more — " +
+      "never rejects more") {
+    import graft.operators.{ProductQuantization, SimilarityOps}
+    val e = SimilarityOps.withNorm(
+      Tables.embeddings(spark, d), "embedding", "n")
+    val split = 400L
+    val base = e.filter(col("vec_id") < split)
+    val cents = SimilarityOps.trainIvf(base, dim, steps)
+    val books = ProductQuantization.train(
+      base, "embedding", "vec_id", sub, subDim, k, steps = 1)
+    val assigned = e
+      .withColumn("cell", SimilarityOps.ivfAssign(cents, dim))
+      .withColumn("bucket", SimilarityOps.signBucket("embedding", 4))
+    val stored = ProductQuantization.encode(
+      assigned.filter(col("vec_id") < split), "embedding", books,
+      subDim, "code")
+    val batch = assigned.filter(col("vec_id") >= split)
+    def decisions(adc: Option[SimilarityOps.AdcPrefilter]) =
+      SimilarityOps.ingestGate(stored, batch, 0.35, adc)
+        .as[(Long, Option[Long], Boolean)].collect().toSeq.sortBy(_._1)
+    val exact = decisions(None)
+    // a bar below any representable approx-cosine keeps every pair —
+    // the shortlist machinery itself must be decision-invisible
+    assert(decisions(Some(
+      SimilarityOps.AdcPrefilter(books, subDim, -1e9))) === exact)
+    // a bar above any reachable approx-cosine drops every scored
+    // (stored-side) pair: the gate degrades to batch-only confirm —
+    // the batch×batch pairs are exempt (no code) and survive intact.
+    // (approx-cosine is NOT capped at 1 — a zero ADC distance under
+    // mismatched norms gives (na²+nb²)/(2·na·nb) ≥ 1 — hence 1e9,
+    // not 2.0.)
+    val batchOnly = SimilarityOps
+      .ingestGate(stored.limit(0), batch, 0.35)
+      .as[(Long, Option[Long], Boolean)].collect().toSeq.sortBy(_._1)
+    assert(decisions(Some(
+      SimilarityOps.AdcPrefilter(books, subDim, 1e9))) === batchOnly)
+    // the gate did real work on this corpus at both extremes
+    assert(exact.exists(!_._3))
+    // at the serving bar the shortlist can only ADMIT more (dropping
+    // a confirmed pair removes a rejection reason, never adds one)
+    val flagged = decisions(Some(SimilarityOps.AdcPrefilter(
+      books, subDim, SimilarityQueries.AdcGateBar)))
+    assert(exact.filter(_._3).map(_._1).toSet
+      .subsetOf(flagged.filter(_._3).map(_._1).toSet))
+    // a code-less stored side refuses loudly instead of silently
+    // exempting the whole corpus from the shortlist
+    val ex = intercept[IllegalArgumentException] {
+      SimilarityOps.ingestGate(
+        assigned.filter(col("vec_id") < split), batch, 0.35,
+        Some(SimilarityOps.AdcPrefilter(books, subDim, 0.0)))
+    }
+    assert(ex.getMessage.contains("code"))
+  }
+
   test("live-id membership sketch beside the corpus: the pruned fact " +
       "composes byte-identically with the exact join, and real " +
       "non-members drop before it") {

@@ -536,8 +536,10 @@ object DedupIndex {
     WriterLease.withLease(s, leaseRoot(dir)) {
       // pre-write fence, same contract as append/build
       WriterLease.verifyHeld(s, leaseRoot(dir))
+      // sortWithin keeps the rewritten band files bucket-sorted — the
+      // pushed probe's skipping survives the takedown
       LayoutOps.deleteKeysPartitioned(s, s"$dir/buckets", "band",
-        idCol, tombs, staged = staged)
+        idCol, tombs, staged = staged, sortWithin = Seq("bucket"))
       ArtifactManifest.refreshAfterDelete(s, s"$dir/buckets")
     }
 

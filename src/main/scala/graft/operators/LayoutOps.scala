@@ -420,7 +420,7 @@ object LayoutOps {
     */
   def deleteKeysPartitioned(s: SparkSession, dir: String,
       partCol: String, keyCol: String, tombs: DataFrame,
-      staged: Boolean = false): Unit = {
+      staged: Boolean = false, sortWithin: Seq[String] = Nil): Unit = {
     val t = tombs.select(col(keyCol)).distinct()
     // BOTH modes recover first: a marked staging tree left by a
     // crashed staged run is a committed-but-unapplied takedown, and
@@ -433,7 +433,7 @@ object LayoutOps {
     // tree exists).
     recoverStagedTakedown(s, dir, partCol)
     if (staged) {
-      stageTakedown(s, dir, partCol, keyCol, t).foreach {
+      stageTakedown(s, dir, partCol, keyCol, t, sortWithin).foreach {
         case (staging, affected) =>
           applyStagedTakedown(s, dir, partCol, staging, affected)
       }
@@ -479,9 +479,18 @@ object LayoutOps {
         .map(r => (r.get(0).toString, r.get(1).toString))
       // broadcast anti-join: the rewrite is MAP-ONLY — affected
       // partitions scan, filter, write; the wide survivor rows are
-      // never exchanged
-      CdcOps.applyTombstones(restricted, t, Seq(keyCol),
+      // never exchanged. `sortWithin` restores the caller's
+      // within-file layout (the gate artifacts' bucket sort): without
+      // it the dynamic writer inserts its OWN non-stable sort by the
+      // partition columns, silently shuffling equal-key rows and
+      // degrading the pushed probe's row-group skipping on every
+      // rewritten partition until the next compaction. Still
+      // exchange-free — sortWithinPartitions is per-task.
+      val survivors = CdcOps.applyTombstones(restricted, t, Seq(keyCol),
           broadcastTombs = true)
+      (if (sortWithin.isEmpty) survivors
+        else survivors.sortWithinPartitions(
+          ("ingest" +: partCol +: sortWithin).map(col): _*))
         .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("ingest", partCol).parquet(dir)
@@ -520,7 +529,8 @@ object LayoutOps {
     * production entry is `deleteKeysPartitioned(staged = true)`.
     */
   private[graft] def stageTakedown(s: SparkSession, dir: String,
-      partCol: String, keyCol: String, tombs: DataFrame)
+      partCol: String, keyCol: String, tombs: DataFrame,
+      sortWithin: Seq[String] = Nil)
       : Option[(String, Seq[(String, String)])] = {
     val t = tombs.select(col(keyCol)).distinct()
     val sp = sibling(dir, "__takedown")
@@ -540,8 +550,13 @@ object LayoutOps {
           col("ingest") === lit(r.get(0)) &&
             col(partCol) === lit(r.get(1)))
         .reduce(_ || _))
-    CdcOps.applyTombstones(restricted, t, Seq(keyCol),
+    // same within-file layout restoration as the in-place path (the
+    // staged survivors ARE the partitions the swap publishes)
+    val survivors = CdcOps.applyTombstones(restricted, t, Seq(keyCol),
         broadcastTombs = true)
+    (if (sortWithin.isEmpty) survivors
+      else survivors.sortWithinPartitions(
+        ("ingest" +: partCol +: sortWithin).map(col): _*))
       .write.mode("overwrite").partitionBy("ingest", partCol)
       .parquet(staging)
     fs.create(new org.apache.hadoop.fs.Path(sp, "_STAGED"), true)

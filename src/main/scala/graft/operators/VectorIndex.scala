@@ -550,8 +550,11 @@ object VectorIndex {
     WriterLease.withLease(s, DedupIndex.leaseRoot(dir)) {
       // pre-write fence, same contract as append/rebuild
       WriterLease.verifyHeld(s, DedupIndex.leaseRoot(dir))
+      // a gate-stamped corpus keeps its bucket-sorted cell files
+      // through the takedown (the pushed gate filter's layout)
       LayoutOps.deleteKeysPartitioned(s, s"$dir/corpus", "cell",
-        "vec_id", tombs, staged = staged)
+        "vec_id", tombs, staged = staged,
+        sortWithin = gateBitsOf(s, dir).map(_ => "bucket").toSeq)
       ArtifactManifest.refreshAfterDelete(s, s"$dir/corpus")
     }
 

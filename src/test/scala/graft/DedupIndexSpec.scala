@@ -374,6 +374,21 @@ class DedupIndexSpec extends SparkSpec {
       }
       // the takedown really removed colliding candidates
       assert(probed !== batchPairsTouching(splitId))
+      // the rewritten band files STAY bucket-sorted (sortWithin rides
+      // the takedown rewrite — without it the dynamic writer's own
+      // non-stable partition-column sort would shuffle equal-key rows
+      // and degrade the pushed probe's skipping)
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val rewritten = fs.globStatus(new org.apache.hadoop.fs.Path(
+        s"$dir/buckets/ingest=*/band=*/part-*")).map(_.getPath)
+      assert(rewritten.nonEmpty)
+      rewritten.take(4).foreach { f =>
+        val b = spark.read.parquet(f.toString)
+          .select("bucket").as[Long].collect()
+        assert(b.sameElements(b.sorted),
+          s"takedown left unsorted bucket layout in $f")
+      }
       // the crash-isolated staged takedown is probe-identical to the
       // in-place one
       withDir { dir3 =>

@@ -35,8 +35,9 @@ object Explain {
     "s9_ivfpq_multiprobe" -> "IVFPQ serving: probe cells ranked per query, candidates hash-joined on cell, ADC shortlist + exact re-rank",
     "s12_filtered_ann" -> "filtered ANN: the metadata predicate rides the candidate join key (cell, label) — no post-filter pass",
     "cv1_violations" -> "CV validation: vocabulary broadcast into a LeftAnti hash join, violation counts aggregated map-side",
-    "d12_ingest_gate" -> "ingest admission gate served from the persisted index: artifact bucket probe, verification store membership-pruned at the scan (codegen'd bloom probe ahead of the gram-join exchange), earliest-wins admission (one aggregation)",
+    "d12_ingest_gate" -> "ingest admission gate served from the persisted index: artifact bucket probe (bucket-sorted band files; the touched-bucket In pushdown is cost-based and OFF at this store size), verification store membership-pruned at the scan and scanned ONCE per batch (melt/regroup), earliest-wins admission (one aggregation)",
     "s13_vec_ingest_gate" -> "embedding ingest gate served from the gate-stamped artifact: stored cells/norms/sign-buckets (no corpus re-encode), touched-bucket In filter pushed to the corpus scan, exact-cosine confirm",
+    "s17_adc_gate" -> "opt-in ADC-shortlisted gate: batch lookup tables staged once per row (native pq_tables), stored PQ codes scored by pq_adc_lookup inside the confirm join — pairs below the bar never reach the full-dim vec_dot confirm",
     "x11_cdc_apply" -> "CDC apply: changelog collapsed by max_by (partial aggregate collapses keys before the exchange; no whole-log window), base anti-joins the keys",
     "s15_index_delete" -> "serve after takedown: the artifact scan reads the compacted post-delete corpus (tombstoned rows physically gone — no runtime filter pays for them), DPP pins the cell routing exactly as s8/s11",
     "x12_incr_agg" -> "incremental MV maintenance: base touched only by a churn-keyed hash semi-join (never re-aggregated); -old/+new contributions merge with the previous aggregate in ONE summing aggregation (null-group safe, no join)",

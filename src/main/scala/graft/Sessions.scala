@@ -38,13 +38,16 @@ object Sessions {
       .config("spark.sql.maxMetadataStringLength", "500")
       // push genuine In predicates to parquet instead of the default
       // >10-values min/max-range rewrite: the ingest gates push a
-      // batch's touched-bucket set (≤ 2^bits scattered values) into
-      // the corpus scan, and a min/max range over scattered keys
-      // covers ~everything — zero skipping. Parquet evaluates In
-      // against row-group stats/dictionaries, so a few thousand
-      // values cost microseconds per row group; the engine caps the
-      // pushed sets at 4096 (bits ≤ 12).
-      .config("spark.sql.parquet.pushdown.inFilterThreshold", "4096")
+      // batch's touched-bucket / candidate-id set into the stored
+      // scan, and a min/max range over scattered keys covers
+      // ~everything — zero skipping. The ceiling is a measured JVM
+      // limit, not taste: Spark translates the In into a LEFT-DEEP
+      // or-chain of parquet eq predicates whose recursive evaluation
+      // blows the executor stack past ~1.5k terms (1536 OK, 2048
+      // StackOverflowError on this JVM) — 1024 leaves margin, and the
+      // engine caps its own pushed sets at the same value
+      // (DedupIndex.PushMaxValues).
+      .config("spark.sql.parquet.pushdown.inFilterThreshold", "1024")
 
   def local(appName: String): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")

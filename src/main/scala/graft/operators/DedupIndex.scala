@@ -352,13 +352,18 @@ object DedupIndex {
         .withColumn("ingest", col("ingest").cast("long")))
   }
 
-  /** Ceiling on a pushed touched-bucket In list — the
-    * [[graft.Sessions]] `inFilterThreshold` convention shared with
-    * the vector gate (past the session threshold Spark pushes a
-    * min/max RANGE instead, and a range over scattered 60-bit hashes
-    * skips nothing).
+  /** Ceiling on any pushed In list the engine builds (shared by the
+    * text probe, the gate's candidate-id filter, and the vector
+    * gate). The binding constraint is NOT planner cost: Spark
+    * translates a pushed In into a LEFT-DEEP or-chain of parquet eq
+    * predicates, and the parquet reader's recursive visitor blows the
+    * executor stack past ~1.5k terms (measured on this JVM: 1536 OK,
+    * 2048 StackOverflowError) — 1024 leaves margin for deeper task
+    * stacks. [[graft.Sessions]] pins `inFilterThreshold` to the same
+    * value: past it Spark pushes a min/max RANGE instead, which skips
+    * nothing over scattered hash values but cannot crash.
     */
-  private[graft] val PushMaxValues = 4096
+  private[graft] val PushMaxValues = 1024
 
   /** `stored` narrowed to the batch's TOUCHED bucket values, pushed
     * into the parquet scan as an In filter — the text twin of
@@ -604,6 +609,13 @@ object DedupIndex {
     // invisible: non-candidate store rows never join, and a MISSING
     // candidate row is missing on both paths (the loud-failure left
     // join below).
+    // NOT a pushed In(id) scan filter, deliberately (round 17,
+    // measured): page skipping by candidate id only pays when store
+    // pages ≫ candidate ids — ~1k scattered ids hit EVERY page of
+    // any store under ~50M rows (8M-row probe: pushed 5.4 s vs
+    // broadcast semi 3.2 s — the extra collect job plus a saturated
+    // In buys nothing), so the pushed form loses in exactly the band
+    // where semiFilter fires and only breaks even far above it.
     val store =
       if (semiFilter) grams.join(
         broadcast(cand.select(explode(array(col("a"), col("b")))

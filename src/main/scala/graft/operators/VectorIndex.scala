@@ -605,6 +605,13 @@ object VectorIndex {
       val bb = enc.select("bucket").distinct()
         .filter(col("bucket").isNotNull).as[Long].collect()
       if (bb.isEmpty) corpus.filter(lit(false))
+      // a diverse batch under a wide geometry (bits 11-12) can touch
+      // more buckets than a pushed In may carry: past
+      // [[DedupIndex.PushMaxValues]] the parquet or-chain's recursive
+      // evaluation overflows the executor stack (measured — see the
+      // cap's doc), so serve the plain stored scan instead; the
+      // gate's (cell, bucket) semi prune still applies downstream
+      else if (bb.length > DedupIndex.PushMaxValues) corpus
       else corpus.filter(col("bucket")
         .isin(bb.map(Long.box).toIndexedSeq: _*))
     } else if (storedBits.contains(bits)) corpus

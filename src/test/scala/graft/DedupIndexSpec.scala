@@ -159,6 +159,33 @@ class DedupIndexSpec extends SparkSpec {
     }
   }
 
+  test("semiFilter is decision-identical to the plain single-scan " +
+      "(the broadcast semi pre-filter must be result-invisible)") {
+    withDir { dir =>
+      // synthetic parquet store: ids 0..5999, grams equal for the
+      // id%3==0 third (pairs confirm), unique singletons otherwise
+      val n = 6000L
+      spark.range(n).select(col("id").as("doc_id"),
+          when(col("id") % 3 === 0, array(lit("x")))
+            .otherwise(array(concat(lit("g"), col("id"))))
+            .as("grams"))
+        .write.parquet(s"$dir/grams")
+      val grams = spark.read.parquet(s"$dir/grams")
+      val arrivals = spark.range(n / 2, n).select(col("id").as("doc_id"))
+      // 3000 pairs (i, i+3000): a mixed outcome population
+      val cand = spark.range(n / 2)
+        .select(col("id").as("a"), (col("id") + n / 2).as("b"))
+      val ref = DedupIndex.gateDecisions(cand, grams, arrivals,
+          "doc_id", 0.5)
+        .as[(Long, Option[Long], Boolean)].collect().toSeq.sorted
+      assert(ref.exists(!_._3) && ref.exists(_._3)) // both outcomes
+      assert(DedupIndex.gateDecisions(cand, grams, arrivals, "doc_id",
+          0.5, semiFilter = true)
+        .as[(Long, Option[Long], Boolean)].collect().toSeq.sorted
+        === ref)
+    }
+  }
+
   test("load refuses a geometry-mismatched artifact (crashed " +
       "re-build left params inconsistent with the bucket tree)") {
     val docs = Tables.documents(spark, d)

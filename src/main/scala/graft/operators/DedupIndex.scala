@@ -384,7 +384,13 @@ object DedupIndex {
     * corpus (ScaleProbe `text gate scan`). The driver collect is
     * LIMIT-bounded at [[PushMaxValues]]+1, never batch-sized: a
     * batch touching more distinct buckets reads the store unpruned
-    * (at that width the In is past the pushable threshold anyway).
+    * (past the cap the In is not stack-safe to push — see
+    * [[PushMaxValues]]). That boundary is the right physics, not a
+    * compromise: the pruning regime is SMALL batches — where the
+    * per-batch store read otherwise dominates — and near-dup arrival
+    * bursts whose docs share buckets; a batch large enough to touch
+    * thousands of buckets amortizes the store scan it pays across
+    * proportionally many arrivals.
     * An empty touched set (every batch doc below the shingle width)
     * short-circuits the store scan entirely — no bucket can join.
     */

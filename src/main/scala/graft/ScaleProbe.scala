@@ -524,6 +524,67 @@ object ScaleProbe {
       rmTree(java.nio.file.Paths.get(gRoot))
     }
 
+    // The ADC shortlist's wall-clock claim, measured (s17): under a
+    // LOOSE blocking geometry — bits=4, the real s13 gate's width —
+    // every (cell, bucket) block mixes many distinct groups, so the
+    // confirm stage's pair volume is dominated by DISSIMILAR pairs
+    // the exact path prices at a full 64-dim vec_dot each. The ADC
+    // shortlist prices them at 8 codebook loads and drops them below
+    // the bar before the exact confirm. Under TIGHT blocking (the
+    // 12-bit probe above) blocks are ~pure duplicate groups, ADC can
+    // drop almost nothing, and the shortlist is pure overhead — the
+    // geometry, not the corpus size, decides whether the flag pays.
+    if (want("adc gate exact confirm (16M)",
+        "adc gate shortlist confirm (16M)")) locally {
+      import graft.operators.{ProductQuantization, SimilarityOps}
+      val aRoot = java.nio.file.Files
+        .createTempDirectory("graft-probe-adcg").toString
+      val nn = 16000000L
+      val gBits = 4
+      def emb(g: String, idc: String) =
+        expr(s"transform(sequence(1, 64), i -> cast(" +
+          s"(case when pmod(hash(($g) * 64 + i), 1000) >= 500 " +
+          s"then 1 else -1 end) * " +
+          s"(0.1 + pmod(hash(($g) * 64 + i), 400) / 1000.0) + " +
+          s"(pmod(hash(($idc) * 64 + i), 100) - 50) / 1000.0 " +
+          s"as float))")
+      // codebooks trained once on a 100k id-stride sample (probe
+      // timing is insensitive to book quality)
+      val books = ProductQuantization.train(
+        spark.range(0, nn, nn / 100000)
+          .select(col("id").as("vec_id"),
+            emb("pmod(id, 4096)", "id").as("embedding")),
+        "embedding", "vec_id", 8, 8, 16, steps = 1)
+      def shaped(df: org.apache.spark.sql.DataFrame, g: String) = df
+        .withColumn("n", expr("sqrt(vec_dot(embedding, embedding))"))
+        .withColumn("cell",
+          pmod(hash(expr(g)), lit(64)).cast("long"))
+        .withColumn("bucket",
+          graft.operators.SimilarityOps.signBucket("embedding", gBits))
+      ProductQuantization.encode(
+          shaped(spark.range(nn).select(col("id").as("vec_id"),
+              emb("pmod(id, 4096)", "id").as("embedding")),
+            "pmod(vec_id, 4096)"),
+          "embedding", books, 8, "code")
+        .write.parquet(s"$aRoot/corpus")
+      val stored = spark.read.parquet(s"$aRoot/corpus")
+      val enc = shaped(
+        spark.range(20000000L, 20002000L)
+          .select(col("id").as("vec_id"),
+            emb("pmod(id, 16)", "id").as("embedding")),
+        "pmod(vec_id, 16)").persist()
+      enc.count()
+      def run(adc: Option[SimilarityOps.AdcPrefilter]): Unit =
+        SimilarityOps.ingestGate(stored, enc, 0.8, adc)
+          .write.format("noop").mode("overwrite").save()
+      time("adc gate exact confirm (16M)", nn) { run(None) }
+      time("adc gate shortlist confirm (16M)", nn) {
+        run(Some(SimilarityOps.AdcPrefilter(books, 8, 0.7)))
+      }
+      enc.unpersist()
+      rmTree(java.nio.file.Paths.get(aRoot))
+    }
+
     // TEXT-gate stored-probe read: the DedupIndex bucket artifact
     // (band-partitioned, bucket-sorted within each band's files —
     // the compacted layout) probed by a batch whose touched-bucket

@@ -234,6 +234,15 @@ object SimilarityOps {
     * ONCE as a literal — deriving it inline invites fp drift against
     * the oracle's decimal arithmetic). Batch×batch pairs carry no
     * code and are exempt (their confirm is exact either way).
+    *
+    * WHEN it pays (measured, ScaleProbe `adc gate`): under LOOSE
+    * blocking (coarse sign bits over a dense corpus) the candidate
+    * blocks mix many dissimilar pairs and the shortlist prices them
+    * at 8 loads instead of a 64-dim dot — 53.9 → 14.8 s per 2k-doc
+    * batch at a 16M corpus, bits=4. Under TIGHT blocking the blocks
+    * are ~pure duplicate groups, ADC can drop almost nothing, and
+    * the flag is pure overhead. Run s18 first; the geometry, not the
+    * corpus size, decides.
     */
   final case class AdcPrefilter(
       books: ProductQuantization.Codebooks, subDim: Int, bar: Double)

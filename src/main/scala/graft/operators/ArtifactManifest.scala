@@ -380,6 +380,29 @@ object ArtifactManifest {
     * manifest at all gets the plain directory read (legacy behavior).
     */
   def frame(s: SparkSession, dir: String): DataFrame =
+    liveFrame(s, dir)
+
+  /** Physical bytes of the LIVE pinned generation set — the honest
+    * cost-model input for the gates' pushdown decisions: a raw
+    * content summary over a manifest-managed tree also counts
+    * orphaned un-vacuumed generations and the `_manifests` metadata,
+    * so a decision sized from it can flip on before the live data
+    * warrants it. Trees without a manifest keep the whole-tree
+    * summary (there is nothing better to measure).
+    */
+  def liveBytes(s: SparkSession, dir: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    def bytes(path: org.apache.hadoop.fs.Path): Long =
+      if (fs.exists(path)) fs.getContentSummary(path).getLength else 0L
+    latest(s, dir) match {
+      case Some(pin) => pin.generations.map(g =>
+        bytes(new org.apache.hadoop.fs.Path(s"$dir/ingest=$g"))).sum
+      case None => bytes(p)
+    }
+  }
+
+  private def liveFrame(s: SparkSession, dir: String): DataFrame =
     latest(s, dir) match {
       case Some(p) if p.generations.nonEmpty =>
         s.read.option("basePath", dir)

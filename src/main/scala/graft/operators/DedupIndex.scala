@@ -32,7 +32,8 @@ import org.apache.spark.sql.functions._
   */
 object DedupIndex {
 
-  final case class Loaded(k: Int, rowsPerBand: Int, buckets: DataFrame)
+  final case class Loaded(k: Int, rowsPerBand: Int, buckets: DataFrame,
+      dir: Option[String] = None)
 
   /** Next ingest generation of a `(ingest, …)`-partitioned artifact
     * dir — driver-side listing via [[LayoutOps.ingestGenerations]]
@@ -264,7 +265,9 @@ object DedupIndex {
     // columns only leaves the required ordering satisfied (the
     // constant is pruned from it too) and the files sorted.
     rows.sortWithinPartitions(col("band"), col("bucket"))
-      .write.mode("overwrite").partitionBy("ingest", "band")
+      .write.mode("overwrite")
+      .option("parquet.page.row.count.limit", pageRowLimit(s))
+      .partitionBy("ingest", "band")
       .parquet(s"$dir/buckets")
     // fence after the long signature+write stage, before the
     // geometry commit (params) and manifest publish: a holder whose
@@ -349,21 +352,54 @@ object DedupIndex {
     Loaded(k, rowsPerBand,
       raw.drop("k", "rows_per_band")
         .withColumn("band", col("band").cast("long"))
-        .withColumn("ingest", col("ingest").cast("long")))
+        .withColumn("ingest", col("ingest").cast("long")),
+      Some(dir))
   }
 
-  /** Ceiling on any pushed In list the engine builds (shared by the
-    * text probe, the gate's candidate-id filter, and the vector
-    * gate). The binding constraint is NOT planner cost: Spark
-    * translates a pushed In into a LEFT-DEEP or-chain of parquet eq
-    * predicates, and the parquet reader's recursive visitor blows the
-    * executor stack past ~1.5k terms (measured on this JVM: 1536 OK,
-    * 2048 StackOverflowError) — 1024 leaves margin for deeper task
-    * stacks. [[graft.Sessions]] pins `inFilterThreshold` to the same
-    * value: past it Spark pushes a min/max RANGE instead, which skips
-    * nothing over scattered hash values but cannot crash.
+  /** Ceiling on any CATALYST-pushed In list the engine builds
+    * (shared by the text probe, the gate's candidate-id filter, and
+    * the vector gate). The binding constraint is NOT planner cost:
+    * Spark translates a pushed In into a LEFT-DEEP or-chain of
+    * parquet eq predicates, and the parquet reader's recursive
+    * visitor blows the executor stack past ~1.5k terms (measured on
+    * this JVM at its default 1 MB thread stacks: 1536 OK, 2048
+    * StackOverflowError) — 1024 leaves margin for deeper task
+    * stacks. The margin assumes executors run at default `-Xss` or
+    * wider; a deployment that SHRINKS executor thread stacks must
+    * lower the cap (and [[graft.Sessions]]' pinned
+    * `inFilterThreshold`) proportionally. Past it Spark pushes a
+    * min/max RANGE instead, which skips nothing over scattered hash
+    * values but cannot crash — that is where the NATIVE set path
+    * takes over ([[touchedPrune]]'s `native` tier,
+    * [[graft.sources.NativeParquetIn]]): a set-membership
+    * UserDefinedPredicate with O(1) stack depth at any cardinality,
+    * capped by conf-size budget alone.
     */
   private[graft] val PushMaxValues = 1024
+
+  /** Cardinality ceiling for the NATIVE set-push tier: the smaller of
+    * [[graft.sources.NativeParquetIn.MaxValues]] and the session's
+    * `graft.gate.nativePushMaxValues` (0 disables the tier — the
+    * kill switch for the custom scan path; values above the hard cap
+    * clamp to it).
+    */
+  private[graft] def nativePushMax(s: SparkSession): Int =
+    math.min(graft.sources.NativeParquetIn.MaxValues,
+      s.conf.getOption("graft.gate.nativePushMaxValues")
+        .map(_.toInt)
+        .getOrElse(graft.sources.NativeParquetIn.MaxValues))
+
+  /** Write-side page granularity of the index artifacts' bucket/
+    * corpus files (`parquet.page.row.count.limit`, default 2048 vs
+    * parquet's 20000): the pushed probes skip at PAGE granularity
+    * against the bucket-sorted layout, so rows-read per touched
+    * bucket ~= this limit — 10x finer pages buy 10x less IO per
+    * probe at a measured-zero size cost on the two-long-column
+    * bucket schema (the long pages compress identically; only the
+    * page-header/column-index share grows, <1% of the tree).
+    */
+  private[operators] def pageRowLimit(s: SparkSession): String =
+    s.conf.getOption("graft.index.pageRowLimit").getOrElse("2048")
 
   /** `stored` narrowed to the batch's TOUCHED bucket values, pushed
     * into the parquet scan as an In filter — the text twin of
@@ -393,19 +429,86 @@ object DedupIndex {
     * proportionally many arrivals.
     * An empty touched set (every batch doc below the shingle width)
     * short-circuits the store scan entirely — no bucket can join.
+    *
+    * TIERED by touched-set size (each boundary measured):
+    *  1. <= [[PushMaxValues]]: catalyst `isin` — Spark pushes the
+    *     exact or-chain, stack-safe at this size, zero custom
+    *     machinery.
+    *  2. <= [[nativePushMax]] (when the caller supplies a `native`
+    *     re-reader): the set rides a
+    *     [[graft.sources.NativeParquetIn]] UserDefinedPredicate —
+    *     exact per-page skipping at any cardinality, O(1) stack. The
+    *     scan is a page-granular SUPERSET (no catalyst re-filter —
+    *     deliberately: the or-chain above it would be the stack
+    *     hazard again), which the gate's (band, bucket) equi-join
+    *     closes — result-invisible exactly like tier 1. Measured on
+    *     a 512M-row bucket store at 10k touched values: probe join
+    *     1.2-1.8 s full-scan -> 0.5 s pushed, rows off disk 512M ->
+    *     136M (ScaleProbe `text gate scan wide`). The REJECTED
+    *     alternative — per-band scans each pushing only the band's
+    *     values — reads 7x fewer rows still (18.5M) but loses
+    *     wall-clock (2.3-4.4 s): page-exact filtered reads of a
+    *     band-local set are seek-bound, and bands x scans of plan
+    *     machinery outweigh the IO saved at any store size a single
+    *     node serves; on remote object stores where bytes dominate
+    *     seeks the trade may invert — re-measure there before
+    *     resurrecting it.
+    *  3. past the native cap: the store serves unpruned — the
+    *     amortization regime (a batch touching >64k distinct buckets
+    *     amortizes the scan it pays across proportionally many
+    *     arrivals).
     */
   private[graft] def touchedPrune(stored: DataFrame,
-      newBuckets: DataFrame, push: Boolean): DataFrame = {
+      newBuckets: DataFrame, push: Boolean,
+      native: Option[Seq[Long] => DataFrame] = None): DataFrame = {
     if (!push) return stored
     val ss = stored.sparkSession
     import ss.implicits._
+    val cap = math.max(PushMaxValues,
+      if (native.isDefined) nativePushMax(ss) else 0)
     val bb = newBuckets.select(col("bucket"))
       .filter(col("bucket").isNotNull).distinct()
-      .limit(PushMaxValues + 1).as[Long].collect()
+      .limit(cap + 1).as[Long].collect()
     if (bb.isEmpty) stored.filter(lit(false))
-    else if (bb.length > PushMaxValues) stored
-    else stored.filter(col("bucket")
-      .isin(bb.map(Long.box).toIndexedSeq: _*))
+    else if (bb.length <= PushMaxValues)
+      stored.filter(col("bucket")
+        .isin(bb.map(Long.box).toIndexedSeq: _*))
+    else if (bb.length <= cap) native.get(bb.toIndexedSeq)
+    else stored
+  }
+
+  /** Native set-pushed re-read of the bucket store under `dir` in
+    * [[Loaded.buckets]]' projection — the tier-2 re-reader
+    * [[touchedPrune]] swaps in past the or-chain cap. Reads the
+    * manifest-pinned live generation set when one exists (the
+    * [[load]] path's contract — orphaned generations stay invisible
+    * here too) and falls back to the raw tree for unmanaged
+    * artifacts; a committed-empty manifest serves zero rows.
+    * `rawList = true` re-lists the tree instead — the STREAMING
+    * root's contract (its per-batch appends must be visible to the
+    * next batch immediately, matching the stream's own stored read).
+    */
+  private[graft] def nativeBucketsReader(s: SparkSession,
+      dir: String, idCol: String,
+      rawList: Boolean = false): Seq[Long] => DataFrame = {
+    val buckets = s"$dir/buckets"
+    vals => {
+      val paths =
+        if (rawList) Seq(buckets)
+        else ArtifactManifest.latest(s, buckets) match {
+          case Some(p) => p.generations.sorted
+            .map(g => s"$buckets/ingest=$g")
+          case None => Seq(buckets)
+        }
+      if (paths.isEmpty)
+        ArtifactManifest.frame(s, buckets)
+          .withColumn("band", col("band").cast("long"))
+          .select(col(idCol), col("band"), col("bucket"))
+      else graft.sources.NativeParquetIn
+        .read(s, buckets, paths, "bucket", vals)
+        .withColumn("band", col("band").cast("long"))
+        .select(col(idCol), col("band"), col("bucket"))
+    }
   }
 
   /** Candidate pairs TOUCHING the batch: `(a, b)` with a < b, distinct
@@ -433,7 +536,9 @@ object DedupIndex {
     probePairs(
       touchedPrune(
         l.buckets.select(col(idCol), col("band"), col("bucket")),
-        nb, pushTouched),
+        nb, pushTouched,
+        l.dir.map(d =>
+          nativeBucketsReader(newDocs.sparkSession, d, idCol))),
       nb, idCol)
   }
 
@@ -521,6 +626,8 @@ object DedupIndex {
     rows.sortWithinPartitions(col("band"), col("bucket"))
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
+      .option("parquet.page.row.count.limit",
+        pageRowLimit(newDocs.sparkSession))
       .partitionBy("ingest", "band").parquet(s"$dir/buckets")
     ArtifactManifest.recordAppend(newDocs.sparkSession,
       s"$dir/buckets", generation, Some(ArtifactManifest.frameShapeJson(rows.schema,
@@ -772,10 +879,8 @@ object DedupIndex {
     // the batch's (persisted) buckets, which a small store's scan can
     // never repay; past the threshold the skipped row groups dominate
     // (ScaleProbe `text gate scan`).
-    val pushInStream = {
-      val p = new org.apache.hadoop.fs.Path(s"$root/index/buckets")
-      fs.getContentSummary(p).getLength > pushMinBytes
-    }
+    val pushInStream = ArtifactManifest.liveBytes(ss,
+      s"$root/index/buckets") > pushMinBytes
     // membership sketch is REBUILT ONCE after the replay, not
     // OR-maintained per micro-batch (one load+agg+save per batch was
     // pure per-batch floor cost at AvailableNow cadence): drop it
@@ -808,7 +913,10 @@ object DedupIndex {
           // surface leaves disk (bb is persisted, so the touched-set
           // collect re-reads the batch's buckets, not the shingles)
           val cand = probePairs(
-            touchedPrune(stored, bb, pushInStream), bb, idCol)
+            touchedPrune(stored, bb, pushInStream,
+              Some(nativeBucketsReader(ss, s"$root/index", idCol,
+                rawList = true))),
+            bb, idCol)
           // batch-keyed dynamic overwrites: a replayed micro-batch
           // replaces its own decisions/generation instead of
           // double-writing — effectively-once ingest
@@ -826,6 +934,7 @@ object DedupIndex {
           rows.sortWithinPartitions(col("band"), col("bucket"))
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
+            .option("parquet.page.row.count.limit", pageRowLimit(ss))
             .partitionBy("ingest", "band")
             .parquet(s"$root/index/buckets")
           ArtifactManifest.recordAppend(ss, s"$root/index/buckets",

@@ -356,11 +356,13 @@ object DedupQueries {
       // `text gate scan`); below it the extra evaluation of the
       // batch's signature subtree for the touched-set collect costs
       // more than the whole store scan.
-      val bktP = new org.apache.hadoop.fs.Path(s"$dir/buckets")
       val pushMin = s.conf.getOption("graft.gate.pushdownMinBytes")
         .map(_.toLong).getOrElse(256L << 20)
-      val pushB = bktP.getFileSystem(s.sparkContext.hadoopConfiguration)
-        .getContentSummary(bktP).getLength > pushMin
+      // LIVE generation bytes, not the raw tree: a raw summary counts
+      // orphaned un-vacuumed generations and _manifests metadata, so
+      // it can flip the decision on before the live data warrants
+      val pushB =
+        ArtifactManifest.liveBytes(s, s"$dir/buckets") > pushMin
       val cand = DedupIndex.probe(l, arrivals, "text", "doc_id",
         pushTouched = pushB)
       // COST-BASED semi pre-filter of the verify side (the streaming

@@ -102,6 +102,62 @@ class DedupIndexSpec extends SparkSpec {
     }
   }
 
+  test("native set-push tier: past the or-chain cap the probe's " +
+      "stored side reads through the UDP-pushed scan, stays " +
+      "decision-identical, and the kill switch restores the full " +
+      "scan") {
+    val docs = Tables.documents(spark, d)
+    withDir { dir =>
+      DedupIndex.build(docs.filter(col("doc_id") < splitId),
+        "text", "doc_id", k, rpb, dir)
+      val l = DedupIndex.load(spark, dir)
+      assert(l.dir === Some(dir))
+      // tier mechanics on a wide synthetic touched set (> the
+      // or-chain cap): the prune swaps in the native re-reader
+      val vals = l.buckets.select("bucket").distinct()
+        .as[Long].collect().toIndexedSeq
+      val wide = (vals ++ (1L to
+        (DedupIndex.PushMaxValues + 32L - vals.length.max(0))))
+        .distinct
+      assert(wide.length > DedupIndex.PushMaxValues)
+      val wideDf = wide.toDF("bucket")
+      val stored = l.buckets
+        .select(col("doc_id"), col("band"), col("bucket"))
+      val nat = DedupIndex.touchedPrune(stored, wideDf, push = true,
+        native =
+          Some(DedupIndex.nativeBucketsReader(spark, dir, "doc_id")))
+      val plan = nat.queryExecution.executedPlan.toString
+      assert(plan.contains("GraftParquet"),
+        s"native tier not engaged:\n$plan")
+      assert(!plan.contains("In(bucket"), plan)
+      // page-superset closed by an exact membership filter equals
+      // the catalyst-filtered store: nothing matching lost, every
+      // straggler dropped
+      val exact = (df: org.apache.spark.sql.DataFrame) =>
+        df.join(broadcast(wideDf), Seq("bucket"), "left_semi")
+          .select("doc_id", "band", "bucket")
+          .collect().map(_.toSeq).toSet
+      assert(exact(nat) === exact(stored))
+      // end-to-end: a batch touching more buckets than the or-chain
+      // cap probes decision-identically through the native tier
+      val touched = DedupIndex.touchedPrune(
+        stored, wideDf, push = true, native = None)
+      assert(touched.count() === stored.count(),
+        "wide set should overflow the catalyst tier (fall back)")
+      // kill switch: nativePushMaxValues=0 disables tier 2 even with
+      // a reader supplied
+      spark.conf.set("graft.gate.nativePushMaxValues", "0")
+      try {
+        val off = DedupIndex.touchedPrune(stored, wideDf,
+          push = true, native = Some(
+            DedupIndex.nativeBucketsReader(spark, dir, "doc_id")))
+        assert(!off.queryExecution.executedPlan.toString
+          .contains("GraftParquet"))
+        assert(off.count() === stored.count())
+      } finally spark.conf.unset("graft.gate.nativePushMaxValues")
+    }
+  }
+
   test("gateDecisions scans the verification store ONCE per batch, " +
       "matches the per-side two-join reference, and still fails " +
       "loudly on a missing store row") {

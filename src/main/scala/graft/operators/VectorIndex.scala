@@ -165,7 +165,10 @@ object VectorIndex {
     // `(ingest, cell, bucket)` spelling shipped unsorted files).
     gateBits.fold(rows)(_ => rows.sortWithinPartitions(
         col("cell"), col("bucket")))
-      .write.mode("overwrite").partitionBy("ingest", "cell")
+      .write.mode("overwrite")
+      .option("parquet.page.row.count.limit",
+        DedupIndex.pageRowLimit(s))
+      .partitionBy("ingest", "cell")
       .parquet(s"$dir/corpus")
     // fence after the long encode+write stage, before the stamp/
     // manifest/sketch publishes (the build's commit-equivalents)
@@ -443,6 +446,8 @@ object VectorIndex {
         col("cell"), col("bucket")))
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
+      .option("parquet.page.row.count.limit",
+        DedupIndex.pageRowLimit(newVecs.sparkSession))
       .partitionBy("ingest", "cell").parquet(s"$dir/corpus")
     ArtifactManifest.recordAppend(newVecs.sparkSession,
       s"$dir/corpus", generation, Some(ArtifactManifest.frameShapeJson(rows.schema,
@@ -597,23 +602,34 @@ object VectorIndex {
     val corpus = (if (rawList) ss.read.parquet(s"$dir/corpus")
       else ArtifactManifest.frame(ss, s"$dir/corpus"))
       .withColumn("cell", col("cell").cast("long"))
-    if (push && storedBits.contains(bits) && bits <= 12) {
-      import ss.implicits._
-      // NULL batch buckets (degenerate embeddings) can never
-      // equi-join — they neither enter the In list nor keep stored
-      // rows alive
-      val bb = enc.select("bucket").distinct()
-        .filter(col("bucket").isNotNull).as[Long].collect()
-      if (bb.isEmpty) corpus.filter(lit(false))
-      // a diverse batch under a wide geometry (bits 11-12) can touch
-      // more buckets than a pushed In may carry: past
-      // [[DedupIndex.PushMaxValues]] the parquet or-chain's recursive
-      // evaluation overflows the executor stack (measured — see the
-      // cap's doc), so serve the plain stored scan instead; the
-      // gate's (cell, bucket) semi prune still applies downstream
-      else if (bb.length > DedupIndex.PushMaxValues) corpus
-      else corpus.filter(col("bucket")
-        .isin(bb.map(Long.box).toIndexedSeq: _*))
+    if (push && storedBits.contains(bits)) {
+      // the text probe's tiered set-prune, unchanged semantics:
+      // NULL batch buckets (degenerate embeddings) never enter the
+      // set, an empty set short-circuits the corpus scan, <= the
+      // or-chain cap pushes the exact catalyst In, wider batches
+      // (diverse arrivals under bits 11-16 geometries) ride the
+      // native UDP scan up to [[DedupIndex.nativePushMax]], and only
+      // past THAT does the plain stored scan serve — the gate's
+      // (cell, bucket) semi prune still applies downstream in every
+      // tier (the native tier's page-superset is closed by it the
+      // same way the text gate's equi-join closes its own)
+      val nativeReader: Seq[Long] => DataFrame = { vals =>
+        val cd = s"$dir/corpus"
+        val paths =
+          if (rawList) Seq(cd)
+          else ArtifactManifest.latest(ss, cd) match {
+            case Some(p) => p.generations.sorted
+              .map(g => s"$cd/ingest=$g")
+            case None => Seq(cd)
+          }
+        if (paths.isEmpty) corpus.filter(lit(false))
+        else graft.sources.NativeParquetIn
+          .read(ss, cd, paths, "bucket", vals)
+          .withColumn("cell", col("cell").cast("long"))
+          .select(corpus.columns.map(col).toIndexedSeq: _*)
+      }
+      DedupIndex.touchedPrune(corpus, enc, push = true,
+        Some(nativeReader))
     } else if (storedBits.contains(bits)) corpus
     else corpus.withColumn("bucket",
       SimilarityOps.signBucket("embedding", bits))
@@ -753,6 +769,8 @@ object VectorIndex {
               col("cell"), col("bucket")))
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
+            .option("parquet.page.row.count.limit",
+              DedupIndex.pageRowLimit(ss))
             .partitionBy("ingest", "cell")
             .parquet(s"$root/index/corpus")
           ArtifactManifest.recordAppend(ss, s"$root/index/corpus",

@@ -638,6 +638,47 @@ class IndexArtifactSpec extends SparkSpec {
     } finally rmTree(root)
   }
 
+  test("vector gate native tier: a batch touching more buckets than " +
+      "the or-chain cap prunes the stored corpus through the UDP " +
+      "scan, result-identical after the (cell, bucket) closure") {
+    val bits = SimilarityQueries.VecGateBits
+    val root = Files.createTempDirectory("graft-gate-native")
+    val dir = root.toString
+    try {
+      val all = Tables.embeddings(spark, d)
+      VectorIndex.build(all.filter(col("vec_id") < 400)
+          .select("vec_id", "embedding"),
+        dim, steps, sub, subDim, k, dir, gateBits = Some(bits))
+      val l = VectorIndex.load(spark, dir)
+      import spark.implicits._
+      // a touched set wider than the catalyst cap: the real batch
+      // buckets plus synthetic fillers (fillers match nothing — the
+      // prune is a superset filter, stragglers die downstream)
+      val real = l.corpus.select("bucket").distinct()
+        .as[Long].collect().toIndexedSeq
+      val wide = (real ++ (1L to
+        graft.operators.DedupIndex.PushMaxValues + 32L)).distinct
+      assert(wide.length > graft.operators.DedupIndex.PushMaxValues)
+      val enc = wide.toDF("bucket")
+      val pruned = VectorIndex.gateStored(spark, dir, bits,
+        Some(bits), enc)
+      val plan = pruned.queryExecution.executedPlan.toString
+      assert(plan.contains("GraftParquet"),
+        s"native tier not engaged:\n$plan")
+      // closure: semi-join on bucket equals the exactly-filtered
+      // corpus (page-superset never loses a matching row; every
+      // straggler dies in the closure)
+      val exact = (df: org.apache.spark.sql.DataFrame) =>
+        df.join(broadcast(enc), Seq("bucket"), "left_semi")
+          .select("vec_id", "cell", "bucket")
+          .collect().map(_.toSeq).toSet
+      assert(exact(pruned) === exact(
+        VectorIndex.gateStored(spark, dir, bits, Some(bits), enc,
+          push = false)))
+      assert(exact(pruned).nonEmpty)
+    } finally rmTree(root)
+  }
+
   test("artifact batch mutators hold the writer lease: a held lease " +
       "refuses a second writer at entry; a crashed holder is stolen " +
       "past the horizon") {

@@ -19,8 +19,12 @@ import org.apache.spark.sql.SparkSession
   *    acquire loudly.
   *  - heartbeat: [[verify]] (and its [[verifyHeld]] wrapper, which
   *    every artifact/CDC mutator calls at stage boundaries and
-  *    pre-commit points) touches the lease's mtime; a lease is
-  *    stealable only once its mtime is older than
+  *    pre-commit points) touches the lease's mtime AND replaces a
+  *    content heartbeat file (`_lock/heartbeat`, `token\nmillis`) —
+  *    the latter because object stores no-op `setTimes`, which would
+  *    silently shorten the horizon to time-since-acquire there. A
+  *    lease is stealable only once the FRESHEST of its mtime and a
+  *    token-matching content heartbeat is older than
   *    `graft.lease.stealHorizonMs` (default 15 min;
   *    `graft.cdc.leaseStealHorizonMs` is honored as the legacy
   *    spelling) — i.e. the holder made no progress for the whole
@@ -89,6 +93,70 @@ object WriterLease {
       finally in.close()
     } catch { case _: java.io.FileNotFoundException => None }
 
+  // ---- content heartbeat ------------------------------------------------
+  // The mtime heartbeat (verify's setTimes) is a NO-OP on object
+  // stores (S3A and friends ignore setTimes), which silently
+  // shortened the steal horizon to time-since-ACQUIRE there: a live
+  // holder whose mutation outruns the horizon would be stolen
+  // mid-write. The content heartbeat closes it without touching the
+  // lease file (an in-place rewrite would open a no-lease window an
+  // acquirer could win): verify ALSO replaces `_lock/heartbeat` with
+  // `token\nholderClockMillis`, and the staleness check takes the
+  // freshest of the lease mtime and a TOKEN-MATCHING content
+  // heartbeat. A stale heartbeat left behind by a stolen holder can
+  // never shield the next lease: its token no longer matches.
+  // Clocks: the heartbeat carries the HOLDER's clock and the stealer
+  // compares against its own — skew shifts the effective horizon by
+  // at most the skew, the same exposure the mtime path already had
+  // to the namenode clock (size the horizon >> plausible skew).
+
+  private def heartbeatPath(lp: Path) = new Path(lp.getParent, "heartbeat")
+
+  private def writeHeartbeat(fs: FileSystem, lp: Path,
+      token: String): Unit = {
+    val hb = heartbeatPath(lp)
+    val tmp = new Path(lp.getParent, s".hb.$token")
+    val out = fs.create(tmp, true)
+    try out.write((token + "\n" + System.currentTimeMillis())
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    // POSIX rename replaces atomically; HDFS-like stores refuse an
+    // existing dst -> delete-then-rename, whose brief absence window
+    // only DEGRADES staleness to the (older) lease mtime, never
+    // extends the lease
+    val renamed = try fs.rename(tmp, hb)
+      catch { case _: java.io.IOException => false }
+    if (!renamed || fs.exists(tmp)) {
+      try {
+        fs.delete(hb, false)
+        if (!fs.rename(tmp, hb)) fs.delete(tmp, false)
+      } catch { case _: java.io.IOException =>
+        try fs.delete(tmp, false)
+        catch { case _: java.io.IOException => () }
+      }
+    }
+  }
+
+  /** Milliseconds since the holder's last observable progress: the
+    * freshest of the lease file's mtime and a token-matching content
+    * heartbeat (absent/garbled/foreign heartbeats are ignored — they
+    * can only belong to a previous lease).
+    */
+  private def heartbeatAgeMs(fs: FileSystem, lp: Path,
+      leaseToken: Option[String], leaseMtime: Long): Long = {
+    val hbMillis = try {
+      val in = fs.open(heartbeatPath(lp))
+      val txt = try scala.io.Source
+        .fromInputStream(in, "UTF-8").mkString finally in.close()
+      val lines = txt.split("\n", 2)
+      if (lines.length == 2 && leaseToken.contains(lines(0)))
+        Some(lines(1).trim.toLong)
+      else None
+    } catch { case scala.util.control.NonFatal(_) => None }
+    System.currentTimeMillis() -
+      math.max(leaseMtime, hbMillis.getOrElse(Long.MinValue))
+  }
+
   def acquire(s: SparkSession, root: String): Lease = {
     val lp = leasePath(root)
     val fs = fsOf(s, lp)
@@ -132,15 +200,20 @@ object WriterLease {
       val horizon = stealHorizonMs(s)
       val st = try Some(fs.getFileStatus(lp))
         catch { case _: java.io.FileNotFoundException => None }
-      val ageMs = st.map(x =>
-        System.currentTimeMillis() - x.getModificationTime)
+      val ageMs = st.map(x => heartbeatAgeMs(fs, lp,
+        tokenOf(fs, lp), x.getModificationTime))
       if (ageMs.forall(_ > horizon)) {
         // stale (or vanished between the failed create and the
         // stat): move the dead holder's file aside, then race the
-        // exclusive create again
+        // exclusive create again. The dead holder's heartbeat file
+        // is an orphan now (its token matches nothing) — sweep it.
         if (st.isDefined) {
           val aside = new Path(lp.getParent, s".stale.$token")
-          if (fs.rename(lp, aside)) fs.delete(aside, false)
+          if (fs.rename(lp, aside)) {
+            fs.delete(aside, false)
+            try fs.delete(heartbeatPath(lp), false)
+            catch { case _: java.io.IOException => () }
+          }
         }
         if (tryCreate()) return acquired()
       }
@@ -167,7 +240,12 @@ object WriterLease {
           "writer made no progress for longer than " +
           "graft.lease.stealHorizonMs and another writer stole the " +
           "lease; abandoning before the commit (re-run the batch)")
-      fs.setTimes(lease.path, System.currentTimeMillis(), -1)
+      // both heartbeats: mtime where the store honors setTimes, the
+      // content file everywhere else (object stores no-op setTimes —
+      // see the content-heartbeat block above)
+      try fs.setTimes(lease.path, System.currentTimeMillis(), -1)
+      catch { case _: java.io.IOException => () }
+      writeHeartbeat(fs, lease.path, lease.token)
     }
   }
 
@@ -176,6 +254,8 @@ object WriterLease {
     lockOf(fs, lease.path).synchronized {
       if (tokenOf(fs, lease.path).contains(lease.token)) {
         fs.delete(lease.path, false)
+        try fs.delete(heartbeatPath(lease.path), false)
+        catch { case _: java.io.IOException => () }
         // sweep the now-empty containers (the `_lock` dir, and for
         // SIBLING lock roots the `<dir>__lock` dir itself) so
         // short-lived roots — temp artifacts, spec dirs — don't leak

@@ -9,6 +9,17 @@ import graft.operators.WriterLease
   * under a many-thread hammer the withLease critical section is
   * genuinely mutually exclusive.
   */
+/** RawLocalFileSystem whose `setTimes` is a NO-OP — the object-store
+  * (S3A-like) mtime behavior the lease's content heartbeat exists
+  * for. Registered per-test via `fs.noopmtime.impl`.
+  */
+class NoMtimeFileSystem extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getScheme: String = "noopmtime"
+  override def getUri: java.net.URI =
+    java.net.URI.create("noopmtime:///")
+  override def setTimes(p: HPath, mtime: Long, atime: Long): Unit = ()
+}
+
 class WriterLeaseSpec extends SparkSpec {
 
   private def fs = new HPath("/").getFileSystem(
@@ -155,6 +166,56 @@ class WriterLeaseSpec extends SparkSpec {
           "the stream's lease")
       } finally WriterLease.release(spark, lease)
       assert(!fs.exists(lp))
+    }
+  }
+
+  test("object-store heartbeat: on a setTimes-no-op filesystem a " +
+      "live holder's verify extends the lease past the horizon via " +
+      "the content heartbeat; a holder that stops beating is stolen; " +
+      "the orphan heartbeat never shields the next lease") {
+    val conf = spark.sparkContext.hadoopConfiguration
+    conf.set("fs.noopmtime.impl", classOf[NoMtimeFileSystem].getName)
+    withTempDir("graft-lease-s3") { local =>
+      val root = s"noopmtime://$local"
+      val nfs = new HPath(root).getFileSystem(conf)
+      val lp = new HPath(s"$root/_lock/lease")
+      val hb = new HPath(s"$root/_lock/heartbeat")
+      spark.conf.set("graft.lease.stealHorizonMs", "1000")
+      try {
+        val a = WriterLease.acquire(spark, root)
+        // sanity: this filesystem really no-ops setTimes (the S3A
+        // behavior under test) — without that the test proves nothing
+        val m0 = nfs.getFileStatus(lp).getModificationTime
+        nfs.setTimes(lp, 12345L, -1)
+        assert(nfs.getFileStatus(lp).getModificationTime === m0,
+          "fake fs honored setTimes — fix the fixture")
+        // beat every 150 ms to t+1.2 s: mtime is frozen at acquire,
+        // so WITHOUT the content heartbeat the lease would look
+        // stale after 1 s and the steal below would succeed
+        (1 to 8).foreach { _ =>
+          Thread.sleep(150); WriterLease.verify(spark, a)
+        }
+        assert(nfs.exists(hb), "verify wrote no content heartbeat")
+        intercept[IllegalStateException] {
+          WriterLease.acquire(spark, root)
+        }
+        // the holder stops beating: past the horizon the lease is
+        // stolen exactly as before, and the steal sweeps the orphan
+        // heartbeat (its token matches nothing now)
+        Thread.sleep(1200)
+        val b = WriterLease.acquire(spark, root)
+        assert(!nfs.exists(hb),
+          "steal left the dead holder's heartbeat behind")
+        intercept[IllegalArgumentException] {
+          WriterLease.verify(spark, a)
+        }
+        WriterLease.release(spark, a)
+        assert(nfs.exists(lp), "a loser's release deleted B's lease")
+        // B's own beat + release leave no residue
+        WriterLease.verify(spark, b)
+        WriterLease.release(spark, b)
+        assert(!nfs.exists(lp) && !nfs.exists(hb))
+      } finally spark.conf.unset("graft.lease.stealHorizonMs")
     }
   }
 

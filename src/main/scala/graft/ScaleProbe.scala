@@ -646,7 +646,11 @@ object ScaleProbe {
               .withColumn("band", col("band").cast("long"))
               .select(col("doc_id"), col("band"), col("bucket"))
             // the STORED-SIDE read alone — the cost the sorted
-            // layout + pushed In changes; rows = bucket rows scanned
+            // layout + pushed In changes; rows = the stored-side
+            // POPULATION (the full-scan denominator) for BOTH legs,
+            // so the two throughputs divide the same base — the
+            // pushed leg physically reads a fraction of it (that is
+            // the point being measured)
             time(s"text gate scan pushed ($lbl)", nd * bands * 3) {
               bbs.foreach(bb => noop(graft.operators.DedupIndex
                 .touchedPrune(stored(), bb, push = true)))
@@ -657,6 +661,68 @@ object ScaleProbe {
             bbs.foreach(_.unpersist())
           }
       }
+      rmTree(java.nio.file.Paths.get(tRoot))
+    }
+
+    // TEXT-gate WIDE-batch stored-probe read: a batch touching ~10k
+    // distinct buckets — past the or-chain cap, where round 17 served
+    // the store UNPRUNED — now rides touchedPrune's native tier (the
+    // LongSetPredicate UDP scan: exact per-page skipping at any
+    // cardinality). Same compacted one-sorted-file-per-band layout
+    // and hash domain as the narrow experiment above; page cap 2048
+    // (the artifact writers' default). The full leg is the round-17
+    // behavior at this width; the delta is what the tier buys.
+    if (want("text gate scan wide native (128M)",
+        "text gate scan wide full (128M)")) locally {
+      val bands = 8
+      val groups = 65536L
+      val nd = 16000000L
+      val tRoot = java.nio.file.Files
+        .createTempDirectory("graft-probe-tgatew").toString
+      val dir = s"$tRoot/c"
+      def buckets(docs: org.apache.spark.sql.Dataset[_], g: String) =
+        docs.select(col("id").as("doc_id"),
+            explode(expr(s"sequence(0L, ${bands - 1}L)")).as("band"),
+            expr(g).as("g"))
+          .withColumn("bucket", pmod(
+            xxhash64(col("band"), col("g")), lit(1L << 60)))
+          .drop("g")
+      buckets(spark.range(nd), s"pmod(id, $groups)")
+        .withColumn("ingest", lit(0L))
+        .repartition(col("band"))
+        .sortWithinPartitions(col("band"), col("bucket"))
+        .write.option("parquet.page.row.count.limit", "2048")
+        .partitionBy("ingest", "band").parquet(dir)
+      // batch b arrives from 1250 groups -> 1250 x 8 bands = 10000
+      // touched bucket values (vs the narrow experiment's 64)
+      val bbs = (0 until 3).map { b =>
+        val bb = buckets(
+          spark.range(900000000L + b * 2000L,
+            900000000L + (b + 1) * 2000L),
+          s"pmod(id, 1250) + ${b * 1250}").persist()
+        bb.count(); bb
+      }
+      def stored() = spark.read.parquet(dir)
+        .withColumn("band", col("band").cast("long"))
+        .select(col("doc_id"), col("band"), col("bucket"))
+      val native: Seq[Long] => org.apache.spark.sql.DataFrame =
+        vals => graft.sources.NativeParquetIn
+          .read(spark, dir, Seq(dir), "bucket", vals)
+          .withColumn("band", col("band").cast("long"))
+          .select(col("doc_id"), col("band"), col("bucket"))
+      def noop(df: org.apache.spark.sql.DataFrame): Unit =
+        df.write.format("noop").mode("overwrite").save()
+      // rows = stored-side population for both legs (the full-scan
+      // denominator; the native leg reads a fraction of it)
+      time("text gate scan wide native (128M)", nd * bands * 3) {
+        bbs.foreach(bb => noop(graft.operators.DedupIndex
+          .touchedPrune(stored(), bb, push = true, Some(native))))
+      }
+      time("text gate scan wide full (128M)", nd * bands * 3) {
+        bbs.foreach(bb => noop(graft.operators.DedupIndex
+          .touchedPrune(stored(), bb, push = true, None)))
+      }
+      bbs.foreach(_.unpersist())
       rmTree(java.nio.file.Paths.get(tRoot))
     }
 

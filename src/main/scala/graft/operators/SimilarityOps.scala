@@ -247,6 +247,43 @@ object SimilarityOps {
   final case class AdcPrefilter(
       books: ProductQuantization.Codebooks, subDim: Int, bar: Double)
 
+  /** The ADC shortlist's report card (the s18 query's body, ONE
+    * definition shared with [[VectorIndex.adcPrefilterFor]]'s
+    * serving-side contract so the check and the oracle-gated query
+    * can never drift): of the gate's EXACT-confirmed stored-side
+    * pairs (blocked by (cell, bucket), exact cosine >= `threshold`),
+    * what fraction clears the ADC pre-filter at `bar`, per 0.05-wide
+    * cosine band? Identical fp op order to [[confirmedPairs]]'
+    * shortlist (and to the oracle's adcChain mirror): the batch/
+    * query norm first. recall is integer-exact (kept*1e6 div
+    * confirmed).
+    */
+  def adcRecallReport(books: ProductQuantization.Codebooks,
+      subDim: Int, threshold: Double, bar: Double)(
+      batch: DataFrame, stored: DataFrame): DataFrame = {
+    val q = batch.select(col("vec_id").as("qid"), col("cell"),
+      col("bucket"), col("embedding").as("vq"), col("n").as("nq"),
+      ProductQuantization.adcTablesCol(
+        col("embedding"), books, subDim).as("qt"))
+    val c = stored.select(col("vec_id").as("cid"), col("cell"),
+      col("bucket"), col("embedding").as("vc"), col("n").as("nc"),
+      col("code"))
+    val acos = round((col("nq") * col("nq") + col("nc") * col("nc")
+      - ProductQuantization.adcLookupCol(col("code"), col("qt"),
+          books.head.length)) / (col("nq") * col("nc") * lit(2.0)), 6)
+    q.join(c, Seq("cell", "bucket"))
+      .select(
+        round(pairCosine("vq", "vc", "nq", "nc"), 6).as("csim"),
+        acos.as("acos"))
+      .filter(col("csim") >= threshold)
+      .groupBy(floor(col("csim") * 20).cast("long").as("band"))
+      .agg(count(lit(1)).as("n_conf"),
+        sum(when(col("acos") >= bar, 1L).otherwise(0L)).as("n_kept"))
+      .withColumn("recall",
+        expr("(n_kept * 1000000) div n_conf").cast("double")
+          / lit(1e6))
+  }
+
   def ingestGate(stored: DataFrame, batch: DataFrame,
       threshold: Double,
       adc: Option[AdcPrefilter] = None): DataFrame =

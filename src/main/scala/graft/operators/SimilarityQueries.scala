@@ -621,31 +621,14 @@ object SimilarityQueries {
     // report covers exactly the scored population). recall is
     // integer-exact like s14's.
     "s18_adc_gate_recall" -> ((s, d) => {
-      val (l, batch, stored) = vecGateParts(s, d)
-      val q = batch.select(col("vec_id").as("qid"), col("cell"),
-        col("bucket"), col("embedding").as("vq"), col("n").as("nq"),
-        ProductQuantization.adcTablesCol(
-          col("embedding"), l.books, PqSubDim).as("qt"))
-      val c = stored.select(col("vec_id").as("cid"), col("cell"),
-        col("bucket"), col("embedding").as("vc"), col("n").as("nc"),
-        col("code"))
-      // identical fp op order to the gate's shortlist (and to the
-      // oracle's adcChain mirror): nq is the batch/query norm first
-      val acos = round((col("nq") * col("nq") + col("nc") * col("nc")
-        - ProductQuantization.adcLookupCol(col("code"), col("qt"),
-            PqK)) / (col("nq") * col("nc") * lit(2.0)), 6)
-      q.join(c, Seq("cell", "bucket"))
-        .select(
-          round(SimilarityOps.pairCosine("vq", "vc", "nq", "nc"), 6)
-            .as("csim"), acos.as("acos"))
-        .filter(col("csim") >= VecGateThr)
-        .groupBy(floor(col("csim") * 20).cast("long").as("band"))
-        .agg(count(lit(1)).as("n_conf"),
-          sum(when(col("acos") >= AdcGateBar, 1L).otherwise(0L))
-            .as("n_kept"))
-        .withColumn("recall",
-          expr("(n_kept * 1000000) div n_conf").cast("double")
-            / lit(1e6))
+      // the report body lives in SimilarityOps.adcRecallReport — ONE
+      // definition with the serving-side freshness contract
+      // (VectorIndex.adcPrefilterFor), so the oracle-gated query and
+      // the check s17 enforces can never drift. fp op order is the
+      // gate's shortlist order (nq first), mirrored in adcChain.
+      val (_, l, batch, stored) = vecGateParts(s, d)
+      SimilarityOps.adcRecallReport(l.books, PqSubDim, VecGateThr,
+        AdcGateBar)(batch, stored)
     }),
 
     // s14: RECALL of the ingest gate's blocking, PER SIMILARITY BAND —
@@ -709,8 +692,8 @@ object SimilarityQueries {
     * check can never trip on a stale fingerprint hit); all three
     * queries share the artifact root.
     */
-  private def vecGateParts(s: SparkSession,
-      d: String): (VectorIndex.Loaded, DataFrame, DataFrame) = {
+  private def vecGateParts(s: SparkSession, d: String)
+      : (String, VectorIndex.Loaded, DataFrame, DataFrame) = {
     val dir = VectorIndex.artifactRoot(
       s"s13gate-$Dim-$LloydSteps-$PqSub-$PqK-" +
         s"$VecGateBits-$VecGateSplit", d)
@@ -725,16 +708,27 @@ object SimilarityQueries {
       .withColumn("cell", SimilarityOps.ivfAssign(l.cents, Dim))
       .withColumn("bucket",
         SimilarityOps.signBucket("embedding", VecGateBits))
-    (l, batch,
+    (dir, l, batch,
       VectorIndex.gateStored(s, dir, VecGateBits, l.gateBits, batch))
   }
 
   private def vecGate(s: SparkSession, d: String,
       adc: Boolean): DataFrame = {
-    val (l, batch, stored) = vecGateParts(s, d)
-    SimilarityOps.ingestGate(stored, batch, VecGateThr,
-      adc = if (adc) Some(SimilarityOps.AdcPrefilter(
-        l.books, PqSubDim, AdcGateBar)) else None)
+    val (dir, l, batch, stored) = vecGateParts(s, d)
+    val pre = if (adc) {
+      // the flag's refuse-loudly contract: a fresh recall report for
+      // this exact (corpus version, subDim, bar) must sit beside the
+      // artifact — computed here once per corpus change (the serving
+      // owner's ensure step), then checked by the sanctioned
+      // constructor, which also refuses on a band below
+      // graft.gate.adcMinRecall
+      VectorIndex.ensureAdcReport(s, dir, PqSubDim, AdcGateBar)(
+        SimilarityOps.adcRecallReport(l.books, PqSubDim, VecGateThr,
+          AdcGateBar)(batch, stored))
+      Some(VectorIndex.adcPrefilterFor(s, dir, l.books, PqSubDim,
+        AdcGateBar))
+    } else None
+    SimilarityOps.ingestGate(stored, batch, VecGateThr, adc = pre)
   }
 
   /** s3's near-dup pair criterion — ONE definition shared by the pair

@@ -583,6 +583,118 @@ object VectorIndex {
     * remains the only pruning; a stamp under DIFFERENT bits refuses
     * (stale buckets would silently miss collisions).
     */
+  // ---- ADC shortlist report contract ----------------------------------
+  // The opt-in ADC shortlist (SimilarityOps.AdcPrefilter) can change
+  // admission decisions — ADC does not bound cosine — so the flag's
+  // safety rests on the per-corpus recall report (the s18 query).
+  // Nothing used to ENFORCE that the report had ever been run: these
+  // three members make the report a persisted, stamped artifact
+  // beside the index and make [[adcPrefilterFor]] the sanctioned way
+  // to construct the flag — it REFUSES (the gate's refuse-loudly
+  // convention) when the report is absent, crashed, measured under a
+  // different (subDim, bar) geometry, measured against a corpus the
+  // manifest has since moved past, or shows a band below
+  // `graft.gate.adcMinRecall` (default 1.0). `graft.gate.adcForce=
+  // true` is the explicit override for operators who accept the
+  // measured loss.
+
+  private def adcReportPath(dir: String) = s"$dir/adc_report"
+
+  /** Persist the artifact's ADC recall report
+    * ([[SimilarityOps.adcRecallReport]]'s frame) stamped with the
+    * shortlist geometry and the corpus manifest version it measured
+    * — [[adcPrefilterFor]]'s freshness token. Bands first, stamp
+    * last: a crash between the two leaves no stamp, which reads as
+    * ABSENT (refuse; re-run converges). The stamp is its own one-row
+    * file because an empty band frame (no confirmed pairs) must
+    * still carry the geometry.
+    */
+  def saveAdcReport(s: SparkSession, dir: String, report: DataFrame,
+      subDim: Int, bar: Double): Unit =
+    WriterLease.withLease(s, DedupIndex.leaseRoot(dir)) {
+      val rp = adcReportPath(dir)
+      report.coalesce(1).write.mode("overwrite").parquet(s"$rp/bands")
+      WriterLease.verifyHeld(s, DedupIndex.leaseRoot(dir))
+      val v = ArtifactManifest.latest(s, s"$dir/corpus")
+        .map(_.version).getOrElse(-1L)
+      import s.implicits._
+      Seq((subDim, bar, v)).toDF("sub_dim", "bar", "corpus_version")
+        .coalesce(1).write.mode("overwrite").parquet(s"$rp/stamp")
+    }
+
+  /** The artifact's report rows iff FRESH for (subDim, bar): Left is
+    * the human-readable refusal reason.
+    */
+  private def freshAdcReport(s: SparkSession, dir: String,
+      subDim: Int, bar: Double): Either[String, DataFrame] = {
+    val rp = adcReportPath(dir)
+    val fs = new org.apache.hadoop.fs.Path(rp)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    val committed = Seq("bands", "stamp").forall(p => fs.exists(
+      new org.apache.hadoop.fs.Path(s"$rp/$p/_SUCCESS")))
+    if (!committed)
+      return Left("no committed recall report beside the artifact")
+    val st = s.read.parquet(s"$rp/stamp").head()
+    val (sd, b, v) = (st.getAs[Int]("sub_dim"),
+      st.getAs[Double]("bar"), st.getAs[Long]("corpus_version"))
+    if (sd != subDim || b != bar)
+      return Left(s"report measured geometry (subDim=$sd, bar=$b), " +
+        s"the gate requests (subDim=$subDim, bar=$bar)")
+    val cur = ArtifactManifest.latest(s, s"$dir/corpus")
+      .map(_.version).getOrElse(-1L)
+    if (v != cur)
+      return Left(s"report is STALE: measured corpus version $v, " +
+        s"the manifest is now at $cur — the corpus changed since")
+    Right(s.read.parquet(s"$rp/bands"))
+  }
+
+  /** Compute-and-save the report when absent/stale/mismatched — the
+    * artifact owner's ensure step on the serving path (s17): a fresh
+    * matching report is left untouched (and `report` never
+    * evaluated), so the cost is one-time per corpus change.
+    */
+  def ensureAdcReport(s: SparkSession, dir: String, subDim: Int,
+      bar: Double)(report: => DataFrame): Unit =
+    if (freshAdcReport(s, dir, subDim, bar).isLeft)
+      saveAdcReport(s, dir, report, subDim, bar)
+
+  /** The SANCTIONED constructor of the ADC shortlist flag for an
+    * artifact: refuses loudly unless a fresh, geometry-matching
+    * recall report with every band at/above `graft.gate.adcMinRecall`
+    * sits beside the index (see the contract block above);
+    * `graft.gate.adcForce=true` overrides.
+    */
+  def adcPrefilterFor(s: SparkSession, dir: String,
+      books: ProductQuantization.Codebooks, subDim: Int,
+      bar: Double): SimilarityOps.AdcPrefilter = {
+    val force = s.conf.getOption("graft.gate.adcForce")
+      .contains("true")
+    if (!force) {
+      val minRecall = s.conf.getOption("graft.gate.adcMinRecall")
+        .map(_.toDouble).getOrElse(1.0)
+      freshAdcReport(s, dir, subDim, bar) match {
+        case Left(reason) => throw new IllegalStateException(
+          s"ADC shortlist on $dir refused: $reason. Run the recall " +
+            "report against the CURRENT corpus and geometry " +
+            "(SimilarityOps.adcRecallReport -> saveAdcReport; the " +
+            "s18 query) before flipping the flag, or override with " +
+            "graft.gate.adcForce=true")
+        case Right(bands) =>
+          val bad = bands.filter(col("recall") < minRecall)
+            .orderBy(col("recall")).limit(1).collect()
+          if (bad.nonEmpty) throw new IllegalStateException(
+            s"ADC shortlist on $dir refused: cosine band " +
+              s"${bad(0).getAs[Long]("band")} keeps only " +
+              s"${bad(0).getAs[Double]("recall")} of exact-confirmed " +
+              s"pairs (< graft.gate.adcMinRecall=$minRecall) — the " +
+              "approximation loses real duplicates at this geometry; " +
+              "tighten the bar, or accept the loss explicitly with " +
+              "graft.gate.adcForce=true")
+      }
+    }
+    SimilarityOps.AdcPrefilter(books, subDim, bar)
+  }
+
   private[graft] def gateStored(ss: SparkSession, dir: String,
       bits: Int, storedBits: Option[Int], enc: DataFrame,
       push: Boolean = true, rawList: Boolean = false): DataFrame = {

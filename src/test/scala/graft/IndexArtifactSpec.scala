@@ -638,6 +638,79 @@ class IndexArtifactSpec extends SparkSpec {
     } finally rmTree(root)
   }
 
+  test("ADC flag enforcement: refuses without a fresh recall report, " +
+      "admits after one, goes stale when the corpus moves, refuses a " +
+      "low-recall report, and adcForce overrides explicitly") {
+    import graft.operators.SimilarityOps
+    val bits = SimilarityQueries.VecGateBits
+    val bar = SimilarityQueries.AdcGateBar
+    val root = Files.createTempDirectory("graft-adc-rep")
+    val dir = s"$root/idx"
+    try {
+      val e = Tables.embeddings(spark, d)
+      VectorIndex.build(e.filter(col("vec_id") < 400)
+          .select("vec_id", "embedding"),
+        dim, steps, sub, subDim, k, dir, gateBits = Some(bits))
+      val l = VectorIndex.load(spark, dir)
+      // absent report -> the sanctioned constructor refuses loudly
+      val ex1 = intercept[IllegalStateException] {
+        VectorIndex.adcPrefilterFor(spark, dir, l.books, subDim, bar)
+      }
+      assert(ex1.getMessage.contains("recall report"), ex1.getMessage)
+      // ensure computes + saves; the constructor then admits
+      val batch = SimilarityOps.withNorm(
+          e.filter(col("vec_id") >= 400), "embedding", "n")
+        .withColumn("cell", SimilarityOps.ivfAssign(l.cents, dim))
+        .withColumn("bucket",
+          SimilarityOps.signBucket("embedding", bits))
+      def storedOf(li: VectorIndex.Loaded) =
+        VectorIndex.gateStored(spark, dir, bits, li.gateBits, batch)
+      VectorIndex.ensureAdcReport(spark, dir, subDim, bar)(
+        SimilarityOps.adcRecallReport(l.books, subDim, 0.35, bar)(
+          batch, storedOf(l)))
+      val pre = VectorIndex.adcPrefilterFor(spark, dir, l.books,
+        subDim, bar)
+      assert(pre.subDim === subDim && pre.bar === bar)
+      // a different geometry than the report measured -> refuse
+      val ex2 = intercept[IllegalStateException] {
+        VectorIndex.adcPrefilterFor(spark, dir, l.books, subDim,
+          bar + 0.05)
+      }
+      assert(ex2.getMessage.contains("geometry"), ex2.getMessage)
+      // the corpus moves (append bumps the manifest version): the
+      // report is STALE and the flag refuses until re-measured
+      VectorIndex.append(spark, dir,
+        e.filter(col("vec_id") >= 400 && col("vec_id") < 450)
+          .select("vec_id", "embedding"))
+      val ex3 = intercept[IllegalStateException] {
+        VectorIndex.adcPrefilterFor(spark, dir, l.books, subDim, bar)
+      }
+      assert(ex3.getMessage.contains("STALE"), ex3.getMessage)
+      val l2 = VectorIndex.load(spark, dir)
+      VectorIndex.ensureAdcReport(spark, dir, subDim, bar)(
+        SimilarityOps.adcRecallReport(l2.books, subDim, 0.35, bar)(
+          batch, storedOf(l2)))
+      VectorIndex.adcPrefilterFor(spark, dir, l2.books, subDim, bar)
+      // a report showing a lossy band refuses; the explicit override
+      // (graft.gate.adcForce) admits — operator accepts the loss
+      import spark.implicits._
+      VectorIndex.saveAdcReport(spark, dir,
+        Seq((7L, 100L, 50L, 0.5))
+          .toDF("band", "n_conf", "n_kept", "recall"),
+        subDim, bar)
+      val ex4 = intercept[IllegalStateException] {
+        VectorIndex.adcPrefilterFor(spark, dir, l2.books, subDim, bar)
+      }
+      assert(ex4.getMessage.contains("keeps only"), ex4.getMessage)
+      spark.conf.set("graft.gate.adcForce", "true")
+      try {
+        val forced = VectorIndex.adcPrefilterFor(spark, dir, l2.books,
+          subDim, bar)
+        assert(forced.bar === bar)
+      } finally spark.conf.unset("graft.gate.adcForce")
+    } finally rmTree(root)
+  }
+
   test("vector gate native tier: a batch touching more buckets than " +
       "the or-chain cap prunes the stored corpus through the UDP " +
       "scan, result-identical after the (cell, bucket) closure") {

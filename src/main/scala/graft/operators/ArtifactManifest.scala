@@ -456,7 +456,7 @@ object ArtifactManifest {
     */
   def compactGenerations(s: SparkSession, dir: String, partCol: String,
       filesPerPartition: Int = 1, sortWithin: Seq[String] = Nil,
-      vacuum: Boolean = true): Long = {
+      vacuum: Boolean = true, rangeFiles: Boolean = false): Long = {
     require(filesPerPartition >= 1,
       s"compactGenerations: filesPerPartition >= 1 " +
         s"(got $filesPerPartition)")
@@ -475,7 +475,8 @@ object ArtifactManifest {
     // schema rides into the commit for free (no re-inference)
     val live = frame(s, dir)
     LayoutOps.writeGenerationPacked(live.drop("ingest"),
-      partCol, filesPerPartition, sortWithin, s"$dir/ingest=$newGen")
+      partCol, filesPerPartition, sortWithin, s"$dir/ingest=$newGen",
+      rangeFiles)
     val raw = rawListings(s, dir, Seq(newGen))
     commit(s, dir, Seq(newGen), fullSignatureOf(raw, Seq(newGen)),
       latest(s, dir), digestsOf(raw), Some(live.schema.json))

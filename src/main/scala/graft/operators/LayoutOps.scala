@@ -258,14 +258,35 @@ object LayoutOps {
     */
   private[operators] def writeGenerationPacked(rows: DataFrame,
       partCol: String, filesPerPartition: Int,
-      sortWithin: Seq[String], genDir: String): Unit = {
-    val packed = rows.repartition(col(partCol),
-      pmod(hash(rows.columns.toIndexedSeq.map(col): _*),
-        lit(filesPerPartition)))
+      sortWithin: Seq[String], genDir: String,
+      rangeFiles: Boolean = false): Unit = {
+    // rangeFiles: split each partition's files by RANGE of the sort
+    // key instead of by row hash. A hash split re-scatters every
+    // file across the full key space, so once a partition needs more
+    // than one file the pushed set-probes' page skipping degrades
+    // toward per-file exposure x files; range-split files cover
+    // DISJOINT key slices, keeping rows-read per touched key
+    // ~page-sized no matter how many files the partition compacts
+    // into — the layout the index artifacts want past
+    // one-file-per-band scale. The extra distinct count prices one
+    // column-pruned pass over the live set, noise next to the full
+    // rewrite the compaction already pays.
+    val packed =
+      if (rangeFiles && filesPerPartition > 1 && sortWithin.nonEmpty) {
+        val nPart = rows.select(col(partCol)).distinct().count().toInt
+        rows.repartitionByRange(
+          math.max(1, nPart * filesPerPartition),
+          (partCol +: sortWithin).map(col): _*)
+      } else rows.repartition(col(partCol),
+        pmod(hash(rows.columns.toIndexedSeq.map(col): _*),
+          lit(filesPerPartition)))
     (if (sortWithin.isEmpty) packed
       else packed.sortWithinPartitions(
         (partCol +: sortWithin).map(col): _*))
-      .write.mode("overwrite").partitionBy(partCol).parquet(genDir)
+      .write.mode("overwrite")
+      .option("parquet.page.row.count.limit",
+        DedupIndex.pageRowLimit(rows.sparkSession))
+      .partitionBy(partCol).parquet(genDir)
   }
 
   /** Ingest generations present in an `(ingest, …)`-partitioned

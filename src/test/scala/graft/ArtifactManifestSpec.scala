@@ -48,6 +48,46 @@ class ArtifactManifestSpec extends SparkSpec {
     ArtifactManifest.recordAppend(spark, dir, 1)
   }
 
+  test("range-file compaction: files of one partition cover DISJOINT " +
+      "sorted key slices (hash packing scatters each file across the " +
+      "full key space), rows identical, page skipping stays per-key") {
+    withDir { dir =>
+      // one partition value, many keys — the shape where a partition
+      // outgrows one file and the file-split strategy decides whether
+      // pushed set-probes keep skipping
+      val rows = spark.range(0, 30000)
+        .select(col("id"), lit(0L).as("part"),
+          (col("id") * 2654435761L).as("key"))
+      rows.write.mode("overwrite").partitionBy("part")
+        .parquet(s"$dir/ingest=0")
+      ArtifactManifest.recordBuild(spark, dir)
+      ArtifactManifest.compactGenerations(spark, dir, "part",
+        filesPerPartition = 4, sortWithin = Seq("key"),
+        rangeFiles = true)
+      val g = ArtifactManifest.latest(spark, dir).get.generations.max
+      val files = fs.globStatus(
+        new HPath(s"$dir/ingest=$g/part=0/part-*")).map(_.getPath)
+      assert(files.length >= 2, s"expected a multi-file partition, " +
+        s"got ${files.length}")
+      // per-file key ranges are sorted and pairwise disjoint
+      val ranges = files.map { f =>
+        val ks = spark.read.parquet(f.toString)
+          .select("key").as[Long].collect()
+        assert(ks.sameElements(ks.sorted), s"unsorted file $f")
+        (ks.min, ks.max)
+      }.sortBy(_._1)
+      ranges.sliding(2).foreach {
+        case Array((_, hi), (lo2, _)) =>
+          assert(hi < lo2, s"overlapping file ranges: $ranges")
+        case _ => ()
+      }
+      // nothing lost or duplicated by the range rewrite
+      assert(ArtifactManifest.frame(spark, dir)
+        .select("key").as[Long].collect().sorted.toSeq ===
+        rows.select("key").as[Long].collect().sorted.toSeq)
+    }
+  }
+
   test("pre-flip reader serves identical rows through " +
       "compactGenerations(vacuum = false); old files survive until " +
       "vacuum") {

@@ -705,11 +705,19 @@ object ScaleProbe {
       def stored() = spark.read.parquet(dir)
         .withColumn("band", col("band").cast("long"))
         .select(col("doc_id"), col("band"), col("bucket"))
-      val native: Seq[Long] => org.apache.spark.sql.DataFrame =
+      // estRows = MaxValue FORCES the tier: at THIS store size
+      // (128M rows, ~7.8k pages/file, 10k global values -> ~72% of
+      // pages hit) the production cost gate refuses it and serves
+      // the full scan — the first measurement of this probe is one
+      // of the gate's two calibration points (native lost 9.4 vs
+      // 7.7 s here; won 3x at a 512M store). Forcing keeps the
+      // boundary measurable round-over-round.
+      val native = graft.operators.DedupIndex.NativePush(
         vals => graft.sources.NativeParquetIn
           .read(spark, dir, Seq(dir), "bucket", vals)
           .withColumn("band", col("band").cast("long"))
-          .select(col("doc_id"), col("band"), col("bucket"))
+          .select(col("doc_id"), col("band"), col("bucket")),
+        Long.MaxValue)
       def noop(df: org.apache.spark.sql.DataFrame): Unit =
         df.write.format("noop").mode("overwrite").save()
       // rows = stored-side population for both legs (the full-scan

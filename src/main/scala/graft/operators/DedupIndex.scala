@@ -389,6 +389,32 @@ object DedupIndex {
         .map(_.toInt)
         .getOrElse(graft.sources.NativeParquetIn.MaxValues))
 
+  /** The native tier's re-reader plus the cost-model input that
+    * decides whether page skipping can PAY at this store size: a
+    * touched set of V values keeps ~V pages ~= V x pageRowLimit rows
+    * alive, so unless the store holds comfortably more — the payoff
+    * factor, default 8x, `graft.gate.nativeSkipPayoff` (0 forces the
+    * tier on) — the filtered read's page seeks and the extra
+    * touched-set collect cost more than they skip. Both boundary
+    * points MEASURED (ScaleProbe `text gate scan wide` vs the 512M
+    * probe): 10k values on a 128M-row store (factor 0.8) reads ~all
+    * pages and loses 1.2x; the same set on a 512M-row store (factor
+    * 3.1+) wins 3x. `estRows` is bytes/rowBytes — an order-of-
+    * magnitude estimate is enough for a factor-8 guard.
+    */
+  final case class NativePush(reader: Seq[Long] => DataFrame,
+      estRows: Long)
+
+  /** Estimated bytes per row of the text index's bucket files
+    * (doc_id + band + bucket, encoded + snappy: measured 11-12 B
+    * across the probe stores).
+    */
+  private[graft] val BucketRowBytes = 12L
+
+  private def skipPayoff(s: SparkSession): Long =
+    s.conf.getOption("graft.gate.nativeSkipPayoff")
+      .map(_.toLong).getOrElse(8L)
+
   /** Write-side page granularity of the index artifacts' bucket/
     * corpus files (`parquet.page.row.count.limit`, default 2048 vs
     * parquet's 20000): the pushed probes skip at PAGE granularity
@@ -434,8 +460,9 @@ object DedupIndex {
     *  1. <= [[PushMaxValues]]: catalyst `isin` — Spark pushes the
     *     exact or-chain, stack-safe at this size, zero custom
     *     machinery.
-    *  2. <= [[nativePushMax]] (when the caller supplies a `native`
-    *     re-reader): the set rides a
+    *  2. <= [[nativePushMax]] (when the caller supplies a
+    *     [[NativePush]] and its cost model clears — see the case
+    *     class doc for the measured payoff boundary): the set rides a
     *     [[graft.sources.NativeParquetIn]] UserDefinedPredicate —
     *     exact per-page skipping at any cardinality, O(1) stack. The
     *     scan is a page-granular SUPERSET (no catalyst re-filter —
@@ -444,7 +471,7 @@ object DedupIndex {
     *     closes — result-invisible exactly like tier 1. Measured on
     *     a 512M-row bucket store at 10k touched values: probe join
     *     1.2-1.8 s full-scan -> 0.5 s pushed, rows off disk 512M ->
-    *     136M (ScaleProbe `text gate scan wide`). The REJECTED
+    *     136M. The REJECTED
     *     alternative — per-band scans each pushing only the band's
     *     values — reads 7x fewer rows still (18.5M) but loses
     *     wall-clock (2.3-4.4 s): page-exact filtered reads of a
@@ -453,14 +480,14 @@ object DedupIndex {
     *     node serves; on remote object stores where bytes dominate
     *     seeks the trade may invert — re-measure there before
     *     resurrecting it.
-    *  3. past the native cap: the store serves unpruned — the
-    *     amortization regime (a batch touching >64k distinct buckets
-    *     amortizes the scan it pays across proportionally many
-    *     arrivals).
+    *  3. past the native cap (or under it with no skipping payoff):
+    *     the store serves unpruned — the amortization regime (a
+    *     batch touching that many distinct buckets amortizes the
+    *     scan it pays across proportionally many arrivals).
     */
   private[graft] def touchedPrune(stored: DataFrame,
       newBuckets: DataFrame, push: Boolean,
-      native: Option[Seq[Long] => DataFrame] = None): DataFrame = {
+      native: Option[NativePush] = None): DataFrame = {
     if (!push) return stored
     val ss = stored.sparkSession
     import ss.implicits._
@@ -469,12 +496,18 @@ object DedupIndex {
     val bb = newBuckets.select(col("bucket"))
       .filter(col("bucket").isNotNull).distinct()
       .limit(cap + 1).as[Long].collect()
+    def payoff(np: NativePush): Boolean =
+      bb.length.toLong * pageRowLimit(ss).toLong *
+        skipPayoff(ss) < np.estRows
     if (bb.isEmpty) stored.filter(lit(false))
     else if (bb.length <= PushMaxValues)
       stored.filter(col("bucket")
         .isin(bb.map(Long.box).toIndexedSeq: _*))
-    else if (bb.length <= cap) native.get(bb.toIndexedSeq)
-    else stored
+    else native match {
+      case Some(np) if bb.length <= cap && payoff(np) =>
+        np.reader(bb.toIndexedSeq)
+      case _ => stored
+    }
   }
 
   /** Native set-pushed re-read of the bucket store under `dir` in
@@ -533,12 +566,15 @@ object DedupIndex {
     // from the artifact. Callers probing a huge batch can persist the
     // batch frame themselves.
     val nb = bucketsOf(newDocs, textCol, idCol, l.k, l.rowsPerBand)
+    val s = newDocs.sparkSession
     probePairs(
       touchedPrune(
         l.buckets.select(col(idCol), col("band"), col("bucket")),
         nb, pushTouched,
-        l.dir.map(d =>
-          nativeBucketsReader(newDocs.sparkSession, d, idCol))),
+        l.dir.map(d => NativePush(
+          nativeBucketsReader(s, d, idCol),
+          ArtifactManifest.liveBytes(s, s"$d/buckets")
+            / BucketRowBytes))),
       nb, idCol)
   }
 
@@ -879,8 +915,16 @@ object DedupIndex {
     // the batch's (persisted) buckets, which a small store's scan can
     // never repay; past the threshold the skipped row groups dominate
     // (ScaleProbe `text gate scan`).
-    val pushInStream = ArtifactManifest.liveBytes(ss,
-      s"$root/index/buckets") > pushMinBytes
+    val bucketBytes = ArtifactManifest.liveBytes(ss,
+      s"$root/index/buckets")
+    val pushInStream = bucketBytes > pushMinBytes
+    // the native tier's size estimate is taken ONCE with the
+    // decision: the store only GROWS over the stream, so a start-of-
+    // stream underestimate is conservative (later batches that would
+    // clear the payoff bar by more still clear it)
+    val streamNative = NativePush(
+      nativeBucketsReader(ss, s"$root/index", idCol, rawList = true),
+      bucketBytes / BucketRowBytes)
     // membership sketch is REBUILT ONCE after the replay, not
     // OR-maintained per micro-batch (one load+agg+save per batch was
     // pure per-batch floor cost at AvailableNow cadence): drop it
@@ -914,8 +958,7 @@ object DedupIndex {
           // collect re-reads the batch's buckets, not the shingles)
           val cand = probePairs(
             touchedPrune(stored, bb, pushInStream,
-              Some(nativeBucketsReader(ss, s"$root/index", idCol,
-                rawList = true))),
+              Some(streamNative)),
             bb, idCol)
           // batch-keyed dynamic overwrites: a replayed micro-batch
           // replaces its own decisions/generation instead of

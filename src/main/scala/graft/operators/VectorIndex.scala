@@ -740,8 +740,12 @@ object VectorIndex {
           .withColumn("cell", col("cell").cast("long"))
           .select(corpus.columns.map(col).toIndexedSeq: _*)
       }
+      // ~300 B/row for the encoded corpus (4 bytes x the 64-float
+      // embedding + id/norm/code/bucket) — the cost model only needs
+      // the order of magnitude (factor-8 guard)
       DedupIndex.touchedPrune(corpus, enc, push = true,
-        Some(nativeReader))
+        Some(DedupIndex.NativePush(nativeReader,
+          ArtifactManifest.liveBytes(ss, s"$dir/corpus") / 300L)))
     } else if (storedBits.contains(bits)) corpus
     else corpus.withColumn("bucket",
       SimilarityOps.signBucket("embedding", bits))

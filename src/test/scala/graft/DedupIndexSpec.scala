@@ -123,9 +123,17 @@ class DedupIndexSpec extends SparkSpec {
       val wideDf = wide.toDF("bucket")
       val stored = l.buckets
         .select(col("doc_id"), col("band"), col("bucket"))
+      def push(estRows: Long) = DedupIndex.NativePush(
+        DedupIndex.nativeBucketsReader(spark, dir, "doc_id"), estRows)
+      // the cost model refuses the tier when the store cannot repay
+      // the page seeks (estRows below values x pageRows x payoff)
+      val tooSmall = DedupIndex.touchedPrune(stored, wideDf,
+        push = true, native = Some(push(1000L)))
+      assert(!tooSmall.queryExecution.executedPlan.toString
+        .contains("GraftParquet"))
+      assert(tooSmall.count() === stored.count())
       val nat = DedupIndex.touchedPrune(stored, wideDf, push = true,
-        native =
-          Some(DedupIndex.nativeBucketsReader(spark, dir, "doc_id")))
+        native = Some(push(Long.MaxValue)))
       val plan = nat.queryExecution.executedPlan.toString
       assert(plan.contains("GraftParquet"),
         s"native tier not engaged:\n$plan")
@@ -149,8 +157,7 @@ class DedupIndexSpec extends SparkSpec {
       spark.conf.set("graft.gate.nativePushMaxValues", "0")
       try {
         val off = DedupIndex.touchedPrune(stored, wideDf,
-          push = true, native = Some(
-            DedupIndex.nativeBucketsReader(spark, dir, "doc_id")))
+          push = true, native = Some(push(Long.MaxValue)))
         assert(!off.queryExecution.executedPlan.toString
           .contains("GraftParquet"))
         assert(off.count() === stored.count())

@@ -733,8 +733,13 @@ class IndexArtifactSpec extends SparkSpec {
         graft.operators.DedupIndex.PushMaxValues + 32L)).distinct
       assert(wide.length > graft.operators.DedupIndex.PushMaxValues)
       val enc = wide.toDF("bucket")
-      val pruned = VectorIndex.gateStored(spark, dir, bits,
-        Some(bits), enc)
+      // a spec-sized corpus can never repay page seeks — force the
+      // tier on to test its mechanics (the cost gate itself is
+      // spec'd in DedupIndexSpec)
+      spark.conf.set("graft.gate.nativeSkipPayoff", "0")
+      val pruned = try VectorIndex.gateStored(spark, dir, bits,
+          Some(bits), enc)
+        finally spark.conf.unset("graft.gate.nativeSkipPayoff")
       val plan = pruned.queryExecution.executedPlan.toString
       assert(plan.contains("GraftParquet"),
         s"native tier not engaged:\n$plan")

@@ -390,17 +390,25 @@ object DedupIndex {
         .getOrElse(graft.sources.NativeParquetIn.MaxValues))
 
   /** The native tier's re-reader plus the cost-model input that
-    * decides whether page skipping can PAY at this store size: a
-    * touched set of V values keeps ~V pages ~= V x pageRowLimit rows
-    * alive, so unless the store holds comfortably more — the payoff
-    * factor, default 8x, `graft.gate.nativeSkipPayoff` (0 forces the
-    * tier on) — the filtered read's page seeks and the extra
-    * touched-set collect cost more than they skip. Both boundary
-    * points MEASURED (ScaleProbe `text gate scan wide` vs the 512M
-    * probe): 10k values on a 128M-row store (factor 0.8) reads ~all
-    * pages and loses 1.2x; the same set on a 512M-row store (factor
-    * 3.1+) wins 3x. `estRows` is bytes/rowBytes — an order-of-
-    * magnitude estimate is enough for a factor-8 guard.
+    * decides whether the push can PAY at this store size: a touched
+    * set of V values keeps ~V pages ~= V x pageRowLimit rows alive,
+    * so once that approaches the store's row count pruning is
+    * mathematically nil and the touched-set collect plus the
+    * filtered read's page seeks are pure overhead. Engage iff
+    * matching-page rows x payoff factor < estRows — default factor
+    * 2, `graft.gate.nativeSkipPayoff` (0 forces the tier on).
+    * Calibration (ScaleProbe `text gate scan wide`, the GATE-shaped
+    * probe-join legs): 10k values on a 128M-row store
+    * (store/matching ratio 6.2 — page skipping ~nil, the join
+    * probes only filter-surviving rows) sit INSIDE the ambient band,
+    * median ~1.2x ahead over five runs with one 1.26x-behind leg;
+    * on a range-sliced 512M store (ratio 25, real page skipping)
+    * they win 3.5x unambiguously. The
+    * bare SCAN-only shape at ratio 6.2 measures a 1.2x LOSS (seeks
+    * eat the IO saved; decode is CPU-bound warm) — the tier's payoff
+    * is the downstream join, which every gate path has; callers
+    * without one should not supply a NativePush. `estRows` is
+    * bytes/rowBytes — order of magnitude suffices at factor 2.
     */
   final case class NativePush(reader: Seq[Long] => DataFrame,
       estRows: Long)
@@ -413,7 +421,7 @@ object DedupIndex {
 
   private def skipPayoff(s: SparkSession): Long =
     s.conf.getOption("graft.gate.nativeSkipPayoff")
-      .map(_.toLong).getOrElse(8L)
+      .map(_.toLong).getOrElse(2L)
 
   /** Write-side page granularity of the index artifacts' bucket/
     * corpus files (`parquet.page.row.count.limit`, default 2048 vs

@@ -718,15 +718,13 @@ object SimilarityQueries {
     val pre = if (adc) {
       // the flag's refuse-loudly contract: a fresh recall report for
       // this exact (corpus version, subDim, bar) must sit beside the
-      // artifact — computed here once per corpus change (the serving
-      // owner's ensure step), then checked by the sanctioned
-      // constructor, which also refuses on a band below
-      // graft.gate.adcMinRecall
-      VectorIndex.ensureAdcReport(s, dir, PqSubDim, AdcGateBar)(
+      // artifact — computed once per corpus change, then judged, in
+      // ONE freshness pass (refuses on a band below
+      // graft.gate.adcMinRecall)
+      Some(VectorIndex.ensuredAdcPrefilter(s, dir, l.books, PqSubDim,
+        AdcGateBar)(
         SimilarityOps.adcRecallReport(l.books, PqSubDim, VecGateThr,
-          AdcGateBar)(batch, stored))
-      Some(VectorIndex.adcPrefilterFor(s, dir, l.books, PqSubDim,
-        AdcGateBar))
+          AdcGateBar)(batch, stored)))
     } else None
     SimilarityOps.ingestGate(stored, batch, VecGateThr, adc = pre)
   }

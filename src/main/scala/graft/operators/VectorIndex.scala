@@ -649,14 +649,39 @@ object VectorIndex {
   }
 
   /** Compute-and-save the report when absent/stale/mismatched — the
-    * artifact owner's ensure step on the serving path (s17): a fresh
-    * matching report is left untouched (and `report` never
-    * evaluated), so the cost is one-time per corpus change.
+    * artifact owner's ensure step: a fresh matching report is left
+    * untouched (and `report` never evaluated), so the cost is
+    * one-time per corpus change. Serving paths that ensure AND
+    * construct should use [[ensuredAdcPrefilter]] — one freshness
+    * pass instead of this plus [[adcPrefilterFor]]'s.
     */
   def ensureAdcReport(s: SparkSession, dir: String, subDim: Int,
       bar: Double)(report: => DataFrame): Unit =
     if (freshAdcReport(s, dir, subDim, bar).isLeft)
       saveAdcReport(s, dir, report, subDim, bar)
+
+  /** The recall judgment shared by both constructors: every band of
+    * a FRESH report at/above `graft.gate.adcMinRecall`, or refuse.
+    */
+  private def judgeAdcBands(s: SparkSession, dir: String,
+      bands: DataFrame): Unit = {
+    val minRecall = s.conf.getOption("graft.gate.adcMinRecall")
+      .map(_.toDouble).getOrElse(1.0)
+    val bad = bands.filter(col("recall") < minRecall)
+      .orderBy(col("recall")).limit(1).collect()
+    if (bad.nonEmpty) throw new IllegalStateException(
+      s"ADC shortlist on $dir refused: cosine band " +
+        s"${bad(0).getAs[Long]("band")} keeps only " +
+        s"${bad(0).getAs[Double]("recall")} of exact-confirmed " +
+        "pairs (< graft.gate.adcMinRecall=" +
+        s"$minRecall) — the " +
+        "approximation loses real duplicates at this geometry; " +
+        "tighten the bar, or accept the loss explicitly with " +
+        "graft.gate.adcForce=true")
+  }
+
+  private def adcForced(s: SparkSession): Boolean =
+    s.conf.getOption("graft.gate.adcForce").contains("true")
 
   /** The SANCTIONED constructor of the ADC shortlist flag for an
     * artifact: refuses loudly unless a fresh, geometry-matching
@@ -667,11 +692,7 @@ object VectorIndex {
   def adcPrefilterFor(s: SparkSession, dir: String,
       books: ProductQuantization.Codebooks, subDim: Int,
       bar: Double): SimilarityOps.AdcPrefilter = {
-    val force = s.conf.getOption("graft.gate.adcForce")
-      .contains("true")
-    if (!force) {
-      val minRecall = s.conf.getOption("graft.gate.adcMinRecall")
-        .map(_.toDouble).getOrElse(1.0)
+    if (!adcForced(s))
       freshAdcReport(s, dir, subDim, bar) match {
         case Left(reason) => throw new IllegalStateException(
           s"ADC shortlist on $dir refused: $reason. Run the recall " +
@@ -679,18 +700,30 @@ object VectorIndex {
             "(SimilarityOps.adcRecallReport -> saveAdcReport; the " +
             "s18 query) before flipping the flag, or override with " +
             "graft.gate.adcForce=true")
-        case Right(bands) =>
-          val bad = bands.filter(col("recall") < minRecall)
-            .orderBy(col("recall")).limit(1).collect()
-          if (bad.nonEmpty) throw new IllegalStateException(
-            s"ADC shortlist on $dir refused: cosine band " +
-              s"${bad(0).getAs[Long]("band")} keeps only " +
-              s"${bad(0).getAs[Double]("recall")} of exact-confirmed " +
-              s"pairs (< graft.gate.adcMinRecall=$minRecall) — the " +
-              "approximation loses real duplicates at this geometry; " +
-              "tighten the bar, or accept the loss explicitly with " +
-              "graft.gate.adcForce=true")
+        case Right(bands) => judgeAdcBands(s, dir, bands)
       }
+    SimilarityOps.AdcPrefilter(books, subDim, bar)
+  }
+
+  /** Ensure-and-construct in ONE freshness pass — the serving entry
+    * (s17): a stale/absent report is recomputed and saved, then the
+    * just-written bands are judged directly (no second stamp/
+    * manifest read — the interleaved A/B that motivated this showed
+    * the double pass costing ~0.4 s of small-read latency per gate
+    * call). Identical refusal semantics to ensure + construct.
+    */
+  def ensuredAdcPrefilter(s: SparkSession, dir: String,
+      books: ProductQuantization.Codebooks, subDim: Int,
+      bar: Double)(report: => DataFrame)
+      : SimilarityOps.AdcPrefilter = {
+    if (!adcForced(s)) {
+      val bands = freshAdcReport(s, dir, subDim, bar) match {
+        case Left(_) =>
+          saveAdcReport(s, dir, report, subDim, bar)
+          s.read.parquet(s"${adcReportPath(dir)}/bands")
+        case Right(b) => b
+      }
+      judgeAdcBands(s, dir, bands)
     }
     SimilarityOps.AdcPrefilter(books, subDim, bar)
   }

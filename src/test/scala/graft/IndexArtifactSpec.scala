@@ -708,6 +708,27 @@ class IndexArtifactSpec extends SparkSpec {
           subDim, bar)
         assert(forced.bar === bar)
       } finally spark.conf.unset("graft.gate.adcForce")
+      // the single-pass serving entry: over the doctored low-recall
+      // report it refuses identically (the report is FRESH, so the
+      // lazy recompute must NOT run and mask it)...
+      var recomputed = false
+      val ex5 = intercept[IllegalStateException] {
+        VectorIndex.ensuredAdcPrefilter(spark, dir, l2.books, subDim,
+          bar) { recomputed = true; null }
+      }
+      assert(ex5.getMessage.contains("keeps only") && !recomputed)
+      // ...and over a STALE report it recomputes, saves, judges, and
+      // admits in one call
+      VectorIndex.append(spark, dir,
+        e.filter(col("vec_id") >= 450 && col("vec_id") < 460)
+          .select("vec_id", "embedding"))
+      val l3 = VectorIndex.load(spark, dir)
+      val one = VectorIndex.ensuredAdcPrefilter(spark, dir, l3.books,
+        subDim, bar)(
+        SimilarityOps.adcRecallReport(l3.books, subDim, 0.35, bar)(
+          batch, storedOf(l3)))
+      assert(one.bar === bar)
+      VectorIndex.adcPrefilterFor(spark, dir, l3.books, subDim, bar)
     } finally rmTree(root)
   }
 

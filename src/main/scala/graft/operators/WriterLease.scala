@@ -137,6 +137,28 @@ object WriterLease {
     }
   }
 
+  /** Sweep the heartbeat ONLY if it still belongs to `token` — the
+    * steal/release sweep guard: once the lease path is free (renamed
+    * aside, or deleted), a cross-process acquirer can win it and
+    * verify-write a FRESH heartbeat at any moment, and an
+    * unconditional delete here would sweep that, transiently
+    * degrading the new holder's staleness to acquire-time mtime on
+    * setTimes-no-op stores until its next verify. The token check
+    * makes the sweep owner-scoped; the read-then-delete window that
+    * remains can only DROP a heartbeat the next verify rewrites —
+    * staleness degrades toward stealing sooner, never extends a
+    * lease.
+    */
+  private def sweepHeartbeatOf(fs: FileSystem, lp: Path,
+      token: Option[String]): Unit =
+    try {
+      val in = fs.open(heartbeatPath(lp))
+      val txt = try scala.io.Source
+        .fromInputStream(in, "UTF-8").mkString finally in.close()
+      if (token.contains(txt.split("\n", 2)(0)))
+        fs.delete(heartbeatPath(lp), false)
+    } catch { case scala.util.control.NonFatal(_) => () }
+
   /** Milliseconds since the holder's last observable progress: the
     * freshest of the lease file's mtime and a token-matching content
     * heartbeat (absent/garbled/foreign heartbeats are ignored — they
@@ -200,19 +222,22 @@ object WriterLease {
       val horizon = stealHorizonMs(s)
       val st = try Some(fs.getFileStatus(lp))
         catch { case _: java.io.FileNotFoundException => None }
+      val deadToken = tokenOf(fs, lp)
       val ageMs = st.map(x => heartbeatAgeMs(fs, lp,
-        tokenOf(fs, lp), x.getModificationTime))
+        deadToken, x.getModificationTime))
       if (ageMs.forall(_ > horizon)) {
         // stale (or vanished between the failed create and the
         // stat): move the dead holder's file aside, then race the
         // exclusive create again. The dead holder's heartbeat file
-        // is an orphan now (its token matches nothing) — sweep it.
+        // is an orphan now (its token matches nothing) — sweep it,
+        // TOKEN-MATCHED: the instant the rename frees the lease path
+        // a rival acquirer can win it and heartbeat, and an
+        // unconditional delete would sweep that fresh heartbeat.
         if (st.isDefined) {
           val aside = new Path(lp.getParent, s".stale.$token")
           if (fs.rename(lp, aside)) {
             fs.delete(aside, false)
-            try fs.delete(heartbeatPath(lp), false)
-            catch { case _: java.io.IOException => () }
+            sweepHeartbeatOf(fs, lp, deadToken)
           }
         }
         if (tryCreate()) return acquired()
@@ -253,9 +278,17 @@ object WriterLease {
     val fs = fsOf(s, lease.path)
     lockOf(fs, lease.path).synchronized {
       if (tokenOf(fs, lease.path).contains(lease.token)) {
-        fs.delete(lease.path, false)
+        // heartbeat FIRST, lease file second: while OUR token is
+        // still in the lease file no acquirer can have written a
+        // heartbeat, so this delete can only sweep our own; the
+        // reverse order opened a window where a cross-process
+        // acquirer wins the freed lease and verify-writes a FRESH
+        // heartbeat between the two deletes — swept, it degraded the
+        // new holder's staleness to acquire-time mtime on
+        // setTimes-no-op stores until its next verify.
         try fs.delete(heartbeatPath(lease.path), false)
         catch { case _: java.io.IOException => () }
+        fs.delete(lease.path, false)
         // sweep the now-empty containers (the `_lock` dir, and for
         // SIBLING lock roots the `<dir>__lock` dir itself) so
         // short-lived roots — temp artifacts, spec dirs — don't leak

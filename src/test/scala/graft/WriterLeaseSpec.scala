@@ -20,6 +20,25 @@ class NoMtimeFileSystem extends org.apache.hadoop.fs.RawLocalFileSystem {
   override def setTimes(p: HPath, mtime: Long, atime: Long): Unit = ()
 }
 
+/** RawLocalFileSystem recording the NAME of every deleted path, in
+  * order — the fixture that pins release's heartbeat-before-lease
+  * delete ordering (the reverse order opens a window where a rival
+  * acquirer's fresh heartbeat is swept). Registered per-test via
+  * `fs.delorder.impl`.
+  */
+class DeleteOrderFileSystem extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getScheme: String = "delorder"
+  override def getUri: java.net.URI =
+    java.net.URI.create("delorder:///")
+  override def delete(p: HPath, recursive: Boolean): Boolean = {
+    DeleteOrderFileSystem.log.add(p.getName)
+    super.delete(p, recursive)
+  }
+}
+object DeleteOrderFileSystem {
+  val log = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+}
+
 class WriterLeaseSpec extends SparkSpec {
 
   private def fs = new HPath("/").getFileSystem(
@@ -216,6 +235,51 @@ class WriterLeaseSpec extends SparkSpec {
         WriterLease.release(spark, b)
         assert(!nfs.exists(lp) && !nfs.exists(hb))
       } finally spark.conf.unset("graft.lease.stealHorizonMs")
+    }
+  }
+
+  test("release deletes the heartbeat BEFORE the lease file, and a " +
+      "steal's sweep is token-matched — a rival's fresh heartbeat " +
+      "survives both") {
+    val conf = spark.sparkContext.hadoopConfiguration
+    conf.set("fs.delorder.impl",
+      classOf[DeleteOrderFileSystem].getName)
+    withTempDir("graft-lease-order") { local =>
+      // ordering: while our token is still in the lease file no
+      // acquirer can have heartbeat-ed, so heartbeat-first sweeps
+      // only our own; lease-first opens the race the order pins shut
+      val root = s"delorder://$local"
+      val a = WriterLease.acquire(spark, root)
+      WriterLease.verify(spark, a) // writes the content heartbeat
+      DeleteOrderFileSystem.log.clear()
+      WriterLease.release(spark, a)
+      val dels = DeleteOrderFileSystem.log.toArray(Array.empty[String])
+      val (hbAt, leaseAt) =
+        (dels.indexOf("heartbeat"), dels.indexOf("lease"))
+      assert(hbAt >= 0 && leaseAt >= 0, dels.mkString(", "))
+      assert(hbAt < leaseAt,
+        s"release deleted the lease before the heartbeat: " +
+          dels.mkString(", "))
+    }
+    withTempDir("graft-lease-sweeptok") { root =>
+      // steal sweep: a heartbeat whose token does NOT match the dead
+      // lease can only belong to a rival acquirer that won the freed
+      // path mid-steal — it must survive the sweep (it also never
+      // shields the dead lease: token-mismatched heartbeats are
+      // ignored by the staleness check, so the steal itself proceeds)
+      val lp = new HPath(s"$root/_lock/lease")
+      val hb = new HPath(s"$root/_lock/heartbeat")
+      val a = WriterLease.acquire(spark, root)
+      fs.setTimes(lp, System.currentTimeMillis() - 7200000L, -1)
+      val out = fs.create(hb, true)
+      try out.write(("rival-token\n" + System.currentTimeMillis())
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+      val b = WriterLease.acquire(spark, root) // legal steal
+      assert(fs.exists(hb),
+        "the steal swept a heartbeat that was not the dead holder's")
+      WriterLease.release(spark, a) // loser: no-op
+      WriterLease.release(spark, b)
     }
   }
 

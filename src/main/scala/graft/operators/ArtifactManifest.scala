@@ -382,6 +382,21 @@ object ArtifactManifest {
   def frame(s: SparkSession, dir: String): DataFrame =
     liveFrame(s, dir)
 
+  /** [[frame]] plus the manifest version it was pinned at (`-1` for a
+    * tree with no manifest) — ONE `latest()` read, so the version can
+    * never drift from the generation set the frame serves. Callers
+    * that stamp a derived artifact with the corpus version it was
+    * MEASURED against (the ADC recall report) must thread THIS
+    * version rather than re-reading `latest()` at stamp time: a
+    * concurrent append between the frame read and the stamp would
+    * otherwise stamp the report fresh for a corpus it never measured,
+    * silently satisfying the freshness contract the stamp enforces.
+    */
+  def pinnedFrame(s: SparkSession, dir: String): (Long, DataFrame) = {
+    val pin = latest(s, dir)
+    (pin.map(_.version).getOrElse(-1L), frameOfPin(s, dir, pin))
+  }
+
   /** Physical bytes of the LIVE pinned generation set — the honest
     * cost-model input for the gates' pushdown decisions: a raw
     * content summary over a manifest-managed tree also counts
@@ -403,7 +418,11 @@ object ArtifactManifest {
   }
 
   private def liveFrame(s: SparkSession, dir: String): DataFrame =
-    latest(s, dir) match {
+    frameOfPin(s, dir, latest(s, dir))
+
+  private def frameOfPin(s: SparkSession, dir: String,
+      pin: Option[Pin]): DataFrame =
+    pin match {
       case Some(p) if p.generations.nonEmpty =>
         s.read.option("basePath", dir)
           .parquet(p.generations.sorted.map(g => s"$dir/ingest=$g"): _*)

@@ -626,9 +626,9 @@ object SimilarityQueries {
       // (VectorIndex.adcPrefilterFor), so the oracle-gated query and
       // the check s17 enforces can never drift. fp op order is the
       // gate's shortlist order (nq first), mirrored in adcChain.
-      val (_, l, batch, stored) = vecGateParts(s, d)
-      SimilarityOps.adcRecallReport(l.books, PqSubDim, VecGateThr,
-        AdcGateBar)(batch, stored)
+      val p = vecGateParts(s, d)
+      SimilarityOps.adcRecallReport(p.l.books, PqSubDim, VecGateThr,
+        AdcGateBar)(p.batch, p.stored)
     }),
 
     // s14: RECALL of the ingest gate's blocking, PER SIMILARITY BAND —
@@ -692,8 +692,17 @@ object SimilarityQueries {
     * check can never trip on a stale fingerprint hit); all three
     * queries share the artifact root.
     */
-  private def vecGateParts(s: SparkSession, d: String)
-      : (String, VectorIndex.Loaded, DataFrame, DataFrame) = {
+  /** One batch-path gate's serving pieces: artifact root, loaded
+    * index, encoded batch, the PINNED stored frame, and the corpus
+    * manifest version that pin was read at — threaded into the ADC
+    * report stamp so the report can never be stamped fresher than
+    * the frame it measured.
+    */
+  private final case class VecGateParts(dir: String,
+      l: VectorIndex.Loaded, batch: DataFrame, stored: DataFrame,
+      corpusVersion: Long)
+
+  private def vecGateParts(s: SparkSession, d: String): VecGateParts = {
     val dir = VectorIndex.artifactRoot(
       s"s13gate-$Dim-$LloydSteps-$PqSub-$PqK-" +
         s"$VecGateBits-$VecGateSplit", d)
@@ -708,25 +717,27 @@ object SimilarityQueries {
       .withColumn("cell", SimilarityOps.ivfAssign(l.cents, Dim))
       .withColumn("bucket",
         SimilarityOps.signBucket("embedding", VecGateBits))
-    (dir, l, batch,
-      VectorIndex.gateStored(s, dir, VecGateBits, l.gateBits, batch))
+    val (ver, stored) = VectorIndex.gateStoredPinned(
+      s, dir, VecGateBits, l.gateBits, batch)
+    VecGateParts(dir, l, batch, stored, ver)
   }
 
   private def vecGate(s: SparkSession, d: String,
       adc: Boolean): DataFrame = {
-    val (dir, l, batch, stored) = vecGateParts(s, d)
+    val p = vecGateParts(s, d)
     val pre = if (adc) {
       // the flag's refuse-loudly contract: a fresh recall report for
       // this exact (corpus version, subDim, bar) must sit beside the
       // artifact — computed once per corpus change, then judged, in
       // ONE freshness pass (refuses on a band below
-      // graft.gate.adcMinRecall)
-      Some(VectorIndex.ensuredAdcPrefilter(s, dir, l.books, PqSubDim,
-        AdcGateBar)(
-        SimilarityOps.adcRecallReport(l.books, PqSubDim, VecGateThr,
-          AdcGateBar)(batch, stored)))
+      // graft.gate.adcMinRecall); the stamp carries the version the
+      // stored frame was PINNED at, not a re-read
+      Some(VectorIndex.ensuredAdcPrefilter(s, p.dir, p.l.books,
+        PqSubDim, AdcGateBar, p.corpusVersion)(
+        SimilarityOps.adcRecallReport(p.l.books, PqSubDim, VecGateThr,
+          AdcGateBar)(p.batch, p.stored)))
     } else None
-    SimilarityOps.ingestGate(stored, batch, VecGateThr, adc = pre)
+    SimilarityOps.ingestGate(p.stored, p.batch, VecGateThr, adc = pre)
   }
 
   /** s3's near-dup pair criterion — ONE definition shared by the pair

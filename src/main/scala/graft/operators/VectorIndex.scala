@@ -602,23 +602,30 @@ object VectorIndex {
 
   /** Persist the artifact's ADC recall report
     * ([[SimilarityOps.adcRecallReport]]'s frame) stamped with the
-    * shortlist geometry and the corpus manifest version it measured
-    * — [[adcPrefilterFor]]'s freshness token. Bands first, stamp
-    * last: a crash between the two leaves no stamp, which reads as
-    * ABSENT (refuse; re-run converges). The stamp is its own one-row
-    * file because an empty band frame (no confirmed pairs) must
-    * still carry the geometry.
+    * shortlist geometry and `measuredVersion` — the corpus manifest
+    * version the report's stored frame was PINNED at
+    * ([[gateStoredPinned]]'s first element), [[adcPrefilterFor]]'s
+    * freshness token. The caller threads the pin instead of this
+    * method re-reading `latest()` at save time: a concurrent append
+    * between the stored-frame read and the stamp would otherwise
+    * stamp the report fresh for a corpus it never measured, silently
+    * satisfying the freshness contract until the NEXT corpus change.
+    * (A pin that is already behind `latest()` stamps an
+    * immediately-stale report — the honest outcome: the flag
+    * refuses/recomputes.) Bands first, stamp last: a crash between
+    * the two leaves no stamp, which reads as ABSENT (refuse; re-run
+    * converges). The stamp is its own one-row file because an empty
+    * band frame (no confirmed pairs) must still carry the geometry.
     */
   def saveAdcReport(s: SparkSession, dir: String, report: DataFrame,
-      subDim: Int, bar: Double): Unit =
+      subDim: Int, bar: Double, measuredVersion: Long): Unit =
     WriterLease.withLease(s, DedupIndex.leaseRoot(dir)) {
       val rp = adcReportPath(dir)
       report.coalesce(1).write.mode("overwrite").parquet(s"$rp/bands")
       WriterLease.verifyHeld(s, DedupIndex.leaseRoot(dir))
-      val v = ArtifactManifest.latest(s, s"$dir/corpus")
-        .map(_.version).getOrElse(-1L)
       import s.implicits._
-      Seq((subDim, bar, v)).toDF("sub_dim", "bar", "corpus_version")
+      Seq((subDim, bar, measuredVersion))
+        .toDF("sub_dim", "bar", "corpus_version")
         .coalesce(1).write.mode("overwrite").parquet(s"$rp/stamp")
     }
 
@@ -651,14 +658,16 @@ object VectorIndex {
   /** Compute-and-save the report when absent/stale/mismatched — the
     * artifact owner's ensure step: a fresh matching report is left
     * untouched (and `report` never evaluated), so the cost is
-    * one-time per corpus change. Serving paths that ensure AND
-    * construct should use [[ensuredAdcPrefilter]] — one freshness
-    * pass instead of this plus [[adcPrefilterFor]]'s.
+    * one-time per corpus change. `measuredVersion` is the corpus pin
+    * the report's stored frame was read at (see [[saveAdcReport]]).
+    * Serving paths that ensure AND construct should use
+    * [[ensuredAdcPrefilter]] — one freshness pass instead of this
+    * plus [[adcPrefilterFor]]'s.
     */
   def ensureAdcReport(s: SparkSession, dir: String, subDim: Int,
-      bar: Double)(report: => DataFrame): Unit =
+      bar: Double, measuredVersion: Long)(report: => DataFrame): Unit =
     if (freshAdcReport(s, dir, subDim, bar).isLeft)
-      saveAdcReport(s, dir, report, subDim, bar)
+      saveAdcReport(s, dir, report, subDim, bar, measuredVersion)
 
   /** The recall judgment shared by both constructors: every band of
     * a FRESH report at/above `graft.gate.adcMinRecall`, or refuse.
@@ -710,17 +719,36 @@ object VectorIndex {
     * just-written bands are judged directly (no second stamp/
     * manifest read — the interleaved A/B that motivated this showed
     * the double pass costing ~0.4 s of small-read latency per gate
-    * call). Identical refusal semantics to ensure + construct.
+    * call). Identical refusal semantics to ensure + construct, with
+    * one deliberate difference: PERSISTING the recomputed report is
+    * best-effort. Serving safety comes from judging the bands just
+    * measured, not from the file — so a query racing a long-running
+    * writer (a stream holds the artifact lease for its whole replay)
+    * or running on a read-only serving replica judges its computed
+    * bands and serves instead of failing on the lease/write; the
+    * next call recomputes. `measuredVersion` is the corpus pin the
+    * report's stored frame was read at (see [[saveAdcReport]]).
     */
   def ensuredAdcPrefilter(s: SparkSession, dir: String,
       books: ProductQuantization.Codebooks, subDim: Int,
-      bar: Double)(report: => DataFrame)
+      bar: Double, measuredVersion: Long)(report: => DataFrame)
       : SimilarityOps.AdcPrefilter = {
     if (!adcForced(s)) {
       val bands = freshAdcReport(s, dir, subDim, bar) match {
         case Left(_) =>
-          saveAdcReport(s, dir, report, subDim, bar)
-          s.read.parquet(s"${adcReportPath(dir)}/bands")
+          val r = report
+          try {
+            saveAdcReport(s, dir, r, subDim, bar, measuredVersion)
+            // judge the READ-BACK bands: the write consumed the one
+            // evaluation of the report query, re-judging `r` would
+            // recompute it
+            s.read.parquet(s"${adcReportPath(dir)}/bands")
+          } catch { case scala.util.control.NonFatal(e) =>
+            System.err.println(s"[graft] ADC report on $dir not " +
+              s"persisted (${e.getMessage}); serving from the " +
+              "computed bands — the next call re-measures")
+            r
+          }
         case Right(b) => b
       }
       judgeAdcBands(s, dir, bands)
@@ -730,7 +758,20 @@ object VectorIndex {
 
   private[graft] def gateStored(ss: SparkSession, dir: String,
       bits: Int, storedBits: Option[Int], enc: DataFrame,
-      push: Boolean = true, rawList: Boolean = false): DataFrame = {
+      push: Boolean = true, rawList: Boolean = false): DataFrame =
+    gateStoredPinned(ss, dir, bits, storedBits, enc, push, rawList)._2
+
+  /** [[gateStored]] plus the corpus manifest version the stored frame
+    * was pinned at (`-1` for raw-listed/unmanaged trees) — the
+    * version an ADC recall report measured against this frame must be
+    * STAMPED with ([[saveAdcReport]]'s `measuredVersion`): re-reading
+    * `latest()` at stamp time instead would freshen a report for a
+    * corpus a concurrent append moved past.
+    */
+  private[graft] def gateStoredPinned(ss: SparkSession, dir: String,
+      bits: Int, storedBits: Option[Int], enc: DataFrame,
+      push: Boolean = true, rawList: Boolean = false)
+      : (Long, DataFrame) = {
     storedBits.foreach(b => require(b == bits,
       s"VectorIndex.gateStored: index at $dir is gate-stamped " +
         s"bits=$b but the gate requested bits=$bits — rebuild the " +
@@ -744,10 +785,11 @@ object VectorIndex {
     // `rawList = true`: its per-batch appends must be visible to the
     // next batch immediately, and the run-private root has no
     // concurrent mutator to orphan files under it.
-    val corpus = (if (rawList) ss.read.parquet(s"$dir/corpus")
-      else ArtifactManifest.frame(ss, s"$dir/corpus"))
-      .withColumn("cell", col("cell").cast("long"))
-    if (push && storedBits.contains(bits)) {
+    val (pinVer, corpus0) =
+      if (rawList) (-1L, ss.read.parquet(s"$dir/corpus"))
+      else ArtifactManifest.pinnedFrame(ss, s"$dir/corpus")
+    val corpus = corpus0.withColumn("cell", col("cell").cast("long"))
+    val served = if (push && storedBits.contains(bits)) {
       // the text probe's tiered set-prune, unchanged semantics:
       // NULL batch buckets (degenerate embeddings) never enter the
       // set, an empty set short-circuits the corpus scan, <= the
@@ -782,6 +824,7 @@ object VectorIndex {
     } else if (storedBits.contains(bits)) corpus
     else corpus.withColumn("bucket",
       SimilarityOps.signBucket("embedding", bits))
+    (pinVer, served)
   }
 
   /** CONTINUOUS vector ingestion: the artifact's probe → gate →

@@ -664,10 +664,14 @@ class IndexArtifactSpec extends SparkSpec {
         .withColumn("bucket",
           SimilarityOps.signBucket("embedding", bits))
       def storedOf(li: VectorIndex.Loaded) =
-        VectorIndex.gateStored(spark, dir, bits, li.gateBits, batch)
-      VectorIndex.ensureAdcReport(spark, dir, subDim, bar)(
-        SimilarityOps.adcRecallReport(l.books, subDim, 0.35, bar)(
-          batch, storedOf(l)))
+        VectorIndex.gateStoredPinned(spark, dir, bits, li.gateBits,
+          batch)
+      locally {
+        val (v, st) = storedOf(l)
+        VectorIndex.ensureAdcReport(spark, dir, subDim, bar, v)(
+          SimilarityOps.adcRecallReport(l.books, subDim, 0.35, bar)(
+            batch, st))
+      }
       val pre = VectorIndex.adcPrefilterFor(spark, dir, l.books,
         subDim, bar)
       assert(pre.subDim === subDim && pre.bar === bar)
@@ -687,17 +691,22 @@ class IndexArtifactSpec extends SparkSpec {
       }
       assert(ex3.getMessage.contains("STALE"), ex3.getMessage)
       val l2 = VectorIndex.load(spark, dir)
-      VectorIndex.ensureAdcReport(spark, dir, subDim, bar)(
-        SimilarityOps.adcRecallReport(l2.books, subDim, 0.35, bar)(
-          batch, storedOf(l2)))
+      locally {
+        val (v, st) = storedOf(l2)
+        VectorIndex.ensureAdcReport(spark, dir, subDim, bar, v)(
+          SimilarityOps.adcRecallReport(l2.books, subDim, 0.35, bar)(
+            batch, st))
+      }
       VectorIndex.adcPrefilterFor(spark, dir, l2.books, subDim, bar)
+      def curVer = graft.operators.ArtifactManifest
+        .latest(spark, s"$dir/corpus").map(_.version).getOrElse(-1L)
       // a report showing a lossy band refuses; the explicit override
       // (graft.gate.adcForce) admits — operator accepts the loss
       import spark.implicits._
       VectorIndex.saveAdcReport(spark, dir,
         Seq((7L, 100L, 50L, 0.5))
           .toDF("band", "n_conf", "n_kept", "recall"),
-        subDim, bar)
+        subDim, bar, curVer)
       val ex4 = intercept[IllegalStateException] {
         VectorIndex.adcPrefilterFor(spark, dir, l2.books, subDim, bar)
       }
@@ -714,7 +723,7 @@ class IndexArtifactSpec extends SparkSpec {
       var recomputed = false
       val ex5 = intercept[IllegalStateException] {
         VectorIndex.ensuredAdcPrefilter(spark, dir, l2.books, subDim,
-          bar) { recomputed = true; null }
+          bar, curVer) { recomputed = true; null }
       }
       assert(ex5.getMessage.contains("keeps only") && !recomputed)
       // ...and over a STALE report it recomputes, saves, judges, and
@@ -723,12 +732,54 @@ class IndexArtifactSpec extends SparkSpec {
         e.filter(col("vec_id") >= 450 && col("vec_id") < 460)
           .select("vec_id", "embedding"))
       val l3 = VectorIndex.load(spark, dir)
-      val one = VectorIndex.ensuredAdcPrefilter(spark, dir, l3.books,
-        subDim, bar)(
-        SimilarityOps.adcRecallReport(l3.books, subDim, 0.35, bar)(
-          batch, storedOf(l3)))
+      val one = locally {
+        val (v, st) = storedOf(l3)
+        VectorIndex.ensuredAdcPrefilter(spark, dir, l3.books,
+          subDim, bar, v)(
+          SimilarityOps.adcRecallReport(l3.books, subDim, 0.35, bar)(
+            batch, st))
+      }
       assert(one.bar === bar)
       VectorIndex.adcPrefilterFor(spark, dir, l3.books, subDim, bar)
+      // a report stamped with a pin the corpus has MOVED PAST can
+      // never read fresh — the stamp carries what was measured, not
+      // what is current at save time (the save-time re-read raced a
+      // concurrent append and silently freshened unmeasured corpora)
+      val behind = curVer
+      VectorIndex.append(spark, dir,
+        e.filter(col("vec_id") >= 460 && col("vec_id") < 465)
+          .select("vec_id", "embedding"))
+      VectorIndex.saveAdcReport(spark, dir,
+        Seq((7L, 100L, 100L, 1.0))
+          .toDF("band", "n_conf", "n_kept", "recall"),
+        subDim, bar, behind)
+      val ex6 = intercept[IllegalStateException] {
+        VectorIndex.adcPrefilterFor(spark, dir, l3.books, subDim, bar)
+      }
+      assert(ex6.getMessage.contains("STALE"), ex6.getMessage)
+      // serving never fails on the artifact's writer lease: with the
+      // report stale and the lease held (a stream mid-replay), the
+      // single-pass entry judges the bands it just computed and
+      // SERVES; the persist is skipped, so the on-disk report stays
+      // stale (the strict constructor still refuses)
+      val lease = graft.operators.WriterLease
+        .acquire(spark, s"${dir}__lock")
+      try {
+        val l4 = VectorIndex.load(spark, dir)
+        val served = locally {
+          val (v, st) = storedOf(l4)
+          VectorIndex.ensuredAdcPrefilter(spark, dir, l4.books,
+            subDim, bar, v)(
+            SimilarityOps.adcRecallReport(l4.books, subDim, 0.35,
+              bar)(batch, st))
+        }
+        assert(served.bar === bar)
+        val ex7 = intercept[IllegalStateException] {
+          VectorIndex.adcPrefilterFor(spark, dir, l4.books, subDim,
+            bar)
+        }
+        assert(ex7.getMessage.contains("STALE"), ex7.getMessage)
+      } finally graft.operators.WriterLease.release(spark, lease)
     } finally rmTree(root)
   }
 

@@ -746,7 +746,9 @@ object ScaleProbe {
                 .read(spark, dir, Seq(dir), "bucket", vals)
                 .withColumn("band", col("band").cast("long"))
                 .select(col("doc_id"), col("band"), col("bucket")),
-              estRows)
+              () => estRows,
+              () => graft.operators.DedupIndex.storedPageRows(
+                spark, dir, "bucket"))
             // rows = stored-side population for both legs (the
             // full-scan denominator; the native leg scans and JOINS
             // a fraction of it)

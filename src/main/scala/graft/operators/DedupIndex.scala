@@ -409,9 +409,92 @@ object DedupIndex {
     * is the downstream join, which every gate path has; callers
     * without one should not supply a NativePush. `estRows` is
     * bytes/rowBytes — order of magnitude suffices at factor 2.
+    *
+    * Both cost-model inputs are THUNKS, priced only when tier 2 is
+    * actually considered (touched set past the or-chain cap): eager
+    * construction paid one `getContentSummary` per live generation
+    * on EVERY probe call — even with pushdown off or the catalyst
+    * tier engaged — and on the d12 path duplicated the listing its
+    * caller had already done for the pushdown decision.
     */
   final case class NativePush(reader: Seq[Long] => DataFrame,
-      estRows: Long)
+      estRows: () => Long, pageRows: () => Long)
+
+  object NativePush {
+    /** Tier-2 inputs for the index store under `storeDir`, priced
+      * lazily and once: `estRows` from the live manifest bytes
+      * (`knownBytes` when the caller already measured them for its
+      * own pushdown decision), `pageRows` from the store's own
+      * footers ([[storedPageRows]]) — the geometry the files were
+      * WRITTEN with, not whatever this session's conf says.
+      */
+    def forStore(s: SparkSession, storeDir: String, rowBytes: Long,
+        reader: Seq[Long] => DataFrame,
+        knownBytes: Option[Long] = None): NativePush = {
+      lazy val bytes =
+        knownBytes.getOrElse(ArtifactManifest.liveBytes(s, storeDir))
+      lazy val pr = storedPageRows(s, storeDir, "bucket")
+      NativePush(reader, () => bytes / rowBytes, () => pr)
+    }
+  }
+
+  /** WRITE-TIME page geometry of the store's `column` chunks — rows
+    * per page measured from one live file's offset index, NOT the
+    * current session's `graft.index.pageRowLimit`: a store written
+    * before the 2048-row page cap existed (parquet's default is
+    * 20000 rows/page) or under a different session conf would
+    * otherwise be misestimated ~10x by the payoff model, engaging
+    * the native tier where page skipping cannot pay. One footer
+    * read of the newest live generation's first data file; falls
+    * back to the session conf when nothing is readable (empty
+    * store, a writer that disabled column indexes).
+    */
+  private[graft] def storedPageRows(s: SparkSession, dir: String,
+      column: String): Long = {
+    val fallback = pageRowLimit(s).toLong
+    try {
+      val conf = s.sparkContext.hadoopConfiguration
+      val base = new org.apache.hadoop.fs.Path(dir)
+      val fs = base.getFileSystem(conf)
+      val roots = ArtifactManifest.latest(s, dir) match {
+        case Some(p) if p.generations.nonEmpty =>
+          // newest generation first: its geometry is what the next
+          // probe actually reads most of after steady-state appends
+          p.generations.sorted.reverse.map(g =>
+            new org.apache.hadoop.fs.Path(dir, s"ingest=$g"))
+        case _ => Seq(base)
+      }
+      val file = roots.iterator.filter(fs.exists).flatMap { r =>
+        val it = fs.listFiles(r, true)
+        var found: Option[org.apache.hadoop.fs.Path] = None
+        while (found.isEmpty && it.hasNext) {
+          val f = it.next()
+          if (f.getLen > 0 && f.getPath.getName.endsWith(".parquet"))
+            found = Some(f.getPath)
+        }
+        found.iterator
+      }.nextOption()
+      file.fold(fallback) { fp =>
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile
+            .fromPath(fp, conf))
+        try {
+          val blocks = r.getFooter.getBlocks
+          if (blocks.isEmpty) fallback
+          else {
+            import scala.jdk.CollectionConverters._
+            val bm = blocks.get(0)
+            val cc = bm.getColumns.asScala
+              .find(_.getPath.toDotString == column)
+              .getOrElse(bm.getColumns.get(0))
+            val oi = r.readOffsetIndex(cc)
+            if (oi == null || oi.getPageCount <= 0) fallback
+            else math.max(1L, bm.getRowCount / oi.getPageCount)
+          }
+        } finally r.close()
+      }
+    } catch { case scala.util.control.NonFatal(_) => fallback }
+  }
 
   /** Estimated bytes per row of the text index's bucket files
     * (doc_id + band + bucket, encoded + snappy: measured 11-12 B
@@ -505,8 +588,8 @@ object DedupIndex {
       .filter(col("bucket").isNotNull).distinct()
       .limit(cap + 1).as[Long].collect()
     def payoff(np: NativePush): Boolean =
-      bb.length.toLong * pageRowLimit(ss).toLong *
-        skipPayoff(ss) < np.estRows
+      bb.length.toLong * np.pageRows() *
+        skipPayoff(ss) < np.estRows()
     if (bb.isEmpty) stored.filter(lit(false))
     else if (bb.length <= PushMaxValues)
       stored.filter(col("bucket")
@@ -564,7 +647,8 @@ object DedupIndex {
     * gates' `graft.gate.pushdownMinBytes` contract.
     */
   def probe(l: Loaded, newDocs: DataFrame, textCol: String,
-      idCol: String, pushTouched: Boolean = false): DataFrame = {
+      idCol: String, pushTouched: Boolean = false,
+      storeBytes: Option[Long] = None): DataFrame = {
     // The batch bucket subtree appears on both join sides, so its
     // signature pipeline evaluates twice. That is DELIBERATE: a
     // persist here would leak cached state from a library call (the
@@ -579,10 +663,9 @@ object DedupIndex {
       touchedPrune(
         l.buckets.select(col(idCol), col("band"), col("bucket")),
         nb, pushTouched,
-        l.dir.map(d => NativePush(
-          nativeBucketsReader(s, d, idCol),
-          ArtifactManifest.liveBytes(s, s"$d/buckets")
-            / BucketRowBytes))),
+        l.dir.map(d => NativePush.forStore(s, s"$d/buckets",
+          BucketRowBytes, nativeBucketsReader(s, d, idCol),
+          knownBytes = storeBytes))),
       nb, idCol)
   }
 
@@ -927,12 +1010,14 @@ object DedupIndex {
       s"$root/index/buckets")
     val pushInStream = bucketBytes > pushMinBytes
     // the native tier's size estimate is taken ONCE with the
-    // decision: the store only GROWS over the stream, so a start-of-
+    // decision (knownBytes — the listing the pushdown decision just
+    // paid): the store only GROWS over the stream, so a start-of-
     // stream underestimate is conservative (later batches that would
     // clear the payoff bar by more still clear it)
-    val streamNative = NativePush(
+    val streamNative = NativePush.forStore(ss, s"$root/index/buckets",
+      BucketRowBytes,
       nativeBucketsReader(ss, s"$root/index", idCol, rawList = true),
-      bucketBytes / BucketRowBytes)
+      knownBytes = Some(bucketBytes))
     // membership sketch is REBUILT ONCE after the replay, not
     // OR-maintained per micro-batch (one load+agg+save per batch was
     // pure per-batch floor cost at AvailableNow cadence): drop it

@@ -360,11 +360,13 @@ object DedupQueries {
         .map(_.toLong).getOrElse(256L << 20)
       // LIVE generation bytes, not the raw tree: a raw summary counts
       // orphaned un-vacuumed generations and _manifests metadata, so
-      // it can flip the decision on before the live data warrants
-      val pushB =
-        ArtifactManifest.liveBytes(s, s"$dir/buckets") > pushMin
+      // it can flip the decision on before the live data warrants;
+      // the measured bytes ride into probe's native-tier cost model
+      // (storeBytes) so the listing is paid once, not twice
+      val storeB = ArtifactManifest.liveBytes(s, s"$dir/buckets")
+      val pushB = storeB > pushMin
       val cand = DedupIndex.probe(l, arrivals, "text", "doc_id",
-        pushTouched = pushB)
+        pushTouched = pushB, storeBytes = Some(storeB))
       // COST-BASED semi pre-filter of the verify side (the streaming
       // gate's pushdownMinBytes contract, decided from the documents
       // table's physical size): the verify side is a SHINGLE PASS

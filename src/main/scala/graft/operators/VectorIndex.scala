@@ -817,10 +817,12 @@ object VectorIndex {
       }
       // ~300 B/row for the encoded corpus (4 bytes x the 64-float
       // embedding + id/norm/code/bucket) — the cost model only needs
-      // the order of magnitude (factor-8 guard)
+      // the order of magnitude (factor-8 guard); forStore prices the
+      // listing and the footer geometry lazily, only when the
+      // touched set actually overflows the catalyst tier
       DedupIndex.touchedPrune(corpus, enc, push = true,
-        Some(DedupIndex.NativePush(nativeReader,
-          ArtifactManifest.liveBytes(ss, s"$dir/corpus") / 300L)))
+        Some(DedupIndex.NativePush.forStore(ss, s"$dir/corpus", 300L,
+          nativeReader)))
     } else if (storedBits.contains(bits)) corpus
     else corpus.withColumn("bucket",
       SimilarityOps.signBucket("embedding", bits))

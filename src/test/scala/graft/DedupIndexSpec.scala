@@ -124,7 +124,10 @@ class DedupIndexSpec extends SparkSpec {
       val stored = l.buckets
         .select(col("doc_id"), col("band"), col("bucket"))
       def push(estRows: Long) = DedupIndex.NativePush(
-        DedupIndex.nativeBucketsReader(spark, dir, "doc_id"), estRows)
+        DedupIndex.nativeBucketsReader(spark, dir, "doc_id"),
+        () => estRows,
+        () => DedupIndex.storedPageRows(spark, s"$dir/buckets",
+          "bucket"))
       // the cost model refuses the tier when the store cannot repay
       // the page seeks (estRows below values x pageRows x payoff)
       val tooSmall = DedupIndex.touchedPrune(stored, wideDf,
@@ -162,6 +165,49 @@ class DedupIndexSpec extends SparkSpec {
           .contains("GraftParquet"))
         assert(off.count() === stored.count())
       } finally spark.conf.unset("graft.gate.nativePushMaxValues")
+    }
+  }
+
+  test("cost model prices the store's WRITE-TIME page geometry, not " +
+      "the session conf: a store written with small pages engages " +
+      "the native tier where the conf's value would refuse") {
+    withDir { dir =>
+      // a store written with 64-row pages (a legacy / foreign-session
+      // geometry as far as the current conf is concerned)
+      val store = s"$dir/store"
+      spark.range(20000L)
+        .select(col("id").as("doc_id"), lit(0L).as("band"),
+          col("id").as("bucket"))
+        .sortWithinPartitions("bucket").coalesce(1)
+        .write.option("parquet.page.row.count.limit", "64")
+        .parquet(store)
+      val measured = DedupIndex.storedPageRows(spark, store, "bucket")
+      assert(measured >= 32 && measured <= 128,
+        s"expected ~64 rows/page from the footer, got $measured")
+      // with the session conf claiming million-row pages, only the
+      // measured geometry lets the payoff model engage: 1100 values
+      // x 64 x 2 < estRows, while 1100 x 1e6 x 2 would refuse
+      spark.conf.set("graft.index.pageRowLimit", "1000000")
+      try {
+        val wide = spark.range(DedupIndex.PushMaxValues + 76L)
+          .select(col("id").as("bucket"))
+        val stored = spark.read.parquet(store)
+          .select("doc_id", "band", "bucket")
+        val np = DedupIndex.NativePush.forStore(spark, store, 1L,
+          vals => graft.sources.NativeParquetIn
+            .read(spark, store, Seq(store), "bucket", vals)
+            .select("doc_id", "band", "bucket"),
+          knownBytes = Some(10L << 20)) // estRows >> values x 64 x 2
+        val pruned = DedupIndex.touchedPrune(stored, wide,
+          push = true, native = Some(np))
+        assert(pruned.queryExecution.executedPlan.toString
+            .contains("GraftParquet"),
+          "native tier refused under the measured page geometry")
+        // a conf-priced model would have refused here: sanity-pin
+        // that the conf value really is above the engage bar
+        assert((DedupIndex.PushMaxValues + 76L) * 1000000L * 2L >
+          (10L << 20))
+      } finally spark.conf.unset("graft.index.pageRowLimit")
     }
   }
 

@@ -503,6 +503,38 @@ object ArtifactManifest {
     newGen
   }
 
+  /** [[compactGenerations]] with the file layout SIZED from the live
+    * store — the index gates' maintenance entry. Files per partition
+    * = ceil(liveBytes / partitions / `graft.index.targetFileBytes`
+    * (default 512 MiB)); past ONE file per partition the partition's
+    * files are RANGE-split on the sort key (rangeFiles): hash packing
+    * re-scatters every file across the full key space, so pushed
+    * set-probes would degrade toward per-file-exposure × files the
+    * moment a band outgrows one task's file, while disjoint range
+    * slices keep rows-read per touched key ~page-sized at any file
+    * count (the layout the native tier's 3.5× win was measured on).
+    * Below the bar the proven 1-file-per-partition layout is kept —
+    * the sized call is byte-identical to the old fixed call there.
+    * Sort-less artifacts (no gate layout) size file COUNT the same
+    * way but split by row hash — there is no key order to preserve.
+    */
+  def compactGenerationsSized(s: SparkSession, dir: String,
+      partCol: String, sortWithin: Seq[String] = Nil,
+      vacuum: Boolean = true): Long = {
+    val target = s.conf.getOption("graft.index.targetFileBytes")
+      .map(_.toLong).getOrElse(512L << 20)
+    require(target >= 1L,
+      s"graft.index.targetFileBytes must be >= 1 (got $target)")
+    val bytes = liveBytes(s, dir)
+    val nPart =
+      math.max(1, LayoutOps.partitionValueCount(s, dir, partCol))
+    val fpp = math.min(4096L,
+      math.max(1L, (bytes / nPart + target - 1L) / target)).toInt
+    compactGenerations(s, dir, partCol, filesPerPartition = fpp,
+      sortWithin = sortWithin, vacuum = vacuum,
+      rangeFiles = fpp > 1 && sortWithin.nonEmpty)
+  }
+
   /** The clustered plan for one generation of a VERSIONED clustered
     * fact, geometry-validated: range cluster for one key, Morton
     * z-order for several (see [[LayoutOps.clusterWrite]] /

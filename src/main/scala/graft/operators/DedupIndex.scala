@@ -712,8 +712,10 @@ object DedupIndex {
         nextGeneration(s, s"$dir/buckets"))
       if (LayoutOps.ingestGenerations(s, s"$dir/buckets")
           .size >= compactEvery)
-        ArtifactManifest.compactGenerations(s, s"$dir/buckets", "band",
-          sortWithin = Seq("bucket"))
+        // SIZED: past graft.index.targetFileBytes per band the files
+        // range-split on bucket so the pushed probes keep skipping
+        ArtifactManifest.compactGenerationsSized(s, s"$dir/buckets",
+          "band", sortWithin = Seq("bucket"))
     }
   }
 
@@ -1087,8 +1089,8 @@ object DedupIndex {
     // replay, and collapsing the per-batch bucket files is safe.
     if (LayoutOps.ingestGenerations(ss, s"$root/index/buckets")
         .size >= compactEvery)
-      ArtifactManifest.compactGenerations(ss, s"$root/index/buckets",
-        "band", sortWithin = Seq("bucket"))
+      ArtifactManifest.compactGenerationsSized(ss,
+        s"$root/index/buckets", "band", sortWithin = Seq("bucket"))
     // sketch over EVERY ingested id (corpus + all arrivals — the
     // gate appends every batch's buckets, admitted or not): one
     // column-pruned pass per stream, sized fresh

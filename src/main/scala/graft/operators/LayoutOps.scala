@@ -311,6 +311,27 @@ object LayoutOps {
     }.toSeq
   }
 
+  /** Count of distinct `partCol=` partition values across the ingest
+    * generations of an artifact subtree — a driver-side metadata
+    * listing bounded by generations × partition values (bands /
+    * cells: small by construction), never a data scan. The RAW tree
+    * is listed, not the manifest-pinned live set: partition VALUES
+    * are the same across generations (an orphan can at most add a
+    * spurious value, slightly under-sizing files-per-partition — a
+    * layout estimate, not a correctness input).
+    */
+  private[operators] def partitionValueCount(s: SparkSession,
+      partitionedDir: String, partCol: String): Int = {
+    val p = new org.apache.hadoop.fs.Path(partitionedDir)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return 0
+    fs.listStatus(p).map(_.getPath)
+      .filter(_.getName.startsWith("ingest="))
+      .flatMap(g => fs.listStatus(g).map(_.getPath.getName)
+        .filter(_.startsWith(partCol + "=")))
+      .toSet.size
+  }
+
   /** Collapse every ingest generation of an `(ingest, partCol)`-
     * partitioned artifact subtree into ONE — the maintenance pass the
     * append-mode index artifacts need: each appended generation adds

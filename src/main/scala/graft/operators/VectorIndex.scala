@@ -392,8 +392,11 @@ object VectorIndex {
     }
     if (LayoutOps.ingestGenerations(s, s"$dir/corpus")
         .size >= compactEvery)
-      ArtifactManifest.compactGenerations(s, s"$dir/corpus", "cell",
-        sortWithin = l.gateBits.map(_ => "bucket").toSeq)
+      // SIZED: a cell past graft.index.targetFileBytes range-splits
+      // its files on bucket (gate-stamped artifacts) so the pushed
+      // probes keep skipping; ungated corpora split by hash
+      ArtifactManifest.compactGenerationsSized(s, s"$dir/corpus",
+        "cell", sortWithin = l.gateBits.map(_ => "bucket").toSeq)
     tripped
     }
   }
@@ -980,8 +983,9 @@ object VectorIndex {
     // checkpoint-committed here, so nothing can replay
     if (LayoutOps.ingestGenerations(ss, s"$root/index/corpus")
         .size >= compactEvery)
-      ArtifactManifest.compactGenerations(ss, s"$root/index/corpus",
-        "cell", sortWithin = storedBits.map(_ => "bucket").toSeq)
+      ArtifactManifest.compactGenerationsSized(ss,
+        s"$root/index/corpus", "cell",
+        sortWithin = storedBits.map(_ => "bucket").toSeq)
     // sketch over every ingested vec id (corpus + all arrivals): one
     // column-pruned pass per stream, sized fresh
     DedupIndex.buildMembers(e0, "vec_id", s"$root/index")

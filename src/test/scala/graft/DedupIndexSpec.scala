@@ -564,6 +564,98 @@ class DedupIndexSpec extends SparkSpec {
     }
   }
 
+  test("sized maintenance: a band past graft.index.targetFileBytes " +
+      "range-splits into multiple files with DISJOINT bucket slices; " +
+      "below the bar the 1-file layout is kept; probes unchanged") {
+    val docs = Tables.documents(spark, d)
+    withDir { dir =>
+      DedupIndex.build(docs.filter(col("doc_id") < splitId),
+        "text", "doc_id", k, rpb, dir)
+      // a few KB per band vs a tiny target: the append-triggered
+      // compaction must flip to multi-file range slices
+      spark.conf.set("graft.index.targetFileBytes", "2048")
+      try DedupIndex.append(spark, dir,
+        docs.filter(col("doc_id") >= splitId), "text", "doc_id",
+        compactEvery = 2)
+      finally spark.conf.unset("graft.index.targetFileBytes")
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val g = graft.operators.ArtifactManifest
+        .latest(spark, s"$dir/buckets").get.generations.max
+      val bandDirs = fs.listStatus(
+          new org.apache.hadoop.fs.Path(s"$dir/buckets/ingest=$g"))
+        .map(_.getPath).filter(_.getName.startsWith("band="))
+      assert(bandDirs.nonEmpty)
+      val fileCounts = bandDirs.map(b => fs.globStatus(
+        new org.apache.hadoop.fs.Path(s"$b/part-*")).length)
+      assert(fileCounts.exists(_ > 1),
+        s"no band flipped to multi-file: ${fileCounts.toSeq}")
+      // within each band: files sorted, pairwise-disjoint bucket
+      // ranges — the layout the pushed set-probes stay page-sized on
+      bandDirs.foreach { b =>
+        val ranges = fs.globStatus(
+            new org.apache.hadoop.fs.Path(s"$b/part-*"))
+          .map(_.getPath).flatMap { f =>
+            val ks = spark.read.parquet(f.toString)
+              .select("bucket").as[Long].collect()
+            assert(ks.sameElements(ks.sorted), s"unsorted file $f")
+            if (ks.isEmpty) None else Some((ks.min, ks.max))
+          }.sortBy(_._1)
+        ranges.sliding(2).foreach {
+          case Array((_, hi), (lo2, _)) =>
+            assert(hi < lo2,
+              s"overlapping bucket slices in $b: ${ranges.toSeq}")
+          case _ => ()
+        }
+      }
+      // the range-laid index stays equivalent to a fresh full build
+      val stored = DedupIndex.load(spark, dir).buckets
+        .select("doc_id", "band", "bucket")
+        .as[(Long, Long, Long)].collect().toSeq.sorted
+      val fresh = DedupOps.lshBuckets(
+          DedupOps.withMinHash(docs, "text", k), "doc_id", k, rpb)
+        .as[(Long, Long, Long)].collect().toSeq.sorted
+      assert(stored === fresh)
+      // and probes through it are decision-identical (batch-run
+      // contract over the grown corpus)
+      val again = docs.filter(col("doc_id") >= 450)
+        .withColumn("doc_id", col("doc_id") + 1000)
+      val probed = DedupIndex.probe(DedupIndex.load(spark, dir),
+          again, "text", "doc_id", pushTouched = true)
+        .as[(Long, Long)].collect().toSeq.sorted
+      val expected = DedupOps.lshCandidatePairs(
+          DedupOps.lshBuckets(
+            DedupOps.withMinHash(docs.unionByName(again), "text", k),
+            "doc_id", k, rpb),
+          "doc_id")
+        .filter(col("a") >= 1000L || col("b") >= 1000L)
+        .as[(Long, Long)].collect().toSeq.sorted
+      assert(probed === expected)
+    }
+    // below the bar (the 512 MiB default): the sized call keeps the
+    // proven single-file-per-band layout byte-for-byte
+    withDir { dir =>
+      DedupIndex.build(Tables.documents(spark, d)
+          .filter(col("doc_id") < splitId),
+        "text", "doc_id", k, rpb, dir)
+      DedupIndex.append(spark, dir,
+        Tables.documents(spark, d).filter(col("doc_id") >= splitId),
+        "text", "doc_id", compactEvery = 2)
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val g = graft.operators.ArtifactManifest
+        .latest(spark, s"$dir/buckets").get.generations.max
+      fs.listStatus(
+          new org.apache.hadoop.fs.Path(s"$dir/buckets/ingest=$g"))
+        .map(_.getPath).filter(_.getName.startsWith("band="))
+        .foreach { b =>
+          assert(fs.globStatus(
+            new org.apache.hadoop.fs.Path(s"$b/part-*")).length === 1,
+            s"below-bar band $b not a single file")
+        }
+    }
+  }
+
   test("streaming ingest gate: ordered micro-batches ≡ the batch gate") {
     val docs = Tables.documents(spark, d)
     withDir { root =>

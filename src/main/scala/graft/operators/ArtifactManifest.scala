@@ -521,10 +521,8 @@ object ArtifactManifest {
   def compactGenerationsSized(s: SparkSession, dir: String,
       partCol: String, sortWithin: Seq[String] = Nil,
       vacuum: Boolean = true): Long = {
-    val target = s.conf.getOption("graft.index.targetFileBytes")
-      .map(_.toLong).getOrElse(512L << 20)
-    require(target >= 1L,
-      s"graft.index.targetFileBytes must be >= 1 (got $target)")
+    val target =
+      Knobs.long(s, "graft.index.targetFileBytes", 512L << 20, min = 1)
     val bytes = liveBytes(s, dir)
     val nPart =
       math.max(1, LayoutOps.partitionValueCount(s, dir, partCol))

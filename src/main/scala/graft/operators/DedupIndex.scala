@@ -384,10 +384,10 @@ object DedupIndex {
     * clamp to it).
     */
   private[graft] def nativePushMax(s: SparkSession): Int =
-    math.min(graft.sources.NativeParquetIn.MaxValues,
-      s.conf.getOption("graft.gate.nativePushMaxValues")
-        .map(_.toInt)
-        .getOrElse(graft.sources.NativeParquetIn.MaxValues))
+    math.min(graft.sources.NativeParquetIn.MaxValues.toLong,
+      Knobs.long(s, "graft.gate.nativePushMaxValues",
+        graft.sources.NativeParquetIn.MaxValues.toLong, min = 0))
+      .toInt
 
   /** The native tier's re-reader plus the cost-model input that
     * decides whether the push can PAY at this store size: a touched
@@ -503,8 +503,7 @@ object DedupIndex {
   private[graft] val BucketRowBytes = 12L
 
   private def skipPayoff(s: SparkSession): Long =
-    s.conf.getOption("graft.gate.nativeSkipPayoff")
-      .map(_.toLong).getOrElse(2L)
+    Knobs.long(s, "graft.gate.nativeSkipPayoff", 2L, min = 0)
 
   /** Write-side page granularity of the index artifacts' bucket/
     * corpus files (`parquet.page.row.count.limit`, default 2048 vs
@@ -516,7 +515,7 @@ object DedupIndex {
     * page-header/column-index share grows, <1% of the tree).
     */
   private[operators] def pageRowLimit(s: SparkSession): String =
-    s.conf.getOption("graft.index.pageRowLimit").getOrElse("2048")
+    Knobs.long(s, "graft.index.pageRowLimit", 2048L, min = 1).toString
 
   /** `stored` narrowed to the batch's TOUCHED bucket values, pushed
     * into the parquet scan as an In filter — the text twin of
@@ -994,9 +993,8 @@ object DedupIndex {
     // twice (measured 13.6 → 4.1 s at a 2M-doc store — ScaleProbe
     // `gate decisions`); below it the plain single-scan join is
     // strictly cheaper than an extra probe-join evaluation per batch.
-    val pushMinBytes = ss.conf
-      .getOption("graft.gate.pushdownMinBytes")
-      .map(_.toLong).getOrElse(256L << 20)
+    val pushMinBytes = Knobs.long(ss,
+      "graft.gate.pushdownMinBytes", 256L << 20, min = 0)
     val semiInStream = {
       val p = new org.apache.hadoop.fs.Path(s"$root/grams")
       fs.getContentSummary(p).getLength > pushMinBytes

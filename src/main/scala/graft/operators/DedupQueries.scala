@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{ArtifactManifest, DedupIndex, DedupOps,
+import graft.operators.{ArtifactManifest, DedupIndex, DedupOps, Knobs,
   TempArtifacts, TextOps, VectorIndex}
 
 /** Deduplication inventory over `documents`: exact content-hash dedup,
@@ -229,8 +229,8 @@ object DedupQueries {
       val bytes = docsP
         .getFileSystem(s.sparkContext.hadoopConfiguration)
         .getContentSummary(docsP).getLength
-      val maxB = s.conf.getOption("graft.decontam.broadcastMaxBytes")
-        .map(_.toLong).getOrElse(128L << 20)
+      val maxB = Knobs.long(s,
+        "graft.decontam.broadcastMaxBytes", 128L << 20, min = 0)
       DedupQueries.decontamJoined(documents(s, d),
           useBloom = bytes > maxB,
           evalKeysHint = Some(math.max(1L, bytes / 160)))
@@ -356,8 +356,8 @@ object DedupQueries {
       // `text gate scan`); below it the extra evaluation of the
       // batch's signature subtree for the touched-set collect costs
       // more than the whole store scan.
-      val pushMin = s.conf.getOption("graft.gate.pushdownMinBytes")
-        .map(_.toLong).getOrElse(256L << 20)
+      val pushMin = Knobs.long(s,
+        "graft.gate.pushdownMinBytes", 256L << 20, min = 0)
       // LIVE generation bytes, not the raw tree: a raw summary counts
       // orphaned un-vacuumed generations and _manifests metadata, so
       // it can flip the decision on before the live data warrants;

@@ -642,8 +642,8 @@ object PartitionedCdc {
   private def deadStaging(s: SparkSession,
       st: org.apache.hadoop.fs.FileStatus, newest: Int): Boolean =
     stagedVersionOf(st.getPath.getName).exists { sv =>
-      val horizonMs = s.conf.getOption("graft.cdc.stagedReapHorizonMs")
-        .map(_.toLong).getOrElse(3600000L)
+      val horizonMs = Knobs.long(s,
+        "graft.cdc.stagedReapHorizonMs", 3600000L, min = 0)
       sv < newest &&
         System.currentTimeMillis() - st.getModificationTime > horizonMs
     }

@@ -677,8 +677,8 @@ object VectorIndex {
     */
   private def judgeAdcBands(s: SparkSession, dir: String,
       bands: DataFrame): Unit = {
-    val minRecall = s.conf.getOption("graft.gate.adcMinRecall")
-      .map(_.toDouble).getOrElse(1.0)
+    val minRecall =
+      Knobs.double(s, "graft.gate.adcMinRecall", 1.0, 0.0, 1.0)
     val bad = bands.filter(col("recall") < minRecall)
       .orderBy(col("recall")).limit(1).collect()
     if (bad.nonEmpty) throw new IllegalStateException(
@@ -693,7 +693,7 @@ object VectorIndex {
   }
 
   private def adcForced(s: SparkSession): Boolean =
-    s.conf.getOption("graft.gate.adcForce").contains("true")
+    Knobs.flag(s, "graft.gate.adcForce")
 
   /** The SANCTIONED constructor of the ADC shortlist flag for an
     * artifact: refuses loudly unless a fresh, geometry-matching
@@ -913,9 +913,8 @@ object VectorIndex {
     // is strictly cheaper. The one-shot batch gate (s13) always
     // pushes: its single collect is plan-construction cost, and the
     // plan spec pins the pushed shape there.
-    val pushMinBytes = ss.conf
-      .getOption("graft.gate.pushdownMinBytes")
-      .map(_.toLong).getOrElse(256L << 20)
+    val pushMinBytes = Knobs.long(ss,
+      "graft.gate.pushdownMinBytes", 256L << 20, min = 0)
     val pushInStream = {
       val p = new org.apache.hadoop.fs.Path(s"$root/index/corpus")
       p.getFileSystem(ss.sparkContext.hadoopConfiguration)

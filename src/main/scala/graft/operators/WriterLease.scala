@@ -82,9 +82,10 @@ object WriterLease {
     p.getFileSystem(s.sparkContext.hadoopConfiguration)
 
   private def stealHorizonMs(s: SparkSession): Long =
-    s.conf.getOption("graft.lease.stealHorizonMs")
-      .orElse(s.conf.getOption("graft.cdc.leaseStealHorizonMs"))
-      .map(_.toLong).getOrElse(900000L)
+    if (s.conf.getOption("graft.lease.stealHorizonMs").isDefined)
+      Knobs.long(s, "graft.lease.stealHorizonMs", 900000L, min = 1)
+    else
+      Knobs.long(s, "graft.cdc.leaseStealHorizonMs", 900000L, min = 1)
 
   private def tokenOf(fs: FileSystem, lp: Path): Option[String] =
     try {

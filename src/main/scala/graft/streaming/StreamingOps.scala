@@ -238,8 +238,9 @@ object StreamingOps {
     * constant.
     */
   def streamSession(spark: SparkSession): SparkSession = {
-    val parts = spark.conf.getOption("graft.stream.statePartitions")
-      .getOrElse("8")
+    val parts = graft.operators.Knobs.long(spark,
+      "graft.stream.statePartitions", 8L, min = 1, max = 1000000)
+      .toString
     val child = spark.newSession()
     child.conf.set("spark.sql.shuffle.partitions", parts)
     child

@@ -1,0 +1,111 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{DedupIndex, Knobs, WriterLease}
+
+/** The knob surface's refuse-loudly contract: every `graft.*`
+  * session override parses through [[Knobs]], so a typo'd or
+  * pathological value names its key and legal range instead of
+  * silently degrading the behavior the knob protects. Documented
+  * sentinels (0 = force / disable) stay legal.
+  */
+class KnobsSpec extends SparkSpec {
+
+  private def withConf[A](key: String, v: String)(f: => A): A = {
+    spark.conf.set(key, v)
+    try f finally spark.conf.unset(key)
+  }
+
+  private def refused(key: String, v: String)(f: => Any): Unit =
+    withConf(key, v) {
+      val e = intercept[IllegalArgumentException](f)
+      assert(e.getMessage.contains(key),
+        s"refusal does not name the key: ${e.getMessage}")
+    }
+
+  test("each knob refuses its pathological value naming the key; " +
+      "documented sentinels stay legal") {
+    // numeric garbage names the key instead of a bare
+    // NumberFormatException from inside a gate
+    refused("graft.gate.nativeSkipPayoff", "fast")(
+      Knobs.long(spark, "graft.gate.nativeSkipPayoff", 2L, min = 0))
+    // a negative payoff factor would force-engage the tier everywhere
+    refused("graft.gate.nativeSkipPayoff", "-1")(
+      Knobs.long(spark, "graft.gate.nativeSkipPayoff", 2L, min = 0))
+    // 0 is the documented force sentinel — legal
+    withConf("graft.gate.nativeSkipPayoff", "0") {
+      assert(Knobs.long(spark, "graft.gate.nativeSkipPayoff", 2L,
+        min = 0) === 0L)
+    }
+    refused("graft.gate.nativePushMaxValues", "-5")(
+      Knobs.long(spark, "graft.gate.nativePushMaxValues", 65536L,
+        min = 0))
+    refused("graft.gate.pushdownMinBytes", "-1")(
+      Knobs.long(spark, "graft.gate.pushdownMinBytes", 256L << 20,
+        min = 0))
+    refused("graft.decontam.broadcastMaxBytes", "128MB")(
+      Knobs.long(spark, "graft.decontam.broadcastMaxBytes",
+        128L << 20, min = 0))
+    // zero-row pages would wedge the index writers
+    refused("graft.index.pageRowLimit", "0")(
+      Knobs.long(spark, "graft.index.pageRowLimit", 2048L, min = 1))
+    refused("graft.index.targetFileBytes", "0")(
+      Knobs.long(spark, "graft.index.targetFileBytes", 512L << 20,
+        min = 1))
+    refused("graft.cdc.stagedReapHorizonMs", "-2")(
+      Knobs.long(spark, "graft.cdc.stagedReapHorizonMs", 3600000L,
+        min = 0))
+    // a recall bar outside [0, 1] can never refuse (negative) or
+    // never admit (> 1) — both silently defeat the report
+    refused("graft.gate.adcMinRecall", "-0.5")(
+      Knobs.double(spark, "graft.gate.adcMinRecall", 1.0, 0.0, 1.0))
+    refused("graft.gate.adcMinRecall", "1.5")(
+      Knobs.double(spark, "graft.gate.adcMinRecall", 1.0, 0.0, 1.0))
+    refused("graft.gate.adcMinRecall", "NaN")(
+      Knobs.double(spark, "graft.gate.adcMinRecall", 1.0, 0.0, 1.0))
+    // contains("true") used to read a typo'd TRUE as FALSE — the
+    // override the operator believed they set, silently dropped
+    refused("graft.gate.adcForce", "TRUE")(
+      Knobs.flag(spark, "graft.gate.adcForce"))
+    withConf("graft.gate.adcForce", "true") {
+      assert(Knobs.flag(spark, "graft.gate.adcForce"))
+    }
+  }
+
+  test("wired paths refuse: a zero steal horizon would make every " +
+      "live writer's lease instantly stealable — the second acquire " +
+      "refuses the conf instead of stealing") {
+    withTempDir("graft-knob-lease") { root =>
+      val a = WriterLease.acquire(spark, root)
+      try refused("graft.lease.stealHorizonMs", "0")(
+        WriterLease.acquire(spark, root))
+      finally WriterLease.release(spark, a)
+    }
+  }
+
+  test("wired paths refuse: stream state-partition count must be a " +
+      "positive integer (a zero-partition child session would fail " +
+      "obscurely inside the state store)") {
+    refused("graft.stream.statePartitions", "0")(
+      graft.streaming.StreamingOps.streamSession(spark))
+    refused("graft.stream.statePartitions", "many")(
+      graft.streaming.StreamingOps.streamSession(spark))
+  }
+
+  test("wired paths refuse: the native tier's knobs are validated at " +
+      "the tier decision, not deep in the scan") {
+    import spark.implicits._
+    val stored = Seq((1L, 0L, 10L), (2L, 0L, 20L))
+      .toDF("doc_id", "band", "bucket")
+    val wide = spark.range(DedupIndex.PushMaxValues + 10L)
+      .select(col("id").as("bucket"))
+    val np = DedupIndex.NativePush(
+      _ => stored, () => Long.MaxValue, () => 2048L)
+    refused("graft.gate.nativePushMaxValues", "lots")(
+      DedupIndex.touchedPrune(stored, wide, push = true,
+        native = Some(np)))
+    refused("graft.gate.nativeSkipPayoff", "-1")(
+      DedupIndex.touchedPrune(stored, wide, push = true,
+        native = Some(np)))
+  }
+}

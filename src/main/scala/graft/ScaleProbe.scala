@@ -771,6 +771,192 @@ object ScaleProbe {
       rmTree(java.nio.file.Paths.get(tRoot))
     }
 
+    // INTERLEAVED native/full A/B of the WIDE probe — the cost-gate
+    // boundary instrument (round-19 backlog #1). The sequential wide
+    // probe above samples each leg once, so ambient drift between
+    // the two legs confounds exactly the regime in question: the
+    // 128M one-file-per-band point (store/matching ratio 6.2) read
+    // "median ~1.2x ahead, one leg 1.26x behind" across five
+    // SEPARATE runs. Here the legs alternate native, full, native,
+    // full ... inside ONE JVM so both sides sample the same ambient
+    // band — tools/ab.sh's ritual, but for the tier decision. Two
+    // ratio points bracket the shipped factor-2 boundary on the
+    // 1-file-per-band layout: 64M rows (ratio 3.1 — just above the
+    // gate, the claimed possible loss band) and 128M (ratio 6.2 —
+    // the ambiguous calibration point). A clean native loss that
+    // survives every interleaved pair at a ratio point means the
+    // payoff factor must rise past that ratio; overlapping bands
+    // mean the factor stays.
+    if (want("text gate wide AB (64M)", "text gate wide AB (128M)"))
+      locally {
+      val bands = 8
+      val groups = 65536L
+      val tRoot = java.nio.file.Files
+        .createTempDirectory("graft-probe-tgateab").toString
+      def buckets(docs: org.apache.spark.sql.Dataset[_], g: String) =
+        docs.select(col("id").as("doc_id"),
+            explode(expr(s"sequence(0L, ${bands - 1}L)")).as("band"),
+            expr(g).as("g"))
+          .withColumn("bucket", pmod(
+            xxhash64(col("band"), col("g")), lit(1L << 60)))
+          .drop("g")
+      def noop(df: org.apache.spark.sql.DataFrame): Unit =
+        df.write.format("noop").mode("overwrite").save()
+      Seq((8000000L, "64M"), (16000000L, "128M")).foreach {
+        case (nd, lbl) =>
+          if (want(s"text gate wide AB ($lbl)")) {
+            val dir = s"$tRoot/c$lbl"
+            buckets(spark.range(nd), s"pmod(id, $groups)")
+              .withColumn("ingest", lit(0L))
+              .repartition(col("band"))
+              .sortWithinPartitions(col("band"), col("bucket"))
+              .write.option("parquet.page.row.count.limit", "2048")
+              .partitionBy("ingest", "band").parquet(dir)
+            val bbs = (0 until 3).map { b =>
+              val bb = buckets(
+                spark.range(900000000L + b * 2000L,
+                  900000000L + (b + 1) * 2000L),
+                s"pmod(id, 1250) + ${b * 1250}").persist()
+              bb.count(); bb
+            }
+            def stored() = spark.read.parquet(dir)
+              .withColumn("band", col("band").cast("long"))
+              .select(col("doc_id"), col("band"), col("bucket"))
+            val estRows = {
+              val p = new org.apache.hadoop.fs.Path(dir)
+              p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+                .getContentSummary(p).getLength /
+                graft.operators.DedupIndex.BucketRowBytes
+            }
+            val native = graft.operators.DedupIndex.NativePush(
+              vals => graft.sources.NativeParquetIn
+                .read(spark, dir, Seq(dir), "bucket", vals)
+                .withColumn("band", col("band").cast("long"))
+                .select(col("doc_id"), col("band"), col("bucket")),
+              () => estRows,
+              () => graft.operators.DedupIndex.storedPageRows(
+                spark, dir, "bucket"))
+            def leg(nat: Boolean): Double = {
+              // FORCE the tier on the native leg (payoff = 0, the
+              // documented sentinel): the instrument measures where
+              // the boundary SHOULD sit, so the shipped gate must
+              // not pre-empt the leg it is being calibrated against
+              // (at the 64M point the factor-2 gate refuses, and an
+              // un-forced native leg silently re-measures the full
+              // scan)
+              if (nat) spark.conf
+                .set("graft.gate.nativeSkipPayoff", "0")
+              try {
+                val t0 = System.nanoTime()
+                bbs.foreach(bb => noop(graft.operators.DedupIndex
+                  .probePairs(graft.operators.DedupIndex
+                    .touchedPrune(stored(), bb, push = true,
+                      if (nat) Some(native) else None),
+                    bb, "doc_id")))
+                (System.nanoTime() - t0) / 1e9
+              } finally if (nat) spark.conf
+                .unset("graft.gate.nativeSkipPayoff")
+            }
+            val pairs = (1 to 4).map { i =>
+              val nt = leg(nat = true)
+              val fl = leg(nat = false)
+              println(f"text gate wide AB ($lbl) pair $i: " +
+                f"native $nt%.1f s, full $fl%.1f s " +
+                f"(native/full ${nt / fl}%.2f)")
+              (nt, fl)
+            }
+            val (nts, fls) = (pairs.map(_._1).sorted,
+              pairs.map(_._2).sorted)
+            println(f"text gate wide AB ($lbl) bands: native " +
+              f"[${nts.head}%.1f, ${nts.last}%.1f] full " +
+              f"[${fls.head}%.1f, ${fls.last}%.1f] — ratio " +
+              f"${estRows / 10000.0 / 2048.0}%.1f")
+            bbs.foreach(_.unpersist())
+          }
+      }
+      rmTree(java.nio.file.Paths.get(tRoot))
+    }
+
+    // DECONTAMINATION gram path: can the native set-push replace (or
+    // compose with) the bloom-prune tier? (round-19 backlog #2). The
+    // regimes differ by eval-set cardinality: the bloom tier exists
+    // for eval gram sets past the broadcast budget (10^8+ keys),
+    // which is ~4 orders of magnitude past the UDP's 65536-value
+    // conf cap — the push can only ever serve the SMALL-eval regime,
+    // and there only against a gram-SORTED stored training artifact
+    // (d10 computes grams inline, unsorted: min/max spans everything,
+    // pages never drop). This probe measures that best case: a
+    // 128M-row (doc_id, g) store sorted by g at 2048-row pages,
+    // 20k eval gram values, interleaved legs:
+    //  - broadcast: full scan, exact broadcast join (what d10's
+    //    non-bloom tier already does at this cardinality)
+    //  - bloom:     full scan, codegen'd bloom probe, exact join
+    //    (drops rows AFTER the read, saves only downstream work)
+    //  - native:    UDP-pushed scan (drops PAGES before decode),
+    //    exact broadcast join above it
+    // MEASURED (3 interleaved triples): broadcast 2.3-3.9 s, bloom
+    // 2.9-3.6 s, native 1.0-1.3 s — the push wins its best case
+    // ~2.5-3x, and bloom TIES broadcast here (at small eval sets the
+    // downstream join is already a cheap broadcast; bloom only pays
+    // past the broadcast budget). DECISION: REJECTED for d10 — the
+    // two tiers serve DISJOINT regimes (bloom: eval sets past the
+    // broadcast budget, far past the 65536-value conf cap; push:
+    // small sets against a gram-SORTED persisted artifact that no
+    // d10 deployment maintains — d10 shingles inline, unsorted, so
+    // pages never drop). The numbers stay recorded for the day a
+    // decontamination service persists a sorted gram artifact; d10's
+    // tiers (broadcast under the budget, bloom past it) stand.
+    if (want("decontam gram push (128M)")) locally {
+      val gRoot = java.nio.file.Files
+        .createTempDirectory("graft-probe-dgram").toString
+      val dir = s"$gRoot/grams"
+      val nRows = 128000000L
+      val evalN = 20000
+      // 60-bit scattered gram hashes; ~1 training row in 6400 shares
+      // a gram with the eval set (contamination is rare)
+      spark.range(nRows)
+        .select((col("id") / 10).cast("long").as("doc_id"),
+          pmod(xxhash64(pmod(col("id"), lit(evalN.toLong * 6400))),
+            lit(1L << 60)).as("g"))
+        .repartitionByRange(64, col("g"))
+        .sortWithinPartitions(col("g"))
+        .write.option("parquet.page.row.count.limit", "2048")
+        .parquet(dir)
+      val evalG = spark.range(evalN.toLong)
+        .select(pmod(xxhash64(col("id") * 6400), lit(1L << 60))
+          .as("g")).persist()
+      val evalVals = evalG.as[Long].collect().toIndexedSeq
+      def stored() = spark.read.parquet(dir)
+      def noop(df: org.apache.spark.sql.DataFrame): Unit =
+        df.write.format("noop").mode("overwrite").save()
+      val (bits, kh) = graft.operators.BloomPrune.buildSized(
+        evalG, "g", expectedKeys = evalN.toLong, fpp = 0.02)
+      def leg(kind: String): Double = {
+        val t0 = System.nanoTime()
+        kind match {
+          case "broadcast" =>
+            noop(stored().join(broadcast(evalG), Seq("g")))
+          case "bloom" =>
+            noop(graft.operators.BloomPrune
+              .prune(stored(), "g", bits, kh)
+              .join(broadcast(evalG), Seq("g")))
+          case "native" =>
+            noop(graft.sources.NativeParquetIn
+              .read(spark, dir, Seq(dir), "g", evalVals)
+              .join(broadcast(evalG), Seq("g")))
+        }
+        (System.nanoTime() - t0) / 1e9
+      }
+      (1 to 3).foreach { i =>
+        val b = leg("broadcast"); val bl = leg("bloom")
+        val nt = leg("native")
+        println(f"decontam gram push (128M) pair $i: broadcast " +
+          f"$b%.1f s, bloom $bl%.1f s, native $nt%.1f s")
+      }
+      evalG.unpersist()
+      rmTree(java.nio.file.Paths.get(gRoot))
+    }
+
     // Membership sketch at index scale: 20M-key sizing, a 10x append
     // burst past it, and the refreshMembers recovery — the three
     // lifecycle phases measured, plus the j8-style fact-scan

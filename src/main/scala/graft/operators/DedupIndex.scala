@@ -398,12 +398,22 @@ object DedupIndex {
     * matching-page rows x payoff factor < estRows — default factor
     * 2, `graft.gate.nativeSkipPayoff` (0 forces the tier on).
     * Calibration (ScaleProbe `text gate scan wide`, the GATE-shaped
-    * probe-join legs): 10k values on a 128M-row store
-    * (store/matching ratio 6.2 — page skipping ~nil, the join
-    * probes only filter-surviving rows) sit INSIDE the ambient band,
-    * median ~1.2x ahead over five runs with one 1.26x-behind leg;
-    * on a range-sliced 512M store (ratio 25, real page skipping)
-    * they win 3.5x unambiguously. The
+    * probe-join legs; round 19 re-ran both points as INTERLEAVED
+    * native/full pairs inside one JVM — `text gate wide AB` — so
+    * both sides sample the same ambient): at estimated ratio 2.7
+    * (128M rows, 10k values, one sorted file per band) the native
+    * leg won EVERY interleaved pair across two JVMs (8 pairs,
+    * native/full 0.61-0.83, bands fully separated) — the r18
+    * "ambient band" reading was noise across separate runs; at
+    * estimated ratio 1.3 (64M, tier force-engaged past the gate)
+    * the pairs straddle 1.0 (0.87-1.22, overlapping bands) — net
+    * neutral, so the factor-2 refusal there costs nothing; on a
+    * range-sliced 512M store they win 3.0-3.5x unambiguously. The
+    * factor-2 default is therefore PINNED: below it the tier is
+    * noise, above it a clean win. (estRows from bytes/rowBytes
+    * UNDERestimates true rows up to ~2.4x on hard-compressing
+    * stores — runs of equal buckets RLE well — which only biases
+    * toward refusal, the safe side.) The
     * bare SCAN-only shape at ratio 6.2 measures a 1.2x LOSS (seeks
     * eat the IO saved; decode is CPU-bound warm) — the tier's payoff
     * is the downstream join, which every gate path has; callers

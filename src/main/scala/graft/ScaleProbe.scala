@@ -877,6 +877,87 @@ object ScaleProbe {
       rmTree(java.nio.file.Paths.get(tRoot))
     }
 
+    // RANGE-FLIP flatness: the sized compaction's claim is that once
+    // a band outgrows one file, RANGE-split files keep the pushed
+    // probe's cost ~flat (each touched key still lands in ~one
+    // page's worth of one file) while a HASH split degrades toward
+    // per-file-exposure x files (every file covers the full key
+    // space, so every touched key pays a page in EVERY file). Same
+    // 128M store, same 10k-value batches, three layouts, pushed
+    // probe on each — the row that justifies
+    // ArtifactManifest.compactGenerationsSized flipping rangeFiles on
+    // past the size bar instead of hash-packing.
+    // MEASURED: 1file 23.3 s, range4 22.2 s (FLAT across the flip),
+    // hash4 33.6 s (1.5x degraded) — per-file exposure is real and
+    // the range slices erase it.
+    if (want("range flip pushed 1file (128M)",
+        "range flip pushed range4 (128M)",
+        "range flip pushed hash4 (128M)")) locally {
+      val bands = 8
+      val groups = 65536L
+      val fRoot = java.nio.file.Files
+        .createTempDirectory("graft-probe-rflip").toString
+      def buckets(docs: org.apache.spark.sql.Dataset[_], g: String) =
+        docs.select(col("id").as("doc_id"),
+            explode(expr(s"sequence(0L, ${bands - 1}L)")).as("band"),
+            expr(g).as("g"))
+          .withColumn("bucket", pmod(
+            xxhash64(col("band"), col("g")), lit(1L << 60)))
+          .drop("g")
+      def noop(df: org.apache.spark.sql.DataFrame): Unit =
+        df.write.format("noop").mode("overwrite").save()
+      val corpus = buckets(spark.range(16000000L),
+        s"pmod(id, $groups)").withColumn("ingest", lit(0L))
+      val layouts = Seq(
+        "1file" -> corpus.repartition(col("band")),
+        "range4" -> corpus.repartitionByRange(bands * 4,
+          col("band"), col("bucket")),
+        "hash4" -> corpus.repartition(col("band"),
+          pmod(hash(col("doc_id"), col("band"), col("bucket")),
+            lit(4))))
+      val bbs = (0 until 3).map { b =>
+        val bb = buckets(
+          spark.range(900000000L + b * 2000L,
+            900000000L + (b + 1) * 2000L),
+          s"pmod(id, 1250) + ${b * 1250}").persist()
+        bb.count(); bb
+      }
+      layouts.foreach { case (lbl, laid) =>
+        if (want(s"range flip pushed $lbl (128M)")) {
+          val dir = s"$fRoot/c$lbl"
+          laid.sortWithinPartitions(col("band"), col("bucket"))
+            .write.option("parquet.page.row.count.limit", "2048")
+            .partitionBy("ingest", "band").parquet(dir)
+          def stored() = spark.read.parquet(dir)
+            .withColumn("band", col("band").cast("long"))
+            .select(col("doc_id"), col("band"), col("bucket"))
+          val estRows = {
+            val p = new org.apache.hadoop.fs.Path(dir)
+            p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+              .getContentSummary(p).getLength /
+              graft.operators.DedupIndex.BucketRowBytes
+          }
+          val native = graft.operators.DedupIndex.NativePush(
+            vals => graft.sources.NativeParquetIn
+              .read(spark, dir, Seq(dir), "bucket", vals)
+              .withColumn("band", col("band").cast("long"))
+              .select(col("doc_id"), col("band"), col("bucket")),
+            () => estRows,
+            () => graft.operators.DedupIndex.storedPageRows(
+              spark, dir, "bucket"))
+          time(s"range flip pushed $lbl (128M)",
+              16000000L * bands * 3) {
+            bbs.foreach(bb => noop(graft.operators.DedupIndex
+              .probePairs(graft.operators.DedupIndex
+                .touchedPrune(stored(), bb, push = true,
+                  Some(native)), bb, "doc_id")))
+          }
+        }
+      }
+      bbs.foreach(_.unpersist())
+      rmTree(java.nio.file.Paths.get(fRoot))
+    }
+
     // DECONTAMINATION gram path: can the native set-push replace (or
     // compose with) the bloom-prune tier? (round-19 backlog #2). The
     // regimes differ by eval-set cardinality: the bloom tier exists

@@ -443,8 +443,15 @@ object DedupIndex {
         knownBytes: Option[Long] = None): NativePush = {
       lazy val bytes =
         knownBytes.getOrElse(ArtifactManifest.liveBytes(s, storeDir))
-      lazy val pr = storedPageRows(s, storeDir, "bucket")
-      NativePush(reader, () => bytes / rowBytes, () => pr)
+      // ONE lazy footer read serves both geometry inputs; bytes/row
+      // is MEASURED too (block compressedSize / rowCount) because
+      // the constant estimate under-counts rows up to ~2.4x on
+      // hard-RLE stores (runs of equal buckets), pushing the payoff
+      // model toward refusing wins (`rowBytes` stays the fallback
+      // for unreadable footers)
+      lazy val geo = storedPageGeometry(s, storeDir, "bucket",
+        rowBytes)
+      NativePush(reader, () => bytes / geo._2, () => geo._1)
     }
   }
 
@@ -460,8 +467,21 @@ object DedupIndex {
     * store, a writer that disabled column indexes).
     */
   private[graft] def storedPageRows(s: SparkSession, dir: String,
-      column: String): Long = {
-    val fallback = pageRowLimit(s).toLong
+      column: String): Long =
+    storedPageGeometry(s, dir, column, rowBytesFallback = 1L)._1
+
+  /** (rows per page of `column`, compressed bytes per row) measured
+    * from one live file's footer — the cost model's two physical
+    * inputs from ONE metadata read. See [[storedPageRows]]'s doc for
+    * why measured beats the session conf; bytes/row additionally
+    * replaces the constant [[BucketRowBytes]]-style estimate, which
+    * under-counts rows up to ~2.4x where runs of equal bucket
+    * values RLE-compress below it (measured on the wide-AB probe
+    * stores: ~5 B/row actual vs 12 assumed).
+    */
+  private[graft] def storedPageGeometry(s: SparkSession, dir: String,
+      column: String, rowBytesFallback: Long): (Long, Long) = {
+    val fallback = (pageRowLimit(s).toLong, rowBytesFallback)
     try {
       val conf = s.sparkContext.hadoopConfiguration
       val base = new org.apache.hadoop.fs.Path(dir)
@@ -494,12 +514,17 @@ object DedupIndex {
           else {
             import scala.jdk.CollectionConverters._
             val bm = blocks.get(0)
+            val rowBytes =
+              if (bm.getRowCount <= 0) rowBytesFallback
+              else math.max(1L, bm.getCompressedSize / bm.getRowCount)
             val cc = bm.getColumns.asScala
               .find(_.getPath.toDotString == column)
               .getOrElse(bm.getColumns.get(0))
             val oi = r.readOffsetIndex(cc)
-            if (oi == null || oi.getPageCount <= 0) fallback
-            else math.max(1L, bm.getRowCount / oi.getPageCount)
+            if (oi == null || oi.getPageCount <= 0)
+              (fallback._1, rowBytes)
+            else (math.max(1L, bm.getRowCount / oi.getPageCount),
+              rowBytes)
           }
         } finally r.close()
       }

@@ -184,6 +184,13 @@ class DedupIndexSpec extends SparkSpec {
       val measured = DedupIndex.storedPageRows(spark, store, "bucket")
       assert(measured >= 32 && measured <= 128,
         s"expected ~64 rows/page from the footer, got $measured")
+      // bytes/row is measured from the same footer, not the
+      // caller's constant fallback (which under-counts rows on
+      // hard-RLE stores)
+      val (_, rowBytes) = DedupIndex.storedPageGeometry(
+        spark, store, "bucket", rowBytesFallback = 999L)
+      assert(rowBytes >= 1 && rowBytes <= 64 && rowBytes != 999L,
+        s"bytes/row not measured: $rowBytes")
       // with the session conf claiming million-row pages, only the
       // measured geometry lets the payoff model engage: 1100 values
       // x 64 x 2 < estRows, while 1100 x 1e6 x 2 would refuse

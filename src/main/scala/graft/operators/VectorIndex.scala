@@ -746,11 +746,17 @@ object VectorIndex {
             // evaluation of the report query, re-judging `r` would
             // recompute it
             s.read.parquet(s"${adcReportPath(dir)}/bands")
-          } catch { case scala.util.control.NonFatal(e) =>
-            System.err.println(s"[graft] ADC report on $dir not " +
-              s"persisted (${e.getMessage}); serving from the " +
-              "computed bands — the next call re-measures")
-            r
+          } catch {
+            // refuse-loudly stays loud: IllegalArgumentException is
+            // the knob/contract refusal type (Knobs range checks,
+            // lease-lost requires) — swallowing it into the fallback
+            // would hide a misconfiguration behind a stderr warn
+            case e: IllegalArgumentException => throw e
+            case scala.util.control.NonFatal(e) =>
+              System.err.println(s"[graft] ADC report on $dir not " +
+                s"persisted (${e.getMessage}); serving from the " +
+                "computed bands — the next call re-measures")
+              r
           }
         case Right(b) => b
       }

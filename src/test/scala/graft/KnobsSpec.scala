@@ -92,6 +92,39 @@ class KnobsSpec extends SparkSpec {
       graft.streaming.StreamingOps.streamSession(spark))
   }
 
+  test("the ADC serving fallback never swallows a knob refusal: a " +
+      "misconfigured steal horizon read under lease contention " +
+      "propagates out of the best-effort persist") {
+    import graft.operators.{SimilarityOps, VectorIndex}
+    withTempDir("graft-knob-adc") { root =>
+      val dir = s"$root/idx"
+      val d = "/root/testdata/sf0.001"
+      val bits = SimilarityQueries.VecGateBits
+      val e = Tables.embeddings(spark, d)
+      VectorIndex.build(e.filter(col("vec_id") < 200)
+          .select("vec_id", "embedding"),
+        64, 1, 8, 8, 16, dir, gateBits = Some(bits))
+      val l = VectorIndex.load(spark, dir)
+      val batch = SimilarityOps.withNorm(
+          e.filter(col("vec_id") >= 200 && col("vec_id") < 260),
+          "embedding", "n")
+        .withColumn("cell", SimilarityOps.ivfAssign(l.cents, 64))
+        .withColumn("bucket",
+          SimilarityOps.signBucket("embedding", bits))
+      val (v, st) = VectorIndex.gateStoredPinned(spark, dir, bits,
+        l.gateBits, batch)
+      // hold the lease from "another process" so the persist path
+      // actually reads the steal horizon
+      val lease = WriterLease.acquire(spark, s"${dir}__lock")
+      try refused("graft.lease.stealHorizonMs", "fifteen minutes") {
+        VectorIndex.ensuredAdcPrefilter(spark, dir, l.books, 8,
+          SimilarityQueries.AdcGateBar, v)(
+          SimilarityOps.adcRecallReport(l.books, 8, 0.35,
+            SimilarityQueries.AdcGateBar)(batch, st))
+      } finally WriterLease.release(spark, lease)
+    }
+  }
+
   test("wired paths refuse: the native tier's knobs are validated at " +
       "the tier decision, not deep in the scan") {
     import spark.implicits._

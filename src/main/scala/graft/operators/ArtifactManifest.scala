@@ -382,19 +382,23 @@ object ArtifactManifest {
   def frame(s: SparkSession, dir: String): DataFrame =
     liveFrame(s, dir)
 
-  /** [[frame]] plus the manifest version it was pinned at (`-1` for a
-    * tree with no manifest) — ONE `latest()` read, so the version can
-    * never drift from the generation set the frame serves. Callers
-    * that stamp a derived artifact with the corpus version it was
-    * MEASURED against (the ADC recall report) must thread THIS
-    * version rather than re-reading `latest()` at stamp time: a
-    * concurrent append between the frame read and the stamp would
-    * otherwise stamp the report fresh for a corpus it never measured,
-    * silently satisfying the freshness contract the stamp enforces.
+  /** [[frame]] plus the manifest PIN it was read at (`None` for a
+    * tree with no manifest) — ONE `latest()` read, so the pin can
+    * never drift from the generation set the frame serves. Two
+    * consumers thread it onward: (1) the ADC recall report stamps
+    * the pin's VERSION rather than re-reading `latest()` at stamp
+    * time — a concurrent append between the frame read and the stamp
+    * would otherwise stamp the report fresh for a corpus it never
+    * measured; (2) the native set-push re-readers list the pin's
+    * GENERATIONS rather than re-pinning at scan time — a tier that
+    * re-pinned could serve a different generation set than the
+    * frame the other tiers serve, making the tier choice
+    * decision-visible under concurrent mutation.
     */
-  def pinnedFrame(s: SparkSession, dir: String): (Long, DataFrame) = {
+  def pinnedFrame(s: SparkSession, dir: String)
+      : (Option[Pin], DataFrame) = {
     val pin = latest(s, dir)
-    (pin.map(_.version).getOrElse(-1L), frameOfPin(s, dir, pin))
+    (pin, frameOfPin(s, dir, pin))
   }
 
   /** Physical bytes of the LIVE pinned generation set — the honest

@@ -32,8 +32,14 @@ import org.apache.spark.sql.functions._
   */
 object DedupIndex {
 
+  /** `pin`: the manifest pin `buckets` was read at (None for
+    * unmanaged trees or ad hoc frames) — threaded into the native
+    * re-reader so tier 2 can never serve a different generation set
+    * than the frame the other tiers serve.
+    */
   final case class Loaded(k: Int, rowsPerBand: Int, buckets: DataFrame,
-      dir: Option[String] = None)
+      dir: Option[String] = None,
+      pin: Option[ArtifactManifest.Pin] = None)
 
   /** Next ingest generation of a `(ingest, …)`-partitioned artifact
     * dir — driver-side listing via [[LayoutOps.ingestGenerations]]
@@ -327,7 +333,7 @@ object DedupIndex {
   def load(s: SparkSession, dir: String): Loaded = {
     val p = s.read.parquet(s"$dir/params").head()
     val (k, rowsPerBand) = (p.getInt(0), p.getInt(1))
-    val raw = ArtifactManifest.frame(s, s"$dir/buckets")
+    val (pin, raw) = ArtifactManifest.pinnedFrame(s, s"$dir/buckets")
     // geometry consistency: a crashed re-build can pair params with a
     // bucket tree written under DIFFERENT banding — probing across
     // that mismatch silently admits duplicates. One-row check against
@@ -353,7 +359,7 @@ object DedupIndex {
       raw.drop("k", "rows_per_band")
         .withColumn("band", col("band").cast("long"))
         .withColumn("ingest", col("ingest").cast("long")),
-      Some(dir))
+      Some(dir), pin)
   }
 
   /** Ceiling on any CATALYST-pushed In list the engine builds
@@ -645,24 +651,38 @@ object DedupIndex {
     * `rawList = true` re-lists the tree instead — the STREAMING
     * root's contract (its per-batch appends must be visible to the
     * next batch immediately, matching the stream's own stored read).
+    * `pinned`: the manifest pin the PROBED frame was read at
+    * ([[Loaded.pin]]) — the re-read lists THAT generation set, not a
+    * scan-time re-pin, so tier 2 serves exactly the rows the other
+    * tiers serve even when an append commits between load and probe
+    * (a re-pin here would make the tier choice decision-visible).
+    * Pin-less callers keep the scan-time `latest()` (their probed
+    * frame has no older pin to diverge from).
     */
   private[graft] def nativeBucketsReader(s: SparkSession,
       dir: String, idCol: String,
-      rawList: Boolean = false): Seq[Long] => DataFrame = {
+      rawList: Boolean = false,
+      pinned: Option[ArtifactManifest.Pin] = None)
+      : Seq[Long] => DataFrame = {
     val buckets = s"$dir/buckets"
     vals => {
       val paths =
         if (rawList) Seq(buckets)
-        else ArtifactManifest.latest(s, buckets) match {
+        else pinned.orElse(ArtifactManifest.latest(s, buckets)) match {
           case Some(p) => p.generations.sorted
             .map(g => s"$buckets/ingest=$g")
           case None => Seq(buckets)
         }
-      if (paths.isEmpty)
-        ArtifactManifest.frame(s, buckets)
+      if (paths.isEmpty) {
+        // committed-empty generation set: zero rows in the stored
+        // schema; under a threaded pin the empty set is the PIN's,
+        // so serve zero rows even if the current manifest has since
+        // grown (frame() would re-pin)
+        val f = ArtifactManifest.frame(s, buckets)
           .withColumn("band", col("band").cast("long"))
           .select(col(idCol), col("band"), col("bucket"))
-      else graft.sources.NativeParquetIn
+        if (pinned.isDefined) f.where(lit(false)) else f
+      } else graft.sources.NativeParquetIn
         .read(s, buckets, paths, "bucket", vals)
         .withColumn("band", col("band").cast("long"))
         .select(col(idCol), col("band"), col("bucket"))
@@ -698,7 +718,8 @@ object DedupIndex {
         l.buckets.select(col(idCol), col("band"), col("bucket")),
         nb, pushTouched,
         l.dir.map(d => NativePush.forStore(s, s"$d/buckets",
-          BucketRowBytes, nativeBucketsReader(s, d, idCol),
+          BucketRowBytes,
+          nativeBucketsReader(s, d, idCol, pinned = l.pin),
           knownBytes = storeBytes))),
       nb, idCol)
   }

@@ -794,9 +794,10 @@ object VectorIndex {
     // `rawList = true`: its per-batch appends must be visible to the
     // next batch immediately, and the run-private root has no
     // concurrent mutator to orphan files under it.
-    val (pinVer, corpus0) =
-      if (rawList) (-1L, ss.read.parquet(s"$dir/corpus"))
+    val (pin, corpus0) =
+      if (rawList) (None, ss.read.parquet(s"$dir/corpus"))
       else ArtifactManifest.pinnedFrame(ss, s"$dir/corpus")
+    val pinVer = pin.map(_.version).getOrElse(-1L)
     val corpus = corpus0.withColumn("cell", col("cell").cast("long"))
     val served = if (push && storedBits.contains(bits)) {
       // the text probe's tiered set-prune, unchanged semantics:
@@ -811,9 +812,13 @@ object VectorIndex {
       // same way the text gate's equi-join closes its own)
       val nativeReader: Seq[Long] => DataFrame = { vals =>
         val cd = s"$dir/corpus"
+        // the CAPTURED pin, not a scan-time re-pin: the re-read must
+        // serve exactly the generation set `corpus` serves, or the
+        // tier choice becomes decision-visible under a concurrent
+        // append (the manifest exists to give readers that pin)
         val paths =
           if (rawList) Seq(cd)
-          else ArtifactManifest.latest(ss, cd) match {
+          else pin match {
             case Some(p) => p.generations.sorted
               .map(g => s"$cd/ingest=$g")
             case None => Seq(cd)

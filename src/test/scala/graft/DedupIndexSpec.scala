@@ -168,6 +168,53 @@ class DedupIndexSpec extends SparkSpec {
     }
   }
 
+  test("native re-reader serves the PROBED frame's pin: an append " +
+      "committed after load stays invisible to tier 2 (the tier can " +
+      "never be decision-visible under concurrent mutation)") {
+    val docs = Tables.documents(spark, d)
+    withDir { dir =>
+      DedupIndex.build(docs.filter(col("doc_id") < splitId),
+        "text", "doc_id", k, rpb, dir)
+      val l = DedupIndex.load(spark, dir)
+      assert(l.pin.isDefined, "load did not capture the manifest pin")
+      val preRows = l.buckets.count()
+      // a writer appends AFTER the load pinned its frame
+      DedupIndex.append(spark, dir,
+        docs.filter(col("doc_id") >= splitId), "text", "doc_id")
+      assert(spark.read.parquet(s"$dir/buckets").count() > preRows,
+        "append landed nothing — the test would prove nothing")
+      // wide synthetic touched set (> the or-chain cap) forces the
+      // native tier through the PINNED reader
+      val vals = l.buckets.select("bucket").distinct()
+        .as[Long].collect().toIndexedSeq
+      val wide = (vals ++ (1L to
+        (DedupIndex.PushMaxValues + 32L - vals.length.max(0))))
+        .distinct
+      val wideDf = wide.toDF("bucket")
+      val stored = l.buckets
+        .select(col("doc_id"), col("band"), col("bucket"))
+      val np = DedupIndex.NativePush(
+        DedupIndex.nativeBucketsReader(spark, dir, "doc_id",
+          pinned = l.pin),
+        () => Long.MaxValue, () => 2048L)
+      val nat = DedupIndex.touchedPrune(stored, wideDf, push = true,
+        native = Some(np))
+      assert(nat.queryExecution.executedPlan.toString
+        .contains("GraftParquet"), "native tier not engaged")
+      val exact = (df: org.apache.spark.sql.DataFrame) =>
+        df.join(broadcast(wideDf), Seq("bucket"), "left_semi")
+          .select("doc_id", "band", "bucket")
+          .collect().map(_.toSeq).toSet
+      // the tier-2 read equals the PINNED frame — the appended
+      // generation (whose docs share these buckets) is invisible,
+      // exactly as it is to tiers 1 and 3
+      assert(exact(nat) === exact(stored))
+      assert(!exact(nat).exists(r =>
+        r.head.asInstanceOf[Long] >= splitId),
+        "tier 2 leaked the post-load generation")
+    }
+  }
+
   test("cost model prices the store's WRITE-TIME page geometry, not " +
       "the session conf: a store written with small pages engages " +
       "the native tier where the conf's value would refuse") {

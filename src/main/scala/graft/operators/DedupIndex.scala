@@ -444,9 +444,14 @@ object DedupIndex {
       * footers ([[storedPageRows]]) — the geometry the files were
       * WRITTEN with, not whatever this session's conf says.
       */
+    /** `column` must be the SAME column `reader` pushes the set on —
+      * the page geometry priced is that column's chunks (both index
+      * gates push on their `bucket` column, the default).
+      */
     def forStore(s: SparkSession, storeDir: String, rowBytes: Long,
         reader: Seq[Long] => DataFrame,
-        knownBytes: Option[Long] = None): NativePush = {
+        knownBytes: Option[Long] = None,
+        column: String = "bucket"): NativePush = {
       lazy val bytes =
         knownBytes.getOrElse(ArtifactManifest.liveBytes(s, storeDir))
       // ONE lazy footer read serves both geometry inputs; bytes/row
@@ -455,8 +460,7 @@ object DedupIndex {
       // hard-RLE stores (runs of equal buckets), pushing the payoff
       // model toward refusing wins (`rowBytes` stays the fallback
       // for unreadable footers)
-      lazy val geo = storedPageGeometry(s, storeDir, "bucket",
-        rowBytes)
+      lazy val geo = storedPageGeometry(s, storeDir, column, rowBytes)
       NativePush(reader, () => bytes / geo._2, () => geo._1)
     }
   }
@@ -494,9 +498,17 @@ object DedupIndex {
       val fs = base.getFileSystem(conf)
       val roots = ArtifactManifest.latest(s, dir) match {
         case Some(p) if p.generations.nonEmpty =>
-          // newest generation first: its geometry is what the next
-          // probe actually reads most of after steady-state appends
-          p.generations.sorted.reverse.map(g =>
+          // OLDEST generation first: compaction collapses the live
+          // set to one generation, so when several exist the oldest
+          // is the compacted BULK and the newer ones are small
+          // appends — a probe reads mostly bulk pages, and sampling
+          // a fresh fine-paged append on a legacy coarse-page store
+          // would reintroduce the ~10x optimistic misestimate this
+          // function exists to prevent (newest-first measured 2048
+          // where ~all probed pages held 20000). When the mix is
+          // inverted (legacy appends on a fresh bulk) pricing by the
+          // bulk is the conservative side.
+          p.generations.sorted.map(g =>
             new org.apache.hadoop.fs.Path(dir, s"ingest=$g"))
         case _ => Seq(base)
       }
@@ -627,9 +639,18 @@ object DedupIndex {
     val bb = newBuckets.select(col("bucket"))
       .filter(col("bucket").isNotNull).distinct()
       .limit(cap + 1).as[Long].collect()
+    // SATURATING product: a huge-but-legal payoff factor (an
+    // operator's "never engage") or a whole-block pageRows on a
+    // single-page file could overflow a plain Long product and wrap
+    // to a small/negative value — silently FORCE-engaging the tier
+    // the value was set to disable (the inverted-sentinel failure
+    // the knob validation exists to refuse)
+    def satMul(a: Long, b: Long): Long =
+      try Math.multiplyExact(a, b)
+      catch { case _: ArithmeticException => Long.MaxValue }
     def payoff(np: NativePush): Boolean =
-      bb.length.toLong * np.pageRows() *
-        skipPayoff(ss) < np.estRows()
+      satMul(satMul(bb.length.toLong, np.pageRows()),
+        skipPayoff(ss)) < np.estRows()
     if (bb.isEmpty) stored.filter(lit(false))
     else if (bb.length <= PushMaxValues)
       stored.filter(col("bucket")

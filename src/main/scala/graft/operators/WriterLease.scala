@@ -279,17 +279,19 @@ object WriterLease {
     val fs = fsOf(s, lease.path)
     lockOf(fs, lease.path).synchronized {
       if (tokenOf(fs, lease.path).contains(lease.token)) {
-        // heartbeat FIRST, lease file second: while OUR token is
-        // still in the lease file no acquirer can have written a
-        // heartbeat, so this delete can only sweep our own; the
-        // reverse order opened a window where a cross-process
-        // acquirer wins the freed lease and verify-writes a FRESH
-        // heartbeat between the two deletes — swept, it degraded the
-        // new holder's staleness to acquire-time mtime on
-        // setTimes-no-op stores until its next verify.
-        try fs.delete(heartbeatPath(lease.path), false)
-        catch { case _: java.io.IOException => () }
+        // lease file FIRST, then a TOKEN-MATCHED heartbeat sweep.
+        // Heartbeat-first is wrong on setTimes-no-op stores: a
+        // healthy holder whose lease MTIME is past the horizon
+        // (freshness carried only by the content heartbeat) would
+        // manufacture its own staleness mid-release — a rival
+        // observing the gap (no heartbeat, stale mtime) legally
+        // steals, and our subsequent lease delete would remove the
+        // RIVAL's fresh lease. Unconditional heartbeat-delete after
+        // the lease delete is also wrong (it sweeps the heartbeat a
+        // rival acquirer of the freed lease just verify-wrote) —
+        // the token match scopes the sweep to our own.
         fs.delete(lease.path, false)
+        sweepHeartbeatOf(fs, lease.path, Some(lease.token))
         // sweep the now-empty containers (the `_lock` dir, and for
         // SIBLING lock roots the `<dir>__lock` dir itself) so
         // short-lived roots — temp artifacts, spec dirs — don't leak

@@ -238,16 +238,19 @@ class WriterLeaseSpec extends SparkSpec {
     }
   }
 
-  test("release deletes the heartbeat BEFORE the lease file, and a " +
-      "steal's sweep is token-matched — a rival's fresh heartbeat " +
-      "survives both") {
+  test("release deletes the lease file FIRST and sweeps only its " +
+      "OWN heartbeat; a steal's sweep is token-matched — a rival's " +
+      "fresh heartbeat survives both") {
     val conf = spark.sparkContext.hadoopConfiguration
     conf.set("fs.delorder.impl",
       classOf[DeleteOrderFileSystem].getName)
     withTempDir("graft-lease-order") { local =>
-      // ordering: while our token is still in the lease file no
-      // acquirer can have heartbeat-ed, so heartbeat-first sweeps
-      // only our own; lease-first opens the race the order pins shut
+      // ordering: heartbeat-first would manufacture our own
+      // staleness mid-release on setTimes-no-op stores (mtime past
+      // the horizon, freshness carried only by the heartbeat) — a
+      // rival could legally steal in the gap and our lease delete
+      // would then remove the RIVAL's lease. Lease-first + a
+      // token-matched sweep closes both directions.
       val root = s"delorder://$local"
       val a = WriterLease.acquire(spark, root)
       WriterLease.verify(spark, a) // writes the content heartbeat
@@ -257,9 +260,26 @@ class WriterLeaseSpec extends SparkSpec {
       val (hbAt, leaseAt) =
         (dels.indexOf("heartbeat"), dels.indexOf("lease"))
       assert(hbAt >= 0 && leaseAt >= 0, dels.mkString(", "))
-      assert(hbAt < leaseAt,
-        s"release deleted the lease before the heartbeat: " +
+      assert(leaseAt < hbAt,
+        s"release deleted the heartbeat before the lease: " +
           dels.mkString(", "))
+    }
+    withTempDir("graft-lease-relrival") { root =>
+      // a heartbeat that is not ours at release time can only belong
+      // to a rival that won the freed lease mid-release — the
+      // token-matched sweep must leave it alone
+      val hb = new HPath(s"$root/_lock/heartbeat")
+      val a = WriterLease.acquire(spark, root)
+      val out = fs.create(hb, true)
+      try out.write(("rival-token\n" + System.currentTimeMillis())
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+      WriterLease.release(spark, a)
+      assert(!fs.exists(new HPath(s"$root/_lock/lease")),
+        "release left the lease file")
+      assert(fs.exists(hb),
+        "release swept a heartbeat that was not its own")
+      fs.delete(hb, false)
     }
     withTempDir("graft-lease-sweeptok") { root =>
       // steal sweep: a heartbeat whose token does NOT match the dead

@@ -40,9 +40,12 @@ import org.apache.spark.sql.SparkSession
   *    they acquired; only the one whose token is in the file passes
   *    verify, the other's staging self-deletes like any fenced-out
   *    loser's).
-  *  - release: delete only if the content is still our token (a
-  *    normal release runs with a fresh mtime, so no legal steal can
-  *    race it).
+  *  - release: owner-only (delete only if the content is still our
+  *    token) — lease file first, then a TOKEN-MATCHED heartbeat
+  *    sweep, so neither a mid-release stealer (possible on
+  *    setTimes-no-op stores, where a healthy holder's mtime may
+  *    already be past the horizon) nor a rival acquirer of the
+  *    freed lease has its files removed.
   *
   * SAME-JVM lease ops serialize on a per-path in-process lock: the
   * local filesystem's no-overwrite rename is check-then-rename (POSIX

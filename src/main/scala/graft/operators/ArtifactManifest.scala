@@ -424,7 +424,7 @@ object ArtifactManifest {
   private def liveFrame(s: SparkSession, dir: String): DataFrame =
     frameOfPin(s, dir, latest(s, dir))
 
-  private def frameOfPin(s: SparkSession, dir: String,
+  private[operators] def frameOfPin(s: SparkSession, dir: String,
       pin: Option[Pin]): DataFrame =
     pin match {
       case Some(p) if p.generations.nonEmpty =>

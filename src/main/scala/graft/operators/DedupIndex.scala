@@ -696,13 +696,18 @@ object DedupIndex {
         }
       if (paths.isEmpty) {
         // committed-empty generation set: zero rows in the stored
-        // schema; under a threaded pin the empty set is the PIN's,
-        // so serve zero rows even if the current manifest has since
-        // grown (frame() would re-pin)
-        val f = ArtifactManifest.frame(s, buckets)
-          .withColumn("band", col("band").cast("long"))
+        // schema. A threaded pin serves from ITS OWN stored
+        // schemaJson (frameOfPin's committed-empty path) — re-pinning
+        // via frame() here would pay a fresh latest() read + listing
+        // per tier-2 invocation and take the schema from a manifest
+        // the pin may predate
+        val f = pinned match {
+          case Some(p) =>
+            ArtifactManifest.frameOfPin(s, buckets, Some(p))
+          case None => ArtifactManifest.frame(s, buckets)
+        }
+        f.withColumn("band", col("band").cast("long"))
           .select(col(idCol), col("band"), col("bucket"))
-        if (pinned.isDefined) f.where(lit(false)) else f
       } else graft.sources.NativeParquetIn
         .read(s, buckets, paths, "bucket", vals)
         .withColumn("band", col("band").cast("long"))

@@ -24,16 +24,28 @@ import org.apache.spark.sql.SparkSession
   */
 private[graft] object Knobs {
 
+  /** The knob-refusal type: a subclass of IllegalArgumentException
+    * (so `intercept[IllegalArgumentException]` and generic contract
+    * handlers keep working) that best-effort fallbacks can
+    * DISTINGUISH from other IllegalArgumentExceptions. The lease
+    * protocol's transient two-stealer read-back race also surfaces
+    * as an IllegalArgumentException ("re-run this batch"); a serving
+    * path that must rethrow misconfiguration but absorb ordinary
+    * contention matches on this type, not on the shared parent.
+    */
+  final class Refused(msg: String)
+    extends IllegalArgumentException(msg)
+
   /** Long-valued knob with an inclusive legal range. */
   def long(s: SparkSession, key: String, default: Long,
       min: Long = Long.MinValue, max: Long = Long.MaxValue): Long =
     s.conf.getOption(key).fold(default) { raw =>
       val v = try raw.trim.toLong
         catch { case _: NumberFormatException =>
-          throw new IllegalArgumentException(
+          throw new Refused(
             s"$key must be an integer (got '$raw')")
         }
-      if (v < min || v > max) throw new IllegalArgumentException(
+      if (v < min || v > max) throw new Refused(
         s"$key must be in [$min, $max] (got $v)")
       v
     }
@@ -44,11 +56,11 @@ private[graft] object Knobs {
     s.conf.getOption(key).fold(default) { raw =>
       val v = try raw.trim.toDouble
         catch { case _: NumberFormatException =>
-          throw new IllegalArgumentException(
+          throw new Refused(
             s"$key must be a number (got '$raw')")
         }
       if (v < min || v > max || v.isNaN)
-        throw new IllegalArgumentException(
+        throw new Refused(
           s"$key must be in [$min, $max] (got $v)")
       v
     }
@@ -60,10 +72,12 @@ private[graft] object Knobs {
     */
   def flag(s: SparkSession, key: String,
       default: Boolean = false): Boolean =
-    s.conf.getOption(key).fold(default) {
-      case "true" => true
-      case "false" => false
-      case other => throw new IllegalArgumentException(
-        s"$key must be 'true' or 'false' (got '$other')")
+    s.conf.getOption(key).fold(default) { raw =>
+      raw.trim match {
+        case "true" => true
+        case "false" => false
+        case other => throw new Refused(
+          s"$key must be 'true' or 'false' (got '$other')")
+      }
     }
 }

@@ -747,11 +747,17 @@ object VectorIndex {
             // recompute it
             s.read.parquet(s"${adcReportPath(dir)}/bands")
           } catch {
-            // refuse-loudly stays loud: IllegalArgumentException is
-            // the knob/contract refusal type (Knobs range checks,
-            // lease-lost requires) — swallowing it into the fallback
-            // would hide a misconfiguration behind a stderr warn
-            case e: IllegalArgumentException => throw e
+            // refuse-loudly stays loud: a knob refusal
+            // ([[Knobs.Refused]]) is a misconfiguration and must not
+            // hide behind a stderr warn. It is matched by TYPE, not
+            // as IllegalArgumentException: the lease protocol's
+            // transient races (acquire's two-stealer read-back,
+            // verify's lease-lost) also surface as
+            // IllegalArgumentException, and those are ordinary
+            // contention — the serve-from-computed-bands fallback is
+            // exactly for them, like the IllegalStateException
+            // contention path below
+            case e: Knobs.Refused => throw e
             case scala.util.control.NonFatal(e) =>
               System.err.println(s"[graft] ADC report on $dir not " +
                 s"persisted (${e.getMessage}); serving from the " +

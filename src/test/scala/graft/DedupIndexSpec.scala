@@ -215,6 +215,45 @@ class DedupIndexSpec extends SparkSpec {
     }
   }
 
+  test("native re-reader committed-empty under a threaded pin: zero " +
+      "rows in the PIN's stored schema, even after the manifest has " +
+      "since grown past the pin (no scan-time re-pin)") {
+    val docs = Tables.documents(spark, d)
+    withDir { dir =>
+      DedupIndex.build(docs.filter(col("doc_id") < splitId),
+        "text", "doc_id", k, rpb, dir)
+      // total takedown → committed-EMPTY generation set
+      DedupIndex.delete(spark, dir,
+        docs.filter(col("doc_id") < splitId).select("doc_id"))
+      val l = DedupIndex.load(spark, dir)
+      assert(l.pin.exists(_.generations.isEmpty),
+        s"expected a committed-empty pin, got ${l.pin}")
+      // a writer re-populates AFTER the pin was taken (a hand-rolled
+      // generation + manifest commit: the append op itself refuses a
+      // takedown-emptied tree as "not a built artifact")
+      spark.range(5L)
+        .select(col("id").as("doc_id"), lit(0L).as("band"),
+          col("id").as("bucket"))
+        .write.parquet(s"$dir/buckets/ingest=7")
+      graft.operators.ArtifactManifest.recordAppend(
+        spark, s"$dir/buckets", 7L)
+      assert(graft.operators.ArtifactManifest
+          .latest(spark, s"$dir/buckets")
+          .exists(_.generations.nonEmpty),
+        "the manifest did not grow — the test would prove nothing")
+      val rd = DedupIndex.nativeBucketsReader(spark, dir, "doc_id",
+        pinned = l.pin)
+      val out = rd(Seq(1L, 2L, 3L))
+      // the pin's own stored schema (frameOfPin's committed-empty
+      // path), projected to the reader's contract — NOT a fresh
+      // latest() whose generation set has since grown
+      assert(out.columns.toSeq === Seq("doc_id", "band", "bucket"))
+      assert(out.count() === 0L,
+        "a committed-empty pin must serve zero rows even after " +
+          "the manifest grew")
+    }
+  }
+
   test("cost model prices the store's WRITE-TIME page geometry, not " +
       "the session conf: a store written with small pages engages " +
       "the native tier where the conf's value would refuse") {

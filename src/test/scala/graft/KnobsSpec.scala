@@ -1,7 +1,31 @@
 package graft
 
+import org.apache.hadoop.fs.{Path => HPath}
 import org.apache.spark.sql.functions._
 import graft.operators.{DedupIndex, Knobs, WriterLease}
+
+/** RawLocalFileSystem that REWRITES a freshly-renamed lease file with
+  * a rival's token — the deterministic form of the two-stealer
+  * read-back race: our create-exclusive wins, but by the time we read
+  * the lease back a rival's steal has landed over it. Registered
+  * per-test via `fs.rivaltok.impl`.
+  */
+class RivalTokenFileSystem
+  extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getScheme: String = "rivaltok"
+  override def getUri: java.net.URI =
+    java.net.URI.create("rivaltok:///")
+  override def rename(src: HPath, dst: HPath): Boolean = {
+    val ok = super.rename(src, dst)
+    if (ok && dst.getName == "lease") {
+      val out = create(dst, true)
+      try out.write("rival-token".getBytes(
+        java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    }
+    ok
+  }
+}
 
 /** The knob surface's refuse-loudly contract: every `graft.*`
   * session override parses through [[Knobs]], so a typo'd or
@@ -70,6 +94,27 @@ class KnobsSpec extends SparkSpec {
     withConf("graft.gate.adcForce", "true") {
       assert(Knobs.flag(spark, "graft.gate.adcForce"))
     }
+    // all three parsers share the same whitespace tolerance: a
+    // trailing space from a shell-exported value must not flip a
+    // legal 'true ' into a refusal while ' 2 ' parses fine
+    withConf("graft.gate.adcForce", " true ") {
+      assert(Knobs.flag(spark, "graft.gate.adcForce"))
+    }
+    withConf("graft.gate.nativeSkipPayoff", " 2 ") {
+      assert(Knobs.long(spark, "graft.gate.nativeSkipPayoff", 0L,
+        min = 0) === 2L)
+    }
+    withConf("graft.gate.adcMinRecall", " 0.5 ") {
+      assert(Knobs.double(spark, "graft.gate.adcMinRecall", 1.0,
+        0.0, 1.0) === 0.5)
+    }
+    // every refusal is the DEDICATED type, so best-effort fallbacks
+    // can rethrow misconfiguration without also rethrowing the lease
+    // protocol's transient IllegalArgumentExceptions
+    withConf("graft.gate.adcForce", "TRUE") {
+      intercept[Knobs.Refused](
+        Knobs.flag(spark, "graft.gate.adcForce"))
+    }
   }
 
   test("wired paths refuse: a zero steal horizon would make every " +
@@ -123,6 +168,35 @@ class KnobsSpec extends SparkSpec {
             SimilarityQueries.AdcGateBar)(batch, st))
       } finally WriterLease.release(spark, lease)
     }
+  }
+
+  test("the ADC serving fallback absorbs the lease protocol's " +
+      "transient two-stealer read-back race — an " +
+      "IllegalArgumentException that is NOT a knob refusal serves " +
+      "the computed bands instead of failing the query") {
+    import graft.operators.VectorIndex
+    val conf = spark.sparkContext.hadoopConfiguration
+    conf.set("fs.rivaltok.impl",
+      classOf[RivalTokenFileSystem].getName)
+    try withTempDir("graft-knob-race") { local =>
+      import spark.implicits._
+      val dir = s"rivaltok://$local/idx"
+      // no committed report beside dir → the ensure path computes
+      // the bands and tries to persist; the rival filesystem makes
+      // every lease acquire lose the read-back race (the "taken
+      // over" IllegalArgumentException)
+      val bands = Seq((19L, 10L, 10L, 1.0))
+        .toDF("band", "n_conf", "n_kept", "recall")
+      val books: graft.operators.ProductQuantization.Codebooks =
+        Array(Array(Array(0.0)))
+      val pf = VectorIndex.ensuredAdcPrefilter(spark, dir, books, 1,
+        0.5, -1L)(bands)
+      assert(pf.bar === 0.5)
+      // the persist genuinely lost: no stamp was committed
+      assert(!new HPath(s"$local/idx/adc_report/stamp/_SUCCESS")
+        .getFileSystem(conf).exists(
+          new HPath(s"$local/idx/adc_report/stamp/_SUCCESS")))
+    } finally conf.unset("fs.rivaltok.impl")
   }
 
   test("wired paths refuse: the native tier's knobs are validated at " +

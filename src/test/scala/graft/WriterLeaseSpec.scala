@@ -244,7 +244,7 @@ class WriterLeaseSpec extends SparkSpec {
     val conf = spark.sparkContext.hadoopConfiguration
     conf.set("fs.delorder.impl",
       classOf[DeleteOrderFileSystem].getName)
-    withTempDir("graft-lease-order") { local =>
+    try withTempDir("graft-lease-order") { local =>
       // ordering: heartbeat-first would manufacture our own
       // staleness mid-release on setTimes-no-op stores (mtime past
       // the horizon, freshness carried only by the heartbeat) — a
@@ -263,6 +263,12 @@ class WriterLeaseSpec extends SparkSpec {
       assert(leaseAt < hbAt,
         s"release deleted the heartbeat before the lease: " +
           dels.mkString(", "))
+    } finally {
+      // the scheme registration and the recording log are shared
+      // session state — leaking either would surprise any suite
+      // sharing this SparkContext
+      conf.unset("fs.delorder.impl")
+      DeleteOrderFileSystem.log.clear()
     }
     withTempDir("graft-lease-relrival") { root =>
       // a heartbeat that is not ours at release time can only belong

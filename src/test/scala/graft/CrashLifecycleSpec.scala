@@ -341,4 +341,172 @@ class CrashLifecycleSpec extends SparkSpec {
       conf.unset("fs.killfs.impl")
     }
   }
+
+  // ---- the VECTOR artifact twin: same composed story, same kill
+  // harness, over the gate-stamped IVF+PQ corpus (the other family
+  // that runs compactGenerationsSized in maintenance). Row identity
+  // is (vec_id, cell): cells come from the centroids trained at
+  // build, which are deterministic for a fixed build set, so the
+  // clean reference run and every killed run agree row-for-row.
+
+  private def vecs = Tables.embeddings(spark, d)
+    .select(col("vec_id"), col("embedding"))
+  private def vecsA = vecs.filter(col("vec_id") < 200)
+  private def vecsB =
+    vecs.filter(col("vec_id") >= 200 && col("vec_id") < 400)
+  private def vecTombs =
+    vecs.filter(col("vec_id") >= 100 && col("vec_id") < 300)
+      .select("vec_id")
+
+  private def vecServed(dir: String): Set[(Long, Long)] = {
+    import graft.operators.VectorIndex
+    VectorIndex.load(spark, dir).corpus
+      .select(col("vec_id").cast("long"), col("cell").cast("long"))
+      .as[(Long, Long)].collect().toSet
+  }
+
+  private def vecListGens(dir: String): Set[Long] = {
+    val p = new HPath(s"$dir/corpus")
+    val fs = p.getFileSystem(conf)
+    if (!fs.exists(p)) Set.empty
+    else fs.listStatus(p).filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .filter(_.startsWith("ingest="))
+      .map(_.stripPrefix("ingest=").toLong).toSet
+  }
+
+  private def vecSteps(dir: String): Seq[(String, () => Unit)] = {
+    import graft.operators.VectorIndex
+    Seq(
+      "build" -> (() =>
+        VectorIndex.build(vecsA, 64, 1, 8, 8, 16, dir,
+          gateBits = Some(SimilarityQueries.VecGateBits))),
+      "append+sized-compact" -> (() =>
+        VectorIndex.append(spark, dir, vecsB, compactEvery = 2)),
+      "staged-takedown" -> (() =>
+        VectorIndex.delete(spark, dir, vecTombs, staged = true)),
+      "vacuum" -> (() =>
+        ArtifactManifest.vacuum(spark, s"$dir/corpus")))
+  }
+
+  private def runVecKilled(local: String,
+      arm: () => Unit): (String, Int) = {
+    val dir = s"killfs://$local/vidx"
+    arm()
+    var failed = -1
+    val ss = vecSteps(dir)
+    var i = 0
+    while (i < ss.length && failed < 0) {
+      try ss(i)._2()
+      catch {
+        case t: Throwable if KillPointFileSystem.fired => failed = i
+      }
+      i += 1
+    }
+    (dir, failed)
+  }
+
+  private def vecCheckAndRecover(dir: String, failed: Int,
+      v1: Set[(Long, Long)], v2: Set[(Long, Long)],
+      v3: Set[(Long, Long)], label: String): Unit = {
+    KillPointFileSystem.disarm()
+    if (failed >= 0) {
+      vecSteps(dir).map(_._1)(failed) match {
+        case "build" =>
+          val served =
+            try Some(vecServed(dir))
+            catch { case scala.util.control.NonFatal(_) => None }
+          served.foreach(s => assert(s === v1,
+            s"$label: reader after a mid-build crash served a torn " +
+              "vector corpus"))
+        case "append+sized-compact" =>
+          val s = vecServed(dir)
+          assert(s === v1 || s === v2,
+            s"$label: reader mid-append served a torn vector state " +
+              s"(${s.size} rows; built=${v1.size}, appended=${v2.size})")
+        case "staged-takedown" =>
+          val s = vecServed(dir)
+          assert(v3.subsetOf(s) && s.subsetOf(v2),
+            s"$label: reader mid-takedown lost a non-tombstoned " +
+              "vector or served a phantom")
+        case "vacuum" =>
+          assert(vecServed(dir) === v3,
+            s"$label: vacuum changed what a pinned reader serves")
+      }
+      spark.conf.set("graft.lease.stealHorizonMs", "1")
+      try {
+        Thread.sleep(25)
+        vecSteps(dir).drop(failed).foreach(_._2())
+      } finally spark.conf.unset("graft.lease.stealHorizonMs")
+    }
+    assert(vecServed(dir) === v3,
+      s"$label: vector recovery did not converge")
+    val fs = new HPath(dir).getFileSystem(conf)
+    val it = fs.listFiles(new HPath(s"$dir/corpus"), true)
+    while (it.hasNext) {
+      val p = it.next().getPath.toString
+      assert(!p.contains("/.staged"),
+        s"$label: staged residue survived recovery: $p")
+    }
+    val live = ArtifactManifest.latest(spark, s"$dir/corpus")
+      .map(_.generations.toSet).getOrElse(Set.empty)
+    assert(vecListGens(dir) === live,
+      s"$label: orphan corpus generations survived the final vacuum")
+  }
+
+  test("vector-artifact twin of the kill-point sweep: the IVF+PQ " +
+      "corpus lifecycle converges from seeded kills and from " +
+      "straddles of its append/compaction manifest flips") {
+    conf.set("fs.killfs.impl", classOf[KillPointFileSystem].getName)
+    spark.conf.set("graft.index.targetFileBytes", "2048")
+    try {
+      // clean reference run on the plain local filesystem: snapshot
+      // the served set after each mutating step
+      val (v1, v2, v3) = withTempDir("graft-vcrash-ref") { ref =>
+        val dir = s"$ref/vidx"
+        val ss = vecSteps(dir)
+        ss(0)._2(); val a = vecServed(dir)
+        ss(1)._2(); val b = vecServed(dir)
+        ss(2)._2(); val c = vecServed(dir)
+        ss(3)._2()
+        assert(vecServed(dir) === c, "reference vacuum changed rows")
+        (a, b, c)
+      }
+      assert(v1.nonEmpty && v2.size > v1.size && v3.size < v2.size,
+        s"reference states not strictly staged " +
+          s"(${v1.size}/${v2.size}/${v3.size})")
+      val total = withTempDir("graft-vcrash-dry") { local =>
+        KillPointFileSystem.disarm()
+        val (dir, failed) = runVecKilled(local, () => ())
+        assert(failed === -1)
+        val opCount = KillPointFileSystem.ops.get()
+        vecCheckAndRecover(dir, -1, v1, v2, v3, "vdry")
+        opCount
+      }
+      assert(total > 50, s"suspiciously few mutating ops ($total)")
+      val rng = new scala.util.Random(20260817L)
+      for (n <- Seq.fill(6)(1 + rng.nextInt(total)).distinct.sorted)
+        withTempDir("graft-vcrash-rand") { local =>
+          val (dir, failed) =
+            runVecKilled(local, () => KillPointFileSystem.armAt(n))
+          vecCheckAndRecover(dir, failed, v1, v2, v3, s"vop#$n")
+        }
+      // straddle the append's recordAppend (2) and the sized
+      // compaction's flip (3); the build/delete flips are covered by
+      // the dedup twin's straddles of the same shared commit path
+      for (flip <- Seq(2, 3); after <- Seq(false, true))
+        withTempDir("graft-vcrash-flip") { local =>
+          val (dir, failed) = runVecKilled(local,
+            () => KillPointFileSystem.armAtManifestFlip(flip, after))
+          assert(failed >= 0,
+            s"vflip#$flip after=$after never fired")
+          vecCheckAndRecover(dir, failed, v1, v2, v3,
+            s"vflip#$flip after=$after")
+        }
+    } finally {
+      KillPointFileSystem.disarm()
+      spark.conf.unset("graft.index.targetFileBytes")
+      conf.unset("fs.killfs.impl")
+    }
+  }
 }

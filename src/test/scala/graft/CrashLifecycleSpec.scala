@@ -20,7 +20,11 @@ import graft.operators.{ArtifactManifest, DedupIndex}
   *    — the seeded random sweep's mode;
   *  - `armAtManifestFlip(n, after)`: fire AT the nth manifest-commit
   *    rename (the atomic visibility flip), or on the FIRST mutation
-  *    after it — the targeted straddle of every commit point.
+  *    after it — the targeted straddle of every commit point;
+  *  - `armAtAsideRename(n)`: fire on the first mutation AFTER the nth
+  *    rename into the staged takedown's `__aside/` area — the exact
+  *    absent-partition window (live retired, staged copy not yet
+  *    renamed in) the swap's documentation promises recovery from.
   */
 class KillPointFileSystem extends org.apache.hadoop.fs.RawLocalFileSystem {
   import KillPointFileSystem.gate
@@ -65,8 +69,10 @@ object KillPointFileSystem {
   @volatile private var dead = false
   @volatile private var flipTarget = 0 // nth manifest rename; 0 = off
   @volatile private var flipAfter = false
+  @volatile private var asideTarget = 0 // nth __aside rename; 0 = off
   @volatile private var armedOnNext = false
   private val manifestRenames = new AtomicInteger(0)
+  private val asideRenames = new AtomicInteger(0)
   /** Total mutating ops seen since the last (dis)arm — the dry run's
     * measure of the sweep range.
     */
@@ -76,12 +82,16 @@ object KillPointFileSystem {
   def armAtManifestFlip(n: Int, after: Boolean): Unit = synchronized {
     reset(); flipTarget = n; flipAfter = after
   }
+  def armAtAsideRename(n: Int): Unit = synchronized {
+    reset(); asideTarget = n
+  }
   def disarm(): Unit = synchronized { reset() }
   def fired: Boolean = dead
   private def reset(): Unit = {
     dead = false; remaining.set(Int.MaxValue)
     flipTarget = 0; flipAfter = false; armedOnNext = false
-    manifestRenames.set(0); ops.set(0)
+    asideTarget = 0
+    manifestRenames.set(0); asideRenames.set(0); ops.set(0)
   }
 
   private def die(op: String, p: HPath): Nothing = {
@@ -103,6 +113,10 @@ object KillPointFileSystem {
           manifestRenames.incrementAndGet() == flipTarget) {
         if (flipAfter) armedOnNext = true else die(op, dst)
       }
+      if (op == "rename" && dst != null &&
+          dst.toString.contains("/__aside/") && asideTarget > 0 &&
+          asideRenames.incrementAndGet() == asideTarget)
+        armedOnNext = true
       if (remaining.decrementAndGet() == 0) die(op, p)
     }
 }
@@ -117,9 +131,10 @@ object KillPointFileSystem {
   * The contract at every kill point:
   *  1. a post-crash READER (manifest-pinned load) serves a CONSISTENT
   *     state — one of the story's committed row sets, never a torn
-  *     mix (for the staged takedown, monotone progress between its
-  *     two committed states: no non-tombstoned row ever lost, no
-  *     phantom row ever served);
+  *     mix. For the staged takedown the unit of atomicity is the
+  *     PARTITION (the documented swap states: wholly old, wholly new,
+  *     or absent-pending-recovery), so the reader invariant there is
+  *     per-partition all-old/all-new/absent and no phantom anywhere;
   *  2. recovery CONVERGES: re-running from the failed step yields
   *     exactly the row set of a never-crashed run, with no staged
   *     residue and no orphan generation visible to readers.
@@ -246,10 +261,25 @@ class CrashLifecycleSpec extends SparkSpec {
             s"$label: reader mid-append served a torn state " +
               s"(${s.size} rows; build=${r1.size}, appended=${r2.size})")
         case "staged-takedown" =>
+          // the staged swap's DOCUMENTED mid-kill states are
+          // per-PARTITION: wholly old, wholly new, or ABSENT (live
+          // renamed aside, staged copy not yet renamed in — recovery
+          // adopts it). So the reader invariant is per-band
+          // all-old/all-new/absent with no phantom anywhere — NOT a
+          // global monotone bound, which the legal absent window
+          // violates (its survivors vanish until recovery).
           val s = servedRows(dir)
-          assert(r3.subsetOf(s) && s.subsetOf(r2),
-            s"$label: reader mid-takedown lost a non-tombstoned row " +
-              "or served a phantom")
+          assert(s.subsetOf(r2),
+            s"$label: reader mid-takedown served a phantom row")
+          for (b <- r2.map(_._2)) {
+            val got = s.filter(_._2 == b)
+            val old = r2.filter(_._2 == b)
+            val nw = r3.filter(_._2 == b)
+            assert(got == old || got == nw || got.isEmpty,
+              s"$label: band $b is TORN mid-takedown — neither " +
+                s"wholly old (${old.size}), wholly new (${nw.size}) " +
+                s"nor absent (got ${got.size})")
+          }
         case "vacuum" =>
           assert(servedRows(dir) === r3,
             s"$label: vacuum changed what a pinned reader serves")
@@ -335,6 +365,20 @@ class CrashLifecycleSpec extends SparkSpec {
               "missed its commit point")
           checkAndRecover(dir, failed, s"flip#$flip after=$after")
         }
+      // …and the exact ABSENT-partition window inside the staged
+      // swap: kill right after the first live partition is renamed
+      // aside, before its staged copy is renamed in — the reader
+      // must see that band as absent (not torn) and recovery must
+      // bring it back
+      withTempDir("graft-crash-aside") { local =>
+        val (dir, failed) = runKilled(local,
+          () => KillPointFileSystem.armAtAsideRename(1))
+        assert(failed >= 0 && steps(dir)(failed)._1 ==
+            "staged-takedown",
+          s"aside-window kill landed in step $failed, not the " +
+            "takedown — the targeting is broken")
+        checkAndRecover(dir, failed, "aside-window")
+      }
     } finally {
       KillPointFileSystem.disarm()
       spark.conf.unset("graft.index.targetFileBytes")
@@ -344,10 +388,7 @@ class CrashLifecycleSpec extends SparkSpec {
 
   // ---- the VECTOR artifact twin: same composed story, same kill
   // harness, over the gate-stamped IVF+PQ corpus (the other family
-  // that runs compactGenerationsSized in maintenance). Row identity
-  // is (vec_id, cell): cells come from the centroids trained at
-  // build, which are deterministic for a fixed build set, so the
-  // clean reference run and every killed run agree row-for-row.
+  // that runs compactGenerationsSized in maintenance).
 
   private def vecs = Tables.embeddings(spark, d)
     .select(col("vec_id"), col("embedding"))
@@ -358,11 +399,33 @@ class CrashLifecycleSpec extends SparkSpec {
     vecs.filter(col("vec_id") >= 100 && col("vec_id") < 300)
       .select("vec_id")
 
-  private def vecServed(dir: String): Set[(Long, Long)] = {
+  // identity is vec_id alone: cell assignments are a function of the
+  // TRAINED centroids, and Lloyd training aggregates doubles whose
+  // combine order varies run-to-run — a boundary vector can
+  // legitimately land in different cells between the reference build
+  // and a killed/recovered build. Cell integrity is covered by the
+  // similarity specs; THIS spec's contract is no lost row, no
+  // phantom row, convergence.
+  private def vecServed(dir: String): Set[Long] = {
+    import graft.operators.VectorIndex
+    VectorIndex.load(spark, dir).corpus
+      .select(col("vec_id").cast("long"))
+      .as[Long].collect().toSet
+  }
+
+  /** The killed artifact's OWN per-cell id map — the mid-takedown
+    * invariant's partition baseline. It must come from the artifact
+    * under test, not the reference run: cell assignments are a
+    * function of the trained centroids, and Lloyd training aggregates
+    * doubles whose combine order varies run-to-run, so a boundary
+    * vector can legitimately land in different cells across builds.
+    */
+  private def vecByCell(dir: String): Map[Long, Set[Long]] = {
     import graft.operators.VectorIndex
     VectorIndex.load(spark, dir).corpus
       .select(col("vec_id").cast("long"), col("cell").cast("long"))
-      .as[(Long, Long)].collect().toSet
+      .as[(Long, Long)].collect().toSeq
+      .groupBy(_._2).map { case (c, xs) => c -> xs.map(_._1).toSet }
   }
 
   private def vecListGens(dir: String): Set[Long] = {
@@ -389,26 +452,37 @@ class CrashLifecycleSpec extends SparkSpec {
         ArtifactManifest.vacuum(spark, s"$dir/corpus")))
   }
 
-  private def runVecKilled(local: String,
-      arm: () => Unit): (String, Int) = {
+  /** Runs the vector story; additionally snapshots the artifact's own
+    * per-cell id map right after the append step completes (the
+    * takedown invariant's baseline; None when the kill fired at or
+    * before the append). The snapshot is a pure read — it consumes no
+    * mutating ops, so it does not shift the armed kill point.
+    */
+  private def runVecKilled(local: String, arm: () => Unit)
+      : (String, Int, Option[Map[Long, Set[Long]]]) = {
     val dir = s"killfs://$local/vidx"
     arm()
     var failed = -1
+    var afterAppend: Option[Map[Long, Set[Long]]] = None
     val ss = vecSteps(dir)
     var i = 0
     while (i < ss.length && failed < 0) {
-      try ss(i)._2()
-      catch {
+      try {
+        ss(i)._2()
+        if (ss(i)._1 == "append+sized-compact")
+          afterAppend = Some(vecByCell(dir))
+      } catch {
         case t: Throwable if KillPointFileSystem.fired => failed = i
       }
       i += 1
     }
-    (dir, failed)
+    (dir, failed, afterAppend)
   }
 
   private def vecCheckAndRecover(dir: String, failed: Int,
-      v1: Set[(Long, Long)], v2: Set[(Long, Long)],
-      v3: Set[(Long, Long)], label: String): Unit = {
+      afterAppend: Option[Map[Long, Set[Long]]],
+      v1: Set[Long], v2: Set[Long], v3: Set[Long],
+      label: String): Unit = {
     KillPointFileSystem.disarm()
     if (failed >= 0) {
       vecSteps(dir).map(_._1)(failed) match {
@@ -425,10 +499,27 @@ class CrashLifecycleSpec extends SparkSpec {
             s"$label: reader mid-append served a torn vector state " +
               s"(${s.size} rows; built=${v1.size}, appended=${v2.size})")
         case "staged-takedown" =>
-          val s = vecServed(dir)
-          assert(v3.subsetOf(s) && s.subsetOf(v2),
-            s"$label: reader mid-takedown lost a non-tombstoned " +
-              "vector or served a phantom")
+          // per-PARTITION invariant against the killed artifact's OWN
+          // post-append cell map (see [[vecByCell]]): every cell is
+          // wholly old, wholly post-takedown, or absent
+          // (mid-swap, pending recovery) — and no phantom id anywhere
+          val sp = vecByCell(dir)
+          val tIds = vecTombs.as[Long].collect().toSet
+          assert(sp.values.flatten.toSet.subsetOf(v2),
+            s"$label: reader mid-takedown served a phantom vector")
+          val base = afterAppend.getOrElse(fail(
+            s"$label: kill fired at the takedown but the post-append " +
+              "snapshot is missing — the harness is broken"))
+          for ((c, got) <- sp) assert(base.contains(c),
+            s"$label: cell $c appeared out of nowhere mid-takedown")
+          for ((c, old) <- base) {
+            val got = sp.getOrElse(c, Set.empty[Long])
+            val nw = old -- tIds
+            assert(got == old || got == nw || got.isEmpty,
+              s"$label: cell $c is TORN mid-takedown — neither " +
+                s"wholly old (${old.size}), wholly new (${nw.size}) " +
+                s"nor absent (got ${got.size})")
+          }
         case "vacuum" =>
           assert(vecServed(dir) === v3,
             s"$label: vacuum changed what a pinned reader serves")
@@ -477,32 +568,42 @@ class CrashLifecycleSpec extends SparkSpec {
           s"(${v1.size}/${v2.size}/${v3.size})")
       val total = withTempDir("graft-vcrash-dry") { local =>
         KillPointFileSystem.disarm()
-        val (dir, failed) = runVecKilled(local, () => ())
+        val (dir, failed, snap) = runVecKilled(local, () => ())
         assert(failed === -1)
         val opCount = KillPointFileSystem.ops.get()
-        vecCheckAndRecover(dir, -1, v1, v2, v3, "vdry")
+        vecCheckAndRecover(dir, -1, snap, v1, v2, v3, "vdry")
         opCount
       }
       assert(total > 50, s"suspiciously few mutating ops ($total)")
       val rng = new scala.util.Random(20260817L)
       for (n <- Seq.fill(6)(1 + rng.nextInt(total)).distinct.sorted)
         withTempDir("graft-vcrash-rand") { local =>
-          val (dir, failed) =
+          val (dir, failed, snap) =
             runVecKilled(local, () => KillPointFileSystem.armAt(n))
-          vecCheckAndRecover(dir, failed, v1, v2, v3, s"vop#$n")
+          vecCheckAndRecover(dir, failed, snap, v1, v2, v3, s"vop#$n")
         }
       // straddle the append's recordAppend (2) and the sized
       // compaction's flip (3); the build/delete flips are covered by
       // the dedup twin's straddles of the same shared commit path
       for (flip <- Seq(2, 3); after <- Seq(false, true))
         withTempDir("graft-vcrash-flip") { local =>
-          val (dir, failed) = runVecKilled(local,
+          val (dir, failed, snap) = runVecKilled(local,
             () => KillPointFileSystem.armAtManifestFlip(flip, after))
           assert(failed >= 0,
             s"vflip#$flip after=$after never fired")
-          vecCheckAndRecover(dir, failed, v1, v2, v3,
+          vecCheckAndRecover(dir, failed, snap, v1, v2, v3,
             s"vflip#$flip after=$after")
         }
+      withTempDir("graft-vcrash-aside") { local =>
+        val (dir, failed, snap) = runVecKilled(local,
+          () => KillPointFileSystem.armAtAsideRename(1))
+        assert(failed >= 0 && vecSteps(dir)(failed)._1 ==
+            "staged-takedown",
+          s"aside-window kill landed in step $failed, not the " +
+            "takedown — the targeting is broken")
+        vecCheckAndRecover(dir, failed, snap, v1, v2, v3,
+          "v-aside-window")
+      }
     } finally {
       KillPointFileSystem.disarm()
       spark.conf.unset("graft.index.targetFileBytes")

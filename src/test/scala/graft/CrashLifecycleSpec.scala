@@ -610,4 +610,61 @@ class CrashLifecycleSpec extends SparkSpec {
       conf.unset("fs.killfs.impl")
     }
   }
+
+  test("the streaming ingest gate killed MID-RUN recovers by " +
+      "re-invocation: the checkpoint replays only the dead batch, " +
+      "the dead lease is stolen, and decisions converge to the " +
+      "never-crashed stream's") {
+    val splitId = 400L
+    val docs = Tables.documents(spark, d)
+    def gate(root: String) =
+      DedupIndex.streamIngestGate(spark, docs, "text", "doc_id",
+          k, rpb, splitId, threshold = 0.5, nFiles = 3, root,
+          compactEvery = 2)
+        .as[(Long, Option[Long], Boolean)].collect().toSeq.sorted
+    conf.set("fs.killfs.impl", classOf[KillPointFileSystem].getName)
+    try {
+      // truth: one clean streamed run on the plain local filesystem
+      // (its equivalence to the one-shot batch gate is pinned by
+      // DedupIndexSpec's ordered-micro-batches test)
+      val truth = withTempDir("graft-scrash-ref")(r => gate(s"$r/g"))
+      // op range of a clean killfs run
+      val total = withTempDir("graft-scrash-dry") { local =>
+        KillPointFileSystem.disarm()
+        val got = gate(s"killfs://$local/g")
+        assert(got === truth,
+          "the clean killfs run diverged — the harness is broken")
+        KillPointFileSystem.ops.get()
+      }
+      // seeded kills across the whole run — build phase, micro-batch
+      // appends, post-replay maintenance all land in this range
+      val rng = new scala.util.Random(20260818L)
+      for (n <- Seq.fill(3)(1 + rng.nextInt(total)).distinct.sorted)
+        withTempDir("graft-scrash-kill") { local =>
+          val root = s"killfs://$local/g"
+          KillPointFileSystem.armAt(n)
+          val died =
+            try { gate(root); false }
+            catch {
+              case t: Throwable if KillPointFileSystem.fired => true
+            }
+          KillPointFileSystem.disarm()
+          if (died) {
+            // the crashed holder's lease survived (a real kill runs
+            // no finally); the resuming writer steals it
+            spark.conf.set("graft.lease.stealHorizonMs", "1")
+            try {
+              Thread.sleep(25)
+              assert(gate(root) === truth,
+                s"sop#$n: the resumed stream's decisions diverged")
+            } finally
+              spark.conf.unset("graft.lease.stealHorizonMs")
+          } else assert(gate(root) === truth,
+            s"sop#$n: kill never fired but the run diverged")
+        }
+    } finally {
+      KillPointFileSystem.disarm()
+      conf.unset("fs.killfs.impl")
+    }
+  }
 }

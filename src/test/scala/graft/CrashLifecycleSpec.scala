@@ -107,8 +107,13 @@ object KillPointFileSystem {
       ops.incrementAndGet()
       if (armedOnNext) die(op, p)
       val isFlip = op == "rename" && dst != null &&
-        dst.getName.startsWith("manifest-") &&
-        dst.getParent != null && dst.getParent.getName == "_manifests"
+        dst.getParent != null &&
+        ((dst.getName.startsWith("manifest-") &&
+          dst.getParent.getName == "_manifests") ||
+         // the PartitionedCdc layer's version manifests
+         (dst.getName.startsWith("v") &&
+          dst.getName.endsWith(".json") &&
+          dst.getParent.getName == "_versions"))
       if (isFlip && flipTarget > 0 &&
           manifestRenames.incrementAndGet() == flipTarget) {
         if (flipAfter) armedOnNext = true else die(op, dst)
@@ -661,6 +666,160 @@ class CrashLifecycleSpec extends SparkSpec {
               spark.conf.unset("graft.lease.stealHorizonMs")
           } else assert(gate(root) === truth,
             s"sop#$n: kill never fired but the run diverged")
+        }
+    } finally {
+      KillPointFileSystem.disarm()
+      conf.unset("fs.killfs.impl")
+    }
+  }
+
+  // ---- the PartitionedCdc (COW bucket-versioned) twin: the layer
+  // that DOES promise snapshot-isolated reads. Its one documented
+  // crash window is commit-succeeded-but-publish-pending (the version
+  // manifest names a data directory whose rename has not landed):
+  // readers of the NEWEST version fail loudly there — never serve
+  // wrong rows — while every earlier version keeps serving exactly
+  // its prefix state; the replayed batch converges the commit and
+  // completes the publish.
+
+  test("PartitionedCdc chain killed at seeded ops and at the " +
+      "commit/publish straddle: committed prefixes always serve " +
+      "exactly, the newest version serves or fails loudly (never " +
+      "wrong rows), and re-invocation + one more batch converge " +
+      "and reap the crashed staging") {
+    import graft.operators.{CdcOps, PartitionedCdc}
+    val bucketOf = floor(col("k") / 25).cast("long")
+    def base = (0L until 100L)
+      .map(kk => (kk, kk * 10, "base")).toDF("k", "v", "src")
+    def log1 = (
+      (0L until 10L).map(kk => (kk, 1L, "U", kk * 10 + 1, "cdc")) ++
+      (20L until 25L).map(kk => (kk, 1L, "D", 0L, "cdc")) ++
+      (100L until 105L).map(kk => (kk, 1L, "U", kk * 10, "cdc"))
+    ).toDF("k", "seq", "op", "v", "src")
+    def log2 = (
+      (30L until 35L).map(kk => (kk, 2L, "U", kk * 10 + 2, "cdc")) ++
+      (100L until 105L).map(kk => (kk, 2L, "D", 0L, "cdc"))
+    ).toDF("k", "seq", "op", "v", "src")
+    def log3 = (55L until 60L)
+      .map(kk => (kk, 3L, "U", kk * 10 + 3, "cdc"))
+      .toDF("k", "seq", "op", "v", "src")
+    def kvRows(df: org.apache.spark.sql.DataFrame) =
+      df.select("k", "v", "src").as[(Long, Long, String)]
+        .collect().toSeq.sorted
+    val logs = Seq(log1, log2, log3)
+    // expected state per version: v0 = base, v(i) = prefix of i logs
+    val exp = (0 to 3).map(i => kvRows(logs.take(i)
+      .foldLeft(base)((b, l) =>
+        CdcOps.applyChangelog(b, l, Seq("k"), "seq", "op"))))
+    def cdcSteps(root: String): Seq[(String, () => Unit)] = Seq(
+      "init" -> (() =>
+        PartitionedCdc.init(base, bucketOf, root)),
+      "apply-v1" -> (() => { PartitionedCdc.applyVersion(spark, root,
+        log1, Seq("k"), "seq", "op", bucketOf, fromVersion = 0,
+        retainVersions = 10); () }),
+      "apply-v2" -> (() => { PartitionedCdc.applyVersion(spark, root,
+        log2, Seq("k"), "seq", "op", bucketOf, fromVersion = 1,
+        retainVersions = 10); () }))
+    def checkAndRecoverCdc(root: String, failed: Int,
+        label: String): Unit = {
+      KillPointFileSystem.disarm()
+      if (failed >= 0) {
+        // READER: every committed version below the newest serves
+        // exactly its prefix; the newest serves its prefix OR fails
+        // loudly (the documented publish-pending window)
+        val vs = PartitionedCdc.listVersions(spark, root)
+        for (v <- vs.dropRight(1))
+          assert(kvRows(PartitionedCdc.readVersion(spark, root, v))
+              === exp(v),
+            s"$label: committed version $v no longer serves its " +
+              "prefix state")
+        vs.lastOption.foreach { v =>
+          val got =
+            try Some(kvRows(PartitionedCdc.readVersion(spark, root, v)))
+            catch { case scala.util.control.NonFatal(_) => None }
+          got.foreach(r => assert(r === exp(v),
+            s"$label: newest version $v served WRONG rows — worse " +
+              "than the documented loud publish-pending failure"))
+        }
+        // RECOVERY: steal the dead lease, re-run from the failed step
+        spark.conf.set("graft.lease.stealHorizonMs", "1")
+        try {
+          Thread.sleep(25)
+          cdcSteps(root).drop(failed).foreach(_._2())
+        } finally spark.conf.unset("graft.lease.stealHorizonMs")
+      }
+      // one more real batch with RETENTION ACTIVE (retainVersions=1
+      // makes the prune floor non-negative — the staging reap only
+      // runs on a pruning batch; below the floor crashed stagings
+      // are deferred GC, dot-prefixed and invisible to readers) and
+      // the staged-reap age guard off (the documented 0 sentinel):
+      // it must converge AND collect the crashed attempt's residue
+      spark.conf.set("graft.cdc.stagedReapHorizonMs", "0")
+      try PartitionedCdc.applyVersion(spark, root, log3, Seq("k"),
+        "seq", "op", bucketOf, fromVersion = 2, retainVersions = 1)
+      finally spark.conf.unset("graft.cdc.stagedReapHorizonMs")
+      // retention kept exactly the window; survivors serve exactly
+      assert(PartitionedCdc.listVersions(spark, root) === Seq(2, 3),
+        s"$label: retention did not land on the {2, 3} window")
+      for (v <- 2 to 3)
+        assert(kvRows(PartitionedCdc.readVersion(spark, root, v))
+            === exp(v),
+          s"$label: version $v diverged after recovery + batch 3")
+      assert(kvRows(PartitionedCdc.read(spark, root)) === exp(3),
+        s"$label: the live read is not the final state")
+      val fs2 = new HPath(root).getFileSystem(conf)
+      val dataDirs = fs2.listStatus(new HPath(s"$root/data"))
+        .map(_.getPath.getName)
+      assert(!dataDirs.exists(_.startsWith(".staged-ver=")),
+        s"$label: crashed staging survived the reaping batch: " +
+          dataDirs.filter(_.startsWith(".staged-ver=")).mkString(","))
+      assert(!fs2.exists(new HPath(s"$root/_lock/lease")),
+        s"$label: a completed chain left the writer lease behind")
+    }
+    def runCdcKilled(local: String, arm: () => Unit): (String, Int) = {
+      val root = s"killfs://$local/cdc"
+      arm()
+      var failed = -1
+      val ss = cdcSteps(root)
+      var i = 0
+      while (i < ss.length && failed < 0) {
+        try ss(i)._2()
+        catch {
+          case t: Throwable if KillPointFileSystem.fired => failed = i
+        }
+        i += 1
+      }
+      (root, failed)
+    }
+    conf.set("fs.killfs.impl", classOf[KillPointFileSystem].getName)
+    try {
+      val total = withTempDir("graft-ccrash-dry") { local =>
+        KillPointFileSystem.disarm()
+        val (root, failed) = runCdcKilled(local, () => ())
+        assert(failed === -1)
+        val opCount = KillPointFileSystem.ops.get()
+        checkAndRecoverCdc(root, -1, "cdry")
+        opCount
+      }
+      assert(total > 30, s"suspiciously few mutating ops ($total)")
+      val rng = new scala.util.Random(20260819L)
+      for (n <- Seq.fill(6)(1 + rng.nextInt(total)).distinct.sorted)
+        withTempDir("graft-ccrash-rand") { local =>
+          val (root, failed) =
+            runCdcKilled(local, () => KillPointFileSystem.armAt(n))
+          checkAndRecoverCdc(root, failed, s"cop#$n")
+        }
+      // straddle every version-manifest commit: AT the rename (v not
+      // yet visible) and right AFTER it (the publish-pending window
+      // the reader contract documents)
+      for (flip <- 1 to 3; after <- Seq(false, true))
+        withTempDir("graft-ccrash-flip") { local =>
+          val (root, failed) = runCdcKilled(local,
+            () => KillPointFileSystem.armAtManifestFlip(flip, after))
+          assert(failed >= 0,
+            s"cflip#$flip after=$after never fired")
+          checkAndRecoverCdc(root, failed,
+            s"cflip#$flip after=$after")
         }
     } finally {
       KillPointFileSystem.disarm()

@@ -515,20 +515,38 @@ object CdcOps {
     // the view" precisely because of the resume guard)
     val staged = graft.streaming.StreamingOps.versionedReplay(
         ss, log, seqCol, nFiles, root) {
-      // BOTH seed artifacts complete = seeded (agg0 is written last,
-      // so a crash between the two re-seeds — overwrites converge)
+      // BOTH seed artifacts complete = seeded (the seed writes run
+      // concurrently; a crash leaving either incomplete re-seeds —
+      // overwrites converge)
       completeDir(ss, s"$root/snap0") && completeDir(ss, s"$root/agg0")
     } {
-      base.write.mode("overwrite").parquet(s"$root/snap0")
-      aggOf(base).write.mode("overwrite").parquet(s"$root/agg0")
+      // the two seed writes are independent overwrites; overlapped
+      // (Par.both). Crash between/during them still converges: the
+      // seeded check above requires BOTH complete, so any partial
+      // state re-seeds and the overwrites converge.
+      Par.both {
+        base.write.mode("overwrite").parquet(s"$root/snap0")
+      } {
+        aggOf(base).write.mode("overwrite").parquet(s"$root/agg0")
+      }
+      ()
     } { (batch, batchId) =>
       val snap = ss.read.parquet(s"$root/snap$batchId")
       val agg = ss.read.parquet(s"$root/agg$batchId")
-      maintainAggs(agg, snap, batch, keys, seqCol, opCol,
-        dims, sumCols, cntCol)
-        .write.mode("overwrite").parquet(s"$root/agg${batchId + 1}")
-      applyChangelog(snap, batch, keys, seqCol, opCol)
-        .write.mode("overwrite").parquet(s"$root/snap${batchId + 1}")
+      // both writes key on version batchId+1 and read only version
+      // batchId — independent, so they overlap (Par.both). A crash
+      // that completes one but not the other replays the batch (the
+      // checkpoint commit is after the body) and both overwrites
+      // converge — the same recovery as the sequential form, whose
+      // agg-then-snap order also left a one-sided window.
+      Par.both {
+        maintainAggs(agg, snap, batch, keys, seqCol, opCol,
+          dims, sumCols, cntCol)
+          .write.mode("overwrite").parquet(s"$root/agg${batchId + 1}")
+      } {
+        applyChangelog(snap, batch, keys, seqCol, opCol)
+          .write.mode("overwrite").parquet(s"$root/snap${batchId + 1}")
+      }
       val expired = batchId - retainVersions
       if (expired >= 0 && retainVersions != Int.MaxValue) {
         val conf = ss.sparkContext.hadoopConfiguration

@@ -482,10 +482,22 @@ object LayoutOps {
       return
     }
     val corpus = s.read.parquet(dir)
-    val affectedDf = corpus
-      .join(broadcast(t), Seq(keyCol), "left_semi")
-      .select(col("ingest"), col(partCol)).distinct()
-    val affected = affectedDf.collect()
+    // ONE narrow pass answers BOTH driver-side questions — which
+    // (ingest, partition) pairs contain a tombstoned key (affected:
+    // dead > 0) and which empty out entirely (total == dead) — where
+    // this used to be two collects: a full-corpus semi-join distinct
+    // for `affected`, then a second counting scan of the affected
+    // partitions for `emptied`. The single pass touches only
+    // (ingest, partCol, keyCol); the wide payload never leaves disk.
+    val stats = corpus.select(col("ingest"), col(partCol), col(keyCol))
+      .join(broadcast(t.withColumn("__dead", lit(1))), Seq(keyCol),
+        "left")
+      .groupBy(col("ingest"), col(partCol))
+      .agg(count(lit(1)).as("__total"), count(col("__dead"))
+        .as("__dead"))
+      .filter(col("__dead") > 0)
+      .collect()
+    val affected = stats.map(r => (r.get(0), r.get(1)))
     if (affected.nonEmpty) {
       // the affected-partition restriction is a STATIC predicate over
       // the partition columns (the pair list is already driver-side):
@@ -501,23 +513,13 @@ object LayoutOps {
       // scan pruning).
       val restricted =
         if (affected.length > 4096) corpus
-        else corpus.filter(affected.map(r =>
-            col("ingest") === lit(r.get(0)) &&
-              col(partCol) === lit(r.get(1)))
+        else corpus.filter(affected.map { case (g, p) =>
+            col("ingest") === lit(g) && col(partCol) === lit(p) }
           .reduce(_ || _))
-      // ONE narrow counting pass over the affected partitions finds
-      // the fully-emptied set (total == dead) — cheaper than
-      // re-evaluating the survivor plan for its partition list, and
-      // it never touches the wide payload columns
-      val emptied = restricted.select(col("ingest"), col(partCol),
-          col(keyCol))
-        .join(broadcast(t.withColumn("__dead", lit(1))), Seq(keyCol),
-          "left")
-        .groupBy(col("ingest"), col(partCol))
-        .agg(count(lit(1)).as("__total"), count(col("__dead"))
-          .as("__dead"))
-        .filter(col("__total") === col("__dead"))
-        .select(col("ingest"), col(partCol)).collect()
+      // the fully-emptied set fell out of the same pass (total ==
+      // dead) — no second counting scan
+      val emptied = stats
+        .filter(r => r.getLong(2) == r.getLong(3))
         .map(r => (r.get(0).toString, r.get(1).toString))
       // broadcast anti-join: the rewrite is MAP-ONLY — affected
       // partitions scan, filter, write; the wide survivor rows are

@@ -73,6 +73,32 @@ object SimilarityOps {
       .mkString("CAST((", " + ", ") AS BIGINT)"))
   }
 
+  /** Cost-gated persist for a TRAINING input the caller is about to
+    * make several full passes over (each `trainIvf` Lloyd step, each
+    * [[ProductQuantization.train]] step, and their seed collects all
+    * re-scan the frame and re-run its lineage — at the bench scale
+    * 4-6 passes per build, each re-reading parquet and re-computing
+    * norms). Persisting the projected frame makes pass 1 the only
+    * real scan; every later pass reads the in-memory columnar copy.
+    *
+    * Gated on the optimizer's size estimate so the cache is a
+    * bounded-input decision, not a local-mode constant: at 100 TB the
+    * training input is a SAMPLE (the s10 contract — training cost
+    * must not scale with the corpus), which passes the gate; a caller
+    * that trains on an unsampled huge corpus skips the cache and
+    * keeps today's scan-per-pass behavior. Results are identical
+    * either way (the cache only changes where bytes are read from);
+    * `graft.train.cacheMaxBytes = 0` turns it off.
+    */
+  def trainCache(df: DataFrame): DataFrame = {
+    val maxBytes = Knobs.long(df.sparkSession,
+      "graft.train.cacheMaxBytes", 8L << 30, min = 0)
+    val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (est <= maxBytes)
+      df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else df
+  }
+
   /** Trained-IVF coarse-quantizer state: ascending cell ids, flattened
     * centroid components (cell-major), and centroid L2 norms — the
     * foldable arguments of the native `ivf_assign` expression.

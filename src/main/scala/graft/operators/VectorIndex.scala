@@ -99,10 +99,25 @@ object VectorIndex {
     // mutators' contract): the lease lives at the artifact's SIBLING
     // lock root so rebuild's staging swap never carries it away
     WriterLease.withLease(s, DedupIndex.leaseRoot(dir)) {
-    val e = SimilarityOps.withNorm(e0, "embedding", "n")
-    val cents = SimilarityOps.trainIvf(e, dim, lloydSteps)
-    val books = ProductQuantization.train(
-      e, "embedding", "vec_id", subspaces, subDim, k, steps = 1)
+    // build makes 5-6 passes over this frame (two quantizer trainings
+    // with their seed collects, then the encode+write and the
+    // membership sketch) — cost-gated cache so passes 2..n read the
+    // materialized copy instead of re-running the scan+norm lineage;
+    // released before leaving the build either way
+    val e = SimilarityOps.trainCache(
+      SimilarityOps.withNorm(e0, "embedding", "n"))
+    try {
+    // the two quantizer trainings are independent (coarse cells from
+    // Lloyd over `e`; PQ codebooks from Lloyd over `e`'s subspaces)
+    // and mutate nothing — overlap them so one's driver-side collect/
+    // recentroid phase runs under the other's jobs (Par's contract;
+    // read-only, so the crash sweeps' mutating-op order is untouched)
+    val (cents, books) = Par.both {
+      SimilarityOps.trainIvf(e, dim, lloydSteps)
+    } {
+      ProductQuantization.train(
+        e, "embedding", "vec_id", subspaces, subDim, k, steps = 1)
+    }
     // heartbeat + fence after the long training stage, BEFORE the
     // first destructive write: a holder whose training outlasted the
     // steal horizon (and was legally stolen) dies here instead of
@@ -185,9 +200,12 @@ object VectorIndex {
     // live-id membership sketch beside the corpus — same composition
     // (and the same superset/OR/unlearn contract) as
     // [[DedupIndex]]'s; [[memberPrune]] serves it. The sizing count
-    // rode the corpus write's Observation — no extra pass.
-    DedupIndex.buildMembers(e0, "vec_id", dir,
+    // rode the corpus write's Observation — no extra pass. Built from
+    // the cached frame (same ids as e0), not the raw input, so the
+    // sketch pass is a cache read when the gate engaged.
+    DedupIndex.buildMembers(e, "vec_id", dir,
       metrics.get("n_rows").map(_.asInstanceOf[Long]))
+    } finally e.unpersist()
     }
   }
 

@@ -46,13 +46,15 @@ object StreamingOps {
     // the id is read as LONG whatever integral type the caller's
     // column carries (an INT seq would ClassCastException on getLong)
     val idL = col(idCol).cast("long")
-    // ONE aggregate answers the row count, id bounds, null-id count,
-    // and the content signature — the null guard used to be its own
-    // full scan. bit_xor combines the per-row hashes order-
-    // independently and cannot overflow (a SUM of full-range xxhash64
-    // longs trips the ANSI overflow check).
+    // NARROW first pass: row count, id bounds, null-id count — only
+    // the id column leaves the scan (the full-width content hash used
+    // to ride this aggregate, paying a second full-width evaluation
+    // of the arrivals lineage per stream; it now rides the stage
+    // write below as an Observation, so the content is hashed in the
+    // same pass that writes it). bit_xor combines the per-row hashes
+    // order-independently and cannot overflow (a SUM of full-range
+    // xxhash64 longs trips the ANSI overflow check).
     val sigRow = arrivals.agg(count(lit(1)), min(idL), max(idL),
-      bit_xor(xxhash64(arrivals.columns.toIndexedSeq.map(col): _*)),
       count(idL)).head()
     val nRows = sigRow.getLong(0)
     // loud null guard, same rationale as Publish.publishChunks: a
@@ -60,7 +62,7 @@ object StreamingOps {
     // range-file renumber loop never moves — the rows would silently
     // vanish from the replay while the signature records them as
     // staged
-    require(nRows == 0 || sigRow.getLong(4) == nRows,
+    require(nRows == 0 || sigRow.getLong(3) == nRows,
       s"stageOrderedArrivals: null `$idCol` in arrivals — a null id " +
         "cannot join an ordered range file and would be dropped " +
         "from the replay")
@@ -84,9 +86,37 @@ object StreamingOps {
     // nFiles is part of the signature: the SAME content re-staged at a
     // different file count renames the id ranges under the same bNNN
     // paths, and the checkpoint (which keys by path) would replay a
-    // half-shifted subset — content alone is not the full layout
-    val sig = ((0 until 4).map(i =>
-      if (sigRow.isNullAt(i)) "null" else sigRow.getLong(i).toString)
+    // half-shifted subset — content alone is not the full layout.
+    //
+    // The range-file write runs BEFORE the signature guard now: the
+    // content hash the signature needs rides the write itself as an
+    // Observation (it used to be a second full-width evaluation of
+    // the arrivals lineage in the aggregate above), and the write
+    // only touches the transient `.stage` subtree — the committed
+    // bNNN range files and the signature are mutated strictly AFTER
+    // the guard passes, so a mismatched re-stage still refuses with
+    // the prior staging intact (it merely paid the staging write
+    // before refusing — an error path).
+    val (lo, hi) = (sigRow.getLong(1), sigRow.getLong(2))
+    val step = (hi - lo) / nFiles + 1
+    val contentObs = new org.apache.spark.sql.Observation
+    // ONE pass cuts all the range files (dynamic-partition write on
+    // the computed file index; the index column stays out of the
+    // file contents). Hash-repartition on __f: every range's rows
+    // land in exactly one task — still exactly one part file per
+    // range dir — but the nFiles ranges WRITE IN PARALLEL (the old
+    // repartition(1) funneled the whole changelog through one task).
+    arrivals
+      .observe(contentObs, bit_xor(
+        xxhash64(arrivals.columns.toIndexedSeq.map(col): _*)).as("xor"))
+      .withColumn("__f",
+        expr(s"CAST((CAST($idCol AS BIGINT) - $lo) DIV $step AS INT)"))
+      .repartition(col("__f"))
+      .write.mode("overwrite").partitionBy("__f")
+      .parquet(s"$dir/.stage")
+    val sig = (Seq[Any](nRows, sigRow.getLong(1), sigRow.getLong(2),
+        contentObs.get.getOrElse("xor", null)).map(v =>
+        Option(v).map(_.toString).getOrElse("null"))
       :+ s"n$nFiles").mkString(":")
     val sigPath = new HPath(dp, "_log_sig")
     if (fs.exists(sigPath)) {
@@ -109,45 +139,29 @@ object StreamingOps {
         .foreach(fs.delete(_, false))
     fs.mkdirs(dp)
     var staged = 0
-    locally {
-      val (lo, hi) = (sigRow.getLong(1), sigRow.getLong(2))
-      val step = (hi - lo) / nFiles + 1
-      // ONE pass cuts all the range files (dynamic-partition write on
-      // the computed file index; the index column stays out of the
-      // file contents). Hash-repartition on __f: every range's rows
-      // land in exactly one task — still exactly one part file per
-      // range dir — but the nFiles ranges WRITE IN PARALLEL (the old
-      // repartition(1) funneled the whole changelog through one task).
-      arrivals
-        .withColumn("__f",
-          expr(s"CAST((CAST($idCol AS BIGINT) - $lo) DIV $step AS INT)"))
-        .repartition(col("__f"))
-        .write.mode("overwrite").partitionBy("__f")
-        .parquet(s"$dir/.stage")
-      // staged files are renumbered CONTIGUOUSLY: a sparse id
-      // distribution leaves range slots empty (fewer than nFiles
-      // files), and the replay runs exactly one micro-batch per staged
-      // file — the returned count is the batch count callers must use
-      // (a hardcoded nFiles would over-assert)
-      for (i <- 0 until nFiles) {
-        val stage = new HPath(s"$dir/.stage/__f=$i")
-        if (fs.exists(stage)) {
-          val part = fs.listStatus(stage).map(_.getPath)
-            .find(_.getName.startsWith("part-"))
-            .getOrElse(sys.error(
-              s"stageOrderedArrivals: no part file under $stage"))
-          val dest = new HPath(dp, f"b$staged%03d.parquet")
-          fs.delete(dest, false)
-          require(fs.rename(part, dest),
-            s"stageOrderedArrivals: could not move $part to $dest")
-          // distinct mtimes pin the file source's oldest-first order
-          // (fixed epoch: deterministic, and a minute apart so
-          // ms-precision timestamps can never collide). Stores whose
-          // setTimes is a no-op (object stores) still order correctly:
-          // the sequential renames produce increasing upload times.
-          fs.setTimes(dest, 1700000000000L + staged * 60000L, -1)
-          staged += 1
-        }
+    // staged files are renumbered CONTIGUOUSLY: a sparse id
+    // distribution leaves range slots empty (fewer than nFiles
+    // files), and the replay runs exactly one micro-batch per staged
+    // file — the returned count is the batch count callers must use
+    // (a hardcoded nFiles would over-assert)
+    for (i <- 0 until nFiles) {
+      val stage = new HPath(s"$dir/.stage/__f=$i")
+      if (fs.exists(stage)) {
+        val part = fs.listStatus(stage).map(_.getPath)
+          .find(_.getName.startsWith("part-"))
+          .getOrElse(sys.error(
+            s"stageOrderedArrivals: no part file under $stage"))
+        val dest = new HPath(dp, f"b$staged%03d.parquet")
+        fs.delete(dest, false)
+        require(fs.rename(part, dest),
+          s"stageOrderedArrivals: could not move $part to $dest")
+        // distinct mtimes pin the file source's oldest-first order
+        // (fixed epoch: deterministic, and a minute apart so
+        // ms-precision timestamps can never collide). Stores whose
+        // setTimes is a no-op (object stores) still order correctly:
+        // the sequential renames produce increasing upload times.
+        fs.setTimes(dest, 1700000000000L + staged * 60000L, -1)
+        staged += 1
       }
     }
     val out = fs.create(sigPath, true)

@@ -1039,19 +1039,6 @@ object DedupIndex {
     val lr = leaseRoot(s"$root/index")
     val lease = WriterLease.acquire(ss, lr)
     try {
-    WriterLease.asOwner(ss, lr, lease) {
-    if (!builtComplete(ss, s"$root/index"))
-      build(docs.filter(col(idCol) < splitId), textCol, idCol,
-        k, rowsPerBand, s"$root/index")
-    }
-    // the gate's decisions store is written by the replayed batches —
-    // zero arrivals would leave it absent and the final read would
-    // fail with a bare path error; say what actually went wrong
-    require(graft.streaming.StreamingOps.stageOrderedArrivals(
-        docs.filter(col(idCol) >= splitId), idCol, nFiles,
-        s"$root/arrivals") > 0,
-      s"streamIngestGate: no arrivals at or past splitId=$splitId — " +
-        "nothing to gate")
     // the doc→grams verification table is a STORED artifact, not a
     // per-batch recompute: shingling the corpus once and reading the
     // store per batch turned the 3-batch sf0.1 stream from 10.2 s to
@@ -1064,9 +1051,36 @@ object DedupIndex {
     // repeat the full-corpus shingle before any batch replays.
     val gramsDone = new org.apache.hadoop.fs.Path(
       s"$root/grams/_SUCCESS")
-    if (!fs.exists(gramsDone))
-      docs.select(col(idCol), TextOps.charNgrams(textCol, 4).as("grams"))
-        .write.mode("overwrite").parquet(s"$root/grams")
+    // The grams store build is independent of the index build and the
+    // arrivals staging (separate trees, separate completion markers,
+    // no read of each other's output) — overlap them (Par.both): the
+    // three init passes were the gate's serial floor, and each is a
+    // few-task job that leaves the cores idle. Crash anywhere still
+    // converges: each piece has its own commit-marker skip, and any
+    // half-done combination re-runs only the missing piece. The
+    // lease-fenced build stays under asOwner on the calling thread;
+    // the grams side table is not lease-fenced (unchanged).
+    val (_, staged) = Par.both {
+      if (!fs.exists(gramsDone))
+        docs.select(col(idCol),
+            TextOps.charNgrams(textCol, 4).as("grams"))
+          .write.mode("overwrite").parquet(s"$root/grams")
+    } {
+      WriterLease.asOwner(ss, lr, lease) {
+      if (!builtComplete(ss, s"$root/index"))
+        build(docs.filter(col(idCol) < splitId), textCol, idCol,
+          k, rowsPerBand, s"$root/index")
+      }
+      graft.streaming.StreamingOps.stageOrderedArrivals(
+        docs.filter(col(idCol) >= splitId), idCol, nFiles,
+        s"$root/arrivals")
+    }
+    // the gate's decisions store is written by the replayed batches —
+    // zero arrivals would leave it absent and the final read would
+    // fail with a bare path error; say what actually went wrong
+    require(staged > 0,
+      s"streamIngestGate: no arrivals at or past splitId=$splitId — " +
+        "nothing to gate")
     val grams = ss.read.parquet(s"$root/grams")
     // COST-BASED semi pre-filter of the verification store, decided
     // ONCE per stream from its physical size (the vector gate's
@@ -1137,27 +1151,38 @@ object DedupIndex {
             bb, idCol)
           // batch-keyed dynamic overwrites: a replayed micro-batch
           // replaces its own decisions/generation instead of
-          // double-writing — effectively-once ingest
-          gateDecisions(cand, grams, batch, idCol, threshold,
-              semiFilter = semiInStream)
-            .withColumn("batch", lit(batchId))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("batch").parquet(s"$root/decisions")
-          val rows = bb.withColumn("ingest", lit(batchId + 1))
-          // bucket-sorted like every other generation writer — the
-          // NEXT batch's pushed probe skips this generation's
-          // un-touched row groups too (constant `ingest` out of the
-          // sort list — see build's layout comment)
-          rows.sortWithinPartitions(col("band"), col("bucket"))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .option("parquet.page.row.count.limit", pageRowLimit(ss))
-            .partitionBy("ingest", "band")
-            .parquet(s"$root/index/buckets")
-          ArtifactManifest.recordAppend(ss, s"$root/index/buckets",
-            batchId + 1, Some(ArtifactManifest.frameShapeJson(rows.schema,
-        Seq("ingest", "band"))))
+          // double-writing — effectively-once ingest.
+          // The decisions write and the generation append are
+          // INDEPENDENT (decisions read the PRE-batch store — whose
+          // file listing `stored` pinned at batch start — plus the
+          // persisted batch buckets; the append writes only the new
+          // ingest=batchId+1 partitions) — overlap them (Par.both).
+          // A crash completing one but not the other replays the
+          // batch and both batch-keyed overwrites converge, the same
+          // recovery as the sequential order's one-sided window.
+          Par.both {
+            gateDecisions(cand, grams, batch, idCol, threshold,
+                semiFilter = semiInStream)
+              .withColumn("batch", lit(batchId))
+              .write.mode("overwrite")
+              .option("partitionOverwriteMode", "dynamic")
+              .partitionBy("batch").parquet(s"$root/decisions")
+          } {
+            val rows = bb.withColumn("ingest", lit(batchId + 1))
+            // bucket-sorted like every other generation writer — the
+            // NEXT batch's pushed probe skips this generation's
+            // un-touched row groups too (constant `ingest` out of the
+            // sort list — see build's layout comment)
+            rows.sortWithinPartitions(col("band"), col("bucket"))
+              .write.mode("overwrite")
+              .option("partitionOverwriteMode", "dynamic")
+              .option("parquet.page.row.count.limit", pageRowLimit(ss))
+              .partitionBy("ingest", "band")
+              .parquet(s"$root/index/buckets")
+            ArtifactManifest.recordAppend(ss, s"$root/index/buckets",
+              batchId + 1, Some(ArtifactManifest.frameShapeJson(rows.schema,
+          Seq("ingest", "band"))))
+          }
         } finally bb.unpersist()
       }
       }

@@ -906,12 +906,22 @@ object VectorIndex {
     val lr = DedupIndex.leaseRoot(s"$root/index")
     val lease = WriterLease.acquire(ss, lr)
     try {
-    WriterLease.asOwner(ss, lr, lease) {
-    if (!bfs.exists(built))
-      build(e0.filter(col("vec_id") < splitId)
-          .select("vec_id", "embedding"),
-        dim, lloydSteps, subspaces, subDim, k, s"$root/index",
-        gateBits = Some(bits))
+    // the arrivals staging is independent of the index build
+    // (separate trees, own completion/signature guards) — overlap
+    // them (Par.both; the text twin's init rationale). The
+    // lease-fenced build stays under asOwner on the calling thread.
+    val (stagedN, _) = Par.both {
+      graft.streaming.StreamingOps.stageOrderedArrivals(
+        e0.filter(col("vec_id") >= splitId), "vec_id", nFiles,
+        s"$root/arrivals")
+    } {
+      WriterLease.asOwner(ss, lr, lease) {
+      if (!bfs.exists(built))
+        build(e0.filter(col("vec_id") < splitId)
+            .select("vec_id", "embedding"),
+          dim, lloydSteps, subspaces, subDim, k, s"$root/index",
+          gateBits = Some(bits))
+      }
     }
     // gate geometry: a stamped artifact serves its PERSISTED bucket
     // column (written by build and every batch append below — the
@@ -929,9 +939,7 @@ object VectorIndex {
         "the index or match the geometry"))
     // zero arrivals would leave the decisions store absent and the
     // final read failing with a bare path error — fail with the cause
-    require(graft.streaming.StreamingOps.stageOrderedArrivals(
-        e0.filter(col("vec_id") >= splitId), "vec_id", nFiles,
-        s"$root/arrivals") > 0,
+    require(stagedN > 0,
       s"streamIngestGate: no arrivals at or past splitId=$splitId — " +
         "nothing to gate")
     // quantizers are FROZEN: collect them once; per batch only the
@@ -981,32 +989,41 @@ object VectorIndex {
         try {
           // batch-keyed dynamic overwrites: a replayed micro-batch
           // replaces its own decisions/generation instead of
-          // double-writing — effectively-once ingest
-          SimilarityOps.ingestGate(stored, enc, threshold)
-            .withColumn("batch", lit(batchId))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("batch").parquet(s"$root/decisions")
-          // the batch's bucket (already computed for the gate) is
-          // appended too, keeping the stored column complete so the
-          // NEXT batch's stored side never derives
-          val rows = enc
-            .select((Seq("vec_id", "embedding", "n", "cell", "code")
-              ++ storedBits.map(_ => "bucket").toSeq).map(col): _*)
-            .withColumn("ingest", lit(batchId + 1))
-          // constant `ingest` out of the sort list — see build's
-          // layout comment
-          storedBits.fold(rows)(_ => rows.sortWithinPartitions(
-              col("cell"), col("bucket")))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .option("parquet.page.row.count.limit",
-              DedupIndex.pageRowLimit(ss))
-            .partitionBy("ingest", "cell")
-            .parquet(s"$root/index/corpus")
-          ArtifactManifest.recordAppend(ss, s"$root/index/corpus",
-            batchId + 1, Some(ArtifactManifest.frameShapeJson(rows.schema,
-        Seq("ingest", "cell"))))
+          // double-writing — effectively-once ingest.
+          // The decisions write and the generation append are
+          // INDEPENDENT (both derive from the persisted `enc`; the
+          // decisions read the PRE-batch corpus whose listing
+          // `stored` pinned; the append writes only the new
+          // ingest=batchId+1 partitions) — overlapped, the text
+          // twin's batch-body rationale verbatim.
+          Par.both {
+            SimilarityOps.ingestGate(stored, enc, threshold)
+              .withColumn("batch", lit(batchId))
+              .write.mode("overwrite")
+              .option("partitionOverwriteMode", "dynamic")
+              .partitionBy("batch").parquet(s"$root/decisions")
+          } {
+            // the batch's bucket (already computed for the gate) is
+            // appended too, keeping the stored column complete so the
+            // NEXT batch's stored side never derives
+            val rows = enc
+              .select((Seq("vec_id", "embedding", "n", "cell", "code")
+                ++ storedBits.map(_ => "bucket").toSeq).map(col): _*)
+              .withColumn("ingest", lit(batchId + 1))
+            // constant `ingest` out of the sort list — see build's
+            // layout comment
+            storedBits.fold(rows)(_ => rows.sortWithinPartitions(
+                col("cell"), col("bucket")))
+              .write.mode("overwrite")
+              .option("partitionOverwriteMode", "dynamic")
+              .option("parquet.page.row.count.limit",
+                DedupIndex.pageRowLimit(ss))
+              .partitionBy("ingest", "cell")
+              .parquet(s"$root/index/corpus")
+            ArtifactManifest.recordAppend(ss, s"$root/index/corpus",
+              batchId + 1, Some(ArtifactManifest.frameShapeJson(rows.schema,
+          Seq("ingest", "cell"))))
+          }
         } finally enc.unpersist()
       }
       }

@@ -762,13 +762,25 @@ object PartitionedCdc {
       f".staged-ver=${fromVersion + 1}%010d." +
         s"${java.util.UUID.randomUUID}")
     val aggFs = fsOf(s, aggStaging)
-    CdcOps.maintainAggs(prevAgg,
-        churnedSlice(s, root, cur, churned, log, seqCol, opCol),
-        log, keys, seqCol, opCol, dims, sumCols, cntCol, deleteOp)
-      .write.mode("overwrite").parquet(aggStaging.toString)
-    val v =
-      try doApply(s, root, log, keys, seqCol, opCol, bucketOf, cur,
-        churned, deleteOp, retainVersions, sortCols)
+    // the agg staging write and the table's COW apply are independent
+    // (the agg reads the PRE-batch aggregate + the pre-batch churned
+    // slice; the apply stages/commits/publishes the NEW table
+    // version) — overlap them (Par.both). Ordering is preserved
+    // where it matters: the agg PUBLISH below still happens only
+    // after doApply's manifest commit fences this batch in, and any
+    // failure on either side still deletes the UUID-keyed agg
+    // staging before rethrowing (a crashed attempt's staging is also
+    // reaped by the post-publish sweep, as before).
+    val (_, v) =
+      try Par.both {
+        CdcOps.maintainAggs(prevAgg,
+            churnedSlice(s, root, cur, churned, log, seqCol, opCol),
+            log, keys, seqCol, opCol, dims, sumCols, cntCol, deleteOp)
+          .write.mode("overwrite").parquet(aggStaging.toString)
+      } {
+        doApply(s, root, log, keys, seqCol, opCol, bucketOf, cur,
+          churned, deleteOp, retainVersions, sortCols)
+      }
       catch { case t: Throwable =>
         aggFs.delete(aggStaging, true); throw t
       }

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{ArtifactManifest, CdcOps, DedupIndex, TempArtifacts, VectorIndex}
+import graft.operators.{ArtifactManifest, CdcOps, DedupIndex, Par, TempArtifacts, VectorIndex}
 import graft.streaming.StreamingOps
 
 /** Structured Streaming inventory over the `events` stream: tumbling
@@ -380,15 +380,21 @@ object StreamingQueries {
       val ss = StreamingOps.streamSession(s)
       val root = TempArtifacts.dir("graft-stream-del")
       val e = Tables.embeddings(ss, d)
-      VectorIndex.build(e, SimilarityQueries.Dim,
-        SimilarityQueries.LloydSteps, SimilarityQueries.PqSub,
-        SimilarityQueries.PqSubDim, SimilarityQueries.PqK,
-        s"$root/index")
       val tombs = e.select(col("vec_id"))
         .filter(pmod(col("vec_id"), lit(SimilarityQueries.VecDelMod))
           === SimilarityQueries.VecDelRes)
-      StreamingOps.stageOrderedArrivals(tombs, "vec_id", nFiles = 2,
-        s"$root/arrivals")
+      // the index build and the tombstone staging touch separate
+      // trees and neither reads the other's output — overlap them
+      // (Par.both, the ingest gates' init rationale)
+      Par.both {
+        VectorIndex.build(e, SimilarityQueries.Dim,
+          SimilarityQueries.LloydSteps, SimilarityQueries.PqSub,
+          SimilarityQueries.PqSubDim, SimilarityQueries.PqK,
+          s"$root/index")
+      } {
+        StreamingOps.stageOrderedArrivals(tombs, "vec_id", nFiles = 2,
+          s"$root/arrivals")
+      }
       StreamingOps.replayOrdered(ss, tombs.schema, s"$root/arrivals",
           s"$root/ckpt") { (batch, _) =>
         VectorIndex.delete(ss, s"$root/index", batch)

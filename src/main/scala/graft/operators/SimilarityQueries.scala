@@ -172,9 +172,11 @@ object SimilarityQueries {
     // deterministically; all 64-term dot/norm chains are generated
     // left-deep on both engines so the fp fold order is identical.
     "s4_ivf_topk" -> ((s, d) => {
-      // train + serve make LloydSteps+2 passes over this frame —
-      // cost-gated persist (see SimilarityOps.trainCache; the harness
-      // clearCache()s between queries, the d4/d8 convention)
+      // cost-gated persist for the Lloyd passes that run DURING query
+      // construction (SimilarityOps.trainCache); released before the
+      // frame is returned — serving queries must not leak cached
+      // frames into the session (PipelineSignalsSpec's contract), so
+      // the serve action recomputes the one scan it always paid
       val e = SimilarityOps.trainCache(
         SimilarityOps.withNorm(embeddings(s, d), "embedding", "n"))
       // Assignment runs as the native `ivf_assign` expression
@@ -191,8 +193,10 @@ object SimilarityQueries {
       // integer aggregations, so training is partition-order
       // independent (NOTES.md rule 2 generalized to k-means).
       val cents = SimilarityOps.trainIvf(e, Dim, LloydSteps)
-      cellServeTopK(e.withColumn("cell",
+      val res = cellServeTopK(e.withColumn("cell",
         SimilarityOps.ivfAssign(cents, Dim)))
+      e.unpersist()
+      res
     }),
 
     // s5: int8 embedding quantization — the storage-scale path for a
@@ -267,9 +271,10 @@ object SimilarityQueries {
     // dim table).
     "s7_pq_adc_topk" -> ((s, d) => {
       import graft.operators.ProductQuantization
-      // PQ seed + Lloyd collects, the encode, and the query-side
-      // projection are 4 passes over this frame — cost-gated persist
-      // (SimilarityOps.trainCache)
+      // cost-gated persist for the PQ seed + Lloyd collects that run
+      // during construction (SimilarityOps.trainCache); released
+      // before returning (the no-leaked-frames serving contract,
+      // PipelineSignalsSpec)
       val e = SimilarityOps.trainCache(embeddings(s, d))
       val books = ProductQuantization.train(
         e, "embedding", "vec_id", PqSub, PqSubDim, PqK, steps = 1)
@@ -301,8 +306,10 @@ object SimilarityQueries {
             col("code"), col("qt"), books.head.length), 6).as("adc_dist"))
       // sort-free top-k: the scored stream feeds a k-slot aggregator,
       // never a window sort
-      topkByDist(sim, Seq("q_id"), "adc_dist")
+      val res = topkByDist(sim, Seq("q_id"), "adc_dist")
         .select("q_id", "vec_id", "adc_dist", "rank")
+      e.unpersist()
+      res
     }),
 
     // s8: IVF+PQ — the full FAISS-IVFPQ shape, composing the two
@@ -319,8 +326,10 @@ object SimilarityQueries {
     // composed with s7's generated codebook CTEs.
     "s8_ivfpq_topk" -> ((s, d) => {
       import graft.operators.ProductQuantization
-      // both quantizer trainings + encode + query projection re-scan
-      // this frame — cost-gated persist (SimilarityOps.trainCache)
+      // cost-gated persist for the two trainings' construction-time
+      // collects (SimilarityOps.trainCache); released before
+      // returning (the no-leaked-frames serving contract,
+      // PipelineSignalsSpec)
       val e = SimilarityOps.trainCache(
         SimilarityOps.withNorm(embeddings(s, d), "embedding", "n"))
       // independent trainings overlapped (Par.both — see
@@ -356,8 +365,10 @@ object SimilarityQueries {
             col("code"), col("qt"), books.head.length), 6).as("adc_dist"))
       // sort-free top-k; every candidate shares the query's cell, so
       // grouping by (q_id, cell) preserves the output column
-      topkByDist(sim, Seq("q_id", "cell"), "adc_dist")
+      val res = topkByDist(sim, Seq("q_id", "cell"), "adc_dist")
         .select("q_id", "vec_id", "cell", "adc_dist", "rank")
+      e.unpersist()
+      res
     }),
 
     // s9: multi-probe IVFPQ with full-precision re-rank — the two
@@ -378,8 +389,10 @@ object SimilarityQueries {
       import graft.operators.ProductQuantization
       val Probes = 2
       val CandPool = 8 // ADC shortlist size per query before re-rank
-      // trainings + encode + query/re-rank projections: 5+ passes —
-      // cost-gated persist (SimilarityOps.trainCache)
+      // cost-gated persist for the two trainings' construction-time
+      // collects (SimilarityOps.trainCache); released before
+      // returning (the no-leaked-frames serving contract,
+      // PipelineSignalsSpec)
       val e = SimilarityOps.trainCache(
         SimilarityOps.withNorm(embeddings(s, d), "embedding", "n"))
       // independent trainings overlapped (Par.both — see
@@ -451,10 +464,12 @@ object SimilarityQueries {
           col("adc_dist"))
       val wExact = Window.partitionBy(col("q_id"))
         .orderBy(col("sim").desc, col("vec_id").asc)
-      reranked
+      val res = reranked
         .withColumn("rank", row_number().over(wExact).cast("long"))
         .filter(col("rank") <= TopK) // exact-cosine final order
         .select("q_id", "vec_id", "sim", "adc_dist", "rank")
+      e.unpersist()
+      res
     }),
 
     // s11: the index LIFECYCLE — build the IVF+PQ index as a persisted
@@ -568,14 +583,17 @@ object SimilarityQueries {
     // assignment. Sampling drops the seed count to 4 cells (sampled
     // ids < 8), a legitimate smaller index geometry.
     "s10_ivf_sampled" -> ((s, d) => {
-      // Lloyd passes over the sample + the full-corpus serve re-scan
-      // this frame — cost-gated persist (SimilarityOps.trainCache)
+      // cost-gated persist for the Lloyd passes over the sample
+      // (SimilarityOps.trainCache); released before returning (the
+      // no-leaked-frames serving contract, PipelineSignalsSpec)
       val e = SimilarityOps.trainCache(
         SimilarityOps.withNorm(embeddings(s, d), "embedding", "n"))
       val cents = SimilarityOps.trainIvf(
         e.filter(pmod(col("vec_id"), lit(2)) === 0), Dim, LloydSteps)
-      cellServeTopK(e.withColumn("cell",
+      val res = cellServeTopK(e.withColumn("cell",
         SimilarityOps.ivfAssign(cents, Dim)))
+      e.unpersist()
+      res
     }),
 
     // s3: embedding near-dup pairs, blocked by (label, sign-bucket) with
@@ -671,7 +689,12 @@ object SimilarityQueries {
     // and measured, so the gate cannot drift from its own report
     // card. recall is integer-exact (matches·1e6 div total).
     "s14_gate_recall" -> ((s, d) => {
-      val e = SimilarityOps.withNorm(embeddings(s, d), "embedding", "n")
+      // cost-gated persist for the Lloyd passes that run during
+      // construction (SimilarityOps.trainCache); released before
+      // returning (the no-leaked-frames serving contract,
+      // PipelineSignalsSpec)
+      val e = SimilarityOps.trainCache(
+        SimilarityOps.withNorm(embeddings(s, d), "embedding", "n"))
       val cents = SimilarityOps.trainIvf(
         e.filter(col("vec_id") < VecGateSplit), Dim, LloydSteps)
       val assigned = e
@@ -702,11 +725,14 @@ object SimilarityQueries {
         // engines, so boundary fp lands the same side everywhere
         .select(col("a"), col("b"),
           floor(col("csim") * 20).cast("long").as("band"))
-      truth.join(cand.withColumn("hit", lit(1)), Seq("a", "b"), "left")
+      val res = truth
+        .join(cand.withColumn("hit", lit(1)), Seq("a", "b"), "left")
         .groupBy(col("band"))
         .agg(count(lit(1)).as("n_true"), count(col("hit")).as("n_caught"))
         .withColumn("recall",
           expr("(n_caught * 1000000) div n_true").cast("double") / lit(1e6))
+      e.unpersist()
+      res
     })
   )
 

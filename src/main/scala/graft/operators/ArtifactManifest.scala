@@ -60,6 +60,15 @@ object ArtifactManifest {
   /** Stable listing digest of one generation subtree: every file's
     * path relative to `dir`, and its length. Driver-side metadata
     * only — bounded by the generation's file count, never a data read.
+    *
+    * Walked with [[listStatusWalk]], NOT `fs.listFiles(_, true)`:
+    * this runs on every recordBuild/recordAppend — i.e. once per
+    * streaming micro-batch — and listFiles materializes a
+    * LocatedFileStatus per file, which on the local Hadoop adapter
+    * without the native lib forks an `ls` PROCESS per file to read
+    * permissions (measured on this box: 64 files, 310 ms listFiles
+    * vs 4 ms listStatus walk — FsProbe). The walk needs only
+    * path+length, which plain listStatus carries fork-free.
     */
   private def genListing(s: SparkSession, dir: String,
       gen: Long): String = {
@@ -67,16 +76,26 @@ object ArtifactManifest {
     val fs = fsOf(s, gp)
     if (!fs.exists(gp)) s"ingest=$gen:absent"
     else {
-      val it = fs.listFiles(gp, true)
       val base = fs.makeQualified(new Path(dir)).toString + "/"
-      val b = Seq.newBuilder[String]
-      while (it.hasNext) {
-        val f = it.next()
-        b += s"${f.getPath.toString.stripPrefix(base)}:${f.getLen}"
-      }
-      b.result().sorted.mkString("\n")
+      listStatusWalk(fs, gp)
+        .map(f => s"${f.getPath.toString.stripPrefix(base)}:${f.getLen}")
+        .sorted.mkString("\n")
     }
   }
+
+  /** Recursive FILE statuses under `p` via per-directory listStatus —
+    * the fork-free local-adapter path (see [[genListing]]'s rationale;
+    * `listFiles(_, true)` pays a forked `ls` per file there). On
+    * remote stores this costs one LIST per directory instead of
+    * listFiles' single flat LIST — the artifact trees are two levels
+    * deep (`ingest=g/part=p/files`), so the request count stays
+    * bounded by the partition count the walk touches anyway.
+    */
+  private[operators] def listStatusWalk(fs: FileSystem,
+      p: Path): Seq[org.apache.hadoop.fs.FileStatus] =
+    fs.listStatus(p).toSeq.flatMap { st =>
+      if (st.isDirectory) listStatusWalk(fs, st.getPath) else Seq(st)
+    }
 
   /** Raw listing text per generation — one metadata walk, shared by
     * [[fullSignature]] (digest of the join) and the per-generation

@@ -512,15 +512,14 @@ object DedupIndex {
             new org.apache.hadoop.fs.Path(dir, s"ingest=$g"))
         case _ => Seq(base)
       }
+      // listStatus walk, not fs.listFiles: the latter forks an `ls`
+      // per file on the local adapter (ArtifactManifest.listStatusWalk's
+      // rationale) and this read sits on the gates' serving path
       val file = roots.iterator.filter(fs.exists).flatMap { r =>
-        val it = fs.listFiles(r, true)
-        var found: Option[org.apache.hadoop.fs.Path] = None
-        while (found.isEmpty && it.hasNext) {
-          val f = it.next()
-          if (f.getLen > 0 && f.getPath.getName.endsWith(".parquet"))
-            found = Some(f.getPath)
-        }
-        found.iterator
+        ArtifactManifest.listStatusWalk(fs, r).iterator
+          .filter(f => f.getLen > 0 &&
+            f.getPath.getName.endsWith(".parquet"))
+          .map(_.getPath).take(1)
       }.nextOption()
       file.fold(fallback) { fp =>
         val r = org.apache.parquet.hadoop.ParquetFileReader.open(

@@ -179,6 +179,7 @@ object SimilarityQueries {
       // the serve action recomputes the one scan it always paid
       val e = SimilarityOps.trainCache(
         SimilarityOps.withNorm(embeddings(s, d), "embedding", "n"))
+      try {
       // Assignment runs as the native `ivf_assign` expression
       // (functions.IvfAssign): one constant-size loop per row instead
       // of a broadcast cross join + 64-term dot chain per (vector,
@@ -195,8 +196,11 @@ object SimilarityQueries {
       val cents = SimilarityOps.trainIvf(e, Dim, LloydSteps)
       val res = cellServeTopK(e.withColumn("cell",
         SimilarityOps.ivfAssign(cents, Dim)))
-      e.unpersist()
       res
+      // finally, not success-path only: a failed training collect
+      // must not leak the persisted frame into the shared session
+      // (the no-leaked-frames contract — r21 advice)
+      } finally e.unpersist()
     }),
 
     // s5: int8 embedding quantization — the storage-scale path for a
@@ -276,6 +280,7 @@ object SimilarityQueries {
       // before returning (the no-leaked-frames serving contract,
       // PipelineSignalsSpec)
       val e = SimilarityOps.trainCache(embeddings(s, d))
+      try {
       val books = ProductQuantization.train(
         e, "embedding", "vec_id", PqSub, PqSubDim, PqK, steps = 1)
       // repartition = a MATERIALIZATION BARRIER, not data movement for
@@ -308,8 +313,11 @@ object SimilarityQueries {
       // never a window sort
       val res = topkByDist(sim, Seq("q_id"), "adc_dist")
         .select("q_id", "vec_id", "adc_dist", "rank")
-      e.unpersist()
       res
+      // finally, not success-path only: a failed training collect
+      // must not leak the persisted frame into the shared session
+      // (the no-leaked-frames contract — r21 advice)
+      } finally e.unpersist()
     }),
 
     // s8: IVF+PQ — the full FAISS-IVFPQ shape, composing the two
@@ -332,6 +340,7 @@ object SimilarityQueries {
       // PipelineSignalsSpec)
       val e = SimilarityOps.trainCache(
         SimilarityOps.withNorm(embeddings(s, d), "embedding", "n"))
+      try {
       // independent trainings overlapped (Par.both — see
       // VectorIndex.build's rationale; read-only)
       val (cents, books) = Par.both {
@@ -367,8 +376,11 @@ object SimilarityQueries {
       // grouping by (q_id, cell) preserves the output column
       val res = topkByDist(sim, Seq("q_id", "cell"), "adc_dist")
         .select("q_id", "vec_id", "cell", "adc_dist", "rank")
-      e.unpersist()
       res
+      // finally, not success-path only: a failed training collect
+      // must not leak the persisted frame into the shared session
+      // (the no-leaked-frames contract — r21 advice)
+      } finally e.unpersist()
     }),
 
     // s9: multi-probe IVFPQ with full-precision re-rank — the two
@@ -395,6 +407,7 @@ object SimilarityQueries {
       // PipelineSignalsSpec)
       val e = SimilarityOps.trainCache(
         SimilarityOps.withNorm(embeddings(s, d), "embedding", "n"))
+      try {
       // independent trainings overlapped (Par.both — see
       // VectorIndex.build's rationale; read-only)
       val (cents, books) = Par.both {
@@ -468,8 +481,11 @@ object SimilarityQueries {
         .withColumn("rank", row_number().over(wExact).cast("long"))
         .filter(col("rank") <= TopK) // exact-cosine final order
         .select("q_id", "vec_id", "sim", "adc_dist", "rank")
-      e.unpersist()
       res
+      // finally, not success-path only: a failed training collect
+      // must not leak the persisted frame into the shared session
+      // (the no-leaked-frames contract — r21 advice)
+      } finally e.unpersist()
     }),
 
     // s11: the index LIFECYCLE — build the IVF+PQ index as a persisted
@@ -588,12 +604,16 @@ object SimilarityQueries {
       // no-leaked-frames serving contract, PipelineSignalsSpec)
       val e = SimilarityOps.trainCache(
         SimilarityOps.withNorm(embeddings(s, d), "embedding", "n"))
+      try {
       val cents = SimilarityOps.trainIvf(
         e.filter(pmod(col("vec_id"), lit(2)) === 0), Dim, LloydSteps)
       val res = cellServeTopK(e.withColumn("cell",
         SimilarityOps.ivfAssign(cents, Dim)))
-      e.unpersist()
       res
+      // finally, not success-path only: a failed training collect
+      // must not leak the persisted frame into the shared session
+      // (the no-leaked-frames contract — r21 advice)
+      } finally e.unpersist()
     }),
 
     // s3: embedding near-dup pairs, blocked by (label, sign-bucket) with
@@ -695,6 +715,7 @@ object SimilarityQueries {
       // PipelineSignalsSpec)
       val e = SimilarityOps.trainCache(
         SimilarityOps.withNorm(embeddings(s, d), "embedding", "n"))
+      try {
       val cents = SimilarityOps.trainIvf(
         e.filter(col("vec_id") < VecGateSplit), Dim, LloydSteps)
       val assigned = e
@@ -731,8 +752,11 @@ object SimilarityQueries {
         .agg(count(lit(1)).as("n_true"), count(col("hit")).as("n_caught"))
         .withColumn("recall",
           expr("(n_caught * 1000000) div n_true").cast("double") / lit(1e6))
-      e.unpersist()
       res
+      // finally, not success-path only: a failed training collect
+      // must not leak the persisted frame into the shared session
+      // (the no-leaked-frames contract — r21 advice)
+      } finally e.unpersist()
     })
   )
 

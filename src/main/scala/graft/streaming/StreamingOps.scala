@@ -99,6 +99,22 @@ object StreamingOps {
     // before refusing — an error path).
     val (lo, hi) = (sigRow.getLong(1), sigRow.getLong(2))
     val step = (hi - lo) / nFiles + 1
+    // the content hash below rides a SHUFFLE-MAP stage as an
+    // Observation accumulator; a speculative duplicate task completion
+    // would apply its rows twice and bit_xor self-cancels — the
+    // signature would then differ from a clean run's and a legitimate
+    // same-content crash-recovery re-stage would refuse (r21 advice).
+    // The engine never enables speculation; refuse loudly if a
+    // deployment turned it on rather than corrupt signatures silently.
+    // (A stage RETRY after a fetch failure has the same exposure —
+    // accepted: the failure mode is a loud refusal on re-stage, never
+    // wrong data served.)
+    require(!arrivals.sparkSession.conf
+        .get("spark.speculation", "false").toBoolean,
+      "stageOrderedArrivals: spark.speculation must be off — a " +
+        "speculative duplicate task would double-apply the " +
+        "observed content hash (bit_xor self-cancels) and break " +
+        "the staging signature guard")
     val contentObs = new org.apache.spark.sql.Observation
     // ONE pass cuts all the range files (dynamic-partition write on
     // the computed file index; the index column stays out of the

@@ -62,4 +62,27 @@ class ParSpec extends AnyFunSuite {
     assert(ex.getMessage === "a failed")
     assert(bFinished.get)
   }
+
+  test("the pool side inherits the caller's job group and drops it " +
+      "after the call (cancellation scope + reused-thread hygiene)") {
+    val sc = SparkSpec.session.sparkContext
+    sc.setJobGroup("par-spec-group", "par-spec", true)
+    try {
+      val (seen, _) = Par.both {
+        sc.getLocalProperty("spark.jobGroup.id")
+      } { "b" }
+      assert(seen === "par-spec-group",
+        "pool side did not inherit the caller's job group — " +
+          "cancelling the caller would leave the overlapped action " +
+          "running")
+      // the property must not leak to later work on the reused pool
+      // thread: run an unscoped both() and require a clean group
+      sc.clearJobGroup()
+      val (after, _) = Par.both {
+        Option(sc.getLocalProperty("spark.jobGroup.id"))
+      } { "b" }
+      assert(after.isEmpty,
+        "a reused pool thread leaked the previous call's job group")
+    } finally sc.clearJobGroup()
+  }
 }

@@ -890,13 +890,17 @@ object DedupIndex {
     // can have. The grams store must cover every indexed doc
     // (admitted or not — rejected docs are indexed too); if it ever
     // doesn't, fail the batch rather than let duplicates through.
+    // cast to the STORE's gram element type (array<string> raw,
+    // array<long> hashed — the streaming gate's injectivity-proved
+    // store), not a hardcoded string type
+    val gramsType = grams.schema("grams").dataType
     def verified(side: String, g: String) =
       when(col(g).isNull,
         raise_error(concat(lit(s"gateDecisions: no grams row for " +
           s"candidate $side-side id "), col(side),
           lit(" — the verification store must cover every indexed " +
             "doc; a dropped pair would admit a duplicate unverified")))
-          .cast("array<string>"))
+          .cast(gramsType))
         .otherwise(col(g))
     // ONE scan of the verification store per batch. The store is the
     // big side at 100 TB (every indexed doc's grams) while the
@@ -1060,10 +1064,36 @@ object DedupIndex {
     // lease-fenced build stays under asOwner on the calling thread;
     // the grams side table is not lease-fenced (unchanged).
     val (_, staged) = Par.both {
-      if (!fs.exists(gramsDone))
+      if (!fs.exists(gramsDone)) {
+        // the store holds HASHED grams (array<long>) behind an EXACT
+        // injectivity proof, instead of the raw 4-gram strings: at
+        // sf0.1 the string store was the stream's largest single
+        // write, and at 100 TB it is ~8x the bytes of the hashed form
+        // on every batch's verification join (guide §6 shrink I/O,
+        // §2.3 narrower types). Correctness argument: ONE aggregate
+        // proves xxhash64 injective on the union of every doc's gram
+        // set (exact distinct-gram count == exact distinct-hash
+        // count); an injective map preserves |A|, |B| and |A∩B| for
+        // every pair of per-doc gram SETS (charNgrams is
+        // array_distinct), so every Jaccard the gate computes — and
+        // therefore every admission decision the oracle checks — is
+        // IDENTICAL to the string form's. On the astronomically
+        // unlikely collision (~n²/2⁶⁵) the build falls back to the
+        // string store — same decisions, just the old bytes.
+        val gramsCol = TextOps.charNgrams(textCol, 4)
+        val cd = docs.select(explode(gramsCol).as("g"))
+          .agg(countDistinct(col("g")), countDistinct(xxhash64(col("g"))))
+          .head()
+        val injective = cd.getLong(0) == cd.getLong(1)
+        if (!injective)
+          System.err.println(s"[graft] streamIngestGate($root): " +
+            "xxhash64 collides on this corpus's 4-gram set — " +
+            "serving the string verification store")
         docs.select(col(idCol),
-            TextOps.charNgrams(textCol, 4).as("grams"))
+            (if (injective) transform(gramsCol, g => xxhash64(g))
+             else gramsCol).as("grams"))
           .write.mode("overwrite").parquet(s"$root/grams")
+      }
     } {
       WriterLease.asOwner(ss, lr, lease) {
       if (!builtComplete(ss, s"$root/index"))

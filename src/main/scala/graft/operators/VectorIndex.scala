@@ -124,14 +124,24 @@ object VectorIndex {
     // interleaving overwrites with the stealer — the lease's mtime
     // otherwise never moves during a long build
     WriterLease.verifyHeld(s, DedupIndex.leaseRoot(dir))
-    cents.cells.indices.map(c => (cents.cells(c),
-        cents.books.slice(c * dim, (c + 1) * dim).toSeq, cents.mns(c)))
-      .toDF("cell", "cvec", "cn")
-      .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
-    books.zipWithIndex.flatMap { case (cbs, j) =>
-        cbs.zipWithIndex.map { case (m, c) => (j, c, m.toSeq) } }.toSeq
-      .toDF("j", "c", "m")
-      .coalesce(1).write.mode("overwrite").parquet(s"$dir/codebooks")
+    // the two quantizer-state writes are independent single-task jobs
+    // on disjoint trees — overlap them (each is ~all driver latency).
+    // Both are awaited BEFORE the corpus write below, so the crash
+    // implication readers rely on is untouched: corpus committed ⇒
+    // quantizer state complete (buildOrLoad keys on the corpus
+    // marker and load() reads both trees).
+    Par.both {
+      cents.cells.indices.map(c => (cents.cells(c),
+          cents.books.slice(c * dim, (c + 1) * dim).toSeq,
+          cents.mns(c)))
+        .toDF("cell", "cvec", "cn")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
+    } {
+      books.zipWithIndex.flatMap { case (cbs, j) =>
+          cbs.zipWithIndex.map { case (m, c) => (j, c, m.toSeq) } }.toSeq
+        .toDF("j", "c", "m")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/codebooks")
+    }
     val assigned = e.withColumn("cell",
       SimilarityOps.ivfAssign(cents, dim))
     // drift baseline: the training corpus's mean assigned-centroid
@@ -188,23 +198,40 @@ object VectorIndex {
     // fence after the long encode+write stage, before the stamp/
     // manifest/sketch publishes (the build's commit-equivalents)
     WriterLease.verifyHeld(s, DedupIndex.leaseRoot(dir))
-    gateBits.foreach(b => Seq(b).toDF("bits")
-      .coalesce(1).write.mode("overwrite").parquet(s"$dir/gate"))
     val metrics = drift.get
-    metrics.get("base_cos").flatMap(Option(_))
-      .foreach(c => Seq(c.asInstanceOf[Double]).toDF("base_cos")
-        .coalesce(1).write.mode("overwrite").parquet(s"$dir/drift"))
-    ArtifactManifest.recordBuild(s, s"$dir/corpus",
-      Some(ArtifactManifest.frameShapeJson(rows.schema,
-        Seq("ingest", "cell"))))
+    // the three commit-side publishes (gate stamp, drift baseline,
+    // manifest — kept in that relative order) and the membership
+    // sketch build touch four DISJOINT trees and none reads another's
+    // output — overlap the sketch (one aggregate job over the cached
+    // frame plus its staged save) with the publishes. Every crash
+    // window is a combination of each piece's own absent-is-safe
+    // contract (no stamp → derive-on-the-fly; no drift baseline →
+    // signal off; no manifest → raw-listing fallback; no sketch →
+    // unpruned serving), exactly the classes the serial order already
+    // had — the one NEW combination, sketch-present/manifest-absent,
+    // is safe because the sketch is a superset filter whatever the
+    // listing source. The lease-FENCED sketch save stays on the
+    // CALLING thread (WriterLease tracks holders per thread — Par's
+    // documented rule).
     // live-id membership sketch beside the corpus — same composition
     // (and the same superset/OR/unlearn contract) as
     // [[DedupIndex]]'s; [[memberPrune]] serves it. The sizing count
     // rode the corpus write's Observation — no extra pass. Built from
     // the cached frame (same ids as e0), not the raw input, so the
     // sketch pass is a cache read when the gate engaged.
-    DedupIndex.buildMembers(e, "vec_id", dir,
-      metrics.get("n_rows").map(_.asInstanceOf[Long]))
+    Par.both {
+      gateBits.foreach(b => Seq(b).toDF("bits")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/gate"))
+      metrics.get("base_cos").flatMap(Option(_))
+        .foreach(c => Seq(c.asInstanceOf[Double]).toDF("base_cos")
+          .coalesce(1).write.mode("overwrite").parquet(s"$dir/drift"))
+      ArtifactManifest.recordBuild(s, s"$dir/corpus",
+        Some(ArtifactManifest.frameShapeJson(rows.schema,
+          Seq("ingest", "cell"))))
+    } {
+      DedupIndex.buildMembers(e, "vec_id", dir,
+        metrics.get("n_rows").map(_.asInstanceOf[Long]))
+    }
     } finally e.unpersist()
     }
   }
@@ -222,31 +249,6 @@ object VectorIndex {
         cents.books.slice(c * dim, (c + 1) * dim).map(_.toFloat).toSeq,
         cents.mns(c)))
       .toDF("cell", "cvec", "cn")
-  }
-
-  /** Mean cosine of each row's embedding to its ASSIGNED centroid —
-    * the drift statistic: vectors drawn from the trained distribution
-    * sit close to some centroid (high mean), while a batch whose
-    * distribution has left the training sample lands far from every
-    * cell (low mean), which is exactly when frozen-quantizer encoding
-    * starts costing recall. `df` must carry `embedding`, `n`, `cell`.
-    * Zero-norm rows (padding artifacts, failed encodes) are EXCLUDED
-    * — their cosine is 0/0, and one NaN would otherwise poison the
-    * average and silently disable the signal forever; `None` when no
-    * row has a norm. Cost: one broadcast join against the k-row
-    * centroid table and one aggregate over `df` — batch-sized when
-    * called from [[append]], never a corpus scan.
-    */
-  private def meanAssignedCos(df: DataFrame,
-      cents: SimilarityOps.IvfCentroids, dim: Int): Option[Double] = {
-    val s = df.sparkSession
-    import s.implicits._
-    df.join(broadcast(centroidTable(s, cents, dim)), Seq("cell"))
-      .filter(col("n") > 0 && col("cn") > 0)
-      .select(avg(
-        call_function("vec_dot", col("embedding"), col("cvec")) /
-          (col("n") * col("cn"))).as("c"))
-      .as[Option[Double]].head()
   }
 
   /** The stored drift baseline ([[build]] writes it; artifacts built
@@ -391,23 +393,22 @@ object VectorIndex {
       s"append: driftTolerance > 0 (got $driftTolerance)")
     WriterLease.withLease(s, DedupIndex.leaseRoot(dir)) {
     val l = load(s, dir)
-    val dim = l.cents.books.length / l.cents.cells.length
     val gen = DedupIndex.nextGeneration(s, s"$dir/corpus")
-    appendWith(l, dir, newVecs, gen)
-    // drift statistic from the generation just WRITTEN (embedding/n/
-    // cell are on disk — no re-run of the batch's lineage), BEFORE
-    // maintenance may collapse the generation dirs; a zero-row append
-    // wrote no directory and carries no signal
-    val genPath = new org.apache.hadoop.fs.Path(
-      s"$dir/corpus/ingest=$gen")
-    val tripped = driftBaseline(s, dir).exists { base =>
-      genPath.getFileSystem(s.sparkContext.hadoopConfiguration)
-        .exists(genPath) &&
-        meanAssignedCos(
-            s.read.option("basePath", s"$dir/corpus")
-              .parquet(genPath.toString), l.cents, dim)
-          .exists(_ < base - driftTolerance)
+    // the batch's drift statistic RIDES the append write as an
+    // Observation (one broadcast join against the k-row centroid
+    // table inside the encode+write job) — the old form read the
+    // written generation BACK for a separate aggregate, one extra
+    // driver action + scan per append. The baseline read is
+    // independent of the append (disjoint trees; read-only) and
+    // overlaps it; the lease-fenced write stays on the calling
+    // thread (Par's rule).
+    val (base, cos) = Par.both {
+      driftBaseline(s, dir)
+    } {
+      appendWithDrift(l, dir, newVecs, gen)
     }
+    val tripped =
+      base.exists(b => cos.exists(_ < b - driftTolerance))
     if (LayoutOps.ingestGenerations(s, s"$dir/corpus")
         .size >= compactEvery)
       // SIZED: a cell past graft.index.targetFileBytes range-splits
@@ -432,8 +433,23 @@ object VectorIndex {
     */
   def appendWith(l: Loaded, dir: String, newVecs: DataFrame,
       generation: Long): Unit = {
+    appendWithDrift(l, dir, newVecs, generation)
+    ()
+  }
+
+  /** [[appendWith]] plus the batch's mean assigned-centroid cosine —
+    * the drift statistic — observed ON the append write (one
+    * broadcast join against the k-row centroid table rides the
+    * encode+write job, the same fold [[build]] uses for the
+    * baseline), instead of [[append]]'s former read-back aggregate of
+    * the just-written generation. `None` when no batch row has a
+    * positive norm (including the zero-row batch).
+    */
+  private[operators] def appendWithDrift(l: Loaded, dir: String,
+      newVecs: DataFrame, generation: Long): Option[Double] = {
     val dim = l.cents.books.length / l.cents.cells.length
     val subDim = l.books.head.head.length
+    val ss = newVecs.sparkSession
     // the artifact's metadata columns (anything beyond the serving
     // five, the stamped gate bucket, and the generation) must arrive
     // with the new vectors too
@@ -442,10 +458,18 @@ object VectorIndex {
         "bucket", "ingest"))
     // membership before the corpus append (superset-on-crash)
     DedupIndex.orMembers(newVecs, "vec_id", dir)
+    val drift = new org.apache.spark.sql.Observation
     val rows = ProductQuantization.encode(
         SimilarityOps.withNorm(newVecs, "embedding", "n")
           .withColumn("cell", SimilarityOps.ivfAssign(l.cents, dim)),
         "embedding", l.books, subDim, "code")
+      // left join, zero-norm rows excluded from the statistic —
+      // build's drift-baseline fold verbatim
+      .join(broadcast(centroidTable(ss, l.cents, dim)), Seq("cell"),
+        "left")
+      .observe(drift, avg(when(col("n") > 0 && col("cn") > 0,
+        call_function("vec_dot", col("embedding"), col("cvec")) /
+          (col("n") * col("cn")))).as("batch_cos"))
       // a gate-stamped artifact keeps its bucket column CONSISTENT
       // across appends: the batch's buckets are computed under the
       // stamped geometry inside the same encode pass
@@ -473,6 +497,8 @@ object VectorIndex {
     ArtifactManifest.recordAppend(newVecs.sparkSession,
       s"$dir/corpus", generation, Some(ArtifactManifest.frameShapeJson(rows.schema,
         Seq("ingest", "cell"))))
+    drift.get.get("batch_cos").flatMap(Option(_))
+      .map(_.asInstanceOf[Double])
   }
 
   /** Retrain the artifact's quantizers on its CURRENT contents — the
@@ -1062,15 +1088,21 @@ object VectorIndex {
     DedupIndex.memberPrune(s, dir, fact, keyCol, orKeep)
 
   def load(s: SparkSession, dir: String): Loaded = {
-    val cr = s.read.parquet(s"$dir/centroids").collect()
-      .sortBy(_.getLong(0))
+    // two independent dim-sized collects — overlap them (Par.both;
+    // read-only): load sits on every serve/append/rebuild entry and
+    // each collect is all driver latency at these sizes
+    val (cr, br) = Par.both {
+      s.read.parquet(s"$dir/centroids").collect().sortBy(_.getLong(0))
+    } {
+      s.read.parquet(s"$dir/codebooks").collect()
+        .map(r =>
+          (r.getInt(0), r.getInt(1)) -> r.getSeq[Double](2).toArray)
+        .toMap
+    }
     val cents = SimilarityOps.IvfCentroids(
       cr.map(_.getLong(0)),
       cr.flatMap(_.getSeq[Double](1)),
       cr.map(_.getDouble(2)))
-    val br = s.read.parquet(s"$dir/codebooks").collect()
-      .map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Double](2).toArray)
-      .toMap
     val subspaces = br.keys.map(_._1).max + 1
     val k = br.keys.map(_._2).max + 1
     val books: ProductQuantization.Codebooks =

@@ -766,6 +766,13 @@ class DedupIndexSpec extends SparkSpec {
       val batch = SparkEntry.queries("d12_ingest_gate")(spark, d)
         .as[(Long, Option[Long], Boolean)].collect().toSeq.sorted
       assert(streamed === batch)
+      // the verification store serves the HASHED (injectivity-proved)
+      // form — array<long>, 8x smaller than the raw 4-gram strings;
+      // the streamed ≡ batch equality above IS the decisions gate for
+      // it (the batch gate verifies over string grams)
+      assert(spark.read.parquet(s"$root/grams").schema("grams")
+        .dataType.asInstanceOf[org.apache.spark.sql.types.ArrayType]
+        .elementType === org.apache.spark.sql.types.LongType)
       // real rejections happened, including at least one whose winner
       // was only reachable THROUGH the artifact (a base-corpus doc)
       assert(streamed.exists { case (_, dup, adm) =>

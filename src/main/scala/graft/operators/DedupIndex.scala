@@ -1052,8 +1052,14 @@ object DedupIndex {
     // the staging signature guard already pins `docs` to this root,
     // so an existing store is this run's — recomputing it would
     // repeat the full-corpus shingle before any batch replays.
+    // completion marker is a SEPARATE file, not the store's own
+    // _SUCCESS: the hashed store commits in two overlapped pieces
+    // (the parquet write and the injectivity proof below), and the
+    // skip must engage only when BOTH settled — a crash between the
+    // write and the proof (or before a collision fallback rewrote
+    // the store) must redo the pair, never serve an unproven store
     val gramsDone = new org.apache.hadoop.fs.Path(
-      s"$root/grams/_SUCCESS")
+      s"$root/grams_ok")
     // The grams store build is independent of the index build and the
     // arrivals staging (separate trees, separate completion markers,
     // no read of each other's output) — overlap them (Par.both): the
@@ -1081,18 +1087,36 @@ object DedupIndex {
         // unlikely collision (~n²/2⁶⁵) the build falls back to the
         // string store — same decisions, just the old bytes.
         val gramsCol = TextOps.charNgrams(textCol, 4)
-        val cd = docs.select(explode(gramsCol).as("g"))
-          .agg(countDistinct(col("g")), countDistinct(xxhash64(col("g"))))
-          .head()
-        val injective = cd.getLong(0) == cd.getLong(1)
-        if (!injective)
+        // the proof and the (optimistic) hashed write are independent
+        // jobs over the same shingle lineage — overlap them; the
+        // check alone measured ~2 s serial at sf0.1, which pushed
+        // this branch past the index-build side of the OUTER overlap
+        // and regressed the stream by exactly that much. The proof's
+        // shape: distinct FIRST (map-side combined), then count the
+        // hash images over the distinct-gram set only — two
+        // countDistincts over raw occurrences expand every occurrence
+        // twice (measured +0.5 s more).
+        val (injective, _) = Par.both {
+          val cd = docs.select(explode(gramsCol).as("g")).distinct()
+            .agg(count(lit(1)), countDistinct(xxhash64(col("g"))))
+            .head()
+          cd.getLong(0) == cd.getLong(1)
+        } {
+          docs.select(col(idCol),
+              transform(gramsCol, g => xxhash64(g)).as("grams"))
+            .write.mode("overwrite").parquet(s"$root/grams")
+        }
+        if (!injective) {
+          // fallback BEFORE the marker: the optimistic hashed store
+          // is overwritten with the string form, so the marker below
+          // never commits an unproven hashed store
           System.err.println(s"[graft] streamIngestGate($root): " +
             "xxhash64 collides on this corpus's 4-gram set — " +
             "serving the string verification store")
-        docs.select(col(idCol),
-            (if (injective) transform(gramsCol, g => xxhash64(g))
-             else gramsCol).as("grams"))
-          .write.mode("overwrite").parquet(s"$root/grams")
+          docs.select(col(idCol), gramsCol.as("grams"))
+            .write.mode("overwrite").parquet(s"$root/grams")
+        }
+        fs.create(gramsDone, true).close()
       }
     } {
       WriterLease.asOwner(ss, lr, lease) {
